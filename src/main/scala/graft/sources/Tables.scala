@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources — SURVEY.md §2.1.
+  *
+  * The reference reads whole objects into memory (CSV via pandas, reference
+  * glue_job.py:169-170; parquet via pyarrow, validate.py:207-210). Here every
+  * read stays a distributed, lazily-planned scan so Catalyst can push filters
+  * and prune columns down to the parquet footer.
+  */
+object Tables {
+
+  /** S2: multi-file parquet scan (reference transform.py:286-295 reads a
+    * *list* of parquet paths as one relation).
+    */
+  def parquet(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** S1: schema-declared CSV scan (reference glue_job.py:169-170 infers via
+    * pandas; we declare the schema instead — no inference pass over the data).
+    */
+  def csv(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S3: schema-only scan — footer read, no job (reference validate.py:184-187
+    * reads just the parquet schema).
+    */
+  def parquetSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+
+  /** S5: snappy parquet sink (reference glue_job.py:176-178). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+
+  /** S6: partitioned overwrite sink (reference transform.py:338-339 writes
+    * Delta partitioned by order_date; plain parquet here — see SURVEY.md §7.3).
+    */
+  def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol)
+      .option("compression", "snappy").parquet(path)
+
+  // ---- driver testdata tables (TESTDATA.md / FIXTURES.md §B) ----
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Re-targets the driver's TPC-H-ish testdata onto the reference's e-commerce
+  * roles (FIXTURES.md §B): orders→orders, lineitem→order_items, part→products.
+  * Pure column renames/derivations — stays inside the parquet scan projection,
+  * so column pruning still reaches the reader.
+  */
+object TestdataAdapter {
+
+  /** orders in reference shape: order_id, user_id, status, created_at. */
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("user_id"),
+      col("o_orderstatus").as("status"),
+      col("o_orderdate").as("created_at"),
+      col("o_totalprice").as("total_price")
+    )
+
+  /** order_items in reference shape; `is_returned` stands in for the
+    * reference's `returned_at IS NOT NULL` flag (FIXTURES.md §B maps it to
+    * `l_returnflag = 'R'`).
+    */
+  def orderItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("order_id"),
+      col("l_partkey").as("product_id"),
+      col("l_linenumber").as("line_number"),
+      col("l_extendedprice").as("sale_price"),
+      col("l_quantity").as("quantity"),
+      (col("l_returnflag") === "R").as("is_returned")
+    )
+
+  /** products in reference shape: id, category, name, brand, retail_price. */
+  def products(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey").as("id"),
+      col("p_type").as("category"),
+      col("p_name").as("name"),
+      col("p_brand").as("brand"),
+      col("p_retailprice").as("retail_price")
+    )
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run Verify's parquet dumps
+against the DuckDB oracle SQL and hash-compare (driver-side duckdb/pandas are
+available in this container; this script is tooling, not engine code).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def cell(v):
+    if isinstance(v, float):
+        return repr(v)          # full precision; bit-exact match required
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame):
+    import hashlib
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update("|".join(cell(v) for v in row).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        schema_ok = list(got.columns) == list(want.columns)
+        rows_ok = len(got) == len(want)
+        hash_ok = schema_ok and rows_ok and frame_hash(got) == frame_hash(want)
+        if hash_ok:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: schema_ok={schema_ok} rows {len(got)} vs "
+                  f"{len(want)}")
+            if schema_ok and rows_ok:
+                for c in got.columns:
+                    if not (got[c].map(cell) == want[c].map(cell)).all():
+                        bad = (got[c].map(cell) != want[c].map(cell))
+                        i = bad.idxmax()
+                        print(f"  col {c}: first diff row {i}: "
+                              f"{got[c][i]!r} vs {want[c][i]!r} "
+                              f"({int(bad.sum())} diffs)")
+            else:
+                print(f"  got cols:  {list(got.columns)}")
+                print(f"  want cols: {list(want.columns)}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
