@@ -32,12 +32,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1 — category-level daily KPIs (reference transform.py:348-352)
-    "a1_category_kpis" -> ((s, dir) =>
-      Kpis.categoryKpis(enriched(s, dir)).orderBy("category", "order_date")),
+    // A1 — category-level daily KPIs (reference transform.py:348-352).
+    // No orderBy: Verify applies the canonical sort at dump time; the
+    // benched plan stays sort-free (VERDICT r01 #3).
+    "a1_category_kpis" -> ((s, dir) => Kpis.categoryKpis(enriched(s, dir))),
     // A2 — order-level daily KPIs (reference transform.py:359-365)
-    "a2_daily_kpis" -> ((s, dir) =>
-      Kpis.dailyKpis(enriched(s, dir)).orderBy("order_date"))
+    "a2_daily_kpis" -> ((s, dir) => Kpis.dailyKpis(enriched(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

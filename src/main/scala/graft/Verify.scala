@@ -16,9 +16,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Canonical full-key sort lives HERE (tooling), not in the benched
+        // query plans (VERDICT r01 #3: the compare sorts rows anyway; a
+        // global sort in the registered plan is pure bench cost).
+        val df = fn(spark, sfDir)
+        val sorted = df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
+        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization, n-gram
+  * shingles, quality stats, language ID, fingerprinting. All built-in
+  * expressions (codegen'd where Spark supports it) — no UDFs, so every
+  * operator whole-stage-compiles and distributes trivially.
+  */
+object Text {
+
+  /** Whitespace tokens of a text column (empty text → empty array, not
+    * array("")).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles as space-joined strings; documents shorter than n
+    * tokens yield their whole token string as the single shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val count = greatest(size(ts) - (n - 1), lit(1))
+    transform(sequence(lit(0), count - 1),
+      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
+  }
+
+  /** A small multilingual stopword table for language ID / quality scoring
+    * (public common function words; the heuristic is ours).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+      "for", "on", "with", "as", "was", "at", "by", "this", "are", "be"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "mit", "von", "zu", "den", "dem", "auf", "für", "im", "sich", "auch"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+      "es", "no", "por", "con", "para", "del", "se", "su"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est",
+      "dans", "que", "pour", "qui", "sur", "pas", "au", "du", "ce")
+  )
+
+  /** Count of tokens that belong to `words` (with multiplicity). */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Quality-scoring stats per document: token/char counts, mean token
+    * length, punctuation ratio, stopword ratio, and a composite quality flag
+    * (the usual pretraining heuristics: not too short, words not too long,
+    * not punctuation soup, some function words).
+    */
+  def stats(text: Column): Seq[(String, Column)] = {
+    val ts = tokens(text)
+    val nTokens = size(ts)
+    val nChars = length(text)
+    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+    val stopEn = stopwordCount(ts, stopwords("en"))
+    Seq(
+      "n_tokens" -> nTokens.cast("long"),
+      "n_chars_measured" -> nChars.cast("long"),
+      "mean_token_len" -> round(
+        when(nTokens > 0, (length(concat_ws("", ts)).cast("double")) / nTokens)
+          .otherwise(lit(0.0)), 6),
+      "punct_ratio" -> round(
+        when(nChars > 0, punct.cast("double") / nChars).otherwise(lit(0.0)), 6),
+      "stopword_ratio" -> round(
+        when(nTokens > 0, stopEn.cast("double") / nTokens).otherwise(lit(0.0)), 6)
+    )
+  }
+
+  /** BPE-ish subword count: pieces matched by a GPT-2-style pretokenizer
+    * regex (letters / digits / other runs, optional leading space).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0)))
+      .cast("long")
+
+  /** Language ID: CJK script detection first, then argmax of per-language
+    * stopword hit ratios; below `minHits` hits → "und" (undetermined).
+    * One pass, pure expressions.
+    */
+  def langId(text: Column, minHits: Int = 1): Column = {
+    val ts = tokens(lower(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordCount(ts, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct orders by first field (hits) then lang — ties
+    // break deterministically toward the lexicographically larger lang.
+    val best = array_max(array(scored: _*))
+    when(text.rlike("[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]"), lit("zh"))
+      .when(best.getField("hits") >= minHits, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Rolling polynomial document fingerprint over tokens:
+    * acc = acc * 31 + xxhash64(token), in Long arithmetic (wrapping — the
+    * standard polynomial rolling hash). Order-sensitive, deterministic,
+    * computed in one fold per row.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Convenience: attach all text-analysis columns to a documents frame. */
+  def analyzed(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val withStats = stats(t).foldLeft(docs) { case (df, (name, c)) =>
+      df.withColumn(name, c)
+    }
+    withStats
+      .withColumn("bpe_tokens", bpeTokenCount(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -53,7 +53,10 @@ object Schemas {
   val byTable: Map[String, StructType] =
     Map("orders" -> orders, "order_items" -> orderItems, "products" -> products)
 
-  /** Valid order/item statuses — reference validate.py:226-230. */
+  /** Valid order statuses — the reference applies the status whitelist to
+    * orders only (validate.py:226-230); order_items gets sale_price >= 0 and
+    * products gets cost/retail_price >= 0 instead (validate.py:231-238).
+    */
   val validStatuses: Seq[String] =
     Seq("pending", "processing", "shipped", "delivered", "cancelled", "returned")
 

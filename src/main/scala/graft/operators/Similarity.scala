@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Baseline: brute-force cosine top-k with a two-stage
+  * (per-partition, then global) top-k so no single reducer sees the whole
+  * corpus. Scale paths: IVF (coarse centroids → probe nearest cells) and
+  * random-hyperplane LSH — both turn the scan into an equi-join on a bucket
+  * key.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order expressions — no
+  * UDFs, no driver collect of vectors (the only collected thing is the tiny
+  * centroid table, which is by construction `nlist` rows).
+  */
+object Similarity {
+
+  /** Dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 when either vector is all-zero). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0d))
+  }
+
+  /** Brute-force cosine top-k: `queries` (small: broadcast) × `corpus`
+    * (huge: one narrow pass). Two-stage top-k: rank within each scan
+    * partition first (cheap, no shuffle), keep ≤ k per partition, THEN
+    * shuffle only ~k·numPartitions survivors per query for the global rank.
+    * A single global window over the full corpus would funnel every score
+    * through numQueries reducers — this shape doesn't.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "q_id", qVec: String = "q_vec",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col(qId), col(cId),
+        cosine(col(qVec), col(cVec)).as("sim"),
+        spark_partition_id().as("__part"))
+    val localW = Window.partitionBy(col(qId), col("__part"))
+      .orderBy(col("sim").desc, col(cId))
+    val globalW = Window.partitionBy(col(qId))
+      .orderBy(col("sim").desc, col(cId))
+    scored
+      .withColumn("__lr", row_number().over(localW)).filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** IVF "training": one centroid per coarse cell — here the mean vector per
+    * existing cluster column (e.g. a pretrained label), computed with
+    * posexplode → (cell, pos) average → re-assembled. One aggregation pass.
+    */
+  def centroids(corpus: DataFrame, cellCol: String, vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg("v").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+
+  /** IVF probe: route each query to its `nprobe` nearest centroids (tiny
+    * broadcast cross), then search ONLY corpus rows in those cells — the
+    * cell equi-join prunes the scan to nprobe/nlist of the corpus before
+    * any distance math runs.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int,
+              nprobe: Int = 2, qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val cents = centroids(corpus, cellCol, cVec)
+    val probeW = Window.partitionBy(col(qId)).orderBy(col("csim").desc, col("cell"))
+    val probes = queries.join(broadcast(cents))
+      .select(col(qId), col(qVec), col("cell"),
+        cosine(col(qVec), col("centroid")).as("csim"))
+      .withColumn("__r", row_number().over(probeW)).filter(col("__r") <= nprobe)
+      .select(col(qId), col(qVec), col("cell"))
+    val pruned = corpus.join(broadcast(probes), corpus(cellCol) === probes("cell"))
+    val globalW = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
+    pruned.select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("sim"))
+      .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket key: `nbits` sign bits of dot(v, h_i),
+    * hyperplanes generated deterministically from `seed` (driver-side PRNG,
+    * broadcast as literals — nbits × dim doubles, trivially small).
+    */
+  def lshBucket(vec: Column, dim: Int, nbits: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(v => lit(v)): _*)
+      when(dot(vec, plane) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: bucket corpus and queries with the same hyperplanes,
+    * equi-join on the bucket, exact cosine + top-k inside. Multi-table
+    * (`ntables` independent hash tables) for recall: a query meets a corpus
+    * row if they collide in ANY table — union of equi-joins, still no
+    * cartesian.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+              nbits: Int = 8, ntables: Int = 4, seed: Long = 42L,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val tableCol = (v: Column) => array((0 until ntables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(v, dim, nbits, seed + t).as("bucket"))): _*)
+    val cb = corpus.select(col(cId), col(cVec),
+      explode(tableCol(col(cVec))).as("tb"))
+      .select(col(cId), col(cVec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qb = queries.select(col(qId), col(qVec),
+      explode(tableCol(col(qVec))).as("tb"))
+      .select(col(qId), col(qVec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val met = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .select(col(qId), col(qVec), col(cId), col(cVec)).distinct()
+    val globalW = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
+    met.select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("sim"))
+      .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+}

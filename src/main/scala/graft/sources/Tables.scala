@@ -72,8 +72,7 @@ object TestdataAdapter {
       col("o_orderkey").as("order_id"),
       col("o_custkey").as("user_id"),
       col("o_orderstatus").as("status"),
-      col("o_orderdate").as("created_at"),
-      col("o_totalprice").as("total_price")
+      col("o_orderdate").as("created_at")
     )
 
   /** order_items in reference shape; `is_returned` stands in for the

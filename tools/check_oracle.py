@@ -17,6 +17,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Normalize temporal dtypes: pd.read_parquet yields datetime.date objects
+    # for DATE columns while duckdb .df() yields datetime64 Timestamps; both
+    # become ISO strings so the hash compares semantically (ADVICE r01).
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif df[c].dtype == object and len(df) > 0:
+            import datetime
+            v0 = df[c].iloc[0]
+            if isinstance(v0, (datetime.date, datetime.datetime)):
+                df[c] = df[c].map(
+                    lambda v: None if v is None else
+                    (v.strftime("%Y-%m-%d %H:%M:%S.%f")
+                     if isinstance(v, datetime.datetime)
+                     else v.strftime("%Y-%m-%d 00:00:00.000000")))
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
