@@ -75,9 +75,10 @@ object Text {
     size(regexp_extract_all(text, lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0)))
       .cast("long")
 
-  /** Language ID: CJK script detection first, then argmax of per-language
-    * stopword hit ratios; below `minHits` hits → "und" (undetermined).
-    * One pass, pure expressions.
+  /** Language ID: script detection first (kana → ja before han → zh, since
+    * Japanese text mixes kanji with kana; hangul → ko), then argmax of
+    * per-language stopword hit counts; below `minHits` hits → "und"
+    * (undetermined). One pass, pure expressions.
     */
   def langId(text: Column, minHits: Int = 1): Column = {
     val ts = tokens(lower(text))
@@ -87,7 +88,9 @@ object Text {
     // array_max on struct orders by first field (hits) then lang — ties
     // break deterministically toward the lexicographically larger lang.
     val best = array_max(array(scored: _*))
-    when(text.rlike("[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]"), lit("zh"))
+    when(text.rlike("[\\u3040-\\u30ff]"), lit("ja"))
+      .when(text.rlike("[\\uac00-\\ud7af]"), lit("ko"))
+      .when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .when(best.getField("hits") >= minHits, best.getField("lang"))
       .otherwise(lit("und"))
   }

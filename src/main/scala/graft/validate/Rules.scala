@@ -82,7 +82,11 @@ object Rules {
     */
   private def contentAggs(cfg: TableRules, present: String => Boolean)
       : Seq[(String, String, Column)] = {
-    def cnt(pred: Column) = sum(when(pred, 1L).otherwise(0L))
+    // coalesce: sum() over an empty relation is NULL, which would make every
+    // content rule on an empty table report violation_count = null and slip
+    // past the `> 0` gate (VERDICT r02 #2). Empty input is EmptyRelation's
+    // job to flag; the counting rules must report an honest 0.
+    def cnt(pred: Column) = coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
     val nulls = cfg.requiredColumns.filter(present).map { c =>
       (NullRequired, c, cnt(col(c).isNull))
     }
