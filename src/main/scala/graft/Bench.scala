@@ -1,21 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-/** Benchmark main — one JSON line on stdout (driver contract).
+/** Benchmark main — one JSON line on stdout (driver contract), duplicated
+  * to bench_out.json so the record stays machine-readable even when stdout
+  * is wrapped in sbt log prefixes (VERDICT r02 #6).
   *
-  * Per VERDICT r01: each query gets an untimed warm-up pass (JVM/codegen/
-  * session warm-up otherwise lands on whichever query runs first), failures
-  * are recorded per-query as `"err"` instead of being swallowed, and the
-  * process exits nonzero if any query failed.
+  * Runs the headline query set (SparkEntry.headline): the flagship KPIs
+  * plus the heaviest representative of each operator family. Each query
+  * gets one untimed warm-up pass, then the MIN of `BENCH_RUNS` timed runs
+  * (min, not mean — the quantity of interest is the plan's cost, not
+  * co-tenant noise; VERDICT r02 adjudicated a 1.48× "regression" that was
+  * entirely environment noise). `flagship` sub-total (a1+a2) keeps the
+  * number comparable with the round-1 baseline, which benched only those.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local[32] per the target environment (single JVM, 32 executor
+    // threads); shuffle partitions = cores, not the 200 default.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS); read as long, converted
+      // back to timestamp in graft.sources.Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,27 +39,38 @@ object Bench {
     catch { case _: Throwable => () }
 
     var failed = false
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Either[String, Long] =
-        try Right(fn(spark, sfDir).count())
+    val results = SparkEntry.headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
+      }
       once() // warm-up pass (untimed); also surfaces errors deterministically
-      val t0 = System.nanoTime()
-      val r = once()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val runs = (1 to timedRuns).map(_ => once())
+      val r = runs.collectFirst { case Left(e) => Left(e) }
+        .getOrElse(Right(runs.collect { case Right(s) => s }.min))
       if (r.isLeft) failed = true
-      (name, sec, r)
+      (name, r)
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     val qs = results.map {
-      case (k, v, Right(_)) => s""""${esc(k)}":$v"""
-      case (k, _, Left(e))  => s""""${esc(k)}":{"err":"${esc(e)}"}"""
+      case (k, Right(v)) => s""""${esc(k)}":$v"""
+      case (k, Left(e))  => s""""${esc(k)}":{"err":"${esc(e)}"}"""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, Right(_)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val flagship = results.collect {
+      case (n, Right(v)) if n == "a1_category_kpis" || n == "a2_daily_kpis" => v
+    }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""flagship_total":$flagship,"cpus":$cpus,"timed_runs":$timedRuns,"sf":"$sfDir"}"""
+    println(line)
+    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -2,18 +2,26 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.TestdataAdapter
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.operators.{Dedup, Grouping, Similarity, Upsert}
+import graft.functions.Text
+import graft.pipeline.Pipeline
+import graft.sources.{Tables, TestdataAdapter}
 import graft.transform.Kpis
+import graft.validate.{Rules, TableRules}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every implemented operator from SURVEY.md §2 is exposed as a named query
-  * over the driver testdata (FIXTURES.md §B mapping), with a DuckDB oracle
-  * twin in `oracleSql` where SQL-expressible. Column names/aliases match
-  * between the Spark result and the oracle; every result has a canonical
-  * full-key ORDER BY; double aggregates go through exact decimal sums
-  * (graft.transform.Kpis.moneySum) so both engines produce bit-identical
-  * values.
+  * Every implemented operator from SURVEY.md §2 (plus the LLM-data-pipeline
+  * extensions, §7.5) is exposed as a named query over the driver testdata
+  * (FIXTURES.md §B mapping), with a DuckDB oracle twin in `oracleSql` where
+  * SQL-expressible. Column names/aliases match between the Spark result and
+  * the oracle; double aggregates go through exact decimal sums
+  * (graft.transform.Kpis.moneySum) or IEEE-deterministic division +
+  * round(…, 6), so both engines produce bit-identical values. Queries whose
+  * math is not DuckDB-replicable (xxhash64-based signatures, PRNG
+  * hyperplanes, uuid) have no oracle entry → the driver records the weaker
+  * rows-only check.
   */
 object SparkEntry {
 
@@ -30,18 +38,291 @@ object SparkEntry {
       TestdataAdapter.orderItems(s, dir),
       TestdataAdapter.products(s, dir))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  // ---- validation rule configs for the testdata tables (SURVEY §2.7;
+  // per-table business rules mirror validate.py:31-47,220-243) ----
+
+  private val cfgOrders = TableRules(
+    table = "orders",
+    expectedColumns = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    uniqueKey = Seq("o_orderkey"),
+    requiredColumns = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
+    statusColumn = Some("o_orderstatus"),
+    validStatuses = Seq("P", "O", "F"),
+    nonNegativeColumns = Seq("o_totalprice"),
+    integralColumns = Seq("o_orderkey"))
+
+  private val cfgLineitem = TableRules(
+    table = "lineitem",
+    expectedColumns = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"),
+    uniqueKey = Seq("l_orderkey", "l_linenumber"),
+    requiredColumns = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+    statusColumn = Some("l_returnflag"),
+    validStatuses = Seq("N", "A", "R"),
+    nonNegativeColumns = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    integralColumns = Seq("l_linenumber"))
+
+  /** Deterministically injected violations over orders (for
+    * v_rules_violations): bad status every 10th key, negative price every
+    * 7th, null user every 13th, duplicated rows every 11th.
+    */
+  private def mutatedOrders(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 10 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+    m.unionByName(m.filter(col("o_orderkey") % 11 === 0))
+  }
+
+  /** documents ∪ a near-duplicate copy (suffix-mutated, shifted ids) — the
+    * planted-duplicates corpus for the near-dup queries.
+    */
+  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" graft dup marker")).as("text")))
+  }
+
+  /** embeddings with the float vector cast to double — keeps the Spark fold
+    * and the DuckDB list_dot_product in the same precision.
+    */
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).withColumn("emb_d",
+      transform(col("embedding"), x => x.cast("double")))
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** One entry per implemented operator from SURVEY.md §2 / §7.5. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1 — category-level daily KPIs (reference transform.py:348-352).
+    // ---- flagship KPIs (J1, P1, A1-A3, F1, F4) ----
     // No orderBy: Verify applies the canonical sort at dump time; the
     // benched plan stays sort-free (VERDICT r01 #3).
     "a1_category_kpis" -> ((s, dir) => Kpis.categoryKpis(enriched(s, dir))),
-    // A2 — order-level daily KPIs (reference transform.py:359-365)
-    "a2_daily_kpis" -> ((s, dir) => Kpis.dailyKpis(enriched(s, dir)))
+    "a2_daily_kpis" -> ((s, dir) => Kpis.dailyKpis(enriched(s, dir))),
+
+    // ---- validation rule engine (§2.7: P3, P5-P9, A6, A7) ----
+    "v_rules_orders" -> ((s, dir) =>
+      Rules.evaluate(s, Tables.orders(s, dir), cfgOrders)),
+    "v_rules_lineitem" -> ((s, dir) =>
+      Rules.evaluate(s, Tables.lineitem(s, dir), cfgLineitem)),
+    "v_rules_violations" -> ((s, dir) =>
+      Rules.evaluate(s, mutatedOrders(s, dir), cfgOrders)),
+
+    // ---- upsert (S7/J2) ----
+    "j2_upsert" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+      val updates = t.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = t.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      Upsert.upsert(t, updates.unionByName(inserts), Seq("o_orderkey"))
+    }),
+
+    // ---- joins / set algebra (J3-J6, A4, A5) ----
+    "j3_semi" -> ((s, dir) => Grouping.semi(
+      Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+      Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("o_orderkey")),
+      "o_orderkey")),
+    "j4_anti" -> ((s, dir) => Grouping.anti(
+      Tables.orders(s, dir).select("o_orderkey"),
+      Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("o_orderkey")),
+      "o_orderkey")),
+    "j5_all_present" -> ((s, dir) => Grouping.allValuesPresent(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey",
+      Tables.part(s, dir).filter(col("p_partkey") % 2 === 0).select("p_partkey"),
+      "p_partkey")),
+    "j6_containment" -> ((s, dir) => {
+      val manifest = Grouping.valueSetPerKey(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      Grouping.containment(manifest, "l_partkey_set", "l_orderkey",
+        Tables.part(s, dir).filter(col("p_partkey") <= 20).select("p_partkey"),
+        "p_partkey")
+        .select(col("p_partkey"), array_join(col("groups"), ",").as("orders_with_part"))
+    }),
+    "a4_distinct" -> ((s, dir) =>
+      Grouping.distinctIds(Tables.lineitem(s, dir), "l_partkey")),
+    "a5_collect_set" -> ((s, dir) =>
+      Grouping.valueSetPerKey(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+        .select(col("l_orderkey"),
+          size(col("l_partkey_set")).as("n_parts"),
+          array_join(sort_array(col("l_partkey_set")), ",").as("parts"))),
+    // batch completeness pass (ST3's batch parity; glue_job.py:221-256)
+    "g_complete_groups" -> ((s, dir) => Grouping.completeGroups(
+      Tables.orders(s, dir).select("o_orderkey"), "o_orderkey",
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey",
+      Tables.part(s, dir).filter(col("p_partkey") % 2 === 0).select("p_partkey"),
+      "p_partkey",
+      Tables.orders(s, dir).filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("l_orderkey")))),
+
+    // ---- dedup suite (§7.5) ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.jaccardVerify(pairs, docs, "doc_id", "text")
+    }),
+    "dedup_near" -> ((s, dir) =>          // rows-only: xxhash64 minhash
+      Dedup.nearDuplicates(docsWithPlantedDups(s, dir), "doc_id", "text",
+        threshold = 0.5)),
+    "dedup_simhash" -> ((s, dir) =>       // rows-only: xxhash64 simhash
+      Dedup.simhashNearDuplicates(docsWithPlantedDups(s, dir), "doc_id", "text")),
+
+    // ---- text analysis (§7.5) ----
+    "t_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Text.stats(t).foldLeft(
+        Tables.documents(s, dir).select(col("doc_id"), t)) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }.drop("text")
+    }),
+    "t_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.bpeTokenCount(col("text")).as("bpe_tokens"))),
+    "t_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    "t_fingerprint" -> ((s, dir) =>       // rows-only: xxhash64 rolling hash
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // ---- similarity / ANN (§7.5) ----
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d").as("embedding")),
+        k = 10)
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("label"), col("emb_d").as("embedding")),
+        cellCol = "label", k = 10, nprobe = 2)
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {      // rows-only: PRNG hyperplanes
+      val e = embDouble(s, dir)
+      val dim = 64 // hyperplane width ≥ vector dim; dot ignores the excess
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d").as("embedding")),
+        dim = dim, k = 10)
+    }),
+
+    // ---- events / scalar functions (P2, P10, P11, F2, F3, F5-F9) ----
+    "e_parse_props" -> ((s, dir) =>       // F7 from_json
+      Tables.events(s, dir).select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))),
+    "e_route" -> ((s, dir) =>             // P10/P11/F2/F5 routing predicates
+      Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("event_type").contains("view"), "views")
+          .when(col("event_type").contains("click"), "clicks")
+          .when(col("event_type").startsWith("purch"), "purchases")
+          .when(col("event_type").endsWith("up"), "signups")
+          .otherwise("other").as("route"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))),
+    "e_daily_value" -> ((s, dir) =>       // F1/F6 + decimal-exact sum
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Kpis.moneySum(coalesce(col("value"), lit(0.0))).as("total_value"),
+          count(lit(1)).as("n_events"))),
+    "e_filter_eq" -> ((s, dir) =>         // P2 equality filter via F3 cast
+      Tables.events(s, dir)
+        .filter(col("user_id").cast("string") === "7")
+        .select("event_id", "user_id", "event_type")),
+    "f_uuid" -> ((s, dir) =>              // rows-only: F8 uuid() is random
+      Tables.events(s, dir).select(col("event_id"), expr("uuid()").as("run_uuid"))),
+
+    // ---- pipeline orchestration (§7.1: validate → gate → transform) ----
+    "pipeline_kpis" -> ((s, dir) => {
+      // Gate on the orders rules: the synthetic lineitem legitimately
+      // violates the duplicate-key rule (v_rules_lineitem reports it), and
+      // a failed gate stops the transform — exactly the DAG's semantics.
+      val res = Pipeline.run(s,
+        TestdataAdapter.orders(s, dir),
+        TestdataAdapter.orderItems(s, dir),
+        TestdataAdapter.products(s, dir),
+        Seq((Tables.orders(s, dir), cfgOrders)),
+        persistJoin = false)
+      res.categoryKpis.getOrElse(s.emptyDataFrame)
+    }),
+
+    // ---- sources / sinks (S1, S3, S5, S6, S9, S10) ----
+    "s_csv_roundtrip" -> ((s, dir) => {   // S1 declared-schema CSV + S5 write
+      val region = Tables.region(s, dir)
+      val tmp = tmpDir("graft_csv_rt")
+      region.write.mode("overwrite").option("header", "true").csv(tmp)
+      Tables.csv(s, region.schema, tmp)
+    }),
+    "s_partitioned_roundtrip" -> ((s, dir) => { // S6 partitioned overwrite
+      val tmp = tmpDir("graft_part_rt")
+      Tables.writePartitioned(Tables.orders(s, dir), "o_orderstatus", tmp)
+      s.read.parquet(tmp).select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+    }),
+    "s_json_roundtrip" -> ((s, dir) => {  // S9 JSON doc write + schema read
+      val customer = Tables.customer(s, dir)
+      val tmp = tmpDir("graft_json_rt")
+      customer.write.mode("overwrite").json(tmp)
+      s.read.schema(customer.schema).json(tmp)
+    }),
+    "s_listing" -> ((s, dir) =>           // S10 object-listing source
+      s.read.format("binaryFile").load(dir + "/*.parquet")
+        .select(regexp_extract(col("path"), "([a-z]+)\\.parquet$", 1)
+          .as("table_name"))),
+    "s_schema_only" -> ((s, dir) => {     // S3 footer-only scan
+      import s.implicits._
+      Tables.parquetSchema(s, dir + "/orders.parquet")
+        .fields.map(_.name).toSeq.toDF("column_name")
+    })
   )
 
+  /** The benchmark set (Bench.scala): the flagship KPIs plus the heaviest
+    * representative of each new operator family.
+    */
+  val headline: Seq[String] = Seq(
+    "a1_category_kpis", "a2_daily_kpis", "j2_upsert", "g_complete_groups",
+    "dedup_exact", "dedup_near", "dedup_simhash", "t_text_stats",
+    "sim_bruteforce_topk", "e_daily_value")
+
+  // ---- DuckDB oracle twins ----
+
+  private val enOracleList =
+    "['the','a','an','and','of','to','in','is','it','that','for','on','with','as','was','at','by','this','are','be']"
+
+  /** Shared SQL fragment: whitespace tokens of a text column. */
+  private def sqlTokens(textExpr: String): String =
+    s"list_filter(string_split_regex(trim($textExpr), '\\s+'), x -> len(x) > 0)"
+
+  /** Shared SQL fragment: cosine similarity of two DOUBLE[] expressions. */
+  private def sqlCosine(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) > 0
+        THEN list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+        ELSE 0.0 END"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted keys → weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     "a1_category_kpis" ->
@@ -64,6 +345,216 @@ object SparkEntry {
          FROM orders o
          JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          JOIN part p ON l.l_partkey = p.p_partkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    "v_rules_orders" -> rulesOrdersOracle("orders"),
+    "v_rules_lineitem" ->
+      """SELECT 'lineitem' AS table_name, 'null_required' AS rule, 'l_orderkey' AS column_name, CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violation_count FROM lineitem
+         UNION ALL SELECT 'lineitem', 'null_required', 'l_partkey', CAST(COUNT(*) FILTER (WHERE l_partkey IS NULL) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'lineitem', 'null_required', 'l_suppkey', CAST(COUNT(*) FILTER (WHERE l_suppkey IS NULL) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'lineitem', 'null_required', 'l_linenumber', CAST(COUNT(*) FILTER (WHERE l_linenumber IS NULL) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'lineitem', 'invalid_status', 'l_returnflag', CAST(COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('N','A','R')) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'lineitem', 'negative_value', 'l_quantity', CAST(COUNT(*) FILTER (WHERE l_quantity < 0) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'lineitem', 'negative_value', 'l_extendedprice', CAST(COUNT(*) FILTER (WHERE l_extendedprice < 0) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'lineitem', 'negative_value', 'l_discount', CAST(COUNT(*) FILTER (WHERE l_discount < 0) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'lineitem', 'negative_value', 'l_tax', CAST(COUNT(*) FILTER (WHERE l_tax < 0) AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'lineitem', 'empty_relation', '*', CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS BIGINT) FROM lineitem
+         UNION ALL SELECT 'lineitem', 'duplicate_key', 'l_orderkey,l_linenumber', CAST(COUNT(*) AS BIGINT) FROM (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+         UNION ALL SELECT 'lineitem', 'non_integral_type', 'l_linenumber', CAST(0 AS BIGINT)""",
+    "v_rules_violations" ->
+      s"""WITH m AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                  CASE WHEN o_orderkey % 7 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders),
+         w AS (SELECT * FROM m UNION ALL SELECT * FROM m WHERE o_orderkey % 11 = 0)
+         ${rulesOrdersOracle("w")}""",
+
+    "j2_upsert" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderkey ELSE t.o_orderkey END AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+         FROM orders t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey""",
+
+    "j3_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""",
+    "j4_anti" ->
+      """SELECT o_orderkey FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
+    "j5_all_present" ->
+      """SELECT DISTINCT l_orderkey FROM lineitem
+         EXCEPT
+         SELECT DISTINCT l_orderkey FROM lineitem
+         WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 2 = 0)""",
+    "j6_containment" ->
+      """SELECT l_partkey AS p_partkey,
+                array_to_string(list_sort(list(DISTINCT l_orderkey)), ',') AS orders_with_part
+         FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_partkey <= 20)
+         GROUP BY 1""",
+    "a4_distinct" ->
+      "SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL",
+    "a5_collect_set" ->
+      """SELECT l_orderkey,
+                CAST(COUNT(DISTINCT l_partkey) AS INTEGER) AS n_parts,
+                array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts
+         FROM lineitem GROUP BY 1""",
+    "g_complete_groups" ->
+      """WITH pending AS (
+           SELECT DISTINCT l_orderkey FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)),
+         inent AS (SELECT l_orderkey FROM pending WHERE l_orderkey IN (SELECT o_orderkey FROM orders)),
+         failing AS (
+           SELECT DISTINCT l_orderkey FROM lineitem
+           WHERE l_orderkey IN (SELECT l_orderkey FROM inent)
+             AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 2 = 0))
+         SELECT l_orderkey FROM inent WHERE l_orderkey NOT IN (SELECT l_orderkey FROM failing)""",
+
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id,
+                CAST(COUNT(*) AS BIGINT) AS dup_count
+         FROM documents GROUP BY 1""",
+    "dedup_jaccard_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents),
+         sh AS (SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                                 i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) AS sl
+                FROM toks),
+         sets AS (SELECT doc_id, list_distinct(sl) AS st FROM sh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_distinct(list_intersect(a.st, b.st))) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
+         FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0""",
+
+    "t_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS ts FROM documents)
+         SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(text) AS BIGINT) AS n_chars_measured,
+           round(CASE WHEN len(ts) > 0 THEN CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts) ELSE 0.0 END, 6) AS mean_token_len,
+           round(CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN len(ts) > 0 THEN CAST(len(list_filter(ts, x -> list_contains($enOracleList, x))) AS DOUBLE) / len(ts) ELSE 0.0 END, 6) AS stopword_ratio
+         FROM t""",
+    "t_bpe_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS bpe_tokens
+         FROM documents""",
+    "t_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("lower(text)")} AS ts FROM documents),
+         h AS (SELECT doc_id, text,
+                 len(list_filter(ts, x -> list_contains($enOracleList, x))) AS h_en,
+                 len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','von','zu','den','dem','auf','für','im','sich','auch'], x))) AS h_de,
+                 len(list_filter(ts, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','no','por','con','para','del','se','su'], x))) AS h_es,
+                 len(list_filter(ts, x -> list_contains(['le','la','les','de','des','et','un','une','est','dans','que','pour','qui','sur','pas','au','du','ce'], x))) AS h_fr
+               FROM t)
+         SELECT doc_id, CASE
+           WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+           WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
+           WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           WHEN greatest(h_en, h_de, h_es, h_fr) >= 1 THEN
+             CASE WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                  ELSE 'de' END
+           ELSE 'und' END AS lang_pred
+         FROM h""",
+
+    "sim_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, e.vec_id, ${sqlCosine("q_vec", "v")} AS sim FROM e CROSS JOIN q)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+         FROM (SELECT q_id, vec_id, sim,
+                      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+               FROM s)
+         WHERE rank <= 10""",
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+         ex AS (SELECT label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM e),
+         cpos AS (SELECT label AS cell, pos, avg(x) AS m FROM ex GROUP BY 1, 2),
+         cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cpos GROUP BY 1),
+         cs AS (SELECT q_id, q_vec, cell, ${sqlCosine("q_vec", "centroid")} AS csim
+                FROM q CROSS JOIN cent),
+         probes AS (SELECT q_id, q_vec, cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, cell) AS pr FROM cs)
+                    WHERE pr <= 2),
+         sc AS (SELECT p.q_id, e.vec_id, ${sqlCosine("p.q_vec", "e.v")} AS sim
+                FROM e JOIN probes p ON e.label = p.cell)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+         FROM (SELECT q_id, vec_id, sim,
+                      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+               FROM sc)
+         WHERE rank <= 10""",
+
+    "e_parse_props" ->
+      "SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events",
+    "e_route" ->
+      """SELECT event_id,
+                CASE WHEN contains(event_type, 'view') THEN 'views'
+                     WHEN contains(event_type, 'click') THEN 'clicks'
+                     WHEN starts_with(event_type, 'purch') THEN 'purchases'
+                     WHEN ends_with(event_type, 'up') THEN 'signups'
+                     ELSE 'other' END AS route,
+                strftime(ts, '%Y-%m-%d') AS day
+         FROM events""",
+    "e_daily_value" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                COUNT(*) AS n_events
+         FROM events GROUP BY 1, 2""",
+    "e_filter_eq" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE CAST(user_id AS VARCHAR) = '7'""",
+
+    "pipeline_kpis" ->
+      """SELECT p.p_type AS category,
+         CAST(o.o_orderdate AS DATE) AS order_date,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l.l_extendedprice) AS avg_order_value,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS avg_return_rate
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2""",
+
+    "s_csv_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
+    "s_partitioned_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders",
+    "s_json_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "s_listing" ->
+      """SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),('lineitem'),
+         ('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name)""",
+    "s_schema_only" ->
+      """SELECT * FROM (VALUES ('o_orderkey'),('o_custkey'),('o_orderstatus'),
+         ('o_totalprice'),('o_orderdate'),('o_orderpriority')) AS t(column_name)"""
   )
+
+  /** The orders rule report as DuckDB SQL over relation `rel` (used for both
+    * the clean table and the mutated CTE).
+    */
+  private def rulesOrdersOracle(rel: String): String =
+    s"""SELECT 'orders' AS table_name, 'null_required' AS rule, 'o_orderkey' AS column_name, CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS violation_count FROM $rel
+       UNION ALL SELECT 'orders', 'null_required', 'o_custkey', CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM $rel
+       UNION ALL SELECT 'orders', 'null_required', 'o_orderstatus', CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) FROM $rel
+       UNION ALL SELECT 'orders', 'null_required', 'o_orderdate', CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) FROM $rel
+       UNION ALL SELECT 'orders', 'invalid_status', 'o_orderstatus', CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('P','O','F')) AS BIGINT) FROM $rel
+       UNION ALL SELECT 'orders', 'negative_value', 'o_totalprice', CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT) FROM $rel
+       UNION ALL SELECT 'orders', 'empty_relation', '*', CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS BIGINT) FROM $rel
+       UNION ALL SELECT 'orders', 'duplicate_key', 'o_orderkey', CAST(COUNT(*) AS BIGINT) FROM (SELECT 1 FROM $rel GROUP BY o_orderkey HAVING COUNT(*) > 1)
+       UNION ALL SELECT 'orders', 'non_integral_type', 'o_orderkey', CAST(0 AS BIGINT)"""
 }

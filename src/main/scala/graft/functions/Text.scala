@@ -95,14 +95,15 @@ object Text {
       .otherwise(lit("und"))
   }
 
-  /** Rolling polynomial document fingerprint over tokens:
-    * acc = acc * 31 + xxhash64(token), in Long arithmetic (wrapping — the
-    * standard polynomial rolling hash). Order-sensitive, deterministic,
-    * computed in one fold per row.
+  /** Rolling document fingerprint over tokens:
+    * acc = rotl(acc, 5) XOR xxhash64(token) — bitwise-only (a wrapping
+    * polynomial hash would trip Spark 4's default ANSI overflow checks).
+    * Order-sensitive, deterministic, one fold per row.
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(xxhash64(t)))
 
   /** Convenience: attach all text-analysis columns to a documents frame. */
   def analyzed(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -25,17 +25,14 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Deterministic affine permutation family for MinHash: k pairwise
-    * independent-ish (a*h + b) maps over the base xxhash64, with fixed odd
-    * multipliers derived from the golden-ratio constant (SplitMix64-style
-    * public-domain mixing constants).
-    */
-  private def perm(h: org.apache.spark.sql.Column, i: Int) =
-    h * lit(0x9E3779B97F4A7C15L * (2 * i + 1)) + lit(0xBF58476D1CE4E5B9L * (i + 1))
-
   /** MinHash signatures: one row per document with k minhash columns.
     *
-    * Plan shape: project shingles (HOF, narrow) → explode → xxhash64
+    * The k independent hash functions are xxhash64 seeded by position —
+    * hashing (shingle, i) instead of applying an affine (a·h+b) transform,
+    * which would wrap-multiply and trip ANSI overflow checking (on by
+    * default in Spark 4).
+    *
+    * Plan shape: project shingles (HOF, narrow) → explode → k×xxhash64
     * (whole-stage codegen) → HashAggregate[doc_id](min m0..m_{k-1}) with
     * partial aggregation map-side. distinct-free, single shuffle of k longs
     * per doc.
@@ -44,10 +41,9 @@ object Dedup {
                         k: Int, shingleN: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(Text.shingles(col(textCol), shingleN)).as("shingle"))
-      .select(col(idCol), xxhash64(col("shingle")).as("h"))
     sh.groupBy(col(idCol))
-      .agg(min(perm(col("h"), 0)).as("m0"),
-        (1 until k).map(i => min(perm(col("h"), i)).as(s"m$i")): _*)
+      .agg(min(xxhash64(col("shingle"), lit(0))).as("m0"),
+        (1 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"m$i")): _*)
   }
 
   /** LSH band signatures: k minhashes → b bands of r = k/b each; band

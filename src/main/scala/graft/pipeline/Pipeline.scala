@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+import graft.sinks.{KvSink, KvWriter}
+import graft.transform.Kpis
+import graft.validate.{Rules, TableRules}
+
+/** Outcome of one pipeline run: the validation report, the gate verdict, and
+  * (when the gate passed) the two KPI frames. Mirrors the Step Function's
+  * terminal states (reference src/stepfunctions/stepfunction.json:3-200:
+  * ValidateData → CheckValidationStatus → TransformData → Succeed/Fail)
+  * as a typed value instead of SNS notifications.
+  */
+case class PipelineResult(report: DataFrame, passed: Boolean,
+                          categoryKpis: Option[DataFrame],
+                          dailyKpis: Option[DataFrame])
+
+/** Orchestration-as-code — the reference's Step Function DAG
+  * (stepfunction.json:3-200) as sequential driver code over one
+  * SparkSession. Validation and transformation are lazy Catalyst plans in
+  * the same process; the only materializations are the gate (one tiny
+  * report aggregation) and whatever sinks the caller drains into.
+  *
+  * The reference's Choice state only checks that the validation *task ran*
+  * (stepfunction.json:81-91; the container always exits 0,
+  * validate.py:334-342) — here the gate checks the actual validation
+  * outcome, per SURVEY.md §3.2's fix-don't-replicate list.
+  */
+object Pipeline {
+
+  /** Validate → gate → transform. `persistJoin` caches the enrichment join
+    * before the two-KPI fan-out (the reference re-scans and re-joins per
+    * consumer, transform.py:329-365 — SURVEY.md §4 "Caching / reuse");
+    * leave it off for single-consumer callers.
+    */
+  def run(spark: SparkSession, orders: DataFrame, items: DataFrame,
+          products: DataFrame, ruleSet: Seq[(DataFrame, TableRules)],
+          persistJoin: Boolean = true): PipelineResult = {
+    val report = Rules.report(spark, ruleSet)
+    if (!Rules.passed(report)) PipelineResult(report, passed = false, None, None)
+    else {
+      val joined0 = Kpis.enrich(orders, items, products)
+      val joined =
+        if (persistJoin) joined0.persist(StorageLevel.MEMORY_AND_DISK) else joined0
+      PipelineResult(report, passed = true,
+        Some(Kpis.categoryKpis(joined)), Some(Kpis.dailyKpis(joined)))
+    }
+  }
+
+  /** The sink leg (TransformData's outputs, transform.py:326-404): upsert
+    * the KPI frames into parquet tables keyed like the reference's Delta
+    * MERGE, and push them through the KV sink (the DynamoDB analogue).
+    * No-op when the gate failed.
+    */
+  def sink(result: PipelineResult, categoryDir: String, dailyDir: String,
+           kv: Option[KvWriter] = None): Unit =
+    for {
+      cat <- result.categoryKpis
+      day <- result.dailyKpis
+    } {
+      graft.streaming.StreamingPipeline.upsertBatch(categoryDir,
+        Seq("category", "order_date"))(cat, 0L)
+      graft.streaming.StreamingPipeline.upsertBatch(dailyDir,
+        Seq("order_date"))(day, 0L)
+      kv.foreach { w =>
+        KvSink.write(cat, w)
+        KvSink.write(day, w)
+      }
+    }
+}

@@ -1,0 +1,57 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** A key-value store client the sink writes through. Implementations must be
+  * serializable (they ship to executors). The put must be idempotent by key
+  * — the retry loop re-sends whole chunks (the reference's DynamoDB
+  * batch_writer has the same contract, transform.py:226-257).
+  */
+trait KvWriter extends Serializable {
+  /** Write one chunk of items; throw to trigger a retry. */
+  def putBatch(items: Seq[Map[String, String]]): Unit
+}
+
+/** S8 — distributed chunked KV batch-write sink with bounded retries.
+  *
+  * Reference: containers/transformation/transform.py:226-257 collects KPI
+  * rows to the driver and batch-writes chunks of 25 to DynamoDB with ≤3
+  * retries and exponential backoff. Here the write runs on the executors
+  * (`foreachPartition` — no driver collect, the reference's one real scale
+  * bug, transform.py:376,390), with the same chunk/retry/backoff semantics
+  * per partition.
+  */
+object KvSink {
+
+  /** Write every row of `df` through `writer` in chunks of `chunkSize`,
+    * retrying each failed chunk up to `maxRetries` times with exponential
+    * backoff. Row → Map[column → string] mirrors the reference's
+    * Decimal/str item conversion (transform.py:378-400); nulls are dropped
+    * from the item like DynamoDB omits absent attributes.
+    */
+  def write(df: DataFrame, writer: KvWriter, chunkSize: Int = 25,
+            maxRetries: Int = 3, baseBackoffMs: Long = 100L): Unit = {
+    val cols = df.columns
+    df.foreachPartition { rows: Iterator[Row] =>
+      rows.map { r =>
+        cols.flatMap { c =>
+          Option(r.getAs[Any](c)).map(v => c -> v.toString)
+        }.toMap
+      }.grouped(chunkSize).foreach { chunk =>
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            writer.putBatch(chunk)
+            done = true
+          } catch {
+            case e: Exception =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+              Thread.sleep(baseBackoffMs << (attempt - 1)) // 2^n backoff
+          }
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.state
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** ST2 (batch form) — processed-file bookkeeping.
+  *
+  * The reference keeps `validated_files_state.json` /
+  * `transformed_files_state.json` on S3 and diffs python sets to decide what
+  * still needs work (reference containers/validation/validate.py:145-170,
+  * 328-330; containers/transformation/transform.py:193-214, 432-434). Here
+  * the state is a tiny parquet table of paths and the diff is a distributed
+  * `except` — same semantics (exactly-once per file, idempotent re-runs),
+  * no driver-side set, works at any file count.
+  */
+object FileState {
+
+  val schema: StructType = StructType(Seq(StructField("path", StringType)))
+
+  /** Load the processed-file set; empty if never saved. */
+  def load(spark: SparkSession, statePath: String): DataFrame = {
+    val p = new Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(statePath)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Files that still need processing: arrived − processed
+    * (transform.py:434 `validated_files - transformed_files`).
+    */
+  def pending(arrived: DataFrame, processed: DataFrame): DataFrame =
+    arrived.select("path").except(processed.select("path"))
+
+  /** New state after a successful run: processed ∪ done, deduped
+    * (validate.py:350-352 adds the batch to the state set).
+    */
+  def markProcessed(processed: DataFrame, done: DataFrame): DataFrame =
+    processed.select("path").unionByName(done.select("path")).distinct()
+
+  /** Persist the state table (tiny; staging + rename so a crash mid-write
+    * never clobbers the previous state).
+    */
+  def save(state: DataFrame, statePath: String): Unit = {
+    val spark = state.sparkSession
+    val p = new Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, s".${p.getName}_staging")
+    state.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One arrival of one part of an order group — the distilled form of the
+  * reference's per-file manifest updates (reference
+  * src/glue_scripts/glue_job.py:124-144 extracts order/product ids per
+  * landed file; 96-104 accumulates them in the pending manifest).
+  * `kind` is one of [[Completeness.KindOrder]] / KindItem / KindProduct.
+  */
+case class PartEvent(orderId: String, kind: String, productId: Option[String])
+
+/** Per-order accumulation state — the manifest entry for one order
+  * (glue_job.py:96-104: pending id lists + completed set).
+  */
+case class GroupProgress(hasOrder: Boolean, wanted: Set[String],
+                         present: Set[String], emitted: Boolean)
+
+/** An order group that became referentially complete (glue_job.py:221-256:
+  * order row present ∧ items present ∧ every referenced product present).
+  */
+case class CompletedGroup(orderId: String, productIds: Seq[String])
+
+/** ST3/ST6 — the stateful completeness join: wait, per order, until all of
+  * its parts have arrived, in any order, then emit the group exactly once.
+  *
+  * The reference implements this as driver-side set algebra over a JSON
+  * manifest re-read on every file arrival (glue_job.py:221-256); here it is
+  * a keyed `flatMapGroupsWithState` over an unbounded event stream — state
+  * lives in the streaming state store, partitioned by order_id, so 100 TB of
+  * arrivals shard across executors instead of one JSON document.
+  *
+  * Semantics kept from the reference:
+  *  - no watermark, no timeout: a group waits indefinitely
+  *    (GroupStateTimeout.NoTimeout — the pending lists never expire,
+  *    glue_job.py:96-104);
+  *  - emit-once: once fired, a group never re-fires even if its events are
+  *    re-delivered (the completed_order_ids set, glue_job.py:228);
+  *  - out-of-order tolerant: items before order, products before items.
+  */
+object Completeness {
+  val KindOrder = "order"
+  val KindItem = "item"
+  val KindProduct = "product"
+
+  /** State transition for one micro-batch worth of events of one order. */
+  def update(orderId: String, events: Iterator[PartEvent],
+             state: GroupState[GroupProgress]): Iterator[CompletedGroup] = {
+    val st0 = state.getOption.getOrElse(
+      GroupProgress(hasOrder = false, Set.empty, Set.empty, emitted = false))
+    val st = events.foldLeft(st0) { (s, e) =>
+      e.kind match {
+        case KindOrder   => s.copy(hasOrder = true)
+        case KindItem    => s.copy(wanted = s.wanted ++ e.productId)
+        case KindProduct => s.copy(present = s.present ++ e.productId)
+        case _           => s
+      }
+    }
+    val complete = st.hasOrder && st.wanted.nonEmpty && st.wanted.subsetOf(st.present)
+    if (complete && !st.emitted) {
+      state.update(st.copy(emitted = true))
+      Iterator.single(CompletedGroup(orderId, st.wanted.toSeq.sorted))
+    } else {
+      state.update(st)
+      Iterator.empty
+    }
+  }
+
+  /** The streaming operator: works on both streaming and batch Datasets
+    * (batch parity with [[graft.operators.Grouping.completeGroups]]).
+    */
+  def stream(events: Dataset[PartEvent]): Dataset[CompletedGroup] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.orderId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -60,12 +60,21 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
-            want = canon(con.sql(sql).df())
+            got_raw = pd.read_parquet(f"{out_dir}/{name}")
+            want_raw = con.sql(sql).df()
+            # Compare declared column ORDER before canon() reindexes
+            # alphabetically (ADVICE r02: the sorted compare could never
+            # catch an order mismatch).
+            order_ok = list(got_raw.columns) == list(want_raw.columns)
+            got = canon(got_raw)
+            want = canon(want_raw)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        if not order_ok:
+            print(f"WARN {name}: column order differs: "
+                  f"{list(got_raw.columns)} vs {list(want_raw.columns)}")
         schema_ok = list(got.columns) == list(want.columns)
         rows_ok = len(got) == len(want)
         hash_ok = schema_ok and rows_ok and frame_hash(got) == frame_hash(want)
