@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Dedup family: exact grouping, MinHash determinism, planted near-dups
+  * end-to-end, Jaccard exactness, hot-bucket cap, SimHash Hamming.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup of 1
+    (4L, "completely different content about spark catalyst optimizer rules and plans"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content and keeps the smallest id") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet // (keep_id, dup_count)
+    assert(out == Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("identical documents get identical minhash signatures; different ones differ") {
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("nearDuplicates finds exact and near pairs, not unrelated ones") {
+    val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("jaccardVerify computes exact shingle-set Jaccard") {
+    // doc 1: tokens a b c d → 3-shingles {abc, bcd}; doc 2: a b c e → {abc, bce}
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardVerify(pairs, docs, "doc_id", "text")
+      .collect()(0).getDouble(2)
+    assert(math.abs(j - 1.0 / 3.0) <= 1e-6) // |∩|=1 ({abc}), |∪|=3
+  }
+
+  test("hot-bucket cap suppresses quadratic candidate generation") {
+    // 50 identical docs: one (band, sig) bucket of 50 → 1225 pairs uncapped
+    val many = (1L to 50L).map(i => (i, "same same same text body here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(many, "doc_id", "text", k = 8)
+    val banded = Dedup.bandSignatures(sigs, "doc_id", k = 8, bands = 2)
+    assert(Dedup.lshCandidates(banded, "doc_id", maxBucket = 10).isEmpty,
+      "bucket of 50 must be dropped with cap 10")
+    assert(Dedup.lshCandidates(banded, "doc_id", maxBucket = 100).count() == 50L * 49 / 2)
+  }
+
+  test("simhash: identical docs at Hamming 0; simhashNearDuplicates pairs them") {
+    val sigs = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashNearDuplicates(corpus, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

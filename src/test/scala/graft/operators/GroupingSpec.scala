@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** J3-J6 / A4-A5 set algebra vs hand-computed expectations
+  * (reference glue_job.py:221-256 semantics).
+  */
+class GroupingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("semi keeps exactly the left rows whose key appears on the right") {
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "x")
+    val right = Seq(Tuple1(2L), Tuple1(3L), Tuple1(9L)).toDF("k")
+    assert(ids(Grouping.semi(left, right, "k")) == Set(2L, 3L))
+  }
+
+  test("anti keeps exactly the left rows whose key is absent on the right") {
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "x")
+    val right = Seq(Tuple1(2L)).toDF("k")
+    assert(ids(Grouping.anti(left, right, "k")) == Set(1L, 3L))
+  }
+
+  test("distinctIds drops nulls and duplicates") {
+    val df = Seq(Some(1L), Some(1L), None, Some(2L)).toDF("k")
+    assert(ids(Grouping.distinctIds(df, "k")) == Set(1L, 2L))
+  }
+
+  test("valueSetPerKey builds the per-key distinct value set") {
+    val df = Seq((1L, "p1"), (1L, "p2"), (1L, "p1"), (2L, "p3")).toDF("k", "p")
+    val out = Grouping.valueSetPerKey(df, "k", "p").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(out == Map(1L -> Set("p1", "p2"), 2L -> Set("p3")))
+  }
+
+  test("allValuesPresent: ∀-semi-join via double anti-join") {
+    // order 1 → {p1, p2} (all in dim), order 2 → {p2, p9} (p9 missing),
+    // order 3 → {p3} (in dim)
+    val facts = Seq((1L, "p1"), (1L, "p2"), (2L, "p2"), (2L, "p9"), (3L, "p3"))
+      .toDF("k", "p")
+    val dim = Seq("p1", "p2", "p3").toDF("pid")
+    assert(ids(Grouping.allValuesPresent(facts, "k", "p", dim, "pid")) == Set(1L, 3L))
+  }
+
+  test("containment lists every group whose set contains the wanted id, sorted") {
+    val manifest = Grouping.valueSetPerKey(
+      Seq((10L, "a"), (20L, "a"), (20L, "b"), (30L, "c")).toDF("g", "id"),
+      "g", "id")
+    val wanted = Seq("a", "c").toDF("w")
+    val out = Grouping.containment(manifest, "id_set", "g", wanted, "w")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out == Map("a" -> Seq(10L, 20L), "c" -> Seq(30L)))
+  }
+
+  test("completeGroups = pending ∖ completed, present in entities, fully covered by dim") {
+    val entities = Seq(1L, 2L, 3L, 4L).toDF("oid")       // order rows present
+    val facts = Seq((1L, "p1"), (2L, "p9"), (3L, "p1"), (4L, "p2"), (5L, "p1"))
+      .toDF("oid", "pid")                                 // 5 has no order row
+    val dim = Seq("p1", "p2").toDF("pid")                 // p9 missing
+    val completed = Seq(4L).toDF("oid")                   // 4 already done
+    // 1: ok; 2: p9 not covered; 3: ok; 4: completed; 5: not in entities
+    val out = Grouping.completeGroups(entities, "oid", facts, "oid", "pid",
+      dim, "pid", completed)
+    assert(ids(out) == Set(1L, 3L))
+  }
+}

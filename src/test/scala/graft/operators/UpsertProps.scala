@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.SparkSpec
+
+/** ScalaCheck properties for the upsert operator (SURVEY.md §5.3):
+  * applying the same batch twice equals applying it once, and the result
+  * agrees with a driver-side last-writer-wins reference model.
+  */
+object UpsertProps extends Properties("Upsert") {
+
+  private lazy val spark = SparkSpec.session
+
+  private val kv: Gen[(Long, Int)] =
+    for (k <- Gen.choose(0L, 12L); v <- Gen.choose(-100, 100)) yield (k, v)
+  // key-unique row sets (the operator's documented precondition; dup keys
+  // go through dedupLastWins first)
+  private val rowSet: Gen[List[(Long, Int)]] =
+    Gen.listOf(kv).map(_.groupBy(_._1).map(_._2.head).toList)
+
+  private def df(rows: List[(Long, Int)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+  private def toMap(d: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+    d.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  property("idempotent: upsert(upsert(t,b),b) == upsert(t,b)") =
+    forAll(rowSet, rowSet) { (t, b) =>
+      val once = Upsert.upsert(df(t), df(b), Seq("k"))
+      val twice = Upsert.upsert(once, df(b), Seq("k"))
+      toMap(once) == toMap(twice)
+    }
+
+  property("matches the map-merge reference model (updates win)") =
+    forAll(rowSet, rowSet) { (t, b) =>
+      toMap(Upsert.upsert(df(t), df(b), Seq("k"))) == (t.toMap ++ b.toMap)
+    }
+}

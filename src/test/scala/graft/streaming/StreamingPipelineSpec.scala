@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.transform.Kpis
+
+/** ST1/ST2/ST4/ST5/ST7 end-to-end: file-arrival stream → cumulative KPI
+  * aggregation → idempotent upsert sink, with the checkpoint providing
+  * exactly-once over files (SURVEY.md §5.4).
+  */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Land a frame as ONE complete parquet file inside `dir` (the file
+    * source needs whole files appearing atomically, like S3 uploads).
+    */
+  private def landFile(df: DataFrame, dir: String, name: String): Unit = {
+    val stage = tmp("graft_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.createDirectories(Paths.get(dir))
+    Files.move(part, Paths.get(dir, name + ".parquet"))
+  }
+
+  private def enrichedRows(rows: Seq[(String, java.sql.Date, Double, Boolean)]): DataFrame =
+    rows.toDF("category", "order_date", "sale_price", "is_returned")
+
+  private def drain(inputDir: String, targetDir: String, checkpoint: String): Unit = {
+    val stream = spark.readStream
+      .schema(enrichedRows(Seq.empty).schema)
+      .parquet(inputDir)
+    val q = StreamingPipeline.categoryKpiWriter(stream, targetDir, checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  // (category, day) → (daily_revenue, avg_order_value, avg_return_rate)
+  private def kpiMap(df: DataFrame): Map[(String, String), (Double, Double, Double)] =
+    df.collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+  private def readTarget(targetDir: String) =
+    kpiMap(spark.read.parquet(targetDir + "/data"))
+
+  test("streaming KPIs equal the batch computation and re-draining is a no-op") {
+    val (in, out, cp) = (tmp("graft_in"), tmp("graft_out"), tmp("graft_cp"))
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+
+    landFile(enrichedRows(Seq(
+      ("toys", d1, 10.0, false), ("toys", d1, 30.0, true),
+      ("books", d1, 5.0, false))), in, "f1")
+    drain(in, out, cp)
+
+    val after1 = readTarget(out)
+    assert(after1(("toys", "2024-01-01")) == (40.0, 20.0, 0.5))
+    assert(after1(("books", "2024-01-01")) == (5.0, 5.0, 0.0))
+
+    // ST2: nothing new → second drain must not change the table
+    drain(in, out, cp)
+    assert(readTarget(out) == after1)
+
+    // ST5: a late file updates the cumulative aggregate for existing keys
+    landFile(enrichedRows(Seq(
+      ("toys", d1, 60.0, false))), in, "f2")
+    drain(in, out, cp)
+    val after2 = readTarget(out)
+    assert(after2(("toys", "2024-01-01")) == (100.0, 100.0 / 3, 1.0 / 3))
+    assert(after2(("books", "2024-01-01")) == (5.0, 5.0, 0.0)) // untouched key kept
+
+    // batch parity: the streamed table equals the batch KPI over all files
+    assert(after2 == kpiMap(Kpis.categoryKpis(spark.read.parquet(in))))
+  }
+}
