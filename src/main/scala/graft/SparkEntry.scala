@@ -254,6 +254,52 @@ object SparkEntry {
     "f_uuid" -> ((s, dir) =>              // rows-only: F8 uuid() is random
       Tables.events(s, dir).select(col("event_id"), expr("uuid()").as("run_uuid"))),
 
+    // S8: KV batch-write sink — write the daily rollup through the chunked
+    // sink into the in-memory store, then read the store back as the result
+    // (transform.py:226-257 / 376-404: KPI rows → DynamoDB items).
+    "s_kv_sink" -> ((s, dir) => {
+      import s.implicits._
+      val kpis = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Kpis.moneySum(coalesce(col("value"), lit(0.0))).as("total_value"),
+          count(lit(1)).as("n_events"))
+        .select(
+          concat_ws("|", col("event_type"), date_format(col("day"), "yyyy-MM-dd")).as("pk"),
+          col("total_value").cast("string").as("total_value"),
+          col("n_events").cast("string").as("n_events"))
+      graft.sinks.InMemoryKv.clear()
+      graft.sinks.KvSink.write(kpis, graft.sinks.InMemoryKv.writer("pk"))
+      graft.sinks.InMemoryKv.snapshot
+        .map(m => (m("pk"), m("total_value").toDouble, m("n_events").toLong))
+        .toDF("pk", "total_value", "n_events")
+    }),
+
+    // ST3 (batch execution): the same flatMapGroupsWithState operator the
+    // streaming layer runs, driven by a batch event Dataset built from the
+    // tables — orders as header arrivals, lineitem as item arrivals, and
+    // product arrivals for even part keys only (so completeness is a real
+    // filter, like g_complete_groups).
+    "st_completeness" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.{Completeness, PartEvent}
+      val header = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("orderId"),
+        lit(Completeness.KindOrder).as("kind"),
+        lit(null).cast("string").as("productId"))
+      val items = Tables.lineitem(s, dir).select(
+        col("l_orderkey").cast("string").as("orderId"),
+        lit(Completeness.KindItem).as("kind"),
+        col("l_partkey").cast("string").as("productId"))
+      val prods = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") % 2 === 0).select(
+          col("l_orderkey").cast("string").as("orderId"),
+          lit(Completeness.KindProduct).as("kind"),
+          col("l_partkey").cast("string").as("productId"))
+      Completeness.stream(header.unionByName(items).unionByName(prods).as[PartEvent])
+        .select(col("orderId").as("order_id"),
+          array_join(col("productIds"), ",").as("product_ids"))
+    }),
+
     // ---- pipeline orchestration (§7.1: validate → gate → transform) ----
     "pipeline_kpis" -> ((s, dir) => {
       // Gate on the orders rules: the synthetic lineitem legitimately
@@ -519,6 +565,21 @@ object SparkEntry {
     "e_filter_eq" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE CAST(user_id AS VARCHAR) = '7'""",
+    "s_kv_sink" ->
+      """WITH k AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT event_type || '|' || strftime(day, '%Y-%m-%d') AS pk, total_value, n_events FROM k""",
+    "st_completeness" ->
+      """WITH ok AS (
+           SELECT l_orderkey FROM lineitem GROUP BY 1
+           HAVING COUNT(*) FILTER (WHERE l_partkey % 2 <> 0) = 0),
+         compl AS (SELECT l_orderkey FROM ok WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+         SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
+                array_to_string(list_sort(list(DISTINCT CAST(l_partkey AS VARCHAR))), ',') AS product_ids
+         FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM compl)
+         GROUP BY 1""",
 
     "pipeline_kpis" ->
       """SELECT p.p_type AS category,
