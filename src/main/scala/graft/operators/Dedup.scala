@@ -116,7 +116,14 @@ object Dedup {
                      threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
                      shingleN: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
-    val cands = lshCandidates(bandSignatures(sigs, idCol, k, bands), idCol, maxBucket)
+    // Persist the band signatures: the bucket-size count, and both sides of
+    // the self-join, would otherwise each recompute the whole
+    // explode→minhash pipeline (plan audit r3: 4× scan+aggregate). Banded
+    // sigs are (id, band, sig) — 3 fixed-width values × bands per doc —
+    // so the cache is tiny relative to the corpus at any scale.
+    val banded = bandSignatures(sigs, idCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(banded, idCol, maxBucket)
     jaccardVerify(cands, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
@@ -147,7 +154,12 @@ object Dedup {
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    // Persist the per-doc signatures for the same reason as nearDuplicates:
+    // the banding explode feeds a bucket count plus both self-join sides,
+    // and simhash's 64-vote aggregation is the expensive part. One long per
+    // doc — negligible cache footprint.
     val sigs = simhash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(sigs.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig"))): _*)).as("bs"))
