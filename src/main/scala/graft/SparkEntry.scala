@@ -300,6 +300,33 @@ object SparkEntry {
           array_join(col("productIds"), ",").as("product_ids"))
     }),
 
+    // ---- event-time windows (§7.5 extensions over the events stream) ----
+    "e_tumbling" -> ((s, dir) =>
+      graft.streaming.Windows.tumbling(
+        Tables.events(s, dir), "ts", "event_type", "1 hour", "value")),
+    "e_sessionize" -> ((s, dir) =>
+      graft.streaming.Windows.sessionize(
+        Tables.events(s, dir), "ts", "user_id", "30 minutes")),
+
+    // ---- multimodal columns (§7.5: opaque binary + typed metadata) ----
+    "mm_describe" -> ((s, dir) =>
+      graft.multimodal.Multimodal.describe(
+        Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"),
+          lit("text/plain").as("media_type"),
+          col("text").cast("binary").as("content")))),
+    "mm_features" -> ((s, dir) => {      // rows-only: stubbed decoder output
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("content"))
+        .as[graft.multimodal.MediaRecord]
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    }),
+
     // ---- pipeline orchestration (§7.1: validate → gate → transform) ----
     "pipeline_kpis" -> ((s, dir) => {
       // Gate on the orders rules: the synthetic lineitem legitimately
@@ -581,6 +608,30 @@ object SparkEntry {
          FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM compl)
          GROUP BY 1""",
 
+    "e_tumbling" ->
+      """SELECT event_type,
+                date_trunc('hour', ts) AS window_start,
+                date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2, 3""",
+    "e_sessionize" ->
+      """WITH x AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x)
+         SELECT user_id, MIN(ts) AS session_start,
+                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                COUNT(*) AS n_events
+         FROM y GROUP BY user_id, sid""",
+    "mm_describe" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+                CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+                sha256(text) AS content_sha
+         FROM documents""",
     "pipeline_kpis" ->
       """SELECT p.p_type AS category,
          CAST(o.o_orderdate AS DATE) AS order_date,

@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One media object: opaque bytes + typed metadata. The decode libraries
+  * (image/audio codecs) are NOT part of the engine — media stays an opaque
+  * `binary` column end-to-end and decoding happens behind [[Multimodal]]'s
+  * stubbed decoder boundary, so the Spark-side plumbing (schema,
+  * partitioning, batch shape) is real while the codec is pluggable.
+  */
+case class MediaRecord(media_id: Long, media_type: String, content: Array[Byte])
+
+/** A decoded feature row — what a real decoder would emit per media
+  * object (fixed-width feature vector + basic dimensions).
+  */
+case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Int,
+                         features: Array[Float])
+
+/** Multimodal-column operators for training-data pipelines.
+  *
+  * Media is modeled as `binary` columns with metadata, sourced either from
+  * the binaryFile format (one file = one row, like the reference's S3
+  * objects) or packed into parquet. Feature extraction runs per partition
+  * over an iterator of records — the Scala analogue of `mapInPandas`
+  * (batched rows in, batched rows out, executor-side, no driver
+  * involvement) and the documented last-resort boundary (builder prompt:
+  * stub the codec, keep the plumbing real).
+  */
+object Multimodal {
+
+  /** Ingest a directory of files as media records (binaryFile source:
+    * path/length/content), media_type inferred from the extension —
+    * the path-routing predicate family (P11) applied to media.
+    */
+  def ingest(spark: org.apache.spark.sql.SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob).select(
+      xxhash64(col("path")).as("media_id"),
+      when(col("path").endsWith(".png"), "image/png")
+        .when(col("path").endsWith(".jpg"), "image/jpeg")
+        .when(col("path").endsWith(".wav"), "audio/wav")
+        .otherwise("application/octet-stream").as("media_type"),
+      col("content"))
+
+  /** Typed metadata for a media frame without decoding: byte length and
+    * content digest. Pure codegen'd expressions — this is the cheap pass
+    * that runs over 100 TB before any decode is scheduled.
+    */
+  def describe(media: DataFrame, idCol: String = "media_id",
+               contentCol: String = "content"): DataFrame =
+    media.select(col(idCol), col("media_type"),
+      length(col(contentCol)).as("n_bytes"),
+      sha2(col(contentCol), 256).as("content_sha"))
+
+  /** STUB DECODER — deterministic fake. A real deployment swaps this one
+    * function for a codec call (libjpeg/ffmpeg/…); everything around it
+    * (partition-iterator batching, schema, shuffle behavior) is the real
+    * production shape. The fake "features" are a seeded, length-normalized
+    * byte profile so tests can assert exact values.
+    */
+  def decodeStub(rec: MediaRecord, dim: Int): MediaFeatures = {
+    val bytes = rec.content
+    val features = Array.tabulate(dim) { i =>
+      if (bytes.isEmpty) 0.0f
+      else (bytes(i % bytes.length) & 0xFF) / 255.0f
+    }
+    MediaFeatures(rec.media_id, rec.media_type, bytes.length, features)
+  }
+
+  /** Feature extraction over a media Dataset: per-partition iterator
+    * mapping (the mapInPandas shape — records stream through the decoder
+    * executor-side, one partition per task, nothing collects). Partition
+    * count is preserved; co-partitioning with a downstream join key is the
+    * caller's `repartition` decision.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub(_, dim)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: metadata pass, stub decoder shape and determinism,
+  * partition behavior of the extraction boundary.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    MediaRecord(1L, "image/png", Array[Byte](0, 127, -1)),  // -1 = 0xFF
+    MediaRecord(2L, "audio/wav", Array[Byte](10, 20)),
+    MediaRecord(3L, "application/octet-stream", Array.empty[Byte])
+  ).toDS()
+
+  test("describe: byte length and digest without decoding") {
+    val out = Multimodal.describe(media.toDF())
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 3 && out(2L)._1 == 2 && out(3L)._1 == 0)
+    // sha256 of empty input is the well-known constant
+    assert(out(3L)._2 ==
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+  }
+
+  test("decodeStub: fixed dim, byte-profile values, empty-content safety") {
+    val f = Multimodal.decodeStub(MediaRecord(1L, "image/png",
+      Array[Byte](0, 127, -1)), dim = 5)
+    assert(f.features.length == 5)
+    // profile wraps over bytes: [0, 127, 255, 0, 127] / 255
+    assert(f.features(0) == 0.0f)
+    assert(f.features(1) == 127 / 255.0f)
+    assert(f.features(2) == 1.0f)
+    assert(f.features(3) == 0.0f)
+    assert(f.n_bytes == 3)
+    val empty = Multimodal.decodeStub(MediaRecord(3L, "x", Array.empty), dim = 4)
+    assert(empty.features.toSeq == Seq(0.0f, 0.0f, 0.0f, 0.0f))
+  }
+
+  test("extractFeatures preserves partitioning and row count (mapInPandas shape)") {
+    val ds = media.repartition(2)
+    val out = Multimodal.extractFeatures(ds, dim = 8)
+    assert(out.rdd.getNumPartitions == 2)
+    assert(out.count() == 3L)
+    assert(out.collect().forall(_.features.length == 8))
+  }
+
+  test("extraction is deterministic (safe to recompute on task retry)") {
+    val a = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    val b = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(a == b)
+  }
+}
