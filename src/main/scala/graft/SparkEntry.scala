@@ -251,8 +251,10 @@ object SparkEntry {
       Tables.events(s, dir)
         .filter(col("user_id").cast("string") === "7")
         .select("event_id", "user_id", "event_type")),
-    "f_uuid" -> ((s, dir) =>              // rows-only: F8 uuid() is random
-      Tables.events(s, dir).select(col("event_id"), expr("uuid()").as("run_uuid"))),
+    "f_uuid" -> ((s, dir) =>              // rows-only: F8 uuid() random, F9 now()
+      Tables.events(s, dir).select(col("event_id"),
+        expr("uuid()").as("run_uuid"),
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").as("run_ts"))),
 
     // S8: KV batch-write sink — write the daily rollup through the chunked
     // sink into the in-memory store, then read the store back as the result
