@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-import graft.operators.{Dedup, Grouping, Similarity, Upsert}
+import graft.operators.{Dedup, Grouping, Similarity, Skew, Upsert}
 import graft.functions.Text
 import graft.pipeline.Pipeline
 import graft.sources.{Tables, TestdataAdapter}
@@ -108,6 +108,10 @@ object SparkEntry {
     // benched plan stays sort-free (VERDICT r01 #3).
     "a1_category_kpis" -> ((s, dir) => Kpis.categoryKpis(enriched(s, dir))),
     "a2_daily_kpis" -> ((s, dir) => Kpis.dailyKpis(enriched(s, dir))),
+    // A2's 100 TB plan: same exact numbers, no Expand×3 (see
+    // Kpis.dailyKpisScalable) — verified against the same oracle as a2.
+    "a2_daily_kpis_scalable" -> ((s, dir) =>
+      Kpis.dailyKpisScalable(enriched(s, dir))),
 
     // ---- validation rule engine (§2.7: P3, P5-P9, A6, A7) ----
     "v_rules_orders" -> ((s, dir) =>
@@ -128,6 +132,12 @@ object SparkEntry {
     }),
 
     // ---- joins / set algebra (J3-J6, A4, A5) ----
+    // Skew-mitigated fact⋈dim join: salted n-way fan-out of hot keys,
+    // result identical to the plain join (oracled as such).
+    "j7_salted_join" -> ((s, dir) => Skew.saltedJoin(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_extendedprice"),
+      Tables.part(s, dir).filter(col("p_partkey") <= 50).select("p_partkey", "p_type"),
+      "l_partkey", "p_partkey", numSalts = 8)),
     "j3_semi" -> ((s, dir) => Grouping.semi(
       Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
       Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
@@ -422,6 +432,21 @@ object SparkEntry {
          JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1 ORDER BY 1""",
 
+    "a2_daily_kpis_scalable" ->
+      """SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+         COUNT(DISTINCT o.o_orderkey) AS total_orders,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         COUNT(l.l_partkey) AS total_items_sold,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(DISTINCT o.o_orderkey) AS return_rate,
+         COUNT(DISTINCT o.o_custkey) AS unique_customers
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1""",
+    "j7_salted_join" ->
+      """SELECT l.l_orderkey, l.l_partkey, l.l_extendedprice, p.p_type
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_partkey <= 50""",
     "v_rules_orders" -> rulesOrdersOracle("orders"),
     "v_rules_lineitem" ->
       """SELECT 'lineitem' AS table_name, 'null_required' AS rule, 'l_orderkey' AS column_name, CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violation_count FROM lineitem

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for equi-joins — the manual fallback when AQE's runtime
+  * skew-join splitting isn't available (e.g. the join sits under an
+  * operator AQE won't touch) or a single hot key needs a fixed fan-out.
+  *
+  * Salting a fact⋈dim join: the fact side gets a deterministic salt in
+  * [0, n); the dim side is replicated n× with every salt value; the join
+  * key becomes (key, salt), so one hot key's rows spread across n
+  * reducers instead of one. Result set is exactly the plain join's —
+  * replication only exists on the (small) dim side.
+  */
+object Skew {
+
+  /** Deterministic per-row salt: hash of the whole row modulo n. Stable
+    * under task retry (no rand()), and spreads duplicate keys because
+    * non-key columns differ; fully identical rows hash together, which is
+    * harmless — they carry no skew a reducer can't absorb linearly.
+    */
+  private def rowSalt(df: DataFrame, n: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(n.toLong))
+
+  /** Inner equi-join `facts ⋈ dim` on `factKey = dimKey`, salted n ways.
+    * `dim` is replicated n× (explode of a literal range — keep it the
+    * small side). Output columns: facts.* then dim.* minus its key,
+    * exactly like a plain `join(...).drop(dimKey)`.
+    */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, numSalts: Int): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    val sf = facts.withColumn("__salt_f", rowSalt(facts, numSalts))
+    val sd = dim.withColumn("__salt_d",
+      explode(sequence(lit(0L), lit(numSalts.toLong - 1))))
+    sf.join(sd, sf(factKey) === sd(dimKey) && col("__salt_f") === col("__salt_d"), "inner")
+      .drop("__salt_f", "__salt_d", dimKey)
+  }
+}

@@ -93,4 +93,31 @@ object Kpis {
         countDistinct(col("order_id"))).as("return_rate"),
       countDistinct(col("user_id")).as("unique_customers")
     )
+
+  /** A2 at scale: the same exact numbers as [[dailyKpis]] without the
+    * Expand ×3 that two `countDistinct`s cost (Catalyst triples the
+    * pre-shuffle rows — the one watch-listed plan hazard at 100 TB,
+    * VERDICT r02 plan audit).
+    *
+    * Phase 1 pre-aggregates per (order_date, order_id) with map-side
+    * combine — the fan-out introduced by the item join collapses back to
+    * one row per order BEFORE the big shuffle; `user_id` rides along
+    * because an order has exactly one user (reference orders schema:
+    * user_id is a column of orders). Phase 2 runs over one-row-per-order
+    * input, so its single remaining distinct (users) expands tiny data,
+    * not the full join output.
+    */
+  def dailyKpisScalable(joined: DataFrame): DataFrame = {
+    val perOrder = joined.groupBy(col("order_date"), col("order_id")).agg(
+      sum(col("sale_price").cast(DecimalType(18, 2))).as("rev"),
+      count(col("product_id")).as("items"),
+      countIf(col("is_returned")).as("ret"),
+      max(col("user_id")).as("user_id"))
+    perOrder.groupBy(col("order_date")).agg(
+      count(lit(1)).as("total_orders"),
+      sum(col("rev")).cast("double").as("total_revenue"),
+      sum(col("items")).as("total_items_sold"),
+      (sum(col("ret")).cast("double") / count(lit(1))).as("return_rate"),
+      countDistinct(col("user_id")).as("unique_customers"))
+  }
 }

@@ -1,0 +1,25 @@
+package graft.transform
+
+import graft.SparkSpec
+import graft.sources.TestdataAdapter
+
+/** The scalable (pre-aggregated) A2 plan must produce the exact rows of
+  * the classic countDistinct plan on real data.
+  */
+class KpisSpec extends SparkSpec {
+
+  test("dailyKpisScalable equals dailyKpis row-for-row on testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val joined = Kpis.enrich(
+      TestdataAdapter.orders(spark, dir),
+      TestdataAdapter.orderItems(spark, dir),
+      TestdataAdapter.products(spark, dir))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    val classic = rows(Kpis.dailyKpis(joined))
+    val scalable = rows(Kpis.dailyKpisScalable(joined))
+    assert(classic.nonEmpty)
+    assert(scalable == classic)
+  }
+}
