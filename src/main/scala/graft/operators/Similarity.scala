@@ -17,8 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns. */
+  /** Dot product of two `array<double>` columns — the native codegen'd
+    * expression (graft.functions.DotProduct): a fused primitive loop
+    * instead of the HOF `aggregate(zip_with(...))` chain. Bit-identical
+    * left-to-right IEEE multiply-accumulate for equal-length vectors (the
+    * only case ANN sees); on a length mismatch the native form uses the
+    * common prefix where the HOF form nulls out (zip_with pads with null).
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** The composable built-in formulation of [[dot]] (kept as the reference
+    * implementation the native expression is tested against).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   /** L2 norm. */
