@@ -387,9 +387,10 @@ object SparkEntry {
     * representative of each new operator family.
     */
   val headline: Seq[String] = Seq(
-    "a1_category_kpis", "a2_daily_kpis", "j2_upsert", "g_complete_groups",
+    "a1_category_kpis", "a2_daily_kpis", "a2_daily_kpis_scalable",
+    "j2_upsert", "j7_salted_join", "g_complete_groups",
     "dedup_exact", "dedup_near", "dedup_simhash", "t_text_stats",
-    "sim_bruteforce_topk", "e_daily_value")
+    "sim_bruteforce_topk", "ann_ivf_topk", "e_daily_value", "e_sessionize")
 
   // ---- DuckDB oracle twins ----
 
