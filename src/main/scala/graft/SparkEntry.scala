@@ -228,6 +228,16 @@ object SparkEntry {
         e.select(col("vec_id"), col("label"), col("emb_d").as("embedding")),
         cellCol = "label", k = 10, nprobe = 2)
     }),
+    "ann_ivf_kmeans" -> ((s, dir) => {    // rows-only: fp-sensitive training
+      val e = embDouble(s, dir)
+      val corpus = e.select(col("vec_id"), col("emb_d").as("embedding"))
+      val cells = Similarity.kmeansCells(corpus, k = 8, iters = 2)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        corpus.join(cells, "vec_id"),
+        cellCol = "cell", k = 10, nprobe = 2)
+    }),
     "ann_lsh_topk" -> ((s, dir) => {      // rows-only: PRNG hyperplanes
       val e = embDouble(s, dir)
       val dim = 64 // hyperplane width ≥ vector dim; dot ignores the excess
@@ -365,6 +375,17 @@ object SparkEntry {
       Tables.writePartitioned(Tables.orders(s, dir), "o_orderstatus", tmp)
       s.read.parquet(tmp).select("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
+    }),
+    // Partition pruning: a predicate on the partition column must skip
+    // whole directories at planning time (PartitionFilters in the scan —
+    // asserted by PartitionPruneSpec; SURVEY §4 "free if we add
+    // date-filtered reads").
+    "s_partition_pruned" -> ((s, dir) => {
+      val tmp = tmpDir("graft_part_prune")
+      Tables.writePartitioned(Tables.orders(s, dir), "o_orderstatus", tmp)
+      s.read.parquet(tmp).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
     }),
     "s_json_roundtrip" -> ((s, dir) => {  // S9 JSON doc write + schema read
       val customer = Tables.customer(s, dir)
@@ -674,6 +695,9 @@ object SparkEntry {
     "s_csv_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
     "s_partitioned_roundtrip" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders",
+    "s_partition_pruned" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderstatus = 'F'""",
     "s_json_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
     "s_listing" ->

@@ -42,6 +42,16 @@ object Tables {
     df.write.mode("overwrite").partitionBy(partitionCol)
       .option("compression", "snappy").parquet(path)
 
+  /** Bucketed table writer — co-locates join keys at write time so later
+    * equi-joins/aggregations on `key` run shuffle-free (both sides
+    * pre-partitioned by the same bucketing function). The 100 TB lever for
+    * repeatedly-joined fact tables; see BucketedJoinSpec for the
+    * no-Exchange plan proof.
+    */
+  def writeBucketed(df: DataFrame, buckets: Int, key: String, table: String): Unit =
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      .option("compression", "snappy").saveAsTable(table)
+
   // ---- driver testdata tables (TESTDATA.md / FIXTURES.md §B) ----
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
