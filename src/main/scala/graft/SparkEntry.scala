@@ -193,6 +193,17 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>       // rows-only: xxhash64 simhash
       Dedup.simhashNearDuplicates(docsWithPlantedDups(s, dir), "doc_id", "text")),
 
+    // embedding-cosine near-dup: plant near-identical vectors (tiny
+    // perturbation keeps the sign pattern) so the pair set is non-empty
+    "dedup_embedding" -> ((s, dir) => {
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
+      val planted = e.unionByName(e.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("emb_d"), x => x * 1.0000001d).as("emb_d")))
+      Dedup.embeddingNearDuplicates(planted, "vec_id", "emb_d",
+        threshold = 0.99, nbits = 8)
+    }),
+
     // ---- text analysis (§7.5) ----
     "t_text_stats" -> ((s, dir) => {
       val t = col("text")
@@ -561,6 +572,22 @@ object SparkEntry {
                       / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
          FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0""",
 
+    "dedup_embedding" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         e AS (SELECT vec_id, v FROM e0
+               UNION ALL
+               SELECT vec_id + 1000000, list_transform(v, x -> x * 1.0000001) FROM e0 WHERE vec_id < 50),
+         b AS (SELECT vec_id, v,
+                 (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+               + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS sig
+               FROM e)
+         SELECT id_a, id_b, cos_sim FROM (
+           SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                  round(${sqlCosine("a.v", "b2.v")}, 6) AS cos_sim
+           FROM b a JOIN b b2 ON a.sig = b2.sig AND a.vec_id < b2.vec_id)
+         WHERE cos_sim >= 0.99""",
     "t_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS ts FROM documents)
          SELECT doc_id,

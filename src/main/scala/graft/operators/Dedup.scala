@@ -128,6 +128,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicates: pairs of vectors with cosine ≥
+    * `threshold`, found through deterministic axis-aligned LSH blocking —
+    * the bucket key is the sign pattern of the first `nbits` dimensions,
+    * so candidate generation is a self-equi-join on the bucket (shuffle
+    * partitions on it; no cartesian), then exact cosine verifies.
+    *
+    * Axis-aligned hyperplanes trade recall for reproducibility: a pair
+    * crossing a sign boundary in the leading dims is missed (standard LSH
+    * recall behavior — raise recall by lowering nbits or adding rotated
+    * tables via [[graft.operators.Similarity.lshBucket]]); in exchange the
+    * blocking is PRNG-free and oracle-replicable. Same hot-bucket guard as
+    * the text pipelines.
+    */
+  def embeddingNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, nbits: Int = 8,
+                              maxBucket: Int = 10000): DataFrame = {
+    val bucket = (0 until nbits).map(i =>
+      when(element_at(col(vecCol), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val bucketed = capBuckets(
+      emb.select(col(idCol), col(vecCol), lit(0).as("band"), bucket.as("sig")),
+      maxBucket)
+    val a = bucketed.select(col("band"), col("sig"),
+      col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = bucketed.select(col("band"), col("sig"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.operators.Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** SimHash (64-bit): explode tokens → xxhash64 → per-document bit-vote
     * (sum ±1 per bit position in one HashAggregate with 64 partial-agg
     * columns) → sign bits reassembled into a long. Same explode-then-

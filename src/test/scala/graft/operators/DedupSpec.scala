@@ -59,6 +59,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshCandidates(banded, "doc_id", maxBucket = 100).count() == 50L * 49 / 2)
   }
 
+  test("embeddingNearDuplicates pairs near-identical vectors, skips distant ones") {
+    val emb = Seq(
+      (1L, Seq(0.5, -0.2, 0.8, 0.1, 0.3, -0.7, 0.2, 0.9)),
+      (2L, Seq(0.5000001, -0.2, 0.8, 0.1, 0.3, -0.7, 0.2, 0.9)), // ≈ 1
+      (3L, Seq(-0.5, 0.2, -0.8, -0.1, -0.3, 0.7, -0.2, -0.9)),   // opposite
+      (4L, Seq(0.9, -0.1, 0.1, 0.2, 0.1, -0.1, 0.8, 0.1))        // same signs, low cos
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
+      threshold = 0.99, nbits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("simhash: identical docs at Hamming 0; simhashNearDuplicates pairs them") {
     val sigs = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
