@@ -39,8 +39,12 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(Text.shingles(col(textCol), shingleN)).as("shingle"))
+    // two-step projection: tokens materialize once per doc, then the
+    // shingle lambda reads the bound array (see Text.shinglesFromTokens)
+    val sh = docs
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(Text.shinglesFromTokens(col("__toks"), shingleN)).as("shingle"))
     sh.groupBy(col(idCol))
       .agg(min(xxhash64(col("shingle"), lit(0))).as("m0"),
         (1 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"m$i")): _*)
@@ -98,8 +102,10 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("__id"),
-      array_distinct(Text.shingles(col(textCol), shingleN)).as("__set"))
+    val sets = docs
+      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        array_distinct(Text.shinglesFromTokens(col("__toks"), shingleN)).as("__set"))
     pairs
       .join(sets, col("id_a") === col("__id")).withColumnRenamed("__set", "set_a").drop("__id")
       .join(sets, col("id_b") === col("__id")).withColumnRenamed("__set", "set_b").drop("__id")
