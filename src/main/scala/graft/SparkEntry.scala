@@ -337,9 +337,17 @@ object SparkEntry {
     "e_tumbling" -> ((s, dir) =>
       graft.streaming.Windows.tumbling(
         Tables.events(s, dir), "ts", "event_type", "1 hour", "value")),
+    // session bounds as µs-formatted strings: the events table is
+    // nanosecond-precision, and a raw-timestamp compare would hinge on the
+    // comparator's ns-vs-µs normalization; formatted strings are exact on
+    // both engines.
     "e_sessionize" -> ((s, dir) =>
       graft.streaming.Windows.sessionize(
-        Tables.events(s, dir), "ts", "user_id", "30 minutes")),
+        Tables.events(s, dir), "ts", "user_id", "30 minutes")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"))),
 
     // ---- multimodal columns (§7.5: opaque binary + typed metadata) ----
     "mm_describe" -> ((s, dir) =>
@@ -699,8 +707,8 @@ object SparkEntry {
          y AS (SELECT user_id, ts,
                  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
                FROM x)
-         SELECT user_id, MIN(ts) AS session_start,
-                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
                 COUNT(*) AS n_events
          FROM y GROUP BY user_id, sid""",
     "mm_describe" ->
