@@ -120,6 +120,12 @@ object SparkEntry {
       Rules.evaluate(s, Tables.lineitem(s, dir), cfgLineitem)),
     "v_rules_violations" -> ((s, dir) =>
       Rules.evaluate(s, mutatedOrders(s, dir), cfgOrders)),
+    // per-group report (validate.py:344-348 shape) over the mutated frame,
+    // grouped by customer so groups mix clean and violating rows
+    "v_group_report" -> ((s, dir) =>
+      Rules.groupReport(
+        mutatedOrders(s, dir).withColumn("grp", col("o_orderkey") % 100),
+        cfgOrders, "grp")),
 
     // ---- upsert (S7/J2) ----
     "j2_upsert" -> ((s, dir) => {
@@ -513,6 +519,27 @@ object SparkEntry {
          w AS (SELECT * FROM m UNION ALL SELECT * FROM m WHERE o_orderkey % 11 = 0)
          ${rulesOrdersOracle("w")}""",
 
+    "v_group_report" ->
+      """WITH m AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                  CASE WHEN o_orderkey % 7 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+                  o_orderdate
+           FROM orders),
+         w AS (SELECT * FROM m UNION ALL SELECT * FROM m WHERE o_orderkey % 11 = 0),
+         g AS (SELECT o_orderkey % 100 AS grp,
+                      COUNT(*) FILTER (WHERE o_orderkey IS NULL)
+                    + COUNT(*) FILTER (WHERE o_custkey IS NULL)
+                    + COUNT(*) FILTER (WHERE o_orderstatus IS NULL)
+                    + COUNT(*) FILTER (WHERE o_orderdate IS NULL)
+                    + COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('P','O','F'))
+                    + COUNT(*) FILTER (WHERE o_totalprice < 0) AS violation_count
+               FROM w GROUP BY 1)
+         SELECT grp, CAST(violation_count AS BIGINT) AS violation_count,
+                CASE WHEN violation_count = 0 THEN 'VALIDATION_PASSED'
+                     ELSE 'VALIDATION_FAILED' END AS status
+         FROM g""",
     "j2_upsert" ->
       """WITH u AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority

@@ -54,6 +54,34 @@ object StreamingPipeline {
     fs.delete(bak, true)
   }
 
+  /** Partition-aware variant of [[upsertBatch]]: only the partitions the
+    * micro-batch touches are read, merged, and rewritten (dynamic
+    * partition overwrite). [[upsertBatch]] rewrites the whole table per
+    * batch — fine for KPI-sized tables, O(table) at 100 TB; this one is
+    * O(touched partitions). The driver-side collect is of partition
+    * VALUES only (a bounded, tiny list — e.g. the days present in one
+    * batch), never data rows.
+    */
+  def upsertPartitionedBatch(targetDir: String, keys: Seq[String],
+                             partitionCol: String)
+                            (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(root, "data")
+    val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))
+    val merged =
+      if (fs.exists(cur)) {
+        val old = spark.read.parquet(cur.toString)
+          .filter(org.apache.spark.sql.functions.col(partitionCol).isin(touched: _*))
+        Upsert.upsert(old, batch, keys)
+      } else batch
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(cur.toString)
+  }
+
   /** Streaming category KPIs (ST5): the same aggregation as the batch
     * flagship (Kpis.categoryKpis — sum/avg/ratio are streaming-safe; the
     * exact countDistinct of dailyKpis is not, and stays batch-only), run as

@@ -151,6 +151,29 @@ object Rules {
     tables.map { case (df, cfg) => evaluate(spark, df, cfg) }
       .reduce(_ unionByName _)
 
+  /** Per-group validation report — the reference's actual report shape
+    * (validate.py:344-348: one `{order_id, status, issues}` entry per
+    * order group). One hash aggregation keyed by the group column with
+    * every content rule as a conditional count; `passed` mirrors the
+    * reference's VALIDATION_PASSED/FAILED status.
+    */
+  def groupReport(df: DataFrame, cfg: TableRules, groupCol: String): DataFrame = {
+    val present = (c: String) => df.columns.contains(c)
+    def cnt(pred: Column) = coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+    val nulls = cfg.requiredColumns.filter(present).map(c => cnt(col(c).isNull))
+    val status = cfg.statusColumn.filter(present).toSeq.map(c =>
+      cnt(col(c).isNotNull && !col(c).isin(cfg.validStatuses: _*)))
+    val negative = cfg.nonNegativeColumns.filter(present).map(c => cnt(col(c) < lit(0)))
+    val all = nulls ++ status ++ negative
+    val total = if (all.isEmpty) lit(0L) else all.reduce(_ + _)
+    df.groupBy(col(groupCol))
+      .agg(total.as("violation_count"))
+      .select(col(groupCol),
+        col("violation_count"),
+        when(col("violation_count") === 0, "VALIDATION_PASSED")
+          .otherwise("VALIDATION_FAILED").as("status"))
+  }
+
   /** Gate — reference stepfunction.json CheckValidationStatus semantics done
     * right (the reference's Choice state only checks the task ran,
     * stepfunction.json:81-91): pass iff no rule has violations.

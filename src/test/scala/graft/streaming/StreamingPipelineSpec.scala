@@ -76,4 +76,29 @@ class StreamingPipelineSpec extends SparkSpec {
     // batch parity: the streamed table equals the batch KPI over all files
     assert(after2 == kpiMap(Kpis.categoryKpis(spark.read.parquet(in))))
   }
+
+  test("partition-aware upsert rewrites only touched partitions") {
+    import org.apache.spark.sql.functions.col
+    val out = tmp("graft_pout")
+    val b1 = Seq(("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0))
+      .toDF("day", "k", "v")
+    StreamingPipeline.upsertPartitionedBatch(out, Seq("k"), "day")(b1, 0L)
+
+    // note which files back the untouched partition
+    val d2dir = new java.io.File(out + "/data/day=2024-01-02")
+    val d2files = d2dir.listFiles().map(_.getName).toSet
+
+    // batch 2 touches only 2024-01-01: update k=1, insert k=3
+    val b2 = Seq(("2024-01-01", 1L, 11.0), ("2024-01-01", 3L, 30.0))
+      .toDF("day", "k", "v")
+    StreamingPipeline.upsertPartitionedBatch(out, Seq("k"), "day")(b2, 1L)
+
+    // partition-type inference reads day= back as DATE → compare as string
+    val table = spark.read.parquet(out + "/data")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.get(2).toString)).toSet
+    assert(table == Set((1L, 11.0, "2024-01-01"), (3L, 30.0, "2024-01-01"),
+      (2L, 20.0, "2024-01-02")))
+    // the 2024-01-02 partition's files were not rewritten
+    assert(d2dir.listFiles().map(_.getName).toSet == d2files)
+  }
 }

@@ -99,6 +99,20 @@ class RulesSpec extends SparkSpec {
     assert(rows.contains(RuleResult("orders", Rules.DuplicateColumn, "a", 1L)))
   }
 
+  test("groupReport: per-group violation counts and pass/fail status") {
+    val df = Seq(
+      ("g1", Some("u1"), "pending", 1.0),   // clean
+      ("g1", Some("u2"), "shipped", 2.0),   // clean
+      ("g2", None, "pending", 3.0),         // null user
+      ("g2", Some("u4"), "BOGUS", -4.0)     // bad status + negative
+    ).toDF("grp", "user_id", "status", "total")
+      .withColumn("order_id", org.apache.spark.sql.functions.lit(1L))
+    val out = Rules.groupReport(df, cfg, "grp")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out("g1") == (0L, "VALIDATION_PASSED"))
+    assert(out("g2") == (3L, "VALIDATION_FAILED"))
+  }
+
   test("non-integral declared-integral column is flagged") {
     val bad = Seq(("1", "a", "pending", 1.0))
       .toDF("order_id", "user_id", "status", "total") // order_id is string
