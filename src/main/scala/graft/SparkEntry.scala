@@ -217,6 +217,8 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), t)) {
         case (df, (name, c)) => df.withColumn(name, c)
       }.drop("text")
+        .withColumn("quality_ok", Text.qualityOk(col("n_tokens"),
+          col("mean_token_len"), col("punct_ratio"), col("stopword_ratio")))
     }),
     "t_bpe_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -347,6 +349,21 @@ object SparkEntry {
     // nanosecond-precision, and a raw-timestamp compare would hinge on the
     // comparator's ns-vs-µs normalization; formatted strings are exact on
     // both engines.
+    "e_sliding" -> ((s, dir) =>
+      graft.streaming.Windows.sliding(
+        Tables.events(s, dir), "ts", "event_type", "1 hour", "30 minutes")),
+    // ranking / top-N-per-group (window function family): top-3 parts by
+    // revenue within each category
+    "w_top_parts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      enriched(s, dir)
+        .groupBy(col("category"), col("product_id"))
+        .agg(Kpis.moneySum(col("sale_price")).as("revenue"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("category"))
+            .orderBy(col("revenue").desc, col("product_id"))))
+        .filter(col("rn") <= 3)
+    }),
     "e_sessionize" -> ((s, dir) =>
       graft.streaming.Windows.sessionize(
         Tables.events(s, dir), "ts", "user_id", "30 minutes")
@@ -624,14 +641,18 @@ object SparkEntry {
            FROM b a JOIN b b2 ON a.sig = b2.sig AND a.vec_id < b2.vec_id)
          WHERE cos_sim >= 0.99""",
     "t_text_stats" ->
-      s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS ts FROM documents)
-         SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS ts FROM documents),
+         st AS (SELECT doc_id,
            CAST(len(ts) AS BIGINT) AS n_tokens,
            CAST(len(text) AS BIGINT) AS n_chars_measured,
            round(CASE WHEN len(ts) > 0 THEN CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts) ELSE 0.0 END, 6) AS mean_token_len,
            round(CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END, 6) AS punct_ratio,
            round(CASE WHEN len(ts) > 0 THEN CAST(len(list_filter(ts, x -> list_contains($enOracleList, x))) AS DOUBLE) / len(ts) ELSE 0.0 END, 6) AS stopword_ratio
-         FROM t""",
+         FROM t)
+         SELECT *, (n_tokens >= 5 AND n_tokens <= 1000000
+                AND mean_token_len >= 2 AND mean_token_len <= 15
+                AND punct_ratio < 0.3 AND stopword_ratio > 0.01) AS quality_ok
+         FROM st""",
     "t_bpe_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS bpe_tokens
@@ -726,6 +747,25 @@ object SparkEntry {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2, 3""",
+    "e_sliding" ->
+      """WITH s AS (
+           SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS w FROM events
+           UNION ALL
+           SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE FROM events)
+         SELECT event_type, w AS window_start, w + INTERVAL 1 HOUR AS window_end,
+                COUNT(*) AS n_events
+         FROM s GROUP BY 1, 2""",
+    "w_top_parts" ->
+      """WITH r AS (
+           SELECT p.p_type AS category, l.l_partkey AS product_id,
+                  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2)
+         SELECT category, product_id, revenue, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT *, row_number() OVER (PARTITION BY category ORDER BY revenue DESC, product_id) AS rn
+           FROM r)
+         WHERE rn <= 3""",
     "e_sessionize" ->
       """WITH x AS (SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL

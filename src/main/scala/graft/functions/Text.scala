@@ -87,6 +87,19 @@ object Text {
     )
   }
 
+  /** Composite quality flag — the usual pretraining keep/drop heuristics
+    * over [[stats]] columns: enough-but-not-degenerate token count, word
+    * lengths in a natural-language band, not punctuation soup, and at
+    * least some function words. Thresholds are the common public defaults
+    * (Gopher-style rules); tune per corpus.
+    */
+  def qualityOk(nTokens: Column, meanTokenLen: Column, punctRatio: Column,
+                stopwordRatio: Column): Column =
+    nTokens >= 5 && nTokens <= 1000000 &&
+      meanTokenLen >= 2 && meanTokenLen <= 15 &&
+      punctRatio < 0.3 &&
+      stopwordRatio > 0.01
+
   /** BPE-ish subword count: pieces matched by a GPT-2-style pretokenizer
     * regex (letters / digits / other runs, optional leading space).
     */

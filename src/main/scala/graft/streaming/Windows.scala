@@ -28,6 +28,18 @@ object Windows {
       .select(col(keyCol), col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("n_events"), col("total_value"))
 
+  /** Sliding event-time windows: width/slide overlap means each event
+    * lands in width/slide windows (the window expression generates them —
+    * a bounded explode, factor 2 for 1h/30m). Same partial-aggregation
+    * shape as [[tumbling]].
+    */
+  def sliding(events: DataFrame, tsCol: String, keyCol: String,
+              width: String, slide: String): DataFrame =
+    events.groupBy(col(keyCol), window(col(tsCol), width, slide))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_events"))
+
   /** Session windows: events of one key belong to one session while the
     * gap between consecutive events stays under `gap`. Spark's
     * session_window merges partial sessions across partitions (shuffle on

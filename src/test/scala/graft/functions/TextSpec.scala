@@ -44,6 +44,18 @@ class TextSpec extends SparkSpec {
     assert(one[Double](df.select(stats("stopword_ratio"))) == math.rint(4.0 / 6 * 1e6) / 1e6)
   }
 
+  test("qualityOk applies the keep/drop band thresholds") {
+    import org.apache.spark.sql.functions.lit
+    def q(n: Long, mtl: Double, pr: Double, sr: Double): Boolean =
+      spark.range(1).select(Text.qualityOk(lit(n), lit(mtl), lit(pr), lit(sr)))
+        .collect()(0).getBoolean(0)
+    assert(q(100, 5.0, 0.05, 0.4))        // healthy prose
+    assert(!q(3, 5.0, 0.05, 0.4))         // too short
+    assert(!q(100, 25.0, 0.05, 0.4))      // degenerate long "words"
+    assert(!q(100, 5.0, 0.5, 0.4))        // punctuation soup
+    assert(!q(100, 5.0, 0.05, 0.0))       // no function words
+  }
+
   test("bpeTokenCount splits letter/digit/punct runs with leading spaces") {
     val df = Seq("hello world 123", "a1!b").toDF("t")
     val out = df.select(Text.bpeTokenCount(col("t"))).collect().map(_.getLong(0))

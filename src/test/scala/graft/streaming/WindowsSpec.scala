@@ -25,6 +25,14 @@ class WindowsSpec extends SparkSpec {
       ("view", "2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 1L, 8.8)))
   }
 
+  test("sliding windows place each event in width/slide overlapping windows") {
+    val events = Seq(("click", ts("2024-01-01 10:40:00"))).toDF("event_type", "ts")
+    val out = Windows.sliding(events, "ts", "event_type", "1 hour", "30 minutes")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(3))).toSet
+    // 10:40 falls in [10:00, 11:00) and [10:30, 11:30)
+    assert(out == Set(("2024-01-01 10:00:00.0", 1L), ("2024-01-01 10:30:00.0", 1L)))
+  }
+
   test("session windows split on gaps >= the inactivity threshold") {
     val events = Seq(
       // user A: 3 events, gaps 10 min and 29 min → ONE session
