@@ -435,6 +435,16 @@ object SparkEntry {
       customer.write.mode("overwrite").json(tmp)
       s.read.schema(customer.schema).json(tmp)
     }),
+    "s_orc_roundtrip" -> ((s, dir) => {   // columnar-format breadth: ORC
+      val tmp = tmpDir("graft_orc_rt")
+      Tables.orders(s, dir).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+    }),
+    "s_text_roundtrip" -> ((s, dir) => {  // line-text source (one col/line)
+      val tmp = tmpDir("graft_text_rt")
+      Tables.documents(s, dir).select(col("text")).write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+    }),
     "s_listing" -> ((s, dir) =>           // S10 object-listing source
       s.read.format("binaryFile").load(dir + "/*.parquet")
         .select(regexp_extract(col("path"), "([a-z]+)\\.parquet$", 1)
@@ -802,6 +812,9 @@ object SparkEntry {
          FROM orders WHERE o_orderstatus = 'F'""",
     "s_json_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "s_orc_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders",
+    "s_text_roundtrip" -> "SELECT text AS value FROM documents",
     "s_listing" ->
       """SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),('lineitem'),
          ('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name)""",
