@@ -272,6 +272,9 @@ object SparkEntry {
       Tables.events(s, dir).select(col("event_id"),
         from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
           .getField("k").as("k"))),
+    "e_to_json" -> ((s, dir) =>           // F7 serialization direction
+      Tables.events(s, dir).select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("payload"))),
     "e_route" -> ((s, dir) =>             // P10/P11/F2/F5 routing predicates
       Tables.events(s, dir).select(
         col("event_id"),
@@ -717,6 +720,10 @@ object SparkEntry {
 
     "e_parse_props" ->
       "SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events",
+    "e_to_json" ->
+      """SELECT event_id,
+                CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS payload
+         FROM events""",
     "e_route" ->
       """SELECT event_id,
                 CASE WHEN contains(event_type, 'view') THEN 'views'

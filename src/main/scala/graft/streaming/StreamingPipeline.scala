@@ -29,6 +29,16 @@ object StreamingPipeline {
   def fileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** ST2 (streaming form): drop re-delivered rows by key across
+    * micro-batches — `dropDuplicates` over a stream keeps a state-store
+    * entry per seen key (the reference's processed-file JSON set,
+    * validate.py:328-330, as managed state). Unbounded keys grow state
+    * forever, faithful to the reference; compose with `withWatermark`
+    * upstream to bound it.
+    */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.dropDuplicates(keyCols)
+
   /** ST5/ST7 per-batch sink: keyed upsert of the micro-batch into a parquet
     * table at `targetDir/data`, with a staging-write + rename swap so readers
     * never see a half-written table. Idempotent: re-running a batch after a

@@ -63,6 +63,24 @@ class CompletenessStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupStream drops re-delivered keys across micro-batches (ST2)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[PartEvent]
+    val deduped = StreamingPipeline.dedupStream(
+      input.toDS().toDF(), Seq("orderId", "kind", "productId"))
+    val q = deduped.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    try {
+      val e = PartEvent("o1", Completeness.KindItem, Some("p1"))
+      input.addData(e)
+      q.processAllAvailable()
+      input.addData(e) // re-delivery in a later batch
+      input.addData(PartEvent("o1", Completeness.KindItem, Some("p2")))
+      q.processAllAvailable()
+      assert(spark.table("dd_out").count() == 2L) // e passed once, p2 once
+    } finally q.stop()
+  }
+
   test("independent orders complete independently") {
     val out = runStream("c_multi") { in =>
       in.addData(
