@@ -21,7 +21,7 @@ object Bench {
     // threads); shuffle partitions = cores, not the 200 default.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val timedRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,6 +53,9 @@ object Bench {
       val r = runs.collectFirst { case Left(e) => Left(e) }
         .getOrElse(Right(runs.collect { case Right(s) => s }.min))
       if (r.isLeft) failed = true
+      // operators that persist intermediates (near-dup band signatures,
+      // kmeans centroids) must not carry cache into the next query's timing
+      spark.catalog.clearCache()
       (name, r)
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -272,9 +272,13 @@ object SparkEntry {
       Tables.events(s, dir).select(col("event_id"),
         from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
           .getField("k").as("k"))),
-    "e_to_json" -> ((s, dir) =>           // F7 serialization direction
+    // F7 serialization direction. event_type is coalesced on both sides:
+    // Spark's to_json OMITS null struct fields where DuckDB emits
+    // "field":null, so nulls must not reach the serializer.
+    "e_to_json" -> ((s, dir) =>
       Tables.events(s, dir).select(col("event_id"),
-        to_json(struct(col("event_id"), col("event_type"))).as("payload"))),
+        to_json(struct(col("event_id"),
+          coalesce(col("event_type"), lit("")).as("event_type"))).as("payload"))),
     "e_route" -> ((s, dir) =>             // P10/P11/F2/F5 routing predicates
       Tables.events(s, dir).select(
         col("event_id"),
@@ -703,7 +707,9 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
          ex AS (SELECT label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM e),
-         cpos AS (SELECT label AS cell, pos, avg(x) AS m FROM ex GROUP BY 1, 2),
+         cpos AS (SELECT label AS cell, pos,
+                  CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(x) AS m
+                  FROM ex GROUP BY 1, 2),
          cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cpos GROUP BY 1),
          cs AS (SELECT q_id, q_vec, cell, ${sqlCosine("q_vec", "centroid")} AS csim
                 FROM q CROSS JOIN cent),
@@ -722,7 +728,7 @@ object SparkEntry {
       "SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events",
     "e_to_json" ->
       """SELECT event_id,
-                CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS payload
+                CAST(to_json(struct_pack(event_id := event_id, event_type := COALESCE(event_type, ''))) AS VARCHAR) AS payload
          FROM events""",
     "e_route" ->
       """SELECT event_id,

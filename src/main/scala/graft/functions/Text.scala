@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Whitespace tokens of a text column (empty text → empty array, not
-    * array("")). No lambda: after trim, `\s+` splitting can only emit an
-    * empty token for the empty string itself, so a conditional replaces
-    * the interpreted filter HOF and the whole expression stays codegen'd.
+    * array("")). No lambda: after stripping edge whitespace (regexp, not
+    * trim — trim() removes only ASCII spaces, so "\tfoo" would yield a
+    * phantom "" first token; code-review r3 finding), `\s+` splitting can
+    * only emit an empty token for the empty string itself, so a
+    * conditional replaces the interpreted filter HOF and the whole
+    * expression stays codegen'd.
     */
   def tokens(text: Column): Column = {
-    val t = trim(text)
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
     when(length(t) === 0, array().cast("array<string>"))
       .otherwise(split(t, "\\s+"))
   }

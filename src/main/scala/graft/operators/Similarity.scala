@@ -72,10 +72,17 @@ object Similarity {
   /** IVF "training": one centroid per coarse cell — here the mean vector per
     * existing cluster column (e.g. a pretrained label), computed with
     * posexplode → (cell, pos) average → re-assembled. One aggregation pass.
+    *
+    * The mean is an exact decimal sum divided in double, NOT avg() over raw
+    * doubles: distributed double summation is combine-order-dependent, and
+    * this operator sits under an oracled bit-exact query (code-review r3 —
+    * the repo rule is "never sum raw doubles in an oracled path").
     */
   def centroids(corpus: DataFrame, cellCol: String, vecCol: String = "embedding"): DataFrame =
     corpus.select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy("cell", "pos").agg(avg("v").as("m"))
+      .groupBy("cell", "pos")
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 15)))
+        .cast("double") / count(col("v"))).as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
@@ -91,11 +98,13 @@ object Similarity {
     */
   def kmeansCells(corpus: DataFrame, k: Int, iters: Int,
                   cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(iters > 0, s"kmeansCells needs at least one iteration, got $iters")
     var cents = corpus.orderBy(col(cId)).limit(k)
       .select(col(cId), col(cVec))
       .withColumn("cell", row_number().over(Window.orderBy(col(cId))) - 1)
       .select(col("cell"), col(cVec).as("centroid"))
     var assigned: DataFrame = null
+    var backingAssigned: DataFrame = null // cents the current `assigned` reads
     for (_ <- 1 to iters) {
       assigned = corpus.join(broadcast(cents))
         .select(col(cId), col(cVec),
@@ -103,6 +112,10 @@ object Similarity {
         .groupBy(col(cId)).agg(
           max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
           first(col(cVec)).as(cVec))
+      // the centroids from two rounds back are referenced by nothing now
+      if (backingAssigned != null && (backingAssigned ne cents))
+        backingAssigned.unpersist()
+      backingAssigned = cents
       cents = assigned
         .select(col("cell"), posexplode(col(cVec)).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg("v").as("m"))
@@ -112,6 +125,9 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cents.count() // materialize so the next iteration's plan stays flat
     }
+    cents.unpersist() // the last round's centroids back nothing returned
+    // exactly one cached frame (the centroids the returned assignment
+    // reads) survives; it is freed with the session or clearCache
     assigned.select(col(cId), col("cell"))
   }
 

@@ -32,9 +32,12 @@ object Skew {
                  dimKey: String, numSalts: Int): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
     val sf = facts.withColumn("__salt_f", rowSalt(facts, numSalts))
-    val sd = dim.withColumn("__salt_d",
-      explode(sequence(lit(0L), lit(numSalts.toLong - 1))))
-    sf.join(sd, sf(factKey) === sd(dimKey) && col("__salt_f") === col("__salt_d"), "inner")
-      .drop("__salt_f", "__salt_d", dimKey)
+    // rename the dim key before joining: drop-by-name after the join would
+    // remove BOTH key columns when factKey == dimKey (code-review r3)
+    val sd = dim.withColumnRenamed(dimKey, "__dim_key")
+      .withColumn("__salt_d", explode(sequence(lit(0L), lit(numSalts.toLong - 1))))
+    sf.join(sd, col(factKey) === col("__dim_key") && col("__salt_f") === col("__salt_d"),
+        "inner")
+      .drop("__salt_f", "__salt_d", "__dim_key")
   }
 }

@@ -86,10 +86,24 @@ object StreamingPipeline {
           .filter(org.apache.spark.sql.functions.col(partitionCol).isin(touched: _*))
         Upsert.upsert(old, batch, keys)
       } else batch
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(cur.toString)
+    // Stage first, swap after: writing straight into `cur` would overwrite
+    // the path the merged plan is still reading (and a crash mid-commit
+    // would lose the touched partitions; code-review r3). The staged
+    // partition directory names carry Spark's own value escaping, so the
+    // swap lists them instead of reconstructing names from values.
+    val stage = new Path(root, s"_staging_$batchId")
+    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
+    if (!fs.exists(cur)) fs.mkdirs(cur)
+    fs.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .foreach { p =>
+        val dest = new Path(cur, p.getPath.getName)
+        val bak = new Path(root, s"_bak_${batchId}_${p.getPath.getName}")
+        if (fs.exists(dest)) fs.rename(dest, bak)
+        fs.rename(p.getPath, dest)
+        fs.delete(bak, true)
+      }
+    fs.delete(stage, true)
   }
 
   /** Streaming category KPIs (ST5): the same aggregation as the batch

@@ -24,7 +24,7 @@ object Windows {
                width: String, valueCol: String): DataFrame =
     events.groupBy(col(keyCol), window(col(tsCol), width))
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
+        graft.transform.Kpis.moneySum(col(valueCol)).as("total_value"))
       .select(col(keyCol), col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("n_events"), col("total_value"))
 

@@ -12,12 +12,14 @@ class TextSpec extends SparkSpec {
   private def one[T](df: org.apache.spark.sql.DataFrame): T =
     df.collect()(0).getAs[T](0)
 
-  test("tokens: empty and multi-space strings tokenize cleanly") {
-    val df = Seq("", "  ", "a  b   c").toDF("t")
+  test("tokens: empty, multi-space, and tab/newline-edged strings tokenize cleanly") {
+    val df = Seq("", "  ", "a  b   c", "\tfoo\nbar ", "\n\t").toDF("t")
     val out = df.select(Text.tokens(col("t"))).collect().map(_.getSeq[String](0))
     assert(out(0) == Seq())
     assert(out(1) == Seq())
     assert(out(2) == Seq("a", "b", "c"))
+    assert(out(3) == Seq("foo", "bar")) // no phantom "" from leading \t
+    assert(out(4) == Seq())
   }
 
   test("shingles: shorter-than-n documents yield one whole-document shingle") {

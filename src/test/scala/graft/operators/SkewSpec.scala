@@ -21,6 +21,14 @@ class SkewSpec extends SparkSpec {
     assert(salted.length == 101) // 100 hot + 1 warm, no duplication or loss
   }
 
+  test("saltedJoin keeps the fact key when both sides name the key identically") {
+    val facts = Seq((1L, "a"), (2L, "b")).toDF("k", "payload")
+    val dim = Seq((1L, "hot")).toDF("k", "name")
+    val out = Skew.saltedJoin(facts, dim, "k", "k", numSalts = 2)
+    assert(out.columns.toSeq == Seq("k", "payload", "name"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(2))).toSeq == Seq((1L, "hot")))
+  }
+
   implicit class SortedOps(a: Array[(Long, String, String)]) {
     def toSorted: Seq[(Long, String, String)] = a.toSeq.sorted
   }
