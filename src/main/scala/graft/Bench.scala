@@ -58,8 +58,14 @@ object Bench {
       spark.catalog.clearCache()
       (name, r)
     }
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+    // escape ALL control chars (<0x20), like Verify.q — a stray \b in an
+    // exception message must not corrupt the bench JSON record
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
     val qs = results.map {
       case (k, Right(v)) => s""""${esc(k)}":$v"""
       case (k, Left(e))  => s""""${esc(k)}":{"err":"${esc(e)}"}"""

@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => children match {
+        case Seq(l, r) => DotProduct(l, r)
+        case other => throw new IllegalArgumentException(
+          s"graft_dot expects exactly 2 arguments, got ${other.size}")
+      }))
   }
 }

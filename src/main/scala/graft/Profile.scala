@@ -20,11 +20,7 @@ object Profile {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
-    val docs = {
-      val d = Tables.documents(spark, sfDir).select("doc_id", "text")
-      d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" graft dup marker")).as("text")))
-    }
+    val docs = SparkEntry.docsWithPlantedDups(spark, sfDir)
     docs.count() // warm
     t("docs.count")(docs.count())
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)

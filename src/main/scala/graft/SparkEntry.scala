@@ -82,9 +82,10 @@ object SparkEntry {
   }
 
   /** documents ∪ a near-duplicate copy (suffix-mutated, shifted ids) — the
-    * planted-duplicates corpus for the near-dup queries.
+    * planted-duplicates corpus for the near-dup queries (package-visible:
+    * graft.Profile profiles the same corpus the queries run).
     */
-  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     docs.unionByName(docs.select(
       (col("doc_id") + 1000000L).as("doc_id"),
@@ -98,8 +99,21 @@ object SparkEntry {
     Tables.embeddings(s, dir).withColumn("emb_d",
       transform(col("embedding"), x => x.cast("double")))
 
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Scratch dir for the roundtrip queries; registered for recursive
+    * deletion at JVM exit so repeated Verify/Bench runs don't accumulate
+    * table copies in /tmp (code-review r3).
+    */
+  private def tmpDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
+    dir.toString
+  }
 
   /** One entry per implemented operator from SURVEY.md §2 / §7.5. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

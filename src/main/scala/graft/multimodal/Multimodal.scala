@@ -47,8 +47,9 @@ object Multimodal {
     * that runs over 100 TB before any decode is scheduled.
     */
   def describe(media: DataFrame, idCol: String = "media_id",
-               contentCol: String = "content"): DataFrame =
-    media.select(col(idCol), col("media_type"),
+               contentCol: String = "content",
+               mediaTypeCol: String = "media_type"): DataFrame =
+    media.select(col(idCol), col(mediaTypeCol),
       length(col(contentCol)).as("n_bytes"),
       sha2(col(contentCol), 256).as("content_sha"))
 

@@ -120,15 +120,23 @@ object Dedup {
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
-                     shingleN: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                     shingleN: Int = 3, maxBucket: Int = 10000,
+                     cacheSignatures: Boolean = true): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
     // Persist the band signatures: the bucket-size count, and both sides of
     // the self-join, would otherwise each recompute the whole
     // explode→minhash pipeline (plan audit r3: 4× scan+aggregate). Banded
     // sigs are (id, band, sig) — 3 fixed-width values × bands per doc —
-    // so the cache is tiny relative to the corpus at any scale.
-    val banded = bandSignatures(sigs, idCol, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // so the cache is tiny relative to the corpus at any scale. The cache
+    // backs the returned lazy plan, so it cannot be unpersisted here; it
+    // lives until session cleanup / spark.catalog.clearCache(). Callers
+    // preferring recompute over a session-lived cache entry pass
+    // cacheSignatures = false.
+    val banded0 = bandSignatures(sigs, idCol, k, bands)
+    val banded =
+      if (cacheSignatures)
+        banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else banded0
     val cands = lshCandidates(banded, idCol, maxBucket)
     jaccardVerify(cands, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
@@ -192,13 +200,17 @@ object Dedup {
     * pigeonhole) → banded self-join → exact Hamming ≤ maxDist filter.
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                            maxDist: Int = 3, maxBucket: Int = 10000,
+                            cacheSignatures: Boolean = true): DataFrame = {
     // Persist the per-doc signatures for the same reason as nearDuplicates:
     // the banding explode feeds a bucket count plus both self-join sides,
     // and simhash's 64-vote aggregation is the expensive part. One long per
-    // doc — negligible cache footprint.
-    val sigs = simhash(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // doc — negligible cache footprint (session-lived; see nearDuplicates).
+    val sigs0 = simhash(docs, idCol, textCol)
+    val sigs =
+      if (cacheSignatures)
+        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs0
     val banded = capBuckets(sigs.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig"))): _*)).as("bs"))

@@ -105,7 +105,7 @@ object Similarity {
       .select(col("cell"), col(cVec).as("centroid"))
     var assigned: DataFrame = null
     var backingAssigned: DataFrame = null // cents the current `assigned` reads
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       assigned = corpus.join(broadcast(cents))
         .select(col(cId), col(cVec),
           col("cell"), cosine(col(cVec), col("centroid")).as("csim"))
@@ -116,16 +116,19 @@ object Similarity {
       if (backingAssigned != null && (backingAssigned ne cents))
         backingAssigned.unpersist()
       backingAssigned = cents
-      cents = assigned
-        .select(col("cell"), posexplode(col(cVec)).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cents.count() // materialize so the next iteration's plan stays flat
+      // the final iteration's assignment is the result — re-averaging its
+      // centroids would be a full wasted pass over the corpus
+      if (i < iters) {
+        cents = assigned
+          .select(col("cell"), posexplode(col(cVec)).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(avg("v").as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cents.count() // materialize so the next iteration's plan stays flat
+      }
     }
-    cents.unpersist() // the last round's centroids back nothing returned
     // exactly one cached frame (the centroids the returned assignment
     // reads) survives; it is freed with the session or clearCache
     assigned.select(col(cId), col("cell"))

@@ -18,10 +18,16 @@ object FileState {
 
   val schema: StructType = StructType(Seq(StructField("path", StringType)))
 
-  /** Load the processed-file set; empty if never saved. */
+  private def bakPath(p: Path) = new Path(p.getParent, s".${p.getName}_bak")
+
+  /** Load the processed-file set; empty if never saved. A missing state
+    * file with a backup present means a save() crashed mid-swap — restore
+    * the backup first.
+    */
   def load(spark: SparkSession, statePath: String): DataFrame = {
     val p = new Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && fs.exists(bakPath(p))) fs.rename(bakPath(p), p)
     if (fs.exists(p)) spark.read.schema(schema).parquet(statePath)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -38,8 +44,10 @@ object FileState {
   def markProcessed(processed: DataFrame, done: DataFrame): DataFrame =
     processed.select("path").unionByName(done.select("path")).distinct()
 
-  /** Persist the state table (tiny; staging + rename so a crash mid-write
-    * never clobbers the previous state).
+  /** Persist the state table (tiny). Stage → move old to backup → move
+    * staged in → drop backup: every crash point leaves either the previous
+    * state or a backup that [[load]] restores — delete-then-rename would
+    * have a window losing the state entirely (code-review r3).
     */
   def save(state: DataFrame, statePath: String): Unit = {
     val spark = state.sparkSession
@@ -47,7 +55,10 @@ object FileState {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(p.getParent, s".${p.getName}_staging")
     state.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(p)) fs.delete(p, true)
+    val bak = bakPath(p)
+    fs.delete(bak, true)
+    if (fs.exists(p)) fs.rename(p, bak)
     fs.rename(tmp, p)
+    fs.delete(bak, true)
   }
 }

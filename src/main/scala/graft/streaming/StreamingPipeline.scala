@@ -47,12 +47,28 @@ object StreamingPipeline {
     * the reference relies on DynamoDB put idempotency the same way,
     * transform.py:379-387).
     */
+  /** Crash recovery for the rename swaps below: if a previous run died
+    * between "rename current away" and "rename staged in", the table only
+    * survives in a `_bak_*` directory — restore the newest one before
+    * reading. Makes the swap windows safe: every crash point leaves either
+    * the old table, the backup, or the new table recoverable.
+    */
+  private def recoverBackup(fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path, cur: Path): Unit =
+    if (!fs.exists(cur) && fs.exists(root)) {
+      val baks = fs.listStatus(root)
+        .filter(_.getPath.getName.startsWith("_bak_"))
+        .sortBy(_.getModificationTime)
+      baks.lastOption.foreach(b => fs.rename(b.getPath, cur))
+    }
+
   def upsertBatch(targetDir: String, keys: Seq[String])
                  (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(root, "data")
+    recoverBackup(fs, root, cur)
     val merged =
       if (fs.exists(cur)) Upsert.upsert(spark.read.parquet(cur.toString), batch, keys)
       else batch
@@ -79,11 +95,20 @@ object StreamingPipeline {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(root, "data")
+    recoverBackup(fs, root, cur)
     val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))
+    // isin(null) never matches — a null partition value must be selected
+    // with an explicit isNull arm or its stored rows would be dropped when
+    // the staged __HIVE_DEFAULT_PARTITION__ dir replaces the destination.
+    val (nullTouched, nonNull) = touched.partition(_ == null)
+    val pc = org.apache.spark.sql.functions.col(partitionCol)
+    val touchedPred =
+      if (nullTouched.isEmpty) pc.isin(nonNull: _*)
+      else if (nonNull.isEmpty) pc.isNull
+      else pc.isin(nonNull: _*) || pc.isNull
     val merged =
       if (fs.exists(cur)) {
-        val old = spark.read.parquet(cur.toString)
-          .filter(org.apache.spark.sql.functions.col(partitionCol).isin(touched: _*))
+        val old = spark.read.parquet(cur.toString).filter(touchedPred)
         Upsert.upsert(old, batch, keys)
       } else batch
     // Stage first, swap after: writing straight into `cur` would overwrite
