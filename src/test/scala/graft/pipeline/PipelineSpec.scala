@@ -70,5 +70,13 @@ class PipelineSpec extends SparkSpec {
     // saving twice is stable
     FileState.save(FileState.markProcessed(s1, FileState.pending(arrived2, s1)), dir)
     assert(FileState.load(spark, dir).count() == 4L)
+
+    // crash simulation: state renamed to its backup name (the window
+    // between save()'s two renames) must be restored by load()
+    val p = new java.io.File(dir)
+    val bak = new java.io.File(p.getParent, s".${p.getName}_bak")
+    assert(p.renameTo(bak))
+    assert(FileState.load(spark, dir).count() == 4L)
+    assert(p.exists() && !bak.exists())
   }
 }

@@ -77,6 +77,22 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(after2 == kpiMap(Kpis.categoryKpis(spark.read.parquet(in))))
   }
 
+  test("upsertBatch recovers the table from a backup left by a crashed swap") {
+    val out = tmp("graft_recover")
+    val b1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    StreamingPipeline.upsertBatch(out, Seq("k"))(b1, 0L)
+    // simulate a crash between rename(cur, bak) and rename(tmp, cur):
+    // the table exists only as _bak_1
+    val data = new java.io.File(out, "data")
+    assert(data.renameTo(new java.io.File(out, "_bak_1")))
+    // next batch must restore the backup and merge against it
+    val b2 = Seq((2L, 21.0), (3L, 30.0)).toDF("k", "v")
+    StreamingPipeline.upsertBatch(out, Seq("k"))(b2, 2L)
+    val table = spark.read.parquet(out + "/data")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(table == Set((1L, 10.0), (2L, 21.0), (3L, 30.0)))
+  }
+
   test("partition-aware upsert rewrites only touched partitions") {
     import org.apache.spark.sql.functions.col
     val out = tmp("graft_pout")
