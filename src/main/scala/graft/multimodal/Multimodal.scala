@@ -68,6 +68,43 @@ object Multimodal {
     MediaFeatures(rec.media_id, rec.media_type, bytes.length, features)
   }
 
+  /** STUB RESIZE — deterministic fake standing in for an image resampler:
+    * byte-decimates the payload to `targetBytes` (uniform stride). A real
+    * codec replaces the body; the signature (record in, smaller record
+    * out) and the executor-side call pattern are the production shape.
+    */
+  def resizeStub(rec: MediaRecord, targetBytes: Int): MediaRecord = {
+    val bytes = rec.content
+    if (bytes.length <= targetBytes) rec
+    else {
+      val stride = bytes.length.toDouble / targetBytes
+      val out = Array.tabulate(targetBytes)(i => bytes((i * stride).toInt))
+      rec.copy(content = out)
+    }
+  }
+
+  /** STUB FRAME SAMPLER — deterministic fake for video frame extraction:
+    * splits the payload into fixed-size "frames" and keeps every
+    * `everyNth`. One input record → many frame records (the flatMap shape
+    * a real demuxer has).
+    */
+  def frameSampleStub(rec: MediaRecord, frameBytes: Int,
+                      everyNth: Int): Seq[MediaRecord] =
+    rec.content.grouped(frameBytes).zipWithIndex
+      .collect { case (frame, i) if i % everyNth == 0 =>
+        MediaRecord(rec.media_id * 100000L + i, rec.media_type, frame)
+      }.toSeq
+
+  /** Frame sampling over a media Dataset: per-partition flatMap through
+    * the stub demuxer — record fan-out happens executor-side, partition
+    * count preserved.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+                   everyNth: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(frameSampleStub(_, frameBytes, everyNth)))
+  }
+
   /** Feature extraction over a media Dataset: per-partition iterator
     * mapping (the mapInPandas shape — records stream through the decoder
     * executor-side, one partition per task, nothing collects). Partition

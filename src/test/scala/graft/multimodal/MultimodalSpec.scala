@@ -45,6 +45,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out.collect().forall(_.features.length == 8))
   }
 
+  test("resizeStub decimates to the target size, passes small payloads through") {
+    val big = MediaRecord(1L, "image/png", Array.tabulate(100)(_.toByte))
+    val resized = Multimodal.resizeStub(big, targetBytes = 10)
+    assert(resized.content.length == 10)
+    assert(resized.content(0) == 0.toByte && resized.content(9) == 90.toByte)
+    val small = MediaRecord(2L, "image/png", Array[Byte](1, 2))
+    assert(Multimodal.resizeStub(small, 10).content.toSeq == Seq[Byte](1, 2))
+  }
+
+  test("sampleFrames fans out every Nth fixed-size frame executor-side") {
+    val vid = Seq(MediaRecord(7L, "video/fake", Array.tabulate(10)(_.toByte))).toDS()
+    val frames = Multimodal.sampleFrames(vid, frameBytes = 2, everyNth = 2)
+      .collect().sortBy(_.media_id)
+    // 5 frames of 2 bytes, keep frames 0, 2, 4
+    assert(frames.length == 3)
+    assert(frames.map(_.media_id).toSeq == Seq(700000L, 700002L, 700004L))
+    assert(frames(1).content.toSeq == Seq[Byte](4, 5))
+  }
+
   test("extraction is deterministic (safe to recompute on task retry)") {
     val a = Multimodal.extractFeatures(media, dim = 8).collect()
       .map(f => f.media_id -> f.features.toSeq).toMap
