@@ -412,6 +412,27 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
 
+    // ---- pivot / unpivot (reshaping family) ----
+    // fixed value list keeps the pivot one-pass (no values-discovery job)
+    // and the output schema static — the 100 TB-safe form
+    "e_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types)
+        .count()
+        // a (day, type) cell with no rows pivots to NULL; the relational
+        // answer (and the oracle's FILTER count) is 0
+        .select(col("day") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    }),
+    "e_unpivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .unpivot(Array(col("day")), "event_type", "n")
+        .filter(col("n").isNotNull)),
+
     // ---- pipeline orchestration (§7.1: validate → gate → transform) ----
     "pipeline_kpis" -> ((s, dir) => {
       // Gate on the orders rules: the synthetic lineitem legitimately
@@ -820,6 +841,19 @@ object SparkEntry {
                 CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
                 sha256(text) AS content_sha
          FROM documents""",
+    "e_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+                COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+                COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                COUNT(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1""",
+    "e_unpivot" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+         FROM events
+         WHERE event_type IN ('click','error','purchase','signup','view')
+         GROUP BY 1, 2""",
     "pipeline_kpis" ->
       """SELECT p.p_type AS category,
          CAST(o.o_orderdate AS DATE) AS order_date,
