@@ -412,6 +412,20 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
 
+    // grouping-sets family: category×day → per-category → grand total in
+    // one pass (Expand over the grouping sets, partial-agg per set).
+    // Rolled-up NULLs get a sentinel so the compare never sorts mixed
+    // null/non-null keys.
+    "a6_rollup" -> ((s, dir) =>
+      enriched(s, dir)
+        .rollup(col("category"), col("order_date"))
+        .agg(Kpis.moneySum(col("sale_price")).as("revenue"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("category"), lit("ALL")).as("category"),
+          coalesce(date_format(col("order_date"), "yyyy-MM-dd"), lit("ALL")).as("order_date"),
+          col("revenue"), col("n"))),
+
     // ---- pivot / unpivot (reshaping family) ----
     // fixed value list keeps the pivot one-pass (no values-discovery job)
     // and the output schema static — the 100 TB-safe form
@@ -841,6 +855,17 @@ object SparkEntry {
                 CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
                 sha256(text) AS content_sha
          FROM documents""",
+    "a6_rollup" ->
+      """SELECT COALESCE(category, 'ALL') AS category,
+                COALESCE(strftime(order_date, '%Y-%m-%d'), 'ALL') AS order_date,
+                CAST(SUM(price_d) AS DOUBLE) AS revenue,
+                COUNT(*) AS n
+         FROM (SELECT p.p_type AS category, CAST(o.o_orderdate AS DATE) AS order_date,
+                      CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price_d
+               FROM orders o
+               JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+               JOIN part p ON l.l_partkey = p.p_partkey)
+         GROUP BY ROLLUP(category, order_date)""",
     "e_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
                 COUNT(*) FILTER (WHERE event_type = 'click') AS click,
