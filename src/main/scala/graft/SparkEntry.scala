@@ -412,6 +412,16 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
 
+    // ordered statistics: exact linear-interpolated percentiles per group
+    // (same definition as DuckDB's quantile_cont, so bit-comparable)
+    "a7_percentiles" -> ((s, dir) =>
+      enriched(s, dir)
+        .groupBy(col("category"))
+        .agg(expr("percentile(sale_price, array(0.5, 0.9))").as("ps"))
+        .select(col("category"),
+          round(col("ps").getItem(0), 6).as("p50"),
+          round(col("ps").getItem(1), 6).as("p90"))),
+
     // grouping-sets family: category×day → per-category → grand total in
     // one pass (Expand over the grouping sets, partial-agg per set).
     // Rolled-up NULLs get a sentinel so the compare never sorts mixed
@@ -855,6 +865,14 @@ object SparkEntry {
                 CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
                 sha256(text) AS content_sha
          FROM documents""",
+    "a7_percentiles" ->
+      """SELECT p.p_type AS category,
+                round(quantile_cont(l.l_extendedprice, 0.5), 6) AS p50,
+                round(quantile_cont(l.l_extendedprice, 0.9), 6) AS p90
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1""",
     "a6_rollup" ->
       """SELECT COALESCE(category, 'ALL') AS category,
                 COALESCE(strftime(order_date, '%Y-%m-%d'), 'ALL') AS order_date,
