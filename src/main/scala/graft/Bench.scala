@@ -49,12 +49,18 @@ object Bench {
         }
       }
       once() // warm-up pass (untimed); also surfaces errors deterministically
-      val runs = (1 to timedRuns).map(_ => once())
+      // clear BEFORE each timed run, not just between queries: cache-bearing
+      // operators (near-dup band signatures, kmeans centroids) would
+      // otherwise serve every timed run from the warm-up's cache and the
+      // reported MIN would exclude the operator's own materialization cost
+      // (ADVICE r03)
+      val runs = (1 to timedRuns).map { _ =>
+        spark.catalog.clearCache()
+        once()
+      }
       val r = runs.collectFirst { case Left(e) => Left(e) }
         .getOrElse(Right(runs.collect { case Right(s) => s }.min))
       if (r.isLeft) failed = true
-      // operators that persist intermediates (near-dup band signatures,
-      // kmeans centroids) must not carry cache into the next query's timing
       spark.catalog.clearCache()
       (name, r)
     }

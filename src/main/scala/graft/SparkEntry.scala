@@ -330,7 +330,8 @@ object SparkEntry {
           col("total_value").cast("string").as("total_value"),
           col("n_events").cast("string").as("n_events"))
       graft.sinks.InMemoryKv.clear()
-      graft.sinks.KvSink.write(kpis, graft.sinks.InMemoryKv.writer("pk"))
+      graft.sinks.KvSink.write(kpis, graft.sinks.InMemoryKv.writer("pk"),
+        keyCol = Some("pk"))
       graft.sinks.InMemoryKv.snapshot
         .map(m => (m("pk"), m("total_value").toDouble, m("n_events").toLong))
         .toDF("pk", "total_value", "n_events")

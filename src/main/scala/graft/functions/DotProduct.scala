@@ -18,10 +18,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Semantics match the HOF version bit-for-bit: left-to-right
   * multiply-accumulate in IEEE double over min(len(a), len(b)) elements.
-  * Precondition (same as the HOF path): array elements are non-null.
+  * A null element in the accumulated prefix yields NULL, exactly like the
+  * HOF chain (zip_with's x*y is null, aggregate's acc+null is null) — a
+  * silent 0 would skew similarity rankings instead of surfacing bad data
+  * (ADVICE r03).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // the result can be null through null ELEMENTS even when both array
+  // children are non-nullable, so this must not inherit child nullability
+  override def nullable: Boolean = true
 
   private def isDoubleArray(t: DataType): Boolean = t match {
     case ArrayType(DoubleType, _) => true
@@ -46,7 +53,11 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(xs.numElements(), ys.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getDouble(i) * ys.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -59,6 +70,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -28,12 +28,22 @@ object KvSink {
     * backoff. Row → Map[column → string] mirrors the reference's
     * Decimal/str item conversion (transform.py:378-400); nulls are dropped
     * from the item like DynamoDB omits absent attributes.
+    *
+    * Pass `keyCol` when the writer is keyed: a null key value then fails
+    * fast with a clear message instead of surfacing as a
+    * NoSuchElementException deep inside an executor retry loop after the
+    * null column was dropped from the item (ADVICE r03).
     */
   def write(df: DataFrame, writer: KvWriter, chunkSize: Int = 25,
-            maxRetries: Int = 3, baseBackoffMs: Long = 100L): Unit = {
+            maxRetries: Int = 3, baseBackoffMs: Long = 100L,
+            keyCol: Option[String] = None): Unit = {
     val cols = df.columns
+    keyCol.foreach(k => require(cols.contains(k),
+      s"key column '$k' is not in the frame (columns: ${cols.mkString(", ")})"))
     df.foreachPartition { rows: Iterator[Row] =>
       rows.map { r =>
+        keyCol.foreach(k => require(r.getAs[Any](k) != null,
+          s"null value in key column '$k' — keyed KV writes need a non-null key: $r"))
         cols.flatMap { c =>
           Option(r.getAs[Any](c)).map(v => c -> v.toString)
         }.toMap

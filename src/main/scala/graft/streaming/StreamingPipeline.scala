@@ -57,9 +57,42 @@ object StreamingPipeline {
                             root: Path, cur: Path): Unit =
     if (!fs.exists(cur) && fs.exists(root)) {
       val baks = fs.listStatus(root)
-        .filter(_.getPath.getName.startsWith("_bak_"))
+        // full-table backups only: partition-level backups carry the
+        // partition dir name (`_bak_<id>_<col>=<value>`) and must never be
+        // promoted to be the whole table (ADVICE r03)
+        .filter { s =>
+          val n = s.getPath.getName
+          n.startsWith("_bak_") && !n.contains("=")
+        }
         .sortBy(_.getModificationTime)
       baks.lastOption.foreach(b => fs.rename(b.getPath, cur))
+    }
+
+  /** Crash recovery for [[upsertPartitionedBatch]]'s per-partition swaps
+    * (ADVICE r03): a crash between "rename dest away" and "rename staged in"
+    * leaves that partition only in `_bak_<batchId>_<col>=<value>`. On entry,
+    * rename each such backup back under data/ when its destination is
+    * missing (the swap never completed — restore, so the replayed merge
+    * sees the old rows); when the destination exists the swap DID complete
+    * and only the backup cleanup was lost — drop it.
+    */
+  private def recoverPartitionBackups(fs: org.apache.hadoop.fs.FileSystem,
+                                      root: Path, cur: Path,
+                                      partitionCol: String): Unit =
+    if (fs.exists(root)) {
+      val marker = partitionCol + "="
+      fs.listStatus(root)
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("_bak_") && n.contains(marker)
+        }
+        .foreach { bak =>
+          val partName = bak.getName.substring(bak.getName.indexOf(marker))
+          val dest = new Path(cur, partName)
+          if (fs.exists(dest)) fs.delete(bak, true)
+          else { fs.mkdirs(cur); fs.rename(bak, dest) }
+        }
     }
 
   def upsertBatch(targetDir: String, keys: Seq[String])
@@ -96,6 +129,7 @@ object StreamingPipeline {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(root, "data")
     recoverBackup(fs, root, cur)
+    recoverPartitionBackups(fs, root, cur, partitionCol)
     val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))
     // isin(null) never matches — a null partition value must be selected
     // with an explicit isNull arm or its stored rows would be dropped when

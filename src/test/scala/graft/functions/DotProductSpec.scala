@@ -36,6 +36,19 @@ class DotProductSpec extends SparkSpec {
     assert(df.select(Similarity.dotHof(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("a null ELEMENT yields null, matching the HOF chain (never a silent 0)") {
+    val df = Seq(
+      (1L, Seq(Option(1.0), None, Option(3.0)), Seq(Option(4.0), Option(5.0), Option(6.0))),
+      (2L, Seq(Option(1.0), Option(2.0)), Seq(Option(4.0), Option(5.0)))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(1L) == ((true, true)))   // null element → both null
+    assert(out(2L) == ((false, false))) // clean row unaffected
+  }
+
   test("null input arrays propagate null") {
     val df = Seq((Option(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
     val r = df.select(Similarity.dot(col("a"), col("b"))).collect()(0)

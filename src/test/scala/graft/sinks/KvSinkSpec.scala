@@ -66,6 +66,23 @@ class KvSinkSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("injected transient failure")))
   }
 
+  test("a null key value fails fast with a clear message when keyCol is declared") {
+    TestKv.reset()
+    val df = Seq((Some("a"), "1"), (None, "2")).toDF("k", "v")
+    val e = intercept[SparkException] {
+      KvSink.write(df, new TestKv.Writer("k"), baseBackoffMs = 1,
+        keyCol = Some("k"))
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("null value in key column 'k'"))
+    // an absent key column is caught on the driver, before any job runs
+    val e2 = intercept[IllegalArgumentException] {
+      KvSink.write(df, new TestKv.Writer("k"), keyCol = Some("missing"))
+    }
+    assert(e2.getMessage.contains("'missing' is not in the frame"))
+  }
+
   test("nulls are dropped from items; re-running is idempotent by key") {
     TestKv.reset()
     val df = Seq(("a", Some("1")), ("b", None)).toDF("k", "v")

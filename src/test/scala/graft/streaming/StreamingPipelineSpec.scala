@@ -93,6 +93,71 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(table == Set((1L, 10.0), (2L, 21.0), (3L, 30.0)))
   }
 
+  test("partitioned upsert restores a partition stranded in a _bak_ dir by a crashed swap") {
+    val out = tmp("graft_precover")
+    val b1 = Seq(("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0))
+      .toDF("day", "k", "v")
+    StreamingPipeline.upsertPartitionedBatch(out, Seq("k"), "day")(b1, 0L)
+
+    // simulate a crash between rename(dest, bak) and rename(staged, dest):
+    // the 2024-01-02 partition survives only in _bak_1_day=2024-01-02
+    val part = new java.io.File(out + "/data/day=2024-01-02")
+    assert(part.renameTo(new java.io.File(out, "_bak_1_day=2024-01-02")))
+
+    // replayed batch touches only the OTHER partition — recovery must still
+    // put 2024-01-02 back before the merge reads the table
+    val b2 = Seq(("2024-01-01", 1L, 11.0)).toDF("day", "k", "v")
+    StreamingPipeline.upsertPartitionedBatch(out, Seq("k"), "day")(b2, 1L)
+
+    val table = spark.read.parquet(out + "/data")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.get(2).toString)).toSet
+    assert(table == Set((1L, 11.0, "2024-01-01"), (2L, 20.0, "2024-01-02")))
+    assert(!new java.io.File(out, "_bak_1_day=2024-01-02").exists())
+  }
+
+  test("a completed-swap partition backup is dropped, not restored over new data") {
+    val out = tmp("graft_pdone")
+    val b1 = Seq(("2024-01-01", 1L, 10.0)).toDF("day", "k", "v")
+    StreamingPipeline.upsertPartitionedBatch(out, Seq("k"), "day")(b1, 0L)
+    // simulate a crash AFTER rename(staged, dest) but before delete(bak):
+    // dest holds the merged data, the backup holds the stale pre-merge rows
+    val stale = tmp("graft_stale")
+    Seq(("2024-01-01", 1L, -99.0)).toDF("day", "k", "v")
+      .write.parquet(stale + "/p")
+    val bak = new java.io.File(out, "_bak_0_day=2024-01-01")
+    assert(new java.io.File(stale, "p").renameTo(bak))
+
+    val b2 = Seq(("2024-01-01", 2L, 20.0)).toDF("day", "k", "v")
+    StreamingPipeline.upsertPartitionedBatch(out, Seq("k"), "day")(b2, 1L)
+    val table = spark.read.parquet(out + "/data")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(table == Set((1L, 10.0), (2L, 20.0))) // stale -99 never resurfaces
+    assert(!bak.exists())
+  }
+
+  test("a partition backup is never promoted to be the whole table") {
+    val out = tmp("graft_pwhole")
+    val b1 = Seq(("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0))
+      .toDF("day", "k", "v")
+    StreamingPipeline.upsertPartitionedBatch(out, Seq("k"), "day")(b1, 0L)
+    // worst case: the data dir is gone AND a partition backup lingers —
+    // recoverBackup must not rename the partition backup to be `data`
+    val data = new java.io.File(out, "data")
+    val part = new java.io.File(data, "day=2024-01-02")
+    assert(part.renameTo(new java.io.File(out, "_bak_1_day=2024-01-02")))
+    assert(new java.io.File(data, "day=2024-01-01")
+      .renameTo(new java.io.File(out, "day=2024-01-01_detached")))
+    data.delete()
+
+    val b2 = Seq(("2024-01-01", 1L, 11.0)).toDF("day", "k", "v")
+    StreamingPipeline.upsertPartitionedBatch(out, Seq("k"), "day")(b2, 1L)
+    // the partition backup came back as a PARTITION (under data/), not as
+    // the table root
+    val table = spark.read.parquet(out + "/data")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.get(2).toString)).toSet
+    assert(table == Set((1L, 11.0, "2024-01-01"), (2L, 20.0, "2024-01-02")))
+  }
+
   test("partition-aware upsert rewrites only touched partitions") {
     import org.apache.spark.sql.functions.col
     val out = tmp("graft_pout")

@@ -73,8 +73,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         if not order_ok:
-            print(f"WARN {name}: column order differs: "
+            # a declared-order mismatch is a FAILURE (ADVICE r03): the
+            # alphabetical canon() would otherwise mask it forever
+            print(f"FAIL {name}: column order differs: "
                   f"{list(got_raw.columns)} vs {list(want_raw.columns)}")
+            n_fail += 1
+            continue
         schema_ok = list(got.columns) == list(want.columns)
         rows_ok = len(got) == len(want)
         hash_ok = schema_ok and rows_ok and frame_hash(got) == frame_hash(want)
