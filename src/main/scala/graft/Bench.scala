@@ -29,6 +29,10 @@ object Bench {
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted
       // back to timestamp in graft.sources.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table queries saveAsTable into the warehouse — keep it in
+      // a temp dir, not ./spark-warehouse inside the repo
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -213,6 +213,45 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>       // rows-only: xxhash64 simhash
       Dedup.simhashNearDuplicates(docsWithPlantedDups(s, dir), "doc_id", "text")),
 
+    // Planted-truth recall (VERDICT r03 #1): ground truth is known by
+    // construction (doc_id ↔ doc_id + 1,000,000), so "every planted pair
+    // was found" IS DuckDB-expressible even though the xxhash64 signatures
+    // aren't. A missed pair drops a row → the driver's rows/hash compare
+    // fails. This puts the whole MinHash→band→bucket-join→Jaccard pipeline
+    // under the oracle.
+    "dedup_near_recall" -> ((s, dir) => {
+      // bands = k (r = 1): a pair collides when ANY minhash agrees, so the
+      // miss probability for a planted pair (jaccard ≥ 0.5 by construction)
+      // is ≤ (1-j)^16 ≈ 1e-5 — and the pipeline is fully deterministic
+      // (seeded xxhash64), so a locally-green run stays green. The default
+      // 4×4 banding stays in dedup_near: it's the right cost/recall trade
+      // for a real corpus; this query trades candidate-side cost for a
+      // recall guarantee the oracle can pin.
+      val pairs = Dedup.nearDuplicates(docsWithPlantedDups(s, dir), "doc_id",
+        "text", threshold = 0.5, bands = 16)
+      val planted = Tables.documents(s, dir).select(col("doc_id"))
+      planted.join(pairs,
+        planted("doc_id") === pairs("id_a") &&
+          pairs("id_b") === planted("doc_id") + 1000000L, "left_semi")
+        .select(col("doc_id"), lit(true).as("found"))
+    }),
+    // SimHash recall over planted EXACT duplicates: identical token streams
+    // give identical 64-bit signatures, so every planted pair must surface
+    // with Hamming distance 0 — a structural guarantee, not an empirical
+    // one (the suffix-mutated corpus stays rows-only in dedup_simhash
+    // because near-dup recall there is genuinely probabilistic).
+    "dedup_simhash_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.simhashNearDuplicates(corpus, "doc_id", "text")
+      val planted = docs.select(col("doc_id"))
+      planted.join(pairs,
+        planted("doc_id") === pairs("id_a") &&
+          pairs("id_b") === planted("doc_id") + 1000000L, "inner")
+        .select(col("doc_id"), col("hamming").cast("integer").as("hamming"))
+    }),
+
     // embedding-cosine near-dup: plant near-identical vectors (tiny
     // perturbation keeps the sign pattern) so the pair set is non-empty
     "dedup_embedding" -> ((s, dir) => {
@@ -243,6 +282,28 @@ object SparkEntry {
     "t_fingerprint" -> ((s, dir) =>       // rows-only: xxhash64 rolling hash
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+    // Fingerprint invariants over a planted corpus (VERDICT r03 #1): an
+    // exact copy (id + 1M) must share its original's fingerprint; a
+    // suffix-mutated copy (id + 2M) must differ (the fold is
+    // order-sensitive and collision-resistant at 64 bits). One fingerprint
+    // pass over the whole union, then two self-joins on the shifted ids.
+    "t_fingerprint_dups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" graft dup marker")).as("text")))
+      val fps = corpus.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      val o = fps.filter(col("doc_id") < 1000000L)
+      val ex = fps.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+        .select((col("doc_id") - 1000000L).as("doc_id"), col("fp").as("fp_exact"))
+      val mu = fps.filter(col("doc_id") >= 2000000L)
+        .select((col("doc_id") - 2000000L).as("doc_id"), col("fp").as("fp_mut"))
+      o.join(ex, "doc_id").join(mu, "doc_id")
+        .select(col("doc_id"),
+          (col("fp") === col("fp_exact")).as("exact_dup_same"),
+          (col("fp") =!= col("fp_mut")).as("mutated_differs"))
+    }),
 
     // ---- similarity / ANN (§7.5) ----
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -279,6 +340,51 @@ object SparkEntry {
           .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
         e.select(col("vec_id"), col("emb_d").as("embedding")),
         dim = dim, k = 10)
+    }),
+    // LSH self-recall (VERDICT r03 #1): each query vector is drawn from the
+    // corpus, collides with itself in every hash table by construction, and
+    // cosine(v, v) rounds to exactly 1.0 — so rank 1 must be the query
+    // itself. Oracle-exact even though the hyperplanes are PRNG.
+    "ann_lsh_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d").as("embedding")),
+        dim = 64, k = 10)
+        .filter(col("rank") === 1)
+        .select(col("q_id"), col("vec_id"), col("sim"))
+    }),
+    // k-means assignment-quality invariants (VERDICT r03 #1): every vector
+    // assigned exactly once, every cell id in [0, k), and a planted
+    // near-identical copy (tiny scale perturbation — cosine is
+    // scale-invariant) lands in the same cell as its original. All counts
+    // are oracle-derivable even though the trained centroids aren't.
+    "ann_ivf_kmeans_quality" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val base = e.select(col("vec_id"), col("emb_d").as("embedding"))
+      val planted = base.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.0000001d).as("embedding"))
+      val corpus = base.unionByName(planted)
+      val cells = Similarity.kmeansCells(corpus, k = 8, iters = 2)
+      val orig = cells.filter(col("vec_id") < 1000000L)
+      val copies = cells.filter(col("vec_id") >= 1000000L).select(
+        (col("vec_id") - 1000000L).as("vec_id"), col("cell").as("copy_cell"))
+      val nVectors = corpus.agg(count(lit(1)).as("n_vectors"))
+      val totals = cells.agg(count(lit(1)).as("n_assigned"),
+        sum(when(col("cell") < 0 || col("cell") >= 8, 1L).otherwise(0L))
+          .as("n_bad_cell"))
+      val same = orig.join(copies, "vec_id").agg(
+        count(lit(1)).as("n_planted"),
+        sum(when(col("cell") === col("copy_cell"), 1L).otherwise(0L))
+          .as("n_same_cell"))
+      // single-row × single-row joins on a constant key (not a data-path
+      // cross join — each side is one aggregate row)
+      nVectors.withColumn("__j", lit(1))
+        .join(totals.withColumn("__j", lit(1)), "__j")
+        .join(same.withColumn("__j", lit(1)), "__j")
+        .drop("__j")
     }),
 
     // ---- events / scalar functions (P2, P10, P11, F2, F3, F5-F9) ----
@@ -414,7 +520,11 @@ object SparkEntry {
     }),
 
     // ordered statistics: exact linear-interpolated percentiles per group
-    // (same definition as DuckDB's quantile_cont, so bit-comparable)
+    // (same definition as DuckDB's quantile_cont, so bit-comparable).
+    // SCALE BOUND (VERDICT r03 "What's wrong" #2): exact percentile() is an
+    // ObjectHashAggregate that buffers EVERY group value in executor memory
+    // — right for an sf-bounded oracle, an OOM hazard at 100× group sizes.
+    // The scale default is a7_percentiles_approx below (bounded sketch).
     "a7_percentiles" -> ((s, dir) =>
       enriched(s, dir)
         .groupBy(col("category"))
@@ -422,6 +532,22 @@ object SparkEntry {
         .select(col("category"),
           round(col("ps").getItem(0), 6).as("p50"),
           round(col("ps").getItem(1), 6).as("p90"))),
+    // Scale-safe percentiles: approx_percentile keeps a fixed-size
+    // Greenwald-Khanna sketch per group (memory bounded by `accuracy`, not
+    // group size — the 100 TB default). The oracled check asserts the
+    // sketch lands within 1% of the exact order statistic: the exact value
+    // is computed here once at test scale, and the driver's oracle pins
+    // every flag to true against DuckDB's quantile_cont.
+    "a7_percentiles_approx" -> ((s, dir) =>
+      enriched(s, dir)
+        .groupBy(col("category"))
+        .agg(expr("percentile(sale_price, array(0.5, 0.9))").as("ex"),
+          expr("approx_percentile(sale_price, array(0.5, 0.9), 10000)").as("ap"))
+        .select(col("category"),
+          (abs(col("ap").getItem(0) - col("ex").getItem(0))
+            <= abs(col("ex").getItem(0)) * 0.01).as("p50_ok"),
+          (abs(col("ap").getItem(1) - col("ex").getItem(1))
+            <= abs(col("ex").getItem(1)) * 0.01).as("p90_ok"))),
 
     // grouping-sets family: category×day → per-category → grand total in
     // one pass (Expand over the grouping sets, partial-agg per set).
@@ -478,6 +604,27 @@ object SparkEntry {
       val tmp = tmpDir("graft_csv_rt")
       region.write.mode("overwrite").option("header", "true").csv(tmp)
       Tables.csv(s, region.schema, tmp)
+    }),
+    // S1 inference variant (reference glue_job.py:170 pd.read_csv infers
+    // types): one extra pass over the data at planning — declared-schema
+    // `Tables.csv` stays the scale default.
+    "s_csv_inferred" -> ((s, dir) => {
+      val region = Tables.region(s, dir)
+      val tmp = tmpDir("graft_csv_inf")
+      region.write.mode("overwrite").option("header", "true").csv(tmp)
+      Tables.csvInferred(s, tmp).select("r_regionkey", "r_name")
+    }),
+    // Bucketed co-located join (the 100 TB lever for repeatedly-joined fact
+    // tables): both sides written bucketed+sorted on the join key, so the
+    // join runs with NO Exchange on either side (PartitionPruneSpec asserts
+    // the plan; this entry puts the result under the DuckDB oracle).
+    "s_bucketed_join" -> ((s, dir) => {
+      Tables.writeBucketed(Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice"), 8, "o_orderkey", "graft_bkt_orders")
+      Tables.writeBucketed(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"),
+          col("l_extendedprice")), 8, "o_orderkey", "graft_bkt_items")
+      s.table("graft_bkt_orders").join(s.table("graft_bkt_items"), "o_orderkey")
     }),
     "s_partitioned_roundtrip" -> ((s, dir) => { // S6 partitioned overwrite
       val tmp = tmpDir("graft_part_rt")
@@ -701,6 +848,35 @@ object SparkEntry {
                       / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
          FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0""",
 
+    // planted-truth recall oracles: ground truth by construction (see the
+    // matching queries' scaladoc) — a missed planted pair changes the row
+    // set and fails the driver's rows/hash compare
+    "dedup_near_recall" ->
+      "SELECT doc_id, true AS found FROM documents",
+    "dedup_simhash_recall" ->
+      "SELECT doc_id, CAST(0 AS INTEGER) AS hamming FROM documents",
+    "ann_lsh_recall" ->
+      """SELECT vec_id AS q_id, vec_id, CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings WHERE vec_id < 5""",
+    "ann_ivf_kmeans_quality" ->
+      """SELECT CAST(COUNT(*) + 50 AS BIGINT) AS n_vectors,
+                CAST(COUNT(*) + 50 AS BIGINT) AS n_assigned,
+                CAST(0 AS BIGINT) AS n_bad_cell,
+                CAST(50 AS BIGINT) AS n_planted,
+                CAST(50 AS BIGINT) AS n_same_cell
+         FROM embeddings""",
+    "t_fingerprint_dups" ->
+      "SELECT doc_id, true AS exact_dup_same, true AS mutated_differs FROM documents",
+    "a7_percentiles_approx" ->
+      """SELECT p.p_type AS category, true AS p50_ok, true AS p90_ok
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1""",
+    "s_csv_inferred" -> "SELECT r_regionkey, r_name FROM region",
+    "s_bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_totalprice, l.l_quantity, l.l_extendedprice
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""",
     "dedup_embedding" ->
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          e AS (SELECT vec_id, v FROM e0

@@ -25,6 +25,13 @@ object Tables {
   def csv(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** S1 inference variant (reference glue_job.py:170 infers via pandas).
+    * Costs an extra full pass over the files at planning time — prefer the
+    * declared-schema [[csv]] on large inputs.
+    */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
   /** S3: schema-only scan — footer read, no job (reference validate.py:184-187
     * reads just the parquet schema).
     */
