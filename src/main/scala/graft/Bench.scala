@@ -76,6 +76,15 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }
+    // streaming throughput (VERDICT r03 #4): MemoryStream → stateful
+    // completeness join → keyed upsert sink, drained with AvailableNow
+    val streaming: Either[String, (Long, Double)] =
+      try Right(graft.streaming.StreamBench.completenessThroughput(
+        spark, nOrders = 20000, itemsPer = 3))
+      catch { case e: Throwable =>
+        failed = true
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     val qs = results.map {
       case (k, Right(v)) => s""""${esc(k)}":$v"""
       case (k, Left(e))  => s""""${esc(k)}":{"err":"${esc(e)}"}"""
@@ -84,9 +93,16 @@ object Bench {
     val flagship = results.collect {
       case (n, Right(v)) if n == "a1_category_kpis" || n == "a2_daily_kpis" => v
     }.sum
+    val streamJson = streaming match {
+      case Right((n, secs)) =>
+        s""""streaming_events":$n,"streaming_sec":$secs,""" +
+          s""""streaming_events_per_sec":${(n / secs).round}"""
+      case Left(e) => s""""streaming_err":"${esc(e)}""""
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""flagship_total":$flagship,"cpus":$cpus,"timed_runs":$timedRuns,"sf":"$sfDir"}"""
+        s""""flagship_total":$flagship,$streamJson,""" +
+        s""""cpus":$cpus,"timed_runs":$timedRuns,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }

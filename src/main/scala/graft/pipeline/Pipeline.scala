@@ -33,19 +33,29 @@ object Pipeline {
     * before the two-KPI fan-out (the reference re-scans and re-joins per
     * consumer, transform.py:329-365 — SURVEY.md §4 "Caching / reuse");
     * leave it off for single-consumer callers.
+    *
+    * `onResult` is the notification terminal: it fires with the final
+    * result on BOTH branches — the analogue of the Step Function's SNS
+    * notify states on the success and failure paths
+    * (stepfunction.json:156-199), as a hook instead of a message bus.
+    * Default no-op; wire alerting/metrics there.
     */
   def run(spark: SparkSession, orders: DataFrame, items: DataFrame,
           products: DataFrame, ruleSet: Seq[(DataFrame, TableRules)],
-          persistJoin: Boolean = true): PipelineResult = {
+          persistJoin: Boolean = true,
+          onResult: PipelineResult => Unit = _ => ()): PipelineResult = {
     val report = Rules.report(spark, ruleSet)
-    if (!Rules.passed(report)) PipelineResult(report, passed = false, None, None)
-    else {
-      val joined0 = Kpis.enrich(orders, items, products)
-      val joined =
-        if (persistJoin) joined0.persist(StorageLevel.MEMORY_AND_DISK) else joined0
-      PipelineResult(report, passed = true,
-        Some(Kpis.categoryKpis(joined)), Some(Kpis.dailyKpis(joined)))
-    }
+    val result =
+      if (!Rules.passed(report)) PipelineResult(report, passed = false, None, None)
+      else {
+        val joined0 = Kpis.enrich(orders, items, products)
+        val joined =
+          if (persistJoin) joined0.persist(StorageLevel.MEMORY_AND_DISK) else joined0
+        PipelineResult(report, passed = true,
+          Some(Kpis.categoryKpis(joined)), Some(Kpis.dailyKpis(joined)))
+      }
+    onResult(result)
+    result
   }
 
   /** The sink leg (TransformData's outputs, transform.py:326-404): upsert

@@ -48,18 +48,8 @@ object KvSink {
           Option(r.getAs[Any](c)).map(v => c -> v.toString)
         }.toMap
       }.grouped(chunkSize).foreach { chunk =>
-        var attempt = 0
-        var done = false
-        while (!done) {
-          try {
-            writer.putBatch(chunk)
-            done = true
-          } catch {
-            case e: Exception =>
-              attempt += 1
-              if (attempt > maxRetries) throw e
-              Thread.sleep(baseBackoffMs << (attempt - 1)) // 2^n backoff
-          }
+        graft.util.Retry.withBackoff(maxRetries, baseBackoffMs) {
+          writer.putBatch(chunk)
         }
       }
     }

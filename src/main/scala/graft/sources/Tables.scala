@@ -14,10 +14,13 @@ import org.apache.spark.sql.types.StructType
 object Tables {
 
   /** S2: multi-file parquet scan (reference transform.py:286-295 reads a
-    * *list* of parquet paths as one relation).
+    * *list* of parquet paths as one relation). The planning-time metadata
+    * read (file listing + footer) is retried with backoff — the analogue of
+    * the reference's S3 retry decorator (validate.py:84-104); task-level
+    * read failures are already retried by Spark's scheduler.
     */
   def parquet(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.parquet(paths: _*)
+    graft.util.Retry.withBackoff() { spark.read.parquet(paths: _*) }
 
   /** S1: schema-declared CSV scan (reference glue_job.py:169-170 infers via
     * pandas; we declare the schema instead — no inference pass over the data).
@@ -36,7 +39,7 @@ object Tables {
     * reads just the parquet schema).
     */
   def parquetSchema(spark: SparkSession, path: String): StructType =
-    spark.read.parquet(path).schema
+    graft.util.Retry.withBackoff() { spark.read.parquet(path).schema }
 
   /** S5: snappy parquet sink (reference glue_job.py:176-178). */
   def writeParquet(df: DataFrame, path: String): Unit =
@@ -62,7 +65,7 @@ object Tables {
   // ---- driver testdata tables (TESTDATA.md / FIXTURES.md §B) ----
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    parquet(spark, Seq(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

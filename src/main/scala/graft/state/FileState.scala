@@ -22,15 +22,18 @@ object FileState {
 
   /** Load the processed-file set; empty if never saved. A missing state
     * file with a backup present means a save() crashed mid-swap — restore
-    * the backup first.
+    * the backup first. The filesystem metadata calls and the footer read
+    * are retried with backoff (the reference decorates its S3 state reads
+    * the same way, validate.py:84-104).
     */
-  def load(spark: SparkSession, statePath: String): DataFrame = {
-    val p = new Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) && fs.exists(bakPath(p))) fs.rename(bakPath(p), p)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(statePath)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+  def load(spark: SparkSession, statePath: String): DataFrame =
+    graft.util.Retry.withBackoff() {
+      val p = new Path(statePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p) && fs.exists(bakPath(p))) fs.rename(bakPath(p), p)
+      if (fs.exists(p)) spark.read.schema(schema).parquet(statePath)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
   /** Files that still need processing: arrived − processed
     * (transform.py:434 `validated_files - transformed_files`).

@@ -44,9 +44,18 @@ object Completeness {
   val KindItem = "item"
   val KindProduct = "product"
 
-  /** State transition for one micro-batch worth of events of one order. */
-  def update(orderId: String, events: Iterator[PartEvent],
+  /** State transition for one micro-batch worth of events of one order.
+    * With `staleMs > 0` the group's processing-time timeout is re-armed on
+    * every update, and a group whose deadline fires (no new events for
+    * `staleMs`) is dropped without emitting — the SURVEY §7.5 improvement
+    * over the reference's never-expiring pending lists.
+    */
+  def update(staleMs: Long)(orderId: String, events: Iterator[PartEvent],
              state: GroupState[GroupProgress]): Iterator[CompletedGroup] = {
+    if (state.hasTimedOut) {
+      state.remove() // stale group: expire without emitting (ST6 opt-out)
+      return Iterator.empty
+    }
     val st0 = state.getOption.getOrElse(
       GroupProgress(hasOrder = false, Set.empty, Set.empty, emitted = false))
     val st = events.foldLeft(st0) { (s, e) =>
@@ -58,21 +67,33 @@ object Completeness {
       }
     }
     val complete = st.hasOrder && st.wanted.nonEmpty && st.wanted.subsetOf(st.present)
-    if (complete && !st.emitted) {
-      state.update(st.copy(emitted = true))
-      Iterator.single(CompletedGroup(orderId, st.wanted.toSeq.sorted))
-    } else {
-      state.update(st)
-      Iterator.empty
-    }
+    val out =
+      if (complete && !st.emitted) {
+        state.update(st.copy(emitted = true))
+        Iterator.single(CompletedGroup(orderId, st.wanted.toSeq.sorted))
+      } else {
+        state.update(st)
+        Iterator.empty
+      }
+    if (staleMs > 0) state.setTimeoutDuration(staleMs)
+    out
   }
 
   /** The streaming operator: works on both streaming and batch Datasets
     * (batch parity with [[graft.operators.Grouping.completeGroups]]).
+    *
+    * `staleMs = 0` (default) keeps the reference's semantics: a group waits
+    * forever (NoTimeout, glue_job.py:96-104). `staleMs > 0` bounds state:
+    * a group seeing no events for that long is expired and removed —
+    * unbounded pending state is the one thing the reference's manifest
+    * never reclaims, and at 100 TB of arrivals it must be.
     */
-  def stream(events: Dataset[PartEvent]): Dataset[CompletedGroup] = {
+  def stream(events: Dataset[PartEvent], staleMs: Long = 0L): Dataset[CompletedGroup] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (staleMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.orderId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update(staleMs))
   }
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming micro-benchmark (VERDICT r03 #4): ST1–ST7 had correctness
+  * coverage but no recorded throughput. Drives the stateful completeness
+  * join end-to-end — MemoryStream source → flatMapGroupsWithState →
+  * foreachBatch keyed upsert sink — and reports events/second, so the
+  * per-round bench JSON carries a streaming number alongside the batch
+  * queries.
+  */
+object StreamBench {
+
+  /** Drain `nOrders` synthetic order groups (1 header + `itemsPer` item +
+    * `itemsPer` product arrivals each) with an AvailableNow trigger into a
+    * temp-dir upsert table. Returns (events drained, wall seconds for the
+    * streaming query). Deterministic input; every group completes, so the
+    * sink sees all `nOrders` rows.
+    */
+  def completenessThroughput(spark: SparkSession, nOrders: Int,
+                             itemsPer: Int): (Long, Double) = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[PartEvent]
+    val events = (0 until nOrders).flatMap { o =>
+      val id = s"o$o"
+      PartEvent(id, Completeness.KindOrder, None) +:
+        (0 until itemsPer).flatMap(i => Seq(
+          PartEvent(id, Completeness.KindItem, Some(s"p$i")),
+          PartEvent(id, Completeness.KindProduct, Some(s"p$i"))))
+    }
+    input.addData(events)
+    val target = Files.createTempDirectory("graft_sbench_tgt").toString
+    val checkpoint = Files.createTempDirectory("graft_sbench_cp").toString
+    val t0 = System.nanoTime()
+    val q = Completeness.stream(input.toDS()).toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(StreamingPipeline.upsertBatch(target, Seq("orderId")) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    (events.size.toLong, secs)
+  }
+}

@@ -47,6 +47,18 @@ class PipelineSpec extends SparkSpec {
     assert(res.report.filter($"violation_count" > 0).count() == 1L)
   }
 
+  test("the onResult notify hook fires on the pass branch and on the gate-fail branch") {
+    var seen = List.empty[Boolean]
+    val ok = Pipeline.run(spark, orders("pending"), items, products,
+      Seq((orders("pending"), cfg)), persistJoin = false,
+      onResult = r => seen ::= r.passed)
+    val bad = Pipeline.run(spark, orders("BOGUS"), items, products,
+      Seq((orders("BOGUS"), cfg)), persistJoin = false,
+      onResult = r => seen ::= r.passed)
+    assert(ok.passed && !bad.passed)
+    assert(seen.reverse == List(true, false)) // hook saw both terminal states
+  }
+
   test("FileState: pending diff, mark, save/load roundtrip, idempotent re-run") {
     val dir = Files.createTempDirectory("graft_state").toString + "/state.parquet"
     val s0 = FileState.load(spark, dir)

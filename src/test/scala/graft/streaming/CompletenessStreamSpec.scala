@@ -81,6 +81,53 @@ class CompletenessStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // The expiry path is tested through TestGroupState (the public harness
+  // for state-transition functions): a streaming query with
+  // ProcessingTimeTimeout re-triggers batches continuously by design,
+  // which makes wall-clock end-to-end expiry tests spin/flake — the
+  // engine's timeout FIRING is Spark's contract; ours is the transition.
+  test("with a stale timeout, a timed-out group is removed without emitting (ST6 opt-out)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    // an incomplete group accumulated earlier…
+    val accumulated = GroupProgress(hasOrder = true, wanted = Set("p1"),
+      present = Set.empty, emitted = false)
+    // …whose deadline has fired: the engine invokes update with no events
+    // and hasTimedOut = true
+    val timedOut = TestGroupState.create[GroupProgress](
+      Optional.of(accumulated), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    val out = Completeness.update(200L)("ox", Iterator.empty, timedOut)
+    assert(out.isEmpty)          // expires silently — no emission
+    assert(timedOut.isRemoved)   // state reclaimed (the 100 TB bound)
+
+    // a live update under the same config re-arms the deadline every batch
+    val live = TestGroupState.create[GroupProgress](
+      Optional.empty[GroupProgress], GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val out2 = Completeness.update(200L)("oy",
+      Iterator(PartEvent("oy", Completeness.KindOrder, None)), live)
+    assert(out2.isEmpty && live.exists)
+    assert(live.getTimeoutTimestampMs.get() == 1200L) // batch time + staleMs
+  }
+
+  test("with no timeout (default), the same idle group still completes late (ST6)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[PartEvent]
+    val query = Completeness.stream(input.toDS())
+      .writeStream.format("memory").queryName("c_noexpire").outputMode("append").start()
+    try {
+      input.addData(PartEvent("oy", Completeness.KindOrder, None),
+        PartEvent("oy", Completeness.KindItem, Some("p1")))
+      query.processAllAvailable()
+      Thread.sleep(300)
+      input.addData(PartEvent("oy", Completeness.KindProduct, Some("p1")))
+      query.processAllAvailable()
+      assert(spark.table("c_noexpire").as[CompletedGroup].collect().toSeq ==
+        Seq(CompletedGroup("oy", Seq("p1"))))
+    } finally query.stop()
+  }
+
   test("independent orders complete independently") {
     val out = runStream("c_multi") { in =>
       in.addData(
