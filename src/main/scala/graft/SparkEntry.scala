@@ -507,7 +507,13 @@ object SparkEntry {
           col("doc_id").as("media_id"),
           lit("text/plain").as("media_type"),
           col("text").cast("binary").as("content")))),
-    "mm_features" -> ((s, dir) => {      // rows-only: stubbed decoder output
+    // The stub decoder is deterministic (feature i = byte[i % len] / 255f),
+    // so the whole mapPartitions decode boundary is oracle-checkable: the
+    // first feature, scaled back to its byte, must equal the first byte of
+    // the content — which DuckDB reads as ascii(text) on this all-ASCII
+    // corpus. (The raw float survives the 255× round-trip exactly for all
+    // 256 byte values; the rounded float itself doesn't, e.g. byte 80.)
+    "mm_features" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir).select(
         col("doc_id").as("media_id"),
@@ -516,7 +522,8 @@ object SparkEntry {
         .as[graft.multimodal.MediaRecord]
       graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
         .select(col("media_id"), col("n_bytes"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          round(element_at(col("features"), 1).cast("double") * 255d, 0)
+            .cast("integer").as("f0_byte"))
     }),
 
     // ordered statistics: exact linear-interpolated percentiles per group
@@ -548,6 +555,22 @@ object SparkEntry {
             <= abs(col("ex").getItem(0)) * 0.01).as("p50_ok"),
           (abs(col("ap").getItem(1) - col("ex").getItem(1))
             <= abs(col("ex").getItem(1)) * 0.01).as("p90_ok"))),
+
+    // Sketch-distinct family: HyperLogLog++ approx_count_distinct — the
+    // 100 TB default when an exact distinct (a2's Expand plan or
+    // a2_scalable's two-phase) is still too expensive: constant-size
+    // registers per group, one shuffle, merge is a register-wise max so the
+    // result is deterministic under any partitioning. The oracled check
+    // pins the exact count (DuckDB-matchable) and asserts the sketch lands
+    // within 5% of it (rsd = 1%, so this holds with huge margin).
+    "a8_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.01).as("ap"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("ap") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("approx_ok"))),
 
     // grouping-sets family: category×day → per-category → grand total in
     // one pass (Expand over the grouping sets, partial-agg per set).
@@ -867,6 +890,9 @@ object SparkEntry {
          FROM embeddings""",
     "t_fingerprint_dups" ->
       "SELECT doc_id, true AS exact_dup_same, true AS mutated_differs FROM documents",
+    "a8_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, true AS approx_ok
+         FROM events GROUP BY 1""",
     "a7_percentiles_approx" ->
       """SELECT p.p_type AS category, true AS p50_ok, true AS p90_ok
          FROM orders o
@@ -1041,6 +1067,11 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
                 CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
                 sha256(text) AS content_sha
+         FROM documents""",
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+                CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+                CAST(ascii(text) AS INTEGER) AS f0_byte
          FROM documents""",
     "a7_percentiles" ->
       """SELECT p.p_type AS category,
