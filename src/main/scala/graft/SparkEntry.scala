@@ -181,6 +181,22 @@ object SparkEntry {
         "p_partkey")
         .select(col("p_partkey"), array_join(col("groups"), ",").as("orders_with_part"))
     }),
+    // As-of (point-in-time) join: each event sees the user's latest order
+    // AT event time — one union + one window pass, no range-join blowup
+    // (see graft.operators.AsOf). Nullable join results are sentinel-
+    // coalesced: a NULL in an integer column would make pandas lift the
+    // oracle side to float and break the bit-exact compare.
+    "j8_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val or = Tables.orders(s, dir)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      graft.operators.AsOf.asofJoin(ev, "user_id", "ts",
+        or, "o_custkey", "o_orderdate", "o_orderkey",
+        Seq("o_orderkey", "o_orderstatus"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_o_orderkey"), lit(-1L)).as("asof_orderkey"),
+          coalesce(col("asof_o_orderstatus"), lit("NONE")).as("asof_status"))
+    }),
     "a4_distinct" -> ((s, dir) =>
       Grouping.distinctIds(Tables.lineitem(s, dir), "l_partkey")),
     "a5_collect_set" -> ((s, dir) =>
@@ -492,6 +508,15 @@ object SparkEntry {
             .orderBy(col("revenue").desc, col("product_id"))))
         .filter(col("rn") <= 3)
     }),
+    // global top-k: orderBy + limit plans as TakeOrderedAndProject —
+    // per-partition heaps then a k-row driver merge, never a full sort
+    // (the scalable global-limit shape; full tiebreak keeps it
+    // deterministic for the oracle)
+    "w_global_topk" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
     "e_sessionize" -> ((s, dir) =>
       graft.streaming.Windows.sessionize(
         Tables.events(s, dir), "ts", "user_id", "30 minutes")
@@ -579,6 +604,17 @@ object SparkEntry {
     "a6_rollup" -> ((s, dir) =>
       enriched(s, dir)
         .rollup(col("category"), col("order_date"))
+        .agg(Kpis.moneySum(col("sale_price")).as("revenue"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("category"), lit("ALL")).as("category"),
+          coalesce(date_format(col("order_date"), "yyyy-MM-dd"), lit("ALL")).as("order_date"),
+          col("revenue"), col("n"))),
+    // full cube: all four grouping sets in one Expand pass (the remaining
+    // grouping-sets family member beside rollup)
+    "a6_cube" -> ((s, dir) =>
+      enriched(s, dir)
+        .cube(col("category"), col("order_date"))
         .agg(Kpis.moneySum(col("sale_price")).as("revenue"),
           count(lit(1)).as("n"))
         .select(
@@ -1081,6 +1117,33 @@ object SparkEntry {
          JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1""",
+    "j8_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, ts FROM events),
+         cand AS (
+           SELECT e.event_id, o.o_orderkey, o.o_orderstatus,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM ev e JOIN orders o
+             ON o.o_custkey = e.user_id AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts)
+         SELECT e.event_id, e.user_id,
+                COALESCE(c.o_orderkey, -1) AS asof_orderkey,
+                COALESCE(c.o_orderstatus, 'NONE') AS asof_status
+         FROM ev e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+           ON c.event_id = e.event_id""",
+    "w_global_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+    "a6_cube" ->
+      """SELECT COALESCE(category, 'ALL') AS category,
+                COALESCE(strftime(order_date, '%Y-%m-%d'), 'ALL') AS order_date,
+                CAST(SUM(price_d) AS DOUBLE) AS revenue,
+                COUNT(*) AS n
+         FROM (SELECT p.p_type AS category, CAST(o.o_orderdate AS DATE) AS order_date,
+                      CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price_d
+               FROM orders o
+               JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+               JOIN part p ON l.l_partkey = p.p_partkey)
+         GROUP BY CUBE(category, order_date)""",
     "a6_rollup" ->
       """SELECT COALESCE(category, 'ALL') AS category,
                 COALESCE(strftime(order_date, '%Y-%m-%d'), 'ALL') AS order_date,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** As-of join semantics: latest version ≤ event time, exact-time inclusion,
+  * deterministic tiebreaks, no-match nulls, row-consistent carried struct.
+  */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    (1L, "u1", ts("2024-01-10 12:00:00")),
+    (2L, "u1", ts("2024-01-20 12:00:00")),
+    (3L, "u1", ts("2024-01-05 00:00:00")), // before any version
+    (4L, "u2", ts("2024-01-15 00:00:00")), // exactly at a version's time
+    (5L, "u3", ts("2024-01-15 00:00:00"))  // key with no versions at all
+  ).toDF("event_id", "user_id", "ts")
+
+  private val versions = Seq(
+    ("u1", ts("2024-01-08 00:00:00"), 1L, Some("a")),
+    ("u1", ts("2024-01-15 00:00:00"), 2L, Some("b")),
+    ("u2", ts("2024-01-15 00:00:00"), 3L, None),       // carried field null
+    ("u2", ts("2024-01-15 00:00:00"), 4L, Some("d"))   // same time: tiebreak
+  ).toDF("key", "vts", "version", "payload")
+
+  private lazy val out = AsOf.asofJoin(
+    events, "user_id", "ts", versions, "key", "vts", "version",
+    Seq("version", "payload"))
+    .collect()
+    .map(r => r.getLong(0) ->
+      (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4))))
+    .toMap
+
+  test("each left row sees the latest version at or before its timestamp") {
+    assert(out(1L) == ((Some(1L), Some("a")))) // between v1 and v2
+    assert(out(2L) == ((Some(2L), Some("b")))) // after both → latest
+  }
+
+  test("a left row before any version gets nulls") {
+    assert(out(3L) == ((None, None)))
+    assert(out(5L) == ((None, None))) // key with no right rows at all
+  }
+
+  test("exact-timestamp versions match, and the greatest tiebreak wins the tie") {
+    // u2 has two versions AT the event's exact time: version 4 (greater
+    // tiebreak) must win, and its carried fields must come from ITS row
+    // (payload "d"), not mix with version 3's null payload
+    assert(out(4L) == ((Some(4L), Some("d"))))
+  }
+
+  test("every left row survives (left-outer semantics), nothing duplicated") {
+    assert(out.size == 5)
+  }
+}
