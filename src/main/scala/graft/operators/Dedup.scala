@@ -27,15 +27,18 @@ object Dedup {
 
   /** MinHash signatures: one row per document with k minhash columns.
     *
-    * The k independent hash functions are xxhash64 seeded by position —
-    * hashing (shingle, i) instead of applying an affine (a·h+b) transform,
-    * which would wrap-multiply and trip ANSI overflow checking (on by
-    * default in Spark 4).
+    * The k independent hash functions re-hash a 64-bit base hash with a
+    * position seed: each shingle STRING is xxhash64'd exactly once, and the
+    * k per-position values hash only (base, i) — 12 fixed bytes instead of
+    * re-reading the shingle body k times (the string hashing dominated the
+    * old k×xxhash64(shingle, i) form). Seeded re-hashing instead of an
+    * affine (a·h+b) transform, which would wrap-multiply and trip ANSI
+    * overflow checking (on by default in Spark 4).
     *
-    * Plan shape: project shingles (HOF, narrow) → explode → k×xxhash64
-    * (whole-stage codegen) → HashAggregate[doc_id](min m0..m_{k-1}) with
-    * partial aggregation map-side. distinct-free, single shuffle of k longs
-    * per doc.
+    * Plan shape: project shingles (HOF, narrow) → explode → one
+    * xxhash64(string) + k×xxhash64(long) (whole-stage codegen) →
+    * HashAggregate[doc_id](min m0..m_{k-1}) with partial aggregation
+    * map-side. distinct-free, single shuffle of k longs per doc.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleN: Int = 3): DataFrame = {
@@ -45,9 +48,10 @@ object Dedup {
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         explode(Text.shinglesFromTokens(col("__toks"), shingleN)).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("__h"))
     sh.groupBy(col(idCol))
-      .agg(min(xxhash64(col("shingle"), lit(0))).as("m0"),
-        (1 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"m$i")): _*)
+      .agg(min(xxhash64(col("__h"), lit(0))).as("m0"),
+        (1 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"m$i")): _*)
   }
 
   /** LSH band signatures: k minhashes → b bands of r = k/b each; band
