@@ -197,6 +197,20 @@ object SparkEntry {
           coalesce(col("asof_o_orderkey"), lit(-1L)).as("asof_orderkey"),
           coalesce(col("asof_o_orderstatus"), lit("NONE")).as("asof_status"))
     }),
+    // Bucketized interval join (attribution shape): every event within two
+    // hours of a same-user signup, joined on (user, hour-bucket) with the
+    // exact BETWEEN inside the join — no key-hot quadratic post-filter
+    // (see graft.operators.RangeJoin).
+    "j9_interval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val windows = Tables.events(s, dir).filter(col("event_type") === "signup")
+        .select(col("user_id").as("w_user"), col("event_id").as("signup_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      graft.operators.RangeJoin.intervalJoin(ev, "user_id", "ts",
+        windows, "w_user", "w_start", "w_end", bucketMicros = 3600L * 1000000L)
+        .select("event_id", "signup_id")
+    }),
     "a4_distinct" -> ((s, dir) =>
       Grouping.distinctIds(Tables.lineitem(s, dir), "l_partkey")),
     "a5_collect_set" -> ((s, dir) =>
@@ -1134,6 +1148,16 @@ object SparkEntry {
     "w_global_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+    // date_trunc to µs on both comparands: the engine compares at Spark's
+    // microsecond timestamp precision while DuckDB reads the raw
+    // nanosecond parquet values
+    "j9_interval" ->
+      """SELECT e.event_id, s.event_id AS signup_id
+         FROM events e
+         JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup') s
+           ON s.user_id = e.user_id
+          AND date_trunc('microseconds', e.ts) >= date_trunc('microseconds', s.ts)
+          AND date_trunc('microseconds', e.ts) <= date_trunc('microseconds', s.ts) + INTERVAL 2 HOUR""",
     "a6_cube" ->
       """SELECT COALESCE(category, 'ALL') AS category,
                 COALESCE(strftime(order_date, '%Y-%m-%d'), 'ALL') AS order_date,
