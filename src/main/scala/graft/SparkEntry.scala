@@ -748,7 +748,7 @@ object SparkEntry {
     */
   val headline: Seq[String] = Seq(
     "a1_category_kpis", "a2_daily_kpis", "a2_daily_kpis_scalable",
-    "j2_upsert", "j7_salted_join", "j8_asof", "g_complete_groups",
+    "j2_upsert", "j7_salted_join", "j8_asof", "j9_interval", "g_complete_groups",
     "dedup_exact", "dedup_near", "dedup_simhash", "t_text_stats",
     "sim_bruteforce_topk", "ann_ivf_topk", "e_daily_value", "e_sessionize",
     "a6_cube", "a8_approx_distinct")
