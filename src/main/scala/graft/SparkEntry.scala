@@ -595,6 +595,24 @@ object SparkEntry {
           (abs(col("ap").getItem(1) - col("ex").getItem(1))
             <= abs(col("ex").getItem(1)) * 0.01).as("p90_ok"))),
 
+    // Deterministic fixed-size-per-group sampling: order each group by a
+    // content hash and keep the first k — the stable subsample a training
+    // pipeline needs (same rows on every run, every engine, any
+    // partitioning), unlike rand()-based sampling. One window pass;
+    // md5 because both engines produce identical hex for it.
+    "a9_sample_hash" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("__h", md5(concat_ws("|",
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("l_partkey"))
+            .orderBy(col("__h"), col("l_orderkey"), col("l_linenumber"))))
+        .filter(col("__rn") <= 3)
+        .select("l_partkey", "l_orderkey", "l_linenumber")
+    }),
+
     // Sketch-distinct family: HyperLogLog++ approx_count_distinct — the
     // 100 TB default when an exact distinct (a2's Expand plan or
     // a2_scalable's two-phase) is still too expensive: constant-size
@@ -944,6 +962,14 @@ object SparkEntry {
     "a8_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, true AS approx_ok
          FROM events GROUP BY 1""",
+    "a9_sample_hash" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber FROM (
+           SELECT l_partkey, l_orderkey, l_linenumber,
+                  row_number() OVER (PARTITION BY l_partkey
+                    ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)),
+                             l_orderkey, l_linenumber) AS rn
+           FROM lineitem)
+         WHERE rn <= 3""",
     "a7_percentiles_approx" ->
       """SELECT p.p_type AS category, true AS p50_ok, true AS p90_ok
          FROM orders o
