@@ -78,11 +78,13 @@ object Bench {
     }
     // streaming throughput (VERDICT r03 #4): MemoryStream → stateful
     // completeness join → keyed upsert sink, drained with AvailableNow
+    // a failure here is recorded as streaming_err but does NOT fail the
+    // bench: the query set is the driver contract, the streaming metric is
+    // supplementary
     val streaming: Either[String, (Long, Double)] =
       try Right(graft.streaming.StreamBench.completenessThroughput(
         spark, nOrders = 20000, itemsPer = 3))
       catch { case e: Throwable =>
-        failed = true
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
     val qs = results.map {

@@ -42,12 +42,16 @@ object AsOf {
                rightTiebreak: String, carried: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val carriedType = StructType(carried.map(c => right.schema(c)))
+    // SQL join semantics: a null key matches nothing — without this filter
+    // null-key versions would land in the null window partition and "match"
+    // null-key left rows
+    val rightKeyed = right.filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
     val l = left.select(
       Seq(col(leftKey).as("__key"), col(leftTs).as("__ts"),
         lit(1).as("__side"),
         lit(null).cast(right.schema(rightTiebreak).dataType).as("__tie"),
         lit(null).cast(carriedType).as("__r")) ++ leftCols.map(col): _*)
-    val r = right.select(
+    val r = rightKeyed.select(
       Seq(col(rightKey).as("__key"),
         col(rightTs).cast(left.schema(leftTs).dataType).as("__ts"),
         lit(0).as("__side"), col(rightTiebreak).as("__tie"),

@@ -54,4 +54,14 @@ class AsOfSpec extends SparkSpec {
   test("every left row survives (left-outer semantics), nothing duplicated") {
     assert(out.size == 5)
   }
+
+  test("null keys never match each other (SQL join semantics)") {
+    val l = Seq((1L, Option.empty[String], ts("2024-01-10 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((Option.empty[String], ts("2024-01-01 00:00:00"), 1L, "x"))
+      .toDF("key", "vts", "version", "payload")
+    val o = AsOf.asofJoin(l, "user_id", "ts", r, "key", "vts", "version",
+      Seq("version", "payload")).collect()
+    assert(o.length == 1 && o(0).isNullAt(3) && o(0).isNullAt(4))
+  }
 }
