@@ -723,6 +723,24 @@ object SparkEntry {
       s.read.parquet(tmp).select("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
     }),
+    // The partition-aware upsert under the oracle: seed a
+    // status-partitioned table, merge an update batch (every 7th order's
+    // price doubled — only its partitions are read and swapped), read the
+    // table back. Exercises the per-partition staging/rename/backup path
+    // end-to-end (ADVICE r03's crash-window machinery).
+    "s_partitioned_upsert" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+      val tmp = tmpDir("graft_pups")
+      graft.streaming.StreamingPipeline.upsertPartitionedBatch(
+        tmp, Seq("o_orderkey"), "o_orderstatus")(t, 0L)
+      val updates = t.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.streaming.StreamingPipeline.upsertPartitionedBatch(
+        tmp, Seq("o_orderkey"), "o_orderstatus")(updates, 1L)
+      s.read.parquet(tmp + "/data").select("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    }),
+
     // Partition pruning: a predicate on the partition column must skip
     // whole directories at planning time (PartitionFilters in the scan —
     // asserted by PartitionPruneSpec; SURVEY §4 "free if we add
@@ -1236,6 +1254,12 @@ object SparkEntry {
     "s_partition_pruned" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
          FROM orders WHERE o_orderstatus = 'F'""",
+    "s_partitioned_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders""",
     "s_json_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
     "s_orc_roundtrip" ->

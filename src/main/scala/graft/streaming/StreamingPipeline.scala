@@ -120,6 +120,13 @@ object StreamingPipeline {
     * O(touched partitions). The driver-side collect is of partition
     * VALUES only (a bounded, tiny list — e.g. the days present in one
     * batch), never data rows.
+    *
+    * Precondition: a key's partition value is stable across updates (the
+    * usual case — the partition column is derived from the key, e.g. the
+    * day of an event date). An update that MOVED a key to a different
+    * partition would insert it there while the old partition (untouched by
+    * the batch) still holds the stale row; use [[upsertBatch]] when keys
+    * can migrate.
     */
   def upsertPartitionedBatch(targetDir: String, keys: Seq[String],
                              partitionCol: String)
