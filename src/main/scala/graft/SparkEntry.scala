@@ -565,6 +565,22 @@ object SparkEntry {
             .cast("integer").as("f0_byte"))
     }),
 
+    // Frame sampling through the stub demuxer (fixed-size frames, every
+    // 2nd kept): deterministic record fan-out, so frame ids and sizes are
+    // DuckDB-replicable — the flatMap decode boundary under the oracle.
+    "mm_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("content"))
+        .as[graft.multimodal.MediaRecord]
+      graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 32, everyNth = 2)
+        .toDF()
+        .select(col("media_id").as("frame_id"),
+          length(col("content")).as("n_bytes"))
+    }),
+
     // ordered statistics: exact linear-interpolated percentiles per group
     // (same definition as DuckDB's quantile_cont, so bit-comparable).
     // SCALE BOUND (VERDICT r03 "What's wrong" #2): exact percentile() is an
@@ -1163,6 +1179,14 @@ object SparkEntry {
                 CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
                 sha256(text) AS content_sha
          FROM documents""",
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id, CAST(text AS BLOB) AS b FROM documents),
+         f AS (SELECT doc_id, octet_length(b) AS len,
+                      unnest(generate_series(0, CAST(ceil(octet_length(b) / 32.0) AS INTEGER) - 1)) AS i
+               FROM d)
+         SELECT doc_id * 100000 + i AS frame_id,
+                CAST(least(32, len - i * 32) AS INTEGER) AS n_bytes
+         FROM f WHERE i % 2 = 0""",
     "mm_features" ->
       """SELECT doc_id AS media_id,
                 CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
