@@ -189,4 +189,20 @@ object StreamingPipeline {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(upsertBatch(targetDir, Seq("category", "order_date")) _)
+
+  /** The 100 TB form of [[categoryKpiWriter]]: KPI table partitioned by
+    * order_date, so each micro-batch merges and swaps ONLY the dates it
+    * touched (a day's late events rewrite one partition, not the whole
+    * history). order_date is derived from the key, so the
+    * partition-stability precondition of [[upsertPartitionedBatch]] holds
+    * by construction.
+    */
+  def categoryKpiWriterPartitioned(enrichedStream: DataFrame, targetDir: String,
+                                   checkpointDir: String): DataStreamWriter[Row] =
+    Kpis.categoryKpis(enrichedStream)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(upsertPartitionedBatch(targetDir,
+        Seq("category", "order_date"), "order_date") _)
 }

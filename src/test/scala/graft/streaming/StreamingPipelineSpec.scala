@@ -77,6 +77,36 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(after2 == kpiMap(Kpis.categoryKpis(spark.read.parquet(in))))
   }
 
+  test("partitioned KPI writer equals the whole-table writer and the batch result") {
+    import org.apache.spark.sql.functions.col
+    val (in, out, cp) = (tmp("graft_pin"), tmp("graft_pout2"), tmp("graft_pcp"))
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    landFile(enrichedRows(Seq(
+      ("toys", d1, 10.0, false), ("toys", d2, 30.0, true),
+      ("books", d1, 5.0, false))), in, "f1")
+    def drainP(): Unit = {
+      val stream = spark.readStream
+        .schema(enrichedRows(Seq.empty).schema).parquet(in)
+      val q = StreamingPipeline.categoryKpiWriterPartitioned(stream, out, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainP()
+    // second file touches ONLY d2 — the d1 partitions must survive the
+    // partial merge untouched
+    landFile(enrichedRows(Seq(("toys", d2, 60.0, false))), in, "f2")
+    drainP()
+    // order_date partition dirs come back typed — normalize via the shared map
+    val got = spark.read.parquet(out + "/data")
+      .select("category", "order_date", "daily_revenue", "avg_order_value", "avg_return_rate")
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == kpiMap(Kpis.categoryKpis(spark.read.parquet(in))))
+    // the table really is laid out by date partition
+    assert(new java.io.File(out + "/data/order_date=2024-01-01").isDirectory)
+  }
+
   test("upsertBatch recovers the table from a backup left by a crashed swap") {
     val out = tmp("graft_recover")
     val b1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
