@@ -721,6 +721,29 @@ object SparkEntry {
       region.write.mode("overwrite").option("header", "true").csv(tmp)
       Tables.csvInferred(s, tmp).select("r_regionkey", "r_name")
     }),
+    // Malformed-record tolerance: PERMISSIVE parse with a corrupt-record
+    // column — bad rows surface as data instead of failing the job (the
+    // reference's pandas read_csv raises and poisons the whole batch).
+    // Input is a fixed synthetic file, so the oracle pins exact counts.
+    "s_csv_corrupt" -> ((s, dir) => {
+      val tmp = tmpDir("graft_csv_bad")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "part.csv"),
+        "id,name\n1,a\n2,b\nnot_a_number,c\n3,d\n")
+      val schema = StructType(Seq(
+        StructField("id", org.apache.spark.sql.types.LongType),
+        StructField("name", org.apache.spark.sql.types.StringType),
+        StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+      val df = s.read.option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema).csv(tmp)
+      // the scan must read a data column alongside _corrupt_record (Spark
+      // rejects corrupt-column-only queries); a malformed row parses its
+      // typed columns to null, so count(id) IS the clean count
+      df.agg(
+        count(col("id")).as("n_clean"),
+        count(col("_corrupt_record")).as("n_corrupt"))
+    }),
     // Bucketed co-located join (the 100 TB lever for repeatedly-joined fact
     // tables): both sides written bucketed+sorted on the join key, so the
     // join runs with NO Exchange on either side (PartitionPruneSpec asserts
@@ -1011,6 +1034,8 @@ object SparkEntry {
          JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1""",
     "s_csv_inferred" -> "SELECT r_regionkey, r_name FROM region",
+    "s_csv_corrupt" ->
+      "SELECT CAST(3 AS BIGINT) AS n_clean, CAST(1 AS BIGINT) AS n_corrupt",
     "s_bucketed_join" ->
       """SELECT o.o_orderkey, o.o_totalprice, l.l_quantity, l.l_extendedprice
          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""",

@@ -120,7 +120,8 @@ object Dedup {
 
   /** Near-duplicate pairs: MinHash-LSH candidates verified by exact n-gram
     * Jaccard ≥ threshold. End-to-end: 2 aggregations + 1 banded self-join +
-    * 2 broadcast joins. No cartesian anywhere (check the plan!).
+    * 2 AQE-strategized joins back to the shingle sets. No cartesian
+    * anywhere (check the plan!).
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
