@@ -309,6 +309,30 @@ object SparkEntry {
     "t_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    // Corpus n-gram statistics: global top-k trigrams — explode shingles,
+    // one count aggregation (map-side combined), TakeOrdered for the k.
+    // The corpus-frequency pass every dataset-curation pipeline starts with.
+    "t_top_ngrams" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(Text.tokens(col("text")).as("__toks"))
+        .select(explode(Text.shinglesFromTokens(col("__toks"), 3)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)),
+    // Term statistics (the TF-IDF join, kept integer-exact): per-document
+    // term frequency joined with corpus document frequency. One explode +
+    // two aggregations + an equi-join on the term; the float idf multiply
+    // is a trivial projection on top and deliberately left out of the
+    // oracle (libm log differs across engines in the last ulp).
+    "t_term_stats" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
+      val tf = toks.filter(col("doc_id") < 50)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(df, "term").select("doc_id", "term", "tf", "df")
+    }),
     "t_fingerprint" -> ((s, dir) =>       // rows-only: xxhash64 rolling hash
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
@@ -1068,6 +1092,19 @@ object SparkEntry {
                 AND mean_token_len >= 2 AND mean_token_len <= 15
                 AND punct_ratio < 0.3 AND stopword_ratio > 0.01) AS quality_ok
          FROM st""",
+    "t_top_ngrams" ->
+      s"""WITH toks AS (SELECT ${sqlTokens("text")} AS ts FROM documents),
+         sh AS (SELECT list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                       i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) AS sl
+                FROM toks),
+         e AS (SELECT unnest(sl) AS ngram FROM sh)
+         SELECT ngram, COUNT(*) AS n FROM e
+         GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""",
+    "t_term_stats" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE doc_id < 50 GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1)
+         SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)""",
     "t_bpe_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS bpe_tokens
