@@ -1,0 +1,75 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties the round verdicts
+  * audited by hand (no cartesians, broadcastable dims broadcast, two-stage
+  * top-k, single-exchange window operators) asserted against the REAL
+  * registered queries on the sf0.001 testdata, so a refactor that silently
+  * degrades a plan fails CI instead of the next plan audit.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def assertNoCartesian(p: String, name: String): Unit = {
+    assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    // the ONLY sanctioned nested-loop is ivf's tiny query×centroid cross
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+  }
+
+  test("w_global_topk: TakeOrderedAndProject, never a global range sort") {
+    val p = plan("w_global_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("rangepartitioning"), s"global sort in:\n$p")
+  }
+
+  test("flagship a1: dims broadcast, no cartesian") {
+    val p = plan("a1_category_kpis")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assertNoCartesian(p, "a1")
+  }
+
+  test("a1 scan is column-pruned to the join/agg columns") {
+    val p = plan("a1_category_kpis")
+    // the lineitem scan must not read quantity/tax/etc — spot-check one
+    // column the query never touches
+    assert(!p.contains("l_tax"), s"unpruned lineitem scan in:\n$p")
+    assert(!p.contains("o_totalprice"), s"unpruned orders scan in:\n$p")
+  }
+
+  test("j8_asof: exactly one shuffle (the key partition), then the window") {
+    val p = plan("j8_asof")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no window operator in:\n$p")
+    assertNoCartesian(p, "j8_asof")
+  }
+
+  test("j9_interval: bucketized equi-join, no nested loop on the range predicate") {
+    assertNoCartesian(plan("j9_interval"), "j9_interval")
+  }
+
+  test("dedup_near: banded self-join only — no cartesian, no nested loop") {
+    assertNoCartesian(plan("dedup_near"), "dedup_near")
+  }
+
+  test("ann_ivf_topk: two-stage top-k (WindowGroupLimit before the final rank)") {
+    assert(plan("ann_ivf_topk").contains("WindowGroupLimit"))
+  }
+
+  test("a9_sample_hash: one shuffle for the per-group window") {
+    val p = plan("a9_sample_hash")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("g_complete_groups: each input scanned once") {
+    val p = plan("g_complete_groups")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    // lineitem + part + orders + completed-orders = 4 scans, not the 3x
+    // repeated subtree of the pre-r4 formulation (which planned 8+)
+    assert(scans == 4, s"expected 4 scans, got $scans in:\n$p")
+  }
+}
