@@ -228,6 +228,22 @@ object SparkEntry {
       Tables.orders(s, dir).filter(col("o_orderkey") % 5 === 0)
         .select(col("o_orderkey").as("l_orderkey")))),
 
+    // Connected components (entity-resolution clustering): orders linked by
+    // sharing any rare part (p_partkey <= 30) — pair edges from a
+    // self-join, clusters from iterative min-label propagation, exactly
+    // the pairs→clusters step that production near-dup needs. The oracle
+    // recomputes the same components with a recursive transitive closure.
+    "g_connected_components" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_partkey") <= 30)
+        .select("l_partkey", "l_orderkey").distinct()
+      val a = li.select(col("l_partkey"), col("l_orderkey").as("src"))
+      val b = li.select(col("l_partkey"), col("l_orderkey").as("dst"))
+      val edges = a.join(b, Seq("l_partkey"))
+        .filter(col("src") < col("dst")).select("src", "dst").distinct()
+      Grouping.connectedComponents(edges, "src", "dst")
+        .select(col("node").as("order_id"), col("component").as("component_id"))
+    }),
+
     // ---- dedup suite (§7.5) ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
@@ -1005,6 +1021,17 @@ object SparkEntry {
              AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 2 = 0))
          SELECT l_orderkey FROM inent WHERE l_orderkey NOT IN (SELECT l_orderkey FROM failing)""",
 
+    "g_connected_components" ->
+      """WITH RECURSIVE
+         li AS (SELECT DISTINCT l_partkey, l_orderkey FROM lineitem WHERE l_partkey <= 30),
+         e AS (SELECT a.l_orderkey AS src, b.l_orderkey AS dst
+               FROM li a JOIN li b
+                 ON a.l_partkey = b.l_partkey AND a.l_orderkey <> b.l_orderkey),
+         r(node, m) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM e)
+           UNION
+           SELECT r.node, e.dst FROM r JOIN e ON r.m = e.src)
+         SELECT node AS order_id, MIN(m) AS component_id FROM r GROUP BY 1""",
     "dedup_exact" ->
       """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id,
                 CAST(COUNT(*) AS BIGINT) AS dup_count

@@ -68,6 +68,51 @@ object Grouping {
       .agg(sort_array(collect_set(col(groupCol))).as("groups"))
   }
 
+  /** Connected components by iterative min-label propagation — the step
+    * after pairwise dedup/entity-matching: near-duplicate PAIRS must become
+    * CLUSTERS so one representative per cluster survives (min id, matching
+    * [[graft.operators.Dedup.exact]]'s keep-smallest convention).
+    *
+    * Each iteration: every node takes the min of its own label and its
+    * neighbors' labels — one equi-join of the (undirected) edge list with
+    * the label table plus one min-aggregation, both hash-partitioned on the
+    * node id; converges in O(graph diameter) iterations (near-dup clusters
+    * are clique-ish, so a handful). Each generation is
+    * `localCheckpoint`-ed: the label table references itself twice per
+    * iteration (self + neighbor side), so without lineage truncation the
+    * logical plan DOUBLES per round and analysis blows up long before the
+    * data does. localCheckpoint trades fault-tolerance for speed (block
+    * loss restarts the loop) — a 100 TB deployment with long diameters
+    * would use reliable `checkpoint(dir)` and large-star/small-star
+    * contraction; this loop is their building block. The convergence check
+    * rides the checkpointed generation.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val neighborMin = und.join(labels, und("b") === labels("node"))
+        .groupBy(und("a").as("node")).agg(min(col("label")).as("__nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("__old"),
+          least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.drop("__old")
+      i += 1
+    }
+    und.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** The full completeness pass, reference shape
     * (glue_job.py:221-256): candidates = keys pending from the fact side,
     * minus already-completed; keep those present in the entity table AND

@@ -54,6 +54,24 @@ class GroupingSpec extends SparkSpec {
     assert(out == Map("a" -> Seq(10L, 20L), "c" -> Seq(30L)))
   }
 
+  test("connectedComponents: min-label clusters across chains, cliques, and singleton edges") {
+    // components: {1,2,3,4} (chain), {10,11} (edge), {20,21,22} (triangle)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val out = Grouping.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path (diameter > 2)") {
+    // a 12-node path: worst case for label propagation, needs ~diameter iters
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Grouping.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 12 && out.values.forall(_ == 1L))
+  }
+
   test("completeGroups = pending ∖ completed, present in entities, fully covered by dim") {
     val entities = Seq(1L, 2L, 3L, 4L).toDF("oid")       // order rows present
     val facts = Seq((1L, "p1"), (2L, "p9"), (3L, "p1"), (4L, "p2"), (5L, "p1"))
