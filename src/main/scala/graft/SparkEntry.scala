@@ -281,6 +281,21 @@ object SparkEntry {
           pairs("id_b") === planted("doc_id") + 1000000L, "left_semi")
         .select(col("doc_id"), lit(true).as("found"))
     }),
+    // End-to-end dedup: MinHash-LSH pairs → connected-component clusters →
+    // planted-truth check that every copy clusters with its original. The
+    // full production shape (signatures → candidates → verify → clusters)
+    // under one oracle.
+    "dedup_clusters_recall" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(docsWithPlantedDups(s, dir), "doc_id",
+        "text", threshold = 0.5, bands = 16)
+      val cc = Grouping.connectedComponents(pairs, "id_a", "id_b")
+      val orig = cc.filter(col("node") < 1000000L)
+        .select(col("node").as("doc_id"), col("component").as("c_orig"))
+      val copies = cc.filter(col("node") >= 1000000L)
+        .select((col("node") - 1000000L).as("doc_id"), col("component").as("c_copy"))
+      orig.join(copies, "doc_id")
+        .select(col("doc_id"), (col("c_orig") === col("c_copy")).as("same_cluster"))
+    }),
     // SimHash recall over planted EXACT duplicates: identical token streams
     // give identical 64-bit signatures, so every planted pair must surface
     // with Hamming distance 0 — a structural guarantee, not an empirical
@@ -1053,6 +1068,8 @@ object SparkEntry {
     // set and fails the driver's rows/hash compare
     "dedup_near_recall" ->
       "SELECT doc_id, true AS found FROM documents",
+    "dedup_clusters_recall" ->
+      "SELECT doc_id, true AS same_cluster FROM documents",
     "dedup_simhash_recall" ->
       "SELECT doc_id, CAST(0 AS INTEGER) AS hamming FROM documents",
     "ann_lsh_recall" ->
