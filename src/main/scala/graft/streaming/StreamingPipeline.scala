@@ -39,6 +39,21 @@ object StreamingPipeline {
   def dedupStream(stream: DataFrame, keyCols: Seq[String]): DataFrame =
     stream.dropDuplicates(keyCols)
 
+  /** ST2, state-bounded form: drop re-delivered keys but keep each key's
+    * state-store entry only until the watermark passes its event time —
+    * `dropDuplicatesWithinWatermark` guarantees dedup for duplicates whose
+    * event times land within the watermark delay of each other, and lets
+    * the engine evict everything older. This is the 100 TB default: state
+    * is O(distinct keys per watermark window), not O(keys ever seen), so
+    * an unbounded stream no longer grows the state store without bound
+    * (the failure mode [[dedupStream]] inherits from the reference's
+    * never-pruned processed-file set, validate.py:328-330).
+    */
+  def dedupStreamBounded(stream: DataFrame, keyCols: Seq[String],
+                         tsCol: String, watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** ST5/ST7 per-batch sink: keyed upsert of the micro-batch into a parquet
     * table at `targetDir/data`, with a staging-write + rename swap so readers
     * never see a half-written table. Idempotent: re-running a batch after a
