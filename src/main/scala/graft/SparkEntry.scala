@@ -759,6 +759,35 @@ object SparkEntry {
         persistJoin = false)
       res.categoryKpis.getOrElse(s.emptyDataFrame)
     }),
+    // End-to-end corpus preparation (§7.5 in ONE query): planted-dup
+    // corpus → exact dedup → language ID → quality gate → per-language
+    // corpus stats. The four stages every pretraining curation run
+    // chains, composed from the same operators the suite verifies
+    // individually. Scale shape: the dedup groups/joins on the sha2
+    // digest (never shuffles two copies of a body), the annotations are
+    // pure codegen'd expressions, and the final rollup is one map-side-
+    // combined aggregation on a low-cardinality key. Integer-only output
+    // keeps it hash-exact under the oracle.
+    "pipeline_corpus_prep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val hashed = corpus.withColumn("content_sha", sha2(col("text"), 256))
+      val keep = hashed.groupBy(col("content_sha"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = hashed.join(keep, Seq("content_sha", "doc_id"), "left_semi")
+      val annotated = Text.stats(col("text")).foldLeft(deduped) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }.withColumn("lang_pred", Text.langId(col("text")))
+        .withColumn("bpe_tokens", Text.bpeTokenCount(col("text")))
+        .withColumn("quality_ok", Text.qualityOk(col("n_tokens"),
+          col("mean_token_len"), col("punct_ratio"), col("stopword_ratio")))
+      annotated.filter(col("quality_ok"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("bpe_tokens")).as("total_bpe_tokens"))
+    }),
 
     // ---- sources / sinks (S1, S3, S5, S6, S9, S10) ----
     "s_csv_roundtrip" -> ((s, dir) => {   // S1 declared-schema CSV + S5 write
@@ -1377,6 +1406,47 @@ object SparkEntry {
          JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1, 2""",
+    "pipeline_corpus_prep" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+         keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)),
+         ded AS (SELECT c.doc_id, c.text FROM corpus c JOIN keep USING (doc_id)),
+         t AS (SELECT doc_id, text, ${sqlTokens("text")} AS ts,
+                      ${sqlTokens("lower(text)")} AS lts FROM ded),
+         st AS (SELECT doc_id, text, lts,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS bpe_tokens,
+           round(CASE WHEN len(ts) > 0 THEN CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts) ELSE 0.0 END, 6) AS mean_token_len,
+           round(CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN len(ts) > 0 THEN CAST(len(list_filter(ts, x -> list_contains($enOracleList, x))) AS DOUBLE) / len(ts) ELSE 0.0 END, 6) AS stopword_ratio
+         FROM t),
+         q AS (SELECT * FROM st
+               WHERE n_tokens >= 5 AND n_tokens <= 1000000
+                 AND mean_token_len >= 2 AND mean_token_len <= 15
+                 AND punct_ratio < 0.3 AND stopword_ratio > 0.01),
+         h AS (SELECT *,
+                 len(list_filter(lts, x -> list_contains($enOracleList, x))) AS h_en,
+                 len(list_filter(lts, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','von','zu','den','dem','auf','für','im','sich','auch'], x))) AS h_de,
+                 len(list_filter(lts, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','no','por','con','para','del','se','su'], x))) AS h_es,
+                 len(list_filter(lts, x -> list_contains(['le','la','les','de','des','et','un','une','est','dans','que','pour','qui','sur','pas','au','du','ce'], x))) AS h_fr
+               FROM q),
+         lang AS (SELECT *, CASE
+             WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+             WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
+             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             WHEN greatest(h_en, h_de, h_es, h_fr) >= 1 THEN
+               CASE WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+                    WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                    WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                    ELSE 'de' END
+             ELSE 'und' END AS lang_pred
+           FROM h)
+         SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+         FROM lang GROUP BY 1""",
 
     "s_csv_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
     "s_partitioned_roundtrip" ->
