@@ -586,6 +586,38 @@ object SparkEntry {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(20)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+    // cumulative (running-total) window: per-priority revenue/order count
+    // accumulated over days. PARTITIONED window — each priority class
+    // sorts independently after one hash exchange, so the sort is
+    // partition-parallel (a global ORDER BY window would funnel 100 TB
+    // through one task). Decimal accumulation, cast once at the edge.
+    "w_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("priority"), col("day"), col("n_orders"),
+        sum(col("n_orders")).over(w).as("cum_orders"),
+        sum(col("rev_dec")).over(w).cast("double").as("cum_revenue"))
+    }),
+    // lag/lead analytic window: day-over-day event-count delta per event
+    // type — the trend query every KPI dashboard derives from the daily
+    // rollup. Same partitioned-window scale shape as w_running_total;
+    // integer-only output keeps it hash-exact.
+    "w_day_over_day" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.select(col("event_type"), col("day"), col("n"),
+        lag(col("n"), 1).over(w).as("prev_n"),
+        (col("n") - coalesce(lag(col("n"), 1).over(w), lit(0L))).as("delta"))
+    }),
     "e_sessionize" -> ((s, dir) =>
       graft.streaming.Windows.sessionize(
         Tables.events(s, dir), "ts", "user_id", "30 minutes")
@@ -1406,6 +1438,27 @@ object SparkEntry {
          JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1, 2""",
+    "w_running_total" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+                  COUNT(*) AS n_orders
+           FROM orders GROUP BY 1, 2)
+         SELECT priority, day, n_orders,
+                CAST(SUM(n_orders) OVER w AS BIGINT) AS cum_orders,
+                CAST(SUM(rev_dec) OVER w AS DOUBLE) AS cum_revenue
+         FROM daily
+         WINDOW w AS (PARTITION BY priority ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "w_day_over_day" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, n,
+                lag(n) OVER w AS prev_n,
+                n - coalesce(lag(n) OVER w, 0) AS delta
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day)""",
     "pipeline_corpus_prep" ->
       s"""WITH corpus AS (
            SELECT doc_id, text FROM documents
