@@ -795,19 +795,17 @@ object SparkEntry {
     // corpus → exact dedup → language ID → quality gate → per-language
     // corpus stats. The four stages every pretraining curation run
     // chains, composed from the same operators the suite verifies
-    // individually. Scale shape: the dedup groups/joins on the sha2
-    // digest (never shuffles two copies of a body), the annotations are
-    // pure codegen'd expressions, and the final rollup is one map-side-
-    // combined aggregation on a low-cardinality key. Integer-only output
-    // keeps it hash-exact under the oracle.
+    // individually. Scale shape: the dedup is one digest-partitioned
+    // window pass (single scan, single exchange — see
+    // Dedup.keepCanonical), the annotations are pure codegen'd
+    // expressions, and the final rollup is one map-side-combined
+    // aggregation on a low-cardinality key. Integer-only output keeps it
+    // hash-exact under the oracle.
     "pipeline_corpus_prep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val hashed = corpus.withColumn("content_sha", sha2(col("text"), 256))
-      val keep = hashed.groupBy(col("content_sha"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val deduped = hashed.join(keep, Seq("content_sha", "doc_id"), "left_semi")
+      val deduped = Dedup.keepCanonical(corpus, "doc_id", "text")
       val annotated = Text.stats(col("text")).foldLeft(deduped) {
         case (df, (name, c)) => df.withColumn(name, c)
       }.withColumn("lang_pred", Text.langId(col("text")))

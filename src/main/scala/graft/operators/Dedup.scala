@@ -25,6 +25,21 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact dedup that KEEPS the surviving rows (smallest id per distinct
+    * content), with all input columns intact. One `row_number` window
+    * partitioned by the sha2 digest: a single scan and a single exchange —
+    * the groupBy-then-semi-join-back formulation plans the input subtree
+    * twice (both join sides), which at 100 TB means hashing every body
+    * twice. Digest partitioning keeps groups tiny (collisions only), so
+    * the per-partition sort is O(dup-count), not O(corpus).
+    */
+  def keepCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** MinHash signatures: one row per document with k minhash columns.
     *
     * The k independent hash functions re-hash a 64-bit base hash with a

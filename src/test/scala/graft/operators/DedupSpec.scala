@@ -22,6 +22,16 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("keepCanonical keeps exactly the smallest-id row per distinct content, columns intact") {
+    val out = Dedup.keepCanonical(corpus, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 3L, 4L, 5L)) // 2 is the exact dup of 1
+    assert(out(1L).contains("today") && out(5L) == "")
+    // one row per survivor, schema unchanged
+    assert(Dedup.keepCanonical(corpus, "doc_id", "text").columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
+
   test("identical documents get identical minhash signatures; different ones differ") {
     val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", k = 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
