@@ -72,4 +72,23 @@ class PlanAuditSpec extends SparkSpec {
     // repeated subtree of the pre-r4 formulation (which planned 8+)
     assert(scans == 4, s"expected 4 scans, got $scans in:\n$p")
   }
+
+  test("pipeline_corpus_prep: single-pass dedup — 2 scans (the union), no join") {
+    val p = plan("pipeline_corpus_prep")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    // documents + planted-copy branch = 2; the groupBy+semi-join-back
+    // formulation planned the union subtree twice (6 scans)
+    assert(scans == 2, s"expected 2 scans, got $scans in:\n$p")
+    assert(!p.contains("Join"), s"dedup should be a window, not a join:\n$p")
+    // map-side partial top-1 per digest before the exchange
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("w_running_total / w_day_over_day: partitioned window, never a global sort") {
+    for (q <- Seq("w_running_total", "w_day_over_day")) {
+      val p = plan(q)
+      assert(!p.contains("rangepartitioning"), s"$q global-sorts:\n$p")
+      assert(p.contains("Window"), s"$q lost its window operator:\n$p")
+    }
+  }
 }
