@@ -81,15 +81,32 @@ object SparkEntry {
     m.unionByName(m.filter(col("o_orderkey") % 11 === 0))
   }
 
+  /** Planted-corpus building blocks — every planted-truth oracle derives
+    * its ground truth from these (an id at `base + offset` is a copy of the
+    * id at `base`, by construction). ONE definition of the offsets and the
+    * mutation marker: the recall oracles hardcode the same arithmetic, so a
+    * drifting copy of the construction would silently break them.
+    */
+  private[graft] val PlantedOffset = 1000000L   // primary planted copy
+  private[graft] val PlantedOffset2 = 2000000L  // secondary copy (fingerprint)
+  private val PlantedMarker = " graft dup marker"
+
+  /** A verbatim copy of `docs` with ids shifted by `offset`. */
+  private def exactCopy(docs: DataFrame, offset: Long): DataFrame =
+    docs.select((col("doc_id") + offset).as("doc_id"), col("text"))
+
+  /** A suffix-mutated (near-duplicate) copy of `docs`, ids shifted. */
+  private def mutatedCopy(docs: DataFrame, offset: Long): DataFrame =
+    docs.select((col("doc_id") + offset).as("doc_id"),
+      concat(col("text"), lit(PlantedMarker)).as("text"))
+
   /** documents ∪ a near-duplicate copy (suffix-mutated, shifted ids) — the
     * planted-duplicates corpus for the near-dup queries (package-visible:
     * graft.Profile profiles the same corpus the queries run).
     */
   private[graft] def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    docs.unionByName(docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      concat(col("text"), lit(" graft dup marker")).as("text")))
+    docs.unionByName(mutatedCopy(docs, PlantedOffset))
   }
 
   /** embeddings with the float vector cast to double — keeps the Spark fold
@@ -303,8 +320,7 @@ object SparkEntry {
     // because near-dup recall there is genuinely probabilistic).
     "dedup_simhash_recall" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val corpus = docs.unionByName(docs.select(
-        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val corpus = docs.unionByName(exactCopy(docs, PlantedOffset))
       val pairs = Dedup.simhashNearDuplicates(corpus, "doc_id", "text")
       val planted = docs.select(col("doc_id"))
       planted.join(pairs,
@@ -375,9 +391,8 @@ object SparkEntry {
     "t_fingerprint_dups" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val corpus = docs
-        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-        .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(col("text"), lit(" graft dup marker")).as("text")))
+        .unionByName(exactCopy(docs, PlantedOffset))
+        .unionByName(mutatedCopy(docs, PlantedOffset2))
       val fps = corpus.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       val o = fps.filter(col("doc_id") < 1000000L)
       val ex = fps.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
@@ -803,8 +818,8 @@ object SparkEntry {
     // hash-exact under the oracle.
     "pipeline_corpus_prep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val corpus = docs.unionByName(
+        exactCopy(docs.filter(col("doc_id") % 5 === 0), PlantedOffset))
       val deduped = Dedup.keepCanonical(corpus, "doc_id", "text")
       val annotated = Text.stats(col("text")).foldLeft(deduped) {
         case (df, (name, c)) => df.withColumn(name, c)

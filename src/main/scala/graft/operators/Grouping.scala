@@ -110,6 +110,16 @@ object Grouping {
       i += 1
     }
     und.unpersist()
+    // a silent non-converged exit would hand back labels that SPLIT true
+    // clusters (nodes > maxIters hops from their component's min keep
+    // intermediate labels) — downstream dedup would keep several
+    // "canonical" copies with no signal anything went wrong. Fail loudly;
+    // the caller raises maxIters (or pre-contracts the graph) knowingly.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters iterations " +
+          s"($changed labels still changing): the graph diameter exceeds " +
+          "maxIters — raise maxIters or contract the graph first")
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -48,7 +48,10 @@ object KvSink {
           Option(r.getAs[Any](c)).map(v => c -> v.toString)
         }.toMap
       }.grouped(chunkSize).foreach { chunk =>
-        graft.util.Retry.withBackoff(maxRetries, baseBackoffMs) {
+        // writer faults are presumed transient service errors (the
+        // reference retries any DynamoDB error, transform.py:379-387)
+        graft.util.Retry.withBackoff(maxRetries, baseBackoffMs,
+          retryable = graft.util.Retry.always) {
           writer.putBatch(chunk)
         }
       }

@@ -47,13 +47,33 @@ object Completeness {
   /** State transition for one micro-batch worth of events of one order.
     * With `staleMs > 0` the group's processing-time timeout is re-armed on
     * every update, and a group whose deadline fires (no new events for
-    * `staleMs`) is dropped without emitting — the SURVEY §7.5 improvement
-    * over the reference's never-expiring pending lists.
+    * `staleMs`) is expired — the SURVEY §7.5 improvement over the
+    * reference's never-expiring pending lists.
+    *
+    * Expiry is two-phase to preserve emit-once under re-delivery: a group
+    * that never emitted is removed outright, but an EMITTED group first
+    * collapses to a compact tombstone (emitted flag only, sets dropped) for
+    * one more staleMs window — so an at-least-once source replaying the
+    * group's events inside that window folds onto emitted=true and stays
+    * silent, instead of rebuilding from scratch and double-emitting into an
+    * append sink. Only after a second idle window is the tombstone removed;
+    * re-delivery later than 2×staleMs is the documented horizon where
+    * emit-once hands over to the sink's keyed idempotency (KvSink upserts
+    * by key, so even then the duplicate row converges).
     */
   def update(staleMs: Long)(orderId: String, events: Iterator[PartEvent],
              state: GroupState[GroupProgress]): Iterator[CompletedGroup] = {
     if (state.hasTimedOut) {
-      state.remove() // stale group: expire without emitting (ST6 opt-out)
+      val st = state.getOption
+      if (st.exists(s => s.emitted && s.wanted.nonEmpty)) {
+        // emitted group: keep a set-free tombstone one more window so a
+        // replay cannot re-emit; O(1) state instead of O(products)
+        state.update(GroupProgress(hasOrder = false, Set.empty, Set.empty,
+          emitted = true))
+        state.setTimeoutDuration(staleMs)
+      } else {
+        state.remove() // never-emitted group or expired tombstone: drop
+      }
       return Iterator.empty
     }
     val st0 = state.getOption.getOrElse(

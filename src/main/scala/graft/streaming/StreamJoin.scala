@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Stream-stream equi-join with an event-time tolerance window.
   *
@@ -35,9 +35,12 @@ object StreamJoin {
   def within(left: DataFrame, leftKey: String, leftTs: String,
              right: DataFrame, rightKey: String, rightTs: String,
              watermark: String, tolerance: String): DataFrame =
+    // Column API, not a spliced SQL string: column names stay data (a
+    // reserved word or a name with spaces resolves fine); only the
+    // interval literal is interpolated
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
-        expr(s"$leftKey = $rightKey AND " +
-          s"$rightTs >= $leftTs AND " +
-          s"$rightTs <= $leftTs + interval $tolerance"))
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"interval $tolerance"))
 }

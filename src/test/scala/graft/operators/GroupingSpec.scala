@@ -72,6 +72,20 @@ class GroupingSpec extends SparkSpec {
     assert(out.size == 12 && out.values.forall(_ == 1L))
   }
 
+  test("connectedComponents fails loudly instead of returning split clusters when maxIters is too small") {
+    // an 8-node path has diameter 7: 3 iterations cannot propagate the min
+    // label to the far end — silently returning would split the cluster
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Grouping.connectedComponents(edges, "src", "dst", maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same graph with enough iterations converges to one component
+    val ok = Grouping.connectedComponents(edges, "src", "dst", maxIters = 10)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok == Set(1L))
+  }
+
   test("completeGroups = pending ∖ completed, present in entities, fully covered by dim") {
     val entities = Seq(1L, 2L, 3L, 4L).toDF("oid")       // order rows present
     val facts = Seq((1L, "p1"), (2L, "p9"), (3L, "p1"), (4L, "p2"), (5L, "p1"))

@@ -51,4 +51,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))            // 23:30 after every u1 interval...
     assert(!out.exists(_._1 == 5L))            // u3 has no intervals
   }
+
+  test("inverted intervals (end < start) are dropped, not exploded into garbage") {
+    val bad = Seq(("u1", 200L, ts("2024-01-01 20:00:00"), ts("2024-01-01 09:00:00")))
+      .toDF("w_user", "iv_id", "w_start", "w_end")
+    val joined = RangeJoin.intervalJoin(events, "user_id", "ts",
+      bad, "w_user", "w_start", "w_end", bucketMicros = Hour)
+    assert(joined.count() == 0L) // same result as the naive join, no waste
+  }
+
+  test("an interval spanning more than maxBucketsPerInterval fails loudly (corrupt-row guard)") {
+    val corrupt = Seq(("u1", 201L, ts("2024-01-01 09:00:00"), ts("9999-12-31 00:00:00")))
+      .toDF("w_user", "iv_id", "w_start", "w_end")
+    val e = intercept[Exception] {
+      RangeJoin.intervalJoin(events, "user_id", "ts",
+        corrupt, "w_user", "w_start", "w_end", bucketMicros = Hour,
+        maxBucketsPerInterval = 1000L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("intervalJoin")),
+      s"guard message missing from: $e")
+  }
 }

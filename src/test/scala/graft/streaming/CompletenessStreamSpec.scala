@@ -111,6 +111,41 @@ class CompletenessStreamSpec extends SparkSpec {
     assert(live.getTimeoutTimestampMs.get() == 1200L) // batch time + staleMs
   }
 
+  test("expiry of an EMITTED group is two-phase: tombstone first, so replay cannot re-emit") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    // phase 1: an emitted group times out → collapses to a tombstone, not removed
+    val emitted = GroupProgress(hasOrder = true, wanted = Set("p1"),
+      present = Set("p1"), emitted = true)
+    val s1 = TestGroupState.create[GroupProgress](
+      Optional.of(emitted), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    assert(Completeness.update(200L)("oz", Iterator.empty, s1).isEmpty)
+    assert(s1.exists, "emitted group must leave a tombstone, not vanish")
+    assert(s1.get.emitted && s1.get.wanted.isEmpty && s1.get.present.isEmpty)
+
+    // replay of the full event set onto the tombstone: folds onto
+    // emitted=true and stays silent — the emit-once invariant under
+    // re-delivery that outright removal would break
+    val s2 = TestGroupState.create[GroupProgress](
+      Optional.of(s1.get), GroupStateTimeout.ProcessingTimeTimeout,
+      2000L, Optional.empty[Long], hasTimedOut = false)
+    val replay = Iterator(
+      PartEvent("oz", Completeness.KindOrder, None),
+      PartEvent("oz", Completeness.KindItem, Some("p1")),
+      PartEvent("oz", Completeness.KindProduct, Some("p1")))
+    assert(Completeness.update(200L)("oz", replay, s2).isEmpty)
+
+    // phase 2: a tombstone whose own window also expires is removed for good
+    val s3 = TestGroupState.create[GroupProgress](
+      Optional.of(GroupProgress(hasOrder = false, Set.empty, Set.empty,
+        emitted = true)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      3000L, Optional.empty[Long], hasTimedOut = true)
+    assert(Completeness.update(200L)("oz", Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved, "expired tombstone must be reclaimed")
+  }
+
   test("with no timeout (default), the same idle group still completes late (ST6)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[PartEvent]
