@@ -936,6 +936,21 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("text")).write.mode("overwrite").text(tmp)
       s.read.text(tmp)
     }),
+    // Schema evolution on read: two parquet generations (the second adds a
+    // column), merged by footer union (mergeSchema) — old files surface the
+    // new column as null. The ingest reality every long-lived table hits;
+    // mergeSchema costs one footer read per file, so the scale default
+    // stays declared-schema (Tables.parquet) and this is the migration
+    // path. Oracle replays the same union in SQL.
+    "s_schema_merge" -> ((s, dir) => {
+      val tmp = tmpDir("graft_schema_merge")
+      val r = Tables.region(s, dir)
+      r.select("r_regionkey", "r_name").write.parquet(tmp + "/gen=0")
+      r.select(col("r_regionkey"), col("r_name"),
+          lit("v2").as("ingest_tag")).write.parquet(tmp + "/gen=1")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .select("r_regionkey", "r_name", "ingest_tag", "gen")
+    }),
     "s_listing" -> ((s, dir) =>           // S10 object-listing source
       s.read.format("binaryFile").load(dir + "/*.parquet")
         .select(regexp_extract(col("path"), "([a-z]+)\\.parquet$", 1)
@@ -1528,6 +1543,10 @@ object SparkEntry {
          FROM orders""",
     "s_json_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "s_schema_merge" ->
+      """SELECT r_regionkey, r_name, NULL AS ingest_tag, CAST(0 AS BIGINT) AS gen FROM region
+         UNION ALL
+         SELECT r_regionkey, r_name, 'v2' AS ingest_tag, CAST(1 AS BIGINT) AS gen FROM region""",
     "s_orc_roundtrip" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders",
     "s_text_roundtrip" -> "SELECT text AS value FROM documents",
