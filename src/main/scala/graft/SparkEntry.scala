@@ -295,7 +295,7 @@ object SparkEntry {
       val planted = Tables.documents(s, dir).select(col("doc_id"))
       planted.join(pairs,
         planted("doc_id") === pairs("id_a") &&
-          pairs("id_b") === planted("doc_id") + 1000000L, "left_semi")
+          pairs("id_b") === planted("doc_id") + PlantedOffset, "left_semi")
         .select(col("doc_id"), lit(true).as("found"))
     }),
     // End-to-end dedup: MinHash-LSH pairs → connected-component clusters →
@@ -306,10 +306,10 @@ object SparkEntry {
       val pairs = Dedup.nearDuplicates(docsWithPlantedDups(s, dir), "doc_id",
         "text", threshold = 0.5, bands = 16)
       val cc = Grouping.connectedComponents(pairs, "id_a", "id_b")
-      val orig = cc.filter(col("node") < 1000000L)
+      val orig = cc.filter(col("node") < PlantedOffset)
         .select(col("node").as("doc_id"), col("component").as("c_orig"))
-      val copies = cc.filter(col("node") >= 1000000L)
-        .select((col("node") - 1000000L).as("doc_id"), col("component").as("c_copy"))
+      val copies = cc.filter(col("node") >= PlantedOffset)
+        .select((col("node") - PlantedOffset).as("doc_id"), col("component").as("c_copy"))
       orig.join(copies, "doc_id")
         .select(col("doc_id"), (col("c_orig") === col("c_copy")).as("same_cluster"))
     }),
@@ -325,7 +325,7 @@ object SparkEntry {
       val planted = docs.select(col("doc_id"))
       planted.join(pairs,
         planted("doc_id") === pairs("id_a") &&
-          pairs("id_b") === planted("doc_id") + 1000000L, "inner")
+          pairs("id_b") === planted("doc_id") + PlantedOffset, "inner")
         .select(col("doc_id"), col("hamming").cast("integer").as("hamming"))
     }),
 
@@ -334,22 +334,17 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => {
       val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
       val planted = e.unionByName(e.filter(col("vec_id") < 50).select(
-        (col("vec_id") + 1000000L).as("vec_id"),
+        (col("vec_id") + PlantedOffset).as("vec_id"),
         transform(col("emb_d"), x => x * 1.0000001d).as("emb_d")))
       Dedup.embeddingNearDuplicates(planted, "vec_id", "emb_d",
         threshold = 0.99, nbits = 8)
     }),
 
     // ---- text analysis (§7.5) ----
-    "t_text_stats" -> ((s, dir) => {
-      val t = col("text")
-      Text.stats(t).foldLeft(
-        Tables.documents(s, dir).select(col("doc_id"), t)) {
-        case (df, (name, c)) => df.withColumn(name, c)
-      }.drop("text")
-        .withColumn("quality_ok", Text.qualityOk(col("n_tokens"),
-          col("mean_token_len"), col("punct_ratio"), col("stopword_ratio")))
-    }),
+    "t_text_stats" -> ((s, dir) =>
+      Text.analyzed(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select("doc_id", "n_tokens", "n_chars_measured", "mean_token_len",
+          "punct_ratio", "stopword_ratio", "quality_ok")),
     "t_bpe_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.bpeTokenCount(col("text")).as("bpe_tokens"))),
@@ -394,11 +389,11 @@ object SparkEntry {
         .unionByName(exactCopy(docs, PlantedOffset))
         .unionByName(mutatedCopy(docs, PlantedOffset2))
       val fps = corpus.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
-      val o = fps.filter(col("doc_id") < 1000000L)
-      val ex = fps.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
-        .select((col("doc_id") - 1000000L).as("doc_id"), col("fp").as("fp_exact"))
-      val mu = fps.filter(col("doc_id") >= 2000000L)
-        .select((col("doc_id") - 2000000L).as("doc_id"), col("fp").as("fp_mut"))
+      val o = fps.filter(col("doc_id") < PlantedOffset)
+      val ex = fps.filter(col("doc_id") >= PlantedOffset && col("doc_id") < PlantedOffset2)
+        .select((col("doc_id") - PlantedOffset).as("doc_id"), col("fp").as("fp_exact"))
+      val mu = fps.filter(col("doc_id") >= PlantedOffset2)
+        .select((col("doc_id") - PlantedOffset2).as("doc_id"), col("fp").as("fp_mut"))
       o.join(ex, "doc_id").join(mu, "doc_id")
         .select(col("doc_id"),
           (col("fp") === col("fp_exact")).as("exact_dup_same"),
@@ -464,13 +459,13 @@ object SparkEntry {
       val e = embDouble(s, dir)
       val base = e.select(col("vec_id"), col("emb_d").as("embedding"))
       val planted = base.filter(col("vec_id") < 50).select(
-        (col("vec_id") + 1000000L).as("vec_id"),
+        (col("vec_id") + PlantedOffset).as("vec_id"),
         transform(col("embedding"), x => x * 1.0000001d).as("embedding"))
       val corpus = base.unionByName(planted)
       val cells = Similarity.kmeansCells(corpus, k = 8, iters = 2)
-      val orig = cells.filter(col("vec_id") < 1000000L)
-      val copies = cells.filter(col("vec_id") >= 1000000L).select(
-        (col("vec_id") - 1000000L).as("vec_id"), col("cell").as("copy_cell"))
+      val orig = cells.filter(col("vec_id") < PlantedOffset)
+      val copies = cells.filter(col("vec_id") >= PlantedOffset).select(
+        (col("vec_id") - PlantedOffset).as("vec_id"), col("cell").as("copy_cell"))
       val nVectors = corpus.agg(count(lit(1)).as("n_vectors"))
       val totals = cells.agg(count(lit(1)).as("n_assigned"),
         sum(when(col("cell") < 0 || col("cell") >= 8, 1L).otherwise(0L))
@@ -821,13 +816,7 @@ object SparkEntry {
       val corpus = docs.unionByName(
         exactCopy(docs.filter(col("doc_id") % 5 === 0), PlantedOffset))
       val deduped = Dedup.keepCanonical(corpus, "doc_id", "text")
-      val annotated = Text.stats(col("text")).foldLeft(deduped) {
-        case (df, (name, c)) => df.withColumn(name, c)
-      }.withColumn("lang_pred", Text.langId(col("text")))
-        .withColumn("bpe_tokens", Text.bpeTokenCount(col("text")))
-        .withColumn("quality_ok", Text.qualityOk(col("n_tokens"),
-          col("mean_token_len"), col("punct_ratio"), col("stopword_ratio")))
-      annotated.filter(col("quality_ok"))
+      Text.analyzed(deduped).filter(col("quality_ok"))
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),

@@ -140,15 +140,19 @@ object Text {
       shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
         .bitwiseXOR(xxhash64(t)))
 
-  /** Convenience: attach all text-analysis columns to a documents frame. */
+  /** THE curation annotation chain — [[stats]] columns, the composite
+    * `quality_ok` flag, `lang_pred`, and `bpe_tokens` attached in one
+    * stacked projection (pure codegen'd expressions, no shuffle). Batch
+    * (`pipeline_corpus_prep`) and streaming (`CorpusStream.prepared`) run
+    * THIS method, not private copies, so a threshold or column change
+    * cannot silently break batch/stream parity.
+    */
   def analyzed(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val withStats = stats(t).foldLeft(docs) { case (df, (name, c)) =>
-      df.withColumn(name, c)
-    }
-    withStats
-      .withColumn("bpe_tokens", bpeTokenCount(t))
+    stats(t).foldLeft(docs) { case (df, (name, c)) => df.withColumn(name, c) }
+      .withColumn("quality_ok", qualityOk(col("n_tokens"),
+        col("mean_token_len"), col("punct_ratio"), col("stopword_ratio")))
       .withColumn("lang_pred", langId(t))
-      .withColumn("fingerprint", fingerprint(t))
+      .withColumn("bpe_tokens", bpeTokenCount(t))
   }
 }

@@ -96,30 +96,39 @@ object Grouping {
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIters) {
-      val neighborMin = und.join(labels, und("b") === labels("node"))
+    def step(l: DataFrame): (DataFrame, Long) = {
+      val neighborMin = und.join(l, und("b") === l("node"))
         .groupBy(und("a").as("node")).agg(min(col("label")).as("__nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      val next = l.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("__old")).count()
-      labels = next.drop("__old")
+      val changed = next.filter(col("label") =!= col("__old")).count()
+      (next.drop("__old"), changed)
+    }
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val (next, c) = step(labels)
+      labels = next
+      changed = c
       i += 1
     }
-    und.unpersist()
     // a silent non-converged exit would hand back labels that SPLIT true
     // clusters (nodes > maxIters hops from their component's min keep
     // intermediate labels) — downstream dedup would keep several
-    // "canonical" copies with no signal anything went wrong. Fail loudly;
-    // the caller raises maxIters (or pre-contracts the graph) knowingly.
-    if (changed > 0)
+    // "canonical" copies with no signal anything went wrong. But changed>0
+    // on the LAST allowed iteration doesn't prove non-convergence (the
+    // final hop may have just landed), so confirm with one extra pass and
+    // only then fail loudly — the caller raises maxIters (or pre-contracts
+    // the graph) knowingly.
+    val confirmChanged = if (changed > 0) step(labels)._2 else 0L
+    und.unpersist()
+    if (confirmChanged > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIters iterations " +
-          s"($changed labels still changing): the graph diameter exceeds " +
-          "maxIters — raise maxIters or contract the graph first")
+          s"($confirmChanged labels still changing): the graph diameter " +
+          "exceeds maxIters — raise maxIters or contract the graph first")
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -33,18 +33,13 @@ object CorpusStream {
     */
   def prepared(docs: DataFrame, idCol: String, textCol: String,
                tsCol: String, watermark: String): DataFrame = {
-    val t = col(textCol)
     val deduped = docs
-      .withColumn("__content_sha", sha2(t, 256))
+      .withColumn("__content_sha", sha2(col(textCol), 256))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__content_sha")
       .drop("__content_sha")
-    val annotated = Text.stats(t).foldLeft(deduped) {
-      case (df, (name, c)) => df.withColumn(name, c)
-    }.withColumn("lang_pred", Text.langId(t))
-      .withColumn("bpe_tokens", Text.bpeTokenCount(t))
-    annotated.filter(Text.qualityOk(col("n_tokens"), col("mean_token_len"),
-      col("punct_ratio"), col("stopword_ratio")))
+    // the SAME annotation chain as the batch pipeline_corpus_prep query
+    Text.analyzed(deduped, textCol).filter(col("quality_ok"))
   }
 
   /** Cumulative per-language corpus stats over [[prepared]] — update-mode

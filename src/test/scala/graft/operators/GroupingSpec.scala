@@ -86,6 +86,16 @@ class GroupingSpec extends SparkSpec {
     assert(ok == Set(1L))
   }
 
+  test("connectedComponents converging EXACTLY on the last iteration returns, not throws") {
+    // 8-node path, diameter 7: iteration 7 lands the last label (changed>0)
+    // and the budget is exhausted — the confirmation pass must recognize
+    // the converged result instead of condemning it
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Grouping.connectedComponents(edges, "src", "dst", maxIters = 7)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(out == Set(1L))
+  }
+
   test("completeGroups = pending ∖ completed, present in entities, fully covered by dim") {
     val entities = Seq(1L, 2L, 3L, 4L).toDF("oid")       // order rows present
     val facts = Seq((1L, "p1"), (2L, "p9"), (3L, "p1"), (4L, "p2"), (5L, "p1"))

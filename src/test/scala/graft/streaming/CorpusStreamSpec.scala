@@ -38,11 +38,11 @@ class CorpusStreamSpec extends SparkSpec {
         DocEvent(3L, junk, t("2026-01-01 10:06:00")),
         DocEvent(4L, goodEn2, t("2026-01-01 10:07:00")))
       q.processAllAvailable()
-      // update mode re-emits the changed row per batch: take the latest per key
+      // update mode re-emits the changed row per batch; counts are
+      // monotonic, so max-per-key is the latest regardless of row order
       val rows = spark.table("corpus_stats")
         .select("lang_pred", "n_docs").as[(String, Long)].collect()
-      val latest = rows.zipWithIndex.groupBy(_._1._1)
-        .map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+      val latest = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
       assert(latest == Map("en" -> 2L)) // docs 1 and 4; dup 2 and junk 3 excluded
     } finally q.stop()
   }
