@@ -313,6 +313,21 @@ object SparkEntry {
       orig.join(copies, "doc_id")
         .select(col("doc_id"), (col("c_orig") === col("c_copy")).as("same_cluster"))
     }),
+    // The end-to-end DROP: dropNearDuplicates must remove every planted
+    // copy (its original has the smaller id, so the copy can never be the
+    // cluster canonical; bands=16 gives the r=1 recall guarantee that the
+    // pair IS found). Emits one row per original whose copy was dropped —
+    // a surviving copy deletes a row and fails the driver's rows/hash
+    // compare.
+    "dedup_dropped_recall" -> ((s, dir) => {
+      val kept = Dedup.dropNearDuplicates(docsWithPlantedDups(s, dir),
+        "doc_id", "text", threshold = 0.5, bands = 16)
+      val copies = Tables.documents(s, dir)
+        .select((col("doc_id") + PlantedOffset).as("doc_id"))
+      copies.join(kept, Seq("doc_id"), "left_anti")
+        .select((col("doc_id") - PlantedOffset).as("doc_id"),
+          lit(true).as("dropped"))
+    }),
     // SimHash recall over planted EXACT duplicates: identical token streams
     // give identical 64-bit signatures, so every planted pair must surface
     // with Hamming distance 0 — a structural guarantee, not an empirical
@@ -1148,6 +1163,8 @@ object SparkEntry {
       "SELECT doc_id, true AS found FROM documents",
     "dedup_clusters_recall" ->
       "SELECT doc_id, true AS same_cluster FROM documents",
+    "dedup_dropped_recall" ->
+      "SELECT doc_id, true AS dropped FROM documents",
     "dedup_simhash_recall" ->
       "SELECT doc_id, CAST(0 AS INTEGER) AS hamming FROM documents",
     "ann_lsh_recall" ->

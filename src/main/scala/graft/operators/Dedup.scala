@@ -133,6 +133,33 @@ object Dedup {
           size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
   }
 
+  /** The production "drop the near-duplicates" pass: [[nearDuplicates]]
+    * pairs → connected-component clusters → keep ONE document per cluster
+    * (the min id, the suite-wide canonical convention) plus every document
+    * that paired with nothing. Returns the surviving rows with all input
+    * columns.
+    *
+    * Scale shape: the pair set is tiny relative to the corpus (that's the
+    * point of dedup), so the component propagation and the final anti-set
+    * run on pairs/ids only; the single pass over full rows is the closing
+    * left_anti join against the (broadcastable) drop list. `maxIters`
+    * bounds the label propagation — near-dup clusters are clique-ish, so
+    * the default converges in a handful of hops; a genuinely deeper graph
+    * throws rather than silently splitting (connectedComponents contract).
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+                         shingleN: Int = 3, maxBucket: Int = 10000,
+                         maxIters: Int = 20): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, textCol, threshold, k, bands,
+      shingleN, maxBucket)
+    val clusters = graft.operators.Grouping.connectedComponents(
+      pairs, "id_a", "id_b", maxIters)
+    val drop = clusters.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate pairs: MinHash-LSH candidates verified by exact n-gram
     * Jaccard ≥ threshold. End-to-end: 2 aggregations + 1 banded self-join +
     * 2 AQE-strategized joins back to the shingle sets. No cartesian

@@ -32,6 +32,13 @@ class DedupSpec extends SparkSpec {
       Seq("doc_id", "text"))
   }
 
+  test("dropNearDuplicates keeps one doc per near-dup cluster plus all unpaired docs") {
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // {1,2,3} cluster → keep 1; 4 unpaired; 5 (empty) unpaired
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("identical documents get identical minhash signatures; different ones differ") {
     val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", k = 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
