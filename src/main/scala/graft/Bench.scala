@@ -87,6 +87,14 @@ object Bench {
       catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
+    // second streaming surface: the corpus-prep chain (content dedup →
+    // annotate → gate → language rollup), docs/second
+    val corpusStreaming: Either[String, (Long, Double)] =
+      try Right(graft.streaming.StreamBench.corpusPrepThroughput(
+        spark, nDocs = 50000))
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     val qs = results.map {
       case (k, Right(v)) => s""""${esc(k)}":$v"""
       case (k, Left(e))  => s""""${esc(k)}":{"err":"${esc(e)}"}"""
@@ -101,9 +109,15 @@ object Bench {
           s""""streaming_events_per_sec":${(n / secs).round}"""
       case Left(e) => s""""streaming_err":"${esc(e)}""""
     }
+    val corpusJson = corpusStreaming match {
+      case Right((n, secs)) =>
+        s""""corpus_stream_docs":$n,"corpus_stream_sec":$secs,""" +
+          s""""corpus_stream_docs_per_sec":${(n / secs).round}"""
+      case Left(e) => s""""corpus_stream_err":"${esc(e)}""""
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""flagship_total":$flagship,$streamJson,""" +
+        s""""flagship_total":$flagship,$streamJson,$corpusJson,""" +
         s""""cpus":$cpus,"timed_runs":$timedRuns,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")

@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 
+/** One arriving document: id + body + event time (the streaming corpus
+  * record; also the StreamBench/CorpusStreamSpec input shape).
+  */
+case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
 /** Streaming corpus preparation — the batch `pipeline_corpus_prep` chain
   * (exact dedup → language ID → quality gate → per-language stats) running
   * continuously over documents as they arrive.

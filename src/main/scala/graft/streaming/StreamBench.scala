@@ -47,4 +47,42 @@ object StreamBench {
     val secs = (System.nanoTime() - t0) / 1e9
     (events.size.toLong, secs)
   }
+
+  /** Drain `nDocs` synthetic documents (every third a content duplicate)
+    * through the full streaming corpus-prep chain — content dedup →
+    * annotation → quality gate → update-mode language rollup — into a
+    * memory sink. Returns (docs drained, wall seconds). The deterministic
+    * generator mixes doc lengths so the tokenizer/regex work is realistic
+    * rather than constant-folded.
+    */
+  def corpusPrepThroughput(spark: SparkSession, nDocs: Int): (Long, Double) = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val words = Array("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "and", "it", "was", "a", "good", "day", "for", "this",
+      "stream", "of", "documents", "to", "be", "scored", "in", "order")
+    val input = MemoryStream[DocEvent]
+    val docs = (0 until nDocs).map { i =>
+      val base = if (i % 3 == 2) i - 1 else i // every 3rd duplicates its predecessor
+      val n = 20 + (base * 7) % 60
+      val text = (0 until n).map(j => words((base + j * 13) % words.length))
+        .mkString(" ")
+      DocEvent(i.toLong, text,
+        new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }
+    input.addData(docs)
+    val checkpoint = Files.createTempDirectory("graft_cbench_cp").toString
+    val t0 = System.nanoTime()
+    val q = CorpusStream.langStats(CorpusStream.prepared(
+        input.toDF(), "doc_id", "text", "ts", watermark = "1 hour"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .format("memory").queryName("corpus_bench")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    (nDocs.toLong, secs)
+  }
 }

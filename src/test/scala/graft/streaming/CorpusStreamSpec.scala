@@ -5,8 +5,6 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkSpec
 
-case class DocEvent(doc_id: Long, text: String, ts: Timestamp)
-
 /** Streaming corpus prep: content dedup across micro-batches, quality
   * gating, and cumulative per-language stats in update mode.
   */
