@@ -76,24 +76,21 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }
-    // streaming throughput (VERDICT r03 #4): MemoryStream → stateful
-    // completeness join → keyed upsert sink, drained with AvailableNow
-    // a failure here is recorded as streaming_err but does NOT fail the
-    // bench: the query set is the driver contract, the streaming metric is
-    // supplementary
-    val streaming: Either[String, (Long, Double)] =
-      try Right(graft.streaming.StreamBench.completenessThroughput(
-        spark, nOrders = 20000, itemsPer = 3))
-      catch { case e: Throwable =>
-        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-      }
-    // second streaming surface: the corpus-prep chain (content dedup →
-    // annotate → gate → language rollup), docs/second
-    val corpusStreaming: Either[String, (Long, Double)] =
-      try Right(graft.streaming.StreamBench.corpusPrepThroughput(
-        spark, nDocs = 50000))
-      catch { case e: Throwable =>
-        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+    // streaming throughputs (VERDICT r03 #4): each surface is drained with
+    // AvailableNow and reported as <prefix>_<count/sec/rate> keys; a
+    // failure is recorded as <prefix>_err but does NOT fail the bench (the
+    // query set is the driver contract, streaming metrics are
+    // supplementary)
+    def streamMetric(prefix: String, countKey: String, rateKey: String)
+                    (thunk: => (Long, Double)): String =
+      (try Right(thunk)
+       catch { case e: Throwable =>
+         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+       }) match {
+        case Right((n, secs)) =>
+          s""""${prefix}_$countKey":$n,"${prefix}_sec":$secs,""" +
+            s""""${prefix}_$rateKey":${(n / secs).round}"""
+        case Left(e) => s""""${prefix}_err":"${esc(e)}""""
       }
     val qs = results.map {
       case (k, Right(v)) => s""""${esc(k)}":$v"""
@@ -103,18 +100,13 @@ object Bench {
     val flagship = results.collect {
       case (n, Right(v)) if n == "a1_category_kpis" || n == "a2_daily_kpis" => v
     }.sum
-    val streamJson = streaming match {
-      case Right((n, secs)) =>
-        s""""streaming_events":$n,"streaming_sec":$secs,""" +
-          s""""streaming_events_per_sec":${(n / secs).round}"""
-      case Left(e) => s""""streaming_err":"${esc(e)}""""
-    }
-    val corpusJson = corpusStreaming match {
-      case Right((n, secs)) =>
-        s""""corpus_stream_docs":$n,"corpus_stream_sec":$secs,""" +
-          s""""corpus_stream_docs_per_sec":${(n / secs).round}"""
-      case Left(e) => s""""corpus_stream_err":"${esc(e)}""""
-    }
+    // MemoryStream → stateful completeness join → keyed upsert sink
+    val streamJson = streamMetric("streaming", "events", "events_per_sec")(
+      graft.streaming.StreamBench.completenessThroughput(
+        spark, nOrders = 20000, itemsPer = 3))
+    // the corpus-prep chain: content dedup → annotate → gate → rollup
+    val corpusJson = streamMetric("corpus_stream", "docs", "docs_per_sec")(
+      graft.streaming.StreamBench.corpusPrepThroughput(spark, nDocs = 50000))
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""flagship_total":$flagship,$streamJson,$corpusJson,""" +

@@ -116,21 +116,8 @@ object SparkEntry {
     Tables.embeddings(s, dir).withColumn("emb_d",
       transform(col("embedding"), x => x.cast("double")))
 
-  /** Scratch dir for the roundtrip queries; registered for recursive
-    * deletion at JVM exit so repeated Verify/Bench runs don't accumulate
-    * table copies in /tmp (code-review r3).
-    */
-  private def tmpDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      } catch { case _: Exception => () }))
-    dir.toString
-  }
+  /** Scratch dir for the roundtrip queries (self-cleaning, shared impl). */
+  private def tmpDir(prefix: String): String = graft.util.Scratch.dir(prefix)
 
   /** One entry per implemented operator from SURVEY.md §2 / §7.5. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

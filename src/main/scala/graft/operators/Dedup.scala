@@ -150,9 +150,10 @@ object Dedup {
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
                          shingleN: Int = 3, maxBucket: Int = 10000,
-                         maxIters: Int = 20): DataFrame = {
+                         maxIters: Int = 20,
+                         cacheSignatures: Boolean = true): DataFrame = {
     val pairs = nearDuplicates(docs, idCol, textCol, threshold, k, bands,
-      shingleN, maxBucket)
+      shingleN, maxBucket, cacheSignatures)
     val clusters = graft.operators.Grouping.connectedComponents(
       pairs, "id_a", "id_b", maxIters)
     val drop = clusters.filter(col("node") =!= col("component"))

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
@@ -33,8 +32,8 @@ object StreamBench {
           PartEvent(id, Completeness.KindProduct, Some(s"p$i"))))
     }
     input.addData(events)
-    val target = Files.createTempDirectory("graft_sbench_tgt").toString
-    val checkpoint = Files.createTempDirectory("graft_sbench_cp").toString
+    val target = graft.util.Scratch.dir("graft_sbench_tgt")
+    val checkpoint = graft.util.Scratch.dir("graft_sbench_cp")
     val t0 = System.nanoTime()
     val q = Completeness.stream(input.toDS()).toDF()
       .writeStream
@@ -71,7 +70,7 @@ object StreamBench {
         new java.sql.Timestamp(1700000000000L + i * 1000L))
     }
     input.addData(docs)
-    val checkpoint = Files.createTempDirectory("graft_cbench_cp").toString
+    val checkpoint = graft.util.Scratch.dir("graft_cbench_cp")
     val t0 = System.nanoTime()
     val q = CorpusStream.langStats(CorpusStream.prepared(
         input.toDF(), "doc_id", "text", "ts", watermark = "1 hour"))
