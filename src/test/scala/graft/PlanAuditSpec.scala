@@ -84,6 +84,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("runtime bloom-filter pruning engages on a selective shuffle join (100 TB lever)") {
+    // At cluster scale a selective dim filter should prune the fact-side
+    // shuffle via Spark's runtime bloom filter (InjectRuntimeFilter). The
+    // lever is config-on by default; this locks that our plans stay
+    // eligible for it (equi-join + selective creation side) when the join
+    // is too big to broadcast. Thresholds are forced only because sf0.001
+    // inputs are far below the production defaults.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      val p = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("w_running_total / w_day_over_day: partitioned window, never a global sort") {
     for (q <- Seq("w_running_total", "w_day_over_day")) {
       val p = plan(q)
