@@ -18,6 +18,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
   }
 
+  test("driver contract: entry() returns rows (the smoke check the driver runs)") {
+    assert(SparkEntry.entry(spark).count() > 0L)
+  }
+
   test("w_global_topk: TakeOrderedAndProject, never a global range sort") {
     val p = plan("w_global_topk")
     assert(p.contains("TakeOrderedAndProject"))
