@@ -1,25 +1,73 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, GraftBridge, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, Text}
+import graft.operators.Similarity
 
-/** Session extension: exposes the engine's native expressions to SQL users
-  * (`spark.sql.extensions=graft.GraftExtensions` →
-  * `SELECT graft_dot(a, b)`). The DataFrame API reaches the same
-  * expressions directly (Similarity.dot), so the injection is for SQL
-  * parity, not a separate code path.
+/** Session extension: exposes the engine's expressions to pure-SQL users
+  * (`spark.sql.extensions=graft.GraftExtensions`, or
+  * `.withExtensions(new GraftExtensions)` on the builder). The DataFrame
+  * API reaches the same expressions directly (Similarity.dot, Text.tokens,
+  * …), so the injections are SQL parity, not a separate code path — each
+  * builder converts the SQL argument expressions to Columns, runs the ONE
+  * shared Column-composition, and hands the composed expression tree back
+  * (VERDICT r04 #8; recipes for the whole-operator surfaces live in
+  * docs/SQL.md).
+  *
+  * Registered: graft_dot, graft_cosine, graft_norm, graft_tokens,
+  * graft_shingles, graft_lang_id, graft_bpe_token_count,
+  * graft_fingerprint.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+
+  private def inject(ext: SparkSessionExtensions, name: String, arity: Int,
+                     build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => children match {
-        case Seq(l, r) => DotProduct(l, r)
-        case other => throw new IllegalArgumentException(
-          s"graft_dot expects exactly 2 arguments, got ${other.size}")
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (children: Seq[Expression]) => {
+        if (children.size != arity)
+          throw new IllegalArgumentException(
+            s"$name expects exactly $arity argument(s), got ${children.size}")
+        build(children)
       }))
+
+  // resolvableExpression, not expression: the analyzer must be able to see
+  // (and keep resolving) the composed tree — see GraftBridge's scaladoc
+  private def col1(f: Column => Column): Seq[Expression] => Expression =
+    es => GraftBridge.resolvableExpression(f(GraftBridge.column(es.head)))
+
+  private def col2(f: (Column, Column) => Column): Seq[Expression] => Expression =
+    es => GraftBridge.resolvableExpression(
+      f(GraftBridge.column(es(0)), GraftBridge.column(es(1))))
+
+  /** A literal-int argument (e.g. a shingle width): SQL-side it arrives as
+    * an Expression, but the Column API takes a plain Int — require a
+    * foldable integer and evaluate it at resolution time.
+    */
+  private def litInt(name: String, e: Expression): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$name: expected an INT literal, got $other")
+    } else throw new IllegalArgumentException(
+      s"$name: the width argument must be a literal")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // native codegen'd expression — injected directly
+    inject(ext, "graft_dot", 2, {
+      case Seq(l, r) => DotProduct(l, r)
+    })
+    // Column-composed surfaces, shared verbatim with the DataFrame API
+    inject(ext, "graft_cosine", 2, col2(Similarity.cosine))
+    inject(ext, "graft_norm", 1, col1(Similarity.norm))
+    inject(ext, "graft_tokens", 1, col1(Text.tokens))
+    inject(ext, "graft_shingles", 2, es => GraftBridge.resolvableExpression(
+      Text.shingles(GraftBridge.column(es(0)), litInt("graft_shingles", es(1)))))
+    inject(ext, "graft_lang_id", 1, col1(Text.langId(_)))
+    inject(ext, "graft_bpe_token_count", 1, col1(Text.bpeTokenCount))
+    inject(ext, "graft_fingerprint", 1, col1(Text.fingerprint))
   }
 }

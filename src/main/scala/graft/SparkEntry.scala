@@ -566,6 +566,51 @@ object SparkEntry {
           array_join(col("productIds"), ",").as("product_ids"))
     }),
 
+    // ST5, second KPI table (VERDICT r04 #1): the REAL streaming
+    // dailyKpiWriterPartitioned drained (AvailableNow) over a file-sourced
+    // copy of the enriched rows into its partitioned upsert table, read
+    // back and compared per day against the exact batch dailyKpis. Exact
+    // columns (decimal-summed revenue, item count) are pinned equal; the
+    // HLL++ sketch columns are pinned within 5% (tolerance-oracle pattern,
+    // like a8_approx_distinct). An inner join makes a MISSING day fail the
+    // driver's row-count compare, so silent drops can't pass.
+    "st_daily_kpis" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val enr = enriched(s, dir)
+      val stage = tmpDir("graft_stdk_in")
+      enr.select(col("order_id"), col("user_id"), col("product_id"),
+          col("sale_price"), col("is_returned"), col("order_date"))
+        .write.mode("overwrite").parquet(stage)
+      val (out, cp) = (tmpDir("graft_stdk_out"), tmpDir("graft_stdk_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+      val q = graft.streaming.StreamingPipeline
+        .dailyKpiWriterPartitioned(stream, out, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = s.read.parquet(out + "/data").select(
+        col("order_date"), col("total_orders").as("s_orders"),
+        col("total_revenue").as("s_revenue"),
+        col("total_items_sold").as("s_items"),
+        col("return_rate").as("s_rr"),
+        col("unique_customers").as("s_users"))
+      Kpis.dailyKpis(enr).join(streamed, Seq("order_date"))
+        .select(col("order_date"),
+          (col("s_revenue") === col("total_revenue")).as("revenue_exact"),
+          (col("s_items") === col("total_items_sold")).as("items_exact"),
+          (abs(col("s_orders") - col("total_orders")) <=
+            greatest(lit(1.0), col("total_orders") * 0.05)).as("orders_close"),
+          (abs(col("s_users") - col("unique_customers")) <=
+            greatest(lit(1.0), col("unique_customers") * 0.05)).as("customers_close"),
+          // rate × orders recovers the EXACT returned-item count on both
+          // sides (the numerator is exact everywhere; only the denominator
+          // is sketched) — a sharper invariant than a tolerance on the
+          // ratio itself, which an off-by-one sketch on a 2-order day
+          // would break while still being a correct sketch
+          (abs(col("s_rr") * col("s_orders") -
+            col("return_rate") * col("total_orders")) <= lit(0.5))
+            .as("returned_count_match"))
+    }),
+
     // ---- event-time windows (§7.5 extensions over the events stream) ----
     "e_tumbling" -> ((s, dir) =>
       graft.streaming.Windows.tumbling(
@@ -1322,6 +1367,17 @@ object SparkEntry {
          SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
                 array_to_string(list_sort(list(DISTINCT CAST(l_partkey AS VARCHAR))), ',') AS product_ids
          FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM compl)
+         GROUP BY 1""",
+    // every day present, every comparison flag true — a false or missing
+    // row fails the hash/row compare
+    "st_daily_kpis" ->
+      """SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+                true AS revenue_exact, true AS items_exact,
+                true AS orders_close, true AS customers_close,
+                true AS returned_count_match
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1""",
 
     "e_tumbling" ->

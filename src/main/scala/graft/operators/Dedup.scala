@@ -17,6 +17,16 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Release every cache a graft operator persisted internally this session
+    * (near-dup band signatures, SimHash signatures, k-means/IVF centroids —
+    * see [[graft.util.Caches]]). Loop callers invoke this between dedup
+    * passes so signature caches from consumed results don't accumulate;
+    * unrelated user cache entries are untouched (unlike
+    * `spark.catalog.clearCache()`). VERDICT r04 #7.
+    */
+  def clearCaches(blocking: Boolean = false): Unit =
+    graft.util.Caches.clear(blocking)
+
   /** Exact dedup: group identical content, keep the smallest id.
     * `sha2(text)` grouping gives fixed-width shuffle keys (64 hex chars vs
     * arbitrary document length) — at 100 TB you shuffle digests, not bodies.
@@ -177,13 +187,14 @@ object Dedup {
     // sigs are (id, band, sig) — 3 fixed-width values × bands per doc —
     // so the cache is tiny relative to the corpus at any scale. The cache
     // backs the returned lazy plan, so it cannot be unpersisted here; it
-    // lives until session cleanup / spark.catalog.clearCache(). Callers
-    // preferring recompute over a session-lived cache entry pass
+    // lives until [[clearCaches]] / session cleanup. Callers preferring
+    // recompute over a session-lived cache entry pass
     // cacheSignatures = false.
     val banded0 = bandSignatures(sigs, idCol, k, bands)
     val banded =
       if (cacheSignatures)
-        banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.util.Caches.retain(
+          banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else banded0
     val cands = lshCandidates(banded, idCol, maxBucket)
     jaccardVerify(cands, docs, idCol, textCol, shingleN)
@@ -257,7 +268,8 @@ object Dedup {
     val sigs0 = simhash(docs, idCol, textCol)
     val sigs =
       if (cacheSignatures)
-        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.util.Caches.retain(
+          sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else sigs0
     val banded = capBuckets(sigs.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),

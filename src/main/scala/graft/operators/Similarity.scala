@@ -130,7 +130,8 @@ object Similarity {
       }
     }
     // exactly one cached frame (the centroids the returned assignment
-    // reads) survives; it is freed with the session or clearCache
+    // reads) survives; registered for release via Dedup.clearCaches
+    if (backingAssigned != null) graft.util.Caches.retain(backingAssigned)
     assigned.select(col(cId), col("cell"))
   }
 
@@ -142,7 +143,18 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int,
               nprobe: Int = 2, qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val cents = centroids(corpus, cellCol, cVec)
+    // Materialize the nlist-row centroid frame BEFORE the probe join
+    // (VERDICT r04 #3): un-persisted, the full corpus aggregation behind
+    // centroids() rides inside the probes broadcast subtree — and when the
+    // corpus itself carries an expensive subtree (ann_ivf_kmeans stacks the
+    // k-means assignment under it), that whole tree re-plans under the
+    // nested broadcast instead of reading nlist cached rows. The cache is
+    // nlist rows (session-lived, released via Dedup.clearCaches — see
+    // graft.util.Caches).
+    val cents = graft.util.Caches.retain(
+      centroids(corpus, cellCol, cVec)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cents.count()
     val probeW = Window.partitionBy(col(qId)).orderBy(col("csim").desc, col("cell"))
     val probes = queries.join(broadcast(cents))
       .select(col(qId), col(qVec), col("cell"),

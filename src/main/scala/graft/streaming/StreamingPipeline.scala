@@ -110,22 +110,90 @@ object StreamingPipeline {
         }
     }
 
+  /** Single-writer fencing for the rename-swap tables (VERDICT r04 #4):
+    * the swap protocol is crash-safe but NOT multi-writer-safe — two
+    * writers interleaving rename(cur, bak)/rename(tmp, cur) can each
+    * promote a merge that never saw the other's rows (the reference's
+    * Delta MERGE is ACID under concurrent writers, transform.py:331-339;
+    * this is the explicit substitute contract). A `_writer_lock` file
+    * created with overwrite=false fences: the second writer fails fast
+    * with a clear error instead of silently losing updates.
+    *
+    * A crashed holder can't release, so a found lock is broken when its
+    * recorded pid is provably dead on this host, or when it is older than
+    * `staleMs` (a cross-host crash — age is the only portable signal).
+    * A live same-JVM or fresh foreign lock throws.
+    */
+  private[graft] def withWriterLock[A](fs: org.apache.hadoop.fs.FileSystem,
+                                       root: Path, staleMs: Long)(body: => A): A = {
+    fs.mkdirs(root)
+    val lock = new Path(root, "_writer_lock")
+    val myPid = ProcessHandle.current().pid()
+    val myHost = java.net.InetAddress.getLocalHost.getHostName
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        out.writeBytes(s"pid=$myPid host=$myHost ts=${System.currentTimeMillis()}\n")
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def holderDead(): Boolean =
+      try {
+        val in = fs.open(lock)
+        val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        val kv = content.trim.split("\\s+").flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v); case _ => None
+        }).toMap
+        val sameHost = kv.get("host").contains(myHost)
+        val pidDead = kv.get("pid").flatMap(p => scala.util.Try(p.toLong).toOption)
+          .exists(p => p != myPid &&
+            !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        val age = System.currentTimeMillis() -
+          kv.get("ts").flatMap(t => scala.util.Try(t.toLong).toOption)
+            .getOrElse(fs.getFileStatus(lock).getModificationTime)
+        (sameHost && pidDead) || age > staleMs
+      } catch {
+        case _: java.io.FileNotFoundException => true // released between checks
+        case _: Throwable => false                    // unreadable: assume held
+      }
+    var acquired = tryAcquire()
+    if (!acquired && holderDead()) {
+      fs.delete(lock, false)
+      acquired = tryAcquire()
+    }
+    if (!acquired)
+      throw new IllegalStateException(
+        s"another writer holds $lock — concurrent upserts into $root would " +
+          "interleave swaps and lose updates; stop the other writer (or " +
+          "remove a stale lock) first")
+    try body
+    finally fs.delete(lock, false)
+  }
+
+  /** Default staleness for [[withWriterLock]]: a healthy batch holds the
+    * lock for seconds, so 10 minutes marks a cross-host crash without
+    * racing a slow merge.
+    */
+  private val LockStaleMs = 10 * 60 * 1000L
+
   def upsertBatch(targetDir: String, keys: Seq[String])
                  (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(root, "data")
-    recoverBackup(fs, root, cur)
-    val merged =
-      if (fs.exists(cur)) Upsert.upsert(spark.read.parquet(cur.toString), batch, keys)
-      else batch
-    val tmp = new Path(root, s"_staging_$batchId")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(root, s"_bak_$batchId")
-    if (fs.exists(cur)) fs.rename(cur, bak)
-    fs.rename(tmp, cur)
-    fs.delete(bak, true)
+    withWriterLock(fs, root, LockStaleMs) {
+      recoverBackup(fs, root, cur)
+      val merged =
+        if (fs.exists(cur)) Upsert.upsert(spark.read.parquet(cur.toString), batch, keys)
+        else batch
+      val tmp = new Path(root, s"_staging_$batchId")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      val bak = new Path(root, s"_bak_$batchId")
+      if (fs.exists(cur)) fs.rename(cur, bak)
+      fs.rename(tmp, cur)
+      fs.delete(bak, true)
+    }
   }
 
   /** Partition-aware variant of [[upsertBatch]]: only the partitions the
@@ -150,6 +218,7 @@ object StreamingPipeline {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(root, "data")
+    withWriterLock(fs, root, LockStaleMs) {
     recoverBackup(fs, root, cur)
     recoverPartitionBackups(fs, root, cur, partitionCol)
     val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))
@@ -185,6 +254,7 @@ object StreamingPipeline {
         fs.delete(bak, true)
       }
     fs.delete(stage, true)
+    }
   }
 
   /** Streaming category KPIs (ST5): the same aggregation as the batch
@@ -220,4 +290,36 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(upsertPartitionedBatch(targetDir,
         Seq("category", "order_date"), "order_date") _)
+
+  /** Streaming daily KPIs (VERDICT r04 #1 — the reference upserts BOTH KPI
+    * tables per trigger batch, transform.py:348-352 AND 359-365; the
+    * category writer alone left `order_kpis_daily` batch-only). Cumulative
+    * update-mode aggregation of [[graft.transform.Kpis.dailyKpisStreaming]]
+    * — the A2 family with mergeable HLL++ sketches standing in for the
+    * streaming-unsafe exact countDistinct — upserted per micro-batch
+    * through the same idempotent swap sink as the category table.
+    */
+  def dailyKpiWriter(enrichedStream: DataFrame, targetDir: String,
+                     checkpointDir: String): DataStreamWriter[Row] =
+    Kpis.dailyKpisStreaming(enrichedStream)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(upsertBatch(targetDir, Seq("order_date")) _)
+
+  /** The 100 TB form of [[dailyKpiWriter]]: table partitioned by
+    * order_date (the key itself), so a micro-batch merges and swaps only
+    * the days it touched — per-batch sink I/O is O(days in the batch),
+    * not O(days of history). One row per partition is the degenerate-small
+    * end of partitioning; it is still the right trade here because the
+    * whole-table rewrite is what grows with history.
+    */
+  def dailyKpiWriterPartitioned(enrichedStream: DataFrame, targetDir: String,
+                                checkpointDir: String): DataStreamWriter[Row] =
+    Kpis.dailyKpisStreaming(enrichedStream)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(upsertPartitionedBatch(targetDir,
+        Seq("order_date"), "order_date") _)
 }

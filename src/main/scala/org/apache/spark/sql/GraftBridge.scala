@@ -9,4 +9,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Convert a Column composition into a REAL catalyst expression tree
+    * (UnresolvedFunction nodes and all), not the opaque lazy
+    * ColumnNodeExpression leaf `expression` yields. Required when the
+    * result is handed back to the ANALYZER mid-resolution (SQL function
+    * builders in GraftExtensions): the analyzer resolves unresolved
+    * functions inside a returned tree on its next fixed-point pass, but it
+    * never looks inside an Unevaluable ColumnNodeExpression wrapper.
+    */
+  def resolvableExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -98,4 +98,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((1L, 2L)).contains(0))
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("clearCaches releases the session-lived signature caches (VERDICT r04 #7)") {
+    Dedup.clearCaches(blocking = true) // start from a clean registry
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // materialize both cache-bearing pipelines so their persists have blocks
+    Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.5).count()
+    Dedup.simhashNearDuplicates(corpus, "doc_id", "text").count()
+    assert(graft.util.Caches.registeredCount >= 2)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "signature caches should be materialized")
+    Dedup.clearCaches(blocking = true)
+    assert(graft.util.Caches.registeredCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "no orphaned cache entry may survive clearCaches")
+    // a second invocation after the clear recomputes and still answers
+    val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    Dedup.clearCaches(blocking = true)
+  }
 }

@@ -64,6 +64,21 @@ class GroupingSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents with a reliable checkpointDir matches the localCheckpoint path") {
+    // VERDICT r04 #5: same chain/clique graph through DFS checkpoints
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val cpDir = graft.util.Scratch.dir("graft_cc_cp")
+    val out = Grouping.connectedComponents(edges, "src", "dst",
+        checkpointDir = Some(cpDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // the reliable checkpoints really went to the requested dir
+    assert(new java.io.File(cpDir).listFiles() != null &&
+      new java.io.File(cpDir).listFiles().nonEmpty)
+  }
+
   test("connectedComponents converges on a long path (diameter > 2)") {
     // a 12-node path: worst case for label propagation, needs ~diameter iters
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")

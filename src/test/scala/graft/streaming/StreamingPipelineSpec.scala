@@ -212,4 +212,130 @@ class StreamingPipelineSpec extends SparkSpec {
     // the 2024-01-02 partition's files were not rewritten
     assert(d2dir.listFiles().map(_.getName).toSet == d2files)
   }
+
+  // ---- streaming daily KPIs (VERDICT r04 #1: the second KPI table) ----
+
+  private def enrichedOrderRows(
+      rows: Seq[(String, Long, Long, Double, Boolean, java.sql.Date)]): DataFrame =
+    rows.toDF("order_id", "user_id", "product_id", "sale_price",
+      "is_returned", "order_date")
+
+  private def dailyMap(df: DataFrame): Map[String, (Long, Double, Long, Double, Long)] =
+    df.select("order_date", "total_orders", "total_revenue",
+        "total_items_sold", "return_rate", "unique_customers")
+      .collect().map(r => r.get(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+
+  test("streaming daily KPIs equal the exact batch computation cumulatively") {
+    val (in, out, cp) = (tmp("graft_din"), tmp("graft_dout"), tmp("graft_dcp"))
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    def drainD(): Unit = {
+      val stream = spark.readStream
+        .schema(enrichedOrderRows(Seq.empty).schema).parquet(in)
+      val q = StreamingPipeline.dailyKpiWriter(stream, out, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    landFile(enrichedOrderRows(Seq(
+      ("o1", 1L, 10L, 10.0, false, d1),
+      ("o1", 1L, 11L, 30.0, true, d1),   // same order, second item
+      ("o2", 2L, 10L, 5.0, false, d1),
+      ("o3", 1L, 12L, 7.0, false, d2))), in, "f1")
+    drainD()
+    // HLL++ is exact at these cardinalities (sparse mode), so the streamed
+    // sketch columns must EQUAL the batch countDistinct, not just approach it
+    assert(dailyMap(spark.read.parquet(out + "/data")) ==
+      dailyMap(Kpis.dailyKpis(spark.read.parquet(in))))
+
+    // ST5: a late file revises d1 (new order, NEW user) — cumulative
+    // aggregates restate, untouched d2 row survives the upsert
+    landFile(enrichedOrderRows(Seq(
+      ("o4", 3L, 10L, 20.0, false, d1))), in, "f2")
+    drainD()
+    val after = dailyMap(spark.read.parquet(out + "/data"))
+    assert(after == dailyMap(Kpis.dailyKpis(spark.read.parquet(in))))
+    assert(after("2024-01-01") == (3L, 65.0, 4L, 1.0 / 3, 3L))
+    assert(after("2024-01-02") == (1L, 7.0, 1L, 0.0, 1L))
+  }
+
+  test("partitioned daily KPI writer lays the table out by day and matches batch") {
+    val (in, out, cp) = (tmp("graft_dpin"), tmp("graft_dpout"), tmp("graft_dpcp"))
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    landFile(enrichedOrderRows(Seq(
+      ("o1", 1L, 10L, 10.0, false, d1),
+      ("o2", 2L, 11L, 30.0, true, d2))), in, "f1")
+    val stream = spark.readStream
+      .schema(enrichedOrderRows(Seq.empty).schema).parquet(in)
+    val q = StreamingPipeline.dailyKpiWriterPartitioned(stream, out, cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(dailyMap(spark.read.parquet(out + "/data")) ==
+      dailyMap(Kpis.dailyKpis(spark.read.parquet(in))))
+    assert(new java.io.File(out + "/data/order_date=2024-01-01").isDirectory)
+  }
+
+  test("st_daily_kpis registered query: every comparison flag true on testdata") {
+    // the driver-oracle shape: real partitioned streaming writer vs the
+    // exact batch dailyKpis — exact columns equal, sketch columns within 5%
+    val rows = graft.SparkEntry.queries("st_daily_kpis")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => (1 to 5).forall(r.getBoolean)),
+      "a streamed daily KPI diverged from the batch computation")
+  }
+
+  // ---- writer-concurrency fencing (VERDICT r04 #4) ----
+
+  private def writeLock(out: String, pid: Long, host: String, ts: Long): java.io.File = {
+    new java.io.File(out).mkdirs()
+    val lock = new java.io.File(out, "_writer_lock")
+    java.nio.file.Files.writeString(lock.toPath, s"pid=$pid host=$host ts=$ts\n")
+    lock
+  }
+
+  test("a second concurrent writer fails fast instead of interleaving swaps") {
+    val out = tmp("graft_lock1")
+    val b = Seq((1L, 10.0)).toDF("k", "v")
+    // a LIVE concurrent writer: the lock names this very (alive) process
+    val lock = writeLock(out, ProcessHandle.current().pid(),
+      java.net.InetAddress.getLocalHost.getHostName, System.currentTimeMillis())
+    val e = intercept[IllegalStateException] {
+      StreamingPipeline.upsertBatch(out, Seq("k"))(b, 0L)
+    }
+    assert(e.getMessage.contains("another writer"))
+    assert(!new java.io.File(out, "data").exists()) // loser wrote nothing
+    // same contract on the partitioned path
+    val bp = Seq(("2024-01-01", 1L, 10.0)).toDF("day", "k", "v")
+    intercept[IllegalStateException] {
+      StreamingPipeline.upsertPartitionedBatch(out, Seq("k"), "day")(bp, 0L)
+    }
+    lock.delete()
+    StreamingPipeline.upsertBatch(out, Seq("k"))(b, 0L) // released → proceeds
+    assert(spark.read.parquet(out + "/data").count() == 1)
+    assert(!new java.io.File(out, "_writer_lock").exists()) // released after the batch
+  }
+
+  test("locks from crashed writers are broken: dead pid on this host, stale foreign host") {
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val b = Seq((1L, 10.0)).toDF("k", "v")
+    // dead-pid lock (pid 2^31-1 exceeds linux pid_max — provably not alive)
+    val out1 = tmp("graft_lock2")
+    writeLock(out1, Int.MaxValue.toLong, host, System.currentTimeMillis())
+    StreamingPipeline.upsertBatch(out1, Seq("k"))(b, 0L)
+    assert(spark.read.parquet(out1 + "/data").count() == 1)
+    // stale foreign-host lock (older than the 10-minute staleness bound)
+    val out2 = tmp("graft_lock3")
+    writeLock(out2, 1L, "some-other-host", System.currentTimeMillis() - 11 * 60 * 1000L)
+    StreamingPipeline.upsertBatch(out2, Seq("k"))(b, 0L)
+    assert(spark.read.parquet(out2 + "/data").count() == 1)
+    // fresh foreign-host lock: held — must fail fast
+    val out3 = tmp("graft_lock4")
+    writeLock(out3, 1L, "some-other-host", System.currentTimeMillis())
+    intercept[IllegalStateException] {
+      StreamingPipeline.upsertBatch(out3, Seq("k"))(b, 0L)
+    }
+  }
 }

@@ -22,4 +22,19 @@ class KpisSpec extends SparkSpec {
     assert(classic.nonEmpty)
     assert(scalable == classic)
   }
+
+  test("dailyKpisStreaming equals dailyKpis on testdata (HLL++ sparse-exact at daily cardinalities)") {
+    val dir = "/root/testdata/sf0.001"
+    val joined = Kpis.enrich(
+      TestdataAdapter.orders(spark, dir),
+      TestdataAdapter.orderItems(spark, dir),
+      TestdataAdapter.products(spark, dir))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    // at rsd=0.01 the sketch stays in exact sparse mode for the ~handful of
+    // orders a day has, so the streaming formula's batch execution must be
+    // row-identical, not merely close
+    assert(rows(Kpis.dailyKpisStreaming(joined)) == rows(Kpis.dailyKpis(joined)))
+  }
 }
