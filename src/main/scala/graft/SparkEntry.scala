@@ -247,6 +247,19 @@ object SparkEntry {
       Grouping.connectedComponents(edges, "src", "dst")
         .select(col("node").as("order_id"), col("component").as("component_id"))
     }),
+    // the O(log n)-round star-contraction form (Kiveris et al., SoCC'14) on
+    // the SAME graph against the SAME recursive-closure oracle — the
+    // diameter-independent 100 TB path for the dedup cluster step
+    "g_cc_largestar" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_partkey") <= 30)
+        .select("l_partkey", "l_orderkey").distinct()
+      val a = li.select(col("l_partkey"), col("l_orderkey").as("src"))
+      val b = li.select(col("l_partkey"), col("l_orderkey").as("dst"))
+      val edges = a.join(b, Seq("l_partkey"))
+        .filter(col("src") < col("dst")).select("src", "dst").distinct()
+      Grouping.connectedComponentsStar(edges, "src", "dst")
+        .select(col("node").as("order_id"), col("component").as("component_id"))
+    }),
 
     // ---- dedup suite (§7.5) ----
     "dedup_exact" -> ((s, dir) =>
@@ -565,6 +578,14 @@ object SparkEntry {
         .select(col("orderId").as("order_id"),
           array_join(col("productIds"), ",").as("product_ids"))
     }),
+
+    // ST5, exact streaming form of the daily KPIs: the batch execution of
+    // the flatMapGroupsWithState operator (graft.streaming.DailyKpis),
+    // oracled against the SAME SQL as a2_daily_kpis — per-day id-set state
+    // reproduces the exact countDistinct integers, so streaming-exact and
+    // batch math cannot drift.
+    "st_daily_kpis_exact" -> ((s, dir) =>
+      graft.streaming.DailyKpis.stream(enriched(s, dir)).toDF()),
 
     // ST5, second KPI table (VERDICT r04 #1): the REAL streaming
     // dailyKpiWriterPartitioned drained (AvailableNow) over a file-sourced
@@ -1172,6 +1193,17 @@ object SparkEntry {
            UNION
            SELECT r.node, e.dst FROM r JOIN e ON r.m = e.src)
          SELECT node AS order_id, MIN(m) AS component_id FROM r GROUP BY 1""",
+    "g_cc_largestar" ->
+      """WITH RECURSIVE
+         li AS (SELECT DISTINCT l_partkey, l_orderkey FROM lineitem WHERE l_partkey <= 30),
+         e AS (SELECT a.l_orderkey AS src, b.l_orderkey AS dst
+               FROM li a JOIN li b
+                 ON a.l_partkey = b.l_partkey AND a.l_orderkey <> b.l_orderkey),
+         r(node, m) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM e)
+           UNION
+           SELECT r.node, e.dst FROM r JOIN e ON r.m = e.src)
+         SELECT node AS order_id, MIN(m) AS component_id FROM r GROUP BY 1""",
     "dedup_exact" ->
       """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id,
                 CAST(COUNT(*) AS BIGINT) AS dup_count
@@ -1367,6 +1399,19 @@ object SparkEntry {
          SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
                 array_to_string(list_sort(list(DISTINCT CAST(l_partkey AS VARCHAR))), ',') AS product_ids
          FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM compl)
+         GROUP BY 1""",
+    // the stateful exact-streaming operator answers the BATCH daily-KPI
+    // oracle verbatim (same math, different execution)
+    "st_daily_kpis_exact" ->
+      """SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+         COUNT(DISTINCT o.o_orderkey) AS total_orders,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         COUNT(l.l_partkey) AS total_items_sold,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(DISTINCT o.o_orderkey) AS return_rate,
+         COUNT(DISTINCT o.o_custkey) AS unique_customers
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1""",
     // every day present, every comparison flag true — a false or missing
     // row fails the hash/row compare

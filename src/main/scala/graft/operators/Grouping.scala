@@ -142,6 +142,92 @@ object Grouping {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction — the published O(log n)-round MapReduce algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14), re-expressed as DataFrame joins. This is the 100 TB form
+    * the [[connectedComponents]] scaladoc promises: min-label propagation
+    * needs O(graph diameter) rounds, so a chain-shaped graph (long
+    * citation/session chains) makes it crawl; star contraction halves
+    * tree heights every alternation and converges in O(log n) rounds
+    * REGARDLESS of diameter.
+    *
+    * Per round, two passes over the shrinking edge list, each one
+    * hash aggregation (per-node min neighbor) plus one equi-join on the
+    * node id — deliberately NO `collect_list` of neighborhoods, so a
+    * celebrity node costs a big join fan-out (distributed) instead of one
+    * giant reducer value:
+    *  - large-star: every neighbor v > u re-points to
+    *    m(u) = min(N(u) ∪ u), computed over the symmetrized edge list;
+    *  - small-star: keyed by the LARGER endpoint, every smaller neighbor
+    *    (and u itself) re-points to the neighborhood min.
+    * Both preserve the component structure (the paper's invariant: every
+    * emitted edge stays inside its endpoint's component and no edge is
+    * dropped in a way that disconnects one), so the fixed point — a star
+    * forest, detected EXACTLY as "no parent still appears as a child"
+    * (one semi-join on the contracted list per round, no fingerprint
+    * collision risk) — is precisely one star per original component,
+    * centered at its min id. Generations are lineage-truncated like the
+    * propagation loop (localCheckpoint, or reliable `checkpoint` via
+    * `checkpointDir`).
+    *
+    * Output contract matches [[connectedComponents]]: (node, component)
+    * for every node that appears in an edge, component = min id.
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxRounds: Int = 30,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def gen(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    var ed = gen(edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    // fixed point ⇔ star forest ⇔ no node is both a parent (b) and a
+    // child (a) — one left-semi on the (shrinking) edge list
+    def notYetStars(e: DataFrame): Boolean =
+      !e.select(col("b"))
+        .join(e.select(col("a")).distinct().withColumnRenamed("a", "b"),
+          Seq("b"), "left_semi")
+        .isEmpty
+    def round(e: DataFrame): DataFrame = {
+      // large-star over the symmetrized list: emit (v, m(u)) for v > u
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, sym("a") === mins("u"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star keyed by the larger endpoint: (v, m) ∀ v ≤ u, plus (u, m)
+      val dir = large.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val mins2 = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val small = dir.join(mins2, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(mins2.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      small
+    }
+    var i = 0
+    while (notYetStars(ed) && i < maxRounds) {
+      ed = gen(round(ed))
+      i += 1
+    }
+    if (notYetStars(ed))
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge after $maxRounds rounds — " +
+          "raise maxRounds (expected O(log n); this indicates a pathological " +
+          "input or a bug, not a deep graph)")
+    // fixed point = stars: every edge is (child, root). Roots label themselves.
+    ed.select(col("a").as("node"), col("b").as("component"))
+      .unionByName(ed.select(col("b").as("node"), col("b").as("component")))
+      .distinct()
+  }
+
   /** The full completeness pass, reference shape
     * (glue_job.py:221-256): candidates = keys pending from the fact side,
     * minus already-completed; keep those present in the entity table AND

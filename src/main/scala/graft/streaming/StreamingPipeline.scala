@@ -322,4 +322,18 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(upsertPartitionedBatch(targetDir,
         Seq("order_date"), "order_date") _)
+
+  /** EXACT streaming daily KPIs ([[graft.streaming.DailyKpis]]): the
+    * reference's exact integers (transform.py:395-399) kept under
+    * streaming by carrying per-day distinct-id sets in keyed state —
+    * choose this over [[dailyKpiWriter]] when per-day cardinality is
+    * state-store-affordable and the KV consumer needs exact counts.
+    */
+  def dailyKpiWriterExact(enrichedStream: DataFrame, targetDir: String,
+                          checkpointDir: String): DataStreamWriter[Row] =
+    DailyKpis.stream(enrichedStream).toDF()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(upsertBatch(targetDir, Seq("order_date")) _)
 }

@@ -79,6 +79,36 @@ class GroupingSpec extends SparkSpec {
       new java.io.File(cpDir).listFiles().nonEmpty)
   }
 
+  test("connectedComponentsStar: same clusters as label propagation on chains/cliques") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val out = Grouping.connectedComponentsStar(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponentsStar: 64-node path converges in O(log n) rounds, not O(diameter)") {
+    // label propagation needs ~63 iterations here; star contraction must
+    // land a single component well inside 12 rounds
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Grouping.connectedComponentsStar(edges, "src", "dst", maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (1L to 64L).toSet)
+    assert(out.values.toSet == Set(1L))
+  }
+
+  test("connectedComponentsStar equals connectedComponents on a seeded random graph") {
+    val rnd = new scala.util.Random(7L)
+    val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val prop = Grouping.connectedComponents(edges, "src", "dst", maxIters = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Grouping.connectedComponentsStar(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
   test("connectedComponents converges on a long path (diameter > 2)") {
     // a 12-node path: worst case for label propagation, needs ~diameter iters
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")

@@ -277,6 +277,36 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(new java.io.File(out + "/data/order_date=2024-01-01").isDirectory)
   }
 
+  test("EXACT streaming daily KPIs equal the batch computation bit-for-bit, cumulatively") {
+    val (in, out, cp) = (tmp("graft_ein"), tmp("graft_eout"), tmp("graft_ecp"))
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    def drainE(): Unit = {
+      val stream = spark.readStream
+        .schema(enrichedOrderRows(Seq.empty).schema).parquet(in)
+      val q = StreamingPipeline.dailyKpiWriterExact(stream, out, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    landFile(enrichedOrderRows(Seq(
+      ("o1", 1L, 10L, 10.0, false, d1),
+      ("o1", 1L, 11L, 30.0, true, d1),
+      ("o2", 2L, 10L, 5.0, false, d1),
+      ("o3", 1L, 12L, 7.0, false, d2))), in, "f1")
+    drainE()
+    assert(dailyMap(spark.read.parquet(out + "/data")) ==
+      dailyMap(Kpis.dailyKpis(spark.read.parquet(in))))
+    // late revision: o1 re-keyed user? no — new order+user on d1, and a
+    // duplicate ORDER id on d2 (distinct must not double count it)
+    landFile(enrichedOrderRows(Seq(
+      ("o4", 3L, 10L, 20.0, false, d1),
+      ("o3", 1L, 13L, 2.0, true, d2))), in, "f2")
+    drainE()
+    val after = dailyMap(spark.read.parquet(out + "/data"))
+    assert(after == dailyMap(Kpis.dailyKpis(spark.read.parquet(in))))
+    assert(after("2024-01-02") == (1L, 9.0, 2L, 1.0, 1L))
+  }
+
   test("st_daily_kpis registered query: every comparison flag true on testdata") {
     // the driver-oracle shape: real partitioned streaming writer vs the
     // exact batch dailyKpis — exact columns equal, sketch columns within 5%

@@ -37,4 +37,20 @@ class KpisSpec extends SparkSpec {
     // row-identical, not merely close
     assert(rows(Kpis.dailyKpisStreaming(joined)) == rows(Kpis.dailyKpis(joined)))
   }
+
+  test("DailyKpis stateful operator (batch execution) equals dailyKpis bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val joined = Kpis.enrich(
+      TestdataAdapter.orders(spark, dir),
+      TestdataAdapter.orderItems(spark, dir),
+      TestdataAdapter.products(spark, dir))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    // integer-cents state + one final division must reproduce the decimal
+    // sum + cast exactly — this is what lets st_daily_kpis_exact share
+    // a2_daily_kpis' DuckDB oracle verbatim
+    assert(rows(graft.streaming.DailyKpis.stream(joined).toDF()) ==
+      rows(Kpis.dailyKpis(joined)))
+  }
 }
