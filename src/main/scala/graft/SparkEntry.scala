@@ -390,6 +390,29 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(df, "term").select("doc_id", "term", "tf", "df")
     }),
+    // Keyword extraction: top-3 terms per document by the DETERMINISTIC
+    // (tf DESC, df ASC, term) lexicographic order — highest in-document
+    // frequency, rarest in corpus, integer-exact end to end. The float
+    // tf·idf score is deliberately not part of the contract (libm log is
+    // engine-dependent in the last ulp — t_term_stats stance); this
+    // ordering is the hash-stable keyword heuristic built on the same
+    // TF/DF frames. Per-doc window after the (doc, term) aggregation:
+    // partition-parallel, no global sort.
+    "t_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
+      val tf = toks.filter(col("doc_id") < 50)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(df, "term")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    }),
     "t_fingerprint" -> ((s, dir) =>       // rows-only: xxhash64 rolling hash
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
@@ -1308,6 +1331,16 @@ object SparkEntry {
          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE doc_id < 50 GROUP BY 1, 2),
          df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1)
          SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)""",
+    "t_keywords" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE doc_id < 50 GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+               FROM tf JOIN df USING (term))
+         SELECT doc_id, term, tf, df, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
     "t_bpe_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS bpe_tokens

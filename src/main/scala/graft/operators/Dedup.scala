@@ -161,11 +161,21 @@ object Dedup {
                          threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
                          shingleN: Int = 3, maxBucket: Int = 10000,
                          maxIters: Int = 20,
-                         cacheSignatures: Boolean = true): DataFrame = {
+                         cacheSignatures: Boolean = true,
+                         starContraction: Boolean = false): DataFrame = {
     val pairs = nearDuplicates(docs, idCol, textCol, threshold, k, bands,
       shingleN, maxBucket, cacheSignatures)
-    val clusters = graft.operators.Grouping.connectedComponents(
-      pairs, "id_a", "id_b", maxIters)
+    // starContraction switches the cluster step to the O(log n)-round
+    // large-star/small-star form (Grouping.connectedComponentsStar) — pick
+    // it when the pair graph may be chain-shaped (transitive near-dups over
+    // a sliding corpus) rather than clique-ish, where propagation's
+    // O(diameter) rounds would dominate the whole pass
+    val clusters =
+      if (starContraction)
+        graft.operators.Grouping.connectedComponentsStar(
+          pairs, "id_a", "id_b", maxRounds = maxIters)
+      else graft.operators.Grouping.connectedComponents(
+        pairs, "id_a", "id_b", maxIters)
     val drop = clusters.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")

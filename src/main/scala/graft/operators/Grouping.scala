@@ -68,6 +68,37 @@ object Grouping {
       .agg(sort_array(collect_set(col(groupCol))).as("groups"))
   }
 
+  /** Lineage truncation for the iterative component loops: default is
+    * `localCheckpoint` (fast, executor-block-backed); with a
+    * `checkpointDir` each generation gets a reliable DFS checkpoint in its
+    * OWN subdirectory, and the caller releases a superseded generation's
+    * files once the next one is materialized — without that, an
+    * hours-long 100 TB loop writes every generation and never reclaims
+    * one (code-review r5). The final generation's files survive (the
+    * returned frame reads them); callers reclaim the root dir when done
+    * with the result.
+    */
+  private class GenCheckpointer(dir: Option[String]) {
+    private var i = 0
+    def checkpoint(df: DataFrame): (DataFrame, Option[org.apache.hadoop.fs.Path]) =
+      dir match {
+        case None => (df.localCheckpoint(true), None)
+        case Some(root) =>
+          val sc = df.sparkSession.sparkContext
+          val genDir = new org.apache.hadoop.fs.Path(root, s"gen_$i")
+          i += 1
+          sc.setCheckpointDir(genDir.toString)
+          (df.checkpoint(true), Some(genDir))
+      }
+    def release(spark: org.apache.spark.sql.SparkSession,
+                p: Option[org.apache.hadoop.fs.Path]): Unit =
+      p.foreach { path =>
+        try path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+        catch { case _: Throwable => () } // best-effort GC; never fail the loop
+      }
+  }
+
   /** Connected components by iterative min-label propagation — the step
     * after pairwise dedup/entity-matching: near-duplicate PAIRS must become
     * CLUSTERS so one representative per cluster survives (min id, matching
@@ -95,33 +126,37 @@ object Grouping {
     // generations in executor block storage — fast, but a lost block
     // restarts the whole loop, which on a real cluster with hours of
     // iterations is an availability bug. Passing a (DFS) checkpointDir
-    // switches every generation to a reliable `checkpoint`, trading a
+    // switches every generation to a reliable `checkpoint` with
+    // superseded-generation GC (see GenCheckpointer), trading a
     // write-per-iteration for executor-loss survival.
-    val sc = edges.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
-    def gen(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val spark = edges.sparkSession
+    val cp = new GenCheckpointer(checkpointDir)
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .filter(col("a") =!= col("b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = gen(und.select(col("a").as("node")).distinct()
+    var (labels, labelsDir) = cp.checkpoint(und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")))
-    def step(l: DataFrame): (DataFrame, Long) = {
+    def step(l: DataFrame): (DataFrame, Option[org.apache.hadoop.fs.Path], Long) = {
       val neighborMin = und.join(l, und("b") === l("node"))
         .groupBy(und("a").as("node")).agg(min(col("label")).as("__nmin"))
-      val next = gen(l.join(neighborMin, Seq("node"), "left")
+      val (next, nextDir) = cp.checkpoint(l.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).as("label")))
       val changed = next.filter(col("label") =!= col("__old")).count()
-      (next.drop("__old"), changed)
+      (next.drop("__old"), nextDir, changed)
+    }
+    def advance(): Long = {
+      val (next, nextDir, c) = step(labels)
+      cp.release(spark, labelsDir)
+      labels = next
+      labelsDir = nextDir
+      c
     }
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      val (next, c) = step(labels)
-      labels = next
-      changed = c
+      changed = advance()
       i += 1
     }
     // a silent non-converged exit would hand back labels that SPLIT true
@@ -132,7 +167,7 @@ object Grouping {
     // final hop may have just landed), so confirm with one extra pass and
     // only then fail loudly — the caller raises maxIters (or pre-contracts
     // the graph) knowingly.
-    val confirmChanged = if (changed > 0) step(labels)._2 else 0L
+    val confirmChanged = if (changed > 0) advance() else 0L
     und.unpersist()
     if (confirmChanged > 0)
       throw new IllegalStateException(
@@ -163,12 +198,15 @@ object Grouping {
     *    (and u itself) re-points to the neighborhood min.
     * Both preserve the component structure (the paper's invariant: every
     * emitted edge stays inside its endpoint's component and no edge is
-    * dropped in a way that disconnects one), so the fixed point — a star
-    * forest, detected EXACTLY as "no parent still appears as a child"
-    * (one semi-join on the contracted list per round, no fingerprint
-    * collision risk) — is precisely one star per original component,
-    * centered at its min id. Generations are lineage-truncated like the
-    * propagation loop (localCheckpoint, or reliable `checkpoint` via
+    * dropped in a way that disconnects one), and the paper's fixed point —
+    * a round leaving the edge set UNCHANGED — is exactly one star per
+    * original component, centered at its min id. Convergence is that set
+    * equality, checked exactly (count + one-sided `except` on the
+    * contracted lists; structural shortcuts like "no parent is still a
+    * child" are NOT sufficient — a graph such as {(1,3),(2,3)} satisfies
+    * them while still pointing at a non-minimum, code-review r5).
+    * Generations are lineage-truncated like the propagation loop
+    * (localCheckpoint, or reliable `checkpoint` + generation GC via
     * `checkpointDir`).
     *
     * Output contract matches [[connectedComponents]]: (node, component)
@@ -177,20 +215,15 @@ object Grouping {
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
                               maxRounds: Int = 30,
                               checkpointDir: Option[String] = None): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
-    def gen(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    var ed = gen(edges
+    val spark = edges.sparkSession
+    val cp = new GenCheckpointer(checkpointDir)
+    var (ed, edDir) = cp.checkpoint(edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b")).distinct())
-    // fixed point ⇔ star forest ⇔ no node is both a parent (b) and a
-    // child (a) — one left-semi on the (shrinking) edge list
-    def notYetStars(e: DataFrame): Boolean =
-      !e.select(col("b"))
-        .join(e.select(col("a")).distinct().withColumnRenamed("a", "b"),
-          Seq("b"), "left_semi")
-        .isEmpty
+    // exact set equality: both sides are distinct, so equal counts plus an
+    // empty one-sided except proves it (no fingerprint collision risk)
+    def sameEdgeSet(prev: DataFrame, next: DataFrame): Boolean =
+      prev.count() == next.count() && next.except(prev).isEmpty
     def round(e: DataFrame): DataFrame = {
       // large-star over the symmetrized list: emit (v, m(u)) for v > u
       val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
@@ -212,12 +245,24 @@ object Grouping {
         .distinct()
       small
     }
+    def advance(): Boolean = {
+      val (next, nextDir) = cp.checkpoint(round(ed))
+      val same = sameEdgeSet(ed, next) // compare BEFORE releasing prev's files
+      cp.release(spark, edDir)
+      ed = next
+      edDir = nextDir
+      same
+    }
+    var converged = false
     var i = 0
-    while (notYetStars(ed) && i < maxRounds) {
-      ed = gen(round(ed))
+    while (!converged && i < maxRounds) {
+      converged = advance()
       i += 1
     }
-    if (notYetStars(ed))
+    // rounds exhausted with the last compare still showing change: one
+    // confirm round (the change may have landed exactly on round maxRounds,
+    // mirroring connectedComponents' last-iteration confirm)
+    if (!converged && !advance())
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge after $maxRounds rounds — " +
           "raise maxRounds (expected O(log n); this indicates a pathological " +

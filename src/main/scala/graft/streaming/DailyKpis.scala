@@ -10,9 +10,17 @@ import org.apache.spark.sql.types.DecimalType
   * integer cents — a Long survives the state-store roundtrip bit-exactly
   * and sums associatively, where accumulating raw doubles in state would
   * drift from the batch decimal sum.
+  *
+  * Null columns carry the BATCH aggregate's null semantics instead of
+  * crashing the non-nullable deserializer (code-review r5): a null
+  * order/user id is an Option (countDistinct ignores nulls), a null
+  * sale_price contributes 0 cents (sum ignores nulls), a null product_id
+  * clears `itemPresent` (count(col) ignores nulls), a null is_returned
+  * counts as not-returned (countIf's otherwise-0 arm).
   */
-case class KpiItemEvent(orderDate: java.sql.Date, orderId: String,
-                        userId: Long, priceCents: Long, isReturned: Boolean)
+case class KpiItemEvent(orderDate: java.sql.Date, orderId: Option[String],
+                        userId: Option[Long], priceCents: Long,
+                        itemPresent: Boolean, isReturned: Boolean)
 
 /** Per-day cumulative state: the two distinct-id sets the exact counts
   * need, plus the three additive counters. State is O(orders + users) per
@@ -60,8 +68,10 @@ object DailyKpis {
       col("order_date").as("orderDate"),
       col("order_id").cast("string").as("orderId"),
       col("user_id").cast("long").as("userId"),
-      (col("sale_price").cast(DecimalType(18, 2)) * 100).cast("long").as("priceCents"),
-      col("is_returned").as("isReturned")).as[KpiItemEvent]
+      coalesce((col("sale_price").cast(DecimalType(18, 2)) * 100).cast("long"),
+        lit(0L)).as("priceCents"),
+      col("product_id").isNotNull.as("itemPresent"),
+      coalesce(col("is_returned"), lit(false)).as("isReturned")).as[KpiItemEvent]
   }
 
   /** Fold one micro-batch of one day's events into the cumulative state and
@@ -76,8 +86,9 @@ object DailyKpis {
     var any = false
     batch.foreach { e =>
       any = true
-      s = DailyKpiState(s.orders + e.orderId, s.users + e.userId,
-        s.revenueCents + e.priceCents, s.items + 1L,
+      s = DailyKpiState(s.orders ++ e.orderId, s.users ++ e.userId,
+        s.revenueCents + e.priceCents,
+        s.items + (if (e.itemPresent) 1L else 0L),
         s.returned + (if (e.isReturned) 1L else 0L))
     }
     if (!any) Iterator.empty

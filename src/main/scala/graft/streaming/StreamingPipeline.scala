@@ -120,9 +120,23 @@ object StreamingPipeline {
     * with a clear error instead of silently losing updates.
     *
     * A crashed holder can't release, so a found lock is broken when its
-    * recorded pid is provably dead on this host, or when it is older than
-    * `staleMs` (a cross-host crash — age is the only portable signal).
-    * A live same-JVM or fresh foreign lock throws.
+    * recorded pid is provably dead on this host, or — cross-host only,
+    * where pid liveness is unknowable — when it is older than `staleMs`.
+    * A live same-host holder is NEVER broken by age (its merge may simply
+    * be long; code-review r5). A live same-JVM or fresh foreign lock
+    * throws.
+    *
+    * Breaking is best-effort-atomic: the stale lock is RENAMED to a unique
+    * name (on local/HDFS only one breaker's rename succeeds), the renamed
+    * file is verified to be the one inspected (a mismatch means a fresh
+    * lock raced in — it is renamed back), and only then is the free path
+    * raced for with create(overwrite=false). Release deletes the lock only
+    * if it still carries THIS writer's token, so a holder whose lock was
+    * legitimately broken cannot delete its successor's lock. Without an
+    * atomic compare-and-swap primitive a read-check-act window remains on
+    * both paths; it needs ≥3 writers racing a dead lock within
+    * milliseconds — the documented residual against which the reference's
+    * ACID MERGE is the real answer (transform.py:331-339).
     */
   private[graft] def withWriterLock[A](fs: org.apache.hadoop.fs.FileSystem,
                                        root: Path, staleMs: Long)(body: => A): A = {
@@ -130,36 +144,49 @@ object StreamingPipeline {
     val lock = new Path(root, "_writer_lock")
     val myPid = ProcessHandle.current().pid()
     val myHost = java.net.InetAddress.getLocalHost.getHostName
+    val token = s"pid=$myPid host=$myHost ts=${System.currentTimeMillis()} " +
+      s"nonce=${java.util.UUID.randomUUID()}"
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lock, false)
-        out.writeBytes(s"pid=$myPid host=$myHost ts=${System.currentTimeMillis()}\n")
+        out.writeBytes(token + "\n")
         out.close()
         true
       } catch { case _: java.io.IOException => false }
-    def holderDead(): Boolean =
+    def readLock(p: Path): Option[String] =
       try {
-        val in = fs.open(lock)
-        val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-        val kv = content.trim.split("\\s+").flatMap(_.split("=", 2) match {
-          case Array(k, v) => Some(k -> v); case _ => None
-        }).toMap
-        val sameHost = kv.get("host").contains(myHost)
-        val pidDead = kv.get("pid").flatMap(p => scala.util.Try(p.toLong).toOption)
-          .exists(p => p != myPid &&
-            !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
-        val age = System.currentTimeMillis() -
-          kv.get("ts").flatMap(t => scala.util.Try(t.toLong).toOption)
-            .getOrElse(fs.getFileStatus(lock).getModificationTime)
-        (sameHost && pidDead) || age > staleMs
-      } catch {
-        case _: java.io.FileNotFoundException => true // released between checks
-        case _: Throwable => false                    // unreadable: assume held
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+        finally in.close()
+      } catch { case _: Throwable => None }
+    def holderDead(content: String): Boolean = {
+      val kv = content.split("\\s+").flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> v); case _ => None
+      }).toMap
+      val sameHost = kv.get("host").contains(myHost)
+      val pidDead = kv.get("pid").flatMap(p => scala.util.Try(p.toLong).toOption)
+        .exists(p => p != myPid &&
+          !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+      val age = System.currentTimeMillis() -
+        kv.get("ts").flatMap(t => scala.util.Try(t.toLong).toOption)
+          .getOrElse(System.currentTimeMillis()) // unknown ts: treat as fresh
+      (sameHost && pidDead) || (!sameHost && age > staleMs)
+    }
+    def tryBreak(inspected: String): Unit = {
+      val bak = new Path(root, s"_writer_lock_broken_${java.util.UUID.randomUUID()}")
+      val renamed = try fs.rename(lock, bak) catch { case _: Throwable => false }
+      if (renamed) {
+        if (readLock(bak).contains(inspected)) fs.delete(bak, false)
+        else if (!fs.rename(bak, lock)) fs.delete(bak, false) // raced a fresh lock: restore it
       }
+    }
     var acquired = tryAcquire()
-    if (!acquired && holderDead()) {
-      fs.delete(lock, false)
-      acquired = tryAcquire()
+    if (!acquired) {
+      readLock(lock) match {
+        case Some(c) if holderDead(c) => tryBreak(c); acquired = tryAcquire()
+        case None => acquired = tryAcquire() // vanished: holder just released
+        case _ => ()
+      }
     }
     if (!acquired)
       throw new IllegalStateException(
@@ -167,7 +194,7 @@ object StreamingPipeline {
           "interleave swaps and lose updates; stop the other writer (or " +
           "remove a stale lock) first")
     try body
-    finally fs.delete(lock, false)
+    finally if (readLock(lock).contains(token)) fs.delete(lock, false)
   }
 
   /** Default staleness for [[withWriterLock]]: a healthy batch holds the

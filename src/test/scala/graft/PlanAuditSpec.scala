@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     // the InMemoryRelation node renders its cached DEFINITION (which
     // contains the centroid corpus scan but executes zero times here) —
     // count scans only in the live plan above it
-    val live = p.substring(0, p.indexOf("InMemoryRelation"))
+    val imrAt = p.indexOf("InMemoryRelation")
+    val live = if (imrAt < 0) p else p.substring(0, imrAt)
     val scans = "Scan parquet".r.findAllIn(live).length
     assert(scans == 2, s"expected 2 live parquet scans, got $scans in:\n$p")
     graft.operators.Dedup.clearCaches(blocking = true)

@@ -99,6 +99,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dropNearDuplicates with star contraction keeps the same survivors") {
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", "text",
+        threshold = 0.5, starContraction = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("clearCaches releases the session-lived signature caches (VERDICT r04 #7)") {
     Dedup.clearCaches(blocking = true) // start from a clean registry
     val before = spark.sparkContext.getPersistentRDDs.size

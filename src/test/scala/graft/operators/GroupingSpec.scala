@@ -98,6 +98,22 @@ class GroupingSpec extends SparkSpec {
     assert(out.values.toSet == Set(1L))
   }
 
+  test("connectedComponentsStar: inputs that LOOK like stars still contract to the min id") {
+    // code-review r5: 'no parent appears as a child' is satisfied by both
+    // of these inputs at round 0, yet neither is the fixed point — the
+    // set-equality convergence must keep contracting
+    val g1 = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst") // star centered at the MAX
+    val out1 = Grouping.connectedComponentsStar(g1, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // two apparent stars that are really ONE component via shared children
+    val g2 = Seq((4L, 10L), (4L, 11L), (2L, 10L), (3L, 11L)).toDF("src", "dst")
+    val out2 = Grouping.connectedComponentsStar(g2, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 10L -> 2L, 11L -> 2L),
+      s"split or mislabeled component: $out2")
+  }
+
   test("connectedComponentsStar equals connectedComponents on a seeded random graph") {
     val rnd = new scala.util.Random(7L)
     val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))

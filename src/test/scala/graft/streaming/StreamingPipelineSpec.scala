@@ -368,4 +368,32 @@ class StreamingPipelineSpec extends SparkSpec {
       StreamingPipeline.upsertBatch(out3, Seq("k"))(b, 0L)
     }
   }
+
+  test("a LIVE same-host holder is never broken by age (long merges stay fenced)") {
+    // code-review r5: age is the cross-host signal only — a same-host lock
+    // whose pid is alive must hold even past the staleness bound
+    val out = tmp("graft_lock5")
+    writeLock(out, ProcessHandle.current().pid(),
+      java.net.InetAddress.getLocalHost.getHostName,
+      System.currentTimeMillis() - 60 * 60 * 1000L) // an hour-old live lock
+    val b = Seq((1L, 10.0)).toDF("k", "v")
+    intercept[IllegalStateException] {
+      StreamingPipeline.upsertBatch(out, Seq("k"))(b, 0L)
+    }
+  }
+
+  test("release is ownership-verified: a broken-and-replaced lock is not deleted") {
+    // code-review r5: if a breaker replaced our lock while the body ran,
+    // our release must leave the successor's lock in place
+    val root = new org.apache.hadoop.fs.Path(tmp("graft_lock6"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new java.io.File(root.toString, "_writer_lock")
+    StreamingPipeline.withWriterLock(fs, root, 1000L) {
+      // simulate a concurrent breaker replacing the lock mid-body
+      java.nio.file.Files.writeString(lock.toPath,
+        "pid=1 host=other ts=0 nonce=successor\n")
+    }
+    assert(lock.exists(), "successor's lock was deleted by the broken holder")
+    assert(java.nio.file.Files.readString(lock.toPath).contains("successor"))
+  }
 }

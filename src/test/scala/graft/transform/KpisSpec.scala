@@ -53,4 +53,19 @@ class KpisSpec extends SparkSpec {
     assert(rows(graft.streaming.DailyKpis.stream(joined).toDF()) ==
       rows(Kpis.dailyKpis(joined)))
   }
+
+  test("DailyKpis carries the batch null semantics instead of crashing (code-review r5)") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val joined = Seq(
+      (Some("o1"), Some(1L), Some(10L), Some(10.0), Some(true), d),
+      (Some("o1"), Some(1L), None, None, None, d),        // null price/product/flag
+      (None, None, Some(11L), Some(5.0), Some(false), d)  // null order & user id
+    ).toDF("order_id", "user_id", "product_id", "sale_price", "is_returned", "order_date")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(rows(graft.streaming.DailyKpis.stream(joined).toDF()) ==
+      rows(Kpis.dailyKpis(joined)))
+  }
 }
