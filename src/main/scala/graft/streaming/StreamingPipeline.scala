@@ -363,4 +363,26 @@ object StreamingPipeline {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(upsertBatch(targetDir, Seq("order_date")) _)
+
+  /** The full streaming KPI leg in one call — BOTH reference tables per
+    * trigger, the streaming mirror of [[graft.pipeline.Pipeline.sink]]
+    * (transform.py:348-352 AND 359-365 → two KV tables,
+    * transform.py:376-404). Starts two streaming queries over the same
+    * enriched stream (each with its own checkpoint under
+    * `checkpointRoot`); `exactDaily` picks [[dailyKpiWriterExact]]'s
+    * id-set state over [[dailyKpiWriter]]'s bounded HLL++ sketches.
+    * Caller configures the trigger on the returned writers before
+    * `.start()`, matching the single-writer pattern.
+    */
+  def kpiWriters(enrichedStream: DataFrame, categoryDir: String,
+                 dailyDir: String, checkpointRoot: String,
+                 exactDaily: Boolean = false): (DataStreamWriter[Row], DataStreamWriter[Row]) = {
+    val cat = categoryKpiWriter(enrichedStream, categoryDir,
+      s"$checkpointRoot/category")
+    val day =
+      if (exactDaily)
+        dailyKpiWriterExact(enrichedStream, dailyDir, s"$checkpointRoot/daily")
+      else dailyKpiWriter(enrichedStream, dailyDir, s"$checkpointRoot/daily")
+    (cat, day)
+  }
 }

@@ -108,17 +108,21 @@ class DedupSpec extends SparkSpec {
 
   test("clearCaches releases the session-lived signature caches (VERDICT r04 #7)") {
     Dedup.clearCaches(blocking = true) // start from a clean registry
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // track the SPECIFIC RDD ids our caches add — comparing global
+    // getPersistentRDDs SIZES races the async ContextCleaner reclaiming
+    // other suites' stale localCheckpoint blocks mid-test
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     // materialize both cache-bearing pipelines so their persists have blocks
     Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.5).count()
     Dedup.simhashNearDuplicates(corpus, "doc_id", "text").count()
     assert(graft.util.Caches.registeredCount >= 2)
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
-      "signature caches should be materialized")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "signature caches should be materialized")
     Dedup.clearCaches(blocking = true)
     assert(graft.util.Caches.registeredCount == 0)
-    assert(spark.sparkContext.getPersistentRDDs.size <= before,
-      "no orphaned cache entry may survive clearCaches")
+    val remaining = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(id => !remaining.contains(id)),
+      "orphaned cache entry survived clearCaches")
     // a second invocation after the clear recomputes and still answers
     val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -307,6 +307,29 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(after("2024-01-02") == (1L, 9.0, 2L, 1.0, 1L))
   }
 
+  test("kpiWriters drains BOTH reference KPI tables from one enriched stream") {
+    val (in, outC, outD, cp) =
+      (tmp("graft_kin"), tmp("graft_kcat"), tmp("graft_kday"), tmp("graft_kcp"))
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    landFile(Seq(
+      ("o1", 1L, 10L, "toys", 10.0, false, d1),
+      ("o2", 2L, 11L, "books", 5.0, true, d1))
+      .toDF("order_id", "user_id", "product_id", "category",
+        "sale_price", "is_returned", "order_date"), in, "f1")
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val (cat, day) = StreamingPipeline.kpiWriters(stream, outC, outD, cp,
+      exactDaily = true)
+    val qc = cat.trigger(Trigger.AvailableNow()).start()
+    val qd = day.trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination(); qd.awaitTermination()
+    val batch = spark.read.parquet(in)
+    assert(kpiMap(spark.read.parquet(outC + "/data")) ==
+      kpiMap(Kpis.categoryKpis(batch)))
+    assert(dailyMap(spark.read.parquet(outD + "/data")) ==
+      dailyMap(Kpis.dailyKpis(batch)))
+  }
+
   test("st_daily_kpis registered query: every comparison flag true on testdata") {
     // the driver-oracle shape: real partitioned streaming writer vs the
     // exact batch dailyKpis — exact columns equal, sketch columns within 5%
