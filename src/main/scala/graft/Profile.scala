@@ -35,6 +35,33 @@ object Profile {
     t("jaccard.count")(jac.count())
     t("full nearDuplicates")(
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.5).count())
+
+    // A/B (interleaved, one JVM — bench-protocol rule): lazy candidate
+    // pairs (the verify joins plan the self-join subtree twice) vs an
+    // eager persist+count of the pair list before the verify joins.
+    // MEASURED (r5, sf0.1, quiet box): eager is ~1.7× SLOWER (2.5/1.8 s
+    // lazy vs 4.2/3.3 s eager) — ReuseExchange already dedups the twice-
+    // planned self-join, and persisting the pair list (large at low
+    // thresholds) pays real materialization. Keep candidates lazy.
+    def runA(): Long = {
+      spark.catalog.clearCache()
+      Dedup.nearDuplicates(docs, "doc_id", "text", 0.5).count()
+    }
+    def runB(): Long = {
+      spark.catalog.clearCache()
+      val s = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+      val b = Dedup.bandSignatures(s, "doc_id", 16, 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c = Dedup.lshCandidates(b, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      Dedup.jaccardVerify(c, docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5).count()
+    }
+    for (i <- 1 to 2) {
+      t(s"AB lazy cands #$i")(runA())
+      t(s"AB eager cands #$i")(runB())
+    }
     spark.stop()
   }
 }
