@@ -119,6 +119,20 @@ object SparkEntry {
   /** Scratch dir for the roundtrip queries (self-cleaning, shared impl). */
   private def tmpDir(prefix: String): String = graft.util.Scratch.dir(prefix)
 
+  /** Shared TF/DF frames behind t_term_stats and t_keywords (ONE
+    * definition, mirrored by [[sqlTermStatsCtes]] on the oracle side, so
+    * the tokenization/tf-cut/df math cannot drift between the queries).
+    */
+  private def termStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
+    val tf = toks.filter(col("doc_id") < 50)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term").select("doc_id", "term", "tf", "df")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 / §7.5. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship KPIs (J1, P1, A1-A3, F1, F4) ----
@@ -381,34 +395,20 @@ object SparkEntry {
     // two aggregations + an equi-join on the term; the float idf multiply
     // is a trivial projection on top and deliberately left out of the
     // oracle (libm log differs across engines in the last ulp).
-    "t_term_stats" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
-      val tf = toks.filter(col("doc_id") < 50)
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = toks.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      tf.join(df, "term").select("doc_id", "term", "tf", "df")
-    }),
+    "t_term_stats" -> ((s, dir) => termStats(s, dir)),
     // Keyword extraction: top-3 terms per document by the DETERMINISTIC
     // (tf DESC, df ASC, term) lexicographic order — highest in-document
     // frequency, rarest in corpus, integer-exact end to end. The float
     // tf·idf score is deliberately not part of the contract (libm log is
     // engine-dependent in the last ulp — t_term_stats stance); this
-    // ordering is the hash-stable keyword heuristic built on the same
-    // TF/DF frames. Per-doc window after the (doc, term) aggregation:
+    // ordering is the hash-stable keyword heuristic layered on the SAME
+    // termStats frames. Per-doc window after the (doc, term) aggregation:
     // partition-parallel, no global sort.
     "t_keywords" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
-      val tf = toks.filter(col("doc_id") < 50)
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = toks.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
-      tf.join(df, "term")
+      termStats(s, dir)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")
@@ -1061,6 +1061,12 @@ object SparkEntry {
   private def sqlTokens(textExpr: String): String =
     s"list_filter(string_split_regex(trim($textExpr), '\\s+'), x -> len(x) > 0)"
 
+  /** Oracle-side twin of [[termStats]] — the shared TF/DF CTE prefix. */
+  private lazy val sqlTermStatsCtes: String =
+    s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE doc_id < 50 GROUP BY 1, 2),
+       df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1)"""
+
   /** Shared SQL fragment: cosine similarity of two DOUBLE[] expressions. */
   private def sqlCosine(a: String, b: String): String =
     s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) > 0
@@ -1327,14 +1333,10 @@ object SparkEntry {
          SELECT ngram, COUNT(*) AS n FROM e
          GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""",
     "t_term_stats" ->
-      s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
-         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE doc_id < 50 GROUP BY 1, 2),
-         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1)
+      s"""$sqlTermStatsCtes
          SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)""",
     "t_keywords" ->
-      s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
-         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE doc_id < 50 GROUP BY 1, 2),
-         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      s"""$sqlTermStatsCtes,
          r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
                  row_number() OVER (PARTITION BY tf.doc_id
                    ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank

@@ -77,18 +77,33 @@ object Grouping {
     * one (code-review r5). The final generation's files survive (the
     * returned frame reads them); callers reclaim the root dir when done
     * with the result.
+    *
+    * Spark's checkpoint dir is SESSION-GLOBAL state, so each
+    * set-dir + checkpoint pair runs under a JVM-wide lock (two graft
+    * loops in one session serialize instead of checkpointing into each
+    * other's generation dirs, whose GC would then delete live files) and
+    * the caller's previous checkpoint dir is restored after each
+    * generation. Non-graft code checkpointing CONCURRENTLY with a running
+    * loop is still unsynchronized — documented contract: a loop with
+    * `checkpointDir` owns the session's checkpointing while it runs.
     */
+  private object GenCheckpointer {
+    val lock = new Object
+  }
   private class GenCheckpointer(dir: Option[String]) {
     private var i = 0
     def checkpoint(df: DataFrame): (DataFrame, Option[org.apache.hadoop.fs.Path]) =
       dir match {
         case None => (df.localCheckpoint(true), None)
-        case Some(root) =>
+        case Some(root) => GenCheckpointer.lock.synchronized {
           val sc = df.sparkSession.sparkContext
+          val saved = sc.getCheckpointDir
           val genDir = new org.apache.hadoop.fs.Path(root, s"gen_$i")
           i += 1
           sc.setCheckpointDir(genDir.toString)
-          (df.checkpoint(true), Some(genDir))
+          try (df.checkpoint(true), Some(genDir))
+          finally saved.foreach(sc.setCheckpointDir)
+        }
       }
     def release(spark: org.apache.spark.sql.SparkSession,
                 p: Option[org.apache.hadoop.fs.Path]): Unit =

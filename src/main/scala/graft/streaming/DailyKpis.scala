@@ -14,27 +14,31 @@ import org.apache.spark.sql.types.DecimalType
   * Null columns carry the BATCH aggregate's null semantics instead of
   * crashing the non-nullable deserializer (code-review r5): a null
   * order/user id is an Option (countDistinct ignores nulls), a null
-  * sale_price contributes 0 cents (sum ignores nulls), a null product_id
-  * clears `itemPresent` (count(col) ignores nulls), a null is_returned
-  * counts as not-returned (countIf's otherwise-0 arm).
+  * sale_price is an Option (sum ignores nulls — and a day whose EVERY
+  * price is null must emit a null revenue, exactly like sum over
+  * all-null input, not 0.0), a null product_id clears `itemPresent`
+  * (count(col) ignores nulls), a null is_returned counts as not-returned
+  * (countIf's otherwise-0 arm).
   */
 case class KpiItemEvent(orderDate: java.sql.Date, orderId: Option[String],
-                        userId: Option[Long], priceCents: Long,
+                        userId: Option[Long], priceCents: Option[Long],
                         itemPresent: Boolean, isReturned: Boolean)
 
 /** Per-day cumulative state: the two distinct-id sets the exact counts
-  * need, plus the three additive counters. State is O(orders + users) per
-  * day — bounded by the day's true cardinality, not the stream length.
+  * need, plus the additive counters (`priced` counts non-null prices so
+  * the all-null day can emit a null revenue like the batch sum).
   */
 case class DailyKpiState(orders: Set[String], users: Set[Long],
-                         revenueCents: Long, items: Long, returned: Long)
+                         revenueCents: Long, priced: Long,
+                         items: Long, returned: Long)
 
 /** The emitted row — the reference's daily KPI record
   * (transform.py:359-365, exact integers as the KV store receives them,
-  * transform.py:395-399).
+  * transform.py:395-399). `total_revenue` is None only when the day saw
+  * no non-null price (batch `sum` null semantics).
   */
 case class DailyKpiRow(order_date: java.sql.Date, total_orders: Long,
-                       total_revenue: Double, total_items_sold: Long,
+                       total_revenue: Option[Double], total_items_sold: Long,
                        return_rate: Double, unique_customers: Long)
 
 /** ST5, exact streaming form of the SECOND KPI table (VERDICT r04 #1's
@@ -68,8 +72,8 @@ object DailyKpis {
       col("order_date").as("orderDate"),
       col("order_id").cast("string").as("orderId"),
       col("user_id").cast("long").as("userId"),
-      coalesce((col("sale_price").cast(DecimalType(18, 2)) * 100).cast("long"),
-        lit(0L)).as("priceCents"),
+      (col("sale_price").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("priceCents"),
       col("product_id").isNotNull.as("itemPresent"),
       coalesce(col("is_returned"), lit(false)).as("isReturned")).as[KpiItemEvent]
   }
@@ -82,12 +86,13 @@ object DailyKpis {
   def update(date: java.sql.Date, batch: Iterator[KpiItemEvent],
              state: GroupState[DailyKpiState]): Iterator[DailyKpiRow] = {
     var s = state.getOption.getOrElse(
-      DailyKpiState(Set.empty, Set.empty, 0L, 0L, 0L))
+      DailyKpiState(Set.empty, Set.empty, 0L, 0L, 0L, 0L))
     var any = false
     batch.foreach { e =>
       any = true
       s = DailyKpiState(s.orders ++ e.orderId, s.users ++ e.userId,
-        s.revenueCents + e.priceCents,
+        s.revenueCents + e.priceCents.getOrElse(0L),
+        s.priced + (if (e.priceCents.isDefined) 1L else 0L),
         s.items + (if (e.itemPresent) 1L else 0L),
         s.returned + (if (e.isReturned) 1L else 0L))
     }
@@ -95,8 +100,8 @@ object DailyKpis {
     else {
       state.update(s)
       Iterator.single(DailyKpiRow(date, s.orders.size.toLong,
-        s.revenueCents / 100.0, s.items,
-        s.returned.toDouble / s.orders.size, s.users.size.toLong))
+        if (s.priced > 0) Some(s.revenueCents / 100.0) else None,
+        s.items, s.returned.toDouble / s.orders.size, s.users.size.toLong))
     }
   }
 

@@ -120,11 +120,17 @@ object StreamingPipeline {
     * with a clear error instead of silently losing updates.
     *
     * A crashed holder can't release, so a found lock is broken when its
-    * recorded pid is provably dead on this host, or — cross-host only,
-    * where pid liveness is unknowable — when it is older than `staleMs`.
-    * A live same-host holder is NEVER broken by age (its merge may simply
-    * be long; code-review r5). A live same-JVM or fresh foreign lock
-    * throws.
+    * recorded pid is provably dead on this host (pid gone, or pid
+    * recycled — the token records the holder's process START time, so a
+    * reused pid number with a different start is still recognized as
+    * dead), or — cross-host, where pid liveness is unknowable — when it
+    * is older than `staleMs`. A corrupt/truncated token (a holder that
+    * crashed mid-write) has no trustworthy host or ts, so its age falls
+    * back to the FILE's modification time and the staleness break
+    * applies — otherwise an unparseable lock would be unbreakable
+    * forever. A live same-host holder is NEVER broken by age (its merge
+    * may simply be long; code-review r5). A live same-JVM or fresh
+    * foreign lock throws.
     *
     * Breaking is best-effort-atomic: the stale lock is RENAMED to a unique
     * name (on local/HDFS only one breaker's rename succeeds), the renamed
@@ -144,7 +150,10 @@ object StreamingPipeline {
     val lock = new Path(root, "_writer_lock")
     val myPid = ProcessHandle.current().pid()
     val myHost = java.net.InetAddress.getLocalHost.getHostName
+    def startMs(h: ProcessHandle): Long =
+      h.info().startInstant().map[Long](_.toEpochMilli).orElse(0L)
     val token = s"pid=$myPid host=$myHost ts=${System.currentTimeMillis()} " +
+      s"start=${startMs(ProcessHandle.current())} " +
       s"nonce=${java.util.UUID.randomUUID()}"
     def tryAcquire(): Boolean =
       try {
@@ -163,13 +172,30 @@ object StreamingPipeline {
       val kv = content.split("\\s+").flatMap(_.split("=", 2) match {
         case Array(k, v) => Some(k -> v); case _ => None
       }).toMap
-      val sameHost = kv.get("host").contains(myHost)
-      val pidDead = kv.get("pid").flatMap(p => scala.util.Try(p.toLong).toOption)
-        .exists(p => p != myPid &&
-          !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+      def num(key: String): Option[Long] =
+        kv.get(key).flatMap(v => scala.util.Try(v.toLong).toOption)
+      // a parseable host AND ts mark a well-formed token; anything else is
+      // a mid-write crash and gets the cross-host staleness treatment
+      val wellFormed = kv.contains("host") && num("ts").isDefined
+      val sameHost = wellFormed && kv.get("host").contains(myHost)
+      val pidDead = num("pid").exists { p =>
+        p != myPid && {
+          val h = ProcessHandle.of(p)
+          if (!h.isPresent) true // pid gone
+          else num("start") match {
+            // pid RECYCLED: same number, different process start → the
+            // recorded holder is dead even though the number is alive
+            case Some(rec) if rec > 0 =>
+              val actual = startMs(h.get())
+              actual > 0 && math.abs(actual - rec) > 1000L
+            case _ => !h.get().isAlive
+          }
+        }
+      }
       val age = System.currentTimeMillis() -
-        kv.get("ts").flatMap(t => scala.util.Try(t.toLong).toOption)
-          .getOrElse(System.currentTimeMillis()) // unknown ts: treat as fresh
+        num("ts").getOrElse(
+          try fs.getFileStatus(lock).getModificationTime
+          catch { case _: Throwable => System.currentTimeMillis() })
       (sameHost && pidDead) || (!sameHost && age > staleMs)
     }
     def tryBreak(inspected: String): Unit = {

@@ -392,6 +392,44 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("a corrupt (mid-write-crash) lock is broken after the staleness bound") {
+    // code-review r5: an unparseable token has no trustworthy host/ts —
+    // age falls back to the FILE mtime so the lock isn't unbreakable forever
+    val out = tmp("graft_lockc")
+    new java.io.File(out).mkdirs()
+    val lock = new java.io.File(out, "_writer_lock")
+    java.nio.file.Files.writeString(lock.toPath, "pid=123 ho") // truncated
+    assert(lock.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
+    val b = Seq((1L, 10.0)).toDF("k", "v")
+    StreamingPipeline.upsertBatch(out, Seq("k"))(b, 0L)
+    assert(spark.read.parquet(out + "/data").count() == 1)
+    // a FRESH corrupt lock still blocks (could be a holder mid-write)
+    val out2 = tmp("graft_lockc2")
+    new java.io.File(out2).mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(out2, "_writer_lock").toPath, "garbage")
+    intercept[IllegalStateException] {
+      StreamingPipeline.upsertBatch(out2, Seq("k"))(b, 0L)
+    }
+  }
+
+  test("a dead holder's RECYCLED pid is still recognized as dead (start-time check)") {
+    // the token records the holder's process start time: same pid number,
+    // different start → the recorded holder is gone even though the number
+    // is alive. Simulate with our own live pid and an impossible start.
+    val out = tmp("graft_lockr")
+    new java.io.File(out).mkdirs()
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    // NOT our pid (liveness of another pid + wrong start = recycled);
+    // use pid 1 (init — alive on any linux) with a 1970 start time
+    java.nio.file.Files.writeString(
+      new java.io.File(out, "_writer_lock").toPath,
+      s"pid=1 host=$host ts=${System.currentTimeMillis()} start=1000\n")
+    val b = Seq((1L, 10.0)).toDF("k", "v")
+    StreamingPipeline.upsertBatch(out, Seq("k"))(b, 0L)
+    assert(spark.read.parquet(out + "/data").count() == 1)
+  }
+
   test("a LIVE same-host holder is never broken by age (long merges stay fenced)") {
     // code-review r5: age is the cross-host signal only — a same-host lock
     // whose pid is alive must hold even past the staleness bound

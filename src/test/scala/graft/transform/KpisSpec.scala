@@ -57,15 +57,20 @@ class KpisSpec extends SparkSpec {
   test("DailyKpis carries the batch null semantics instead of crashing (code-review r5)") {
     import spark.implicits._
     val d = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
     val joined = Seq(
       (Some("o1"), Some(1L), Some(10L), Some(10.0), Some(true), d),
       (Some("o1"), Some(1L), None, None, None, d),        // null price/product/flag
-      (None, None, Some(11L), Some(5.0), Some(false), d)  // null order & user id
+      (None, None, Some(11L), Some(5.0), Some(false), d), // null order & user id
+      (Some("o2"), Some(2L), Some(12L), None, Some(false), d2) // ALL prices null on d2
     ).toDF("order_id", "user_id", "product_id", "sale_price", "is_returned", "order_date")
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+      df.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), // d2's revenue is NULL
         r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
-    assert(rows(graft.streaming.DailyKpis.stream(joined).toDF()) ==
-      rows(Kpis.dailyKpis(joined)))
+    val streamed = rows(graft.streaming.DailyKpis.stream(joined).toDF())
+    assert(streamed == rows(Kpis.dailyKpis(joined)))
+    assert(streamed.exists(t => t._1 == "2024-01-02" && t._3.isEmpty),
+      "an all-null-price day must emit NULL revenue, not 0.0")
   }
 }
