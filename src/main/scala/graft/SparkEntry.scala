@@ -413,6 +413,30 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")
     }),
+    // Frequent terms via the Misra–Gries sketch (custom typed Aggregator,
+    // functions/FrequentItems.scala): ≤ k-1 counters per partition instead
+    // of the full distinct-term shuffle — the 100 TB heavy-hitters path.
+    // Which light items survive is order-dependent, so the oracle pins the
+    // GUARANTEED part only: every term with exact count > N/k must be in
+    // the summary (inner join — a miss drops the row and fails the row
+    // count) with its estimate inside [exact - N/k, exact].
+    "t_frequent_terms" -> ((s, dir) => {
+      import s.implicits._
+      val k = 200
+      val toks = Tables.documents(s, dir)
+        .select(explode(Text.tokens(lower(col("text")))).as("term"))
+      val summary = toks.select(col("term")).as[String]
+        .select(graft.functions.FrequentItems.sketch(k).name("summary"))
+        .select(explode(col("summary")).as(Seq("term", "est")))
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      val total = toks.count()
+      exact.filter(col("n_exact") > total / k.toLong)
+        .join(summary, "term")
+        .select(col("term"), col("n_exact"),
+          (col("est") <= col("n_exact") &&
+            col("est") >= col("n_exact") - lit(total / k.toLong + 1))
+            .as("est_within_bounds"))
+    }),
     "t_fingerprint" -> ((s, dir) =>       // rows-only: xxhash64 rolling hash
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
@@ -1335,6 +1359,14 @@ object SparkEntry {
     "t_term_stats" ->
       s"""$sqlTermStatsCtes
          SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)""",
+    // only the sketch's GUARANTEED content is pinned: the exact heavy set
+    // with true bound flags (see the query comment)
+    "t_frequent_terms" ->
+      s"""WITH t AS (SELECT unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
+         c AS (SELECT term, COUNT(*) AS n_exact FROM t GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n FROM t)
+         SELECT term, n_exact, true AS est_within_bounds
+         FROM c, tot WHERE n_exact > n // 200""",
     "t_keywords" ->
       s"""$sqlTermStatsCtes,
          r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
