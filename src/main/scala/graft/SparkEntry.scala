@@ -743,6 +743,58 @@ object SparkEntry {
         lag(col("n"), 1).over(w).as("prev_n"),
         (col("n") - coalesce(lag(col("n"), 1).over(w), lit(0L))).as("delta"))
     }),
+    // quantile bucketing: customers into spend deciles — NTILE over a
+    // per-customer aggregation (the "assign every user a quality/size
+    // bucket" curation step). PARTITIONED window is impossible here (one
+    // global decile ranking), but the window input is the already
+    // aggregated per-customer frame — 150k·sf rows, not the fact table —
+    // so the single-partition sort is over the small aggregate, the same
+    // shape as a global top-k over aggregates.
+    "w_ntile_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("customer"))
+        .agg(Kpis.moneySum(col("o_totalprice")).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+      spend.select(col("customer"), col("total_spend"), col("n_orders"),
+        ntile(10).over(Window.orderBy(col("total_spend").desc, col("customer")))
+          .as("decile"))
+    }),
+    // per-group outlier flagging with DISTRIBUTED-DETERMINISTIC z-scores:
+    // stddev/avg over doubles are combine-order-dependent (the repo rule
+    // bans them in oracled paths), so the moments come from EXACT decimal
+    // sums (Σx, Σx²) and the float math is a fixed chain of single IEEE
+    // ops — mean = Σx/n, var = Σx²/n - mean², z = (x - mean)/sqrt(var) —
+    // each correctly rounded, hence bit-identical on any engine. One
+    // aggregation + a broadcast join back; no window over the facts.
+    "a10_outliers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      // (18,2) factors keep the product inside both engines' decimal-38
+      // multiply rule (36+ digits result) — exact at these magnitudes
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val moments = o.groupBy(col("o_orderpriority").as("priority")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sx"),
+        sum((col("o_totalprice").cast(dec) * col("o_totalprice").cast(dec))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double").as("sx2"))
+      val stats = moments.select(col("priority"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt(col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+          .as("sd"))
+      // top-20 by |z|, not a fixed sigma cut: the synthetic prices are
+      // uniform (max |z| ≈ 1.8), so a 3σ filter would be structurally
+      // empty — a vacuous oracle. TakeOrdered with a full tiebreak keeps
+      // it deterministic and global-sort-free.
+      o.select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          col("o_totalprice"))
+        .join(broadcast(stats), "priority")
+        .withColumn("z", (col("o_totalprice") - col("mean")) / col("sd"))
+        .orderBy(abs(col("z")).desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("priority"), col("o_orderkey"), col("o_totalprice"),
+          round(col("z"), 6).as("z"))
+    }),
     "e_sessionize" -> ((s, dir) =>
       graft.streaming.Windows.sessionize(
         Tables.events(s, dir), "ts", "user_id", "30 minutes")
@@ -1518,6 +1570,25 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY category ORDER BY revenue DESC, product_id) AS rn
            FROM r)
          WHERE rn <= 3""",
+    "w_ntile_deciles" ->
+      """WITH s AS (SELECT o_custkey AS customer,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+             COUNT(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT customer, total_spend, n_orders,
+                CAST(ntile(10) OVER (ORDER BY total_spend DESC, customer) AS INTEGER) AS decile
+         FROM s""",
+    "a10_outliers" ->
+      """WITH m AS (SELECT o_orderpriority AS priority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+           FROM orders GROUP BY 1),
+         st AS (SELECT priority, sx/n AS mean, sqrt(sx2/n - (sx/n)*(sx/n)) AS sd FROM m)
+         SELECT o.o_orderpriority AS priority, o.o_orderkey, o.o_totalprice,
+                round((o.o_totalprice - st.mean)/st.sd, 6) AS z
+         FROM orders o JOIN st ON o.o_orderpriority = st.priority
+         ORDER BY abs((o.o_totalprice - st.mean)/st.sd) DESC, o.o_orderkey
+         LIMIT 20""",
     "e_sessionize" ->
       """WITH x AS (SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
