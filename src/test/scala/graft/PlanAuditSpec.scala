@@ -82,6 +82,24 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Dedup.clearCaches(blocking = true)
   }
 
+  test("a10_outliers: broadcast stats join, TakeOrdered — no global sort of facts") {
+    val p = plan("a10_outliers")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast in:\n$p")
+    assert(!p.contains("rangepartitioning"), s"global sort in:\n$p")
+  }
+
+  test("w_ntile_deciles: the single-partition window sorts aggregates, not facts") {
+    // the NTILE window is inherently global, but it must sit ABOVE the
+    // per-customer aggregation (the exchange below the window is the
+    // single-partition one; the facts shuffle only for the groupBy)
+    val p = plan("w_ntile_deciles")
+    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(p.contains("Exchange SinglePartition"), s"expected the ntile single-partition exchange in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"facts should shuffle once (the groupBy) in:\n$p")
+  }
+
   test("a9_sample_hash: one shuffle for the per-group window") {
     val p = plan("a9_sample_hash")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
