@@ -578,6 +578,26 @@ object SparkEntry {
       Tables.events(s, dir).select(col("event_id"),
         expr("uuid()").as("run_uuid"),
         date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").as("run_ts"))),
+    // Structural oracle for F8/F9 (the values are random, their SHAPE is
+    // not): every uuid must match the RFC 4122 v4 pattern, all uuids must be
+    // distinct, and the ISO timestamp must round-trip through
+    // to_timestamp∘date_format unchanged. The oracle pins each count to the
+    // table's row count, so a single malformed uuid or timestamp breaks the
+    // hash.
+    "f_uuid_shape" -> ((s, dir) => {
+      val gen = Tables.events(s, dir).select(
+        expr("uuid()").as("run_uuid"),
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").as("run_ts"))
+      gen.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("run_uuid").rlike(
+          "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"),
+          1)).as("n_uuid_v4"),
+        countDistinct(col("run_uuid")).as("n_uuid_distinct"),
+        count(when(date_format(
+          to_timestamp(col("run_ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+          "yyyy-MM-dd'T'HH:mm:ss") === col("run_ts"), 1)).as("n_ts_roundtrip"))
+    }),
 
     // S8: KV batch-write sink — write the daily rollup through the chunked
     // sink into the in-memory store, then read the store back as the result
@@ -1504,6 +1524,14 @@ object SparkEntry {
     "e_filter_eq" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE CAST(user_id AS VARCHAR) = '7'""",
+    // f_uuid's structural twin: uuid()/now() values are random, but a
+    // correct generator yields exactly one well-formed v4 uuid per row, all
+    // distinct, and a timestamp whose ISO rendering round-trips — so every
+    // shape count must equal COUNT(*).
+    "f_uuid_shape" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(*) AS n_uuid_v4,
+                COUNT(*) AS n_uuid_distinct, COUNT(*) AS n_ts_roundtrip
+         FROM events""",
     "s_kv_sink" ->
       """WITH k AS (SELECT event_type, CAST(ts AS DATE) AS day,
                 CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -97,12 +97,15 @@ object Grouping {
         case None => (df.localCheckpoint(true), None)
         case Some(root) => GenCheckpointer.lock.synchronized {
           val sc = df.sparkSession.sparkContext
-          val saved = sc.getCheckpointDir
+          // save/restore the RAW field: the public setter would nest a
+          // fresh UUID child per generation and could never clear an
+          // originally-unset dir (ADVICE r5)
+          val saved = org.apache.spark.sql.GraftBridge.rawCheckpointDir(sc)
           val genDir = new org.apache.hadoop.fs.Path(root, s"gen_$i")
           i += 1
           sc.setCheckpointDir(genDir.toString)
           try (df.checkpoint(true), Some(genDir))
-          finally saved.foreach(sc.setCheckpointDir)
+          finally org.apache.spark.sql.GraftBridge.setRawCheckpointDir(sc, saved)
         }
       }
     def release(spark: org.apache.spark.sql.SparkSession,

@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Memo for [[ivfTopK]]'s persisted centroid frames, keyed by the
+    * CANONICALIZED corpus plan + column names (ADVICE r5): repeated ANN
+    * calls over the same corpus reuse one cached nlist-row frame instead of
+    * stacking a fresh persist (and a fresh materializing count() job) per
+    * invocation. Entries drop with `Dedup.clearCaches()` via the
+    * [[graft.util.Caches.onClear]] hook, together with the retained frames
+    * they point at.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(Any, String, String), DataFrame]()
+  graft.util.Caches.onClear(() => centroidCache.clear())
+
   /** Dot product of two `array<double>` columns — the native codegen'd
     * expression (graft.functions.DotProduct): a fused primitive loop
     * instead of the HOF `aggregate(zip_with(...))` chain. Bit-identical
@@ -150,11 +162,18 @@ object Similarity {
     // k-means assignment under it), that whole tree re-plans under the
     // nested broadcast instead of reading nlist cached rows. The cache is
     // nlist rows (session-lived, released via Dedup.clearCaches — see
-    // graft.util.Caches).
-    val cents = graft.util.Caches.retain(
-      centroids(corpus, cellCol, cVec)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    cents.count()
+    // graft.util.Caches), keyed by the canonicalized corpus plan so
+    // repeated calls reuse ONE entry — and only the first call for a given
+    // corpus pays the materializing count() job (ADVICE r5).
+    val cents = centroidCache.computeIfAbsent(
+      (corpus.queryExecution.analyzed.canonicalized, cellCol, cVec),
+      _ => {
+        val c = graft.util.Caches.retain(
+          centroids(corpus, cellCol, cVec)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        c.count()
+        c
+      })
     val probeW = Window.partitionBy(col(qId)).orderBy(col("csim").desc, col("cell"))
     val probes = queries.join(broadcast(cents))
       .select(col(qId), col(qVec), col("cell"),

@@ -35,11 +35,13 @@ case class DailyKpiState(orders: Set[String], users: Set[Long],
 /** The emitted row — the reference's daily KPI record
   * (transform.py:359-365, exact integers as the KV store receives them,
   * transform.py:395-399). `total_revenue` is None only when the day saw
-  * no non-null price (batch `sum` null semantics).
+  * no non-null price (batch `sum` null semantics); `return_rate` is None
+  * when the day saw no non-null order id (batch Divide by a zero distinct
+  * count yields NULL, never NaN/Infinity — ADVICE r5).
   */
 case class DailyKpiRow(order_date: java.sql.Date, total_orders: Long,
                        total_revenue: Option[Double], total_items_sold: Long,
-                       return_rate: Double, unique_customers: Long)
+                       return_rate: Option[Double], unique_customers: Long)
 
 /** ST5, exact streaming form of the SECOND KPI table (VERDICT r04 #1's
   * alternative path): `countDistinct` cannot run as a cumulative streaming
@@ -101,7 +103,9 @@ object DailyKpis {
       state.update(s)
       Iterator.single(DailyKpiRow(date, s.orders.size.toLong,
         if (s.priced > 0) Some(s.revenueCents / 100.0) else None,
-        s.items, s.returned.toDouble / s.orders.size, s.users.size.toLong))
+        s.items,
+        if (s.orders.nonEmpty) Some(s.returned.toDouble / s.orders.size) else None,
+        s.users.size.toLong))
     }
   }
 

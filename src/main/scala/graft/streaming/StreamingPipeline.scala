@@ -135,14 +135,26 @@ object StreamingPipeline {
     * Breaking is best-effort-atomic: the stale lock is RENAMED to a unique
     * name (on local/HDFS only one breaker's rename succeeds), the renamed
     * file is verified to be the one inspected (a mismatch means a fresh
-    * lock raced in — it is renamed back), and only then is the free path
+    * lock raced in — it is renamed back, with retries; a rename-back that
+    * still fails LEAVES the file under its broken name so the evidence
+    * survives and the displaced holder's nonce-keyed release check can
+    * detect the loss — ADVICE r5), and only then is the free path
     * raced for with create(overwrite=false). Release deletes the lock only
-    * if it still carries THIS writer's token, so a holder whose lock was
+    * if it still carries THIS writer's nonce, so a holder whose lock was
     * legitimately broken cannot delete its successor's lock. Without an
     * atomic compare-and-swap primitive a read-check-act window remains on
     * both paths; it needs ≥3 writers racing a dead lock within
     * milliseconds — the documented residual against which the reference's
     * ACID MERGE is the real answer (transform.py:331-339).
+    *
+    * While the body runs, a daemon HEARTBEAT rewrites the token's `ts`
+    * every staleMs/4 (ADVICE r5): cross-host staleness then measures
+    * holder LIVENESS, not merge duration, so a healthy foreign merge
+    * longer than `staleMs` is no longer broken mid-flight — only a holder
+    * whose JVM actually died stops refreshing and ages out. The refresh
+    * re-checks ownership (by nonce) before each rewrite; the read→rewrite
+    * window against a racing breaker is the same documented residual as
+    * acquisition's.
     */
   private[graft] def withWriterLock[A](fs: org.apache.hadoop.fs.FileSystem,
                                        root: Path, staleMs: Long)(body: => A): A = {
@@ -152,9 +164,13 @@ object StreamingPipeline {
     val myHost = java.net.InetAddress.getLocalHost.getHostName
     def startMs(h: ProcessHandle): Long =
       h.info().startInstant().map[Long](_.toEpochMilli).orElse(0L)
-    val token = s"pid=$myPid host=$myHost ts=${System.currentTimeMillis()} " +
-      s"start=${startMs(ProcessHandle.current())} " +
-      s"nonce=${java.util.UUID.randomUUID()}"
+    val nonce = java.util.UUID.randomUUID().toString
+    def tokenNow(): String =
+      s"pid=$myPid host=$myHost ts=${System.currentTimeMillis()} " +
+        s"start=${startMs(ProcessHandle.current())} nonce=$nonce"
+    val token = tokenNow()
+    def owned(content: Option[String]): Boolean =
+      content.exists(_.contains(s"nonce=$nonce"))
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lock, false)
@@ -203,7 +219,20 @@ object StreamingPipeline {
       val renamed = try fs.rename(lock, bak) catch { case _: Throwable => false }
       if (renamed) {
         if (readLock(bak).contains(inspected)) fs.delete(bak, false)
-        else if (!fs.rename(bak, lock)) fs.delete(bak, false) // raced a fresh lock: restore it
+        else {
+          // raced a fresh lock away from its holder: put it back. If the
+          // rename-back keeps failing (a third writer re-created the lock
+          // in the window), LEAVE the file under its broken name — deleting
+          // it would erase the only evidence that the displaced holder lost
+          // its lock, while its nonce-keyed release check still detects the
+          // loss safely (ADVICE r5).
+          var restored = false
+          var attempt = 0
+          while (!restored && attempt < 5) {
+            restored = try fs.rename(bak, lock) catch { case _: Throwable => false }
+            attempt += 1
+          }
+        }
       }
     }
     var acquired = tryAcquire()
@@ -219,23 +248,62 @@ object StreamingPipeline {
         s"another writer holds $lock — concurrent upserts into $root would " +
           "interleave swaps and lose updates; stop the other writer (or " +
           "remove a stale lock) first")
+    // liveness heartbeat: refresh ts while the merge runs so cross-host
+    // staleness measures a dead holder, not a long merge (ADVICE r5)
+    val hbPeriod = math.max(staleMs / 4, 1000L)
+    val heartbeat = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(hbPeriod)
+          if (owned(readLock(lock))) {
+            val out = fs.create(lock, true)
+            out.writeBytes(tokenNow() + "\n")
+            out.close()
+          }
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case _: Throwable => () // FS hiccup: stop refreshing; staleness
+                                // falls back to the last written ts
+      }
+    }, s"graft-writer-lock-heartbeat-$nonce")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
     try body
-    finally if (readLock(lock).contains(token)) fs.delete(lock, false)
+    finally {
+      heartbeat.interrupt()
+      heartbeat.join(10000)
+      if (owned(readLock(lock))) fs.delete(lock, false)
+    }
   }
 
-  /** Default staleness for [[withWriterLock]]: a healthy batch holds the
-    * lock for seconds, so 10 minutes marks a cross-host crash without
-    * racing a slow merge.
+  /** Default staleness for [[withWriterLock]]: with the heartbeat
+    * refreshing the token every staleMs/4, 10 minutes of silence means the
+    * holder's JVM is gone (or partitioned long past any healthy pause) —
+    * not merely that its merge is slow. Override per table via the Spark
+    * conf `spark.graft.writerLock.staleMs` or the writers' `staleMs`
+    * parameter (ADVICE r5).
     */
-  private val LockStaleMs = 10 * 60 * 1000L
+  private[graft] val LockStaleMs = 10 * 60 * 1000L
 
-  def upsertBatch(targetDir: String, keys: Seq[String])
+  /** Resolve the effective lock staleness: explicit argument, else the
+    * session conf `spark.graft.writerLock.staleMs`, else [[LockStaleMs]].
+    */
+  private[graft] def resolveStaleMs(spark: SparkSession,
+                                    explicit: Option[Long]): Long =
+    explicit.orElse(
+      spark.conf.getOption("spark.graft.writerLock.staleMs")
+        .flatMap(v => scala.util.Try(v.toLong).toOption))
+      .getOrElse(LockStaleMs)
+
+  def upsertBatch(targetDir: String, keys: Seq[String],
+                  staleMs: Option[Long] = None)
                  (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(root, "data")
-    withWriterLock(fs, root, LockStaleMs) {
+    withWriterLock(fs, root, resolveStaleMs(spark, staleMs)) {
       recoverBackup(fs, root, cur)
       val merged =
         if (fs.exists(cur)) Upsert.upsert(spark.read.parquet(cur.toString), batch, keys)
@@ -265,13 +333,14 @@ object StreamingPipeline {
     * can migrate.
     */
   def upsertPartitionedBatch(targetDir: String, keys: Seq[String],
-                             partitionCol: String)
+                             partitionCol: String,
+                             staleMs: Option[Long] = None)
                             (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(root, "data")
-    withWriterLock(fs, root, LockStaleMs) {
+    withWriterLock(fs, root, resolveStaleMs(spark, staleMs)) {
     recoverBackup(fs, root, cur)
     recoverPartitionBackups(fs, root, cur, partitionCol)
     val touched = batch.select(partitionCol).distinct().collect().map(_.get(0))

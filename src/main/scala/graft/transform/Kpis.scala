@@ -89,7 +89,12 @@ object Kpis {
       countDistinct(col("order_id")).as("total_orders"),
       moneySum(col("sale_price")).as("total_revenue"),
       count(col("product_id")).as("total_items_sold"),
-      (countIf(col("is_returned")).cast("double") /
+      // try_divide: a day whose EVERY order id is null has zero distinct
+      // orders; under ANSI a plain Divide would abort the whole job on that
+      // one group — emit NULL instead (same shape as total_revenue's
+      // all-null-sum NULL, and the same NULL the DuckDB oracle's division
+      // produces; ADVICE r5)
+      try_divide(countIf(col("is_returned")).cast("double"),
         countDistinct(col("order_id"))).as("return_rate"),
       countDistinct(col("user_id")).as("unique_customers")
     )
@@ -111,7 +116,9 @@ object Kpis {
       approx_count_distinct(col("order_id"), rsd).as("total_orders"),
       moneySum(col("sale_price")).as("total_revenue"),
       count(col("product_id")).as("total_items_sold"),
-      (countIf(col("is_returned")).cast("double") /
+      // try_divide mirrors dailyKpis: an all-null-order-id day emits NULL,
+      // not an ANSI divide-by-zero abort (ADVICE r5)
+      try_divide(countIf(col("is_returned")).cast("double"),
         approx_count_distinct(col("order_id"), rsd)).as("return_rate"),
       approx_count_distinct(col("user_id"), rsd).as("unique_customers"))
 

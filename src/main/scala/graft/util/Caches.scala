@@ -20,11 +20,21 @@ import org.apache.spark.sql.Dataset
 object Caches {
 
   private val frames = scala.collection.mutable.ListBuffer.empty[Dataset[_]]
+  private val hooks = scala.collection.mutable.ListBuffer.empty[() => Unit]
 
   /** Register an operator-persisted frame for later release; returns it. */
   private[graft] def retain[T <: Dataset[_]](ds: T): T = synchronized {
     frames += ds
     ds
+  }
+
+  /** Register a callback run on every [[clear]] — for operator-side memo
+    * maps (e.g. Similarity's keyed centroid cache) that hold references to
+    * retained frames and must drop them together. The hook stays registered
+    * across clears.
+    */
+  private[graft] def onClear(f: () => Unit): Unit = synchronized {
+    hooks += f
   }
 
   /** Frames registered and not yet cleared (test/diagnostic surface). */
@@ -39,5 +49,8 @@ object Caches {
       catch { case _: Throwable => () } // a dead session's frame: nothing to free
     }
     frames.clear()
+    hooks.foreach { h =>
+      try h() catch { case _: Throwable => () }
+    }
   }
 }

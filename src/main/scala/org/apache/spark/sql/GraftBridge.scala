@@ -10,6 +10,20 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Raw access to SparkContext.checkpointDir (private[spark]). The public
+    * setCheckpointDir(dir) creates a fresh UUID child under `dir` — so
+    * "restoring" a saved value via the public setter nests one UUID level
+    * deeper (and mkdirs an empty DFS dir) per call, and an originally-unset
+    * dir cannot be cleared at all (ADVICE r5). These read/write the field
+    * itself, making save → mutate → restore exact.
+    */
+  def rawCheckpointDir(sc: org.apache.spark.SparkContext): Option[String] =
+    sc.checkpointDir
+
+  def setRawCheckpointDir(sc: org.apache.spark.SparkContext,
+                          dir: Option[String]): Unit =
+    sc.checkpointDir = dir
+
   /** Convert a Column composition into a REAL catalyst expression tree
     * (UnresolvedFunction nodes and all), not the opaque lazy
     * ColumnNodeExpression leaf `expression` yields. Required when the

@@ -457,4 +457,43 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(lock.exists(), "successor's lock was deleted by the broken holder")
     assert(java.nio.file.Files.readString(lock.toPath).contains("successor"))
   }
+
+  test("the holder heartbeat refreshes the token so age measures liveness (ADVICE r5)") {
+    val root = new org.apache.hadoop.fs.Path(tmp("graft_lockhb"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new java.io.File(root.toString, "_writer_lock")
+    def tokenTs(): Long =
+      java.nio.file.Files.readString(lock.toPath).split("\\s+")
+        .collectFirst { case s if s.startsWith("ts=") => s.drop(3).toLong }.get
+    val t0 = System.currentTimeMillis()
+    StreamingPipeline.withWriterLock(fs, root, staleMs = 2000L) {
+      // body runs longer than staleMs: without the heartbeat the token's
+      // ts would age out and a cross-host writer would break a LIVE merge
+      Thread.sleep(2600L)
+      val ts = tokenTs()
+      assert(ts > t0 + 1000L,
+        s"token ts was never refreshed during a long merge (ts=$ts, t0=$t0)")
+      assert(System.currentTimeMillis() - ts < 2000L,
+        "refreshed token is still older than staleMs — heartbeat too slow")
+    }
+    assert(!lock.exists(), "heartbeat holder failed to release its own lock")
+  }
+
+  test("lock staleness is configurable via conf and writer parameter (ADVICE r5)") {
+    assert(StreamingPipeline.resolveStaleMs(spark, Some(1234L)) == 1234L)
+    assert(StreamingPipeline.resolveStaleMs(spark, None) ==
+      StreamingPipeline.LockStaleMs)
+    spark.conf.set("spark.graft.writerLock.staleMs", "5000")
+    try {
+      assert(StreamingPipeline.resolveStaleMs(spark, None) == 5000L)
+      assert(StreamingPipeline.resolveStaleMs(spark, Some(7L)) == 7L)
+      // end-to-end: a foreign-host lock older than the configured bound is
+      // broken where the 10-minute default would have blocked
+      val out = tmp("graft_lockcfg")
+      writeLock(out, 1L, "some-other-host", System.currentTimeMillis() - 60 * 1000L)
+      val b = Seq((1L, 10.0)).toDF("k", "v")
+      StreamingPipeline.upsertBatch(out, Seq("k"))(b, 0L)
+      assert(spark.read.parquet(out + "/data").count() == 1)
+    } finally spark.conf.unset("spark.graft.writerLock.staleMs")
+  }
 }
