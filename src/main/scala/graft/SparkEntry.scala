@@ -780,6 +780,19 @@ object SparkEntry {
         ntile(10).over(Window.orderBy(col("total_spend").desc, col("customer")))
           .as("decile"))
     }),
+    // the 100 TB form of w_ntile_deciles (VERDICT r05 #2): identical
+    // deciles — same oracle SQL — via graft.operators.Ranking.ntileExact's
+    // range-partition + exact rank arithmetic, with NO single-partition
+    // exchange anywhere in the plan (PlanAuditSpec locks that)
+    "w_ntile_boundaries" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("customer"))
+        .agg(Kpis.moneySum(col("o_totalprice")).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+      graft.operators.Ranking.ntileExact(spend, 10,
+        Seq(col("total_spend").desc, col("customer")), "decile")
+        .select("customer", "total_spend", "n_orders", "decile")
+    }),
     // per-group outlier flagging with DISTRIBUTED-DETERMINISTIC z-scores:
     // stddev/avg over doubles are combine-order-dependent (the repo rule
     // bans them in oracled paths), so the moments come from EXACT decimal
@@ -1599,6 +1612,15 @@ object SparkEntry {
            FROM r)
          WHERE rn <= 3""",
     "w_ntile_deciles" ->
+      """WITH s AS (SELECT o_custkey AS customer,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+             COUNT(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT customer, total_spend, n_orders,
+                CAST(ntile(10) OVER (ORDER BY total_spend DESC, customer) AS INTEGER) AS decile
+         FROM s""",
+    // the scale-safe plan must answer the SAME deciles as the NTILE window
+    "w_ntile_boundaries" ->
       """WITH s AS (SELECT o_custkey AS customer,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
              COUNT(*) AS n_orders

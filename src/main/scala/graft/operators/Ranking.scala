@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global quantile bucketing (VERDICT r05 #2).
+  *
+  * `ntile(k) OVER (ORDER BY …)` is inherently a single-partition window:
+  * one task sorts the world. Fine when the window input is a bounded
+  * aggregate (the audited w_ntile_deciles shape), wrong once the ranked
+  * table itself is large — at genuine 100 TB customer cardinality the
+  * global sort is the bottleneck. This operator computes the SAME buckets
+  * with exact rank arithmetic and no single-partition exchange:
+  *
+  *  1. range-repartition on the sort key — Spark's range exchange samples
+  *     boundaries and scatters rows so partition i holds keys strictly
+  *     before partition i+1's (the first stage of a distributed sort);
+  *  2. count rows per partition and prefix-sum the ≤ shuffle-partitions
+  *     counts on the driver (bounded metadata, never data rows);
+  *  3. rank = partition offset + per-partition row_number — the window is
+  *     keyed by partition id, so every partition sorts in parallel;
+  *  4. bucket from the rank in closed form: with q = N div k and
+  *     rem = N mod k, NTILE gives the FIRST rem buckets q+1 rows and the
+  *     rest q — so ranks ≤ (q+1)·rem land in bucket (rank−1) div (q+1) + 1
+  *     and the remainder in rem + (rank−1−(q+1)·rem) div q + 1. All
+  *     integral `div`, no float rounding at the bucket edges.
+  *
+  * The verdict sketched this as "decile boundaries + broadcast
+  * boundary-join"; rank arithmetic subsumes the boundary join (the rank
+  * already locates every row against all k−1 cut points) and needs no
+  * second pass to extract the boundary keys.
+  */
+object Ranking {
+
+  /** Exact NTILE over a global total order, no single-partition exchange.
+    *
+    * @param df      input frame (any size — nothing here funnels it to one
+    *                task)
+    * @param buckets NTILE bucket count
+    * @param order   total-order sort expressions, e.g.
+    *                `Seq(col("spend").desc, col("id"))`; must be a TOTAL
+    *                order (include a unique tiebreaker) for the result to
+    *                be deterministic — same contract as deterministic
+    *                window ranking anywhere else in the repo
+    * @param outCol  bucket column name to append
+    *
+    * The intermediate range-partitioned frame is persisted (it is read by
+    * both the counting pass and the ranking pass) and registered with
+    * [[graft.util.Caches]] for release via `Dedup.clearCaches()`.
+    */
+  def ntileExact(df: DataFrame, buckets: Int, order: Seq[Column],
+                 outCol: String): DataFrame = {
+    require(buckets > 0, s"ntileExact needs a positive bucket count, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = graft.util.Caches.retain(
+      df.repartitionByRange(order: _*)
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // ≤ spark.sql.shuffle.partitions rows — bounded partition METADATA,
+    // the same collect class as upsertPartitionedBatch's touched-values
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) =>
+      val o = (pid, acc); acc += cnt; o
+    }.toSeq
+    val offs = spark.createDataset(offsets).toDF("__pid", "__off")
+    val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    // NTILE's remainder-to-FIRST-buckets distribution in closed form;
+    // `div` keeps the edge math integral (a double division could round
+    // across a bucket edge at extreme cardinalities). q=0 (fewer rows than
+    // buckets) only exercises the first branch, so its `div q` arm is
+    // guarded to a dead 1.
+    val q = total / buckets
+    val rem = total % buckets
+    val bigCut = (q + 1) * rem // ranks ≤ bigCut sit in the q+1-row buckets
+    ranged.join(broadcast(offs), "__pid")
+      .withColumn("__rank", col("__off") + row_number().over(localW))
+      .withColumn(outCol,
+        expr(s"""CAST(CASE WHEN __rank <= ${bigCut}L
+                 THEN (__rank - 1L) div ${q + 1}L
+                 ELSE ${rem}L + (__rank - 1L - ${bigCut}L) div ${math.max(q, 1L)}L
+                 END AS INT) + 1"""))
+      .drop("__pid", "__off", "__rank")
+  }
+}

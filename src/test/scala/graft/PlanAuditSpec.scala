@@ -100,6 +100,19 @@ class PlanAuditSpec extends SparkSpec {
       s"facts should shuffle once (the groupBy) in:\n$p")
   }
 
+  test("w_ntile_boundaries: same deciles with NO single-partition exchange (VERDICT r05 #2)") {
+    val p = plan("w_ntile_boundaries")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the scale-safe ntile must never funnel to one partition:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"expected the range exchange that replaces the global sort in:\n$p")
+    // the per-partition ranking window keyed by partition id
+    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"partition offsets must broadcast, not shuffle, in:\n$p")
+    assertNoCartesian(p, "w_ntile_boundaries")
+  }
+
   test("a9_sample_hash: one shuffle for the per-group window") {
     val p = plan("a9_sample_hash")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking.ntileExact must reproduce the NTILE window bit-for-bit — bucket
+  * sizes, remainder placement, tie-breaking — while never funneling the
+  * frame through one partition (the plan side is locked in PlanAuditSpec).
+  */
+class RankingSpec extends SparkSpec {
+
+  private def viaWindow(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.withColumn("decile",
+      ntile(k).over(Window.orderBy(col("v").desc, col("id"))))
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "decile").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+
+  test("ntileExact equals the NTILE window for sizes that exercise the remainder") {
+    import spark.implicits._
+    // 97 % 10 = 7: the first 7 buckets get one extra row — the exact case
+    // a floor-only formula gets wrong
+    for (n <- Seq(1, 9, 10, 97, 1000); k <- Seq(3, 10)) {
+      val df = (1L to n.toLong).map(i => (i, (i * 7919 % 1000).toDouble))
+        .toDF("id", "v")
+      val expected = pairs(viaWindow(df, k))
+      val got = pairs(Ranking.ntileExact(df, k, Seq(col("v").desc, col("id")), "decile"))
+      assert(got == expected, s"ntileExact diverged from NTILE at n=$n k=$k")
+    }
+    graft.operators.Dedup.clearCaches()
+  }
+
+  test("ntileExact ties break identically to the window's total order") {
+    import spark.implicits._
+    // heavy ties on v: the id tiebreaker must decide buckets on both paths
+    val df = (1L to 50L).map(i => (i, (i % 3).toDouble)).toDF("id", "v")
+    assert(pairs(Ranking.ntileExact(df, 10, Seq(col("v").desc, col("id")), "decile"))
+      == pairs(viaWindow(df, 10)))
+    graft.operators.Dedup.clearCaches()
+  }
+
+  test("ntileExact on an empty frame returns empty instead of dividing by zero") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Ranking.ntileExact(df, 10, Seq(col("v").desc, col("id")), "decile")
+      .count() == 0L)
+    graft.operators.Dedup.clearCaches()
+  }
+}
