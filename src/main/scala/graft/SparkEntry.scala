@@ -698,6 +698,44 @@ object SparkEntry {
             col("return_rate") * col("total_orders")) <= lit(0.5))
             .as("returned_count_match"))
     }),
+    // Streaming near-duplicate dedup (VERDICT r05 #1): the planted corpus
+    // drained through the incremental MinHash/LSH leg
+    // (graft.streaming.NearDupStream — per-row signatures, banded
+    // candidate state, registry Jaccard verify), then compared against the
+    // batch Dedup.dropNearDuplicates on the SAME corpus. bands = 16 (r=1)
+    // gives the planted-recall guarantee of dedup_near_recall; the whole
+    // corpus drains as one AvailableNow batch, where intra-bucket
+    // ascending-id processing matches the batch min-id-canonical
+    // convention — so survivors must agree EXACTLY. One row per original:
+    // its copy dropped in the stream, and stream/batch membership agreeing
+    // for both the original and the copy.
+    "st_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val corpus = docsWithPlantedDups(s, dir)
+      val stage = tmpDir("graft_stnd_in")
+      corpus.write.mode("overwrite").parquet(stage)
+      val (work, cp) = (tmpDir("graft_stnd_work"), tmpDir("graft_stnd_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+      val q = graft.streaming.NearDupStream.writer(stream, "doc_id", "text",
+        work, cp, threshold = 0.5, bands = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamKept = graft.streaming.NearDupStream.survivors(s, work)
+      val batchKept = Dedup.dropNearDuplicates(corpus, "doc_id", "text",
+        threshold = 0.5, bands = 16)
+      def member(kept: DataFrame, flag: String, shift: Long) =
+        kept.select((col("doc_id") - shift).as("doc_id"), lit(true).as(flag))
+      Tables.documents(s, dir).select("doc_id")
+        .join(member(streamKept, "s_o", 0L), Seq("doc_id"), "left")
+        .join(member(batchKept, "b_o", 0L), Seq("doc_id"), "left")
+        .join(member(streamKept, "s_c", PlantedOffset), Seq("doc_id"), "left")
+        .join(member(batchKept, "b_c", PlantedOffset), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (!coalesce(col("s_c"), lit(false))).as("dropped"),
+          ((coalesce(col("s_o"), lit(false)) === coalesce(col("b_o"), lit(false))) &&
+            (coalesce(col("s_c"), lit(false)) === coalesce(col("b_c"), lit(false))))
+            .as("batch_agree"))
+    }),
 
     // ---- event-time windows (§7.5 extensions over the events stream) ----
     "e_tumbling" -> ((s, dir) =>
@@ -1381,6 +1419,10 @@ object SparkEntry {
          FROM embeddings""",
     "t_fingerprint_dups" ->
       "SELECT doc_id, true AS exact_dup_same, true AS mutated_differs FROM documents",
+    // streaming near-dup: every planted copy dropped by the drained
+    // stream, and stream survivors equal to the batch operator's
+    "st_neardup" ->
+      "SELECT doc_id, true AS dropped, true AS batch_agree FROM documents",
     "a8_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, true AS approx_ok
          FROM events GROUP BY 1""",

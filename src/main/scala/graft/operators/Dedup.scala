@@ -79,6 +79,43 @@ object Dedup {
         (1 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"m$i")): _*)
   }
 
+  /** Per-row MinHash — the SAME k values as [[minhashSignatures]] computed
+    * as one array expression over a materialized token-array column, with
+    * no aggregation anywhere: `m_i = array_min(transform(hashes,
+    * h -> xxhash64(h, i)))` over the once-hashed shingles. This is the
+    * STREAMING form (VERDICT r05 #1): a groupBy(min…) mid-stream would be
+    * a cumulative streaming aggregation, but a per-row projection is
+    * stateless and append-safe. Batch callers should prefer
+    * [[minhashSignatures]] (codegen'd explode+partial-agg beats the
+    * interpreted HOF lambdas on big corpora); the parity of the two forms
+    * is pinned by NearDupStreamSpec.
+    *
+    * Pass a BOUND token-array column (project `Text.tokens` first), same
+    * contract as [[graft.functions.Text.shinglesFromTokens]].
+    */
+  def minhashExpr(toksCol: org.apache.spark.sql.Column, k: Int,
+                  shingleN: Int = 3): org.apache.spark.sql.Column = {
+    val hashes = transform(Text.shinglesFromTokens(toksCol, shingleN),
+      s => xxhash64(s))
+    array((0 until k).map(i =>
+      array_min(transform(hashes, h => xxhash64(h, lit(i))))): _*)
+  }
+
+  /** Per-row LSH band signatures over a [[minhashExpr]] array — the same
+    * (band, sig) values as [[bandSignatures]], as one
+    * `array<struct<band,sig>>` expression ready to explode in a stream.
+    */
+  def bandStructsExpr(mhCol: org.apache.spark.sql.Column, k: Int,
+                      bands: Int): org.apache.spark.sql.Column = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i =>
+          element_at(mhCol, i + 1)): _*).as("sig"))
+    }: _*)
+  }
+
   /** LSH band signatures: k minhashes → b bands of r = k/b each; band
     * signature = xxhash64 of the band's minhashes. One row per (doc, band).
     */

@@ -55,4 +55,20 @@ object CorpusStream {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("bpe_tokens")).as("total_bpe_tokens"))
+
+  /** The corpus-prep chain with NEAR-duplicate dropping (VERDICT r05 #1):
+    * [[prepared]]'s exact-hash dedup + quality gate feeding the
+    * incremental MinHash/LSH leg ([[NearDupStream]]) — exact dups die in
+    * the watermarked state store, near-dups in the banded candidate state
+    * + registry verify. Survivors accumulate under `workDir/clean`.
+    */
+  def nearDedupedWriter(docs: DataFrame, idCol: String, textCol: String,
+                        tsCol: String, watermark: String,
+                        workDir: String, checkpointDir: String,
+                        threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+                        shingleN: Int = 3, maxBucket: Int = 10000)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    NearDupStream.writer(prepared(docs, idCol, textCol, tsCol, watermark),
+      idCol, textCol, workDir, checkpointDir, threshold, k, bands,
+      shingleN, maxBucket)
 }

@@ -1,0 +1,184 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** One (document, LSH bucket) arrival for the candidate state machine. */
+case class BandedDoc(band: Int, sig: Long, docId: Long, text: String)
+
+/** Per-bucket state: ids seen in this (band, sig) bucket, oldest first,
+  * capped at the hot-bucket bound. Ids only — never text, never
+  * signatures — so a bucket costs O(members) longs in the state store.
+  */
+case class BucketState(ids: List[Long])
+
+/** A document leaving the candidate stage: its text plus the earlier-seen
+  * bucket partners it must be Jaccard-verified against (one row per
+  * (doc, band); the sink re-groups by doc).
+  */
+case class CandidateDoc(doc_id: Long, text: String, partners: Seq[Long])
+
+/** Streaming near-duplicate dedup (VERDICT r05 #1) — the batch
+  * MinHash → LSH band → bucket-join → exact-Jaccard pipeline
+  * ([[graft.operators.Dedup.dropNearDuplicates]]) as an incremental
+  * stream:
+  *
+  *  1. signatures per micro-batch: [[Dedup.minhashExpr]] /
+  *     [[Dedup.bandStructsExpr]] — per-row expressions, so the signature
+  *     stage is a stateless projection (a groupBy-min mid-stream would be
+  *     an illegal cumulative aggregation) producing the SAME xxhash64
+  *     values as the batch operators;
+  *  2. banded candidate state: `flatMapGroupsWithState` keyed by
+  *     (band, sig). Each bucket's state is its member id list, capped at
+  *     `maxBucket` — the batch hot-bucket guard reborn as a state-size
+  *     cap: a full bucket stops pairing AND stops growing, so one
+  *     degenerate boilerplate signature can neither produce |bucket|²
+  *     pairs nor eat the state store. (Asymmetry vs batch, by
+  *     construction: `capBuckets` drops a hot bucket's pairs
+  *     retroactively; a stream cannot retract already-emitted pairs, so
+  *     the first `maxBucket` members keep their pairings.)
+  *  3. exact-Jaccard verify in `foreachBatch` against a REGISTRY of every
+  *     document seen so far (kept and dropped — a chain C≈B≈A must verify
+  *     C against B even though B was dropped), then append survivors.
+  *
+  * Semantics: FIRST ARRIVAL WINS — a document is dropped iff it
+  * Jaccard-verifies (≥ threshold) against any earlier-arrived document
+  * sharing an LSH bucket; within one micro-batch "earlier" means smaller
+  * doc id, the suite's canonical-min convention. When documents arrive in
+  * ascending-id order and near-dup clusters are clique-shaped (every copy
+  * pairs with its original — the planted-corpus construction), the
+  * survivor set equals [[Dedup.dropNearDuplicates]]'s batch answer
+  * exactly; NearDupStreamSpec pins that equivalence. The one inherent
+  * divergence of a no-retraction single pass: a chain that becomes
+  * connected only through a LATER document (pairs (C,E),(A,E) with no
+  * (A,C)) keeps both A and C where batch keeps only A.
+  *
+  * Scale shape: state is O(distinct band signatures × capped members),
+  * ids only; texts ride the shuffle once per band (bands ≈ 4) and land in
+  * the registry — which at 100 TB is the corpus store the pipeline
+  * already keeps, partitioned by arrival batch. Per-batch verify cost is
+  * O(candidate pairs of the batch), the same AQE-strategized joins as the
+  * batch verifier.
+  *
+  * State lives forever (NoTimeout), matching the batch operator's
+  * whole-corpus index; a bounded-horizon deployment snapshots the clean
+  * table and restarts the query, the same trade documented on
+  * [[StreamingPipeline.dedupStream]].
+  */
+object NearDupStream {
+
+  /** Fold one micro-batch of one bucket's arrivals into the member list
+    * and emit each doc with the partners it must verify against. Arrivals
+    * are processed in ascending doc id so intra-batch pairing follows the
+    * canonical-min convention; re-delivered ids are ignored (idempotent
+    * under source replay).
+    */
+  private[streaming] def bucketUpdate(maxBucket: Int)(
+      key: (Int, Long), docs: Iterator[BandedDoc],
+      state: GroupState[BucketState]): Iterator[CandidateDoc] = {
+    var ids = state.getOption.map(_.ids).getOrElse(List.empty[Long])
+    var seen = ids.toSet
+    val out = Seq.newBuilder[CandidateDoc]
+    docs.toSeq.sortBy(_.docId).foreach { d =>
+      if (!seen.contains(d.docId)) {
+        if (ids.size < maxBucket) {
+          out += CandidateDoc(d.docId, d.text, ids.reverse)
+          ids = d.docId :: ids
+          seen += d.docId
+        } else {
+          // hot bucket: cap reached — the doc still flows to the sink
+          // (with no partners from THIS bucket) but is not added, so the
+          // bucket's state and pair volume stay bounded
+          out += CandidateDoc(d.docId, d.text, Seq.empty)
+        }
+      }
+    }
+    state.update(BucketState(ids))
+    out.result().iterator
+  }
+
+  /** The stateful candidate stage: documents → per-row banded signatures →
+    * bucket state → (doc, text, partners) rows, one per (doc, band).
+    */
+  def candidates(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                 maxBucket: Int = 10000): Dataset[CandidateDoc] = {
+    import docs.sparkSession.implicits._
+    val toks = graft.functions.Text.tokens(col(textCol))
+    docs
+      .select(col(idCol).cast("long").as("docId"), col(textCol).as("text"),
+        toks.as("__toks"))
+      .select(col("docId"), col("text"),
+        Dedup.minhashExpr(col("__toks"), k, shingleN).as("__mh"))
+      .select(col("docId"), col("text"),
+        explode(Dedup.bandStructsExpr(col("__mh"), k, bands)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("docId"), col("text"))
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.sig))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(bucketUpdate(maxBucket))
+  }
+
+  /** Per-batch sink: re-group the (doc, band) candidate rows by doc,
+    * exact-Jaccard the candidate pairs against the registry ∪ this batch,
+    * append survivors to `clean/` and every seen doc to `registry/`. Both
+    * writes are per-batch partition dirs overwritten by batch id, so a
+    * replayed batch rewrites the same files — idempotent under the
+    * checkpoint's at-least-once delivery (the KPI sink's recipe).
+    */
+  private[streaming] def verifyAndAppend(workDir: String, threshold: Double,
+                                         shingleN: Int)
+                                        (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val perDoc = batch.groupBy(col("doc_id"))
+      .agg(first(col("text")).as("text"),
+        array_distinct(flatten(collect_list(col("partners")))).as("partners"))
+      .persist()
+    try {
+      val regRoot = new Path(s"$workDir/registry")
+      val fs = regRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val docsHere = perDoc.select(col("doc_id"), col("text"))
+      val texts =
+        if (fs.exists(regRoot))
+          spark.read.parquet(regRoot.toString).select("doc_id", "text")
+            .unionByName(docsHere)
+        else docsHere
+      val pairs = perDoc
+        .select(col("doc_id").as("id_b"), explode(col("partners")).as("id_a"))
+        .select("id_a", "id_b")
+      val dropped = Dedup.jaccardVerify(pairs, texts, "doc_id", "text", shingleN)
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_b").as("doc_id")).distinct()
+      perDoc.join(dropped, Seq("doc_id"), "left_anti")
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$workDir/clean/batch=$batchId")
+      docsHere.write.mode("overwrite")
+        .parquet(s"$workDir/registry/batch=$batchId")
+    } finally perDoc.unpersist()
+  }
+
+  /** The full streaming near-dup leg: candidate stage → verify-and-append
+    * sink. Caller picks the trigger and calls `.start()`, like every other
+    * writer in the suite. Survivors accumulate under `workDir/clean`
+    * (read them back with [[survivors]]).
+    */
+  def writer(docs: DataFrame, idCol: String, textCol: String,
+             workDir: String, checkpointDir: String,
+             threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+             shingleN: Int = 3, maxBucket: Int = 10000): DataStreamWriter[Row] =
+    candidates(docs, idCol, textCol, k, bands, shingleN, maxBucket)
+      .toDF()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(verifyAndAppend(workDir, threshold, shingleN) _)
+
+  /** The surviving (near-dup-free) documents written so far. */
+  def survivors(spark: SparkSession, workDir: String): DataFrame =
+    spark.read.parquet(s"$workDir/clean").select("doc_id", "text")
+}

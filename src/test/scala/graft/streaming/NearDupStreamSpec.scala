@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** The incremental MinHash/LSH near-dup leg (VERDICT r05 #1): per-row
+  * signature parity with the batch operators, first-arrival-wins dropping
+  * across micro-batches in either order, chain transitivity through the
+  * registry, hot-bucket capping, idempotent re-delivery, and survivor
+  * equivalence with the batch Dedup.dropNearDuplicates on a planted corpus.
+  */
+class NearDupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Docs with zero pairwise overlap: every token is unique to its doc. */
+  private def uniqueDoc(i: Long): String =
+    (0 until 9).map(w => s"tok${i}w$w").mkString(" ")
+
+  private val marker = " near dup marker"
+
+  test("minhashExpr/bandStructsExpr produce the batch operators' exact signatures") {
+    val docs = Seq((1L, uniqueDoc(1)), (2L, uniqueDoc(2) + marker), (3L, ""))
+      .toDF("doc_id", "text")
+    val k = 16
+    val batchBands = Dedup.bandSignatures(
+      Dedup.minhashSignatures(docs, "doc_id", "text", k), "doc_id", k, 4)
+      .select("doc_id", "band", "sig").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val perRow = docs
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), Dedup.minhashExpr(col("__toks"), k).as("__mh"))
+      .select(col("doc_id"), explode(Dedup.bandStructsExpr(col("__mh"), k, 4)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(perRow == batchBands,
+      "per-row signature expressions diverged from the batch explode+agg form")
+  }
+
+  /** bands = k (r = 1) everywhere in this spec: a pair collides when ANY
+    * minhash agrees, the same recall-guarantee banding the planted batch
+    * oracles use (dedup_near_recall) — with the default 4×4 banding a
+    * 0.7-Jaccard planted pair only bands together with p ≈ 0.67.
+    */
+  private def drainAndCollect(batches: Seq[Seq[(Long, String)]],
+                              maxBucket: Int = 10000): Set[Long] = {
+    implicit val ctx = spark.sqlContext
+    val work = tmp("graft_nds_work")
+    val cp = tmp("graft_nds_cp")
+    val input = MemoryStream[(Long, String)]
+    val q = NearDupStream.writer(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", work, cp, threshold = 0.5, bands = 16,
+      maxBucket = maxBucket)
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    NearDupStream.survivors(spark, work).select("doc_id")
+      .as[Long].collect().toSet
+  }
+
+  test("a cross-batch near-dup is dropped regardless of arrival order") {
+    val a = uniqueDoc(1)
+    val copy = a + marker
+    val bystander = uniqueDoc(9)
+    // original first: the copy (later arrival) is dropped
+    assert(drainAndCollect(Seq(Seq(1L -> a, 9L -> bystander), Seq(2L -> copy)))
+      == Set(1L, 9L))
+    // copy first: first arrival wins, the original is the one dropped
+    assert(drainAndCollect(Seq(Seq(2L -> copy), Seq(1L -> a, 9L -> bystander)))
+      == Set(2L, 9L))
+  }
+
+  test("a chain verifies against a DROPPED doc through the registry") {
+    val a = uniqueDoc(1)
+    val b = a + marker          // ≈ a → dropped in batch 2
+    val c = a + marker + marker // ≈ b (and a) → must drop even though b did
+    assert(drainAndCollect(Seq(Seq(1L -> a), Seq(2L -> b), Seq(3L -> c)))
+      == Set(1L))
+  }
+
+  test("hot-bucket cap bounds pairing and state instead of exploding") {
+    // four identical docs: all bands collide. cap=2 → docs 1,2 pair
+    // (2 dropped against 1); docs 3,4 arrive to a full bucket, gain no
+    // partners, and survive unverified — bounded state, bounded pairs
+    val d = uniqueDoc(1)
+    assert(drainAndCollect(
+      Seq(Seq(1L -> d, 2L -> d, 3L -> d, 4L -> d)), maxBucket = 2)
+      == Set(1L, 3L, 4L))
+  }
+
+  test("survivors equal batch dropNearDuplicates on an ascending-id planted corpus") {
+    val originals = (0L until 20L).map(i => i -> uniqueDoc(i))
+    val copies = (0L until 10L).map(i => (i + 100L) -> (uniqueDoc(i) + marker))
+    val corpus = (originals ++ copies).sortBy(_._1)
+    // ascending-id arrival split across three micro-batches
+    val streamed = drainAndCollect(Seq(
+      corpus.slice(0, 10), corpus.slice(10, 20), corpus.slice(20, 30)))
+    val batchKept = Dedup.dropNearDuplicates(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5,
+      bands = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batchKept,
+      s"stream survivors $streamed != batch survivors $batchKept")
+    assert(batchKept == (0L until 20L).toSet, "every planted copy must drop")
+    Dedup.clearCaches()
+  }
+
+  test("a replayed batch id rewrites the same files (idempotent sink)") {
+    val work = tmp("graft_nds_idem")
+    val batch = Seq((1L, uniqueDoc(1)), (2L, uniqueDoc(1) + marker))
+      .toDF("doc_id", "text")
+      .withColumn("partners",
+        when(col("doc_id") === 2L, array(lit(1L)))
+          .otherwise(array().cast("array<bigint>")))
+    NearDupStream.verifyAndAppend(work, 0.5, 3)(batch, 7L)
+    NearDupStream.verifyAndAppend(work, 0.5, 3)(batch, 7L) // replay
+    assert(NearDupStream.survivors(spark, work).select("doc_id")
+      .as[Long].collect().toSet == Set(1L))
+    assert(spark.read.parquet(s"$work/registry").count() == 2L)
+  }
+}
