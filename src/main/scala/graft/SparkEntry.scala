@@ -737,6 +737,47 @@ object SparkEntry {
             .as("batch_agree"))
     }),
 
+    // Joint KPI commit (VERDICT r05 #4): ONE streaming query maintains BOTH
+    // reference KPI tables in one date-keyed state machine and commits them
+    // under a single SnapshotStore pointer per micro-batch (a crash cannot
+    // leave the pair at different batch ids; readers are snapshot-isolated,
+    // VERDICT r05 #3). Both tables are exact, so each drained table answers
+    // the corresponding BATCH oracle verbatim (a1/a2's SQL).
+    "st_joint_category" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val enr = enriched(s, dir)
+      val stage = tmpDir("graft_stjc_in")
+      enr.select(col("order_id"), col("user_id"), col("product_id"),
+          col("category"), col("sale_price"), col("is_returned"),
+          col("order_date"))
+        .write.mode("overwrite").parquet(stage)
+      val (root, cp) = (tmpDir("graft_stjc_root"), tmpDir("graft_stjc_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+      val q = graft.streaming.JointKpis.writer(stream, root, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.JointKpis.categoryTable(s, root)
+        .select("category", "order_date", "daily_revenue", "avg_order_value",
+          "avg_return_rate")
+    }),
+    "st_joint_daily" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val enr = enriched(s, dir)
+      val stage = tmpDir("graft_stjd_in")
+      enr.select(col("order_id"), col("user_id"), col("product_id"),
+          col("category"), col("sale_price"), col("is_returned"),
+          col("order_date"))
+        .write.mode("overwrite").parquet(stage)
+      val (root, cp) = (tmpDir("graft_stjd_root"), tmpDir("graft_stjd_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+      val q = graft.streaming.JointKpis.writer(stream, root, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.JointKpis.dailyTable(s, root)
+        .select("order_date", "total_orders", "total_revenue",
+          "total_items_sold", "return_rate", "unique_customers")
+    }),
+
     // ---- event-time windows (§7.5 extensions over the events stream) ----
     "e_tumbling" -> ((s, dir) =>
       graft.streaming.Windows.tumbling(
@@ -1423,6 +1464,29 @@ object SparkEntry {
     // stream, and stream survivors equal to the batch operator's
     "st_neardup" ->
       "SELECT doc_id, true AS dropped, true AS batch_agree FROM documents",
+    // the jointly-committed pair answers the BATCH KPI oracles verbatim
+    // (exact state, same math — a1/a2's SQL)
+    "st_joint_category" ->
+      """SELECT p.p_type AS category,
+         CAST(o.o_orderdate AS DATE) AS order_date,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l.l_extendedprice) AS avg_order_value,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS avg_return_rate
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "st_joint_daily" ->
+      """SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+         COUNT(DISTINCT o.o_orderkey) AS total_orders,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         COUNT(l.l_partkey) AS total_items_sold,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(DISTINCT o.o_orderkey) AS return_rate,
+         COUNT(DISTINCT o.o_custkey) AS unique_customers
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1""",
     "a8_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, true AS approx_ok
          FROM events GROUP BY 1""",

@@ -1,0 +1,127 @@
+package graft.state
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned-directory snapshot commits with an atomic pointer file —
+  * reader snapshot isolation for the upsert tables (VERDICT r05 #3).
+  *
+  * The rename-swap sinks (StreamingPipeline.upsertBatch) fence WRITERS
+  * with the lock file, but a reader between the two renames can observe a
+  * missing `data/` dir and fail — the MVCC the reference got for free
+  * from Delta MERGE (transform.py:331-339). This store removes the
+  * window:
+  *
+  *  - each commit writes a fresh `v_<batchId>/` directory (one
+  *    subdirectory per table, so a MULTI-table commit is atomic as a
+  *    unit — VERDICT r05 #4's joint KPI epoch);
+  *  - the commit point is ONE rename of the `_current` pointer file
+  *    (FileContext rename with OVERWRITE — atomic on HDFS and POSIX);
+  *  - readers resolve the pointer and read a dir no writer ever mutates:
+  *    every crash point leaves the pointer on a complete version.
+  *
+  * Version names are the micro-batch id, so a replayed batch OVERWRITES
+  * its own uncommitted dir (never a committed one — the pointer gate in
+  * the sinks skips batches ≤ the committed version) and commits land in
+  * order. Reclamation keeps the current and previous versions and deletes
+  * the rest: a reader that resolved the pointer keeps a stable view
+  * unless it straddles TWO subsequent commits (the documented residual —
+  * Delta's retention window, here hardcoded to depth 2).
+  *
+  * Scale note: a version rewrites the committed tables whole, which is
+  * the right trade for aggregate-grain KPI tables (grain = categories ×
+  * days). For fact-grain tables whose batches touch few partitions, the
+  * O(touched-partitions) rename-swap sink remains the scale path; a
+  * partition-manifest version layout (Iceberg-style) would combine both
+  * properties and is the named next step.
+  */
+object SnapshotStore {
+
+  private val PointerName = "_current"
+  private val VersionPrefix = "v_"
+
+  def versionDir(root: Path, v: Long): Path =
+    new Path(root, f"$VersionPrefix$v%019d")
+
+  private def parseVersion(name: String): Option[Long] =
+    if (name.startsWith(VersionPrefix))
+      scala.util.Try(name.stripPrefix(VersionPrefix).toLong).toOption
+    else None
+
+  /** The committed version id, if any commit ever succeeded. */
+  def currentVersion(fs: FileSystem, root: Path): Option[Long] = {
+    val p = new Path(root, PointerName)
+    try {
+      val in = fs.open(p)
+      try parseVersion(scala.io.Source.fromInputStream(in).mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Write each table under `v_<batchId>/<name>`, then commit them ALL
+    * with one atomic pointer rename and reclaim superseded versions.
+    * Caller must hold the table-root writer lock (single-writer contract,
+    * same as the rename-swap sinks) and must have gated on
+    * [[currentVersion]] ≥ batchId for replay idempotence.
+    */
+  def commit(fs: FileSystem, root: Path, batchId: Long,
+             tables: Map[String, DataFrame]): Unit = {
+    fs.mkdirs(root)
+    val vdir = versionDir(root, batchId)
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(new Path(vdir, name).toString)
+    }
+    pointTo(fs, root, batchId)
+    reclaim(fs, root, batchId)
+  }
+
+  /** The atomic commit point: stage the pointer content, rename over
+    * `_current` (atomic replace — a reader sees the old or the new
+    * pointer, never a missing or partial one). On `file:` roots the
+    * rename is java.nio ATOMIC_MOVE (rename(2) — Hadoop's local
+    * FileContext implements OVERWRITE as delete-then-rename, which leaves
+    * exactly the missing-pointer window this store exists to close); on
+    * DFS roots it is FileContext's atomic OVERWRITE rename.
+    */
+  private[graft] def pointTo(fs: FileSystem, root: Path, batchId: Long): Unit = {
+    val content = versionDir(root, batchId).getName + "\n"
+    if (Option(root.toUri.getScheme).forall(_ == "file")) {
+      val dir = java.nio.file.Paths.get(root.toUri.getPath)
+      val tmp = dir.resolve(s"_current_tmp_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.writeString(tmp, content)
+      java.nio.file.Files.move(tmp, dir.resolve(PointerName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val tmp = new Path(root, s"_current_tmp_${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      out.writeBytes(content)
+      out.close()
+      val fc = FileContext.getFileContext(root.toUri, fs.getConf)
+      fc.rename(tmp, new Path(root, PointerName), Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Keep the committed version and its predecessor; delete every other
+    * `v_*` dir — older ones (superseded beyond the depth-2 read horizon)
+    * and newer ones (uncommitted leftovers of a crashed batch, which its
+    * replay overwrites anyway).
+    */
+  private def reclaim(fs: FileSystem, root: Path, committed: Long): Unit = {
+    val versions = fs.listStatus(root).flatMap(s => parseVersion(s.getPath.getName))
+    val keepPrev = versions.filter(_ < committed).sorted.lastOption
+    versions.filterNot(v => v == committed || keepPrev.contains(v))
+      .foreach(v => fs.delete(versionDir(root, v), true))
+  }
+
+  /** Snapshot-isolated read of one committed table. Throws with a clear
+    * message when nothing was ever committed.
+    */
+  def read(spark: SparkSession, root: String, table: String): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentVersion(fs, rootPath).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $root — the writer has not completed a batch"))
+    spark.read.parquet(new Path(versionDir(rootPath, v), table).toString)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.TestdataAdapter
+import graft.state.SnapshotStore
+import graft.transform.Kpis
+
+/** The joint KPI commit (VERDICT r05 #4) and the snapshot pointer store
+  * (VERDICT r05 #3): both tables from one stateful operator, one atomic
+  * commit point, snapshot-isolated readers, replay idempotence, version
+  * reclamation, and bit-exact parity with the batch aggregations.
+  */
+class JointKpisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def enrichedTestdata = {
+    val dir = "/root/testdata/sf0.001"
+    Kpis.enrich(
+      TestdataAdapter.orders(spark, dir),
+      TestdataAdapter.orderItems(spark, dir),
+      TestdataAdapter.products(spark, dir))
+  }
+
+  private def catRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("category", "order_date", "daily_revenue", "avg_order_value",
+      "avg_return_rate")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+
+  private def dayRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("order_date", "total_orders", "total_revenue",
+      "total_items_sold", "return_rate", "unique_customers")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+
+  test("JointKpis (batch execution) equals categoryKpis AND dailyKpis bit-for-bit") {
+    val joined = enrichedTestdata
+    val tagged = JointKpis.stream(joined).toDF()
+    assert(catRows(tagged.filter(col("table") === "category"))
+      == catRows(Kpis.categoryKpis(joined)))
+    assert(dayRows(tagged.filter(col("table") === "daily"))
+      == dayRows(Kpis.dailyKpis(joined)))
+  }
+
+  test("drained joint writer commits BOTH tables, equal to batch, under one pointer") {
+    implicit val ctx = spark.sqlContext
+    val joined = enrichedTestdata
+      .select("order_id", "user_id", "product_id", "category", "sale_price",
+        "is_returned", "order_date").persist()
+    val rows = joined.collect()
+    val (root, cp) = (tmp("graft_joint"), tmp("graft_joint_cp"))
+    val input = MemoryStream[(Long, Long, Long, String, Double, Boolean, java.sql.Date)]
+    val stream = input.toDF().toDF("order_id", "user_id", "product_id",
+      "category", "sale_price", "is_returned", "order_date")
+    val q = JointKpis.writer(stream, root, cp).start()
+    try {
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        input.addData(chunk.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getBoolean(5), r.getDate(6))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(catRows(JointKpis.categoryTable(spark, root))
+      == catRows(Kpis.categoryKpis(joined)))
+    assert(dayRows(JointKpis.dailyTable(spark, root))
+      == dayRows(Kpis.dailyKpis(joined)))
+    // one pointer governs both tables: exactly one committed version dir
+    // pair, plus at most its predecessor (reclaim depth 2)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("v_"))
+    assert(versions.length <= 2, s"reclaim left ${versions.mkString(",")}")
+    joined.unpersist()
+  }
+
+  test("a crash between version write and pointer flip leaves readers on the old PAIR") {
+    val root = tmp("graft_joint_crash")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cat1 = Seq(("books", "2024-01-01", 1.0)).toDF("category", "order_date", "daily_revenue")
+    val day1 = Seq(("2024-01-01", 1L)).toDF("order_date", "total_orders")
+    SnapshotStore.commit(fs, rootPath, 1L, Map("category" -> cat1, "daily" -> day1))
+    // batch 2 "crashes" after writing its version dirs but BEFORE the
+    // pointer flip — simulated by writing the dirs without pointTo
+    val cat2 = Seq(("books", "2024-01-01", 2.0)).toDF("category", "order_date", "daily_revenue")
+    val day2 = Seq(("2024-01-01", 2L)).toDF("order_date", "total_orders")
+    val v2 = SnapshotStore.versionDir(rootPath, 2L)
+    cat2.write.mode("overwrite").parquet(new Path(v2, "category").toString)
+    day2.write.mode("overwrite").parquet(new Path(v2, "daily").toString)
+    // readers still see the COMMITTED pair — batch 1 on both tables
+    assert(SnapshotStore.read(spark, root, "category")
+      .select("daily_revenue").as[Double].head() == 1.0)
+    assert(SnapshotStore.read(spark, root, "daily")
+      .select("total_orders").as[Long].head() == 1L)
+    // the replayed batch completes the commit: both tables advance TOGETHER
+    SnapshotStore.commit(fs, rootPath, 2L, Map("category" -> cat2, "daily" -> day2))
+    assert(SnapshotStore.read(spark, root, "category")
+      .select("daily_revenue").as[Double].head() == 2.0)
+    assert(SnapshotStore.read(spark, root, "daily")
+      .select("total_orders").as[Long].head() == 2L)
+  }
+
+  test("a replayed batch id is skipped: the committed pair is never re-merged") {
+    val root = tmp("graft_joint_replay")
+    val batch = JointKpis.stream(enrichedTestdata).toDF().limit(50).persist()
+    JointKpis.jointSink(root)(batch, 3L)
+    val before = dayRows(JointKpis.dailyTable(spark, root))
+    JointKpis.jointSink(root)(batch, 3L) // replay of a committed batch
+    JointKpis.jointSink(root)(batch, 2L) // late replay of an older batch
+    assert(dayRows(JointKpis.dailyTable(spark, root)) == before)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(SnapshotStore.currentVersion(fs, new Path(root)).contains(3L))
+    batch.unpersist()
+  }
+
+  test("a concurrent reader during a commit loop never errors (VERDICT r05 #3)") {
+    val root = tmp("graft_snap_reader")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // seed so the reader always has a committed version
+    StreamingPipeline.upsertBatchSnapshot(root, Seq("k"))(
+      Seq((0L, 0.0)).toDF("k", "v"), 0L)
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val n = StreamingPipeline.readSnapshot(spark, root).count()
+          if (n < 1L) errors.add(new IllegalStateException(s"saw $n rows"))
+        } catch { case t: Throwable => errors.add(t) }
+      }
+    })
+    reader.start()
+    try {
+      (1L to 120L).foreach { i =>
+        StreamingPipeline.upsertBatchSnapshot(root, Seq("k"))(
+          Seq((i, i * 1.0)).toDF("k", "v"), i)
+      }
+    } finally { stop = true; reader.join(20000) }
+    assert(errors.isEmpty,
+      s"reader hit ${errors.size} errors; first: ${Option(errors.peek())}")
+    // superseded versions reclaimed: at most current + previous remain
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("v_"))
+    assert(versions.length <= 2, s"reclaim left ${versions.length} versions")
+    assert(StreamingPipeline.readSnapshot(spark, root).count() == 121L)
+  }
+}
