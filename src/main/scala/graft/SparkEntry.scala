@@ -1176,6 +1176,24 @@ object SparkEntry {
       s.read.parquet(tmp + "/data").select("o_orderkey", "o_custkey",
         "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
     }),
+    // the same two-batch upsert through the partition-MANIFEST snapshot
+    // sink (O(touched) writes + MVCC readers, graft.state.ManifestStore):
+    // batch 1 touches only the F/O partitions its updates live in, the
+    // other status partitions are inherited by manifest reference — and
+    // the final read must still equal the rename-swap sink's answer
+    "s_partitioned_upsert_snapshot" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+      val tmp = tmpDir("graft_pups_snap")
+      graft.streaming.StreamingPipeline.upsertPartitionedBatchSnapshot(
+        tmp, Seq("o_orderkey"), "o_orderstatus")(t, 0L)
+      val updates = t.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.streaming.StreamingPipeline.upsertPartitionedBatchSnapshot(
+        tmp, Seq("o_orderkey"), "o_orderstatus")(updates, 1L)
+      graft.streaming.StreamingPipeline.readPartitionedSnapshot(s, tmp)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+    }),
 
     // Partition pruning: a predicate on the partition column must skip
     // whole directories at planning time (PartitionFilters in the scan —
@@ -1924,6 +1942,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
          FROM orders WHERE o_orderstatus = 'F'""",
     "s_partitioned_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders""",
+    "s_partitioned_upsert_snapshot" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
                      ELSE o_totalprice END AS o_totalprice,

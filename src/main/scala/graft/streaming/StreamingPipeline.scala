@@ -355,6 +355,38 @@ object StreamingPipeline {
   def readSnapshot(spark: SparkSession, targetDir: String): DataFrame =
     graft.state.SnapshotStore.read(spark, targetDir, "data")
 
+  /** [[upsertPartitionedBatch]] with READER snapshot isolation — the
+    * partition-manifest commit ([[graft.state.ManifestStore]]): per-batch
+    * write cost stays O(touched partitions) (untouched partitions are
+    * inherited by manifest reference, never copied), readers resolve one
+    * atomic pointer, and a manifest referencing more than
+    * `maxManifestVersions` versions triggers a compacting full rewrite so
+    * reader fan-in stays bounded. Same single-writer lock, replay gate,
+    * and partition-stability precondition as the other partitioned sink.
+    */
+  def upsertPartitionedBatchSnapshot(targetDir: String, keys: Seq[String],
+                                     partitionCol: String,
+                                     staleMs: Option[Long] = None,
+                                     maxManifestVersions: Int = 16,
+                                     retentionMs: Long = 10 * 60 * 1000L)
+                                    (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLock(fs, root, resolveStaleMs(spark, staleMs)) {
+      if (!graft.state.SnapshotStore.currentVersion(fs, root).exists(_ >= batchId))
+        graft.state.ManifestStore.commitPartitioned(spark, root, batchId,
+          batch, keys, partitionCol, Upsert.upsert, maxManifestVersions,
+          retentionMs)
+    }
+  }
+
+  /** Snapshot-isolated read of a table maintained by
+    * [[upsertPartitionedBatchSnapshot]].
+    */
+  def readPartitionedSnapshot(spark: SparkSession, targetDir: String): DataFrame =
+    graft.state.ManifestStore.read(spark, targetDir)
+
   /** Partition-aware variant of [[upsertBatch]]: only the partitions the
     * micro-batch touches are read, merged, and rewritten (dynamic
     * partition overwrite). [[upsertBatch]] rewrites the whole table per
