@@ -970,6 +970,18 @@ object SparkEntry {
         .select(col("category"),
           round(col("ps").getItem(0), 6).as("p50"),
           round(col("ps").getItem(1), 6).as("p90"))),
+    // EXACT percentiles at scale (closes the a7 sf-bound, VERDICT r05
+    // nit): same quantile_cont math, but via graft.operators.Ranking
+    // .quantilesCont — range-partitioned exact ranks + driver-side target
+    // arithmetic, spillable sorts instead of ObjectHashAggregate's
+    // in-memory whole-group buffers. Same oracle SQL as a7_percentiles.
+    "a7_percentiles_scalable" -> ((s, dir) =>
+      graft.operators.Ranking.quantilesCont(
+        enriched(s, dir), "category", "sale_price",
+        Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"))
+        .select(col("category"),
+          round(col("p50_raw"), 6).as("p50"),
+          round(col("p90_raw"), 6).as("p90"))),
     // Scale-safe percentiles: approx_percentile keeps a fixed-size
     // Greenwald-Khanna sketch per group (memory bounded by `accuracy`, not
     // group size — the 100 TB default). The oracled check asserts the
@@ -1794,6 +1806,15 @@ object SparkEntry {
                 CAST(ascii(text) AS INTEGER) AS f0_byte
          FROM documents""",
     "a7_percentiles" ->
+      """SELECT p.p_type AS category,
+                round(quantile_cont(l.l_extendedprice, 0.5), 6) AS p50,
+                round(quantile_cont(l.l_extendedprice, 0.9), 6) AS p90
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1""",
+    // the scale-safe exact form must answer the same order statistics
+    "a7_percentiles_scalable" ->
       """SELECT p.p_type AS category,
                 round(quantile_cont(l.l_extendedprice, 0.5), 6) AS p50,
                 round(quantile_cont(l.l_extendedprice, 0.9), 6) AS p90

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Scale-safe global quantile bucketing (VERDICT r05 #2).
   *
@@ -85,5 +86,86 @@ object Ranking {
                  ELSE ${rem}L + (__rank - 1L - ${bigCut}L) div ${math.max(q, 1L)}L
                  END AS INT) + 1"""))
       .drop("__pid", "__off", "__rank")
+  }
+
+  /** EXACT per-group linear-interpolated percentiles (quantile_cont
+    * semantics) without buffering any group in memory — the scale-safe
+    * form of `percentile(...)`, whose ObjectHashAggregate holds EVERY
+    * group value in an executor array (the a7 exact form's documented
+    * sf-bound, VERDICT r03/r05).
+    *
+    * Shape: range-repartition on (group, value) — partition sorts are
+    * Spark's spillable ExternalSorter, so memory is bounded regardless of
+    * group size — then per-partition row_number + prefix-sum offsets
+    * (the [[ntileExact]] machinery, here per group) give every row its
+    * exact within-group rank. The interpolation targets
+    * (rank ⌊h⌋+1 and ⌊h⌋+2 with h = (N−1)·q, the percentile/quantile_cont
+    * definition) come from the same per-(partition, group) counts,
+    * computed on the driver — a collect bounded by
+    * O(groups + partitions), group METADATA, never values. One final
+    * conditional aggregation picks the two target order statistics per
+    * group and interpolates.
+    *
+    * @param probs (probability, output column name) pairs
+    */
+  def quantilesCont(df: DataFrame, groupCol: String, valCol: String,
+                    probs: Seq[(Double, String)]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p._1 >= 0 && p._1 <= 1),
+      s"probabilities must be in [0,1]: $probs")
+    val spark = df.sparkSession
+    val base = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val ranged = graft.util.Caches.retain(
+      base.repartitionByRange(col(groupCol), col("__v"))
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val gType = df.schema(groupCol).dataType
+    val counts = ranged.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__cnt")).collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    // prefix offsets per group across range partitions, and group sizes
+    val byGroup = counts.groupBy(_._2)
+    val offsetRows = byGroup.toSeq.flatMap { case (g, cs) =>
+      var acc = 0L
+      cs.sortBy(_._1).map { case (pid, _, cnt) =>
+        val r = Row(pid, g, acc); acc += cnt; r
+      }
+    }
+    val offs = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1),
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        StructField(groupCol, gType),
+        StructField("__off", LongType, nullable = false))))
+    // interpolation targets per group: for each prob q over N values,
+    // h = (N-1)·q, lo = ⌊h⌋+1, hi = min(lo+1, N), frac = h − ⌊h⌋ —
+    // exactly percentile()/quantile_cont's definition
+    val targetRows = byGroup.toSeq.map { case (g, cs) =>
+      val n = cs.map(_._3).sum
+      val fields = probs.flatMap { case (q, _) =>
+        val h = (n - 1) * q
+        val lo = math.floor(h).toLong + 1
+        Seq[Any](lo, math.min(lo + 1, n), h - math.floor(h))
+      }
+      Row.fromSeq(g +: fields)
+    }
+    val targetSchema = StructType(
+      StructField(groupCol, gType) +: probs.zipWithIndex.flatMap { case (_, i) =>
+        Seq(StructField(s"__lo$i", LongType, nullable = false),
+          StructField(s"__hi$i", LongType, nullable = false),
+          StructField(s"__frac$i",
+            org.apache.spark.sql.types.DoubleType, nullable = false))
+      })
+    val targets = spark.createDataFrame(
+      spark.sparkContext.parallelize(targetRows, 1), targetSchema)
+    val localW = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(col("__v"))
+    val ranked = ranged.join(broadcast(offs), Seq("__pid", groupCol))
+      .withColumn("__rank", col("__off") + row_number().over(localW))
+      .join(broadcast(targets), Seq(groupCol))
+    val aggs = probs.zipWithIndex.map { case ((_, name), i) =>
+      val loV = max(when(col("__rank") === col(s"__lo$i"), col("__v")))
+      val hiV = max(when(col("__rank") === col(s"__hi$i"), col("__v")))
+      (loV + first(col(s"__frac$i")) * (hiV - loV)).as(name)
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

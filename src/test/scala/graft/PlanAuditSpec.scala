@@ -113,6 +113,17 @@ class PlanAuditSpec extends SparkSpec {
     assertNoCartesian(p, "w_ntile_boundaries")
   }
 
+  test("a7_percentiles_scalable: spillable sorts, no whole-group ObjectHashAggregate buffers") {
+    val p = plan("a7_percentiles_scalable")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"the scale-safe percentiles must not buffer groups in memory:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"expected the range exchange in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global funnel allowed in:\n$p")
+    assertNoCartesian(p, "a7_percentiles_scalable")
+  }
+
   test("a9_sample_hash: one shuffle for the per-group window") {
     val p = plan("a9_sample_hash")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -48,4 +48,29 @@ class RankingSpec extends SparkSpec {
       .count() == 0L)
     graft.operators.Dedup.clearCaches()
   }
+
+  test("quantilesCont equals percentile() bit-for-bit across group sizes, ties, nulls") {
+    import spark.implicits._
+    // groups: size 1, size 2, a tied group, a bigger group, and nulls
+    val rows =
+      Seq(("one", Some(5.0))) ++
+        Seq(("two", Some(1.0)), ("two", Some(2.0))) ++
+        (1 to 9).map(_ => ("tied", Some(3.0))) ++
+        (1 to 97).map(i => ("big", Some((i * 7919 % 101).toDouble))) ++
+        Seq(("big", None), ("two", None)) // percentile ignores nulls
+    val df = rows.toDF("g", "v")
+    val expected = df.groupBy(col("g"))
+      .agg(expr("percentile(v, array(0.0, 0.25, 0.5, 0.9, 1.0))").as("ps"))
+      .select(col("g"), col("ps")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got = Ranking.quantilesCont(df, "g", "v",
+      Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 1.0 -> "p100"))
+      .collect()
+      .map(r => r.getString(0) -> (1 to 5).map(r.getDouble)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (g, ps) =>
+      assert(ps == expected(g), s"group $g: $ps != ${expected(g)}")
+    }
+    graft.operators.Dedup.clearCaches()
+  }
 }
