@@ -7,8 +7,13 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
 
 import graft.operators.Dedup
 
-/** One (document, LSH bucket) arrival for the candidate state machine. */
-case class BandedDoc(band: Int, sig: Long, docId: Long, text: String)
+/** One (document, LSH bucket) arrival for the candidate state machine.
+  * `eventTime` is only meaningful under the bounded variant (it carries
+  * the watermark tag through to the stateful operator); the unbounded
+  * path carries null.
+  */
+case class BandedDoc(band: Int, sig: Long, docId: Long, text: String,
+                     eventTime: java.sql.Timestamp)
 
 /** Per-bucket state: ids seen in this (band, sig) bucket, oldest first,
   * capped at the hot-bucket bound. Ids only — never text, never
@@ -64,10 +69,11 @@ case class CandidateDoc(doc_id: Long, text: String, partners: Seq[Long])
   * O(candidate pairs of the batch), the same AQE-strategized joins as the
   * batch verifier.
   *
-  * State lives forever (NoTimeout), matching the batch operator's
-  * whole-corpus index; a bounded-horizon deployment snapshots the clean
-  * table and restarts the query, the same trade documented on
-  * [[StreamingPipeline.dedupStream]].
+  * State lives forever under [[NearDupStream.candidates]] (NoTimeout),
+  * matching the batch operator's whole-corpus index;
+  * [[NearDupStream.candidatesBounded]] is the 100 TB default for an
+  * unbounded stream — buckets evict `ttlMs` past their newest event time
+  * once the watermark passes, bounding state to the active horizon.
   */
 object NearDupStream {
 
@@ -76,14 +82,28 @@ object NearDupStream {
     * are processed in ascending doc id so intra-batch pairing follows the
     * canonical-min convention; re-delivered ids are ignored (idempotent
     * under source replay).
+    *
+    * When the operator runs with a timeout ([[candidatesBounded]]), an
+    * expired bucket is simply REMOVED: near-dups are then only detected
+    * within the eviction horizon — the bounded-state trade, identical in
+    * kind to `dropDuplicatesWithinWatermark`'s. Removing (rather than
+    * resetting counters inside) is safe because bucket state carries no
+    * aggregate a late arrival would corrupt — a re-seen doc after
+    * eviction just re-enters as if new.
     */
-  private[streaming] def bucketUpdate(maxBucket: Int)(
+  private[streaming] def bucketUpdate(maxBucket: Int,
+                                      ttlMs: Option[Long] = None)(
       key: (Int, Long), docs: Iterator[BandedDoc],
       state: GroupState[BucketState]): Iterator[CandidateDoc] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val arrivals = docs.toSeq
     var ids = state.getOption.map(_.ids).getOrElse(List.empty[Long])
     var seen = ids.toSet
     val out = Seq.newBuilder[CandidateDoc]
-    docs.toSeq.sortBy(_.docId).foreach { d =>
+    arrivals.sortBy(_.docId).foreach { d =>
       if (!seen.contains(d.docId)) {
         if (ids.size < maxBucket) {
           out += CandidateDoc(d.docId, d.text, ids.reverse)
@@ -98,30 +118,69 @@ object NearDupStream {
       }
     }
     state.update(BucketState(ids))
+    // bounded mode: the bucket lives ttlMs past its newest event time —
+    // when the watermark passes that, the engine fires the timeout and
+    // the bucket is evicted above
+    ttlMs.foreach(ttl =>
+      state.setTimeoutTimestamp(arrivals.map(_.eventTime.getTime).max + ttl))
     out.result().iterator
   }
 
   /** The stateful candidate stage: documents → per-row banded signatures →
     * bucket state → (doc, text, partners) rows, one per (doc, band).
     */
+  private def banded(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, bands: Int, shingleN: Int,
+                     eventTime: org.apache.spark.sql.Column): DataFrame = {
+    val toks = graft.functions.Text.tokens(col(textCol))
+    // eventTime rides as a COLUMN (not a derived long) so a watermark
+    // applied upstream keeps its event-time tag all the way into the
+    // stateful operator
+    docs
+      .select(col(idCol).cast("long").as("docId"), col(textCol).as("text"),
+        toks.as("__toks"), eventTime.as("eventTime"))
+      .select(col("docId"), col("text"), col("eventTime"),
+        Dedup.minhashExpr(col("__toks"), k, shingleN).as("__mh"))
+      .select(col("docId"), col("text"), col("eventTime"),
+        explode(Dedup.bandStructsExpr(col("__mh"), k, bands)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("docId"), col("text"), col("eventTime"))
+  }
+
   def candidates(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 16, bands: Int = 4, shingleN: Int = 3,
                  maxBucket: Int = 10000): Dataset[CandidateDoc] = {
     import docs.sparkSession.implicits._
-    val toks = graft.functions.Text.tokens(col(textCol))
-    docs
-      .select(col(idCol).cast("long").as("docId"), col(textCol).as("text"),
-        toks.as("__toks"))
-      .select(col("docId"), col("text"),
-        Dedup.minhashExpr(col("__toks"), k, shingleN).as("__mh"))
-      .select(col("docId"), col("text"),
-        explode(Dedup.bandStructsExpr(col("__mh"), k, bands)).as("bs"))
-      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
-        col("docId"), col("text"))
+    banded(docs, idCol, textCol, k, bands, shingleN,
+      lit(null).cast("timestamp"))
       .as[BandedDoc]
       .groupByKey(d => (d.band, d.sig))
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(bucketUpdate(maxBucket))
+  }
+
+  /** The bounded-state candidate stage (the 100 TB default when the
+    * stream is unbounded): the input is watermarked on `tsCol` and every
+    * bucket is evicted `ttl` past its newest event time, so state is
+    * O(buckets active within the horizon) instead of O(buckets ever
+    * seen). The trade, identical in kind to
+    * `dropDuplicatesWithinWatermark`: near-duplicates are only detected
+    * against documents whose bucket is still within the horizon.
+    */
+  def candidatesBounded(docs: DataFrame, idCol: String, textCol: String,
+                        tsCol: String, watermark: String, ttlMs: Long,
+                        k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                        maxBucket: Int = 10000): Dataset[CandidateDoc] = {
+    import docs.sparkSession.implicits._
+    // the watermark goes on the PROJECTED eventTime column — tagging the
+    // source column would be stripped by the cast/alias in the projection
+    banded(docs, idCol, textCol, k, bands,
+      shingleN, col(tsCol).cast("timestamp"))
+      .withWatermark("eventTime", watermark)
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.sig))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(bucketUpdate(maxBucket, Some(ttlMs)))
   }
 
   /** Per-batch sink: re-group the (doc, band) candidate rows by doc,

@@ -113,6 +113,57 @@ class NearDupStreamSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("bounded mode: expired buckets are evicted; live buckets arm their TTL") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // a bucket whose watermark deadline passed: removed, nothing emitted
+    val timedOut = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List(1L, 2L))), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(500L), hasTimedOut = true)
+    val out = NearDupStream.bucketUpdate(10, Some(60000L))(
+      (0, 42L), Iterator.empty, timedOut)
+    assert(out.isEmpty && timedOut.isRemoved,
+      "an expired bucket must be dropped without emitting")
+    // a live arrival arms the timeout at newest event time + ttl
+    val live = TestGroupState.create[BucketState](
+      Optional.empty[BucketState], GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(500L), hasTimedOut = false)
+    val emitted = NearDupStream.bucketUpdate(10, Some(60000L))(
+      (0, 42L),
+      Iterator(BandedDoc(0, 42L, 7L, "doc", new java.sql.Timestamp(5000L))),
+      live).toSeq
+    assert(emitted.map(_.doc_id) == Seq(7L))
+    assert(live.getTimeoutTimestampMs.get() == 65000L,
+      s"ttl must arm at newest event + ttl, got ${live.getTimeoutTimestampMs}")
+    assert(live.get.ids == List(7L))
+  }
+
+  test("bounded mode drops a within-horizon cross-batch near-dup end-to-end") {
+    implicit val ctx = spark.sqlContext
+    val work = tmp("graft_nds_bwork")
+    val cp = tmp("graft_nds_bcp")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = NearDupStream.candidatesBounded(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", watermark = "1 hour", ttlMs = 3600 * 1000L,
+      bands = 16)
+      .toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", cp)
+      .foreachBatch(NearDupStream.verifyAndAppend(work, 0.5, 3) _)
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:30:00")
+      input.addData((1L, uniqueDoc(1), t0), (9L, uniqueDoc(9), t0))
+      q.processAllAvailable()
+      input.addData((2L, uniqueDoc(1) + marker, t1)) // within horizon
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(NearDupStream.survivors(spark, work).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 9L))
+  }
+
   test("a replayed batch id rewrites the same files (idempotent sink)") {
     val work = tmp("graft_nds_idem")
     val batch = Seq((1L, uniqueDoc(1)), (2L, uniqueDoc(1) + marker))
