@@ -1268,7 +1268,10 @@ object SparkEntry {
     "j2_upsert", "j7_salted_join", "j8_asof", "j9_interval", "g_complete_groups",
     "dedup_exact", "dedup_near", "dedup_simhash", "t_text_stats",
     "sim_bruteforce_topk", "ann_ivf_topk", "e_daily_value", "e_sessionize",
-    "a6_cube", "a8_approx_distinct", "w_running_total", "pipeline_corpus_prep")
+    "a6_cube", "a8_approx_distinct", "w_running_total", "pipeline_corpus_prep",
+    // round 6: the scale-safe rank family and the manifest snapshot sink
+    "w_ntile_boundaries", "a7_percentiles_scalable",
+    "s_partitioned_upsert_snapshot")
 
   // ---- DuckDB oracle twins ----
 
