@@ -89,17 +89,19 @@ object Bench {
     */
   private[graft] def latestBaselineFile(): Option[java.nio.file.Path] = {
     val re = "BENCH_r(\\d+)\\.json".r
-    val dir = Paths.get(".")
-    val files = Files.list(dir).iterator()
-    var best: Option[(Int, java.nio.file.Path)] = None
-    while (files.hasNext) {
-      val p = files.next()
-      p.getFileName.toString match {
-        case re(n) if best.forall(_._1 < n.toInt) => best = Some((n.toInt, p))
-        case _ => ()
+    val stream = Files.list(Paths.get("."))
+    try {
+      val files = stream.iterator()
+      var best: Option[(Int, java.nio.file.Path)] = None
+      while (files.hasNext) {
+        val p = files.next()
+        p.getFileName.toString match {
+          case re(n) if best.forall(_._1 < n.toInt) => best = Some((n.toInt, p))
+          case _ => ()
+        }
       }
-    }
-    best.map(_._2)
+      best.map(_._2)
+    } finally stream.close()
   }
 
   def main(args: Array[String]): Unit = {

@@ -98,8 +98,8 @@ object Ranking {
     * Spark's spillable ExternalSorter, so memory is bounded regardless of
     * group size — then per-partition row_number + prefix-sum offsets
     * (the [[ntileExact]] machinery, here per group) give every row its
-    * exact within-group rank. The interpolation targets
-    * (rank ⌊h⌋+1 and ⌊h⌋+2 with h = (N−1)·q, the percentile/quantile_cont
+    * exact within-group rank. The interpolation targets (the order
+    * statistics at ⌊(N−1)·q⌋ and ⌈(N−1)·q⌉, the percentile/quantile_cont
     * definition) come from the same per-(partition, group) counts,
     * computed on the driver — a collect bounded by
     * O(groups + partitions), group METADATA, never values. One final
@@ -133,39 +133,67 @@ object Ranking {
     }
     val offs = spark.createDataFrame(
       spark.sparkContext.parallelize(offsetRows, 1),
-      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
-        StructField(groupCol, gType),
+      StructType(Seq(StructField("__opid", IntegerType, nullable = false),
+        StructField("__og", gType),
         StructField("__off", LongType, nullable = false))))
-    // interpolation targets per group: for each prob q over N values,
-    // h = (N-1)·q, lo = ⌊h⌋+1, hi = min(lo+1, N), frac = h − ⌊h⌋ —
-    // exactly percentile()/quantile_cont's definition
+    // interpolation targets per group, replicating Spark percentile()'s
+    // exact arithmetic so the two forms agree to the LAST ULP: position =
+    // (N−1)·q over 0-based indices lower = ⌊position⌋, higher = ⌈position⌉,
+    // and p = (higher − position)·x_lower + (position − lower)·x_higher
+    // — with the integral-position case collapsing to weights (1, 0)
+    // (Spark special-cases higher == lower; weights 1/0 encode that
+    // branch-free). The weights ship from the driver pre-computed with
+    // the same double ops Spark uses — recomputing `1 − frac` downstream
+    // can differ in the last ulp from `higher − position`.
     val targetRows = byGroup.toSeq.map { case (g, cs) =>
       val n = cs.map(_._3).sum
       val fields = probs.flatMap { case (q, _) =>
-        val h = (n - 1) * q
-        val lo = math.floor(h).toLong + 1
-        Seq[Any](lo, math.min(lo + 1, n), h - math.floor(h))
+        val position = (n - 1) * q
+        val lower = math.floor(position)
+        val higher = math.ceil(position)
+        if (higher == lower)
+          Seq[Any](lower.toLong + 1, lower.toLong + 1, 1.0, 0.0)
+        else
+          Seq[Any](lower.toLong + 1, higher.toLong + 1,
+            higher - position, position - lower)
       }
       Row.fromSeq(g +: fields)
     }
     val targetSchema = StructType(
-      StructField(groupCol, gType) +: probs.zipWithIndex.flatMap { case (_, i) =>
+      StructField("__tg", gType) +: probs.zipWithIndex.flatMap { case (_, i) =>
         Seq(StructField(s"__lo$i", LongType, nullable = false),
           StructField(s"__hi$i", LongType, nullable = false),
-          StructField(s"__frac$i",
+          StructField(s"__wlo$i",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          StructField(s"__whi$i",
             org.apache.spark.sql.types.DoubleType, nullable = false))
       })
     val targets = spark.createDataFrame(
       spark.sparkContext.parallelize(targetRows, 1), targetSchema)
+    // joins are NULL-SAFE on the group key (code-review r6): percentile()
+    // treats a null group key as a group like any other, so rows must not
+    // fall out of the bookkeeping joins
     val localW = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(col("__v"))
-    val ranked = ranged.join(broadcast(offs), Seq("__pid", groupCol))
+    val ranked = ranged.join(broadcast(offs),
+        ranged("__pid") === offs("__opid") && ranged(groupCol) <=> offs("__og"))
+      .drop("__opid", "__og")
       .withColumn("__rank", col("__off") + row_number().over(localW))
-      .join(broadcast(targets), Seq(groupCol))
+      .join(broadcast(targets), col(groupCol) <=> targets("__tg"))
+      .drop("__tg")
     val aggs = probs.zipWithIndex.map { case ((_, name), i) =>
       val loV = max(when(col("__rank") === col(s"__lo$i"), col("__v")))
       val hiV = max(when(col("__rank") === col(s"__hi$i"), col("__v")))
-      (loV + first(col(s"__frac$i")) * (hiV - loV)).as(name)
+      (first(col(s"__wlo$i")) * loV + first(col(s"__whi$i")) * hiV).as(name)
     }
-    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val computed = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    // groups whose every value is NULL were filtered before ranking, but
+    // percentile()/quantile_cont still return them with NULL quantiles
+    // (code-review r6) — restore them with a null-safe anti-join
+    val missing = df.select(col(groupCol)).distinct()
+      .join(computed.select(col(groupCol).as("__cg")),
+        col(groupCol) <=> col("__cg"), "left_anti")
+      .select(col(groupCol) +:
+        probs.map { case (_, name) => lit(null).cast("double").as(name) }: _*)
+    computed.unionByName(missing)
   }
 }

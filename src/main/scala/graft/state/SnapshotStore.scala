@@ -85,8 +85,12 @@ object SnapshotStore {
     */
   private[graft] def pointTo(fs: FileSystem, root: Path, batchId: Long): Unit = {
     val content = versionDir(root, batchId).getName + "\n"
-    if (Option(root.toUri.getScheme).forall(_ == "file")) {
-      val dir = java.nio.file.Paths.get(root.toUri.getPath)
+    // branch on the FILESYSTEM's scheme, not the raw path's: a scheme-less
+    // root on a cluster whose default FS is HDFS must take the DFS path —
+    // the data dirs went through `fs`, so the pointer must too
+    // (code-review r6)
+    if (fs.getUri.getScheme == "file") {
+      val dir = java.nio.file.Paths.get(fs.makeQualified(root).toUri.getPath)
       val tmp = dir.resolve(s"_current_tmp_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.writeString(tmp, content)
       java.nio.file.Files.move(tmp, dir.resolve(PointerName),

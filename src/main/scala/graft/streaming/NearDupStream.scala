@@ -15,11 +15,15 @@ import graft.operators.Dedup
 case class BandedDoc(band: Int, sig: Long, docId: Long, text: String,
                      eventTime: java.sql.Timestamp)
 
-/** Per-bucket state: ids seen in this (band, sig) bucket, oldest first,
-  * capped at the hot-bucket bound. Ids only — never text, never
-  * signatures — so a bucket costs O(members) longs in the state store.
+/** Per-bucket state: ids seen in this (band, sig) bucket in arrival
+  * order (oldest first — partner lists slice off the front, appends are
+  * amortized O(1); code-review r6), capped at the hot-bucket bound, plus
+  * the newest event time the bucket has EVER seen (an out-of-order batch
+  * must not pull the eviction deadline earlier). Ids only — never text,
+  * never signatures — so a bucket costs O(members) longs in the state
+  * store.
   */
-case class BucketState(ids: List[Long])
+case class BucketState(ids: Vector[Long], newestMs: Long)
 
 /** A document leaving the candidate stage: its text plus the earlier-seen
   * bucket partners it must be Jaccard-verified against (one row per
@@ -100,14 +104,15 @@ object NearDupStream {
       return Iterator.empty
     }
     val arrivals = docs.toSeq
-    var ids = state.getOption.map(_.ids).getOrElse(List.empty[Long])
+    val prior = state.getOption.getOrElse(BucketState(Vector.empty, 0L))
+    var ids = prior.ids
     var seen = ids.toSet
     val out = Seq.newBuilder[CandidateDoc]
     arrivals.sortBy(_.docId).foreach { d =>
       if (!seen.contains(d.docId)) {
-        if (ids.size < maxBucket) {
-          out += CandidateDoc(d.docId, d.text, ids.reverse)
-          ids = d.docId :: ids
+        if (ids.length < maxBucket) {
+          out += CandidateDoc(d.docId, d.text, ids)
+          ids = ids :+ d.docId
           seen += d.docId
         } else {
           // hot bucket: cap reached — the doc still flows to the sink
@@ -117,12 +122,21 @@ object NearDupStream {
         }
       }
     }
-    state.update(BucketState(ids))
-    // bounded mode: the bucket lives ttlMs past its newest event time —
-    // when the watermark passes that, the engine fires the timeout and
-    // the bucket is evicted above
-    ttlMs.foreach(ttl =>
-      state.setTimeoutTimestamp(arrivals.map(_.eventTime.getTime).max + ttl))
+    // bounded mode: the bucket lives ttlMs past the newest event time it
+    // has EVER seen — maxing against the stored watermark-high keeps a
+    // late (but watermark-valid) arrival from pulling the eviction
+    // deadline EARLIER (code-review r6). When the watermark passes the
+    // armed timestamp, the engine fires the timeout and the bucket is
+    // evicted above.
+    ttlMs match {
+      case Some(ttl) =>
+        val newest = math.max(prior.newestMs,
+          arrivals.map(_.eventTime.getTime).max)
+        state.update(BucketState(ids, newest))
+        state.setTimeoutTimestamp(newest + ttl)
+      case None =>
+        state.update(BucketState(ids, 0L))
+    }
     out.result().iterator
   }
 

@@ -249,13 +249,20 @@ object StreamingPipeline {
           "interleave swaps and lose updates; stop the other writer (or " +
           "remove a stale lock) first")
     // liveness heartbeat: refresh ts while the merge runs so cross-host
-    // staleness measures a dead holder, not a long merge (ADVICE r5)
+    // staleness measures a dead holder, not a long merge (ADVICE r5).
+    // `released` is checked right before every rewrite so a heartbeat
+    // stuck in an FS call past the join timeout cannot resurrect a lock
+    // the holder already deleted (code-review r6 — the flag flips BEFORE
+    // the delete, so a rewrite that slips through the remaining window
+    // must have started pre-release and carries a ts older than the
+    // delete).
+    @volatile var released = false
     val hbPeriod = math.max(staleMs / 4, 1000L)
     val heartbeat = new Thread(() => {
       try {
         while (!Thread.interrupted()) {
           Thread.sleep(hbPeriod)
-          if (owned(readLock(lock))) {
+          if (!released && owned(readLock(lock))) {
             val out = fs.create(lock, true)
             out.writeBytes(tokenNow() + "\n")
             out.close()
@@ -271,6 +278,7 @@ object StreamingPipeline {
     heartbeat.start()
     try body
     finally {
+      released = true
       heartbeat.interrupt()
       heartbeat.join(10000)
       if (owned(readLock(lock))) fs.delete(lock, false)

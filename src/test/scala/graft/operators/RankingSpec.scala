@@ -57,20 +57,28 @@ class RankingSpec extends SparkSpec {
         Seq(("two", Some(1.0)), ("two", Some(2.0))) ++
         (1 to 9).map(_ => ("tied", Some(3.0))) ++
         (1 to 97).map(i => ("big", Some((i * 7919 % 101).toDouble))) ++
-        Seq(("big", None), ("two", None)) // percentile ignores nulls
+        Seq(("big", None), ("two", None)) ++  // percentile ignores nulls
+        Seq(("allnull", None), ("allnull", None)) ++ // NULL quantiles, row kept
+        Seq((null: String, Some(4.0)), (null: String, Some(6.0))) // null KEY group
     val df = rows.toDF("g", "v")
+    def key(r: org.apache.spark.sql.Row): String =
+      Option(r.getString(0)).getOrElse("<null>")
+    def vals(r: org.apache.spark.sql.Row): Seq[Option[Double]] =
+      (1 to 5).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))
     val expected = df.groupBy(col("g"))
       .agg(expr("percentile(v, array(0.0, 0.25, 0.5, 0.9, 1.0))").as("ps"))
-      .select(col("g"), col("ps")).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .select(col("g") +: (0 until 5).map(i => col("ps").getItem(i)): _*)
+      .collect().map(r => key(r) -> vals(r)).toMap
     val got = Ranking.quantilesCont(df, "g", "v",
       Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 1.0 -> "p100"))
-      .collect()
-      .map(r => r.getString(0) -> (1 to 5).map(r.getDouble)).toMap
-    assert(got.keySet == expected.keySet)
+      .collect().map(r => key(r) -> vals(r)).toMap
+    assert(got.keySet == expected.keySet,
+      s"group sets differ: ${got.keySet} vs ${expected.keySet}")
     got.foreach { case (g, ps) =>
       assert(ps == expected(g), s"group $g: $ps != ${expected(g)}")
     }
+    assert(got("allnull").forall(_.isEmpty),
+      "an all-null group must surface with NULL quantiles, not vanish")
     graft.operators.Dedup.clearCaches()
   }
 }

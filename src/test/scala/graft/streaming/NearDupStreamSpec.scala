@@ -118,7 +118,8 @@ class NearDupStreamSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     // a bucket whose watermark deadline passed: removed, nothing emitted
     val timedOut = TestGroupState.create[BucketState](
-      Optional.of(BucketState(List(1L, 2L))), GroupStateTimeout.EventTimeTimeout,
+      Optional.of(BucketState(Vector(1L, 2L), 0L)),
+      GroupStateTimeout.EventTimeTimeout,
       1000L, Optional.of(500L), hasTimedOut = true)
     val out = NearDupStream.bucketUpdate(10, Some(60000L))(
       (0, 42L), Iterator.empty, timedOut)
@@ -135,7 +136,20 @@ class NearDupStreamSpec extends SparkSpec {
     assert(emitted.map(_.doc_id) == Seq(7L))
     assert(live.getTimeoutTimestampMs.get() == 65000L,
       s"ttl must arm at newest event + ttl, got ${live.getTimeoutTimestampMs}")
-    assert(live.get.ids == List(7L))
+    assert(live.get.ids == Vector(7L))
+    // an out-of-order (watermark-valid) late arrival must NOT pull the
+    // eviction deadline earlier (code-review r6)
+    val late = TestGroupState.create[BucketState](
+      Optional.of(BucketState(Vector(7L), 5000L)),
+      GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(500L), hasTimedOut = false)
+    NearDupStream.bucketUpdate(10, Some(60000L))(
+      (0, 42L),
+      Iterator(BandedDoc(0, 42L, 8L, "late doc", new java.sql.Timestamp(3000L))),
+      late).toSeq
+    assert(late.getTimeoutTimestampMs.get() == 65000L,
+      s"late arrival shrank the TTL: ${late.getTimeoutTimestampMs}")
+    assert(late.get.newestMs == 5000L)
   }
 
   test("bounded mode drops a within-horizon cross-batch near-dup end-to-end") {
