@@ -18,7 +18,7 @@ import graft.operators.Similarity
   *
   * Registered: graft_dot, graft_cosine, graft_norm, graft_tokens,
   * graft_shingles, graft_lang_id, graft_bpe_token_count,
-  * graft_fingerprint.
+  * graft_fingerprint, graft_minhash, graft_band_sigs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -69,5 +69,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "graft_lang_id", 1, col1(Text.langId(_)))
     inject(ext, "graft_bpe_token_count", 1, col1(Text.bpeTokenCount))
     inject(ext, "graft_fingerprint", 1, col1(Text.fingerprint))
+    // the streaming near-dup primitives (per-row MinHash / LSH banding,
+    // Dedup.minhashExpr scaladoc): graft_minhash(toks, k, n) over an
+    // ALREADY-projected token array, graft_band_sigs(mh, k, bands) →
+    // array<struct<band,sig>> ready to explode
+    inject(ext, "graft_minhash", 3, es => GraftBridge.resolvableExpression(
+      operators.Dedup.minhashExpr(GraftBridge.column(es(0)),
+        litInt("graft_minhash", es(1)), litInt("graft_minhash", es(2)))))
+    inject(ext, "graft_band_sigs", 3, es => GraftBridge.resolvableExpression(
+      operators.Dedup.bandStructsExpr(GraftBridge.column(es(0)),
+        litInt("graft_band_sigs", es(1)), litInt("graft_band_sigs", es(2)))))
   }
 }

@@ -91,6 +91,28 @@ class SqlSurfaceSpec extends SparkSpec {
     graft.operators.Dedup.clearCaches(blocking = true)
   }
 
+  test("graft_minhash/graft_band_sigs equal the batch signature operators from pure SQL") {
+    val s = sqlSession
+    import s.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sqlspec_sig_docs")
+    val viaSql = s.sql(
+      """SELECT doc_id, bs.band AS band, bs.sig AS sig FROM (
+           SELECT doc_id,
+                  explode(graft_band_sigs(
+                    graft_minhash(graft_tokens(text), 16, 3), 16, 4)) AS bs
+           FROM sqlspec_sig_docs)""").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaBatch = graft.operators.Dedup.bandSignatures(
+      graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 16),
+      "doc_id", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaSql == viaBatch,
+      "SQL-surface signatures diverged from the batch operators")
+  }
+
   test("graft_shingles width: foldable expressions allowed, column refs rejected clearly") {
     // foldable arithmetic constant-folds to 3 and works
     val ok = sqlSession.sql("SELECT graft_shingles('a b c d', 1 + 2)")
