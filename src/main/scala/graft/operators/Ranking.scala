@@ -34,6 +34,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object Ranking {
 
+  /** The NTILE closed form as a SQL CASE over a `__rank` column — ONE
+    * definition shared by [[ntileExact]] and RankingProps' model check,
+    * so the 200-case property pins the arithmetic that actually ships
+    * (code-review r6). `div` keeps the edge math integral; q = 0 (fewer
+    * rows than buckets) only exercises the first branch, so its `div q`
+    * arm is guarded to a dead 1.
+    */
+  private[operators] def ntileBucketSql(total: Long, buckets: Int): String = {
+    val q = total / buckets
+    val rem = total % buckets
+    val bigCut = (q + 1) * rem // ranks <= bigCut sit in the q+1-row buckets
+    s"""CAST(CASE WHEN __rank <= ${bigCut}L
+        THEN (__rank - 1L) div ${q + 1}L
+        ELSE ${rem}L + (__rank - 1L - ${bigCut}L) div ${math.max(q, 1L)}L
+        END AS INT) + 1"""
+  }
+
   /** Exact NTILE over a global total order, no single-partition exchange.
     *
     * @param df      input frame (any size — nothing here funnels it to one
@@ -70,21 +87,11 @@ object Ranking {
     }.toSeq
     val offs = spark.createDataset(offsets).toDF("__pid", "__off")
     val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    // NTILE's remainder-to-FIRST-buckets distribution in closed form;
-    // `div` keeps the edge math integral (a double division could round
-    // across a bucket edge at extreme cardinalities). q=0 (fewer rows than
-    // buckets) only exercises the first branch, so its `div q` arm is
-    // guarded to a dead 1.
-    val q = total / buckets
-    val rem = total % buckets
-    val bigCut = (q + 1) * rem // ranks ≤ bigCut sit in the q+1-row buckets
+    // NTILE's remainder-to-FIRST-buckets distribution in closed form
+    // (ntileBucketSql — the property-checked snippet)
     ranged.join(broadcast(offs), "__pid")
       .withColumn("__rank", col("__off") + row_number().over(localW))
-      .withColumn(outCol,
-        expr(s"""CAST(CASE WHEN __rank <= ${bigCut}L
-                 THEN (__rank - 1L) div ${q + 1}L
-                 ELSE ${rem}L + (__rank - 1L - ${bigCut}L) div ${math.max(q, 1L)}L
-                 END AS INT) + 1"""))
+      .withColumn(outCol, expr(ntileBucketSql(total, buckets)))
       .drop("__pid", "__off", "__rank")
   }
 
@@ -113,17 +120,26 @@ object Ranking {
     require(probs.nonEmpty && probs.forall(p => p._1 >= 0 && p._1 <= 1),
       s"probabilities must be in [0,1]: $probs")
     val spark = df.sparkSession
+    // null values ride THROUGH the single scan (percentile ignores them
+    // but still returns a row for an all-null group): the ranking window
+    // orders nulls LAST within each (partition, group), offsets accumulate
+    // only NON-null counts, so every non-null row keeps its exact
+    // within-group rank among the non-null values. A null row's rank can
+    // collide with a later partition's real rank — harmless, because the
+    // target-picking max(when(rank = target)) ignores its null value
+    // (code-review r6: the previous pre-filter needed a second full scan
+    // of the input to restore all-null groups).
     val base = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
     val ranged = graft.util.Caches.retain(
       base.repartitionByRange(col(groupCol), col("__v"))
         .withColumn("__pid", spark_partition_id())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val gType = df.schema(groupCol).dataType
     val counts = ranged.groupBy(col("__pid"), col(groupCol))
-      .agg(count(lit(1)).as("__cnt")).collect()
+      .agg(count(col("__v")).as("__cnt")).collect()
       .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
     // prefix offsets per group across range partitions, and group sizes
+    // (non-null counts — the rank space percentile actually runs over)
     val byGroup = counts.groupBy(_._2)
     val offsetRows = byGroup.toSeq.flatMap { case (g, cs) =>
       var acc = 0L
@@ -148,14 +164,18 @@ object Ranking {
     val targetRows = byGroup.toSeq.map { case (g, cs) =>
       val n = cs.map(_._3).sum
       val fields = probs.flatMap { case (q, _) =>
-        val position = (n - 1) * q
-        val lower = math.floor(position)
-        val higher = math.ceil(position)
-        if (higher == lower)
-          Seq[Any](lower.toLong + 1, lower.toLong + 1, 1.0, 0.0)
-        else
-          Seq[Any](lower.toLong + 1, higher.toLong + 1,
-            higher - position, position - lower)
+        if (n == 0) // all-null group: no target rank matches -> NULL out
+          Seq[Any](0L, 0L, 1.0, 0.0)
+        else {
+          val position = (n - 1) * q
+          val lower = math.floor(position)
+          val higher = math.ceil(position)
+          if (higher == lower)
+            Seq[Any](lower.toLong + 1, lower.toLong + 1, 1.0, 0.0)
+          else
+            Seq[Any](lower.toLong + 1, higher.toLong + 1,
+              higher - position, position - lower)
+        }
       }
       Row.fromSeq(g +: fields)
     }
@@ -173,7 +193,8 @@ object Ranking {
     // joins are NULL-SAFE on the group key (code-review r6): percentile()
     // treats a null group key as a group like any other, so rows must not
     // fall out of the bookkeeping joins
-    val localW = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(col("__v"))
+    val localW = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col("__v").asc_nulls_last)
     val ranked = ranged.join(broadcast(offs),
         ranged("__pid") === offs("__opid") && ranged(groupCol) <=> offs("__og"))
       .drop("__opid", "__og")
@@ -183,17 +204,14 @@ object Ranking {
     val aggs = probs.zipWithIndex.map { case ((_, name), i) =>
       val loV = max(when(col("__rank") === col(s"__lo$i"), col("__v")))
       val hiV = max(when(col("__rank") === col(s"__hi$i"), col("__v")))
-      (first(col(s"__wlo$i")) * loV + first(col(s"__whi$i")) * hiV).as(name)
+      // a REAL branch for the integral-position case, exactly like
+      // Spark's Percentile: an encoded (1, 0) weight pair would turn an
+      // infinite order statistic into 1*Inf + 0*Inf = NaN (code-review r6)
+      when(first(col(s"__lo$i")) === first(col(s"__hi$i")), loV)
+        .otherwise(
+          first(col(s"__wlo$i")) * loV + first(col(s"__whi$i")) * hiV)
+        .as(name)
     }
-    val computed = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-    // groups whose every value is NULL were filtered before ranking, but
-    // percentile()/quantile_cont still return them with NULL quantiles
-    // (code-review r6) — restore them with a null-safe anti-join
-    val missing = df.select(col(groupCol)).distinct()
-      .join(computed.select(col(groupCol).as("__cg")),
-        col(groupCol) <=> col("__cg"), "left_anti")
-      .select(col(groupCol) +:
-        probs.map { case (_, name) => lit(null).cast("double").as(name) }: _*)
-    computed.unionByName(missing)
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -22,6 +22,13 @@ case class BandedDoc(band: Int, sig: Long, docId: Long, text: String,
   * must not pull the eviction deadline earlier). Ids only — never text,
   * never signatures — so a bucket costs O(members) longs in the state
   * store.
+  *
+  * State-schema evolution note: Spark's state store checks schema
+  * compatibility on restart (`spark.sql.streaming.stateStore
+  * .stateSchemaCheck`), so changing these fields strands existing
+  * checkpoints — a deployed long-running query must drain (stop at a
+  * batch boundary, reprocess the clean table as its new seed) before
+  * upgrading across a state shape change.
   */
 case class BucketState(ids: Vector[Long], newestMs: Long)
 
@@ -133,7 +140,13 @@ object NearDupStream {
         val newest = math.max(prior.newestMs,
           arrivals.map(_.eventTime.getTime).max)
         state.update(BucketState(ids, newest))
-        state.setTimeoutTimestamp(newest + ttl)
+        // floored at the current watermark: late-row admission uses the
+        // PREVIOUS batch's watermark while setTimeoutTimestamp validates
+        // against the CURRENT one, so a watermark jump larger than ttl
+        // could otherwise compute a deadline already in the past and
+        // throw, killing the query (code-review r6)
+        state.setTimeoutTimestamp(
+          math.max(newest + ttl, state.getCurrentWatermarkMs() + 1))
       case None =>
         state.update(BucketState(ids, 0L))
     }

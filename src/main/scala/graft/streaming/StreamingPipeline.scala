@@ -250,12 +250,12 @@ object StreamingPipeline {
           "remove a stale lock) first")
     // liveness heartbeat: refresh ts while the merge runs so cross-host
     // staleness measures a dead holder, not a long merge (ADVICE r5).
-    // `released` is checked right before every rewrite so a heartbeat
-    // stuck in an FS call past the join timeout cannot resurrect a lock
-    // the holder already deleted (code-review r6 — the flag flips BEFORE
-    // the delete, so a rewrite that slips through the remaining window
-    // must have started pre-release and carries a ts older than the
-    // delete).
+    // `released` is checked right before every rewrite, and RE-checked
+    // right after: a heartbeat stuck in an FS call past the join timeout
+    // could otherwise resurrect a lock the holder already deleted — an
+    // orphan a same-host successor could never break (its pid is this
+    // live JVM). The post-write check makes the heartbeat itself undo
+    // such a write (code-review r6).
     @volatile var released = false
     val hbPeriod = math.max(staleMs / 4, 1000L)
     val heartbeat = new Thread(() => {
@@ -266,6 +266,7 @@ object StreamingPipeline {
             val out = fs.create(lock, true)
             out.writeBytes(tokenNow() + "\n")
             out.close()
+            if (released && owned(readLock(lock))) fs.delete(lock, false)
           }
         }
       } catch {

@@ -81,4 +81,23 @@ class RankingSpec extends SparkSpec {
       "an all-null group must surface with NULL quantiles, not vanish")
     graft.operators.Dedup.clearCaches()
   }
+
+  test("quantilesCont handles infinities at integral positions like percentile()") {
+    import spark.implicits._
+    // p0/p100 are ALWAYS integral positions: the higher==lower case must
+    // return the value itself, never 1*Inf + 0*Inf = NaN (code-review r6)
+    val df = Seq(("g", 1.0), ("g", Double.PositiveInfinity),
+      ("h", Double.NegativeInfinity), ("h", 2.0), ("h", 3.0))
+      .toDF("g", "v")
+    val expected = df.groupBy(col("g"))
+      .agg(expr("percentile(v, array(0.0, 0.5, 1.0))").as("ps"))
+      .select(col("g") +: (0 until 3).map(i => col("ps").getItem(i)): _*)
+      .collect().map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+    val got = Ranking.quantilesCont(df, "g", "v",
+      Seq(0.0 -> "p0", 0.5 -> "p50", 1.0 -> "p100"))
+      .collect().map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+    assert(got == expected, s"$got != $expected")
+    assert(got("g")(2).isPosInfinity && got("h")(0).isNegInfinity)
+    graft.operators.Dedup.clearCaches()
+  }
 }
