@@ -82,26 +82,68 @@ object Bench {
         .map(p => (name, p, t))
     }
 
-  /** The newest committed BENCH_r{N}.json in cwd — the prior round's
-    * record the driver leaves in the repo. Overridable via
-    * SPARK_GRAFT_BENCH_BASELINE=<path>; gate disabled when the env is
-    * "off" or no baseline exists (round 1).
+  /** Every committed BENCH_r{N}.json in `dir` (the records the driver
+    * leaves in the repo), in ascending round order. Parameterized on the
+    * directory so the spec can exercise selection against a fixture
+    * instead of the live repo (VERDICT r06 #1 — the cwd-coupled assertion
+    * rotted every time a new round's record landed).
     */
-  private[graft] def latestBaselineFile(): Option[java.nio.file.Path] = {
+  private[graft] def baselineFiles(dir: java.nio.file.Path = Paths.get(".")): Seq[(Int, java.nio.file.Path)] = {
     val re = "BENCH_r(\\d+)\\.json".r
-    val stream = Files.list(Paths.get("."))
+    val stream = Files.list(dir)
     try {
+      val out = Seq.newBuilder[(Int, java.nio.file.Path)]
       val files = stream.iterator()
-      var best: Option[(Int, java.nio.file.Path)] = None
       while (files.hasNext) {
         val p = files.next()
         p.getFileName.toString match {
-          case re(n) if best.forall(_._1 < n.toInt) => best = Some((n.toInt, p))
+          case re(n) => out += ((n.toInt, p))
           case _ => ()
         }
       }
-      best.map(_._2)
+      out.result().sortBy(_._1)
     } finally stream.close()
+  }
+
+  /** The newest committed BENCH_r{N}.json — highest round number wins
+    * (numeric, not lexicographic: r10 > r9).
+    */
+  private[graft] def latestBaselineFile(dir: java.nio.file.Path = Paths.get(".")): Option[java.nio.file.Path] =
+    baselineFiles(dir).lastOption.map(_._2)
+
+  /** Per-query MIN across ALL committed rounds' records, not just the
+    * newest (VERDICT r06 #2b): a single load-corrupted round (r6 recorded
+    * dedup_simhash at 7.43 s against a true 1.7 s cost) must not become
+    * the yardstick — under newest-only gating a real 2× regression of the
+    * true cost would pass 4× under the radar. The MIN of per-round MINs is
+    * the best evidence of the plan's actual cost on this box. Unparseable
+    * files are skipped.
+    */
+  private[graft] def minBaseline(dir: java.nio.file.Path = Paths.get(".")): Map[String, Double] =
+    baselineFiles(dir).flatMap { case (_, p) =>
+      try parseQueries(Files.readString(p)).toSeq
+      catch { case _: Throwable => Seq.empty }
+    }.groupMapReduce(_._1)(_._2)(math.min)
+
+  /** The breach re-adjudication protocol (VERDICT r06 #2a, codifying the
+    * judge's manual r6 procedure): each apparent regression gets ONE
+    * re-run via `rerun` (which in main waits for the load guard first);
+    * the better of first-pass and re-run stands, and only queries that
+    * STILL breach after requalification fail the gate. Factored out of
+    * main so the spec can inject a load blip (re-run fast) next to a real
+    * regression (re-run still slow) and pin both outcomes.
+    */
+  private[graft] def adjudicate(baseline: Map[String, Double],
+                                first: Map[String, Double],
+                                rerun: String => Option[Double],
+                                tol: Double = 2.0,
+                                floorSec: Double = 0.2)
+      : (Map[String, Double], Seq[(String, Double, Double)]) = {
+    var now = first
+    regressions(baseline, now, tol, floorSec).foreach { case (name, _, firstT) =>
+      rerun(name).foreach(again => now = now.updated(name, math.min(firstT, again)))
+    }
+    (now, regressions(baseline, now, tol, floorSec))
   }
 
   def main(args: Array[String]): Unit = {
@@ -120,13 +162,25 @@ object Bench {
     def loadavg(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => 0.0 }
-    val loadCap = cpus.toDouble / 4.0
+    // cpus/8 (tightened from cpus/4 per VERDICT r06 #2c: a box at load 8/32
+    // still corrupted 32-thread CPU-bound stages 2-3×), and the guard only
+    // passes on TWO samples 5 s apart both under the cap — a single
+    // instantaneous dip in a decaying-but-hostile loadavg is not quiet.
+    val loadCap = cpus.toDouble / 8.0
     def waitForLoad(): Unit = {
       var waited = 0
-      while (loadavg() > loadCap && waited < maxWaitSec) {
-        System.err.println(f"bench load guard: loadavg ${loadavg()}%.2f > $loadCap%.1f, waiting (${waited}s/${maxWaitSec}s)")
-        Thread.sleep(10000)
-        waited += 10
+      var stable = false
+      while (!stable && waited < maxWaitSec) {
+        val l1 = loadavg()
+        if (l1 > loadCap) {
+          System.err.println(f"bench load guard: loadavg $l1%.2f > $loadCap%.1f, waiting (${waited}s/${maxWaitSec}s)")
+          Thread.sleep(10000); waited += 10
+        } else {
+          Thread.sleep(5000); waited += 5
+          val l2 = loadavg()
+          if (l2 <= loadCap) stable = true
+          else System.err.println(f"bench load guard: loadavg rebounded $l1%.2f -> $l2%.2f, not stable")
+        }
       }
     }
     waitForLoad()
@@ -200,38 +254,37 @@ object Bench {
             s""""${prefix}_$rateKey":${(n / secs).round}"""
         case Left(e) => s""""${prefix}_err":"${esc(e)}""""
       }
-    // ---- per-query regression gate vs the prior round (VERDICT r05 #6).
-    // A breach re-adjudicates once after a fresh load-guard wait (the
-    // manual r4→r5 protocol, codified): only a query that stays >2× its
-    // prior-round MIN fails the run, loudly, with the breaches recorded in
-    // the JSON line.
-    var nowTimes = results.collect { case (n, Right(v)) => n -> v }.toMap
+    // ---- per-query regression gate (VERDICT r05 #6, r06 #2): baseline is
+    // the per-query MIN across ALL committed BENCH_r*.json (a single
+    // load-corrupted round must not set the yardstick); a breach
+    // re-adjudicates once after a fresh load-guard wait, and only a query
+    // that stays >2× the all-rounds MIN fails the run, loudly, with the
+    // breaches recorded in the JSON line.
+    val firstTimes = results.collect { case (n, Right(v)) => n -> v }.toMap
     val gateEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "")
     val baseline: Map[String, Double] =
       if (gateEnv == "off") Map.empty
-      else (if (gateEnv.nonEmpty) Some(Paths.get(gateEnv)) else latestBaselineFile())
-        .flatMap { p =>
-          try Some(parseQueries(Files.readString(p)))
-          catch { case _: Throwable => None }
-        }.getOrElse(Map.empty)
-    var regs = regressions(baseline, nowTimes)
-    if (regs.nonEmpty) {
-      System.err.println(s"bench gate: ${regs.size} apparent regression(s) — re-adjudicating after load guard")
-      waitForLoad()
-      regs.foreach { case (name, prev, first) =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(name)(spark, sfDir).count()
-          val again = (System.nanoTime() - t0) / 1e9
-          nowTimes = nowTimes.updated(name, math.min(first, again))
-        } catch { case _: Throwable => () }
-        System.err.println(f"bench gate: $name prior=$prev%.2fs first=$first%.2fs adjudicated=${nowTimes(name)}%.2fs")
+      else if (gateEnv.nonEmpty)
+        (try parseQueries(Files.readString(Paths.get(gateEnv)))
+         catch { case _: Throwable => Map.empty[String, Double] })
+      else minBaseline()
+    var waitedForRerun = false
+    val (nowTimes, regs) = adjudicate(baseline, firstTimes, { name =>
+      if (!waitedForRerun) {
+        System.err.println("bench gate: apparent regression(s) — re-adjudicating after load guard")
+        waitForLoad(); waitedForRerun = true
       }
-      regs = regressions(baseline, nowTimes)
-      regs.foreach { case (name, prev, t) =>
-        System.err.println(f"bench gate BREACH: $name ${t}%.2fs > 2x prior-round ${prev}%.2fs")
-      }
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val again = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"bench gate: $name re-run $again%.2fs (first ${firstTimes(name)}%.2fs)")
+        Some(again)
+      } catch { case _: Throwable => None }
+    })
+    regs.foreach { case (name, prev, t) =>
+      System.err.println(f"bench gate BREACH: $name ${t}%.2fs > 2x all-rounds-min ${prev}%.2fs")
     }
     val regJson = regs.map { case (n, p, t) =>
       s""""${esc(n)}":{"prior":$p,"now":$t}"""
