@@ -764,6 +764,45 @@ object SparkEntry {
             .as("batch_agree"))
     }),
 
+    // The bounded-TTL twin (VERDICT r06 #4): the SAME planted corpus
+    // through candidatesBounded — watermark + per-bucket event-time TTL,
+    // the declared 100 TB default — with every document timestamped inside
+    // one 30-minute window so the whole corpus sits within the 24 h
+    // horizon. Within-horizon, eviction must be a no-op: the dropped set
+    // equals the unbounded leg's, which equals batch. This puts the
+    // eviction-capable code path (watermark tagging, null-ts filter, TTL
+    // arming) under the driver's oracle, not just TestGroupState units.
+    "st_neardup_bounded" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val corpus = docsWithPlantedDups(s, dir).withColumn("ts",
+        timestamp_seconds(lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))
+          .cast("long") + pmod(col("doc_id"), lit(1800L))))
+      val stage = tmpDir("graft_stndb_in")
+      corpus.write.mode("overwrite").parquet(stage)
+      val (work, cp) = (tmpDir("graft_stndb_work"), tmpDir("graft_stndb_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+      val q = graft.streaming.NearDupStream.writerBounded(stream, "doc_id",
+        "text", "ts", watermark = "2 hours", ttlMs = 24L * 3600 * 1000,
+        work, cp, threshold = 0.5, bands = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamKept = graft.streaming.NearDupStream.survivors(s, work)
+      val batchKept = Dedup.dropNearDuplicates(corpus.drop("ts"), "doc_id",
+        "text", threshold = 0.5, bands = 16)
+      def member(kept: DataFrame, flag: String, shift: Long) =
+        kept.select((col("doc_id") - shift).as("doc_id"), lit(true).as(flag))
+      Tables.documents(s, dir).select("doc_id")
+        .join(member(streamKept, "s_o", 0L), Seq("doc_id"), "left")
+        .join(member(batchKept, "b_o", 0L), Seq("doc_id"), "left")
+        .join(member(streamKept, "s_c", PlantedOffset), Seq("doc_id"), "left")
+        .join(member(batchKept, "b_c", PlantedOffset), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (!coalesce(col("s_c"), lit(false))).as("dropped"),
+          ((coalesce(col("s_o"), lit(false)) === coalesce(col("b_o"), lit(false))) &&
+            (coalesce(col("s_c"), lit(false)) === coalesce(col("b_c"), lit(false))))
+            .as("batch_agree"))
+    }),
+
     // Joint KPI commit (VERDICT r05 #4): ONE streaming query maintains BOTH
     // reference KPI tables in one date-keyed state machine and commits them
     // under a single SnapshotStore pointer per micro-batch (a crash cannot
@@ -1497,6 +1536,9 @@ object SparkEntry {
     // streaming near-dup: every planted copy dropped by the drained
     // stream, and stream survivors equal to the batch operator's
     "st_neardup" ->
+      "SELECT doc_id, true AS dropped, true AS batch_agree FROM documents",
+    // bounded-TTL twin: within-horizon corpus, same planted truth
+    "st_neardup_bounded" ->
       "SELECT doc_id, true AS dropped, true AS batch_agree FROM documents",
     // the jointly-committed pair answers the BATCH KPI oracles verbatim
     // (exact state, same math — a1/a2's SQL)

@@ -137,8 +137,12 @@ object NearDupStream {
     // evicted above.
     ttlMs match {
       case Some(ttl) =>
-        val newest = math.max(prior.newestMs,
-          arrivals.map(_.eventTime.getTime).max)
+        // null-safe fold (ADVICE r06): candidatesBounded filters null
+        // event times upstream, but a direct caller (or a unit test)
+        // feeding a null-ts row must degrade to the prior deadline, not
+        // NPE and kill the query
+        val newest = (prior.newestMs +:
+          arrivals.flatMap(a => Option(a.eventTime).map(_.getTime))).max
         state.update(BucketState(ids, newest))
         // floored at the current watermark: late-row admission uses the
         // PREVIOUS batch's watermark while setTimeoutTimestamp validates
@@ -200,8 +204,11 @@ object NearDupStream {
                         maxBucket: Int = 10000): Dataset[CandidateDoc] = {
     import docs.sparkSession.implicits._
     // the watermark goes on the PROJECTED eventTime column — tagging the
-    // source column would be stripped by the cast/alias in the projection
-    banded(docs, idCol, textCol, k, bands,
+    // source column would be stripped by the cast/alias in the projection.
+    // Null event times are dropped FIRST (ADVICE r06): a null survives the
+    // engine's late-row filter (null predicate != true) and would reach
+    // the stateful operator with no admissible deadline.
+    banded(docs.filter(col(tsCol).isNotNull), idCol, textCol, k, bands,
       shingleN, col(tsCol).cast("timestamp"))
       .withWatermark("eventTime", watermark)
       .as[BandedDoc]
@@ -210,17 +217,38 @@ object NearDupStream {
         GroupStateTimeout.EventTimeTimeout)(bucketUpdate(maxBucket, Some(ttlMs)))
   }
 
+  /** The registry read pruned to the ids a batch actually verifies
+    * against (VERDICT r06 #3 / ADVICE r06): the registry holds every
+    * document ever seen, so an unpruned `read.parquet` made every
+    * micro-batch O(corpus). Small partner sets push an `In` filter into
+    * the parquet scan (row-group statistics skip whole files); larger
+    * ones broadcast-semi-join, keeping the shuffle side zero either way.
+    * Per-batch verify cost is now O(batch candidates), not O(corpus).
+    */
+  private[streaming] def prunedRegistry(spark: SparkSession, regPath: String,
+                                        partnerIds: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val reg = spark.read.parquet(regPath).select("doc_id", "text")
+    if (partnerIds.isEmpty) reg.limit(0)
+    else if (partnerIds.length <= 10000)
+      reg.filter(col("doc_id").isin(partnerIds.toSeq: _*))
+    else
+      reg.join(broadcast(partnerIds.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+  }
+
   /** Per-batch sink: re-group the (doc, band) candidate rows by doc,
-    * exact-Jaccard the candidate pairs against the registry ∪ this batch,
-    * append survivors to `clean/` and every seen doc to `registry/`. Both
-    * writes are per-batch partition dirs overwritten by batch id, so a
-    * replayed batch rewrites the same files — idempotent under the
-    * checkpoint's at-least-once delivery (the KPI sink's recipe).
+    * exact-Jaccard the candidate pairs against the (partner-pruned)
+    * registry ∪ this batch, append survivors to `clean/` and every seen
+    * doc to `registry/`. Both writes are per-batch partition dirs
+    * overwritten by batch id, so a replayed batch rewrites the same
+    * files — idempotent under the checkpoint's at-least-once delivery
+    * (the KPI sink's recipe).
     */
   private[streaming] def verifyAndAppend(workDir: String, threshold: Double,
                                          shingleN: Int)
                                         (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    import spark.implicits._
     val perDoc = batch.groupBy(col("doc_id"))
       .agg(first(col("text")).as("text"),
         array_distinct(flatten(collect_list(col("partners")))).as("partners"))
@@ -229,9 +257,14 @@ object NearDupStream {
       val regRoot = new Path(s"$workDir/registry")
       val fs = regRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val docsHere = perDoc.select(col("doc_id"), col("text"))
+      // the partner ids this batch verifies against — bounded by the
+      // batch's candidate volume (bucket caps), NOT the corpus size
+      val partnerIds = perDoc
+        .select(explode(col("partners")).as("doc_id")).distinct()
+        .as[Long].collect()
       val texts =
         if (fs.exists(regRoot))
-          spark.read.parquet(regRoot.toString).select("doc_id", "text")
+          prunedRegistry(spark, regRoot.toString, partnerIds)
             .unionByName(docsHere)
         else docsHere
       val pairs = perDoc
@@ -258,6 +291,25 @@ object NearDupStream {
              threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
              shingleN: Int = 3, maxBucket: Int = 10000): DataStreamWriter[Row] =
     candidates(docs, idCol, textCol, k, bands, shingleN, maxBucket)
+      .toDF()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(verifyAndAppend(workDir, threshold, shingleN) _)
+
+  /** [[writer]] through the bounded-state candidate stage (VERDICT r06
+    * #4): the declared 100 TB default, watermarked on `tsCol` with
+    * per-bucket TTL eviction, wired to the same verify-and-append sink so
+    * the eviction path answers the same planted-truth oracle as the
+    * unbounded leg (st_neardup_bounded) instead of being test-only.
+    */
+  def writerBounded(docs: DataFrame, idCol: String, textCol: String,
+                    tsCol: String, watermark: String, ttlMs: Long,
+                    workDir: String, checkpointDir: String,
+                    threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+                    shingleN: Int = 3, maxBucket: Int = 10000): DataStreamWriter[Row] =
+    candidatesBounded(docs, idCol, textCol, tsCol, watermark, ttlMs,
+      k, bands, shingleN, maxBucket)
       .toDF()
       .writeStream
       .outputMode("update")

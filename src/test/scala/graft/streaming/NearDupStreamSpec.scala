@@ -178,6 +178,66 @@ class NearDupStreamSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 9L))
   }
 
+  test("bounded mode survives null event times (dropped before state)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // unit level: a null-ts arrival reaching bucketUpdate folds to the
+    // prior deadline instead of NPEing (ADVICE r06)
+    val st = TestGroupState.create[BucketState](
+      Optional.of(BucketState(Vector(1L), 5000L)),
+      GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(500L), hasTimedOut = false)
+    NearDupStream.bucketUpdate(10, Some(60000L))(
+      (0, 42L), Iterator(BandedDoc(0, 42L, 2L, "doc", null)), st).toSeq
+    assert(st.getTimeoutTimestampMs.get() == 65000L && st.get.newestMs == 5000L,
+      "null event time must fall back to the prior bucket deadline")
+    // end-to-end: a null-ts row in the stream is filtered out, the query
+    // keeps running, and the valid rows still dedup
+    implicit val ctx = spark.sqlContext
+    val work = tmp("graft_nds_nullts")
+    val cp = tmp("graft_nds_nullts_cp")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = NearDupStream.candidatesBounded(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", watermark = "1 hour", ttlMs = 3600 * 1000L,
+      bands = 16)
+      .toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", cp)
+      .foreachBatch(NearDupStream.verifyAndAppend(work, 0.5, 3) _)
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      input.addData((1L, uniqueDoc(1), t0), (5L, uniqueDoc(5), null))
+      q.processAllAvailable()
+      input.addData((2L, uniqueDoc(1) + marker, t0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(NearDupStream.survivors(spark, work).select("doc_id")
+      .as[Long].collect().toSet == Set(1L),
+      "null-ts doc must be dropped at ingest; valid near-dup still dedups")
+  }
+
+  test("the per-batch registry read is pruned to partner ids") {
+    val reg = tmp("graft_nds_reg") + "/registry"
+    (0L until 1000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .write.parquet(reg)
+    // small partner set: the id filter is pushed into the parquet scan
+    val small = NearDupStream.prunedRegistry(spark, reg, Array(3L, 7L))
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("PushedFilters") && smallPlan.contains("In(doc_id"),
+      s"expected an In(doc_id) pushed into the scan:\n$smallPlan")
+    assert(small.select("doc_id").as[Long].collect().toSet == Set(3L, 7L))
+    // large partner set: broadcast left-semi join, still no corpus shuffle
+    val big = NearDupStream.prunedRegistry(spark, reg, (0L until 20000L).toArray)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("LeftSemi") && bigPlan.contains("Broadcast"),
+      s"expected a broadcast left-semi prune:\n$bigPlan")
+    assert(big.count() == 1000L)
+    // no partners: nothing is read at all
+    assert(NearDupStream.prunedRegistry(spark, reg, Array.empty).count() == 0L)
+  }
+
   test("a replayed batch id rewrites the same files (idempotent sink)") {
     val work = tmp("graft_nds_idem")
     val batch = Seq((1L, uniqueDoc(1)), (2L, uniqueDoc(1) + marker))
