@@ -163,12 +163,19 @@ object JointKpis {
     * pointer. A replayed batch id is skipped against the committed
     * version — the whole pair is exactly-once as a unit.
     */
-  private[streaming] def jointSink(root: String, staleMs: Option[Long] = None)
+  private[streaming] def jointSink(root: String, staleMs: Option[Long] = None,
+                                   retainVersions: Int = 2)
                                   (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    StreamingPipeline.withWriterLock(fs, rootPath,
+    // persist once (ADVICE r06): the sink runs two writes (plus upsert
+    // reads) over this frame, and an un-persisted foreachBatch plan would
+    // re-execute the flatMapGroupsWithState micro-batch per action —
+    // reloading and re-committing the same state-store version each time
+    // (fragile under RocksDB re-execution; verifyAndAppend's recipe)
+    batch.persist()
+    try StreamingPipeline.withWriterLock(fs, rootPath,
       StreamingPipeline.resolveStaleMs(spark, staleMs)) {
       val cur = SnapshotStore.currentVersion(fs, rootPath)
       if (!cur.exists(_ >= batchId)) {
@@ -186,26 +193,35 @@ object JointKpis {
         }
         SnapshotStore.commit(fs, rootPath, batchId, Map(
           "category" -> merged("category", cat, Seq("category", "order_date")),
-          "daily" -> merged("daily", day, Seq("order_date"))))
+          "daily" -> merged("daily", day, Seq("order_date"))),
+          retainVersions)
       }
-    }
+    } finally batch.unpersist()
   }
 
   /** The joint writer: one streaming query, both tables, one commit point
     * per micro-batch. Caller picks the trigger and starts it.
+    * `retainVersions` keeps that many committed epochs for
+    * [[categoryTable]]/[[dailyTable]]'s `versionAsOf` time travel.
     */
   def writer(enrichedStream: DataFrame, root: String,
-             checkpointDir: String): DataStreamWriter[Row] =
+             checkpointDir: String, retainVersions: Int = 2): DataStreamWriter[Row] =
     stream(enrichedStream).toDF()
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(jointSink(root) _)
+      .foreachBatch(jointSink(root, retainVersions = retainVersions) _)
 
-  /** Snapshot-isolated reads of the committed pair. */
-  def categoryTable(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
-    SnapshotStore.read(spark, root, "category")
+  /** Snapshot-isolated reads of the committed pair — current epoch by
+    * default, or any retained batch id via `versionAsOf`. Both tables of
+    * one epoch always come from ONE version dir, so a pinned reader sees
+    * the pair as of that batch, never a mixed pair.
+    */
+  def categoryTable(spark: org.apache.spark.sql.SparkSession, root: String,
+                    versionAsOf: Option[Long] = None): DataFrame =
+    SnapshotStore.read(spark, root, "category", versionAsOf)
 
-  def dailyTable(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
-    SnapshotStore.read(spark, root, "daily")
+  def dailyTable(spark: org.apache.spark.sql.SparkSession, root: String,
+                 versionAsOf: Option[Long] = None): DataFrame =
+    SnapshotStore.read(spark, root, "daily", versionAsOf)
 }

@@ -359,10 +359,12 @@ object StreamingPipeline {
   }
 
   /** Snapshot-isolated read of a table maintained by
-    * [[upsertBatchSnapshot]].
+    * [[upsertBatchSnapshot]] — current version, or any retained batch id
+    * via `versionAsOf`.
     */
-  def readSnapshot(spark: SparkSession, targetDir: String): DataFrame =
-    graft.state.SnapshotStore.read(spark, targetDir, "data")
+  def readSnapshot(spark: SparkSession, targetDir: String,
+                   versionAsOf: Option[Long] = None): DataFrame =
+    graft.state.SnapshotStore.read(spark, targetDir, "data", versionAsOf)
 
   /** [[upsertPartitionedBatch]] with READER snapshot isolation — the
     * partition-manifest commit ([[graft.state.ManifestStore]]): per-batch
@@ -391,10 +393,12 @@ object StreamingPipeline {
   }
 
   /** Snapshot-isolated read of a table maintained by
-    * [[upsertPartitionedBatchSnapshot]].
+    * [[upsertPartitionedBatchSnapshot]] — current version, or any
+    * still-resolvable batch id via `versionAsOf`.
     */
-  def readPartitionedSnapshot(spark: SparkSession, targetDir: String): DataFrame =
-    graft.state.ManifestStore.read(spark, targetDir)
+  def readPartitionedSnapshot(spark: SparkSession, targetDir: String,
+                              versionAsOf: Option[Long] = None): DataFrame =
+    graft.state.ManifestStore.read(spark, targetDir, versionAsOf)
 
   /** Partition-aware variant of [[upsertBatch]]: only the partitions the
     * micro-batch touches are read, merged, and rewritten (dynamic

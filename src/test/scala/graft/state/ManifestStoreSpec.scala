@@ -73,6 +73,21 @@ class ManifestStoreSpec extends SparkSpec {
     assert(onDisk.size <= m.values.toSet.size + 3, s"reclaim left $onDisk")
   }
 
+  test("partition-column type stays pinned across version groups") {
+    val root = tmp("graft_mfs_ptype")
+    val sink = StreamingPipeline.upsertPartitionedBatchSnapshot(
+      root, Seq("k"), "day") _
+    // v0's partitions ALL look numeric — standalone inference would type
+    // `day` as int for that group; v1's partition is plainly a string.
+    // The committed _schema pins StringType for every group (ADVICE r06).
+    sink(Seq((1L, 1.0, "1"), (2L, 1.0, "2")).toDF("k", "v", "day"), 0L)
+    sink(Seq((3L, 3.0, "x3")).toDF("k", "v", "day"), 1L)
+    val df = StreamingPipeline.readPartitionedSnapshot(spark, root)
+    assert(df.schema("day").dataType == org.apache.spark.sql.types.StringType,
+      s"partition column type diverged: ${df.schema("day").dataType}")
+    assert(table(root) == Set((1L, 1.0, "1"), (2L, 1.0, "2"), (3L, 3.0, "x3")))
+  }
+
   test("a crash between version write and pointer flip is invisible to readers") {
     val root = tmp("graft_mfs_crash")
     val rootPath = new Path(root)
@@ -91,6 +106,28 @@ class ManifestStoreSpec extends SparkSpec {
     // replaying an already-committed id is a no-op
     sink(Seq((1L, 77.0, "a")).toDF("k", "v", "day"), 1L)
     assert(table(root) == Set((1L, 9.0, "a")))
+  }
+
+  test("versionAsOf resolves retained manifests; a reclaimed one errors loudly") {
+    val root = tmp("graft_mfs_tt")
+    val sink = StreamingPipeline.upsertPartitionedBatchSnapshot(
+      root, Seq("k"), "day") _
+    sink(Seq((1L, 1.0, "a")).toDF("k", "v", "day"), 0L)
+    sink(Seq((1L, 9.0, "a"), (2L, 2.0, "b")).toDF("k", "v", "day"), 1L)
+    def vAt(versionAsOf: Option[Long]) =
+      StreamingPipeline.readPartitionedSnapshot(spark, root, versionAsOf)
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(vAt(None) == Set((1L, 9.0), (2L, 2.0)))
+    assert(vAt(Some(0L)) == Set((1L, 1.0)), "the pinned read sees the old epoch")
+    // eager reclamation (retentionMs = 0) erodes the history: after three
+    // same-partition commits v0 is gone and a pinned read must say so
+    val eager = StreamingPipeline.upsertPartitionedBatchSnapshot(
+      root, Seq("k"), "day", retentionMs = 0L) _
+    eager(Seq((1L, 10.0, "a")).toDF("k", "v", "day"), 2L)
+    eager(Seq((1L, 11.0, "a")).toDF("k", "v", "day"), 3L)
+    val e = intercept[IllegalStateException](vAt(Some(0L)))
+    assert(e.getMessage.contains("version 0") && e.getMessage.contains("available"),
+      s"reclaimed-version error must name available versions: ${e.getMessage}")
   }
 
   test("a concurrent reader during a partitioned commit loop never errors") {

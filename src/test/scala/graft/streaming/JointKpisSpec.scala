@@ -40,6 +40,30 @@ class JointKpisSpec extends SparkSpec {
       .collect().map(r => (r.getDate(0).toString, r.getLong(1),
         r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
 
+  test("a pair pinned to an old epoch stays a consistent pair (versionAsOf)") {
+    val root = tmp("graft_joint_tt")
+    val day0 = java.sql.Date.valueOf("2026-01-01")
+    def batchRows(rev: Double) = Seq(
+      JointKpiRow("category", day0, Some("cat"), Some(rev), Some(rev),
+        Some(0.0), None, None, None, None, None),
+      JointKpiRow("daily", day0, None, None, None, None,
+        Some(1L), Some(rev), Some(1L), Some(0.0), Some(1L)))
+      .toDS().toDF()
+    JointKpis.jointSink(root, retainVersions = 3)(batchRows(10.0), 0L)
+    JointKpis.jointSink(root, retainVersions = 3)(batchRows(99.0), 1L)
+    // current pair sees the upserted epoch; the pinned pair sees epoch 0
+    // on BOTH tables — never a mix
+    assert(JointKpis.dailyTable(spark, root)
+      .select("total_revenue").as[Double].collect().head == 99.0)
+    assert(JointKpis.dailyTable(spark, root, Some(0L))
+      .select("total_revenue").as[Double].collect().head == 10.0)
+    assert(JointKpis.categoryTable(spark, root, Some(0L))
+      .select("daily_revenue").as[Double].collect().head == 10.0)
+    val e = intercept[IllegalStateException](
+      JointKpis.dailyTable(spark, root, Some(42L)).collect())
+    assert(e.getMessage.contains("available"), e.getMessage)
+  }
+
   test("JointKpis (batch execution) equals categoryKpis AND dailyKpis bit-for-bit") {
     val joined = enrichedTestdata
     val tagged = JointKpis.stream(joined).toDF()
