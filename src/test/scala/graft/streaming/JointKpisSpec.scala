@@ -144,6 +144,70 @@ class JointKpisSpec extends SparkSpec {
     batch.unpersist()
   }
 
+  test("manifested joint writer: both tables equal batch, O(touched) versions, one pointer") {
+    implicit val ctx = spark.sqlContext
+    val joined = enrichedTestdata
+      .select("order_id", "user_id", "product_id", "category", "sale_price",
+        "is_returned", "order_date").persist()
+    val rows = joined.collect()
+    val (root, cp) = (tmp("graft_jointm"), tmp("graft_jointm_cp"))
+    val input = MemoryStream[(Long, Long, Long, String, Double, Boolean, java.sql.Date)]
+    val stream = input.toDF().toDF("order_id", "user_id", "product_id",
+      "category", "sale_price", "is_returned", "order_date")
+    val q = JointKpis.writerManifested(stream, root, cp).start()
+    try {
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        input.addData(chunk.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getBoolean(5), r.getDate(6))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(catRows(JointKpis.categoryTableManifested(spark, root))
+      == catRows(Kpis.categoryKpis(joined)))
+    assert(dayRows(JointKpis.dailyTableManifested(spark, root))
+      == dayRows(Kpis.dailyKpis(joined)))
+    joined.unpersist()
+  }
+
+  test("manifested pair: a crash before the pointer leaves BOTH tables on the old epoch") {
+    val root = tmp("graft_jointm_crash")
+    val batch = JointKpis.stream(enrichedTestdata).toDF().persist()
+    try {
+      JointKpis.jointSinkManifested(root)(batch, 0L)
+      val catBefore = catRows(JointKpis.categoryTableManifested(spark, root))
+      val dayBefore = dayRows(JointKpis.dailyTableManifested(spark, root))
+      // batch 1 "crashes" after staging data but before the pointer flip:
+      // write fresh table dirs under v_1 directly, no pointTo
+      val v1 = SnapshotStore.versionDir(new Path(root), 1L)
+      batch.filter(col("table") === "category")
+        .select("category", "order_date", "daily_revenue")
+        .write.mode("overwrite").partitionBy("order_date")
+        .parquet(new Path(v1, "category").toString)
+      assert(catRows(JointKpis.categoryTableManifested(spark, root)) == catBefore,
+        "reader saw an uncommitted epoch")
+      assert(dayRows(JointKpis.dailyTableManifested(spark, root)) == dayBefore)
+      // the replayed batch completes and the PAIR advances together
+      JointKpis.jointSinkManifested(root)(batch, 1L)
+      assert(catRows(JointKpis.categoryTableManifested(spark, root)) == catBefore,
+        "idempotent upsert of the same rows must not change the answer")
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(SnapshotStore.currentVersion(fs, new Path(root)).contains(1L))
+      // O(touched): a batch touching ONE day writes only that day's
+      // partition for each table in its version dir
+      val oneDay = batch.filter(col("order_date") === lit(batch
+        .select(max("order_date")).as[java.sql.Date].head()))
+      JointKpis.jointSinkManifested(root)(oneDay, 2L)
+      val v2daily = new Path(SnapshotStore.versionDir(new Path(root), 2L), "daily")
+      val dayDirs = fs.listStatus(v2daily)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("order_date="))
+      assert(dayDirs.length == 1,
+        s"one-day batch rewrote ${dayDirs.length} partitions: ${dayDirs.mkString(",")}")
+      // untouched days still resolve (inherited by manifest reference)
+      assert(dayRows(JointKpis.dailyTableManifested(spark, root)) == dayBefore)
+    } finally batch.unpersist()
+  }
+
   test("a concurrent reader during a commit loop never errors (VERDICT r05 #3)") {
     val root = tmp("graft_snap_reader")
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
