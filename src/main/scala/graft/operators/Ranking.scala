@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Scale-safe global quantile bucketing (VERDICT r05 #2).
   *
@@ -107,11 +106,15 @@ object Ranking {
     * (the [[ntileExact]] machinery, here per group) give every row its
     * exact within-group rank. The interpolation targets (the order
     * statistics at ⌊(N−1)·q⌋ and ⌈(N−1)·q⌉, the percentile/quantile_cont
-    * definition) come from the same per-(partition, group) counts,
-    * computed on the driver — a collect bounded by
-    * O(groups + partitions), group METADATA, never values. One final
-    * conditional aggregation picks the two target order statistics per
-    * group and interpolates.
+    * definition) come from the same per-(partition, group) counts.
+    *
+    * ALL bookkeeping is distributed (VERDICT r06 #7): the per-(partition,
+    * group) counts stay a DataFrame — prefix offsets are a window over
+    * the ≤ partitions×groups count rows, targets an aggregate over them —
+    * so nothing is ever collected to the driver and a million-group key
+    * works in bounded driver memory (RankingSpec pins 10⁵ groups). One
+    * final conditional aggregation picks the two target order statistics
+    * per group and interpolates.
     *
     * @param probs (probability, output column name) pairs
     */
@@ -134,62 +137,45 @@ object Ranking {
       base.repartitionByRange(col(groupCol), col("__v"))
         .withColumn("__pid", spark_partition_id())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val gType = df.schema(groupCol).dataType
     val counts = ranged.groupBy(col("__pid"), col(groupCol))
-      .agg(count(col("__v")).as("__cnt")).collect()
-      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
-    // prefix offsets per group across range partitions, and group sizes
-    // (non-null counts — the rank space percentile actually runs over)
-    val byGroup = counts.groupBy(_._2)
-    val offsetRows = byGroup.toSeq.flatMap { case (g, cs) =>
-      var acc = 0L
-      cs.sortBy(_._1).map { case (pid, _, cnt) =>
-        val r = Row(pid, g, acc); acc += cnt; r
-      }
-    }
-    val offs = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsetRows, 1),
-      StructType(Seq(StructField("__opid", IntegerType, nullable = false),
-        StructField("__og", gType),
-        StructField("__off", LongType, nullable = false))))
+      .agg(count(col("__v")).as("__cnt"))
+    // prefix offsets per group across range partitions (non-null counts —
+    // the rank space percentile actually runs over), as a WINDOW over the
+    // ≤ partitions×groups count rows: distributed metadata, no driver
+    // collect (VERDICT r06 #7). A window partition groups null keys
+    // together, matching the null-safe joins below.
+    val prefixW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.select(
+      col("__pid").as("__opid"), col(groupCol).as("__og"),
+      coalesce(sum(col("__cnt")).over(prefixW), lit(0L)).as("__off"))
     // interpolation targets per group, replicating Spark percentile()'s
     // exact arithmetic so the two forms agree to the LAST ULP: position =
-    // (N−1)·q over 0-based indices lower = ⌊position⌋, higher = ⌈position⌉,
+    // (N−1)·q over 0-based indices, lower = ⌊position⌋, higher = ⌈position⌉,
     // and p = (higher − position)·x_lower + (position − lower)·x_higher
     // — with the integral-position case collapsing to weights (1, 0)
     // (Spark special-cases higher == lower; weights 1/0 encode that
-    // branch-free). The weights ship from the driver pre-computed with
-    // the same double ops Spark uses — recomputing `1 − frac` downstream
-    // can differ in the last ulp from `higher − position`.
-    val targetRows = byGroup.toSeq.map { case (g, cs) =>
-      val n = cs.map(_._3).sum
-      val fields = probs.flatMap { case (q, _) =>
-        if (n == 0) // all-null group: no target rank matches -> NULL out
-          Seq[Any](0L, 0L, 1.0, 0.0)
-        else {
-          val position = (n - 1) * q
-          val lower = math.floor(position)
-          val higher = math.ceil(position)
-          if (higher == lower)
-            Seq[Any](lower.toLong + 1, lower.toLong + 1, 1.0, 0.0)
-          else
-            Seq[Any](lower.toLong + 1, higher.toLong + 1,
-              higher - position, position - lower)
-        }
-      }
-      Row.fromSeq(g +: fields)
+    // branch-free). The weight columns use the SAME double ops Spark's
+    // Percentile does — long-to-double casts of exactly-integral
+    // floor/ceil values and one subtraction each — so nothing drifts in
+    // the last ulp. An all-null group (n = 0) gets target rank 0, which
+    // no row matches, so it NULLs out like percentile over null input.
+    val targetCols = probs.zipWithIndex.flatMap { case ((q, _), i) =>
+      val n = col("__n")
+      val position = (n - lit(1L)).cast("double") * lit(q)
+      val lower = floor(position)   // LongType in Spark SQL
+      val higher = ceil(position)
+      Seq(
+        when(n === 0L, lit(0L)).otherwise(lower + lit(1L)).as(s"__lo$i"),
+        when(n === 0L, lit(0L)).otherwise(higher + lit(1L)).as(s"__hi$i"),
+        when(n === 0L || higher === lower, lit(1.0))
+          .otherwise(higher.cast("double") - position).as(s"__wlo$i"),
+        when(n === 0L || higher === lower, lit(0.0))
+          .otherwise(position - lower.cast("double")).as(s"__whi$i"))
     }
-    val targetSchema = StructType(
-      StructField("__tg", gType) +: probs.zipWithIndex.flatMap { case (_, i) =>
-        Seq(StructField(s"__lo$i", LongType, nullable = false),
-          StructField(s"__hi$i", LongType, nullable = false),
-          StructField(s"__wlo$i",
-            org.apache.spark.sql.types.DoubleType, nullable = false),
-          StructField(s"__whi$i",
-            org.apache.spark.sql.types.DoubleType, nullable = false))
-      })
-    val targets = spark.createDataFrame(
-      spark.sparkContext.parallelize(targetRows, 1), targetSchema)
+    val targets = counts.groupBy(col(groupCol))
+      .agg(sum(col("__cnt")).as("__n"))
+      .select(col(groupCol).as("__tg") +: targetCols: _*)
     // joins are NULL-SAFE on the group key (code-review r6): percentile()
     // treats a null group key as a group like any other, so rows must not
     // fall out of the bookkeeping joins

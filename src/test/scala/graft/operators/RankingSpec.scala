@@ -82,6 +82,26 @@ class RankingSpec extends SparkSpec {
     graft.operators.Dedup.clearCaches()
   }
 
+  test("quantilesCont scales to 1e5 groups with distributed bookkeeping (VERDICT r06 #7)") {
+    import spark.implicits._
+    // 100k groups × 3 deterministic values: the old driver-side
+    // offset/target collect would ship ~100k×partitions rows through the
+    // driver; the distributed form keeps it all in DataFrames. Spot-check
+    // a sample of groups bit-for-bit against percentile().
+    val df = (0L until 300000L)
+      .map(i => (i % 100000L, ((i * 7919) % 1000).toDouble))
+      .toDF("g", "v")
+    val got = Ranking.quantilesCont(df, "g", "v", Seq(0.5 -> "p50"))
+    assert(got.count() == 100000L)
+    val sample = got.filter(col("g") % 9973L === 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = df.filter(col("g") % 9973L === 0L).groupBy(col("g"))
+      .agg(expr("percentile(v, 0.5)").as("p50"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sample == expected, "sampled groups diverged from percentile()")
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("quantilesCont handles infinities at integral positions like percentile()") {
     import spark.implicits._
     // p0/p100 are ALWAYS integral positions: the higher==lower case must
