@@ -1281,6 +1281,28 @@ object SparkEntry {
           "o_orderdate", "o_orderpriority")
     }),
 
+    // Time travel under the oracle (VERDICT r06 missing #1): the same
+    // two-batch manifest upsert, then BOTH epochs read back — versionAsOf 0
+    // must still show the pre-upsert prices while the current epoch shows
+    // the doubled ones. DuckDB replicates both from the raw table, so a
+    // stale pin, a wrong version resolution, or a reclaim-too-early all
+    // hash-fail.
+    "s_time_travel" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+      val tmp = tmpDir("graft_tt")
+      val sink = graft.streaming.StreamingPipeline.upsertPartitionedBatchSnapshot(
+        tmp, Seq("o_orderkey"), "o_orderstatus") _
+      sink(t, 0L)
+      sink(t.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), 1L)
+      val v0 = graft.streaming.StreamingPipeline
+        .readPartitionedSnapshot(s, tmp, versionAsOf = Some(0L))
+        .select(col("o_orderkey"), col("o_totalprice").as("price_v0"))
+      val now = graft.streaming.StreamingPipeline.readPartitionedSnapshot(s, tmp)
+        .select(col("o_orderkey"), col("o_totalprice").as("price_now"))
+      v0.join(now, Seq("o_orderkey"))
+    }),
+
     // Partition pruning: a predicate on the partition column must skip
     // whole directories at planning time (PartitionFilters in the scan —
     // asserted by PartitionPruneSpec; SURVEY §4 "free if we add
@@ -2076,6 +2098,11 @@ object SparkEntry {
                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
                      ELSE o_totalprice END AS o_totalprice,
                 o_orderdate, o_orderpriority
+         FROM orders""",
+    "s_time_travel" ->
+      """SELECT o_orderkey, o_totalprice AS price_v0,
+                CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS price_now
          FROM orders""",
     "s_json_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
