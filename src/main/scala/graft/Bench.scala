@@ -105,12 +105,6 @@ object Bench {
     } finally stream.close()
   }
 
-  /** The newest committed BENCH_r{N}.json — highest round number wins
-    * (numeric, not lexicographic: r10 > r9).
-    */
-  private[graft] def latestBaselineFile(dir: java.nio.file.Path = Paths.get(".")): Option[java.nio.file.Path] =
-    baselineFiles(dir).lastOption.map(_._2)
-
   /** Per-query MIN across ALL committed rounds' records, not just the
     * newest (VERDICT r06 #2b): a single load-corrupted round (r6 recorded
     * dedup_simhash at 7.43 s against a true 1.7 s cost) must not become
@@ -163,23 +157,27 @@ object Bench {
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => 0.0 }
     // cpus/8 (tightened from cpus/4 per VERDICT r06 #2c: a box at load 8/32
-    // still corrupted 32-thread CPU-bound stages 2-3×), and the guard only
-    // passes on TWO samples 5 s apart both under the cap — a single
-    // instantaneous dip in a decaying-but-hostile loadavg is not quiet.
+    // still corrupted 32-thread CPU-bound stages 2-3×). A box that was HOT
+    // during this wait must additionally hold under the cap for a 5 s
+    // confirmation sample — a single instantaneous dip in a
+    // decaying-but-hostile loadavg is not quiet; a box that was never hot
+    // passes immediately (no idle tax, code-review r7).
     val loadCap = cpus.toDouble / 8.0
     def waitForLoad(): Unit = {
       var waited = 0
-      var stable = false
-      while (!stable && waited < maxWaitSec) {
+      var wasHot = false
+      while (waited < maxWaitSec) {
         val l1 = loadavg()
-        if (l1 > loadCap) {
-          System.err.println(f"bench load guard: loadavg $l1%.2f > $loadCap%.1f, waiting (${waited}s/${maxWaitSec}s)")
-          Thread.sleep(10000); waited += 10
-        } else {
+        if (l1 <= loadCap) {
+          if (!wasHot) return
           Thread.sleep(5000); waited += 5
           val l2 = loadavg()
-          if (l2 <= loadCap) stable = true
-          else System.err.println(f"bench load guard: loadavg rebounded $l1%.2f -> $l2%.2f, not stable")
+          if (l2 <= loadCap) return
+          System.err.println(f"bench load guard: loadavg rebounded $l1%.2f -> $l2%.2f, not stable")
+        } else {
+          wasHot = true
+          System.err.println(f"bench load guard: loadavg $l1%.2f > $loadCap%.1f, waiting (${waited}s/${maxWaitSec}s)")
+          Thread.sleep(10000); waited += 10
         }
       }
     }

@@ -130,41 +130,40 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   graft.util.Caches.onClear(() => jointKpiRoots.clear())
 
+  /** Stage the enriched projection to parquet, drain `writerFn` over it
+    * with AvailableNow, return the committed root — ONE staging recipe
+    * for both joint-commit legs, so they cannot drift (code-review r7).
+    */
+  private def drainJointRoot(s: SparkSession, dir: String, prefix: String,
+                             writerFn: (DataFrame, String, String) =>
+                               org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+      : String = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = tmpDir(s"graft_${prefix}_in")
+    enriched(s, dir).select(col("order_id"), col("user_id"),
+        col("product_id"), col("category"), col("sale_price"),
+        col("is_returned"), col("order_date"))
+      .write.mode("overwrite").parquet(stage)
+    val (root, cp) = (tmpDir(s"graft_${prefix}_root"), tmpDir(s"graft_${prefix}_cp"))
+    val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+    val q = writerFn(stream, root, cp).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    root
+  }
+
   private def jointKpiRoot(s: SparkSession, dir: String): String =
-    jointKpiRoots.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
-      import org.apache.spark.sql.streaming.Trigger
-      val stage = tmpDir("graft_stj_in")
-      enriched(s, dir).select(col("order_id"), col("user_id"),
-          col("product_id"), col("category"), col("sale_price"),
-          col("is_returned"), col("order_date"))
-        .write.mode("overwrite").parquet(stage)
-      val (root, cp) = (tmpDir("graft_stj_root"), tmpDir("graft_stj_cp"))
-      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
-      val q = graft.streaming.JointKpis.writer(stream, root, cp)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      root
-    })
+    jointKpiRoots.computeIfAbsent(s.hashCode() + "|" + dir,
+      _ => drainJointRoot(s, dir, "stj",
+        graft.streaming.JointKpis.writer(_, _, _)))
 
   /** The manifested twin of [[jointKpiRoot]] (VERDICT r06 missing #3):
     * the same pipeline drained through the multi-table partition-manifest
     * commit — O(touched order_date partitions) per table, one pointer.
     */
   private def jointKpiRootManifested(s: SparkSession, dir: String): String =
-    jointKpiRoots.computeIfAbsent("m|" + s.hashCode() + "|" + dir, _ => {
-      import org.apache.spark.sql.streaming.Trigger
-      val stage = tmpDir("graft_stjm_in")
-      enriched(s, dir).select(col("order_id"), col("user_id"),
-          col("product_id"), col("category"), col("sale_price"),
-          col("is_returned"), col("order_date"))
-        .write.mode("overwrite").parquet(stage)
-      val (root, cp) = (tmpDir("graft_stjm_root"), tmpDir("graft_stjm_cp"))
-      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
-      val q = graft.streaming.JointKpis.writerManifested(stream, root, cp)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      root
-    })
+    jointKpiRoots.computeIfAbsent("m|" + s.hashCode() + "|" + dir,
+      _ => drainJointRoot(s, dir, "stjm",
+        graft.streaming.JointKpis.writerManifested(_, _, _)))
 
   /** Shared TF/DF frames behind t_term_stats and t_keywords (ONE
     * definition, mirrored by [[sqlTermStatsCtes]] on the oracle side, so

@@ -178,14 +178,18 @@ object Ranking {
       .select(col(groupCol).as("__tg") +: targetCols: _*)
     // joins are NULL-SAFE on the group key (code-review r6): percentile()
     // treats a null group key as a group like any other, so rows must not
-    // fall out of the bookkeeping joins
+    // fall out of the bookkeeping joins. NO broadcast hints (code-review
+    // r7): a forced broadcast would materialize the O(partitions×groups)
+    // bookkeeping on the driver — the very footprint this operator
+    // removes — while AQE still broadcasts small sides at runtime, so the
+    // dimension-grain case keeps its broadcast plan for free.
     val localW = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(col("__v").asc_nulls_last)
-    val ranked = ranged.join(broadcast(offs),
+    val ranked = ranged.join(offs,
         ranged("__pid") === offs("__opid") && ranged(groupCol) <=> offs("__og"))
       .drop("__opid", "__og")
       .withColumn("__rank", col("__off") + row_number().over(localW))
-      .join(broadcast(targets), col(groupCol) <=> targets("__tg"))
+      .join(targets, col(groupCol) <=> targets("__tg"))
       .drop("__tg")
     val aggs = probs.zipWithIndex.map { case ((_, name), i) =>
       val loV = max(when(col("__rank") === col(s"__lo$i"), col("__v")))

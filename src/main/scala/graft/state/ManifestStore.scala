@@ -100,6 +100,19 @@ object ManifestStore {
     finally in.close()
   }
 
+  /** [[readManifest]], with a MISSING manifest file read as "no partitions
+    * yet" instead of a raw FileNotFoundException. A multi-table commit
+    * whose first batch was empty for one table writes no manifest for it
+    * (nothing readable), but the pointer still advances for the sibling
+    * tables — the next commit and any reader must treat that table as
+    * empty-so-far, not crash (code-review r7: the raw open() wedged the
+    * sink forever, since every checkpoint replay re-threw).
+    */
+  private def readManifestOrEmpty(fs: FileSystem, root: Path, version: Long,
+                                  sub: String): Map[String, Long] =
+    if (!fs.exists(new Path(subDir(root, version, sub), ManifestName))) Map.empty
+    else readManifest(fs, root, version, sub)
+
   private def writeManifest(fs: FileSystem, dir: Path,
                             manifest: Map[String, Long]): Unit = {
     val out = fs.create(new Path(dir, ManifestName), true)
@@ -179,7 +192,11 @@ object ManifestStore {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = resolveVersion(fs, rootPath, sub, versionAsOf)
-    readManifested(spark, rootPath, readManifest(fs, rootPath, v, sub),
+    val manifest = readManifestOrEmpty(fs, rootPath, v, sub)
+    if (manifest.isEmpty) throw new IllegalStateException(
+      s"table '$sub' under $root has no committed data as of version $v — " +
+        "its batches have been empty so far")
+    readManifested(spark, rootPath, manifest,
       readSchemaAt(fs, rootPath, v, sub), sub)
   }
 
@@ -301,7 +318,7 @@ object ManifestStore {
     fs.mkdirs(root)
     val cur = SnapshotStore.currentVersion(fs, root)
     val prevManifests = tables.map { t =>
-      cur.map(v => readManifest(fs, root, v, t.name)).getOrElse(Map.empty)
+      cur.map(v => readManifestOrEmpty(fs, root, v, t.name)).getOrElse(Map.empty)
     }
     val staged = tables.zip(prevManifests).map { case (t, prevM) =>
       stageTable(spark, root, batchId, t.name, t.batch, t.keys, t.partitionCol,

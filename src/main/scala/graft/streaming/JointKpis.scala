@@ -238,14 +238,20 @@ object JointKpis {
 
   /** The manifested joint writer: one streaming query, both tables, one
     * pointer per micro-batch, O(touched-partitions) writes.
+    * `retentionMs` is the time-travel/read-stability age horizon;
+    * `maxManifestVersions` bounds reader fan-in via compaction.
     */
   def writerManifested(enrichedStream: DataFrame, root: String,
-                       checkpointDir: String): DataStreamWriter[Row] =
+                       checkpointDir: String,
+                       maxManifestVersions: Int = 16,
+                       retentionMs: Long = 10 * 60 * 1000L): DataStreamWriter[Row] =
     stream(enrichedStream).toDF()
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(jointSinkManifested(root) _)
+      .foreachBatch(jointSinkManifested(root,
+        maxManifestVersions = maxManifestVersions,
+        retentionMs = retentionMs) _)
 
   /** Snapshot-isolated reads of the manifested pair. */
   def categoryTableManifested(spark: org.apache.spark.sql.SparkSession,

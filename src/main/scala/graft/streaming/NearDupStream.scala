@@ -302,19 +302,31 @@ object NearDupStream {
     * per-bucket TTL eviction, wired to the same verify-and-append sink so
     * the eviction path answers the same planted-truth oracle as the
     * unbounded leg (st_neardup_bounded) instead of being test-only.
+    *
+    * A null-event-time row cannot enter the watermarked state stage, but
+    * it must not silently vanish from the corpus either (code-review r7):
+    * it is routed AROUND the stateful operator straight to the sink with
+    * no partners — kept unverified, exactly like a hot-bucket overflow
+    * doc. The trade: a malformed-timestamp duplicate survives; the
+    * alternative was losing a unique document with no log or metric.
     */
   def writerBounded(docs: DataFrame, idCol: String, textCol: String,
                     tsCol: String, watermark: String, ttlMs: Long,
                     workDir: String, checkpointDir: String,
                     threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
-                    shingleN: Int = 3, maxBucket: Int = 10000): DataStreamWriter[Row] =
+                    shingleN: Int = 3, maxBucket: Int = 10000): DataStreamWriter[Row] = {
+    val nullTs = docs.filter(col(tsCol).isNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+        array().cast("array<bigint>").as("partners"))
     candidatesBounded(docs, idCol, textCol, tsCol, watermark, ttlMs,
       k, bands, shingleN, maxBucket)
       .toDF()
+      .unionByName(nullTs)
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(verifyAndAppend(workDir, threshold, shingleN) _)
+  }
 
   /** The surviving (near-dup-free) documents written so far. */
   def survivors(spark: SparkSession, workDir: String): DataFrame =

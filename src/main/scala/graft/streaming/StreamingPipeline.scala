@@ -338,7 +338,8 @@ object StreamingPipeline {
     * commutativity.
     */
   def upsertBatchSnapshot(targetDir: String, keys: Seq[String],
-                          staleMs: Option[Long] = None)
+                          staleMs: Option[Long] = None,
+                          retainVersions: Int = 2)
                          (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new Path(targetDir)
@@ -353,7 +354,8 @@ object StreamingPipeline {
             batch, keys)
           case None => batch
         }
-        graft.state.SnapshotStore.commit(fs, root, batchId, Map("data" -> merged))
+        graft.state.SnapshotStore.commit(fs, root, batchId,
+          Map("data" -> merged), retainVersions)
       }
     }
   }

@@ -50,16 +50,16 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.regressions(Map.empty, now).isEmpty, "no baseline, no gate")
   }
 
-  test("latestBaselineFile picks the highest round numerically from a fixture dir") {
+  test("baselineFiles orders rounds numerically from a fixture dir") {
     val dir = fixtureDir(
       "BENCH_r02.json" -> """{"queries":{"a":1.0}}""",
       "BENCH_r07.json" -> """{"queries":{"a":2.0}}""",
       "BENCH_r10.json" -> """{"queries":{"a":3.0}}""", // r10 > r7 numerically, < lexicographically
       "BENCH_rXX.json" -> "not a round file",
       "CORRECTNESS_r07.json" -> "{}")
-    assert(Bench.latestBaselineFile(dir).map(_.getFileName.toString)
-      .contains("BENCH_r10.json"))
-    assert(Bench.latestBaselineFile(Files.createTempDirectory("benchgate_empty")).isEmpty,
+    assert(Bench.baselineFiles(dir).map(_._1) == Seq(2, 7, 10),
+      "rounds must sort numerically and non-round files must be skipped")
+    assert(Bench.baselineFiles(Files.createTempDirectory("benchgate_empty")).isEmpty,
       "round 1: no baseline, gate disabled")
   }
 

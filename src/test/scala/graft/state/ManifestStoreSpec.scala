@@ -108,6 +108,33 @@ class ManifestStoreSpec extends SparkSpec {
     assert(table(root) == Set((1L, 9.0, "a")))
   }
 
+  test("a table whose first batches are empty does not wedge the multi-table commit") {
+    import ManifestStore.TableCommit
+    import graft.operators.Upsert
+    val root = new Path(tmp("graft_mfs_emptyfirst") + "/t")
+    def dfA(v: Double) = Seq((1L, v, "a")).toDF("k", "v", "day")
+    val emptyB = Seq.empty[(Long, Double, String)].toDF("k", "v", "day")
+    // batch 0: A has data, B is empty — the pointer advances for A, and B
+    // must neither crash subsequent commits nor surface a raw
+    // FileNotFoundException to readers (code-review r7)
+    ManifestStore.commitPartitionedTables(spark, root, 0L,
+      Seq(TableCommit("A", dfA(1.0), Seq("k"), "day"),
+        TableCommit("B", emptyB, Seq("k"), "day")), Upsert.upsert)
+    assert(ManifestStore.readTable(spark, root.toString, "A").count() == 1L)
+    val e = intercept[IllegalStateException](
+      ManifestStore.readTable(spark, root.toString, "B"))
+    assert(e.getMessage.contains("no committed data"), e.getMessage)
+    // batch 1 commits cleanly (the old code threw reading B's missing
+    // manifest and wedged the sink forever) and B becomes readable
+    ManifestStore.commitPartitionedTables(spark, root, 1L,
+      Seq(TableCommit("A", dfA(2.0), Seq("k"), "day"),
+        TableCommit("B", dfA(9.0), Seq("k"), "day")), Upsert.upsert)
+    assert(ManifestStore.readTable(spark, root.toString, "B")
+      .select("v").as[Double].collect().toSeq == Seq(9.0))
+    assert(ManifestStore.readTable(spark, root.toString, "A")
+      .select("v").as[Double].collect().toSeq == Seq(2.0))
+  }
+
   test("versionAsOf resolves retained manifests; a reclaimed one errors loudly") {
     val root = tmp("graft_mfs_tt")
     val sink = StreamingPipeline.upsertPartitionedBatchSnapshot(

@@ -191,20 +191,18 @@ class NearDupStreamSpec extends SparkSpec {
       (0, 42L), Iterator(BandedDoc(0, 42L, 2L, "doc", null)), st).toSeq
     assert(st.getTimeoutTimestampMs.get() == 65000L && st.get.newestMs == 5000L,
       "null event time must fall back to the prior bucket deadline")
-    // end-to-end: a null-ts row in the stream is filtered out, the query
-    // keeps running, and the valid rows still dedup
+    // end-to-end: a null-ts row cannot enter the watermarked state stage,
+    // but it must NOT silently vanish — writerBounded routes it around
+    // the stateful operator to the sink unpaired (kept, like a hot-bucket
+    // overflow doc), while valid rows still dedup
     implicit val ctx = spark.sqlContext
     val work = tmp("graft_nds_nullts")
     val cp = tmp("graft_nds_nullts_cp")
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
-    val q = NearDupStream.candidatesBounded(
+    val q = NearDupStream.writerBounded(
       input.toDF().toDF("doc_id", "text", "ts"),
       "doc_id", "text", "ts", watermark = "1 hour", ttlMs = 3600 * 1000L,
-      bands = 16)
-      .toDF()
-      .writeStream.outputMode("update")
-      .option("checkpointLocation", cp)
-      .foreachBatch(NearDupStream.verifyAndAppend(work, 0.5, 3) _)
+      work, cp, threshold = 0.5, bands = 16)
       .start()
     try {
       val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
@@ -214,8 +212,8 @@ class NearDupStreamSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     assert(NearDupStream.survivors(spark, work).select("doc_id")
-      .as[Long].collect().toSet == Set(1L),
-      "null-ts doc must be dropped at ingest; valid near-dup still dedups")
+      .as[Long].collect().toSet == Set(1L, 5L),
+      "null-ts doc must be KEPT (routed unpaired); valid near-dup still dedups")
   }
 
   test("the per-batch registry read is pruned to partner ids") {
