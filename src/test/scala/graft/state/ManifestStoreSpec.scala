@@ -108,6 +108,24 @@ class ManifestStoreSpec extends SparkSpec {
     assert(table(root) == Set((1L, 9.0, "a")))
   }
 
+  test("a partition-column predicate prunes inside each manifested version group") {
+    val root = tmp("graft_mfs_prune")
+    val sink = StreamingPipeline.upsertPartitionedBatchSnapshot(
+      root, Seq("k"), "day") _
+    sink(Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c"))
+      .toDF("k", "v", "day"), 0L)
+    sink(Seq((1L, 9.0, "a")).toDF("k", "v", "day"), 1L)
+    // the manifest spans two version groups; a day predicate must become
+    // a PartitionFilter (directory skip) in every group's scan, not a
+    // post-scan row filter — the 100 TB read path
+    val q = StreamingPipeline.readPartitionedSnapshot(spark, root)
+      .filter(col("day") === "b")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day#"),
+      s"day predicate did not reach PartitionFilters:\n$plan")
+    assert(q.select("k").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("a table whose first batches are empty does not wedge the multi-table commit") {
     import ManifestStore.TableCommit
     import graft.operators.Upsert
