@@ -404,6 +404,26 @@ object SparkEntry {
         .select(col("doc_id"), col("hamming").cast("integer").as("hamming"))
     }),
 
+    // Fuzzy key join (SymSpell symmetric deletes → exact Levenshtein
+    // verify): plant a ONE-character substitution inside every document's
+    // key window (position 3; '¤' is outside the corpus alphabet, so the
+    // distance is exactly 1) — every planted pair must surface at
+    // edit_distance 1. Only (doc, its own mutation) pairs can differ by
+    // exactly the planted offset, so the join pins recall per document.
+    "dedup_fuzzy_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + PlantedOffset).as("doc_id"),
+        concat(substring(col("text"), 1, 2), lit("¤"),
+          substring(col("text"), 4, 1000000)).as("text"))
+      val pairs = Dedup.fuzzyPairs(docs.unionByName(mutated), "doc_id", "text")
+      docs.select("doc_id")
+        .join(pairs.filter(col("id_b") - col("id_a") === PlantedOffset)
+          .select(col("id_a").as("doc_id"),
+            (col("edit_distance") === 1).as("d1")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("d1"), lit(false)).as("found"))
+    }),
+
     // embedding-cosine near-dup: plant near-identical vectors (tiny
     // perturbation keeps the sign pattern) so the pair set is non-empty
     "dedup_embedding" -> ((s, dir) => {
@@ -1576,6 +1596,9 @@ object SparkEntry {
       "SELECT doc_id, true AS dropped FROM documents",
     "dedup_simhash_recall" ->
       "SELECT doc_id, CAST(0 AS INTEGER) AS hamming FROM documents",
+    // fuzzy join planted truth: every 1-edit mutation found at distance 1
+    "dedup_fuzzy_recall" ->
+      "SELECT doc_id, true AS found FROM documents",
     "ann_lsh_recall" ->
       """SELECT vec_id AS q_id, vec_id, CAST(1.0 AS DOUBLE) AS sim
          FROM embeddings WHERE vec_id < 5""",

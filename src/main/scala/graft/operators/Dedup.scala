@@ -332,4 +332,67 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** The delete-variant set of a key: the key itself plus every string
+    * with ONE character removed — the SymSpell symmetric-delete
+    * neighborhood at depth 1, as a pure codegen'd expression (transform +
+    * substr over a position sequence; no UDF). Two keys within Levenshtein
+    * distance 1 ALWAYS share a variant: a substitution at i matches both
+    * sides' delete-at-i, an insertion/deletion matches one side's delete
+    * against the other side verbatim. (A transposition is Levenshtein 2 —
+    * its shared variants still surface the pair as a candidate, and the
+    * exact verify then rejects it.)
+    */
+  private[operators] def deleteVariantsExpr(key: org.apache.spark.sql.Column,
+                                            maxKeyLen: Int): org.apache.spark.sql.Column = {
+    val k = substring(key, 1, maxKeyLen)
+    // sequence(1, 0) would produce a DESCENDING [1, 0] — guard empty keys
+    when(length(k) === 0, array(k)).otherwise(
+      array_distinct(concat(
+        array(k),
+        transform(sequence(lit(1), length(k)), i =>
+          concat(substr(k, lit(1), i - 1), substr(k, i + 1, lit(maxKeyLen)))))))
+  }
+
+  /** Fuzzy self-join on a short key (SymSpell symmetric deletes): every
+    * pair of documents whose first-`maxKeyLen`-character keys are within
+    * Levenshtein distance `maxEdits` (= 1), as (id_a, id_b,
+    * edit_distance) with id_a < id_b.
+    *
+    * Shape, like every dedup family here: block, then verify — never
+    * all-pairs. Each key explodes into ≤ len+1 delete variants; the
+    * self-equi-join shuffles on xxhash64(variant), hot variant buckets
+    * (boilerplate prefixes) are dropped by the same `maxBucket` guard as
+    * the LSH families, and the exact `levenshtein` filter runs only on
+    * candidate pairs. Cost: O(Σ len) variant rows and O(candidates)
+    * verifies — a 100 TB corpus pays linear explode + one shuffle, no
+    * cartesian anywhere. Keys ride the shuffle (≤ maxKeyLen chars), so no
+    * second join to fetch them for the verify.
+    *
+    * Depth-1 deletes guarantee RECALL for distance ≤ 1 only; `maxEdits`
+    * is capped at 1 (depth-2 variant generation is the documented
+    * extension if a genuine distance-2 use case appears).
+    */
+  def fuzzyPairs(docs: DataFrame, idCol: String, keyCol: String,
+                 maxEdits: Int = 1, maxKeyLen: Int = 64,
+                 maxBucket: Int = 10000): DataFrame = {
+    require(maxEdits == 1,
+      s"fuzzyPairs guarantees recall for maxEdits = 1 only, got $maxEdits")
+    val keyed = docs.select(col(idCol).as("__fid"),
+      substring(col(keyCol), 1, maxKeyLen).as("__k"))
+    val banded = capBuckets(
+      keyed.select(col("__fid"), col("__k"),
+        explode(deleteVariantsExpr(col("__k"), maxKeyLen)).as("__var"))
+        .select(col("__fid"), col("__k"),
+          lit(0).as("band"), xxhash64(col("__var")).as("sig")),
+      maxBucket)
+    val a = banded.select(col("sig"), col("__fid").as("id_a"), col("__k").as("key_a"))
+    val b = banded.select(col("sig"), col("__fid").as("id_b"), col("__k").as("key_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "key_a", "key_b").distinct()
+      .withColumn("edit_distance", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("edit_distance") <= maxEdits)
+      .select("id_a", "id_b", "edit_distance")
+  }
 }

@@ -59,6 +59,10 @@ class PlanAuditSpec extends SparkSpec {
     assertNoCartesian(plan("dedup_near"), "dedup_near")
   }
 
+  test("dedup_fuzzy_recall: delete-variant equi-join, no cartesian, no nested loop") {
+    assertNoCartesian(plan("dedup_fuzzy_recall"), "dedup_fuzzy_recall")
+  }
+
   test("ann_ivf_topk: two-stage top-k (WindowGroupLimit before the final rank)") {
     assert(plan("ann_ivf_topk").contains("WindowGroupLimit"))
   }

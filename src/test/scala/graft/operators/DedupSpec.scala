@@ -129,4 +129,50 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     Dedup.clearCaches(blocking = true)
   }
+
+  test("deleteVariantsExpr produces the key plus every single-char deletion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq("abc", "", "x").toDF("k")
+      .select(col("k"), Dedup.deleteVariantsExpr(col("k"), 64).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got("abc") == Set("abc", "bc", "ac", "ab"))
+    assert(got("") == Set(""), "empty key must not hit the descending-sequence trap")
+    assert(got("x") == Set("x", ""))
+  }
+
+  test("fuzzyPairs: substitution/deletion/insertion pair at d<=1; transposition and strangers do not") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "colour grade",   // base
+      2L -> "colour grado",   // substitution (d=1)
+      3L -> "colour grad",    // deletion (d=1)
+      4L -> "colour gradle",  // insertion (d=1)
+      5L -> "colour grdae",   // transposition (d=2 in plain Levenshtein)
+      6L -> "wholly other")
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ab = pairs.map(p => (p._1, p._2)).toSet
+    assert(Set((1L, 2L), (1L, 3L), (1L, 4L)).subsetOf(ab),
+      s"all three d=1 edits must pair with the base: $ab")
+    assert(!ab.exists(p => p._1 == 6L || p._2 == 6L), "strangers must not pair")
+    assert(!ab.contains((1L, 5L)),
+      "a transposition is Levenshtein 2 — candidate generated, verify rejects")
+    assert(pairs.forall(_._3 <= 1))
+    // identical keys pair at distance 0 exactly once despite sharing
+    // every delete variant
+    val dup = Dedup.fuzzyPairs(
+      Seq(7L -> "same key", 8L -> "same key").toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(dup.toSeq == Seq((7L, 8L, 0)))
+  }
+
+  test("fuzzyPairs hot-variant buckets are capped, not quadratic") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(_ -> "the same boilerplate key").toDF("doc_id", "text")
+    assert(Dedup.fuzzyPairs(docs, "doc_id", "text", maxBucket = 10).count() == 0L,
+      "an over-cap variant bucket must be dropped, like every LSH family")
+  }
 }
