@@ -18,7 +18,8 @@ import graft.operators.Similarity
   *
   * Registered: graft_dot, graft_cosine, graft_norm, graft_tokens,
   * graft_shingles, graft_lang_id, graft_bpe_token_count,
-  * graft_fingerprint, graft_minhash, graft_band_sigs.
+  * graft_fingerprint, graft_minhash, graft_band_sigs,
+  * graft_delete_variants.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -79,5 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "graft_band_sigs", 3, es => GraftBridge.resolvableExpression(
       operators.Dedup.bandStructsExpr(GraftBridge.column(es(0)),
         litInt("graft_band_sigs", es(1)), litInt("graft_band_sigs", es(2)))))
+    // the fuzzy-join blocking primitive (Dedup.deleteVariantsExpr):
+    // graft_delete_variants(key, maxKeyLen) → the SymSpell depth-1
+    // delete neighborhood, ready to explode into a candidate join
+    inject(ext, "graft_delete_variants", 2, es => GraftBridge.resolvableExpression(
+      operators.Dedup.deleteVariantsExpr(GraftBridge.column(es(0)),
+        litInt("graft_delete_variants", es(1)))))
   }
 }

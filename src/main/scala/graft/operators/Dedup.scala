@@ -343,8 +343,8 @@ object Dedup {
     * its shared variants still surface the pair as a candidate, and the
     * exact verify then rejects it.)
     */
-  private[operators] def deleteVariantsExpr(key: org.apache.spark.sql.Column,
-                                            maxKeyLen: Int): org.apache.spark.sql.Column = {
+  private[graft] def deleteVariantsExpr(key: org.apache.spark.sql.Column,
+                                        maxKeyLen: Int): org.apache.spark.sql.Column = {
     val k = substring(key, 1, maxKeyLen)
     // sequence(1, 0) would produce a DESCENDING [1, 0] — guard empty keys
     when(length(k) === 0, array(k)).otherwise(

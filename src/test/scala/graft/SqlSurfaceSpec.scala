@@ -113,6 +113,16 @@ class SqlSurfaceSpec extends SparkSpec {
       "SQL-surface signatures diverged from the batch operators")
   }
 
+  test("graft_delete_variants equals the fuzzy-join blocking expression from pure SQL") {
+    val s = sqlSession
+    val got = s.sql("SELECT graft_delete_variants('abc', 64)")
+      .collect()(0).getSeq[String](0).toSet
+    assert(got == Set("abc", "bc", "ac", "ab"))
+    assert(s.sql("SELECT graft_delete_variants('', 64)")
+      .collect()(0).getSeq[String](0) == Seq(""),
+      "empty key must not hit the descending-sequence trap from SQL either")
+  }
+
   test("graft_shingles width: foldable expressions allowed, column refs rejected clearly") {
     // foldable arithmetic constant-folds to 3 and works
     val ok = sqlSession.sql("SELECT graft_shingles('a b c d', 1 + 2)")
