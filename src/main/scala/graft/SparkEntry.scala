@@ -424,6 +424,14 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("d1"), lit(false)).as("found"))
     }),
 
+    // BM25 ranked retrieval over the corpus (operators/Retrieval.scala):
+    // exact integer tf/df/len/N, fixed-order per-term addition, ranking
+    // by the ROUNDED score — every arithmetic step mirrored verbatim in
+    // the DuckDB oracle, so the whole scoring pipeline is hash-compared.
+    "t_bm25_topk" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir),
+        "doc_id", "text", Seq("spark", "scan"), k = 20)),
+
     // embedding-cosine near-dup: plant near-identical vectors (tiny
     // perturbation keeps the sign pattern) so the pair set is non-empty
     "dedup_embedding" -> ((s, dir) => {
@@ -1599,6 +1607,31 @@ object SparkEntry {
     // fuzzy join planted truth: every 1-edit mutation found at distance 1
     "dedup_fuzzy_recall" ->
       "SELECT doc_id, true AS found FROM documents",
+    // BM25: the Spark expression tree transcribed operator-for-operator
+    // (exact ints; one double division for avgdl; fixed-order term sum;
+    // rank by rounded score) — see Retrieval.bm25TopK's scaladoc
+    "t_bm25_topk" ->
+      s"""WITH base AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+                WHERE term IN ('spark', 'scan') GROUP BY 1, 2),
+         stats AS (SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+         dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         parts AS (SELECT tf.doc_id, tf.term,
+             ln((n - df + 0.5) / (df + 0.5) + 1)
+               * (tf * (1.2 + 1))
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)) AS part
+           FROM tf JOIN dft USING (term) JOIN lens ON tf.doc_id = lens.doc_id
+           CROSS JOIN stats),
+         piv AS (SELECT doc_id,
+             COALESCE(MAX(CASE WHEN term = 'spark' THEN part END), 0.0)
+               + COALESCE(MAX(CASE WHEN term = 'scan' THEN part END), 0.0) AS s
+           FROM parts GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS INT) AS rank,
+                doc_id, round(s, 6) AS score
+         FROM piv WHERE round(s, 6) > 0
+         ORDER BY rank LIMIT 20""",
     "ann_lsh_recall" ->
       """SELECT vec_id AS q_id, vec_id, CAST(1.0 AS DOUBLE) AS sim
          FROM embeddings WHERE vec_id < 5""",

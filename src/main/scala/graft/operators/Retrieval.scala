@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Ranked term retrieval over the document corpus — the curation-side
+  * "find the documents about X" primitive (BM25, the Lucene/Okapi
+  * scoring the reference's search tooling would reach for).
+  *
+  * Scale shape: the token explode is filtered to the QUERY terms before
+  * any aggregation (an `isin` over a handful of literals — predicate on
+  * the exploded stream, no full TF materialization), document lengths
+  * are one `size()` projection, the per-term document frequencies and
+  * the corpus stats are dimension-sized broadcasts, and the final top-k
+  * is a TakeOrdered over per-document scores — no global sort of the
+  * corpus, no driver-side scoring.
+  *
+  * Determinism (the DuckDB-oracle contract): every arithmetic step is a
+  * fixed IEEE expression — exact integer tf/df/len/N, `avgdl` as an
+  * exact long sum divided once, and the per-term score parts added in
+  * the FIXED query-term order via a pivot (a `sum()` over the parts
+  * would re-associate the doubles nondeterministically). Scores are
+  * rounded to 6 decimals, and the ranking orders by the ROUNDED score
+  * (tie-broken by id) so a last-ulp `ln` divergence between engines
+  * cannot flip ranks.
+  */
+object Retrieval {
+
+  /** Top-`k` documents for `terms` by BM25, as (rank, id, score).
+    * Documents matching no term (score 0) are excluded.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    require(k > 0, s"bm25TopK needs a positive k, got $k")
+    val base = docs.select(col(idCol).as("__id"),
+      Text.tokens(lower(col(textCol))).as("__toks"))
+    val lens = base.select(col("__id"), size(col("__toks")).cast("long").as("__len"))
+    val tf = base.select(col("__id"), explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(terms: _*))
+      .groupBy(col("__id"), col("__term")).agg(count(lit(1)).as("__tf"))
+    val stats = lens.agg(count(lit(1)).as("__n"),
+      (sum(col("__len")).cast("double") / count(lit(1))).as("__avgdl"))
+    val dfT = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    // one fixed expression per (doc, term); every operator ordering below
+    // is mirrored verbatim by the oracle SQL
+    val idf = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1)
+    val part = idf * (col("__tf") * lit(k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avgdl")))
+    val parts = tf.join(broadcast(dfT), "__term")
+      .join(lens, "__id")
+      .crossJoin(broadcast(stats))
+      .select(col("__id"), col("__term"), part.as("__part"))
+    // fixed-order addition of the per-term parts (terms order)
+    val pivoted = parts.groupBy(col("__id"))
+      .pivot("__term", terms).agg(first(col("__part")))
+    val score: Column = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduce(_ + _)
+    val scored = pivoted.select(col("__id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+    val top = scored.orderBy(col("score").desc, col("__id")).limit(k)
+    // rank assignment runs over at most k rows — the single-partition
+    // window is bounded by k, never by the corpus
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("__id"))))
+      .select(col("rank"), col("__id").as(idCol), col("score"))
+  }
+}

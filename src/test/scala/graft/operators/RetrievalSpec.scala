@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BM25 ranked retrieval: hand-computed scores on a tiny corpus (same
+  * IEEE ops in the test as in the operator), rank ordering, tf
+  * monotonicity, no-match exclusion, k bound, and argument guards.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: doc 1 has the term twice, doc 2 once, doc 3 not at all.
+  // All docs are 4 tokens long, so avgdl = 4 and the length
+  // normalization cancels out of the ORDER (not the values).
+  private val docs = Seq(
+    (1L, "apple apple pear plum"),
+    (2L, "apple pear plum kiwi"),
+    (3L, "melon grape kiwi fig"))
+    .toDF("doc_id", "text")
+
+  private def bm25(tf: Long, df: Long, n: Long, len: Long, avgdl: Double,
+                   k1: Double = 1.2, b: Double = 0.75): Double =
+    math.log((n - df + 0.5) / (df + 0.5) + 1) * (tf * (k1 + 1)) /
+      (tf + k1 * (1 - b + b * len / avgdl))
+
+  test("scores match the closed form and rank by tf; no-match docs excluded") {
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("apple"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val expect = Seq(
+      (1, 1L, math.rint(bm25(2, 2, 3, 4, 4.0) * 1e6) / 1e6),
+      (2, 2L, math.rint(bm25(1, 2, 3, 4, 4.0) * 1e6) / 1e6))
+    assert(got.toSeq == expect,
+      s"got ${got.toSeq}, expected $expect (doc 3 must be absent)")
+  }
+
+  test("multi-term scores add per-term parts; ties break by id; k bounds output") {
+    // both docs 1 and 2 contain pear+plum with identical tf and length →
+    // identical scores; rank must tie-break by doc id
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("pear", "plum"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq == Seq(1L, 2L))
+    assert(got(0)._3 == got(1)._3, "equal tf and length must score equally")
+    val p = math.rint((bm25(1, 2, 3, 4, 4.0) + bm25(1, 2, 3, 4, 4.0)) * 1e6) / 1e6
+    assert(got(0)._3 == p, s"two-term score must be the fixed-order sum, got ${got(0)._3} != $p")
+    // k = 1 truncates to the top document only
+    assert(Retrieval.bm25TopK(docs, "doc_id", "text", Seq("apple"), k = 1)
+      .collect().map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  test("argument guards reject empty/duplicate terms and bad k") {
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(docs, "doc_id", "text", Seq.empty, 5))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), 5))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(docs, "doc_id", "text", Seq("a"), 0))
+  }
+}
