@@ -424,6 +424,21 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("d1"), lit(false)).as("found"))
     }),
 
+    // Benchmark decontamination (Dedup.contaminationReport): docs < 10
+    // play the benchmark/eval set; the corpus is every other document
+    // plus a PLANTED contaminated twin of each benchmark doc (its text +
+    // a pad suffix — guaranteed shared 8-grams). Exact integer overlap
+    // counts, so the oracle replicates the whole pass verbatim: every
+    // planted twin must flag contaminated, every count must hash-match.
+    "t_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") < 10)
+      val planted = bench.select((col("doc_id") + PlantedOffset).as("doc_id"),
+        concat(col("text"), lit(" tail pad tokens")).as("text"))
+      val corpus = d.filter(col("doc_id") >= 10).unionByName(planted)
+      Dedup.contaminationReport(corpus, "doc_id", "text", bench, "text")
+    }),
+
     // BM25 ranked retrieval over the corpus (operators/Retrieval.scala):
     // exact integer tf/df/len/N, fixed-order per-term addition, ranking
     // by the ROUNDED score — every arithmetic step mirrored verbatim in
@@ -1607,6 +1622,34 @@ object SparkEntry {
     // fuzzy join planted truth: every 1-edit mutation found at distance 1
     "dedup_fuzzy_recall" ->
       "SELECT doc_id, true AS found FROM documents",
+    // decontamination: the whole pass transcribed — same planted corpus,
+    // same lowercase tokens, same 8-gram windows (concat_ws skips
+    // out-of-range NULLs exactly like Spark's capped slice), same
+    // distinct-then-count overlap
+    "t_contamination" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || ' tail pad tokens' AS text FROM bench),
+         btoks AS (SELECT ${sqlTokens("lower(text)")} AS ts FROM bench),
+         bgrams AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 7, 1)),
+             i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3],
+                            ts[i+4], ts[i+5], ts[i+6], ts[i+7])))) AS gram
+           FROM btoks),
+         ctoks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM corpus),
+         cgrams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 7, 1)),
+             i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3],
+                            ts[i+4], ts[i+5], ts[i+6], ts[i+7])))) AS gram
+           FROM ctoks),
+         ov AS (SELECT doc_id, COUNT(*) AS overlap_ngrams
+           FROM cgrams JOIN bgrams USING (gram) GROUP BY 1)
+         SELECT c.doc_id,
+                COALESCE(ov.overlap_ngrams, 0) AS overlap_ngrams,
+                COALESCE(ov.overlap_ngrams, 0) >= 1 AS contaminated
+         FROM corpus c LEFT JOIN ov ON c.doc_id = ov.doc_id""",
+
     // BM25: the Spark expression tree transcribed operator-for-operator
     // (exact ints; one double division for avgdl; fixed-order term sum;
     // rank by rounded score) — see Retrieval.bm25TopK's scaladoc

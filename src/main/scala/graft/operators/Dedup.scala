@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -331,6 +331,40 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Benchmark decontamination — the standard training-data hygiene pass:
+    * flag every corpus document sharing at least `minOverlap` distinct
+    * word `shingleN`-grams with a benchmark/eval set, so evaluation
+    * material can be excluded from training corpora.
+    *
+    * Returns one row per corpus document: (id, overlap_ngrams,
+    * contaminated). Exact integer counts end to end — fully
+    * oracle-replicable.
+    *
+    * Scale shape: the benchmark side is distinct-deduped n-grams of the
+    * (small) eval set — AQE broadcasts it; the corpus side is one explode
+    * + equi-join + count, shuffling only (id, matched-gram) rows. No
+    * similarity math, no cartesian; at 100 TB the cost is the corpus
+    * token scan, which a decontamination pass must pay anyway.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          shingleN: Int = 8, minOverlap: Int = 1): DataFrame = {
+    require(shingleN > 0 && minOverlap > 0,
+      s"shingleN and minOverlap must be positive: $shingleN, $minOverlap")
+    def grams(df: DataFrame, textC: String, extra: Seq[Column]): DataFrame =
+      df.select(extra :+ Text.tokens(lower(col(textC))).as("__t"): _*)
+        .select(extra :+ explode(array_distinct(
+          Text.shinglesFromTokens(col("__t"), shingleN))).as("__gram"): _*)
+    val benchGrams = grams(bench, benchTextCol, Seq.empty).distinct()
+    val overlap = grams(docs, textCol, Seq(col(idCol)))
+      .join(benchGrams, "__gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("overlap_ngrams"))
+    docs.select(col(idCol)).join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"),
+        (coalesce(col("overlap_ngrams"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
   /** The delete-variant set of a key: the key itself plus every string

@@ -130,6 +130,31 @@ class DedupSpec extends SparkSpec {
     Dedup.clearCaches(blocking = true)
   }
 
+  test("contaminationReport flags benchmark-overlapping docs with exact counts") {
+    import spark.implicits._
+    val bench = Seq(1L -> "alpha beta gamma delta epsilon zeta")
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // contains the benchmark's 4-gram "alpha beta gamma delta" (and
+      // "beta gamma delta epsilon") → 2 distinct overlapping 4-grams
+      10L -> "xx alpha beta gamma delta epsilon yy",
+      // shares words but no full 4-gram window
+      11L -> "alpha beta other gamma delta",
+      12L -> "wholly unrelated text entirely")
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(docs, "doc_id", "text",
+      bench, "text", shingleN = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(10L) == ((2L, true)), s"expected 2 overlapping 4-grams: ${got(10L)}")
+    assert(got(11L) == ((0L, false)))
+    assert(got(12L) == ((0L, false)))
+    // minOverlap raises the bar
+    val strict = Dedup.contaminationReport(docs, "doc_id", "text",
+      bench, "text", shingleN = 4, minOverlap = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(strict(10L) == false, "2 overlaps must not flag at minOverlap=3")
+  }
+
   test("deleteVariantsExpr produces the key plus every single-char deletion") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
