@@ -1409,7 +1409,9 @@ object SparkEntry {
     "a6_cube", "a8_approx_distinct", "w_running_total", "pipeline_corpus_prep",
     // round 6: the scale-safe rank family and the manifest snapshot sink
     "w_ntile_boundaries", "a7_percentiles_scalable",
-    "s_partitioned_upsert_snapshot")
+    "s_partitioned_upsert_snapshot",
+    // round 7: fuzzy join, BM25 retrieval, decontamination
+    "dedup_fuzzy_recall", "t_bm25_topk", "t_contamination")
 
   // ---- DuckDB oracle twins ----
 

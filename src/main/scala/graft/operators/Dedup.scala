@@ -414,12 +414,34 @@ object Dedup {
       s"fuzzyPairs guarantees recall for maxEdits = 1 only, got $maxEdits")
     val keyed = docs.select(col(idCol).as("__fid"),
       substring(col(keyCol), 1, maxKeyLen).as("__k"))
-    val banded = capBuckets(
-      keyed.select(col("__fid"), col("__k"),
-        explode(deleteVariantsExpr(col("__k"), maxKeyLen)).as("__var"))
-        .select(col("__fid"), col("__k"),
+    // the delete neighborhood as explode(sequence) + a plain projection,
+    // NOT the array-building deleteVariantsExpr: a higher-order transform
+    // lambda is interpreted per element (the shinglesFromTokens trap —
+    // profiled 15.7 s → 1.7 s on the sf0.1 recall corpus), while this
+    // shape stays entirely inside whole-stage codegen. Deletion index 0
+    // encodes "the key itself" (insertions on the other side), which
+    // also makes the empty key safe with no special case. Adjacent equal
+    // chars produce duplicate variants; the pair-level distinct absorbs
+    // them.
+    val varred = keyed
+      .select(col("__fid"), col("__k"),
+        explode(sequence(lit(0), length(col("__k")))).as("__i"))
+      .select(col("__fid"), col("__k"),
+        when(col("__i") === 0, col("__k"))
+          .otherwise(concat(
+            substr(col("__k"), lit(1), col("__i") - 1),
+            substr(col("__k"), col("__i") + 1, lit(maxKeyLen)))).as("__var"))
+    // persist the capped signatures (session-lived, Caches-registered like
+    // every signature cache here): they feed BOTH self-join sides, and
+    // capBuckets itself scans its input twice (size agg + semi join) — an
+    // un-persisted plan recomputed the variant explode up to 6× (profiled
+    // 15.3 s → 2.9 s on the sf0.1 recall corpus)
+    val banded = graft.util.Caches.retain(
+      capBuckets(
+        varred.select(col("__fid"), col("__k"),
           lit(0).as("band"), xxhash64(col("__var")).as("sig")),
-      maxBucket)
+        maxBucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = banded.select(col("sig"), col("__fid").as("id_a"), col("__k").as("key_a"))
     val b = banded.select(col("sig"), col("__fid").as("id_b"), col("__k").as("key_b"))
     a.join(b, Seq("sig"))
