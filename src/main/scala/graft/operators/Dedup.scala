@@ -394,14 +394,31 @@ object Dedup {
     * edit_distance) with id_a < id_b.
     *
     * Shape, like every dedup family here: block, then verify — never
-    * all-pairs. Each key explodes into ≤ len+1 delete variants; the
-    * self-equi-join shuffles on xxhash64(variant), hot variant buckets
-    * (boilerplate prefixes) are dropped by the same `maxBucket` guard as
-    * the LSH families, and the exact `levenshtein` filter runs only on
-    * candidate pairs. Cost: O(Σ len) variant rows and O(candidates)
-    * verifies — a 100 TB corpus pays linear explode + one shuffle, no
-    * cartesian anywhere. Keys ride the shuffle (≤ maxKeyLen chars), so no
-    * second join to fetch them for the verify.
+    * all-pairs. ALL candidate work runs at DISTINCT-KEY grain: each
+    * distinct key explodes into ≤ len+1 delete variants, variants group
+    * into buckets by xxhash64 signature (hot boilerplate variants dropped
+    * by the same `maxBucket` guard as the LSH families), in-bucket key
+    * pairs are verified by the exact `levenshtein` filter, and only THEN
+    * do the surviving key pairs re-expand to document-id pairs through
+    * output-sensitive equi-joins. Duplicate-key multiplicity therefore
+    * multiplies only the (inherently pair-shaped) OUTPUT, never the
+    * shuffle, bucket, or verify work — the document-grain formulation was
+    * measured 29× slower on 10× data when the scale-up duplicated every
+    * key 10× (52 s → the distinct-grain form holds the candidate stage
+    * flat). Keys with more than `maxBucket` exact copies are dropped
+    * whole, mirroring the variant-bucket cap (one hot key — empty string,
+    * boilerplate title — would otherwise emit O(n²) output rows alone).
+    * Cost: O(Σ distinct-key len) variant rows, one shuffle, O(distinct
+    * candidate pairs) verifies, O(output) join rows. No cartesian
+    * anywhere; a 100 TB corpus pays linear explode over distinct keys.
+    *
+    * The delete neighborhood is explode(sequence) + a plain projection,
+    * NOT the array-building deleteVariantsExpr: a higher-order transform
+    * lambda is interpreted per element (the shinglesFromTokens trap —
+    * profiled 15.7 s → 1.7 s on the sf0.1 recall corpus), while this
+    * shape stays entirely inside whole-stage codegen. Deletion index 0
+    * encodes "the key itself" (insertions on the other side), which also
+    * makes the empty key safe with no special case.
     *
     * Depth-1 deletes guarantee RECALL for distance ≤ 1 only; `maxEdits`
     * is capped at 1 (depth-2 variant generation is the documented
@@ -414,46 +431,56 @@ object Dedup {
       s"fuzzyPairs guarantees recall for maxEdits = 1 only, got $maxEdits")
     val keyed = docs.select(col(idCol).as("__fid"),
       substring(col(keyCol), 1, maxKeyLen).as("__k"))
-    // the delete neighborhood as explode(sequence) + a plain projection,
-    // NOT the array-building deleteVariantsExpr: a higher-order transform
-    // lambda is interpreted per element (the shinglesFromTokens trap —
-    // profiled 15.7 s → 1.7 s on the sf0.1 recall corpus), while this
-    // shape stays entirely inside whole-stage codegen. Deletion index 0
-    // encodes "the key itself" (insertions on the other side), which
-    // also makes the empty key safe with no special case. Adjacent equal
-    // chars produce duplicate variants; the pair-level distinct absorbs
-    // them.
-    val varred = keyed
-      .select(col("__fid"), col("__k"),
+    // Exact-duplicate groups: one row per distinct key, members collected
+    // for the output expansion, over-cap keys dropped whole. The buffer
+    // holds ≤ maxBucket ids per key — the same bound the variant buckets
+    // already accept.
+    val groups = keyed.groupBy(col("__k"))
+      .agg(collect_list(col("__fid")).as("__ids"))
+      .filter(size(col("__ids")) <= maxBucket)
+    val dkeys = groups.select(col("__k"))
+    val varred = dkeys
+      .select(col("__k"),
         explode(sequence(lit(0), length(col("__k")))).as("__i"))
-      .select(col("__fid"), col("__k"),
+      .select(col("__k"),
         when(col("__i") === 0, col("__k"))
           .otherwise(concat(
             substr(col("__k"), lit(1), col("__i") - 1),
             substr(col("__k"), col("__i") + 1, lit(maxKeyLen)))).as("__var"))
-    // Candidate pairs via ONE shuffle: group the variant rows by
+    // Candidate DISTINCT-KEY pairs via ONE shuffle: group variant rows by
     // signature, cap the bucket by its collected size (the hot-bucket
-    // guard for free — no separate size-agg + semi-join pass), and expand
-    // in-bucket pairs with a codegen'd double explode. The banded
-    // self-join shape the LSH families use would scan the variant explode
-    // once per join side plus twice more inside capBuckets — profiled
-    // 15.6 s → 1.8 s cold on the sf0.1 recall corpus. Memory: one
-    // aggregation buffer holds ≤ maxBucket (id, ≤ maxKeyLen-char key)
-    // structs — bounded by construction.
-    val pairs = varred
-      .select(col("__fid"), col("__k"), xxhash64(col("__var")).as("sig"))
+    // guard for free — no separate size-agg + semi-join pass), expand
+    // in-bucket pairs with a codegen'd double explode, dedup at key-pair
+    // grain (far smaller than id-pair grain), verify exactly.
+    val keyPairs = varred
+      .select(col("__k"), xxhash64(col("__var")).as("sig"))
       .groupBy(col("sig"))
-      .agg(collect_list(struct(col("__fid").as("id"), col("__k").as("k"))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucket))
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.k").as("key_a"), col("b.k").as("key_b"))
+      .agg(collect_list(col("__k")).as("ks"))
+      .filter(size(col("ks")).between(2, maxBucket))
+      .select(explode(col("ks")).as("ka"), col("ks"))
+      .select(col("ka"), explode(col("ks")).as("kb"))
+      .filter(col("ka") < col("kb"))
       .distinct()
-    pairs
-      .withColumn("edit_distance", levenshtein(col("key_a"), col("key_b")))
+      .withColumn("edit_distance", levenshtein(col("ka"), col("kb")))
       .filter(col("edit_distance") <= maxEdits)
-      .select("id_a", "id_b", "edit_distance")
+    // Output expansion, both output-sensitive: (a) cross-key pairs join
+    // the two member lists back in (ka < kb strictly, so no dup pairs and
+    // no self pairs); (b) intra-key pairs (edit_distance 0) expand each
+    // group's member list in place.
+    val cross = keyPairs
+      .join(groups.select(col("__k").as("ka"), col("__ids").as("ids_a")), "ka")
+      .join(groups.select(col("__k").as("kb"), col("__ids").as("ids_b")), "kb")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("edit_distance"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("edit_distance"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("edit_distance"))
+    val intra = groups
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(col("__ids")).as("ia"), col("__ids"))
+      .select(col("ia"), explode(col("__ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        lit(0).cast("integer").as("edit_distance"))
+    cross.unionByName(intra).select("id_a", "id_b", "edit_distance")
   }
 }
