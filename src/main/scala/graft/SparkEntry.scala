@@ -469,6 +469,20 @@ object SparkEntry {
     "t_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    // Repetition filters (Text.repetitionStats — the Gopher/MassiveText
+    // repetition quality signals): plant a doubled twin of every document
+    // (text \n text — two identical lines, every 2-gram count doubled),
+    // so planted rows must show dup_line_frac = 0.5 and dup_ngram_frac
+    // near 1 while originals keep their natural repetition; the whole
+    // stats pass is hash-compared against the DuckDB transcription.
+    "t_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val doubled = docs.select((col("doc_id") + PlantedOffset).as("doc_id"),
+        concat(col("text"), lit("\n"), col("text")).as("text"))
+      Text.repetitionStats(docs.unionByName(doubled), "doc_id", "text")
+        .withColumn("repetitive",
+          col("dup_line_frac") >= 0.3 || col("top_ngram_char_frac") >= 0.2)
+    }),
     // Corpus n-gram statistics: global top-k trigrams — explode shingles,
     // one count aggregation (map-side combined), TakeOrdered for the k.
     // The corpus-frequency pass every dataset-curation pipeline starts with.
@@ -1844,6 +1858,44 @@ object SparkEntry {
                   ELSE 'de' END
            ELSE 'und' END AS lang_pred
          FROM h""",
+    // repetition filters: same planted doubled twins, same \s+ tokens
+    // (the \n joining the halves is whitespace on both engines), same
+    // 2-gram construction as the Spark side, ties toward the larger gram
+    "t_repetition" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || chr(10) || text AS text FROM documents),
+         lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
+         lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2),
+         lstats AS (SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_lines,
+             CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+             CAST(SUM(c * len(line)) AS BIGINT) AS line_chars,
+             CAST(SUM((c - 1) * len(line)) AS BIGINT) AS dup_line_chars
+           FROM lc GROUP BY 1),
+         toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM corpus),
+         grams AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, greatest(len(ts) - 1, 1)),
+             i -> concat_ws(' ', ts[i], ts[i+1]))) AS gram FROM toks),
+         gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+         gtop AS (SELECT doc_id, gram AS top_ngram, c AS top_c FROM (
+             SELECT doc_id, gram, c, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, gram DESC) AS rn FROM gc) WHERE rn = 1),
+         gmass AS (SELECT doc_id,
+             CAST(SUM(c * len(gram)) AS BIGINT) AS gram_mass,
+             CAST(SUM(CASE WHEN c >= 2 THEN c * len(gram) ELSE 0 END) AS BIGINT) AS dup_gram_mass
+           FROM gc GROUP BY 1)
+         SELECT c.doc_id, l.n_lines,
+           round(CASE WHEN l.n_lines > 0 THEN CAST(l.dup_lines AS DOUBLE) / l.n_lines ELSE 0.0 END, 6) AS dup_line_frac,
+           round(CASE WHEN l.line_chars > 0 THEN CAST(l.dup_line_chars AS DOUBLE) / l.line_chars ELSE 0.0 END, 6) AS dup_line_char_frac,
+           t.top_ngram,
+           round(CASE WHEN len(c.text) > 0 THEN CAST(t.top_c * len(t.top_ngram) AS DOUBLE) / len(c.text) ELSE 0.0 END, 6) AS top_ngram_char_frac,
+           round(CASE WHEN m.gram_mass > 0 THEN CAST(m.dup_gram_mass AS DOUBLE) / m.gram_mass ELSE 0.0 END, 6) AS dup_ngram_frac,
+           (round(CASE WHEN l.n_lines > 0 THEN CAST(l.dup_lines AS DOUBLE) / l.n_lines ELSE 0.0 END, 6) >= 0.3
+            OR round(CASE WHEN len(c.text) > 0 THEN CAST(t.top_c * len(t.top_ngram) AS DOUBLE) / len(c.text) ELSE 0.0 END, 6) >= 0.2) AS repetitive
+         FROM corpus c
+         JOIN lstats l USING (doc_id) JOIN gtop t USING (doc_id) JOIN gmass m USING (doc_id)""",
 
     "sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

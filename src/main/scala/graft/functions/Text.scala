@@ -140,6 +140,72 @@ object Text {
       shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
         .bitwiseXOR(xxhash64(t)))
 
+  /** Repetition stats per document — the MassiveText/Gopher-style
+    * repetition quality signals, computed with shuffles instead of
+    * per-row array lambdas (interpreted HOFs are the shinglesFromTokens
+    * trap; two HashAggregates with map-side partial combine distribute
+    * trivially and never hold more than one (doc, line/gram) group per
+    * buffer):
+    *
+    *  - `n_lines`, `dup_line_frac` — fraction of `\n`-lines that are
+    *    exact duplicates of an earlier line (occurrences beyond the first
+    *    of each distinct line, over all lines);
+    *  - `dup_line_char_frac` — same numerator weighted by line length,
+    *    over total line characters;
+    *  - `top_ngram`, `top_ngram_char_frac` — the most frequent word
+    *    n-gram (ties broken toward the lexicographically larger gram, so
+    *    the answer is deterministic) and the fraction of document
+    *    characters its occurrences cover (count × gram length / chars —
+    *    the standard product form; overlapping occurrences count fully);
+    *  - `dup_ngram_frac` — the n-gram occurrence mass (count × length)
+    *    sitting in grams that appear ≥ 2 times, over all n-gram mass.
+    *    Bounded [0, 1] by construction, unlike the raw
+    *    duplicated-chars-over-chars form, which overlap can push past 1.
+    *
+    * All ratios round(…, 6) with plain division (IEEE-deterministic, the
+    * oracle-compare convention). Documents shorter than n tokens
+    * contribute their whole token string as the single gram
+    * ([[shinglesFromTokens]] semantics).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val id = col(idCol)
+    val safeFrac = (num: Column, den: Column) =>
+      round(when(den > 0, num.cast("double") / den).otherwise(lit(0.0)), 6)
+    val lineStats = docs
+      .select(id, explode(split(col(textCol), "\n")).as("__line"))
+      .groupBy(id, col("__line"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(id).agg(
+        sum(col("__c")).as("__n_lines"),
+        sum(col("__c") - 1).as("__dup_lines"),
+        sum(col("__c") * length(col("__line"))).as("__line_chars"),
+        sum((col("__c") - 1) * length(col("__line"))).as("__dup_line_chars"))
+    val gramStats = docs
+      .select(id, tokens(col(textCol)).as("__toks"))
+      .select(id, explode(shinglesFromTokens(col("__toks"), n)).as("__gram"))
+      .groupBy(id, col("__gram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(id).agg(
+        max(struct(col("__c").as("c"), col("__gram").as("g"))).as("__top"),
+        sum(col("__c") * length(col("__gram"))).as("__gram_mass"),
+        sum(when(col("__c") >= 2, col("__c") * length(col("__gram")))
+          .otherwise(lit(0L))).as("__dup_gram_mass"))
+    docs.select(id, length(col(textCol)).as("__n_chars"))
+      .join(lineStats, Seq(idCol))
+      .join(gramStats, Seq(idCol))
+      .select(id,
+        col("__n_lines").as("n_lines"),
+        safeFrac(col("__dup_lines"), col("__n_lines")).as("dup_line_frac"),
+        safeFrac(col("__dup_line_chars"), col("__line_chars"))
+          .as("dup_line_char_frac"),
+        col("__top.g").as("top_ngram"),
+        safeFrac(col("__top.c") * length(col("__top.g")), col("__n_chars"))
+          .as("top_ngram_char_frac"),
+        safeFrac(col("__dup_gram_mass"), col("__gram_mass"))
+          .as("dup_ngram_frac"))
+  }
+
   /** THE curation annotation chain — [[stats]] columns, the composite
     * `quality_ok` flag, `lang_pred`, and `bpe_tokens` attached in one
     * stacked projection (pure codegen'd expressions, no shuffle). Batch

@@ -91,4 +91,47 @@ class TextSpec extends SparkSpec {
     assert(fp(0) != fp(2))
     assert(fp(3) == 0L)
   }
+
+  test("repetitionStats: hand-computed line and 2-gram fractions") {
+    // lines: "a b a b" (7 ch), "c d" ×2 (3 ch) → 3 lines, 1 dup,
+    // line chars 13, dup chars 3. tokens a b a b c d c d → 2-grams
+    // {a b:2, b a:1, b c:1, c d:2, d c:1}; top ties at c=2 → the
+    // lexicographically larger "c d"; text len 15.
+    val df = Seq(1L -> "a b a b\nc d\nc d").toDF("doc_id", "t")
+    val r = Text.repetitionStats(df, "doc_id", "t").collect()(0)
+    assert(r.getAs[Long]("n_lines") == 3L)
+    assert(r.getAs[Double]("dup_line_frac") == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(r.getAs[Double]("dup_line_char_frac") == math.rint(3.0 / 13 * 1e6) / 1e6)
+    assert(r.getAs[String]("top_ngram") == "c d")
+    assert(r.getAs[Double]("top_ngram_char_frac") == 0.4) // 2*3/15
+    assert(r.getAs[Double]("dup_ngram_frac") == math.rint(12.0 / 21 * 1e6) / 1e6)
+  }
+
+  test("repetitionStats: degenerate docs (empty, single token) stay defined") {
+    val df = Seq(1L -> "", 2L -> "word").toDF("doc_id", "t")
+    val rows = Text.repetitionStats(df, "doc_id", "t")
+      .orderBy("doc_id").collect()
+    // empty: one zero-length line, one empty gram — every frac 0, no NPE
+    assert(rows(0).getAs[Long]("n_lines") == 1L)
+    assert(rows(0).getAs[Double]("dup_line_frac") == 0.0)
+    assert(rows(0).getAs[Double]("dup_line_char_frac") == 0.0)
+    assert(rows(0).getAs[Double]("dup_ngram_frac") == 0.0)
+    // single token: its whole-token "2-gram" covers the document
+    assert(rows(1).getAs[String]("top_ngram") == "word")
+    assert(rows(1).getAs[Double]("top_ngram_char_frac") == 1.0)
+  }
+
+  test("repetitionStats: a doubled document is flagged by construction") {
+    val base = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(1L -> base, 2L -> (base + "\n" + base)).toDF("doc_id", "t")
+    val byId = Text.repetitionStats(df, "doc_id", "t")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(byId(2L).getAs[Double]("dup_line_frac") == 0.5)
+    assert(byId(2L).getAs[Double]("dup_line_char_frac") == 0.5)
+    // doubling duplicates every 2-gram except the single junction gram
+    // ("zeta alpha"): dup mass 2·(10+10+11+13+12) = 112 of 122 total
+    assert(byId(2L).getAs[Double]("dup_ngram_frac") == math.rint(112.0 / 122 * 1e6) / 1e6)
+    assert(byId(1L).getAs[Double]("dup_ngram_frac") == 0.0)
+  }
 }
