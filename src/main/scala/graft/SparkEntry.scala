@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-import graft.operators.{Dedup, Grouping, Similarity, Skew, Upsert}
+import graft.operators.{Dedup, Grouping, Pack, Similarity, Skew, Upsert}
 import graft.functions.Text
 import graft.pipeline.Pipeline
 import graft.sources.{Tables, TestdataAdapter}
@@ -1243,6 +1243,27 @@ object SparkEntry {
           sum(col("n_tokens")).as("total_tokens"),
           sum(col("bpe_tokens")).as("total_bpe_tokens"))
     }),
+    // Sequence packing (operators/Pack.scala): the concatenate-and-chunk
+    // layout onto 256-token training sequences, doc_id total order. All
+    // integral arithmetic — start offsets, chunk ids, in-sequence offsets
+    // hash-compare exactly against the oracle's window sum.
+    "pipeline_packing" -> ((s, dir) =>
+      Pack.packSequences(
+        Tables.documents(s, dir).select(col("doc_id"),
+          Text.bpeTokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 256, order = Seq(col("doc_id")))
+        .select("doc_id", "n_tokens", "start_token", "seq_first",
+          "seq_last", "offset_in_seq")),
+    // ... and the per-sequence roll-up: docs touching / starting in each
+    // sequence, exact token fill. seq_tokens must sum to the corpus total
+    // and every interior sequence must fill to exactly 256.
+    "pipeline_packing_seqs" -> ((s, dir) =>
+      Pack.sequenceStats(
+        Pack.packSequences(
+          Tables.documents(s, dir).select(col("doc_id"),
+            Text.bpeTokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 256, order = Seq(col("doc_id"))),
+        "n_tokens", budget = 256)),
 
     // ---- sources / sinks (S1, S3, S5, S6, S9, S10) ----
     "s_csv_roundtrip" -> ((s, dir) => {   // S1 declared-schema CSV + S5 write
@@ -2232,6 +2253,45 @@ object SparkEntry {
                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                 CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
          FROM lang GROUP BY 1""",
+    // sequence packing: the same BPE-ish token count, one window prefix
+    // sum in doc_id order, integral div/mod chunk arithmetic
+    "pipeline_packing" ->
+      """WITH toks AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         pos AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+           FROM toks)
+         SELECT doc_id, n_tokens, start_token,
+           CAST(start_token // 256 AS BIGINT) AS seq_first,
+           CAST(CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 256
+                ELSE start_token // 256 END AS BIGINT) AS seq_last,
+           CAST(start_token % 256 AS BIGINT) AS offset_in_seq
+         FROM pos""",
+    "pipeline_packing_seqs" ->
+      """WITH toks AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         pos AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+           FROM toks),
+         packed AS (SELECT *,
+             CAST(start_token // 256 AS BIGINT) AS seq_first,
+             CAST(CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 256
+                  ELSE start_token // 256 END AS BIGINT) AS seq_last
+           FROM pos),
+         spans AS (SELECT n_tokens, start_token, seq_first,
+             unnest(generate_series(seq_first, seq_last)) AS seq
+           FROM packed)
+         SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN seq = seq_first THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           CAST(SUM(least((seq + 1) * 256, start_token + n_tokens)
+                  - greatest(seq * 256, start_token)) AS BIGINT) AS seq_tokens,
+           round(CAST(SUM(least((seq + 1) * 256, start_token + n_tokens)
+                  - greatest(seq * 256, start_token)) AS DOUBLE) / 256, 6) AS fill_frac
+         FROM spans GROUP BY 1""",
 
     "s_csv_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
     "s_partitioned_roundtrip" ->
