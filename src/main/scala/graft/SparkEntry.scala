@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-import graft.operators.{Dedup, Grouping, Pack, Similarity, Skew, Upsert}
+import graft.operators.{Dedup, Grouping, Pack, Sampling, Similarity, Skew, Upsert}
 import graft.functions.Text
 import graft.pipeline.Pipeline
 import graft.sources.{Tables, TestdataAdapter}
@@ -1264,6 +1264,30 @@ object SparkEntry {
             Text.bpeTokenCount(col("text")).as("n_tokens")),
           "doc_id", "n_tokens", budget = 256, order = Seq(col("doc_id"))),
         "n_tokens", budget = 256)),
+    // Domain-mixture sampling (operators/Sampling.scala): fill per-language
+    // token quotas (40/20/20/10/10% of a 20k-token budget) with each
+    // language's greedy md5-ordered document prefix — deterministic across
+    // engines, so the exact kept set hash-compares against the oracle's
+    // window sum.
+    "pipeline_mixture" -> ((s, dir) =>
+      Sampling.quotaSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          Text.bpeTokenCount(col("text")).as("n_tokens")),
+        "doc_id", "lang", "n_tokens",
+        Sampling.mixtureQuotas(20000L, Seq("en" -> 0.4, "es" -> 0.2,
+          "de" -> 0.2, "zh" -> 0.1, "fr" -> 0.1)))
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")),
+    // ... and the achieved-vs-target report per domain.
+    "pipeline_mixture_report" -> ((s, dir) =>
+      Sampling.mixtureReport(
+        Sampling.quotaSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+            Text.bpeTokenCount(col("text")).as("n_tokens")),
+          "doc_id", "lang", "n_tokens",
+          Sampling.mixtureQuotas(20000L, Seq("en" -> 0.4, "es" -> 0.2,
+            "de" -> 0.2, "zh" -> 0.1, "fr" -> 0.1))),
+        "lang", "n_tokens")
+        .select("lang", "n_docs", "kept_tokens", "quota", "fill_frac")),
 
     // ---- sources / sinks (S1, S3, S5, S6, S9, S10) ----
     "s_csv_roundtrip" -> ((s, dir) => {   // S1 declared-schema CSV + S5 write
@@ -2292,6 +2316,37 @@ object SparkEntry {
            round(CAST(SUM(least((seq + 1) * 256, start_token + n_tokens)
                   - greatest(seq * 256, start_token)) AS DOUBLE) / 256, 6) AS fill_frac
          FROM spans GROUP BY 1""",
+    // mixture sampling: same md5 hash order (the a9_sample_hash
+    // convention), same inclusive window token cumsum, same quotas
+    "pipeline_mixture" ->
+      """WITH toks AS (SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         q(lang, quota) AS (VALUES ('en', 8000), ('es', 4000), ('de', 4000), ('zh', 2000), ('fr', 2000)),
+         c AS (SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM toks)
+         SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens
+         FROM c JOIN q USING (lang) WHERE c.cum_tokens <= q.quota""",
+    "pipeline_mixture_report" ->
+      """WITH toks AS (SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         q(lang, quota) AS (VALUES ('en', 8000), ('es', 4000), ('de', 4000), ('zh', 2000), ('fr', 2000)),
+         c AS (SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM toks),
+         kept AS (SELECT c.*, q.quota FROM c JOIN q USING (lang)
+                  WHERE c.cum_tokens <= q.quota)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(MAX(quota) AS BIGINT) AS quota,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / MAX(quota), 6) AS fill_frac
+         FROM kept GROUP BY 1""",
 
     "s_csv_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
     "s_partitioned_roundtrip" ->

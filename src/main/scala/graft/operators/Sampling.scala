@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture sampling — the "hit the target data mixture" stage of a
+  * pretraining pipeline: given a token quota per domain, keep the
+  * deterministic greedy prefix of each domain's documents in content-hash
+  * order until the quota fills. Hash order (md5 — the one hash both this
+  * engine and the oracle compute identically, the a9_sample_hash
+  * convention) makes the sample stable across runs, engines, and
+  * partitionings, unlike rand()-based sampling; quota filling by exact
+  * cumulative token counts beats per-row Bernoulli rates, which only hit
+  * the mixture in expectation.
+  *
+  * Scale shape is [[Ranking.quantilesCont]]'s distributed bookkeeping:
+  * range-repartition on (domain, hash, id) so every partition sorts in
+  * parallel, per-(partition, domain) token totals prefix-sum through a
+  * window over ≤ partitions×domains COUNT rows (metadata, no driver
+  * collect), and each row's exact in-domain cumulative token count is the
+  * partition offset plus a per-partition running sum. One domain hot
+  * enough to dominate the corpus still spreads over many range
+  * partitions — there is no per-domain single task anywhere.
+  */
+object Sampling {
+
+  /** Keep each domain's greedy hash-ordered prefix of documents whose
+    * INCLUSIVE cumulative token count stays within the domain's quota.
+    * Domains absent from `quotas` are dropped (inner join — the mixture
+    * contract: unlisted domains contribute nothing).
+    *
+    * @return input columns + `cum_tokens` (the row's inclusive in-domain
+    *         cumulative token count) + `quota`
+    */
+  def quotaSample(docs: DataFrame, idCol: String, domainCol: String,
+                  tokensCol: String, quotas: Seq[(String, Long)]): DataFrame = {
+    require(quotas.nonEmpty, "quotaSample needs at least one (domain, quota)")
+    require(quotas.forall(_._2 >= 0), s"quotas must be non-negative: $quotas")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val based = docs
+      .withColumn("__tok", coalesce(col(tokensCol).cast("long"), lit(0L)))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+    val ranged = graft.util.Caches.retain(
+      based.repartitionByRange(col(domainCol), col("__h"), col(idCol))
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = ranged.groupBy(col("__pid"), col(domainCol))
+      .agg(sum(col("__tok")).as("__t"))
+    val prefixW = Window.partitionBy(col(domainCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.select(
+      col("__pid").as("__opid"), col(domainCol).as("__od"),
+      coalesce(sum(col("__t")).over(prefixW), lit(0L)).as("__off"))
+    val localW = Window.partitionBy(col("__pid"), col(domainCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = quotas.toDF("__qd", "__quota")
+    ranged.join(offs,
+        ranged("__pid") === offs("__opid") && ranged(domainCol) <=> offs("__od"))
+      .drop("__opid", "__od")
+      .withColumn("cum_tokens", col("__off") + sum(col("__tok")).over(localW))
+      .join(q, col(domainCol) <=> col("__qd"))
+      .filter(col("cum_tokens") <= col("__quota"))
+      .withColumnRenamed("__quota", "quota")
+      .drop("__qd", "__tok", "__h", "__pid", "__off")
+  }
+
+  /** Translate mixture weights into per-domain token quotas over a total
+    * budget: quota = round(budget · weight). round, not truncate — the
+    * double product of an inexact weight can land a hair BELOW the
+    * intended integer (0.3 · 20000 = 5999.999…), and truncation would
+    * quietly shrink the quota by one token.
+    */
+  def mixtureQuotas(budget: Long, weights: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(budget > 0, s"mixtureQuotas needs a positive budget, got $budget")
+    require(weights.forall(w => w._2 >= 0 && w._2 <= 1),
+      s"weights must be in [0,1]: $weights")
+    weights.map { case (d, w) => d -> math.round(budget * w) }
+  }
+
+  /** Per-domain achievement report over a [[quotaSample]] result: kept
+    * docs, kept tokens, the quota, and the fill fraction. One map-side
+    * combined aggregation on the domain key.
+    */
+  def mixtureReport(sampled: DataFrame, domainCol: String,
+                    tokensCol: String): DataFrame =
+    sampled.groupBy(col(domainCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(tokensCol).cast("long")).as("kept_tokens"),
+      max(col("quota")).as("quota"))
+      .withColumn("fill_frac",
+        round(when(col("quota") > 0,
+          col("kept_tokens").cast("double") / col("quota")).otherwise(lit(0.0)), 6))
+}

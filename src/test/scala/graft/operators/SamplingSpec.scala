@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Mixture sampling: greedy quota prefix in md5 order (checked against an
+  * independent JDK md5), quota maximality, unlisted-domain drop,
+  * partition-layout independence, and the weight→quota rounding trap.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // one domain, 5 docs of 10 tokens each, quota 30 → exactly the first
+  // 3 docs in md5(id) order survive
+  private val docs = Seq(
+    (1L, "d", 10L), (2L, "d", 10L), (3L, "d", 10L), (4L, "d", 10L), (5L, "d", 10L)
+  ).toDF("doc_id", "lang", "n_tokens")
+
+  test("quotaSample keeps the greedy md5-ordered prefix, exactly to the quota") {
+    val kept = Sampling.quotaSample(docs, "doc_id", "lang", "n_tokens",
+        Seq("d" -> 30L))
+      .select("doc_id", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expectedIds = (1L to 5L).sortBy(id => (md5hex(id.toString), id)).take(3)
+    assert(kept.keySet == expectedIds.toSet,
+      s"kept ${kept.keySet}, want the md5-order prefix ${expectedIds.toSet}")
+    // inclusive cumsums are 10, 20, 30 in hash order
+    assert(kept.values.toSeq.sorted == Seq(10L, 20L, 30L))
+  }
+
+  test("quotaSample: a partial-fitting document is excluded, not truncated") {
+    val kept = Sampling.quotaSample(docs, "doc_id", "lang", "n_tokens",
+        Seq("d" -> 25L))
+      .collect()
+    assert(kept.length == 2, "25-token quota fits two whole 10-token docs")
+  }
+
+  test("quotaSample drops domains without a quota and respects per-domain order") {
+    val two = Seq(
+      (1L, "a", 5L), (2L, "a", 5L), (3L, "b", 5L), (4L, "b", 5L)
+    ).toDF("doc_id", "lang", "n_tokens")
+    val kept = Sampling.quotaSample(two, "doc_id", "lang", "n_tokens",
+        Seq("a" -> 5L))
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.forall(_._2 == "a"), "unlisted domain b must contribute nothing")
+    assert(kept.length == 1)
+    val wantId = Seq(1L, 2L).minBy(id => (md5hex(id.toString), id))
+    assert(kept(0)._1 == wantId)
+  }
+
+  test("quotaSample is independent of the input partition layout") {
+    val quotas = Seq("d" -> 30L)
+    val a = Sampling.quotaSample(docs, "doc_id", "lang", "n_tokens", quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.quotaSample(docs.repartition(7), "doc_id", "lang",
+        "n_tokens", quotas)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("mixtureReport aggregates kept docs, tokens, and fill against quota") {
+    val kept = Sampling.quotaSample(docs, "doc_id", "lang", "n_tokens",
+      Seq("d" -> 30L))
+    val rep = Sampling.mixtureReport(kept, "lang", "n_tokens").collect()(0)
+    assert(rep.getAs[Long]("n_docs") == 3L)
+    assert(rep.getAs[Long]("kept_tokens") == 30L)
+    assert(rep.getAs[Long]("quota") == 30L)
+    assert(rep.getAs[Double]("fill_frac") == 1.0)
+  }
+
+  test("mixtureQuotas rounds instead of truncating the double product") {
+    val q = Sampling.mixtureQuotas(20000L, Seq("a" -> 0.3, "b" -> 0.4)).toMap
+    assert(q("a") == 6000L, "0.3 * 20000 = 5999.999... must round up, not floor")
+    assert(q("b") == 8000L)
+  }
+}
