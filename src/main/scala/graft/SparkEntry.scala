@@ -469,6 +469,29 @@ object SparkEntry {
     "t_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    // PII detection + redaction (functions/Pii.scala): plant emails /
+    // phones / SSNs / IPv4s derived from doc_id (the oracle replants the
+    // identical strings), then count per category on the raw text and
+    // redact with tag replacements — the whole pass, including every
+    // redacted string, hash-compares. Patterns live in the Java∩RE2
+    // regex subset, so both engines match identically.
+    "t_pii_redact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" id 123-45-6789")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10.0.0."), (col("doc_id") % 256).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id") +:
+        graft.functions.Pii.annotations(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)
+    }),
     // Repetition filters (Text.repetitionStats — the Gopher/MassiveText
     // repetition quality signals): plant a doubled twin of every document
     // (text \n text — two identical lines, every 2-gram count doubled),
@@ -1903,6 +1926,26 @@ object SparkEntry {
                   ELSE 'de' END
            ELSE 'und' END AS lang_pred
          FROM h""",
+    // PII: identical planted strings, identical Java∩RE2 patterns,
+    // counts on the raw text, replacement order email→ip→ssn→phone
+    "t_pii_redact" ->
+      """WITH planted AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             || CASE WHEN doc_id % 3 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' id 123-45-6789' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM planted""",
     // repetition filters: same planted doubled twins, same \s+ tokens
     // (the \n joining the halves is whitespace on both engines), same
     // 2-gram construction as the Spark side, ties toward the larger gram
