@@ -1060,6 +1060,19 @@ object SparkEntry {
         .select(col("priority"), col("o_orderkey"), col("o_totalprice"),
           round(col("z"), 6).as("z"))
     }),
+    // Equi-width histogram profiling: fixed bounds (no data-dependent
+    // min/max pass — the two-pass form divides by a float range that
+    // drifts across engines), floor arithmetic shared with the oracle,
+    // over-range values clamp into the last bucket. One map-side-combined
+    // aggregation on ≤ 20 keys — the data-profiling pass that runs before
+    // any quality gate at 100 TB.
+    "a11_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(least(lit(19L),
+          floor(col("o_totalprice").cast("double") / 25000.0)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .select(col("bucket"), (col("bucket") * 25000.0).as("lo"),
+          ((col("bucket") + 1) * 25000.0).as("hi"), col("n"))),
     "e_sessionize" -> ((s, dir) =>
       graft.streaming.Windows.sessionize(
         Tables.events(s, dir), "ts", "user_id", "30 minutes")
@@ -1363,6 +1376,18 @@ object SparkEntry {
           col("l_extendedprice")), 8, "o_orderkey", "graft_bkt_items")
       s.table("graft_bkt_orders").join(s.table("graft_bkt_items"), "o_orderkey")
     }),
+    // Z-order layout (operators/Layout.scala): the Morton interleave of
+    // two 10-bit dimension keys, term-replicated in the oracle. The
+    // layout pass itself (range exchange + in-partition sort on z) is
+    // LayoutSpec-pinned; this query hash-locks the bit arithmetic that
+    // decides every file's hypercube.
+    "s_zorder" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_custkey") % 1024).as("x"),
+          (col("o_orderkey") % 1024).as("y"))
+        .withColumn("z", graft.operators.Layout.zValue(
+          Seq(col("x"), col("y")), 10))
+        .select("o_orderkey", "x", "y", "z")),
     "s_partitioned_roundtrip" -> ((s, dir) => { // S6 partitioned overwrite
       val tmp = tmpDir("graft_part_rt")
       Tables.writePartitioned(Tables.orders(s, dir), "o_orderstatus", tmp)
@@ -1847,6 +1872,15 @@ object SparkEntry {
     "s_bucketed_join" ->
       """SELECT o.o_orderkey, o.o_totalprice, l.l_quantity, l.l_extendedprice
          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""",
+    // z-order: the Morton interleave replicated term by term — bit b of
+    // x at position 2b, of y at position 2b+1
+    "s_zorder" ->
+      s"""SELECT o_orderkey, o_custkey % 1024 AS x, o_orderkey % 1024 AS y,
+         CAST(${(0 until 10).flatMap(b => Seq(
+           s"(((o_custkey % 1024) // ${1L << b}) % 2) * ${1L << (2 * b)}",
+           s"(((o_orderkey % 1024) // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"))
+           .mkString(" + ")} AS BIGINT) AS z
+         FROM orders""",
     "dedup_embedding" ->
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          e AS (SELECT vec_id, v FROM e0
@@ -2140,6 +2174,12 @@ object SparkEntry {
          FROM orders o JOIN st ON o.o_orderpriority = st.priority
          ORDER BY abs((o.o_totalprice - st.mean)/st.sd) DESC, o.o_orderkey
          LIMIT 20""",
+    "a11_histogram" ->
+      """WITH b AS (SELECT least(19, CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT)) AS bucket
+           FROM orders)
+         SELECT bucket, bucket * 25000.0 AS lo, (bucket + 1) * 25000.0 AS hi,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM b GROUP BY 1""",
     "e_sessionize" ->
       """WITH x AS (SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Z-order layout: hand-computed Morton codes, out-of-range masking, the
+  * hypercube-locality property that makes min/max pruning work on every
+  * interleaved dimension, and disjoint partition z-ranges after the
+  * layout pass.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue matches hand-computed Morton codes") {
+    // x=3 (011), y=5 (101), 3 bits: bit0 x->1, y->2; bit1 x->4, y->0;
+    // bit2 x->0, y->32  =>  z = 39
+    val df = Seq((3L, 5L)).toDF("x", "y")
+    val z = df.select(Layout.zValue(Seq(col("x"), col("y")), 3)).collect()(0).getLong(0)
+    assert(z == 39L)
+    // one column degenerates to the identity on its masked bits
+    val one = Seq(6L).toDF("x")
+      .select(Layout.zValue(Seq(col("x")), 3)).collect()(0).getLong(0)
+    assert(one == 6L)
+  }
+
+  test("zValue masks out-of-range values to their low bits") {
+    val df = Seq((1027L, 5L), (3L, 5L)).toDF("x", "y") // 1027 = 1024 + 3
+    val z = df.select(Layout.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z(0) == z(1))
+  }
+
+  test("zValue rejects interleaves that overflow a long") {
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("x"), col("y")), 32)
+    }
+  }
+
+  test("consecutive z-ranges cover square tiles, not thin slices") {
+    // the full 32x32 grid: each block of 64 consecutive z-values is
+    // exactly an 8x8 tile, so BOTH dimensions' spans stay 8 — a
+    // single-dimension sort would give y-spans of 32 (thin slices)
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val spans = grid
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 5))
+      .withColumn("block", expr("z div 64"))
+      .groupBy("block")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .collect()
+    assert(spans.length == 16)
+    assert(spans.forall(r => r.getAs[Long]("xs") == 7L && r.getAs[Long]("ys") == 7L),
+      "every 64-cell z-block must be an 8x8 tile")
+  }
+
+  test("zorder produces disjoint per-partition z-ranges") {
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val laid = Layout.zorder(grid, Seq(col("x"), col("y")), 5, numPartitions = 8)
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 5))
+      .withColumn("pid", spark_partition_id())
+    val ranges = laid.groupBy("pid")
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("lo")
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    assert(ranges.length > 1, "the range exchange must produce several partitions")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"partition z-ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+}
