@@ -63,6 +63,15 @@ class PlanAuditSpec extends SparkSpec {
     assertNoCartesian(plan("dedup_fuzzy_recall"), "dedup_fuzzy_recall")
   }
 
+  test("packing/mixture/zorder/histogram: distributed throughout — no single-partition stage") {
+    for (q <- Seq("pipeline_packing", "pipeline_mixture", "s_zorder",
+        "a11_histogram")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q funnels to one partition:\n$p")
+      assertNoCartesian(p, q)
+    }
+  }
+
   test("ann_ivf_topk: two-stage top-k (WindowGroupLimit before the final rank)") {
     assert(plan("ann_ivf_topk").contains("WindowGroupLimit"))
   }
