@@ -1517,8 +1517,11 @@ object SparkEntry {
     // round 6: the scale-safe rank family and the manifest snapshot sink
     "w_ntile_boundaries", "a7_percentiles_scalable",
     "s_partitioned_upsert_snapshot",
-    // round 7: fuzzy join, BM25 retrieval, decontamination
-    "dedup_fuzzy_recall", "t_bm25_topk", "t_contamination")
+    // round 7: fuzzy join, BM25 retrieval, decontamination, repetition
+    // filters, PII redaction, sequence packing, mixture sampling, z-order
+    "dedup_fuzzy_recall", "t_bm25_topk", "t_contamination",
+    "t_repetition", "t_pii_redact", "pipeline_packing", "pipeline_mixture",
+    "s_zorder")
 
   // ---- DuckDB oracle twins ----
 
