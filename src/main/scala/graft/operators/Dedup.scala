@@ -431,6 +431,11 @@ object Dedup {
       s"fuzzyPairs guarantees recall for maxEdits = 1 only, got $maxEdits")
     val keyed = docs.select(col(idCol).as("__fid"),
       substring(col(keyCol), 1, maxKeyLen).as("__k"))
+      // a null key has no edit distance to anything — drop it up front
+      // (the document-grain form dropped nulls implicitly when their
+      // variant sequence exploded to nothing; the grouped form would
+      // otherwise pair null-key docs with each other at "distance 0")
+      .filter(col("__k").isNotNull)
     // Exact-duplicate groups: one row per distinct key, members collected
     // for the output expansion, over-cap keys dropped whole. The buffer
     // holds ≤ maxBucket ids per key — the same bound the variant buckets

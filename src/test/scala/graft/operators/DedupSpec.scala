@@ -200,4 +200,11 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.fuzzyPairs(docs, "doc_id", "text", maxBucket = 10).count() == 0L,
       "an over-cap variant bucket must be dropped, like every LSH family")
   }
+
+  test("fuzzyPairs drops null keys instead of pairing them at distance 0") {
+    import spark.implicits._
+    val docs = Seq((1L, null), (2L, null), (3L, "real key"))
+      .toDF("doc_id", "text")
+    assert(Dedup.fuzzyPairs(docs, "doc_id", "text").count() == 0L)
+  }
 }
