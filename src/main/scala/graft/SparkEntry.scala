@@ -1451,6 +1451,26 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice").as("price_now"))
       v0.join(now, Seq("o_orderkey"))
     }),
+    // Version diff (operators/Diff.scala) over the same manifest-snapshot
+    // sink: batch 1 doubles every 7th order's price AND inserts re-keyed
+    // copies of every 13th order, so diff(v0, current) must report
+    // exactly those keys as 'changed' and 'added' — the audit read the
+    // time-travel API exists for.
+    "s_version_diff" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+      val tmp = tmpDir("graft_vdiff")
+      val sink = graft.streaming.StreamingPipeline.upsertPartitionedBatchSnapshot(
+        tmp, Seq("o_orderkey"), "o_orderstatus") _
+      sink(t, 0L)
+      sink(t.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(t.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)), 1L)
+      val v0 = graft.streaming.StreamingPipeline
+        .readPartitionedSnapshot(s, tmp, versionAsOf = Some(0L))
+      val now = graft.streaming.StreamingPipeline.readPartitionedSnapshot(s, tmp)
+      graft.operators.Diff.diff(v0, now, Seq("o_orderkey"))
+    }),
 
     // Partition pruning: a predicate on the partition column must skip
     // whole directories at planning time (PartitionFilters in the scan —
@@ -2457,6 +2477,11 @@ object SparkEntry {
                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
                      ELSE o_totalprice END AS price_now
          FROM orders""",
+    "s_version_diff" ->
+      """SELECT o_orderkey, 'changed' AS change FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey + 1000000000 AS o_orderkey, 'added' AS change
+         FROM orders WHERE o_orderkey % 13 = 0""",
     "s_json_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
     "s_schema_merge" ->
