@@ -423,6 +423,9 @@ object Dedup {
     * Depth-1 deletes guarantee RECALL for distance ≤ 1 only; `maxEdits`
     * is capped at 1 (depth-2 variant generation is the documented
     * extension if a genuine distance-2 use case appears).
+    *
+    * `idCol` is expected unique per row; duplicate ids cannot produce
+    * self-pairs (filtered), but may duplicate cross pairs.
     */
   def fuzzyPairs(docs: DataFrame, idCol: String, keyCol: String,
                  maxEdits: Int = 1, maxKeyLen: Int = 64,
@@ -437,12 +440,19 @@ object Dedup {
       // otherwise pair null-key docs with each other at "distance 0")
       .filter(col("__k").isNotNull)
     // Exact-duplicate groups: one row per distinct key, members collected
-    // for the output expansion, over-cap keys dropped whole. The buffer
-    // holds ≤ maxBucket ids per key — the same bound the variant buckets
-    // already accept.
-    val groups = keyed.groupBy(col("__k"))
+    // for the output expansion, over-cap keys dropped whole. Cap by COUNT
+    // FIRST (bounded buffers), then collect only surviving keys — a
+    // collect-then-filter would materialize the hottest key's full member
+    // list in one aggregation buffer before dropping it (code-review r7;
+    // collect_list cannot spill per-group). The second aggregation reuses
+    // the first's key-hash exchange.
+    val keptKeys = keyed.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("__k"))
+    val groups = keyed.join(keptKeys, Seq("__k"), "left_semi")
+      .groupBy(col("__k"))
       .agg(collect_list(col("__fid")).as("__ids"))
-      .filter(size(col("__ids")) <= maxBucket)
     val dkeys = groups.select(col("__k"))
     val varred = dkeys
       .select(col("__k"),
@@ -452,16 +462,20 @@ object Dedup {
           .otherwise(concat(
             substr(col("__k"), lit(1), col("__i") - 1),
             substr(col("__k"), col("__i") + 1, lit(maxKeyLen)))).as("__var"))
-    // Candidate DISTINCT-KEY pairs via ONE shuffle: group variant rows by
-    // signature, cap the bucket by its collected size (the hot-bucket
-    // guard for free — no separate size-agg + semi-join pass), expand
-    // in-bucket pairs with a codegen'd double explode, dedup at key-pair
-    // grain (far smaller than id-pair grain), verify exactly.
-    val keyPairs = varred
-      .select(col("__k"), xxhash64(col("__var")).as("sig"))
+    // Candidate DISTINCT-KEY pairs: count-cap the variant buckets before
+    // collecting them (bounded buffers, as above — one boilerplate prefix
+    // shared by millions of distinct keys must not build a million-element
+    // list before being dropped), then expand in-bucket pairs with a
+    // codegen'd double explode, dedup at key-pair grain (far smaller than
+    // id-pair grain), verify exactly.
+    val sigged = varred.select(col("__k"), xxhash64(col("__var")).as("sig"))
+    val keptSigs = sigged.groupBy(col("sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select(col("sig"))
+    val keyPairs = sigged.join(keptSigs, Seq("sig"), "left_semi")
       .groupBy(col("sig"))
       .agg(collect_list(col("__k")).as("ks"))
-      .filter(size(col("ks")).between(2, maxBucket))
       .select(explode(col("ks")).as("ka"), col("ks"))
       .select(col("ka"), explode(col("ks")).as("kb"))
       .filter(col("ka") < col("kb"))
@@ -477,6 +491,10 @@ object Dedup {
       .join(groups.select(col("__k").as("kb"), col("__ids").as("ids_b")), "kb")
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("edit_distance"))
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("edit_distance"))
+      // an id listed under BOTH keys (duplicate ids in the input — the
+      // contract expects idCol unique, but don't emit garbage) would
+      // otherwise expand to a self-pair
+      .filter(col("ia") =!= col("ib"))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("edit_distance"))
     val intra = groups

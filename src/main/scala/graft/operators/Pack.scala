@@ -37,8 +37,12 @@ object Pack {
     require(budget > 0, s"packSequences needs a positive token budget, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
+    // null OR negative token counts clamp to 0: a negative count would
+    // silently shrink every later start offset and make seq_last <
+    // seq_first (a DESCENDING sequence() span in sequenceStats) —
+    // corrupt layout, no error (code-review r7)
     val based = docs.withColumn("__tok",
-      coalesce(col(tokensCol).cast("long"), lit(0L)))
+      greatest(lit(0L), coalesce(col(tokensCol).cast("long"), lit(0L))))
     val ranged = graft.util.Caches.retain(
       based.repartitionByRange(order: _*)
         .withColumn("__pid", spark_partition_id())
@@ -74,7 +78,7 @@ object Pack {
   def sequenceStats(packed: DataFrame, tokensCol: String,
                     budget: Long): DataFrame = {
     require(budget > 0, s"sequenceStats needs a positive token budget, got $budget")
-    val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
+    val toks = greatest(lit(0L), coalesce(col(tokensCol).cast("long"), lit(0L)))
     val spanned = packed
       .select(toks.as("__tok"), col("start_token"), col("seq_first"),
         explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))

@@ -40,7 +40,11 @@ object Sampling {
     val spark = docs.sparkSession
     import spark.implicits._
     val based = docs
-      .withColumn("__tok", coalesce(col(tokensCol).cast("long"), lit(0L)))
+      // null OR negative token counts clamp to 0 — a negative count
+      // would shrink the cumulative sum and admit extra documents past
+      // the quota (the Pack clamp, same hazard)
+      .withColumn("__tok",
+        greatest(lit(0L), coalesce(col(tokensCol).cast("long"), lit(0L))))
       .withColumn("__h", md5(col(idCol).cast("string")))
     val ranged = graft.util.Caches.retain(
       based.repartitionByRange(col(domainCol), col("__h"), col(idCol))

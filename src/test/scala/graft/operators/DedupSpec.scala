@@ -207,4 +207,16 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.fuzzyPairs(docs, "doc_id", "text").count() == 0L)
   }
+
+  test("fuzzyPairs never emits self-pairs, even for duplicate input ids") {
+    import spark.implicits._
+    // id 1 appears under two keys at distance 1: the key-pair expansion
+    // must not produce (1, 1)
+    val docs = Seq((1L, "abc"), (1L, "abd"), (2L, "abe"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a < b }, s"self or unordered pair in ${pairs.toSeq}")
+  }
 }

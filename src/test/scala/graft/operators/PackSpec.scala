@@ -62,6 +62,16 @@ class PackSpec extends SparkSpec {
     assert(stats(0).getAs[Double]("fill_frac") == 0.7)
   }
 
+  test("negative token counts clamp to zero instead of corrupting offsets") {
+    val bad = Seq((1L, 4L), (2L, -5L), (3L, 3L)).toDF("doc_id", "n_tokens")
+    val got = Pack.packSequences(bad, "doc_id", "n_tokens", 10, Seq(col("doc_id")))
+      .select("doc_id", "start_token", "seq_first", "seq_last")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // doc 2 occupies nothing; doc 3 starts right after doc 1's 4 tokens
+    assert(got.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 4L, 0L, 0L), (3L, 4L, 0L, 0L)))
+  }
+
   test("packSequences rejects a non-positive budget") {
     intercept[IllegalArgumentException] {
       Pack.packSequences(docs, "doc_id", "n_tokens", 0, Seq(col("doc_id")))

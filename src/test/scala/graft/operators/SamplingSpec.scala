@@ -73,6 +73,18 @@ class SamplingSpec extends SparkSpec {
     assert(rep.getAs[Double]("fill_frac") == 1.0)
   }
 
+  test("negative token counts clamp to zero instead of inflating the quota") {
+    val bad = Seq((1L, "d", 10L), (2L, "d", -100L), (3L, "d", 10L), (4L, "d", 10L))
+      .toDF("doc_id", "lang", "n_tokens")
+    // without the clamp, -100 would offset the cumsum and admit all docs
+    val kept = Sampling.quotaSample(bad, "doc_id", "lang", "n_tokens",
+      Seq("d" -> 20L)).collect()
+    // 2 ten-token docs fit; the negative doc counts as 0 tokens and may
+    // itself be kept wherever its hash falls — never more than 3 rows
+    assert(kept.length <= 3)
+    assert(kept.map(_.getAs[Long]("n_tokens")).filter(_ > 0).sum <= 20L)
+  }
+
   test("mixtureQuotas rounds instead of truncating the double product") {
     val q = Sampling.mixtureQuotas(20000L, Seq("a" -> 0.3, "b" -> 0.4)).toMap
     assert(q("a") == 6000L, "0.3 * 20000 = 5999.999... must round up, not floor")
