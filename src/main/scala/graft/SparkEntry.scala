@@ -1471,6 +1471,27 @@ object SparkEntry {
       val now = graft.streaming.StreamingPipeline.readPartitionedSnapshot(s, tmp)
       graft.operators.Diff.diff(v0, now, Seq("o_orderkey"))
     }),
+    // SCD Type-2 history build (operators/Scd.scala): each order's
+    // lineitem sequence read as a change log (l_linenumber = version),
+    // consecutive identical (returnflag, linestatus) payloads collapsed
+    // into one validity interval with exclusive effective_to — the
+    // dimension-history constructor over one key shuffle (both window
+    // passes share the l_orderkey exchange). The synthetic lineitem
+    // repeats line numbers, violating buildType2's unique-version
+    // contract (ties make the run collapse order-dependent), so the log
+    // is first collapsed to one deterministic record per (key, version)
+    // — the cleanup any real change-log ingest does. The explicit
+    // l_orderkey repartition makes the tie-collapse groupBy, whose
+    // (key, version) clustering it satisfies as a subset, AND both
+    // window passes share ONE exchange (asserted by PlanAuditSpec).
+    "e_scd2_history" -> ((s, dir) =>
+      graft.operators.Scd.buildType2(
+        Tables.lineitem(s, dir)
+          .repartition(col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(min(col("l_returnflag")).as("l_returnflag"),
+            min(col("l_linestatus")).as("l_linestatus")),
+        Seq("l_orderkey"), "l_linenumber")),
 
     // Partition pruning: a predicate on the partition column must skip
     // whole directories at planning time (PartitionFilters in the scan —
@@ -2482,6 +2503,30 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey + 1000000000 AS o_orderkey, 'added' AS change
          FROM orders WHERE o_orderkey % 13 = 0""",
+    "e_scd2_history" ->
+      """WITH log AS (
+           SELECT l_orderkey, l_linenumber,
+                  min(l_returnflag) AS l_returnflag,
+                  min(l_linestatus) AS l_linestatus
+           FROM lineitem GROUP BY l_orderkey, l_linenumber
+         ), marked AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                  CASE WHEN lag(1) OVER w IS NULL
+                         OR l_returnflag IS DISTINCT FROM lag(l_returnflag) OVER w
+                         OR l_linestatus IS DISTINCT FROM lag(l_linestatus) OVER w
+                       THEN 1 ELSE 0 END AS is_change
+           FROM log
+           WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+         ), runs AS (
+           SELECT l_orderkey, l_linenumber AS effective_from, l_returnflag, l_linestatus
+           FROM marked WHERE is_change = 1
+         )
+         SELECT l_orderkey, effective_from,
+                lead(effective_from) OVER w2 AS effective_to,
+                (lead(effective_from) OVER w2 IS NULL) AS is_current,
+                l_returnflag, l_linestatus
+         FROM runs
+         WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY effective_from)""",
     "s_json_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
     "s_schema_merge" ->

@@ -55,6 +55,13 @@ class PlanAuditSpec extends SparkSpec {
     assertNoCartesian(plan("j9_interval"), "j9_interval")
   }
 
+  test("e_scd2_history: both window passes share one key exchange, no single partition") {
+    val p = plan("e_scd2_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+    assert(!p.contains("SinglePartition"), s"scd2 funnels to one partition:\n$p")
+  }
+
   test("dedup_near: banded self-join only — no cartesian, no nested loop") {
     assertNoCartesian(plan("dedup_near"), "dedup_near")
   }
