@@ -1388,6 +1388,24 @@ object SparkEntry {
         .withColumn("z", graft.operators.Layout.zValue(
           Seq(col("x"), col("y")), 10))
         .select("o_orderkey", "x", "y", "z")),
+    // File-stats data skipping (operators/Layout.scala) end-to-end over
+    // the z-order layout it exists for: write orders z-ordered on
+    // (custkey, orderkey), collect the per-file min/max index in one
+    // aggregation, then answer a custkey range by reading ONLY the
+    // files whose range intersects (LayoutSpec pins the pruning — ≤3 of
+    // 10 files touched; this query hash-locks the exactness of the
+    // pruned read against a full-scan oracle).
+    "s_data_skipping" -> ((s, dir) => {
+      val tmp = tmpDir("graft_skip")
+      graft.operators.Layout.zorder(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq(col("o_custkey"), col("o_orderkey")), 16, numPartitions = 8)
+        .write.mode("overwrite").parquet(tmp)
+      val stats = graft.operators.Layout.fileStats(s, tmp, Seq("o_custkey"))
+      graft.operators.Layout.skippingRead(s, tmp, stats, "o_custkey",
+          lit(100L), lit(400L))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
     "s_partitioned_roundtrip" -> ((s, dir) => { // S6 partitioned overwrite
       val tmp = tmpDir("graft_part_rt")
       Tables.writePartitioned(Tables.orders(s, dir), "o_orderstatus", tmp)
@@ -1925,6 +1943,9 @@ object SparkEntry {
            s"(((o_orderkey % 1024) // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"))
            .mkString(" + ")} AS BIGINT) AS z
          FROM orders""",
+    "s_data_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_custkey BETWEEN 100 AND 400""",
     "dedup_embedding" ->
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          e AS (SELECT vec_id, v FROM e0

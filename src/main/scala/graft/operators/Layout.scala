@@ -54,4 +54,48 @@ object Layout {
       else df.repartitionByRange(z)
     ranged.sortWithinPartitions(z)
   }
+
+  /** Per-file column statistics for the parquet table at `path` — the
+    * data-skipping index that turns a clustered layout (z-order, range
+    * partition) into skipped I/O: one row per file with row/null counts
+    * and min/max per stat column. One distributed aggregation, map-side
+    * combined, keyed by file (≤ one output row per file — the same
+    * cardinality a manifest store tracks). Collect it once at write
+    * time and persist it next to the table; [[skippingRead]] prunes
+    * scans against it.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "fileStats needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      statCols.flatMap(c => Seq(
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        count(lit(1)).minus(count(col(c))).as(s"${c}_nulls")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read the parquet table at `path` keeping only the files whose
+    * [min, max] footer range for `column` (per `stats`, a [[fileStats]]
+    * frame) can contain a value in [lo, hi], then re-apply the exact
+    * predicate. A file whose stats are all-null holds no non-null
+    * values of `column`, and a range predicate never matches NULL — so
+    * skipping it is exact, not approximate. The matching file list is
+    * collected on the driver: it is bounded by the FILE count (what a
+    * table format's manifest read does), never by rows.
+    */
+  def skippingRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                   stats: DataFrame, column: String,
+                   lo: Column, hi: Column): DataFrame = {
+    val files = stats
+      .filter(col(s"${column}_max") >= lo && col(s"${column}_min") <= hi)
+      .select(col("file")).collect().map(_.getString(0))
+    val exact = col(column) >= lo && col(column) <= hi
+    if (files.isEmpty) {
+      val schema = spark.read.parquet(path).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(files: _*).filter(exact)
+  }
 }

@@ -70,4 +70,58 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  // ---- file-stats data skipping ----
+
+  private def writeRanged(n: Int, parts: Int): String = {
+    val dir = graft.util.Scratch.dir("graft_skip")
+    (0 until n).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(parts, col("k")).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("fileStats reports per-file min/max/null counts") {
+    val dir = graft.util.Scratch.dir("graft_skip_stats")
+    Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None))
+      .toDF("k", "t").coalesce(1).write.mode("overwrite").parquet(dir)
+    val st = Layout.fileStats(spark, dir, Seq("t")).collect()
+    assert(st.length == 1)
+    assert(st(0).getAs[Long]("n_rows") == 3L)
+    assert(st(0).getAs[Long]("t_min") == 10L)
+    assert(st(0).getAs[Long]("t_max") == 20L)
+    assert(st(0).getAs[Long]("t_nulls") == 1L)
+  }
+
+  test("skippingRead returns exactly the full-scan filter rows while pruning files") {
+    val dir = writeRanged(1000, 10)
+    val stats = Layout.fileStats(spark, dir, Seq("k"))
+    assert(stats.count() == 10L)
+    val got = Layout.skippingRead(spark, dir, stats, "k", lit(150L), lit(249L))
+    // a 100-wide range over range-partitioned files touches ~2 of 10
+    val touched = got.select(input_file_name()).distinct().count()
+    assert(touched <= 3L, s"expected <=3 files read, got $touched")
+    val want = spark.read.parquet(dir)
+      .filter(col("k").between(150L, 249L))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val gotSet = got.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotSet == want && want.size == 100)
+  }
+
+  test("skippingRead with no matching file is empty but keeps the schema") {
+    val dir = writeRanged(100, 4)
+    val stats = Layout.fileStats(spark, dir, Seq("k"))
+    val got = Layout.skippingRead(spark, dir, stats, "k", lit(5000L), lit(6000L))
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("an all-null file is skipped exactly: range predicates never match NULL") {
+    val dir = graft.util.Scratch.dir("graft_skip_null")
+    Seq[(Long, Option[Long])]((1L, None), (2L, None)).toDF("k", "t")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stats = Layout.fileStats(spark, dir, Seq("t"))
+    val got = Layout.skippingRead(spark, dir, stats, "t", lit(0L), lit(100L))
+    assert(got.count() == 0L)
+  }
 }
