@@ -1510,6 +1510,25 @@ object SparkEntry {
           .agg(min(col("l_returnflag")).as("l_returnflag"),
             min(col("l_linestatus")).as("l_linestatus")),
         Seq("l_orderkey"), "l_linenumber")),
+    // Temporal enrichment (Scd.enrichAsOf): every lineitem row joined
+    // to the dimension run valid at ITS line number — the
+    // event-time-correct lookup (joining is_current would rewrite
+    // history). Equi-keys carry the join, the interval bounds are
+    // residuals, and disjoint runs mean output multiplicity == fact
+    // multiplicity; the dimension side arrives already partitioned by
+    // the build's window exchange.
+    "j10_temporal_enrich" -> ((s, dir) => {
+      val scd = graft.operators.Scd.buildType2(
+        Tables.lineitem(s, dir)
+          .repartition(col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(min(col("l_returnflag")).as("l_returnflag"),
+            min(col("l_linestatus")).as("l_linestatus")),
+        Seq("l_orderkey"), "l_linenumber")
+      graft.operators.Scd.enrichAsOf(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_partkey"),
+        scd, Seq("l_orderkey"), "l_linenumber")
+    }),
 
     // Partition pruning: a predicate on the partition column must skip
     // whole directories at planning time (PartitionFilters in the scan —
@@ -2548,6 +2567,39 @@ object SparkEntry {
                 l_returnflag, l_linestatus
          FROM runs
          WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY effective_from)""",
+    "j10_temporal_enrich" ->
+      """WITH log AS (
+           SELECT l_orderkey, l_linenumber,
+                  min(l_returnflag) AS l_returnflag,
+                  min(l_linestatus) AS l_linestatus
+           FROM lineitem GROUP BY l_orderkey, l_linenumber
+         ), marked AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                  CASE WHEN lag(1) OVER w IS NULL
+                         OR l_returnflag IS DISTINCT FROM lag(l_returnflag) OVER w
+                         OR l_linestatus IS DISTINCT FROM lag(l_linestatus) OVER w
+                       THEN 1 ELSE 0 END AS is_change
+           FROM log
+           WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+         ), runs AS (
+           SELECT l_orderkey, l_linenumber AS effective_from, l_returnflag, l_linestatus
+           FROM marked WHERE is_change = 1
+         ), scd AS (
+           SELECT l_orderkey, effective_from,
+                  lead(effective_from) OVER w2 AS effective_to,
+                  (lead(effective_from) OVER w2 IS NULL) AS is_current,
+                  l_returnflag, l_linestatus
+           FROM runs
+           WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY effective_from)
+         )
+         SELECT f.l_orderkey, f.l_linenumber, f.l_partkey,
+                s.effective_from, s.effective_to, s.is_current,
+                s.l_returnflag, s.l_linestatus
+         FROM lineitem f
+         LEFT JOIN scd s
+           ON f.l_orderkey = s.l_orderkey
+          AND s.effective_from <= f.l_linenumber
+          AND (s.effective_to IS NULL OR f.l_linenumber < s.effective_to)""",
     "s_json_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
     "s_schema_merge" ->

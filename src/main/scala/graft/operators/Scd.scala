@@ -70,4 +70,34 @@ object Scd {
   def asOf(scd2: DataFrame, at: org.apache.spark.sql.Column): DataFrame =
     scd2.filter(col("effective_from") <= at &&
       (col("effective_to").isNull || at < col("effective_to")))
+
+  /** Temporal enrichment: each `facts` row left-joined to the one
+    * `scd2` run valid at its `timeCol` — the event-time-correct
+    * dimension lookup (joining `is_current` instead would rewrite
+    * history). The equi-keys carry the join (one key shuffle each side,
+    * or a broadcast when the dimension is small); the interval bounds
+    * ride along as join residuals, and intervals are disjoint per key,
+    * so output multiplicity equals the fact multiplicity — no range-join
+    * blowup. Facts before their key's first run (or with a null time)
+    * keep null payloads. Also works with a STREAMING `facts` frame:
+    * stream-static left joins with residual conditions are supported
+    * per micro-batch.
+    */
+  def enrichAsOf(facts: DataFrame, scd2: DataFrame, keys: Seq[String],
+                 timeCol: String): DataFrame = {
+    require(keys.nonEmpty, "enrichAsOf needs at least one key column")
+    val payload = scd2.columns.toSeq.filterNot(keys.contains)
+    val clash = facts.columns.toSeq.intersect(payload)
+    require(clash.isEmpty,
+      s"fact columns $clash would collide with the dimension payload — rename first")
+    val f = facts.alias("__f")
+    val d = scd2.alias("__d")
+    val t = col(s"__f.$timeCol")
+    val cond = keys.map(k => col(s"__f.$k") === col(s"__d.$k")).reduce(_ && _) &&
+      col("__d.effective_from") <= t &&
+      (col("__d.effective_to").isNull || t < col("__d.effective_to"))
+    f.join(d, cond, "left")
+      .select(facts.columns.toSeq.map(c => col(s"__f.$c")) ++
+        payload.map(c => col(s"__d.$c")): _*)
+  }
 }

@@ -62,6 +62,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"scd2 funnels to one partition:\n$p")
   }
 
+  test("j10_temporal_enrich: equi-keys carry the interval join — no nested loop") {
+    val p = plan("j10_temporal_enrich")
+    assertNoCartesian(p, "j10_temporal_enrich")
+    assert(!p.contains("SinglePartition"), s"enrich funnels to one partition:\n$p")
+  }
+
   test("dedup_near: banded self-join only — no cartesian, no nested loop") {
     assertNoCartesian(plan("dedup_near"), "dedup_near")
   }

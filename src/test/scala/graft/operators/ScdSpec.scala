@@ -86,4 +86,50 @@ class ScdSpec extends SparkSpec {
       Scd.buildType2(log, Seq("nope"), "v")
     }
   }
+
+  test("enrichAsOf joins each fact to the run valid at its time") {
+    val scd = Scd.buildType2(log, Seq("k"), "v")
+    val facts = Seq((1L, 10L, 1L), (1L, 11L, 3L), (1L, 12L, 9L),
+      (2L, 13L, 1L), (3L, 14L, 5L)).toDF("k", "fact_id", "t")
+    val got = Scd.enrichAsOf(facts, scd, Seq("k"), "t")
+      .select("fact_id", "status")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).sortBy(_._1).toSeq
+    // t=1 → A's first run, t=3 → B, t=9 → current A, unknown key → null
+    assert(got == Seq((10L, "A"), (11L, "B"), (12L, "A"), (13L, "X"), (14L, null)))
+  }
+
+  test("enrichAsOf preserves fact multiplicity (disjoint intervals, no blowup)") {
+    val scd = Scd.buildType2(log, Seq("k"), "v")
+    val facts = Seq((1L, 2L), (1L, 2L), (1L, 99L)).toDF("k", "t")
+    assert(Scd.enrichAsOf(facts, scd, Seq("k"), "t").count() == 3L)
+  }
+
+  test("enrichAsOf rejects fact/payload column collisions") {
+    val scd = Scd.buildType2(log, Seq("k"), "v")
+    val facts = Seq((1L, 2L, "x")).toDF("k", "t", "status")
+    intercept[IllegalArgumentException] {
+      Scd.enrichAsOf(facts, scd, Seq("k"), "t")
+    }
+  }
+
+  test("enrichAsOf enriches a STREAMING fact source against the static dimension") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val scd = Scd.buildType2(log, Seq("k"), "v")
+    val in = MemoryStream[(Long, Long, Long)]
+    in.addData((1L, 10L, 1L), (1L, 11L, 3L))
+    in.addData((2L, 12L, 5L))
+    val enriched = Scd.enrichAsOf(
+      in.toDF().toDF("k", "fact_id", "t"), scd, Seq("k"), "t")
+    val q = enriched.writeStream.format("memory")
+      .queryName("scd_enrich_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val got = spark.table("scd_enrich_stream")
+      .select("fact_id", "status")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((10L, "A"), (11L, "B"), (12L, "X")))
+  }
 }
