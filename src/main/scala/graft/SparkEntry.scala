@@ -321,6 +321,33 @@ object SparkEntry {
         .select(col("node").as("order_id"), col("component").as("component_id"))
     }),
 
+    // Entity resolution end-to-end (the record-linkage composition of
+    // two verified operators): records keyed by name#nation#segment,
+    // every 5th customer planted as a one-char-mutated duplicate;
+    // fuzzyPairs blocks + verifies edit-distance ≤ 1 WITHOUT a
+    // cartesian, connectedComponents clusters the pairs, and every
+    // record maps to its cluster's min id (singletons to themselves).
+    // The oracle recomputes the SAME pairs with a brute-force
+    // levenshtein cross join (byte == char on this ASCII key) and the
+    // same recursive closure — exact agreement of the whole pipeline.
+    "er_entities" -> ((s, dir) => {
+      val base = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        concat(col("c_name"), lit("#"), col("c_nationkey").cast("string"),
+          lit("#"), col("c_mktsegment")).as("name"))
+      val dups = base.filter(col("id") % 5 === 0)
+        .select((col("id") + PlantedOffset).as("id"),
+          concat(substring(col("name"), 1, 4), lit("@"),
+            substring(col("name"), 6, 1000000)).as("name"))
+      val all = base.unionByName(dups)
+      val pairs = Dedup.fuzzyPairs(all, "id", "name")
+      val comps = Grouping.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")), "src", "dst")
+      all.select(col("id"))
+        .join(comps.select(col("node").as("id"), col("component")), Seq("id"), "left")
+        .select(col("id").as("customer_id"),
+          coalesce(col("component"), col("id")).as("entity_id"))
+    }),
+
     // ---- dedup suite (§7.5) ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
@@ -1782,6 +1809,25 @@ object SparkEntry {
            UNION
            SELECT r.node, e.dst FROM r JOIN e ON r.m = e.src)
          SELECT node AS order_id, MIN(m) AS component_id FROM r GROUP BY 1""",
+    "er_entities" ->
+      """WITH RECURSIVE
+         base AS (SELECT c_custkey AS id,
+                    c_name || '#' || CAST(c_nationkey AS VARCHAR) || '#' || c_mktsegment AS name
+                  FROM customer),
+         dups AS (SELECT id + 1000000 AS id,
+                    substr(name, 1, 4) || '@' || substr(name, 6) AS name
+                  FROM base WHERE id % 5 = 0),
+         all_recs AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+         e AS (SELECT a.id AS src, b.id AS dst
+               FROM all_recs a JOIN all_recs b
+                 ON a.id <> b.id AND levenshtein(a.name, b.name) <= 1),
+         r(node, m) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM e)
+           UNION
+           SELECT r.node, e.dst FROM r JOIN e ON r.m = e.src),
+         comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY 1)
+         SELECT ar.id AS customer_id, COALESCE(c.component, ar.id) AS entity_id
+         FROM all_recs ar LEFT JOIN comp c ON ar.id = c.node""",
     "dedup_exact" ->
       """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id,
                 CAST(COUNT(*) AS BIGINT) AS dup_count
