@@ -1094,12 +1094,22 @@ object SparkEntry {
     // aggregation on ≤ 20 keys — the data-profiling pass that runs before
     // any quality gate at 100 TB.
     "a11_histogram" -> ((s, dir) =>
-      Tables.orders(s, dir)
-        .select(least(lit(19L),
-          floor(col("o_totalprice").cast("double") / 25000.0)).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .select(col("bucket"), (col("bucket") * 25000.0).as("lo"),
-          ((col("bucket") + 1) * 25000.0).as("hi"), col("n"))),
+      graft.operators.Profiling.histogram(Tables.orders(s, dir),
+        col("o_totalprice"), 25000.0, 20)),
+    // Histogram drift (Profiling.histogramDrift): the per-commit
+    // monitoring read — compare the price distribution before and
+    // after a mutation (every 7th order's price doubled, the same
+    // change the version-diff family plants), report per-bucket
+    // before/after counts and the integer delta. O(buckets) output
+    // regardless of table size.
+    "a12_drift" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val mutated = o.withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      graft.operators.Profiling.histogramDrift(o, mutated,
+        col("o_totalprice"), 25000.0, 20)
+    }),
     "e_sessionize" -> ((s, dir) =>
       graft.streaming.Windows.sessionize(
         Tables.events(s, dir), "ts", "user_id", "30 minutes")
@@ -2310,6 +2320,24 @@ object SparkEntry {
          SELECT bucket, bucket * 25000.0 AS lo, (bucket + 1) * 25000.0 AS hi,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM b GROUP BY 1""",
+    "a12_drift" ->
+      """WITH h0 AS (
+           SELECT least(19, CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT)) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n_before
+           FROM orders GROUP BY 1),
+         h1 AS (
+           SELECT least(19, CAST(floor(CAST(
+                    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END AS DOUBLE) / 25000.0) AS BIGINT)) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n_after
+           FROM orders GROUP BY 1)
+         SELECT COALESCE(h0.bucket, h1.bucket) AS bucket,
+                COALESCE(h0.bucket, h1.bucket) * 25000.0 AS lo,
+                (COALESCE(h0.bucket, h1.bucket) + 1) * 25000.0 AS hi,
+                COALESCE(n_before, 0) AS n_before,
+                COALESCE(n_after, 0) AS n_after,
+                COALESCE(n_after, 0) - COALESCE(n_before, 0) AS delta
+         FROM h0 FULL OUTER JOIN h1 ON h0.bucket = h1.bucket""",
     "e_sessionize" ->
       """WITH x AS (SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Profiling passes: hand-computed histogram buckets, over-range
+  * clamping, and the drift report's outer-join semantics (one-sided
+  * buckets report 0 on the other side).
+  */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram buckets, edges, and over-range clamp") {
+    val vals = Seq(0.0, 5.0, 9.9, 10.0, 25.0, 999.0).toDF("x")
+    val got = Profiling.histogram(vals, col("x"), 10.0, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // 999 clamps into bucket 2 alongside 25
+    assert(got == Seq((0L, 0.0, 10.0, 3L), (1L, 10.0, 20.0, 1L),
+      (2L, 20.0, 30.0, 2L)))
+  }
+
+  test("drift reports one-sided buckets as zero and exact deltas") {
+    val before = Seq(1.0, 1.0, 15.0).toDF("x")
+    val after = Seq(1.0, 25.0).toDF("x")
+    val got = Profiling.histogramDrift(before, after, col("x"), 10.0, 3)
+      .select("bucket", "n_before", "n_after", "delta")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, 2L, 1L, -1L), (1L, 1L, 0L, -1L), (2L, 0L, 1L, 1L)))
+  }
+
+  test("histogram rejects bad shape parameters") {
+    val vals = Seq(1.0).toDF("x")
+    intercept[IllegalArgumentException] {
+      Profiling.histogram(vals, col("x"), 0.0, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.histogram(vals, col("x"), 10.0, 0)
+    }
+  }
+}
