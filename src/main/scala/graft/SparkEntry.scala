@@ -321,6 +321,21 @@ object SparkEntry {
         .select(col("node").as("order_id"), col("component").as("component_id"))
     }),
 
+    // Fixed-point PageRank (operators/Graph.scala) over the symmetric
+    // customer↔part purchase graph — the link-authority prior corpus
+    // pipelines weight documents by. Integer arithmetic throughout
+    // (scaled ranks, integral div), so three damped iterations are
+    // bit-identical to the oracle's unrolled replay; one join + one
+    // aggregation shuffle per iteration, rank state O(nodes).
+    "g_pagerank" -> ((s, dir) => {
+      val e0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      val edges = e0.select(col("c").as("src"), (col("p") + 10000000L).as("dst"))
+        .unionByName(e0.select((col("p") + 10000000L).as("src"), col("c").as("dst")))
+      graft.operators.Graph.pageRankFixed(edges, "src", "dst", iters = 3)
+    }),
     // Entity resolution end-to-end (the record-linkage composition of
     // two verified operators): records keyed by name#nation#segment,
     // every 5th customer planted as a one-char-mutated duplicate;
@@ -1819,6 +1834,28 @@ object SparkEntry {
            UNION
            SELECT r.node, e.dst FROM r JOIN e ON r.m = e.src)
          SELECT node AS order_id, MIN(m) AS component_id FROM r GROUP BY 1""",
+    "g_pagerank" -> {
+      // the same damped integer iteration, unrolled: r{k} from r{k-1}
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.node,
+              CAST(150000 + (85 * COALESCE(SUM(r.rank // od.d), 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.node
+            LEFT JOIN $prev r ON r.node = e.src
+            LEFT JOIN od ON od.src = e.src
+            GROUP BY n.node)"""
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT c AS src, p + 10000000 AS dst FROM e0
+               UNION ALL SELECT p + 10000000 AS src, c AS dst FROM e0),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         ${iter("r0", "r1")},
+         ${iter("r1", "r2")},
+         ${iter("r2", "r3")}
+         SELECT node, rank FROM r3"""
+    },
     "er_entities" ->
       """WITH RECURSIVE
          base AS (SELECT c_custkey AS id,
