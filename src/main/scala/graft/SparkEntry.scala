@@ -1376,6 +1376,29 @@ object SparkEntry {
             "de" -> 0.2, "zh" -> 0.1, "fr" -> 0.1))),
         "lang", "n_tokens")
         .select("lang", "n_docs", "kept_tokens", "quota", "fill_frac")),
+    // Leakage-safe corpus split (Sampling.hashSplit): documents grouped
+    // by CONTENT hash so exact duplicates can never straddle the
+    // train/eval boundary, assigned 80/10/10 by md5-hex threshold — a
+    // pure projection, deterministic across engines (the oracle replays
+    // the CASE literally).
+    "pipeline_split" -> ((s, dir) =>
+      Sampling.hashSplit(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), sha2(col("text"), 256).as("content_sha")),
+        "content_sha",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
+    // ... and the per-split size report (docs + chars, integer-exact).
+    "pipeline_split_report" -> ((s, dir) =>
+      Sampling.hashSplit(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            sha2(col("text"), 256).as("content_sha")),
+        "content_sha",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("n_chars"))),
 
     // ---- sources / sinks (S1, S3, S5, S6, S9, S10) ----
     "s_csv_roundtrip" -> ((s, dir) => {   // S1 declared-schema CSV + S5 write
@@ -2625,6 +2648,26 @@ object SparkEntry {
            CAST(MAX(quota) AS BIGINT) AS quota,
            round(CAST(SUM(n_tokens) AS DOUBLE) / MAX(quota), 6) AS fill_frac
          FROM kept GROUP BY 1""",
+    // 0xcccccccc = floor(0.8 * 2^32), 0xe6666666 = floor(0.9 * 2^32) —
+    // the same literals hashSplit embeds
+    "pipeline_split" ->
+      """WITH g AS (SELECT doc_id, substr(md5(sha256(text)), 1, 8) AS h8
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN h8 < 'cccccccc' THEN 'train'
+                     WHEN h8 < 'e6666666' THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM g""",
+    "pipeline_split_report" ->
+      """WITH g AS (SELECT doc_id, length(text) AS n_chars,
+                  substr(md5(sha256(text)), 1, 8) AS h8
+           FROM documents)
+         SELECT CASE WHEN h8 < 'cccccccc' THEN 'train'
+                     WHEN h8 < 'e6666666' THEN 'valid'
+                     ELSE 'test' END AS split,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         FROM g GROUP BY 1""",
 
     "s_csv_roundtrip" -> "SELECT r_regionkey, r_name FROM region",
     "s_partitioned_roundtrip" ->

@@ -97,4 +97,35 @@ object Sampling {
       .withColumn("fill_frac",
         round(when(col("quota") > 0,
           col("kept_tokens").cast("double") / col("quota")).otherwise(lit(0.0)), 6))
+
+  /** Leakage-safe train/validation/test split: every row is assigned a
+    * named split by the md5 hash of its GROUP key, so all rows sharing
+    * a group — a dedup cluster, a domain, a user — land on the SAME
+    * side, and near-duplicate content can never straddle the
+    * train/eval boundary (the contamination a row-level random split
+    * guarantees at corpus scale). Assignment compares the hash's first
+    * 8 hex chars against precomputed cumulative-weight thresholds:
+    * fixed-width lowercase hex compares identically in any engine, so
+    * the split is deterministic across runs, engines, and
+    * partitionings, and an external oracle can replay it literally. A
+    * pure projection — no shuffle, no state.
+    */
+  def hashSplit(df: DataFrame, groupCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "hashSplit needs at least two splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct: ${splits.map(_._1)}")
+    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cums.map(c =>
+      f"${math.min((c * 4294967296.0).toLong, 4294967295L)}%08x")
+    val h = substring(md5(col(groupCol).cast("string")), 1, 8)
+    val assign = splits.map(_._1).zip(thresholds).init
+      .foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
+        case ((name, t), els) => when(h < lit(t), lit(name)).otherwise(els)
+      }
+    df.withColumn("split", assign)
+  }
 }

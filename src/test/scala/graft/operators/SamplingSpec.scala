@@ -85,6 +85,60 @@ class SamplingSpec extends SparkSpec {
     assert(kept.map(_.getAs[Long]("n_tokens")).filter(_ > 0).sum <= 20L)
   }
 
+  test("hashSplit: all rows of a group land on the same side") {
+    val rows = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g2"), (5L, "g3"))
+      .toDF("id", "grp")
+    val split = Sampling.hashSplit(rows, "grp",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val perGroup = split.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(perGroup.forall(_.getAs[Long]("n") == 1L))
+  }
+
+  test("hashSplit matches the hand-computed md5 threshold assignment") {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest("g1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h8 = dig.substring(0, 8)
+    // train cum 0.8 -> floor(0.8 * 2^32) = 0xcccccccc; valid 0.9 -> 0xe6666666
+    val expected =
+      if (h8 < "cccccccc") "train" else if (h8 < "e6666666") "valid" else "test"
+    val got = Sampling.hashSplit(Seq(("g1", 1L)).toDF("grp", "x"), "grp",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("split").collect()(0).getString(0)
+    assert(got == expected)
+  }
+
+  test("hashSplit fractions are honored over many groups, independent of layout") {
+    val groups = (1 to 2000).map(i => (i.toLong, s"group$i")).toDF("id", "grp")
+    val frac = Sampling.hashSplit(groups.repartition(13), "grp",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frac("train") > 1500 && frac("train") < 1700, s"train=$frac")
+    assert(frac.values.sum == 2000L)
+    // layout independence: same assignment single-partition
+    val a = Sampling.hashSplit(groups, "grp",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("grp", "split").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val b = Sampling.hashSplit(groups.coalesce(1), "grp",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("grp", "split").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
+  test("hashSplit guards: weights sum, positivity, distinct names") {
+    val rows = Seq((1L, "g")).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(rows, "grp", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(rows, "grp", Seq("a" -> 1.1, "b" -> -0.1))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(rows, "grp", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
   test("mixtureQuotas rounds instead of truncating the double product") {
     val q = Sampling.mixtureQuotas(20000L, Seq("a" -> 0.3, "b" -> 0.4)).toMap
     assert(q("a") == 6000L, "0.3 * 20000 = 5999.999... must round up, not floor")
