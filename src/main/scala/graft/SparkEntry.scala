@@ -1585,6 +1585,29 @@ object SparkEntry {
           .agg(min(col("l_returnflag")).as("l_returnflag"),
             min(col("l_linestatus")).as("l_linestatus")),
         Seq("l_orderkey"), "l_linenumber")),
+    // The STREAMING SCD2 maintenance operator (streaming/Scd2Stream)
+    // batch-executed over the same collapsed change log: per-key state
+    // holds only the open run (O(keys), history-length independent),
+    // and the emitted intervals answer e_scd2_history's oracle SQL
+    // verbatim — streaming maintenance and the batch build cannot
+    // drift. Payload packs (returnflag, linestatus) into one string
+    // and unpacks after, keeping the operator schema-free.
+    "st_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val events = Tables.lineitem(s, dir)
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_returnflag")).as("rf"), min(col("l_linestatus")).as("ls"))
+        .select(col("l_orderkey").cast("long").as("key"),
+          col("l_linenumber").cast("long").as("version"),
+          concat(col("rf"), lit("|"), col("ls")).as("payload"))
+        .as[graft.streaming.ScdEvent]
+      graft.streaming.Scd2Stream.runs(events).toDF()
+        .select(col("key").as("l_orderkey"), col("effective_from"),
+          col("effective_to"), col("is_current"),
+          split(col("payload"), "\\|").getItem(0).as("l_returnflag"),
+          split(col("payload"), "\\|").getItem(1).as("l_linestatus"))
+    }),
     // Temporal enrichment (Scd.enrichAsOf): every lineitem row joined
     // to the dimension run valid at ITS line number — the
     // event-time-correct lookup (joining is_current would rewrite
@@ -1674,7 +1697,11 @@ object SparkEntry {
     // filters, PII redaction, sequence packing, mixture sampling, z-order
     "dedup_fuzzy_recall", "t_bm25_topk", "t_contamination",
     "t_repetition", "t_pii_redact", "pipeline_packing", "pipeline_mixture",
-    "s_zorder")
+    "s_zorder",
+    // round 7b: dimension history + temporal enrich, entity resolution,
+    // fixed-point PageRank, data skipping, leakage-safe split
+    "e_scd2_history", "j10_temporal_enrich", "er_entities", "g_pagerank",
+    "s_data_skipping", "pipeline_split")
 
   // ---- DuckDB oracle twins ----
 
@@ -1690,6 +1717,36 @@ object SparkEntry {
     s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE doc_id < 50 GROUP BY 1, 2),
        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1)"""
+
+  /** The SCD2 interval table over the tie-collapsed lineitem change log
+    * — shared by the batch build (e_scd2_history) and the streaming
+    * maintenance operator (st_scd2_history), which must answer it
+    * verbatim.
+    */
+  private val scd2HistoryOracle: String =
+    """WITH log AS (
+         SELECT l_orderkey, l_linenumber,
+                min(l_returnflag) AS l_returnflag,
+                min(l_linestatus) AS l_linestatus
+         FROM lineitem GROUP BY l_orderkey, l_linenumber
+       ), marked AS (
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                CASE WHEN lag(1) OVER w IS NULL
+                       OR l_returnflag IS DISTINCT FROM lag(l_returnflag) OVER w
+                       OR l_linestatus IS DISTINCT FROM lag(l_linestatus) OVER w
+                     THEN 1 ELSE 0 END AS is_change
+         FROM log
+         WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+       ), runs AS (
+         SELECT l_orderkey, l_linenumber AS effective_from, l_returnflag, l_linestatus
+         FROM marked WHERE is_change = 1
+       )
+       SELECT l_orderkey, effective_from,
+              lead(effective_from) OVER w2 AS effective_to,
+              (lead(effective_from) OVER w2 IS NULL) AS is_current,
+              l_returnflag, l_linestatus
+       FROM runs
+       WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY effective_from)"""
 
   /** Shared SQL fragment: cosine similarity of two DOUBLE[] expressions. */
   private def sqlCosine(a: String, b: String): String =
@@ -2697,30 +2754,10 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey + 1000000000 AS o_orderkey, 'added' AS change
          FROM orders WHERE o_orderkey % 13 = 0""",
-    "e_scd2_history" ->
-      """WITH log AS (
-           SELECT l_orderkey, l_linenumber,
-                  min(l_returnflag) AS l_returnflag,
-                  min(l_linestatus) AS l_linestatus
-           FROM lineitem GROUP BY l_orderkey, l_linenumber
-         ), marked AS (
-           SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
-                  CASE WHEN lag(1) OVER w IS NULL
-                         OR l_returnflag IS DISTINCT FROM lag(l_returnflag) OVER w
-                         OR l_linestatus IS DISTINCT FROM lag(l_linestatus) OVER w
-                       THEN 1 ELSE 0 END AS is_change
-           FROM log
-           WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
-         ), runs AS (
-           SELECT l_orderkey, l_linenumber AS effective_from, l_returnflag, l_linestatus
-           FROM marked WHERE is_change = 1
-         )
-         SELECT l_orderkey, effective_from,
-                lead(effective_from) OVER w2 AS effective_to,
-                (lead(effective_from) OVER w2 IS NULL) AS is_current,
-                l_returnflag, l_linestatus
-         FROM runs
-         WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY effective_from)""",
+    "e_scd2_history" -> scd2HistoryOracle,
+    // the STREAMING maintenance operator answers the batch oracle
+    // verbatim (the st_daily_kpis_exact convention)
+    "st_scd2_history" -> scd2HistoryOracle,
     "j10_temporal_enrich" ->
       """WITH log AS (
            SELECT l_orderkey, l_linenumber,
