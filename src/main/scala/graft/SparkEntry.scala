@@ -1125,6 +1125,17 @@ object SparkEntry {
       graft.operators.Profiling.histogramDrift(o, mutated,
         col("o_totalprice"), 25000.0, 20)
     }),
+    // One-pass table profile (Profiling.tableProfile): every column's
+    // counts/nulls/min/max in a single aggregation, pivoted to a row
+    // per column. The oracled projection keeps the exact columns; the
+    // HLL++ approx_distinct the same pass computes is pinned within 5%
+    // by ProfilingSpec (the a8_approx_distinct stance: sketches don't
+    // hash-compare across engines).
+    "a13_profile" -> ((s, dir) =>
+      graft.operators.Profiling.tableProfile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+        .select("column_name", "n_rows", "n_nulls", "min_value", "max_value")),
     "e_sessionize" -> ((s, dir) =>
       graft.streaming.Windows.sessionize(
         Tables.events(s, dir), "ts", "user_id", "30 minutes")
@@ -2455,6 +2466,13 @@ object SparkEntry {
                 COALESCE(n_after, 0) AS n_after,
                 COALESCE(n_after, 0) - COALESCE(n_before, 0) AS delta
          FROM h0 FULL OUTER JOIN h1 ON h0.bucket = h1.bucket""",
+    "a13_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority").map(c =>
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+             CAST(MIN($c) AS VARCHAR) AS min_value,
+             CAST(MAX($c) AS VARCHAR) AS max_value
+          FROM orders""").mkString("\n UNION ALL \n"),
     "e_sessionize" ->
       """WITH x AS (SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL

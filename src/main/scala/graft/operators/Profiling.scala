@@ -30,6 +30,37 @@ object Profiling {
         ((col("bucket") + 1) * width).as("hi"), col("n"))
   }
 
+  /** One-pass table profile: per column, row/null counts, native-typed
+    * min/max rendered to strings, and an HLL++ approximate distinct
+    * count. ONE aggregation over the table computes every column's
+    * stats together (no per-column passes, no countDistinct Expand —
+    * the sketch keeps the pass single and the state bounded), then the
+    * single result row pivots to one row per column with a codegen'd
+    * explode. min/max are computed on the native type and cast after,
+    * so a numeric column's extremes are numeric, not lexicographic.
+    * Exact distinct counts at 100 TB are a separate deliberate job;
+    * the sketch error is ProfilingSpec-pinned within 5% (rsd 0.02 —
+    * the default 0.05 standard deviation overshoots 5% routinely).
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String],
+                   rsd: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty, "tableProfile needs at least one column")
+    require(cols.forall(df.columns.contains),
+      s"columns $cols must exist in ${df.columns.toSeq}")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"),
+      approx_count_distinct(col(c), rsd).as(s"__ad_$c")))
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"),
+        col(s"__ad_$c").as("approx_distinct"))): _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Histogram drift between `before` and `after` on the same `value`
     * expression: per-bucket counts from both sides full-outer-joined on
     * the bucket id (a bucket present on one side only reports 0 on the

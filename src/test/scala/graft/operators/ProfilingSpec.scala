@@ -30,6 +30,29 @@ class ProfilingSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 1L, -1L), (1L, 1L, 0L, -1L), (2L, 0L, 1L, 1L)))
   }
 
+  test("tableProfile: one row per column with exact counts and native-typed extremes") {
+    val df = Seq((1L, Some(10.5), "b"), (2L, None, "a"), (9L, Some(2.5), "c"))
+      .toDF("k", "v", "s")
+    val got = Profiling.tableProfile(df, Seq("k", "v", "s"))
+      .select("column_name", "n_rows", "n_nulls", "min_value", "max_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).sortBy(_._1).toSeq
+    // numeric min of v is 2.5 (native), not the lexicographic "10.5"
+    assert(got == Seq(("k", 3L, 0L, "1", "9"), ("s", 3L, 0L, "a", "c"),
+      ("v", 3L, 1L, "2.5", "10.5")))
+  }
+
+  test("tableProfile's approx_distinct stays within 5% of exact on real data") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val prof = Profiling.tableProfile(orders, Seq("o_orderkey", "o_orderstatus"))
+      .select("column_name", "approx_distinct")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactKey = orders.select(countDistinct(col("o_orderkey"))).collect()(0).getLong(0)
+    val exactStatus = orders.select(countDistinct(col("o_orderstatus"))).collect()(0).getLong(0)
+    assert(math.abs(prof("o_orderkey") - exactKey).toDouble / exactKey <= 0.05)
+    assert(math.abs(prof("o_orderstatus") - exactStatus).toDouble / exactStatus <= 0.05)
+  }
+
   test("histogram rejects bad shape parameters") {
     val vals = Seq(1.0).toDF("x")
     intercept[IllegalArgumentException] {
