@@ -608,6 +608,12 @@ object SparkEntry {
     "t_fingerprint" -> ((s, dir) =>       // rows-only: xxhash64 rolling hash
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+    // Sliding-window chunking (Text.chunk): 200-char windows every 150
+    // chars — the context-window splitter, whole output (offsets AND
+    // chunk text) hash-compared against the oracle's generate_series +
+    // substr replay.
+    "t_chunks" -> ((s, dir) =>
+      Text.chunk(Tables.documents(s, dir), "doc_id", "text", 200, 150)),
     // Fingerprint invariants over a planted corpus (VERDICT r03 #1): an
     // exact copy (id + 1M) must share its original's fingerprint; a
     // suffix-mutated copy (id + 2M) must differ (the fold is
@@ -1996,6 +2002,16 @@ object SparkEntry {
     // fuzzy join planted truth: every 1-edit mutation found at distance 1
     "dedup_fuzzy_recall" ->
       "SELECT doc_id, true AS found FROM documents",
+    "t_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+           FROM documents WHERE length(text) > 0),
+         c AS (SELECT doc_id, text,
+                 unnest(generate_series(0, (len - 1) // 150)) AS chunk_id
+               FROM d)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(chunk_id * 150 + 1 AS BIGINT) AS chunk_start,
+                substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200) AS chunk_text
+         FROM c""",
     // decontamination: the whole pass transcribed — same planted corpus,
     // same lowercase tokens, same 8-gram windows (concat_ws skips
     // out-of-range NULLs exactly like Spark's capped slice), same

@@ -110,6 +110,31 @@ object Text {
     size(regexp_extract_all(text, lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0)))
       .cast("long")
 
+  /** Fixed-size sliding-window chunking — the context-window splitter a
+    * training/RAG pipeline runs over every document: chunks of `size`
+    * characters starting every `stride` characters (stride < size ⇒
+    * overlapping windows, stride == size ⇒ a partition, the last chunk
+    * may run short). A codegen'd `sequence` + `explode` + positional
+    * `substr` — no UDF, no per-row lambda; output is one shuffle-free
+    * projection whose row count is ceil(len/stride) per document.
+    * Empty/null documents produce no chunks (filtered BEFORE the
+    * sequence: Spark's `sequence(0, -1)` would infer step -1, not
+    * emptiness). Offsets are 1-based to match SQL `substr`.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1,
+      s"chunk needs size >= 1 and stride >= 1, got size=$size stride=$stride")
+    docs.select(col(idCol), col(textCol).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), floor((length(col("__t")) - 1) / stride).cast("long"))))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("chunk_start"),
+        col("__t").substr((col("chunk_id") * stride + 1).cast("int"),
+          lit(size)).as("chunk_text"))
+  }
+
   /** Language ID: script detection first (kana → ja before han → zh, since
     * Japanese text mixes kanji with kana; hangul → ko), then argmax of
     * per-language stopword hit counts; below `minHits` hits → "und"

@@ -134,4 +134,30 @@ class TextSpec extends SparkSpec {
     assert(byId(2L).getAs[Double]("dup_ngram_frac") == math.rint(112.0 / 122 * 1e6) / 1e6)
     assert(byId(1L).getAs[Double]("dup_ngram_frac") == 0.0)
   }
+
+  test("chunk: overlapping windows, short tail, exact offsets") {
+    // len 10, size 4, stride 3 → starts 1, 4, 7, 10 (last two run short)
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val got = Text.chunk(df, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((0L, 1L, "abcd"), (1L, 4L, "defg"),
+      (2L, 7L, "ghij"), (3L, 10L, "j")))
+  }
+
+  test("chunk: stride == size partitions without overlap; empty docs vanish") {
+    val df = Seq((1L, "abcdef"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Text.chunk(df, "doc_id", "text", 3, 3)
+      .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "abc"), (1L, "def")))
+    // reconstruction: non-overlapping chunks concatenate to the original
+    assert(got.filter(_._1 == 1L).map(_._2).mkString == "abcdef")
+  }
+
+  test("chunk rejects non-positive size or stride") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { Text.chunk(df, "doc_id", "text", 0, 3) }
+    intercept[IllegalArgumentException] { Text.chunk(df, "doc_id", "text", 3, 0) }
+  }
 }
