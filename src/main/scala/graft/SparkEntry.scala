@@ -608,6 +608,13 @@ object SparkEntry {
     "t_fingerprint" -> ((s, dir) =>       // rows-only: xxhash64 rolling hash
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+    // Inverted-index build (Retrieval.invertedIndex): term → doc-sorted
+    // posting list serialized flat ("id:tf,…"), df/total_tf exact;
+    // stopword-grade terms (df > 400) dropped by a count-first pass so
+    // no posting buffer ever holds most of the corpus.
+    "t_inverted_index" -> ((s, dir) =>
+      graft.operators.Retrieval.invertedIndex(
+        Tables.documents(s, dir), "doc_id", "text", maxDf = 400L)),
     // Sliding-window chunking (Text.chunk): 200-char windows every 150
     // chars — the context-window splitter, whole output (offsets AND
     // chunk text) hash-compared against the oracle's generate_series +
@@ -2002,6 +2009,14 @@ object SparkEntry {
     // fuzzy join planted truth: every 1-edit mutation found at distance 1
     "dedup_fuzzy_recall" ->
       "SELECT doc_id, true AS found FROM documents",
+    "t_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
+         tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         kept AS (SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= 400)
+         SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                CAST(SUM(tf) AS BIGINT) AS total_tf,
+                string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+         FROM tf JOIN kept USING (term) GROUP BY term""",
     "t_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len
            FROM documents WHERE length(text) > 0),

@@ -70,4 +70,36 @@ object Retrieval {
         Window.orderBy(col("score").desc, col("__id"))))
       .select(col("rank"), col("__id").as(idCol), col("score"))
   }
+
+  /** Inverted-index build: one row per surviving term with its document
+    * frequency, total term frequency, and the doc_id-sorted posting
+    * list serialized as `"id:tf,id:tf,…"` (a flat string — exactly
+    * comparable across engines, unlike nested struct arrays). Terms
+    * with df > `maxDf` are dropped WHOLE, and the cap is enforced by a
+    * COUNT-FIRST pass before any posting list is collected — a
+    * stopword's postings would otherwise materialize most of the corpus
+    * in one aggregation buffer before being discarded (the fuzzyPairs
+    * bounded-buffer stance), and index pruning of stopword-grade terms
+    * is standard retrieval practice anyway. Both aggregations share the
+    * term-hash exchange.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"invertedIndex needs maxDf >= 1, got $maxDf")
+    val tf = docs.select(col(idCol).as("__id"),
+        explode(Text.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term"), col("__id")).agg(count(lit(1)).as("__tf"))
+      .repartition(col("term"))
+    val kept = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("term"))
+    tf.join(kept, Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__tf")).as("total_tf"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__id"), col("__tf")))),
+          p => concat(p.getField("__id").cast("string"), lit(":"),
+            p.getField("__tf").cast("string"))), ",").as("postings"))
+  }
 }

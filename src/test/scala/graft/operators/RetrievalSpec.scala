@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 /** BM25 ranked retrieval: hand-computed scores on a tiny corpus (same
@@ -55,5 +56,28 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), 5))
     intercept[IllegalArgumentException](
       Retrieval.bm25TopK(docs, "doc_id", "text", Seq("a"), 0))
+  }
+
+  test("invertedIndex: sorted flat postings, exact df/tf, df cap drops whole terms") {
+    import spark.implicits._
+    val corpus = Seq(
+      (3L, "apple apple pear"), (1L, "apple kiwi"), (2L, "pear apple kiwi"))
+      .toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(corpus, "doc_id", "text", maxDf = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // apple df=3 > cap → dropped whole, not truncated
+    assert(!idx.contains("apple"))
+    assert(idx("pear") == ((2L, 2L, "2:1,3:1")))
+    assert(idx("kiwi") == ((2L, 2L, "1:1,2:1")))
+  }
+
+  test("invertedIndex postings are doc-sorted regardless of partition layout") {
+    import spark.implicits._
+    val corpus = (1 to 50).map(i => (i.toLong, "zzz common"))
+      .toDF("doc_id", "text").repartition(11)
+    val idx = Retrieval.invertedIndex(corpus, "doc_id", "text", maxDf = 100L)
+      .filter(col("term") === "zzz").collect()(0).getString(3)
+    assert(idx == (1 to 50).map(i => s"$i:1").mkString(","))
   }
 }
