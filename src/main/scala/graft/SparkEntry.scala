@@ -1149,6 +1149,13 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"))
         .select("column_name", "n_rows", "n_nulls", "min_value", "max_value")),
+    // Ordered funnel (operators/Funnel.scala): signup → click →
+    // purchase conversion counts; strictly-after semantics on integer
+    // epoch micros (raw nanos timestamps floor identically in both
+    // engines — last-3-digit comparisons cannot diverge).
+    "e_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.report(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))),
     "e_sessionize" -> ((s, dir) =>
       graft.streaming.Windows.sessionize(
         Tables.events(s, dir), "ts", "user_id", "30 minutes")
@@ -2504,6 +2511,18 @@ object SparkEntry {
              CAST(MIN($c) AS VARCHAR) AS min_value,
              CAST(MAX($c) AS VARCHAR) AS max_value
           FROM orders""").mkString("\n UNION ALL \n"),
+    "e_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS tp, epoch_us(ts) AS t FROM events),
+         s1 AS (SELECT u, MIN(t) AS t FROM e WHERE tp = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.u, MIN(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+                WHERE e.tp = 'click' AND e.t > s1.t GROUP BY 1),
+         s3 AS (SELECT e.u, MIN(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+                WHERE e.tp = 'purchase' AND e.t > s2.t GROUP BY 1)
+         SELECT 1 AS step, 'signup' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+         UNION ALL
+         SELECT 2 AS step, 'click' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s2
+         UNION ALL
+         SELECT 3 AS step, 'purchase' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s3""",
     "e_sessionize" ->
       """WITH x AS (SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
