@@ -1156,6 +1156,12 @@ object SparkEntry {
     "e_funnel" -> ((s, dir) =>
       graft.operators.Funnel.report(Tables.events(s, dir),
         "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))),
+    // Cohort retention (Funnel.cohortRetention): first-activity-week
+    // cohorts × weekly activity, long form; Monday-aligned weeks make
+    // the day-diff div 7 exact in both engines.
+    "e_cohorts" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(
+        Tables.events(s, dir), "user_id", "ts")),
     "e_sessionize" -> ((s, dir) =>
       graft.streaming.Windows.sessionize(
         Tables.events(s, dir), "ts", "user_id", "30 minutes")
@@ -2523,6 +2529,14 @@ object SparkEntry {
          SELECT 2 AS step, 'click' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s2
          UNION ALL
          SELECT 3 AS step, 'purchase' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s3""",
+    "e_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+                      CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         f AS (SELECT u, MIN(wk) AS cohort_week FROM a GROUP BY 1)
+         SELECT f.cohort_week,
+                date_diff('day', f.cohort_week, a.wk) // 7 AS weeks_since,
+                CAST(COUNT(*) AS BIGINT) AS n_active
+         FROM a JOIN f USING (u) GROUP BY 1, 2""",
     "e_sessionize" ->
       """WITH x AS (SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL

@@ -52,4 +52,26 @@ object Funnel {
     funnelTimes(events, userCol, typeCol, tsCol, steps)
       .groupBy(col("step"), col("step_name"))
       .agg(count(lit(1)).as("n_users"))
+
+  /** Cohort retention: users grouped by their FIRST-activity week (ISO
+    * Monday truncation), counted active in each later week, reported
+    * long-form as (cohort_week, weeks_since, n_active). Weeks diff as
+    * integral day-diff div 7 — exact, both weeks being Monday-aligned.
+    * Two user-keyed aggregations (the distinct week frame and the
+    * first-week frame share the exchange) and one bounded rollup; the
+    * per-user state is the O(weeks-active) distinct-week frame, never
+    * raw events.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val weekly = events.select(col(userCol).as("user"),
+        to_date(date_trunc("week", col(tsCol))).as("wk"))
+      .distinct()
+    val firstWk = weekly.groupBy(col("user")).agg(min(col("wk")).as("cohort_week"))
+    weekly.join(firstWk, "user")
+      .select(col("cohort_week"),
+        expr("datediff(wk, cohort_week) div 7").as("weeks_since"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -50,6 +50,21 @@ class FunnelSpec extends SparkSpec {
     assert(steps == Seq(1 -> 1000000L, 2 -> 2000000L, 3 -> 2500000L))
   }
 
+  test("cohortRetention: Monday-aligned cohorts, exact week offsets") {
+    // 2024-01-01 is a Monday. u1 active weeks 0 and 2; u2 joins week 1.
+    def day(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    val ev = Seq(
+      (1L, day("2024-01-02")), (1L, day("2024-01-03")), // week 0, one wk row
+      (1L, day("2024-01-16")),                          // week 2
+      (2L, day("2024-01-10"))                           // cohort week 1
+    ).toDF("user_id", "ts")
+    val got = Funnel.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
   test("guards reject empty and duplicate step lists") {
     intercept[IllegalArgumentException] {
       Funnel.funnelTimes(events, "user_id", "event_type", "ts", Seq.empty)
