@@ -608,6 +608,16 @@ object SparkEntry {
     "t_fingerprint" -> ((s, dir) =>       // rows-only: xxhash64 rolling hash
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+    // Cross-document boilerplate fraction (Dedup.boilerplateStats):
+    // docs < 100 get planted exact copies, so their every 8-gram is
+    // shared (frac 1.0) while original prose stays near 0 — the whole
+    // report hash-compares.
+    "t_boilerplate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        exactCopy(docs.filter(col("doc_id") < 100), PlantedOffset))
+      Dedup.boilerplateStats(corpus, "doc_id", "text")
+    }),
     // Inverted-index build (Retrieval.invertedIndex): term → doc-sorted
     // posting list serialized flat ("id:tf,…"), df/total_tf exact;
     // stopword-grade terms (df > 400) dropped by a count-first pass so
@@ -2022,6 +2032,24 @@ object SparkEntry {
     // fuzzy join planted truth: every 1-edit mutation found at distance 1
     "dedup_fuzzy_recall" ->
       "SELECT doc_id, true AS found FROM documents",
+    "t_boilerplate" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100),
+         toks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM corpus),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(ts) - 7, 1)),
+                 i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3],
+                                ts[i+4], ts[i+5], ts[i+6], ts[i+7])))) AS gram
+               FROM toks),
+         dfg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+         sh AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM g JOIN dfg USING (gram) GROUP BY 1)
+         SELECT per.doc_id, per.n_grams,
+                COALESCE(sh.n_shared, 0) AS n_shared,
+                round(CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / per.n_grams, 6) AS shared_frac
+         FROM per LEFT JOIN sh USING (doc_id)""",
     "t_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
          tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),

@@ -367,6 +367,39 @@ object Dedup {
         (coalesce(col("overlap_ngrams"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Cross-document boilerplate signal (the RefinedWeb-style quality
+    * read): per document, the fraction of its DISTINCT `shingleN`-grams
+    * that appear in at least `minDf` documents — headers, footers,
+    * license blocks, and templated spans score high; original prose
+    * scores near zero. Same gram windows as [[contaminationReport]]
+    * (capped slice: a short document yields one gram, so the fraction's
+    * denominator is never zero). Counts only — the gram-frequency
+    * aggregation never collects a posting list, so a corpus-wide
+    * boilerplate gram costs one counter, not a buffer.
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 8, minDf: Long = 2L): DataFrame = {
+    require(shingleN > 0 && minDf >= 1,
+      s"shingleN and minDf must be positive: $shingleN, $minDf")
+    val docGrams = docs
+      .select(col(idCol), Text.tokens(lower(col(textCol))).as("__t"))
+      .select(col(idCol), explode(array_distinct(
+        Text.shinglesFromTokens(col("__t"), shingleN))).as("__gram"))
+    // grams are distinct per doc, so count(1) per gram == document freq
+    val freq = docGrams.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__gram"))
+    val perDoc = docGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val shared = docGrams.join(freq, "__gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    perDoc.join(shared, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("shared_frac"))
+  }
+
   /** The delete-variant set of a key: the key itself plus every string
     * with ONE character removed — the SymSpell symmetric-delete
     * neighborhood at depth 1, as a pure codegen'd expression (transform +

@@ -208,6 +208,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.fuzzyPairs(docs, "doc_id", "text").count() == 0L)
   }
 
+  test("boilerplateStats: shared spans score high, original prose zero") {
+    import spark.implicits._
+    val boiler = "copyright header one two three four five six"  // 9 tokens
+    val docs = Seq(
+      (1L, boiler + " alpha beta gamma delta"),
+      (2L, boiler + " epsilon zeta eta theta"),
+      (3L, "completely original text with no repeats at all anywhere")
+    ).toDF("doc_id", "text")
+    val byId = Dedup.boilerplateStats(docs, "doc_id", "text", shingleN = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the 8-token boiler prefix gives docs 1/2 (12 tokens, 5 windows)
+    // exactly one fully-shared window each; doc 3 (9 tokens, 2
+    // windows) shares nothing
+    assert(byId(1L)._1 == 5L && byId(1L)._2 == 1L)
+    assert(byId(1L)._3 == 0.2)
+    assert(byId(2L)._2 == 1L)
+    assert(byId(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("fuzzyPairs never emits self-pairs, even for duplicate input ids") {
     import spark.implicits._
     // id 1 appears under two keys at distance 1: the key-pair expansion
