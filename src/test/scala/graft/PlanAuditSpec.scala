@@ -68,6 +68,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"enrich funnels to one partition:\n$p")
   }
 
+  test("er_entities / g_pagerank / e_funnel / e_cohorts: no cartesians, no single partition") {
+    Seq("er_entities", "g_pagerank", "e_funnel", "e_cohorts").foreach { q =>
+      val p = plan(q)
+      assertNoCartesian(p, q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q funnels to one partition:\n$p")
+    }
+  }
+
   test("dedup_near: banded self-join only — no cartesian, no nested loop") {
     assertNoCartesian(plan("dedup_near"), "dedup_near")
   }

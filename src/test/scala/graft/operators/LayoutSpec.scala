@@ -116,6 +116,23 @@ class LayoutSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("k", "v"))
   }
 
+  test("z-order + stats skip on the SECOND interleaved dimension too") {
+    // 32x32 grid z-ordered into 16 files = sixteen 8x8 tiles: a y-slice
+    // of height 8 intersects only the 4 tiles of its y-band — pruning
+    // on y, which a plain sort by x could never give
+    val dir = graft.util.Scratch.dir("graft_skip_z")
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    Layout.zorder(grid, Seq(col("x"), col("y")), 5, numPartitions = 16)
+      .write.mode("overwrite").parquet(dir)
+    val stats = Layout.fileStats(spark, dir, Seq("y"))
+    assert(stats.count() == 16L)
+    val got = Layout.skippingRead(spark, dir, stats, "y", lit(8L), lit(15L))
+    val touched = got.select(input_file_name()).distinct().count()
+    assert(touched <= 4L, s"y-band should touch <=4 of 16 z-tiles, got $touched")
+    assert(got.count() == 32L * 8L)
+  }
+
   test("an all-null file is skipped exactly: range predicates never match NULL") {
     val dir = graft.util.Scratch.dir("graft_skip_null")
     Seq[(Long, Option[Long])]((1L, None), (2L, None)).toDF("k", "t")
