@@ -1166,6 +1166,12 @@ object SparkEntry {
     "e_funnel" -> ((s, dir) =>
       graft.operators.Funnel.report(Tables.events(s, dir),
         "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))),
+    // Time-weighted average (operators/Timeseries.scala): per-user mean
+    // of `value` weighted by how long each sample held — decimal-exact
+    // products/sums, one IEEE division rounded to 6.
+    "e_time_weighted" -> ((s, dir) =>
+      graft.operators.Timeseries.timeWeightedAvg(
+        Tables.events(s, dir), "user_id", "ts", "value")),
     // Cohort retention (Funnel.cohortRetention): first-activity-week
     // cohorts × weekly activity, long form; Monday-aligned weeks make
     // the day-diff div 7 exact in both engines.
@@ -2557,6 +2563,16 @@ object SparkEntry {
          SELECT 2 AS step, 'click' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s2
          UNION ALL
          SELECT 3 AS step, 'purchase' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s3""",
+    "e_time_weighted" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                      CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         d AS (SELECT u, v, lead(t) OVER (PARTITION BY u ORDER BY t, v) - t AS dt
+               FROM e),
+         g AS (SELECT u, SUM(v * dt) AS num, SUM(dt) AS den
+               FROM d WHERE dt IS NOT NULL GROUP BY 1 HAVING SUM(dt) > 0)
+         SELECT u AS user_id, round(CAST(num AS DOUBLE) / den, 6) AS tw_avg,
+                CAST(den AS BIGINT) AS span_micros
+         FROM g""",
     "e_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id AS u,
                       CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** Time-weighted averaging: hand-computed weighting, single-sample
+  * exclusion, tie neutrality, layout independence.
+  */
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("durations weight values; the last sample carries no weight") {
+    // key 1: v=10 for 1s, v=20 for 3s, v=99 (last, unweighted)
+    // tw = (10*1 + 20*3) / 4 = 17.5
+    val ev = Seq(
+      (1L, ts(0), 10.0), (1L, ts(1000), 20.0), (1L, ts(4000), 99.0),
+      (2L, ts(0), 5.0) // single sample: excluded
+    ).toDF("k", "ts", "value")
+    val got = Timeseries.timeWeightedAvg(ev, "k", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 17.5, 4000000L)))
+  }
+
+  test("tied timestamps contribute zero duration, any order") {
+    // two samples at t=1000 with different values: whichever leads, its
+    // dt is 0 — the result cannot depend on tie order
+    val ev = Seq(
+      (1L, ts(0), 10.0), (1L, ts(1000), 50.0), (1L, ts(1000), 70.0),
+      (1L, ts(2000), 0.0)
+    ).toDF("k", "ts", "value")
+    // 10*1s + 50*0 + 70*1s over 2s = 40.0  (v-ordered tie: 50 first)
+    val a = Timeseries.timeWeightedAvg(ev, "k", "ts", "value")
+      .collect()(0).getDouble(1)
+    val b = Timeseries.timeWeightedAvg(ev.repartition(7), "k", "ts", "value")
+      .collect()(0).getDouble(1)
+    assert(a == 40.0 && b == 40.0)
+  }
+
+  test("an empty frame and all-singleton keys yield no rows") {
+    val ev = Seq((1L, ts(0), 1.0), (2L, ts(5), 2.0)).toDF("k", "ts", "value")
+    assert(Timeseries.timeWeightedAvg(ev, "k", "ts", "value").count() == 0L)
+  }
+}
