@@ -1148,6 +1148,29 @@ object SparkEntry {
       graft.operators.Profiling.histogramDrift(o, mutated,
         col("o_totalprice"), 25000.0, 20)
     }),
+    // Robust outliers (median/MAD, the quantile companion to
+    // a10_outliers' moment z-scores): per-priority exact medians via
+    // the scale-safe quantilesCont machinery — both the median and the
+    // MAD pass use range-partitioned ranks, no whole-group buffers —
+    // then a fixed IEEE chain (price-med)/(mad*1.4826) rounded to 6,
+    // top-20 by |robust z| with a full tiebreak.
+    "a14_robust_outliers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("priority"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val med = graft.operators.Ranking.quantilesCont(
+        o, "priority", "price", Seq(0.5 -> "med"))
+      val dev = o.join(broadcast(med), "priority")
+        .select(col("priority"), abs(col("price") - col("med")).as("absdev"))
+      val mad = graft.operators.Ranking.quantilesCont(
+        dev, "priority", "absdev", Seq(0.5 -> "mad"))
+      val rz = (col("price") - col("med")) / (col("mad") * 1.4826)
+      o.join(broadcast(med), "priority").join(broadcast(mad), "priority")
+        .orderBy(abs(rz).desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("priority"), col("o_orderkey"), col("price"),
+          round(rz, 6).as("robust_z"))
+    }),
     // One-pass table profile (Profiling.tableProfile): every column's
     // counts/nulls/min/max in a single aggregation, pivoted to a row
     // per column. The oracled projection keeps the exact columns; the
@@ -2544,6 +2567,18 @@ object SparkEntry {
                 COALESCE(n_after, 0) AS n_after,
                 COALESCE(n_after, 0) - COALESCE(n_before, 0) AS delta
          FROM h0 FULL OUTER JOIN h1 ON h0.bucket = h1.bucket""",
+    "a14_robust_outliers" ->
+      """WITH o AS (SELECT o_orderpriority AS priority, o_orderkey,
+                      CAST(o_totalprice AS DOUBLE) AS price FROM orders),
+         med AS (SELECT priority, quantile_cont(price, 0.5) AS med FROM o GROUP BY 1),
+         dev AS (SELECT o.priority, abs(price - med) AS absdev
+                 FROM o JOIN med USING (priority)),
+         mad AS (SELECT priority, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1)
+         SELECT o.priority, o.o_orderkey, o.price,
+                round((price - med) / (mad * 1.4826), 6) AS robust_z
+         FROM o JOIN med USING (priority) JOIN mad USING (priority)
+         ORDER BY abs((price - med) / (mad * 1.4826)) DESC, o.o_orderkey
+         LIMIT 20""",
     "a13_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority").map(c =>
       s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
