@@ -1189,6 +1189,13 @@ object SparkEntry {
     "e_funnel" -> ((s, dir) =>
       graft.operators.Funnel.report(Tables.events(s, dir),
         "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))),
+    // LOCF gap-fill resample (Timeseries.resampleLocf): each user's
+    // value series on a daily grid; the oracle replays it with an ASOF
+    // join over the same deduped samples.
+    "e_resample" -> ((s, dir) =>
+      graft.operators.Timeseries.resampleLocf(
+        Tables.events(s, dir), "user_id", "ts", "value",
+        stepMicros = 86400000000L)),
     // Time-weighted average (operators/Timeseries.scala): per-user mean
     // of `value` weighted by how long each sample held — decimal-exact
     // products/sums, one IEEE division rounded to 6.
@@ -2598,6 +2605,15 @@ object SparkEntry {
          SELECT 2 AS step, 'click' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s2
          UNION ALL
          SELECT 3 AS step, 'purchase' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s3""",
+    "e_resample" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                      MAX(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT u, MIN(t) AS t0, MAX(t) AS t1 FROM e GROUP BY 1),
+         grid AS (SELECT u, unnest(generate_series(t0, t1, 86400000000)) AS gt FROM b)
+         SELECT g.u AS user_id, CAST(g.gt AS BIGINT) AS grid_micros,
+                CAST(e.v AS DOUBLE) AS value
+         FROM grid g ASOF JOIN e ON g.u = e.u AND g.gt >= e.t""",
     "e_time_weighted" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
                       CAST(value AS DECIMAL(18,2)) AS v FROM events),

@@ -19,6 +19,43 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** Resample each key's irregular series onto a regular grid
+    * (`stepMicros` apart, from the key's first to last sample) with
+    * last-observation-carried-forward fill — the gap-filling read that
+    * turns event streams into fixed-interval series. The j8_asof
+    * stance: grid points and samples UNION into one frame, one key
+    * shuffle, and a running `last(ignoreNulls)` window fills forward —
+    * no per-grid-point join, no range-join expansion. Samples sort
+    * before grid points at the same instant (a grid point ON a sample
+    * takes it), and tied samples are pre-collapsed to their max value
+    * so the fill is deterministic in any engine. Grid size per key is
+    * span/step — the caller picks the step; the grid frame derives
+    * from the O(keys) bounds aggregate, not the raw events.
+    */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"resampleLocf needs a positive step, got $stepMicros")
+    val e = events.select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol)).as("__t"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .groupBy(col("__k"), col("__t")).agg(max(col("__v")).as("__v"))
+    val grid = e.groupBy(col("__k"))
+      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
+      .select(col("__k"),
+        explode(sequence(col("__t0"), col("__t1"), lit(stepMicros))).as("__t"))
+    val union = e.select(col("__k"), col("__t"), lit(0).as("__g"), col("__v"))
+      .unionByName(grid.select(col("__k"), col("__t"), lit(1).as("__g"),
+        lit(null).cast("decimal(18,2)").as("__v")))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    union.withColumn("__fill", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__g") === 1)
+      .select(col("__k").as(keyCol), col("__t").as("grid_micros"),
+        // decimal held exactness through the fill; double out (the same
+        // nearest-double bits in any engine) for plain downstream math
+        col("__fill").cast("double").as(valueCol))
+  }
+
   /** Per-key time-weighted average of `valueCol` over the key's event
     * timeline: Σ(vᵢ·dtᵢ)/Σ(dtᵢ) with dtᵢ the micros until the next
     * sample (the last sample carries no weight — its duration is

@@ -38,6 +38,28 @@ class TimeseriesSpec extends SparkSpec {
     assert(a == 40.0 && b == 40.0)
   }
 
+  test("resampleLocf: regular grid, forward fill, on-sample grid points") {
+    // samples at 0s(=10), 3s(=30); grid step 1s → 0,1,2,3 filled 10,10,10,30
+    val ev = Seq((1L, ts(0), 10.0), (1L, ts(3000), 30.0))
+      .toDF("k", "ts", "value")
+    val got = Timeseries.resampleLocf(ev, "k", "ts", "value", 1000000L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((0L, 10.0), (1000000L, 10.0), (2000000L, 10.0),
+      (3000000L, 30.0)))
+  }
+
+  test("resampleLocf: tied samples collapse to max; layout independent") {
+    val ev = Seq((1L, ts(0), 10.0), (1L, ts(0), 20.0), (1L, ts(2000), 5.0))
+      .toDF("k", "ts", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Timeseries.resampleLocf(df, "k", "ts", "value", 1000000L)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val want = Seq((0L, 20.0), (1000000L, 20.0), (2000000L, 5.0))
+    assert(run(ev) == want && run(ev.repartition(7)) == want)
+  }
+
   test("an empty frame and all-singleton keys yield no rows") {
     val ev = Seq((1L, ts(0), 1.0), (2L, ts(5), 2.0)).toDF("k", "ts", "value")
     assert(Timeseries.timeWeightedAvg(ev, "k", "ts", "value").count() == 0L)
