@@ -2551,22 +2551,22 @@ object SparkEntry {
          ORDER BY abs((o.o_totalprice - st.mean)/st.sd) DESC, o.o_orderkey
          LIMIT 20""",
     "a11_histogram" ->
-      """WITH b AS (SELECT least(19, CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT)) AS bucket
-           FROM orders)
+      """WITH b AS (SELECT greatest(0, least(19, CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT))) AS bucket
+           FROM orders WHERE o_totalprice IS NOT NULL)
          SELECT bucket, bucket * 25000.0 AS lo, (bucket + 1) * 25000.0 AS hi,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM b GROUP BY 1""",
     "a12_drift" ->
       """WITH h0 AS (
-           SELECT least(19, CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT)) AS bucket,
+           SELECT greatest(0, least(19, CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT))) AS bucket,
                   CAST(COUNT(*) AS BIGINT) AS n_before
-           FROM orders GROUP BY 1),
+           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
          h1 AS (
-           SELECT least(19, CAST(floor(CAST(
+           SELECT greatest(0, least(19, CAST(floor(CAST(
                     CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
-                         ELSE o_totalprice END AS DOUBLE) / 25000.0) AS BIGINT)) AS bucket,
+                         ELSE o_totalprice END AS DOUBLE) / 25000.0) AS BIGINT))) AS bucket,
                   CAST(COUNT(*) AS BIGINT) AS n_after
-           FROM orders GROUP BY 1)
+           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1)
          SELECT COALESCE(h0.bucket, h1.bucket) AS bucket,
                 COALESCE(h0.bucket, h1.bucket) * 25000.0 AS lo,
                 (COALESCE(h0.bucket, h1.bucket) + 1) * 25000.0 AS hi,
@@ -2608,7 +2608,8 @@ object SparkEntry {
     "e_resample" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
                       MAX(CAST(value AS DECIMAL(18,2))) AS v
-           FROM events GROUP BY 1, 2),
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
          b AS (SELECT u, MIN(t) AS t0, MAX(t) AS t1 FROM e GROUP BY 1),
          grid AS (SELECT u, unnest(generate_series(t0, t1, 86400000000)) AS gt FROM b)
          SELECT g.u AS user_id, CAST(g.gt AS BIGINT) AS grid_micros,
@@ -2616,7 +2617,8 @@ object SparkEntry {
          FROM grid g ASOF JOIN e ON g.u = e.u AND g.gt >= e.t""",
     "e_time_weighted" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
-                      CAST(value AS DECIMAL(18,2)) AS v FROM events),
+                      CAST(value AS DECIMAL(18,2)) AS v FROM events
+                    WHERE value IS NOT NULL AND ts IS NOT NULL),
          d AS (SELECT u, v, lead(t) OVER (PARTITION BY u ORDER BY t, v) - t AS dt
                FROM e),
          g AS (SELECT u, SUM(v * dt) AS num, SUM(dt) AS den
@@ -2888,7 +2890,8 @@ object SparkEntry {
       """WITH g AS (SELECT doc_id, substr(md5(sha256(text)), 1, 8) AS h8
            FROM documents)
          SELECT doc_id,
-                CASE WHEN h8 < 'cccccccc' THEN 'train'
+                CASE WHEN h8 IS NULL THEN 'train'
+                     WHEN h8 < 'cccccccc' THEN 'train'
                      WHEN h8 < 'e6666666' THEN 'valid'
                      ELSE 'test' END AS split
          FROM g""",
@@ -2896,7 +2899,8 @@ object SparkEntry {
       """WITH g AS (SELECT doc_id, length(text) AS n_chars,
                   substr(md5(sha256(text)), 1, 8) AS h8
            FROM documents)
-         SELECT CASE WHEN h8 < 'cccccccc' THEN 'train'
+         SELECT CASE WHEN h8 IS NULL THEN 'train'
+                     WHEN h8 < 'cccccccc' THEN 'train'
                      WHEN h8 < 'e6666666' THEN 'valid'
                      ELSE 'test' END AS split,
                 CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -381,16 +381,22 @@ object Dedup {
                        shingleN: Int = 8, minDf: Long = 2L): DataFrame = {
     require(shingleN > 0 && minDf >= 1,
       s"shingleN and minDf must be positive: $shingleN, $minDf")
-    val docGrams = docs
-      .select(col(idCol), Text.tokens(lower(col(textCol))).as("__t"))
-      .select(col(idCol), explode(array_distinct(
-        Text.shinglesFromTokens(col("__t"), shingleN))).as("__gram"))
+    // tokenize+shingle ONCE and persist: three consumers (the per-doc
+    // size, the gram frequencies, and the shared-gram count) would
+    // otherwise each re-run the full text pipeline over the corpus
+    // (code-review r7)
+    val shingled = graft.util.Caches.retain(docs
+      .select(col(idCol), array_distinct(Text.shinglesFromTokens(
+        Text.tokens(lower(col(textCol))), shingleN))).toDF(idCol, "__gs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val docGrams = shingled.select(col(idCol), explode(col("__gs")).as("__gram"))
     // grams are distinct per doc, so count(1) per gram == document freq
     val freq = docGrams.groupBy(col("__gram"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__gram"))
-    val perDoc = docGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val perDoc = shingled.select(col(idCol),
+      size(col("__gs")).cast("long").as("n_grams"))
     val shared = docGrams.join(freq, "__gram")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
     perDoc.join(shared, Seq(idCol), "left")

@@ -44,14 +44,24 @@ object Funnel {
     acc
   }
 
-  /** The conversion report: users reaching each step. Counts are
+  /** The conversion report: users reaching each step — ONE row per
+    * step, including a zero count for a step no user reached (a dead
+    * step silently missing from the report would read as "not
+    * measured", not "converted nobody" — code-review r7). Counts are
     * monotone non-increasing by construction.
     */
   def report(events: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, steps: Seq[String]): DataFrame =
-    funnelTimes(events, userCol, typeCol, tsCol, steps)
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    import events.sparkSession.implicits._
+    val all = steps.zipWithIndex.map { case (n, i) => (i + 1, n) }
+      .toDF("step", "step_name")
+    val reached = funnelTimes(events, userCol, typeCol, tsCol, steps)
       .groupBy(col("step"), col("step_name"))
       .agg(count(lit(1)).as("n_users"))
+    all.join(reached, Seq("step", "step_name"), "left")
+      .select(col("step"), col("step_name"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
 
   /** Cohort retention: users grouped by their FIRST-activity week (ISO
     * Monday truncation), counted active in each later week, reported

@@ -14,17 +14,20 @@ import org.apache.spark.sql.functions._
 object Profiling {
 
   /** Equi-width histogram of `value`: `nBuckets` buckets of `width`
-    * starting at 0, over-range values clamped into the last bucket.
-    * Fixed bounds, not a data-dependent min/max pass — a two-pass form
-    * divides by a float range that drifts across engines, and at scale
-    * it costs a second full read. One map-side-combined aggregation on
-    * ≤ `nBuckets` keys.
+    * starting at 0, out-of-range values clamped into the FIRST/LAST
+    * bucket and NULLs excluded (`least` alone would silently file both
+    * nulls and negatives outside the documented 0..nBuckets-1 range —
+    * code-review r7). Fixed bounds, not a data-dependent min/max pass —
+    * a two-pass form divides by a float range that drifts across
+    * engines, and at scale it costs a second full read. One
+    * map-side-combined aggregation on ≤ `nBuckets` keys.
     */
   def histogram(df: DataFrame, value: Column, width: Double,
                 nBuckets: Int): DataFrame = {
     require(nBuckets >= 1 && width > 0, "histogram needs nBuckets >= 1, width > 0")
-    df.select(least(lit(nBuckets - 1L),
-        floor(value.cast("double") / width)).as("bucket"))
+    df.filter(value.isNotNull)
+      .select(greatest(lit(0L), least(lit(nBuckets - 1L),
+        floor(value.cast("double") / width))).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .select(col("bucket"), (col("bucket") * width).as("lo"),
         ((col("bucket") + 1) * width).as("hi"), col("n"))

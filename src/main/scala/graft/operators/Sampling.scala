@@ -126,6 +126,11 @@ object Sampling {
       .foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
         case ((name, t), els) => when(h < lit(t), lit(name)).otherwise(els)
       }
-    df.withColumn("split", assign)
+    // a NULL group key would fall through every `<` to the LAST split —
+    // polluting the eval side, the exact leakage this operator exists
+    // to prevent. Route nulls to the FIRST (train) split explicitly
+    // (code-review r7).
+    df.withColumn("split",
+      when(col(groupCol).isNull, lit(splits.head._1)).otherwise(assign))
   }
 }

@@ -42,6 +42,8 @@ object Scd {
     require(keys.forall(log.columns.contains),
       s"keys $keys must exist in ${log.columns.toSeq}")
     require(!keys.contains(orderCol), "orderCol cannot also be a key")
+    require(!log.columns.contains("__prev"),
+      "a payload column named __prev would collide with the change-point marker — rename it")
     val payloadCols = log.columns.toSeq.filterNot(c => keys.contains(c) || c == orderCol)
     // __present rides along so a first-row lag-null is distinguishable
     // from a payload that is entirely null (same marker as Diff.diff)

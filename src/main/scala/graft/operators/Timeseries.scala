@@ -38,6 +38,10 @@ object Timeseries {
     val e = events.select(col(keyCol).as("__k"),
         unix_micros(col(tsCol)).as("__t"),
         col(valueCol).cast("decimal(18,2)").as("__v"))
+      // a null sample is not an observation: the ignoreNulls fill would
+      // skip PAST it to an older value while an as-of read would stop
+      // on it — exclude it from the timeline on both sides
+      .filter(col("__v").isNotNull && col("__t").isNotNull)
       .groupBy(col("__k"), col("__t")).agg(max(col("__v")).as("__v"))
     val grid = e.groupBy(col("__k"))
       .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
@@ -70,6 +74,11 @@ object Timeseries {
     events.select(col(keyCol).as("__k"),
         unix_micros(col(tsCol)).as("__t"),
         col(valueCol).cast("decimal(18,2)").as("__v"))
+      // a null sample holds no value to weight — and engines disagree
+      // on where NULL sorts in the tie-break order (Spark nulls-first,
+      // SQL nulls-last), so it must not occupy a timeline slot either
+      // (code-review r7)
+      .filter(col("__v").isNotNull && col("__t").isNotNull)
       .withColumn("__dt", lead(col("__t"), 1).over(w) - col("__t"))
       .filter(col("__dt").isNotNull)
       .groupBy(col("__k"))

@@ -39,6 +39,13 @@ class FunnelSpec extends SparkSpec {
     assert(rep == Seq(1 -> 4L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("report emits a zero row for a step nobody reached") {
+    val rep = Funnel.report(events, "user_id", "event_type", "ts",
+        Seq("A", "B", "C", "NEVER"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).sortBy(_._1).toSeq
+    assert(rep == Seq(1 -> 4L, 2 -> 2L, 3 -> 1L, 4 -> 0L))
+  }
+
   test("a user's later retry after an out-of-order event still advances") {
     val retry = Seq(
       (9L, "A", ts(1000)), (9L, "C", ts(1500)), (9L, "B", ts(2000)),

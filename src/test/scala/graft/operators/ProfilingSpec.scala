@@ -53,6 +53,15 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(prof("o_orderstatus") - exactStatus).toDouble / exactStatus <= 0.05)
   }
 
+  test("histogram excludes nulls and clamps negatives into bucket 0") {
+    val vals = Seq(Some(-25.0), Some(5.0), None, Some(999.0)).toDF("x")
+    val got = Profiling.histogram(vals, col("x"), 10.0, 3)
+      .select("bucket", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // null vanishes; -25 clamps to bucket 0 (not -3); 999 to bucket 2
+    assert(got == Seq((0L, 2L), (2L, 1L)))
+  }
+
   test("histogram rejects bad shape parameters") {
     val vals = Seq(1.0).toDF("x")
     intercept[IllegalArgumentException] {

@@ -126,6 +126,14 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hashSplit routes null group keys to the FIRST split, never the eval side") {
+    val rows = Seq((1L, Some("g")), (2L, None)).toDF("id", "grp")
+    val got = Sampling.hashSplit(rows, "grp",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(2L) == "train")
+  }
+
   test("hashSplit guards: weights sum, positivity, distinct names") {
     val rows = Seq((1L, "g")).toDF("id", "grp")
     intercept[IllegalArgumentException] {

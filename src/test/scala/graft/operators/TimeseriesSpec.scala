@@ -60,6 +60,20 @@ class TimeseriesSpec extends SparkSpec {
     assert(run(ev) == want && run(ev.repartition(7)) == want)
   }
 
+  test("null-valued samples are excluded from the timeline, not weighted past") {
+    val ev = Seq((1L, ts(0), Some(10.0)), (1L, ts(1000), None),
+      (1L, ts(2000), Some(30.0)), (1L, ts(3000), Some(0.0)))
+      .toDF("k", "ts", "value")
+    // null sample vanishes: 10 holds 2s, 30 holds 1s → (20+30)/3
+    val tw = Timeseries.timeWeightedAvg(ev, "k", "ts", "value")
+      .collect()(0).getDouble(1)
+    assert(tw == math.rint(50.0 / 3 * 1e6) / 1e6)
+    val rs = Timeseries.resampleLocf(ev, "k", "ts", "value", 1000000L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rs == Seq((0L, 10.0), (1000000L, 10.0), (2000000L, 30.0),
+      (3000000L, 0.0)))
+  }
+
   test("an empty frame and all-singleton keys yield no rows") {
     val ev = Seq((1L, ts(0), 1.0), (2L, ts(5), 2.0)).toDF("k", "ts", "value")
     assert(Timeseries.timeWeightedAvg(ev, "k", "ts", "value").count() == 0L)
