@@ -1784,7 +1784,9 @@ object SparkEntry {
     // round 7b: dimension history + temporal enrich, entity resolution,
     // fixed-point PageRank, data skipping, leakage-safe split
     "e_scd2_history", "j10_temporal_enrich", "er_entities", "g_pagerank",
-    "s_data_skipping", "pipeline_split")
+    "s_data_skipping", "pipeline_split",
+    // round 7c: retrieval index, boilerplate, robust stats, resample
+    "t_inverted_index", "t_boilerplate", "a14_robust_outliers", "e_resample")
 
   // ---- DuckDB oracle twins ----
 
