@@ -281,6 +281,90 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-duplicates: k-means cells as the
+    * blocking key (instead of [[embeddingNearDuplicates]]'s axis sign
+    * pattern), exact cosine ≥ `threshold` verified inside each cell.
+    * The standard semantic-dedup recipe for embedding corpora: cluster
+    * once, then compare only within clusters — candidate generation is a
+    * self-equi-join on the cell id, so the shuffle partitions on cells
+    * and nothing ever goes all-pairs. Identical vectors land in the same
+    * cell by construction (the assignment is a deterministic argmax over
+    * the same centroids), so exact-copy recall is 100% regardless of how
+    * approximate the clustering is; near-copies are subject to the usual
+    * blocking recall trade-off (raise `nCells` resolution or fall back to
+    * [[embeddingNearDuplicates]] with more tables for higher recall).
+    * Same hot-bucket guard as every blocking family: a degenerate
+    * clustering (all vectors in one cell) degrades to a capped drop, not
+    * a quadratic join.
+    */
+  def semanticNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, nCells: Int = 16,
+                             iters: Int = 3,
+                             maxCell: Int = 10000): DataFrame = {
+    val cells = Similarity.kmeansCells(emb, nCells, iters, idCol, vecCol)
+    val bucketed = capBuckets(
+      emb.join(cells, idCol)
+        .select(col(idCol), col(vecCol), lit(0).as("band"),
+          col("cell").cast("long").as("sig")),
+      maxCell)
+    val a = bucketed.select(col("band"), col("sig"),
+      col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = bucketed.select(col("band"), col("sig"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Incremental near-duplicate pairs — the daily-ingest batch form of
+    * [[graft.streaming.NearDupStream]]: candidates between FRESH documents
+    * and the full corpus (registry ∪ fresh) only, never registry ×
+    * registry. The registry side is assumed already deduplicated (that's
+    * what yesterday's run produced), so re-verifying its internal pairs
+    * every day would redo almost all the work for nothing: this join's
+    * cost is O(fresh bands + colliding registry bands), not O(corpus²) or
+    * even O(corpus pairs).
+    *
+    * Returns (fresh_id, partner_id, jaccard) with jaccard ≥ `threshold`;
+    * `partner_id` may be a registry id or another fresh id (fresh×fresh
+    * pairs emit once, oriented id_a < id_b as usual). Band signatures for
+    * BOTH sides come from the same [[minhashSignatures]] pipeline, and
+    * the Jaccard verify reads only documents named by a candidate pair.
+    * The hot-bucket cap applies to the UNION's buckets: a boilerplate
+    * band signature shared by half the registry would otherwise make
+    * every fresh arrival join against it.
+    */
+  def incrementalNearDuplicates(registry: DataFrame, fresh: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double = 0.8, k: Int = 16,
+                                bands: Int = 4, shingleN: Int = 3,
+                                maxBucket: Int = 10000): DataFrame = {
+    val all = registry.select(col(idCol), col(textCol), lit(false).as("__fresh"))
+      .unionByName(
+        fresh.select(col(idCol), col(textCol), lit(true).as("__fresh")))
+    val sigs = minhashSignatures(all, idCol, textCol, k, shingleN)
+    val banded = capBuckets(
+      bandSignatures(sigs, idCol, k, bands)
+        .join(all.select(col(idCol), col("__fresh")), idCol),
+      maxBucket)
+    val freshSide = banded.filter(col("__fresh"))
+      .select(col("band"), col("sig"), col(idCol).as("id_a"))
+    val anySide = banded
+      .select(col("band"), col("sig"), col(idCol).as("id_b"),
+        col("__fresh").as("__fresh_b"))
+    // fresh×any, minus self; a fresh×fresh pair collides twice (once per
+    // orientation) — keep id_a < id_b for those, both orientations for
+    // fresh×registry (the registry partner may have either id order)
+    val cands = freshSide.join(anySide, Seq("band", "sig"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(!col("__fresh_b") || col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardVerify(cands, all.drop("__fresh"), idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash (64-bit): explode tokens → xxhash64 → per-document bit-vote
     * (sum ±1 per bit position in one HashAggregate with 64 partial-agg
     * columns) → sign bits reassembled into a long. Same explode-then-
@@ -381,29 +465,46 @@ object Dedup {
                        shingleN: Int = 8, minDf: Long = 2L): DataFrame = {
     require(shingleN > 0 && minDf >= 1,
       s"shingleN and minDf must be positive: $shingleN, $minDf")
-    // tokenize+shingle ONCE and persist: three consumers (the per-doc
-    // size, the gram frequencies, and the shared-gram count) would
-    // otherwise each re-run the full text pipeline over the corpus
-    // (code-review r7)
-    val shingled = graft.util.Caches.retain(docs
-      .select(col(idCol), array_distinct(Text.shinglesFromTokens(
-        Text.tokens(lower(col(textCol))), shingleN))).toDF(idCol, "__gs")
+    // HASHED grams (round 8): every consumer only ever COUNTS grams, so
+    // the gram's identity can be xxhash64 over the window's tokens instead
+    // of the concatenated string. Three wins at 100 TB: (a) the window
+    // hash is a codegen'd explode(sequence) + one xxhash64 over n
+    // positional gets — no interpreted HOF lambda, no per-gram string
+    // allocation (the shinglesFromTokens trap); (b) every shuffle row is
+    // (id, hash) = 16 fixed bytes, not a ~8-word string; (c) the persisted
+    // frame is the distinct pair set, not per-doc string arrays. The
+    // token-tuple → hash mapping is injective modulo xxhash64 collisions
+    // (~n²/2⁶⁵ for n distinct grams — at 10⁹ grams odds are ~1:40 000, and
+    // a collision only perturbs one count by 1); a short document hashes
+    // its whole token list (trailing out-of-window gets are null, which
+    // xxhash64 skips), mirroring the capped-slice string semantics, so the
+    // report still hash-compares against the string-gram DuckDB oracle.
+    val toks = docs.select(col(idCol),
+      Text.tokens(lower(col(textCol))).as("__t"))
+    val grams = toks
+      .select(col(idCol), col("__t"), explode(sequence(lit(1),
+        greatest(size(col("__t")) - (shingleN - 1), lit(1)))).as("__i"))
+      .select(col(idCol), xxhash64((0 until shingleN).map(j =>
+        get(col("__t"), col("__i") + lit(j) - 1)): _*).as("__gh"))
+    // distinct (doc, gram) pairs: map-side partial distinct absorbs the
+    // explode volume before the one pair shuffle; persisted because both
+    // the document-frequency aggregation and the closing per-doc count
+    // consume it (code-review r7 — no consumer re-runs the text pipeline)
+    val dg = graft.util.Caches.retain(grams.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val docGrams = shingled.select(col(idCol), explode(col("__gs")).as("__gram"))
     // grams are distinct per doc, so count(1) per gram == document freq
-    val freq = docGrams.groupBy(col("__gram"))
+    val hot = dg.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
-      .select(col("__gram"))
-    val perDoc = shingled.select(col(idCol),
-      size(col("__gs")).cast("long").as("n_grams"))
-    val shared = docGrams.join(freq, "__gram")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
-    perDoc.join(shared, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
-          col("n_grams"), 6).as("shared_frac"))
+      .select(col("__gh"), lit(1).as("__hot"))
+    // one left join marks shared grams; count() vs count(__hot) folds the
+    // per-doc size and the shared count into a single aggregation
+    dg.join(hot, Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hot")).as("n_shared"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6)
+          .as("shared_frac"))
   }
 
   /** The delete-variant set of a key: the key itself plus every string

@@ -228,6 +228,88 @@ class DedupSpec extends SparkSpec {
     assert(byId(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("boilerplateStats hashed grams match the string-gram model exactly") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with shared spans, short docs
+    // (< shingleN tokens: whole-token-list gram), an empty doc, and exact
+    // copies — the hashed implementation must reproduce the STRING-gram
+    // model (the DuckDB oracle's form) count for count
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val boiler = "all rights reserved c 2026 example corp inc"
+    def doc(seed: Long): String = {
+      val r = new scala.util.Random(seed)
+      val body = Seq.fill(4 + r.nextInt(16))(words(r.nextInt(words.length)))
+      (if (seed % 3 == 0) boiler + " " else "") + body.mkString(" ")
+    }
+    val rows = (1L to 60L).map(i => i -> doc(i)) ++
+      Seq(61L -> "tiny doc", 62L -> "tiny doc", 63L -> "", 64L -> "solo") ++
+      (1L to 10L).map(i => (100L + i) -> doc(i)) // exact copies
+    val n = 8
+    def gramsOf(text: String): Set[Seq[String]] = {
+      val ts = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val count = math.max(ts.length - (n - 1), 1)
+      (0 until count).map(i => ts.slice(i, i + n)).toSet
+    }
+    val model = rows.map { case (id, t) => id -> gramsOf(t) }
+    val df = model.flatMap { case (_, gs) => gs }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = model.map { case (id, gs) =>
+      val shared = gs.count(g => df(g) >= 2)
+      id -> ((gs.size.toLong, shared.toLong,
+        BigDecimal.decimal(shared.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = Dedup.boilerplateStats(rows.toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = n)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+  }
+
+  test("incrementalNearDuplicates: fresh pairs only, registry internals excluded") {
+    import spark.implicits._
+    // registry holds an internal exact-duplicate pair (1,2) that a full
+    // dedup would emit; the incremental pass must NOT re-find it, but
+    // must find fresh 10 against registry 1 AND 2, and fresh-fresh
+    // (10,11) exactly once
+    val registry = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again today",
+      3L -> "completely unrelated registry document about database engines"
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog again today",
+      11L -> "the quick brown fox jumps over the lazy dog again today"
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDuplicates(registry, fresh,
+      "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (10L, 11L)),
+      s"got $pairs")
+  }
+
+  test("semanticNearDuplicates finds planted copies and caps hot cells") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val emb = (1L to 40L).map(i =>
+      (i, Seq.fill(8)(r.nextGaussian()))).toDF("vec_id", "emb_d")
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") <= 5).select(
+        (col("vec_id") + 100L).as("vec_id"), col("emb_d")))
+    val pairs = Dedup.semanticNearDuplicates(planted, "vec_id", "emb_d",
+      threshold = 0.999, nCells = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 5L).foreach(i =>
+      assert(pairs.contains((i, i + 100L)), s"planted copy of $i missed: $pairs"))
+    // one degenerate cell (cap 3 < any real cell) -> capped drop, no blow-up
+    assert(Dedup.semanticNearDuplicates(planted, "vec_id", "emb_d",
+      threshold = 0.0, nCells = 1, iters = 1, maxCell = 3).count() == 0L)
+  }
+
   test("fuzzyPairs never emits self-pairs, even for duplicate input ids") {
     import spark.implicits._
     // id 1 appears under two keys at distance 1: the key-pair expansion
