@@ -500,6 +500,48 @@ object SparkEntry {
         threshold = 0.99, nbits = 8)
     }),
 
+    // SemDeDup recall over planted EXACT copies: an identical vector is
+    // assigned the same k-means cell by construction (deterministic argmax
+    // over the same trained centroids), so every planted pair must surface
+    // from the cell self-join with cos_sim 1.0 REGARDLESS of clustering
+    // quality — the structural guarantee that lets the kmeans-cell
+    // blocking pipeline sit under the DuckDB oracle even though the
+    // centroids themselves aren't SQL-replicable.
+    "dedup_semantic_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
+      val planted = e.unionByName(e.filter(col("vec_id") < 50).select(
+        (col("vec_id") + PlantedOffset).as("vec_id"), col("emb_d")))
+      val pairs = Dedup.semanticNearDuplicates(planted, "vec_id", "emb_d",
+        threshold = 0.99)
+      val base = e.filter(col("vec_id") < 50).select(col("vec_id"))
+      base.join(pairs,
+        base("vec_id") === pairs("id_a") &&
+          pairs("id_b") === base("vec_id") + PlantedOffset, "left_semi")
+        .select(col("vec_id"), lit(true).as("found"))
+    }),
+
+    // Incremental (daily-ingest) dedup recall: fresh = an exact copy of
+    // every document, registry = the originals plus a planted
+    // registry-internal duplicate family (doc_id < 50 copied again at
+    // PlantedOffset2). Identical text gives identical MinHash band
+    // signatures, so every fresh copy MUST collide with its registry
+    // original and verify at jaccard 1.0 — a missed pair drops a row and
+    // fails the driver compare. Registry×registry pairs (the planted
+    // internal family) staying out of the output is pinned by DedupSpec.
+    "dedup_incremental_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val registry = docs.unionByName(
+        exactCopy(docs.filter(col("doc_id") < 50), PlantedOffset2))
+      val fresh = exactCopy(docs, PlantedOffset)
+      val pairs = Dedup.incrementalNearDuplicates(registry, fresh,
+        "doc_id", "text", threshold = 0.8)
+      val base = docs.select(col("doc_id"))
+      base.join(pairs,
+        base("doc_id") + PlantedOffset === pairs("id_a") &&
+          pairs("id_b") === base("doc_id"), "left_semi")
+        .select(col("doc_id"), lit(true).as("found"))
+    }),
+
     // ---- text analysis (§7.5) ----
     "t_text_stats" -> ((s, dir) =>
       Text.analyzed(Tables.documents(s, dir).select(col("doc_id"), col("text")))
@@ -2069,6 +2111,10 @@ object SparkEntry {
       "SELECT doc_id, CAST(0 AS INTEGER) AS hamming FROM documents",
     // fuzzy join planted truth: every 1-edit mutation found at distance 1
     "dedup_fuzzy_recall" ->
+      "SELECT doc_id, true AS found FROM documents",
+    "dedup_semantic_recall" ->
+      "SELECT vec_id, true AS found FROM embeddings WHERE vec_id < 50",
+    "dedup_incremental_recall" ->
       "SELECT doc_id, true AS found FROM documents",
     "t_boilerplate" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents

@@ -84,6 +84,14 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // newer testdata stores micros-precision NTZ timestamps; normalize
+        // to the session-timezone (UTC everywhere here) instant type so
+        // epoch arithmetic (unix_micros et al.) and every query behave
+        // identically to the nanos-as-long era — the cast is wall-clock
+        // preserving under a UTC session
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Dedup family: exact grouping, MinHash determinism, planted near-dups
   * end-to-end, Jaccard exactness, hot-bucket cap, SimHash Hamming.
