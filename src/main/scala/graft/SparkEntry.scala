@@ -731,6 +731,36 @@ object SparkEntry {
         e.select(col("vec_id"), col("emb_d").as("embedding")),
         dim = dim, k = 10)
     }),
+    "ann_pq_topk" -> ((s, dir) => {       // rows-only: fp-sensitive training
+      val e = embDouble(s, dir)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d")),
+        dim = 64, k = 10, cVec = "emb_d")
+    }),
+    // PQ structural self-recall: a query drawn from the corpus encodes to
+    // the codes that MINIMIZE each subspace's quantization distance, so
+    // its ADC score Σ_j min_c d2(q_j, c) is termwise ≤ any other row's —
+    // and IEEE rounding is monotone under the fixed-order fold — so the
+    // self row always ties the global minimum EXACTLY (same doubles, same
+    // order). Pins training/encoding/table consistency end-to-end even
+    // though the trained centroids aren't SQL-replicable.
+    "ann_pq_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val corpus = e.select(col("vec_id"), col("emb_d"))
+      val cb = Similarity.pqCodebook(corpus, dim = 64, m = 4, cVec = "emb_d")
+      val scored = Similarity.pqScores(
+        corpus.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        Similarity.pqCodes(corpus, cb, dim = 64, m = 4, cVec = "emb_d"),
+        cb, dim = 64, m = 4)
+      val mins = scored.groupBy(col("q_id")).agg(min(col("adc_dist")).as("min_adc"))
+      val self = scored.filter(col("q_id") === col("vec_id"))
+        .select(col("q_id"), col("adc_dist").as("self_adc"))
+      mins.join(self, "q_id")
+        .select(col("q_id"), (col("self_adc") === col("min_adc")).as("found"))
+    }),
     // LSH self-recall (VERDICT r03 #1): each query vector is drawn from the
     // corpus, collides with itself in every hash table by construction, and
     // cosine(v, v) rounds to exactly 1.0 — so rank 1 must be the query
@@ -1828,7 +1858,9 @@ object SparkEntry {
     "e_scd2_history", "j10_temporal_enrich", "er_entities", "g_pagerank",
     "s_data_skipping", "pipeline_split",
     // round 7c: retrieval index, boilerplate, robust stats, resample
-    "t_inverted_index", "t_boilerplate", "a14_robust_outliers", "e_resample")
+    "t_inverted_index", "t_boilerplate", "a14_robust_outliers", "e_resample",
+    // round 7d: SemDeDup cells, daily-ingest incremental dedup, PQ ANN
+    "dedup_semantic_recall", "dedup_incremental_recall", "ann_pq_recall")
 
   // ---- DuckDB oracle twins ----
 
@@ -2208,6 +2240,8 @@ object SparkEntry {
     "ann_lsh_recall" ->
       """SELECT vec_id AS q_id, vec_id, CAST(1.0 AS DOUBLE) AS sim
          FROM embeddings WHERE vec_id < 5""",
+    "ann_pq_recall" ->
+      "SELECT vec_id AS q_id, true AS found FROM embeddings WHERE vec_id < 50",
     "ann_ivf_kmeans_quality" ->
       """SELECT CAST(COUNT(*) + 50 AS BIGINT) AS n_vectors,
                 CAST(COUNT(*) + 50 AS BIGINT) AS n_assigned,

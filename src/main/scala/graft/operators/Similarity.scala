@@ -29,6 +29,14 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(Any, String, String), DataFrame]()
   graft.util.Caches.onClear(() => centroidCache.clear())
 
+  /** Same memo for [[pqCodebook]]: one training per (corpus plan, dim, m,
+    * ksub, iters) — a top-k and a recall query over the same corpus share
+    * the codebook instead of re-running Lloyd's.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(Any, Int, Int, Int, Int), DataFrame]()
+  graft.util.Caches.onClear(() => pqCache.clear())
+
   /** Dot product of two `array<double>` columns — the native codegen'd
     * expression (graft.functions.DotProduct): a fused primitive loop
     * instead of the HOF `aggregate(zip_with(...))` chain. Bit-identical
@@ -185,6 +193,174 @@ object Similarity {
     pruned.select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("sim"))
       .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
       .select(col(qId), col(cId), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Squared L2 distance — fixed left-to-right HOF fold, so every call
+    * site (codebook training, encoding, ADC tables) computes bit-identical
+    * doubles for the same operands; the PQ recall invariant depends on it.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** The m fixed-width subvectors of `vec` as (subspace, sub) structs. */
+  private def subvecs(vec: Column, dim: Int, m: Int): Column = {
+    val dsub = dim / m
+    array((0 until m).map(j => struct(lit(j).as("subspace"),
+      slice(vec, j * dsub + 1, dsub).as("sub"))): _*)
+  }
+
+  /** Product-quantization codebook: `m` independent `ksub`-centroid
+    * k-means runs — one per subspace — trained TOGETHER in a single
+    * Lloyd's loop by keying every step on (subspace, cell), so each
+    * iteration is one corpus scan (explode to m subvector rows), one
+    * broadcast join against the m×ksub codebook, one min_by hash
+    * aggregation, and one re-averaging pass — never m separate jobs.
+    * Deterministic: seeds are the subvectors of the ksub lowest-id corpus
+    * rows (a TakeOrdered, not a per-subspace window over the corpus);
+    * assignment ties break toward the lower cell. Cells are re-indexed
+    * contiguously per subspace at the end so ADC tables can use positional
+    * lookup; empty cells simply vanish. Returns (subspace, cell, centroid),
+    * m×ksub rows — broadcast-sized by construction.
+    */
+  def pqCodebook(corpus: DataFrame, dim: Int, m: Int, ksub: Int = 16,
+                 iters: Int = 2, cId: String = "vec_id",
+                 cVec: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    require(ksub > 0 && iters > 0, s"need positive ksub/iters: $ksub/$iters")
+    pqCache.computeIfAbsent(
+      (corpus.queryExecution.analyzed.canonicalized, dim, m, ksub, iters),
+      _ => trainPqCodebook(corpus, dim, m, ksub, iters, cId, cVec))
+  }
+
+  private def trainPqCodebook(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+                              iters: Int, cId: String, cVec: String): DataFrame = {
+    val subs = corpus.select(col(cId).as("__id"),
+      explode(subvecs(col(cVec), dim, m)).as("sv"))
+      .select(col("__id"), col("sv.subspace").as("subspace"),
+        col("sv.sub").as("sub"))
+    // seeds: ksub lowest GLOBAL ids (TakeOrderedAndProject — no window
+    // shuffling the corpus into m reducers), each contributing one seed
+    // subvector per subspace
+    var cb = corpus.orderBy(col(cId)).limit(ksub)
+      .select(col(cId).as("__id"), explode(subvecs(col(cVec), dim, m)).as("sv"))
+      .select(col("__id"), col("sv.subspace").as("subspace"),
+        col("sv.sub").as("sub"))
+      .withColumn("cell", row_number().over(
+        Window.partitionBy(col("subspace")).orderBy(col("__id"))) - 1)
+      .select(col("subspace"), col("cell"), col("sub").as("centroid"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(cb), Seq("subspace"))
+        .select(col("__id"), col("subspace"), col("sub"), col("cell"),
+          sqDist(col("sub"), col("centroid")).as("d2"))
+        .groupBy(col("__id"), col("subspace"))
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
+          first(col("sub")).as("sub"))
+      val next = assigned
+        .select(col("subspace"), col("cell"),
+          posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("subspace", "cell", "pos").agg(avg("v").as("mv"))
+        .groupBy("subspace", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("subspace"), col("cell"),
+          transform(col("pm"), p => p.getField("mv")).as("centroid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize so the next iteration's plan stays flat
+      if (prev != null) prev.unpersist()
+      prev = cb
+      cb = next
+      if (prev != null && !prev.storageLevel.useMemory) prev = null
+    }
+    if (prev != null) prev.unpersist() // second-to-last iteration's frame
+    // contiguous cell ids per subspace (positional-lookup contract); the
+    // window runs over the m×ksub codebook rows, not the corpus
+    val reindexed = graft.util.Caches.retain(cb
+      .withColumn("cell", row_number().over(
+        Window.partitionBy(col("subspace")).orderBy(col("cell"))) - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    reindexed.count()
+    cb.unpersist()
+    reindexed
+  }
+
+  /** PQ encoding: each corpus vector compressed to `m` small codes —
+    * nearest codebook cell per subspace, assembled subspace-ordered into
+    * one `codes` array per row. One corpus scan, one broadcast join, one
+    * hash aggregation; the result is the 100 TB-resident form (m bytes of
+    * information per vector instead of dim floats).
+    */
+  def pqCodes(corpus: DataFrame, codebook: DataFrame, dim: Int, m: Int,
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    corpus.select(col(cId), explode(subvecs(col(cVec), dim, m)).as("sv"))
+      .select(col(cId), col("sv.subspace").as("subspace"), col("sv.sub").as("sub"))
+      .join(broadcast(codebook), Seq("subspace"))
+      .select(col(cId), col("subspace"), col("cell"),
+        sqDist(col("sub"), col("centroid")).as("d2"))
+      .groupBy(col(cId), col("subspace"))
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("code"))
+      .groupBy(col(cId))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("sc"))
+      .select(col(cId), transform(col("sc"), s => s.getField("code")).as("codes"))
+
+  /** Asymmetric-distance PQ scores: every (query, corpus vector) pair's
+    * approximate squared L2 distance = Σ_j table[j][code_j], where the
+    * per-query table holds the exact distances from the query's j-th
+    * subvector to every cell centroid. The table (nq × m × ksub doubles)
+    * broadcasts; scoring is ONE narrow pass over the code rows with a
+    * fixed-order fold — no shuffle at all after encoding. Structural
+    * invariant (the recall oracle pins it): a query that exists in the
+    * corpus scores Σ_j min_c d2(q_j, c) — termwise minimal, and IEEE
+    * rounding is monotone under same-order summation — so its own row
+    * ALWAYS achieves the minimum ADC distance.
+    */
+  def pqScores(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+               dim: Int, m: Int, qId: String = "q_id",
+               qVec: String = "q_vec", cId: String = "vec_id"): DataFrame = {
+    // per-query lookup table, rows ordered (subspace, cell) to match the
+    // positional contract from pqCodebook's re-indexing
+    val qtab = queries
+      .select(col(qId), explode(subvecs(col(qVec), dim, m)).as("sv"))
+      .select(col(qId), col("sv.subspace").as("subspace"), col("sv.sub").as("qsub"))
+      .join(codebook, Seq("subspace"))
+      .select(col(qId), col("subspace"), col("cell"),
+        sqDist(col("qsub"), col("centroid")).as("pd2"))
+      .groupBy(col(qId), col("subspace"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("pd2")))).as("cp"))
+      .select(col(qId), col("subspace"),
+        transform(col("cp"), c => c.getField("pd2")).as("row"))
+      .groupBy(col(qId))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("row")))).as("sr"))
+      .select(col(qId), transform(col("sr"), s => s.getField("row")).as("tbl"))
+    codes.join(broadcast(qtab))
+      .select(col(qId), col(cId),
+        aggregate(
+          zip_with(col("codes"), col("tbl"),
+            (c, row) => element_at(row, c.cast("int") + 1)),
+          lit(0.0d), (acc, v) => acc + v).as("adc_dist"))
+  }
+
+  /** PQ ANN top-k: train → encode → ADC-score → two-stage ascending
+    * top-k (partition-local rank before the global one, same shape as
+    * [[bruteForceTopK]] — no reducer ever sees a whole query's corpus).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+             m: Int = 4, ksub: Int = 16, iters: Int = 2,
+             qId: String = "q_id", qVec: String = "q_vec",
+             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(corpus, dim, m, ksub, iters, cId, cVec)
+    val scored = pqScores(queries, pqCodes(corpus, cb, dim, m, cId, cVec),
+      cb, dim, m, qId, qVec, cId)
+      .withColumn("__part", spark_partition_id())
+    val localW = Window.partitionBy(col(qId), col("__part"))
+      .orderBy(col("adc_dist"), col(cId))
+    val globalW = Window.partitionBy(col(qId))
+      .orderBy(col("adc_dist"), col(cId))
+    scored
+      .withColumn("__lr", row_number().over(localW)).filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("adc_dist"), 6).as("adc_dist"),
+        col("rank"))
   }
 
   /** Random-hyperplane LSH bucket key: `nbits` sign bits of dot(v, h_i),

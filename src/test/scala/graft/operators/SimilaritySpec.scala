@@ -44,4 +44,68 @@ class SimilaritySpec extends SparkSpec {
     // identical vector collides with itself in every hash table → present, sim 1
     assert(out.nonEmpty && out(0)._1 == 1L && out(0)._2 == 1.0)
   }
+
+  // separable 4-dim corpus for PQ (m=2 subspaces of 2 dims): two tight
+  // groups per subspace, so even 1-iteration codebooks quantize cleanly
+  private val pqCorpus = Seq(
+    (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+    (2L, Seq(0.1, 0.0, 10.0, 10.1)),
+    (3L, Seq(10.0, 10.0, 0.0, 0.0)),
+    (4L, Seq(10.1, 10.0, 0.1, 0.0)),
+    (5L, Seq(0.0, 0.1, 0.0, 0.1)),
+    (6L, Seq(10.0, 10.1, 10.1, 10.0))
+  ).toDF("vec_id", "embedding")
+
+  test("pqCodebook: contiguous cells per subspace, centroids are subvector-width") {
+    val cb = Similarity.pqCodebook(pqCorpus, dim = 4, m = 2, ksub = 2, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    graft.operators.Dedup.clearCaches()
+    assert(cb.map(_._1).toSet == Set(0, 1))
+    cb.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0 until rows.length).toSeq,
+        s"cells not contiguous: ${rows.mkString(",")}")
+    }
+    assert(cb.forall(_._3.length == 2))
+  }
+
+  test("pqCodes: one m-length code array per vector, codes within [0, ksub)") {
+    val cb = Similarity.pqCodebook(pqCorpus, dim = 4, m = 2, ksub = 2, iters = 2)
+    val codes = Similarity.pqCodes(pqCorpus, cb, dim = 4, m = 2).collect()
+    graft.operators.Dedup.clearCaches()
+    assert(codes.length == 6)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 2 && cs.forall(c => c >= 0 && c < 2))
+    }
+  }
+
+  test("pqTopK: self is rank 1, opposite-group vectors rank below neighbors") {
+    val q = Seq((1L, Seq(0.0, 0.0, 10.0, 10.0))).toDF("q_id", "q_vec")
+    val out = Similarity.pqTopK(q, pqCorpus, dim = 4, k = 6, m = 2, ksub = 2)
+      .collect().sortBy(_.getInt(3))
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    graft.operators.Dedup.clearCaches()
+    // vec 1 == query: minimal ADC distance, ties broken by id → rank 1;
+    // vec 2 shares both codes → ties vec 1, ranks 2
+    assert(out(0)._1 == 1L, s"self not rank 1: ${out.mkString(",")}")
+    assert(out(1)._1 == 2L)
+    assert(out(0)._2 == out(1)._2) // identical codes → identical ADC
+    // vec 3/4 (opposite group in both subspaces) score strictly worse
+    assert(out.takeRight(2).forall(_._2 > out(0)._2))
+  }
+
+  test("pqScores structural invariant: a corpus query's self row achieves the min ADC") {
+    val qs = pqCorpus.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val cb = Similarity.pqCodebook(pqCorpus, dim = 4, m = 2, ksub = 2, iters = 1)
+    val scored = Similarity.pqScores(qs,
+      Similarity.pqCodes(pqCorpus, cb, dim = 4, m = 2), cb, dim = 4, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.operators.Dedup.clearCaches()
+    val byQ = scored.groupBy(_._1)
+    assert(byQ.size == 6)
+    byQ.foreach { case (q, rows) =>
+      val self = rows.find(_._2 == q).get._3
+      assert(self == rows.map(_._3).min, s"query $q: self $self not min")
+    }
+  }
 }
