@@ -553,6 +553,11 @@ object SparkEntry {
     "t_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    // BPE tokenizer-training step: corpus-wide weighted adjacent-char
+    // pair counts at distinct-word grain — integer counting all the way,
+    // so the oracle replicates the whole pass verbatim
+    "t_bpe_pairs" -> ((s, dir) =>
+      Text.bpePairCounts(Tables.documents(s, dir), "text")),
     // PII detection + redaction (functions/Pii.scala): plant emails /
     // phones / SSNs / IPv4s derived from doc_id (the oracle replants the
     // identical strings), then count per category on the raw text and
@@ -916,6 +921,55 @@ object SparkEntry {
     // batch math cannot drift.
     "st_daily_kpis_exact" -> ((s, dir) =>
       graft.streaming.DailyKpis.stream(enriched(s, dir)).toDF()),
+
+    // Streaming sessionization answering e_sessionize's oracle VERBATIM:
+    // events replayed as a multi-batch file stream (maxFilesPerTrigger
+    // forces real cross-batch session-state merging), session_window in
+    // append mode, finalized sessions landing in the snapshot-isolated
+    // key upsert table. Two AvailableNow drains from ONE checkpoint pin
+    // the stop/resume story: run 1 ingests every real file (the huge
+    // watermark delay means nothing finalizes — arrival order is
+    // hash-partitioned, so a smaller delay would drop genuinely-early
+    // files as late); run 2 resumes the same state and ships one
+    // far-future sentinel event, advancing the watermark past every real
+    // session end so the engine's no-data batch flushes them all.
+    // Production uses a real delay and flushes continuously — same code.
+    "st_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val stage = tmpDir("graft_stsess_in")
+      ev.write.mode("overwrite").parquet(stage)
+      val maxTs = s.read.parquet(stage).agg(max(col("ts"))).first().getTimestamp(0)
+      val (out, cp) = (tmpDir("graft_stsess_out"), tmpDir("graft_stsess_cp"))
+      def drain(): Unit = {
+        val stream = s.readStream.schema(s.read.parquet(stage).schema)
+          .option("maxFilesPerTrigger", 8).parquet(stage)
+        val sess = graft.streaming.Windows.sessionizeStream(
+          stream, "ts", "user_id", "30 minutes", "3650 days")
+        val q = sess.writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch(graft.streaming.StreamingPipeline
+            .upsertBatchSnapshot(out, Seq("user_id", "session_start")) _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain()
+      // sentinel: one event far enough ahead that watermark (sentinel −
+      // delay) clears every real session end; its own session never
+      // finalizes and its user id never appears in the output
+      import s.implicits._
+      Seq((-1L, new java.sql.Timestamp(
+        maxTs.getTime + (3651L * 24 * 3600 * 1000))))
+        .toDF("user_id", "ts")
+        .write.mode("append").parquet(stage)
+      drain()
+      graft.streaming.StreamingPipeline.readSnapshot(s, out)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"))
+    }),
 
     // ST5, second KPI table (VERDICT r04 #1): the REAL streaming
     // dailyKpiWriterPartitioned drained (AvailableNow) over a file-sourced
@@ -2379,6 +2433,14 @@ object SparkEntry {
     "t_term_stats" ->
       s"""$sqlTermStatsCtes
          SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)""",
+    "t_bpe_pairs" ->
+      s"""WITH t AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+         v AS (SELECT w, COUNT(*) AS wn FROM t GROUP BY 1),
+         p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, wn
+               FROM v WHERE len(w) >= 2)
+         SELECT pair, CAST(SUM(wn) AS BIGINT) AS n FROM p
+         GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""",
     // only the sketch's GUARANTEED content is pinned: the exact heavy set
     // with true bound flags (see the query comment)
     "t_frequent_terms" ->
@@ -2577,6 +2639,20 @@ object SparkEntry {
          JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY 1""",
+    // the streaming session store must answer the batch gaps-and-islands
+    // sessionization exactly (same SQL as e_sessionize)
+    "st_sessionize" ->
+      """WITH x AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x)
+         SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                COUNT(*) AS n_events
+         FROM y GROUP BY user_id, sid""",
 
     "e_tumbling" ->
       """SELECT event_type,

@@ -231,6 +231,31 @@ object Text {
           .as("dup_ngram_frac"))
   }
 
+  /** BPE merge-pair counting — the inner step of byte-pair-encoding
+    * tokenizer training at corpus scale: count adjacent CHARACTER pairs
+    * across the corpus, weighted by word frequency. Runs at DISTINCT-WORD
+    * grain (the classic trick: after the one corpus pass that builds the
+    * word-frequency vocabulary, pair expansion touches each unique word
+    * once — vocabulary size grows sublinearly in corpus size, so the
+    * expensive explode is corpus-size-independent). The top pair is the
+    * merge a BPE trainer would pick next; `topN` returns the candidate
+    * list ordered (count desc, pair asc). Two hash aggregations, one
+    * TakeOrdered — no windows, no single-partition stage.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    topN: Int = 30): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("w"), col("wn"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("wn"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+  }
+
   /** THE curation annotation chain — [[stats]] columns, the composite
     * `quality_ok` flag, `lang_pred`, and `bpe_tokens` attached in one
     * stacked projection (pure codegen'd expressions, no shuffle). Batch

@@ -62,4 +62,5 @@ object Windows {
   def sessionizeStream(events: DataFrame, tsCol: String, keyCol: String,
                        gap: String, watermark: String): DataFrame =
     sessionize(events.withWatermark(tsCol, watermark), tsCol, keyCol, gap)
+
 }

@@ -160,4 +160,20 @@ class TextSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Text.chunk(df, "doc_id", "text", 0, 3) }
     intercept[IllegalArgumentException] { Text.chunk(df, "doc_id", "text", 3, 0) }
   }
+
+  test("bpePairCounts: word-frequency-weighted adjacent char pairs, case-folded") {
+    // vocab after lower(): aab:2, ab:1, x:1 (single chars contribute no pair)
+    val df = Seq((1L, "aab AB x"), (2L, "Aab")).toDF("doc_id", "text")
+    val got = Text.bpePairCounts(df, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // pairs: aab → aa(×2), ab(×2); ab → ab(×1)  ⇒ ab:3, aa:2
+    assert(got == Seq(("ab", 3L), ("aa", 2L)))
+  }
+
+  test("bpePairCounts: topN truncates on (count desc, pair asc)") {
+    val df = Seq((1L, "ab ab bc cd")).toDF("doc_id", "text")
+    val got = Text.bpePairCounts(df, "text", topN = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("ab", "bc")) // bc before cd on the pair tiebreak
+  }
 }
