@@ -1280,6 +1280,10 @@ object SparkEntry {
     // MAD pass use range-partitioned ranks, no whole-group buffers —
     // then a fixed IEEE chain (price-med)/(mad*1.4826) rounded to 6,
     // top-20 by |robust z| with a full tiebreak.
+    // key-skew diagnostic (operators/Skew.scala): top keys by load with
+    // share + ×mean — exact counts, single-division ratios, oracle-exact
+    "a15_skew_report" -> ((s, dir) =>
+      graft.operators.Skew.skewReport(Tables.lineitem(s, dir), "l_partkey")),
     "a14_robust_outliers" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select(
         col("o_orderpriority").as("priority"), col("o_orderkey"),
@@ -2744,6 +2748,13 @@ object SparkEntry {
          FROM o JOIN med USING (priority) JOIN mad USING (priority)
          ORDER BY abs((price - med) / (mad * 1.4826)) DESC, o.o_orderkey
          LIMIT 20""",
+    "a15_skew_report" ->
+      """WITH c AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+         t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c)
+         SELECT l_partkey, CAST(n AS BIGINT) AS n,
+                round(CAST(n AS DOUBLE) / total * 100, 6) AS pct_of_rows,
+                round(CAST(n AS DOUBLE) * n_keys / total, 6) AS x_mean_key
+         FROM c, t ORDER BY n DESC, l_partkey LIMIT 20""",
     "a13_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority").map(c =>
       s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

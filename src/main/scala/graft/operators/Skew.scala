@@ -40,4 +40,29 @@ object Skew {
         "inner")
       .drop("__salt_f", "__salt_d", "__dim_key")
   }
+
+  /** Key-skew diagnostic for a prospective shuffle/join key: the `topN`
+    * heaviest keys with their row counts, share of all rows, and load
+    * relative to the mean key — the report you read before choosing a
+    * plain shuffle join, a broadcast, or [[saltedJoin]] (a top key at
+    * hundreds of × the mean is the salting signal; a tiny key count is
+    * the broadcast signal). One hash aggregation over the keys, one
+    * TakeOrdered for the top slice, and a single-row broadcast for the
+    * corpus totals — no windows, nothing global. Ratios go through
+    * double division once (deterministic for the oracle); counts stay
+    * exact longs.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__n_keys"))
+    counts.orderBy(col("n").desc, col(keyCol)).limit(topN)
+      .join(broadcast(totals))
+      .select(col(keyCol), col("n"),
+        round(col("n").cast("double") / col("__total") * 100d, 6)
+          .as("pct_of_rows"),
+        round(col("n").cast("double") * col("__n_keys") / col("__total"), 6)
+          .as("x_mean_key"))
+  }
 }

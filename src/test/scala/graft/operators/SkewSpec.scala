@@ -29,6 +29,16 @@ class SkewSpec extends SparkSpec {
     assert(out.collect().map(r => (r.getLong(0), r.getString(2))).toSeq == Seq((1L, "hot")))
   }
 
+  test("skewReport: counts, shares, and mean-relative load on a known key mix") {
+    // key a: 6 rows, b: 3, c: 1 → total 10, 3 keys, mean load 10/3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val got = Skew.skewReport(df, "k", topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 2)
+    assert(got(0) == ("a", 6L, 60.0, 1.8))  // 6/10, 6/(10/3)
+    assert(got(1) == ("b", 3L, 30.0, 0.9))
+  }
+
   implicit class SortedOps(a: Array[(Long, String, String)]) {
     def toSorted: Seq[(Long, String, String)] = a.toSeq.sorted
   }
