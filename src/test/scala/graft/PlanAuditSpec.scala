@@ -80,6 +80,26 @@ class PlanAuditSpec extends SparkSpec {
     assertNoCartesian(plan("dedup_near"), "dedup_near")
   }
 
+  test("semantic + incremental dedup: cell/band equi-joins only — no cartesian") {
+    // semantic's k-means assignment is the sanctioned vector×centroid
+    // broadcast cross (k rows broadcast, like ivf's probe); the pair
+    // generation itself must stay an equi-join — no CartesianProduct
+    // anywhere, and no nested loop in the incremental (pure MinHash) leg
+    val ps = plan("dedup_semantic_recall")
+    assert(!ps.contains("CartesianProduct"), s"semantic plans a cartesian:\n$ps")
+    graft.operators.Dedup.clearCaches()
+    assertNoCartesian(plan("dedup_incremental_recall"), "dedup_incremental_recall")
+    graft.operators.Dedup.clearCaches()
+  }
+
+  test("t_bpe_pairs / a15_skew_report: top slice is a TakeOrdered, never a global sort") {
+    for (q <- Seq("t_bpe_pairs", "a15_skew_report")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q top slice not TakeOrdered:\n$p")
+      assert(!p.contains("rangepartitioning"), s"$q plans a global sort:\n$p")
+    }
+  }
+
   test("dedup_fuzzy_recall: delete-variant equi-join, no cartesian, no nested loop") {
     assertNoCartesian(plan("dedup_fuzzy_recall"), "dedup_fuzzy_recall")
   }
