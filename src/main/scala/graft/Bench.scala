@@ -186,8 +186,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); read as long, converted
-      // back to timestamp in graft.sources.Tables.events.
+      // events.parquet timestamp precision varies by testdata generation
+      // (nanos through r6, micros-NTZ since r7); Tables.events normalizes
+      // either form, and this legacy conf keeps a nanos regeneration
+      // readable (as long, converted back) instead of failing the scan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed-table queries saveAsTable into the warehouse — keep it in
       // a temp dir, not ./spark-warehouse inside the repo

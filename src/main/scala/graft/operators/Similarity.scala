@@ -34,7 +34,7 @@ object Similarity {
     * the codebook instead of re-running Lloyd's.
     */
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(Any, Int, Int, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Any, Int, Int, Int, Int, String, String), DataFrame]()
   graft.util.Caches.onClear(() => pqCache.clear())
 
   /** Dot product of two `array<double>` columns — the native codegen'd
@@ -203,11 +203,21 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, v) => acc + v)
 
-  /** The m fixed-width subvectors of `vec` as (subspace, sub) structs. */
+  /** The m fixed-width subvectors of `vec` as (subspace, sub) structs.
+    * The length guard rides inside the expression (assert_true is null on
+    * success, like intervalJoin's span guard): a vector that is not
+    * `dim`-long fails the job loudly instead of letting zip_with pad the
+    * distance folds with null — which would sort nulls FIRST in the
+    * ascending top-k and return garbage neighbors silently.
+    */
   private def subvecs(vec: Column, dim: Int, m: Int): Column = {
     val dsub = dim / m
+    val checked = when(
+      assert_true(size(vec) === dim,
+        concat(lit("pq: vector length "), size(vec).cast("string"),
+          lit(s" != dim $dim"))).isNull, vec)
     array((0 until m).map(j => struct(lit(j).as("subspace"),
-      slice(vec, j * dsub + 1, dsub).as("sub"))): _*)
+      slice(checked, j * dsub + 1, dsub).as("sub"))): _*)
   }
 
   /** Product-quantization codebook: `m` independent `ksub`-centroid
@@ -229,7 +239,11 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     require(ksub > 0 && iters > 0, s"need positive ksub/iters: $ksub/$iters")
     pqCache.computeIfAbsent(
-      (corpus.queryExecution.analyzed.canonicalized, dim, m, ksub, iters),
+      // cId/cVec are part of the key (like centroidCache): the same corpus
+      // plan trained over a different vector or seed-id column is a
+      // DIFFERENT codebook
+      (corpus.queryExecution.analyzed.canonicalized, dim, m, ksub, iters,
+        cId, cVec),
       _ => trainPqCodebook(corpus, dim, m, ksub, iters, cId, cVec))
   }
 
@@ -249,7 +263,6 @@ object Similarity {
       .withColumn("cell", row_number().over(
         Window.partitionBy(col("subspace")).orderBy(col("__id"))) - 1)
       .select(col("subspace"), col("cell"), col("sub").as("centroid"))
-    var prev: DataFrame = null
     for (_ <- 1 to iters) {
       val assigned = subs.join(broadcast(cb), Seq("subspace"))
         .select(col("__id"), col("subspace"), col("sub"), col("cell"),
@@ -267,12 +280,11 @@ object Similarity {
           transform(col("pm"), p => p.getField("mv")).as("centroid"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize so the next iteration's plan stays flat
-      if (prev != null) prev.unpersist()
-      prev = cb
+      // next is materialized, so the codebook it was derived from (the
+      // seed frame on iteration 1 is simply un-persisted) can release now
+      if (cb.storageLevel.useMemory) cb.unpersist()
       cb = next
-      if (prev != null && !prev.storageLevel.useMemory) prev = null
     }
-    if (prev != null) prev.unpersist() // second-to-last iteration's frame
     // contiguous cell ids per subspace (positional-lookup contract); the
     // window runs over the m×ksub codebook rows, not the corpus
     val reindexed = graft.util.Caches.retain(cb
@@ -322,7 +334,7 @@ object Similarity {
     val qtab = queries
       .select(col(qId), explode(subvecs(col(qVec), dim, m)).as("sv"))
       .select(col(qId), col("sv.subspace").as("subspace"), col("sv.sub").as("qsub"))
-      .join(codebook, Seq("subspace"))
+      .join(broadcast(codebook), Seq("subspace"))
       .select(col(qId), col("subspace"), col("cell"),
         sqDist(col("qsub"), col("centroid")).as("pd2"))
       .groupBy(col(qId), col("subspace"))
