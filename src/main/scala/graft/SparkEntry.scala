@@ -500,6 +500,33 @@ object SparkEntry {
         threshold = 0.99, nbits = 8)
     }),
 
+    // Containment (subsumption) recall: plant the FIRST-HALF token
+    // excerpt of every doc with ≥ 6 tokens (token-boundary cut, so the
+    // excerpt's 3-gram shingles are a strict subset of the original's and
+    // containment is exactly 1.0 by construction — a character cut could
+    // shear a token and break the subset property). Candidates come from
+    // the r=1 k=24 banding (miss ≈ (1−j)²⁴ at j ≈ 0.5, deterministic
+    // seeded hashes); every excerpt must surface contained in its source.
+    "dedup_contained_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val eligible = docs
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__t"))
+        .filter(size(col("__t")) >= 6)
+      val excerpts = eligible.select(
+        (col("doc_id") + PlantedOffset).as("doc_id"),
+        concat_ws(" ", slice(col("__t"), lit(1),
+          floor(size(col("__t")) / 2).cast("int"))).as("text"))
+      val corpus = docs.unionByName(excerpts)
+      val pairs = Dedup.containedDocuments(corpus, "doc_id", "text",
+        threshold = 0.9)
+      val base = eligible.select(col("doc_id"))
+      base.join(pairs,
+        base("doc_id") + PlantedOffset === pairs("contained_id") &&
+          pairs("container_id") === base("doc_id") &&
+          pairs("containment") === 1.0d, "left_semi")
+        .select(col("doc_id"), lit(true).as("found"))
+    }),
+
     // SemDeDup recall over planted EXACT copies: an identical vector is
     // assigned the same k-means cell by construction (deterministic argmax
     // over the same trained centroids), so every planted pair must surface
@@ -1917,8 +1944,10 @@ object SparkEntry {
     "s_data_skipping", "pipeline_split",
     // round 7c: retrieval index, boilerplate, robust stats, resample
     "t_inverted_index", "t_boilerplate", "a14_robust_outliers", "e_resample",
-    // round 7d: SemDeDup cells, daily-ingest incremental dedup, PQ ANN
-    "dedup_semantic_recall", "dedup_incremental_recall", "ann_pq_recall")
+    // round 7d: SemDeDup cells, daily-ingest incremental dedup, PQ ANN,
+    // containment (subsumption) dedup
+    "dedup_semantic_recall", "dedup_incremental_recall", "ann_pq_recall",
+    "dedup_contained_recall")
 
   // ---- DuckDB oracle twins ----
 
@@ -2204,6 +2233,10 @@ object SparkEntry {
       "SELECT doc_id, true AS found FROM documents",
     "dedup_semantic_recall" ->
       "SELECT vec_id, true AS found FROM embeddings WHERE vec_id < 50",
+    "dedup_contained_recall" ->
+      s"""SELECT doc_id, true AS found
+         FROM (SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents)
+         WHERE len(ts) >= 6""",
     "dedup_incremental_recall" ->
       "SELECT doc_id, true AS found FROM documents",
     "t_boilerplate" ->

@@ -180,6 +180,62 @@ object Dedup {
           size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
   }
 
+  /** Asymmetric containment verify over candidate pairs: |A∩B|/|A| and
+    * |A∩B|/|B| on distinct shingle sets — the subsumption score that
+    * catches excerpts, quotes, and prefix copies jaccard misses (a
+    * half-document excerpt has jaccard ≈ 0.5 against its source but
+    * containment exactly 1.0). Same join shape and AQE strategy as
+    * [[jaccardVerify]]; an empty shingle set yields NaN, which every
+    * downstream threshold comparison rejects.
+    */
+  def containmentVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, shingleN: Int = 3): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        array_distinct(Text.shinglesFromTokens(col("__toks"), shingleN)).as("__set"))
+    val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+    pairs
+      .join(sets, col("id_a") === col("__id")).withColumnRenamed("__set", "set_a").drop("__id")
+      .join(sets, col("id_b") === col("__id")).withColumnRenamed("__set", "set_b").drop("__id")
+      .select(col("id_a"), col("id_b"),
+        round(inter / size(col("set_a")), 6).as("containment_a"),
+        round(inter / size(col("set_b")), 6).as("containment_b"))
+  }
+
+  /** Subsumed-document report: MinHash/LSH candidates, then every
+    * direction whose containment clears `threshold` as
+    * (contained_id, container_id, containment) — mutual containment (a
+    * true near-duplicate pair) reports both directions. Defaults band at
+    * r = 1 with a LARGER k than the jaccard pipeline: the target pairs
+    * sit near jaccard |A|/|B| (≈ 0.5 for a half-excerpt), where the
+    * 4×4 banding built for 0.8-jaccard dups would miss badly; k = 24
+    * single-row bands put the miss probability for a half-excerpt at
+    * (1−j)²⁴ ≈ 6e-8 while still hashing each shingle once. Everything
+    * else inherits the family's bounds: capped buckets, banded equi-join,
+    * no all-pairs.
+    */
+  def containedDocuments(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.9, k: Int = 24, bands: Int = 24,
+                         shingleN: Int = 3, maxBucket: Int = 10000,
+                         cacheSignatures: Boolean = true): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
+    val banded0 = bandSignatures(sigs, idCol, k, bands)
+    val banded =
+      if (cacheSignatures)
+        graft.util.Caches.retain(
+          banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else banded0
+    val cands = lshCandidates(banded, idCol, maxBucket)
+    val verified = containmentVerify(cands, docs, idCol, textCol, shingleN)
+    verified.filter(col("containment_a") >= threshold)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("containment_a").as("containment"))
+      .unionByName(verified.filter(col("containment_b") >= threshold)
+        .select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+          col("containment_b").as("containment")))
+  }
+
   /** The production "drop the near-duplicates" pass: [[nearDuplicates]]
     * pairs → connected-component clusters → keep ONE document per cluster
     * (the min id, the suite-wide canonical convention) plus every document

@@ -311,6 +311,32 @@ class DedupSpec extends SparkSpec {
       threshold = 0.0, nCells = 1, iters = 1, maxCell = 3).count() == 0L)
   }
 
+  test("containmentVerify: excerpt scores 1.0 against its source, asymmetric both ways") {
+    import spark.implicits._
+    val full = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, full), (2L, "one two three four five")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentVerify(pairs, docs, "doc_id", "text").collect()(0)
+    assert(r.getDouble(3) == 1.0)            // excerpt (b) fully contained in a
+    assert(r.getDouble(2) < 1.0)             // source only partially covered by b
+  }
+
+  test("containedDocuments: planted half-excerpt reported contained in its source") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i =>
+      (i, (0 until 12).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val excerpts = (1L to 20L).map(i =>
+      (i + 100L, (0 until 6).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.containedDocuments(docs.unionByName(excerpts),
+      "doc_id", "text", threshold = 0.9, cacheSignatures = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (1L to 20L).foreach { i =>
+      assert(got.contains((i + 100L, i, 1.0)), s"excerpt of $i missed: ${got.toSeq}")
+    }
+    // no false direction: a 12-token source is never contained in its 6-token excerpt
+    assert(!got.exists { case (c, _, _) => c <= 20L })
+  }
+
   test("fuzzyPairs never emits self-pairs, even for duplicate input ids") {
     import spark.implicits._
     // id 1 appears under two keys at distance 1: the key-pair expansion
