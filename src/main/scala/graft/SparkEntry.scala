@@ -1311,6 +1311,12 @@ object SparkEntry {
     // share + ×mean — exact counts, single-division ratios, oracle-exact
     "a15_skew_report" -> ((s, dir) =>
       graft.operators.Skew.skewReport(Tables.lineitem(s, dir), "l_partkey")),
+    // equi-depth histogram: edges at exact quantiles (quantilesCont ≡
+    // quantile_cont bit-for-bit — the a7 family pins that), assignment by
+    // deterministic strict comparison — the whole report hash-compares
+    "a16_equidepth" -> ((s, dir) =>
+      graft.operators.Profiling.equiDepthHistogram(
+        Tables.orders(s, dir), col("o_totalprice"), nBuckets = 8)),
     "a14_robust_outliers" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select(
         col("o_orderpriority").as("priority"), col("o_orderkey"),
@@ -2788,6 +2794,17 @@ object SparkEntry {
                 round(CAST(n AS DOUBLE) / total * 100, 6) AS pct_of_rows,
                 round(CAST(n AS DOUBLE) * n_keys / total, 6) AS x_mean_key
          FROM c, t ORDER BY n DESC, l_partkey LIMIT 20""",
+    // edge probabilities i/8 are exact binary doubles, so the literal
+    // list below IS the i.toDouble/nBuckets sequence the Spark side uses
+    "a16_equidepth" ->
+      s"""WITH o AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+         e AS (SELECT [${(0 to 8).map(i => s"quantile_cont(v, ${i / 8.0})").mkString(", ")}] AS ea FROM o),
+         b AS (SELECT len(list_filter(ea[2:8], x -> v > x)) AS bucket, ea
+               FROM o, e)
+         SELECT CAST(bucket AS INTEGER) AS bucket,
+                ea[bucket + 1] AS lo, ea[bucket + 2] AS hi,
+                COUNT(*) AS n
+         FROM b GROUP BY bucket, ea""",
     "a13_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority").map(c =>
       s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -33,6 +33,37 @@ object Profiling {
         ((col("bucket") + 1) * width).as("hi"), col("n"))
   }
 
+  /** Equi-depth histogram — the profiling complement of the equi-width
+    * [[histogram]]: bucket edges sit at the exact interpolated quantiles
+    * (computed by the scale-safe [[Ranking.quantilesCont]] range-partition
+    * machinery — no whole-column buffer anywhere), so each bucket holds
+    * ~1/nBuckets of the rows regardless of the value distribution. Row
+    * assignment is ONE narrow pass counting interior edges strictly below
+    * the value against the broadcast single-row edge array; ties on an
+    * edge go to the lower bucket deterministically. Empty buckets (mass
+    * concentrated on one value) simply don't appear.
+    */
+  def equiDepthHistogram(df: DataFrame, value: Column,
+                         nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "equiDepthHistogram needs nBuckets >= 1")
+    val base = df.filter(value.isNotNull)
+      .select(value.cast("double").as("__v"), lit(1).as("__g"))
+    val probs = (0 to nBuckets).map(i => (i.toDouble / nBuckets, s"__q$i"))
+    val qs = Ranking.quantilesCont(base, "__g", "__v", probs)
+    val edges = qs.select(
+      array((0 to nBuckets).map(i => col(s"__q$i")): _*).as("__edges"))
+    base.join(broadcast(edges))
+      .select(col("__edges"), size(filter(
+        slice(col("__edges"), 2, nBuckets - 1),
+        e => col("__v") > e)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), first(col("__edges")).as("__e"))
+      .select(col("bucket"),
+        element_at(col("__e"), col("bucket") + 1).as("lo"),
+        element_at(col("__e"), col("bucket") + 2).as("hi"),
+        col("n"))
+  }
+
   /** One-pass table profile: per column, row/null counts, native-typed
     * min/max rendered to strings, and an HLL++ approximate distinct
     * count. ONE aggregation over the table computes every column's

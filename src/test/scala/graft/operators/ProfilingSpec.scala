@@ -71,4 +71,22 @@ class ProfilingSpec extends SparkSpec {
       Profiling.histogram(vals, col("x"), 10.0, 0)
     }
   }
+
+  test("equiDepthHistogram: quartile edges on 1..8, two rows per bucket, edge ties go low") {
+    val vals = (1 to 8).map(_.toDouble).toDF("x")
+    val got = Profiling.equiDepthHistogram(vals, col("x"), 4)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // interpolated quartiles of 1..8: positions (N−1)·q = 1.75/3.5/5.25
+    // → edges 1, 2.75, 4.5, 6.25, 8; each bucket catches exactly 2 values
+    assert(got == Seq((0, 1.0, 2.75, 2L), (1, 2.75, 4.5, 2L),
+      (2, 4.5, 6.25, 2L), (3, 6.25, 8.0, 2L)))
+  }
+
+  test("equiDepthHistogram: single bucket spans min..max; nulls excluded") {
+    val vals = Seq(Some(3.0), None, Some(9.0)).toDF("x")
+    val got = Profiling.equiDepthHistogram(vals, col("x"), 1)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, 3.0, 9.0, 2L)))
+  }
 }
