@@ -1951,9 +1951,9 @@ object SparkEntry {
     // round 7c: retrieval index, boilerplate, robust stats, resample
     "t_inverted_index", "t_boilerplate", "a14_robust_outliers", "e_resample",
     // round 7d: SemDeDup cells, daily-ingest incremental dedup, PQ ANN,
-    // containment (subsumption) dedup
+    // containment (subsumption) dedup, equi-depth histogram
     "dedup_semantic_recall", "dedup_incremental_recall", "ann_pq_recall",
-    "dedup_contained_recall")
+    "dedup_contained_recall", "a16_equidepth")
 
   // ---- DuckDB oracle twins ----
 
