@@ -501,17 +501,21 @@ object SparkEntry {
     }),
 
     // Containment (subsumption) recall: plant the FIRST-HALF token
-    // excerpt of every doc with ≥ 6 tokens (token-boundary cut, so the
+    // excerpt of every doc with ≥ 12 tokens (token-boundary cut, so the
     // excerpt's 3-gram shingles are a strict subset of the original's and
     // containment is exactly 1.0 by construction — a character cut could
-    // shear a token and break the subset property). Candidates come from
-    // the r=1 k=24 banding (miss ≈ (1−j)²⁴ at j ≈ 0.5, deterministic
-    // seeded hashes); every excerpt must surface contained in its source.
+    // shear a token and break the subset property). The 12-token floor
+    // bounds the worst excerpt jaccard at ≈ 0.4 (4 of 10 shingles), so
+    // the r=1 k=48 banding miss is ≤ (0.6)⁴⁸ ≈ 2e-11 per pair —
+    // negligible at ANY sf, not just the gated one (code review r7:
+    // the earlier 6-token floor admitted j = 0.25 docs where a k=24 miss
+    // was ~1e-3). Deterministic seeded hashes; every excerpt must
+    // surface contained in its source.
     "dedup_contained_recall" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val eligible = docs
         .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__t"))
-        .filter(size(col("__t")) >= 6)
+        .filter(size(col("__t")) >= 12)
       val excerpts = eligible.select(
         (col("doc_id") + PlantedOffset).as("doc_id"),
         concat_ws(" ", slice(col("__t"), lit(1),
@@ -2242,7 +2246,7 @@ object SparkEntry {
     "dedup_contained_recall" ->
       s"""SELECT doc_id, true AS found
          FROM (SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents)
-         WHERE len(ts) >= 6""",
+         WHERE len(ts) >= 12""",
     "dedup_incremental_recall" ->
       "SELECT doc_id, true AS found FROM documents",
     "t_boilerplate" ->
@@ -2800,7 +2804,7 @@ object SparkEntry {
       s"""WITH o AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
          e AS (SELECT [${(0 to 8).map(i => s"quantile_cont(v, ${i / 8.0})").mkString(", ")}] AS ea FROM o),
          b AS (SELECT len(list_filter(ea[2:8], x -> v > x)) AS bucket, ea
-               FROM o, e)
+               FROM o, e WHERE v IS NOT NULL)
          SELECT CAST(bucket AS INTEGER) AS bucket,
                 ea[bucket + 1] AS lo, ea[bucket + 2] AS hi,
                 COUNT(*) AS n

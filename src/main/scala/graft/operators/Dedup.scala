@@ -160,6 +160,41 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Distinct shingle set per document: (__id, __set). Shared by the
+    * jaccard and containment verifies so the set build cannot drift
+    * between them.
+    */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame =
+    docs
+      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        array_distinct(Text.shinglesFromTokens(col("__toks"), shingleN)).as("__set"))
+
+  private def joinSets(pairs: DataFrame, sets: DataFrame): DataFrame =
+    pairs
+      .join(sets, col("id_a") === col("__id")).withColumnRenamed("__set", "set_a").drop("__id")
+      .join(sets, col("id_b") === col("__id")).withColumnRenamed("__set", "set_b").drop("__id")
+
+  /** MinHash signatures → banded keys (cached when asked — the bucket
+    * count and both self-join sides reuse them) → capped-bucket candidate
+    * pairs. The shared front half of [[nearDuplicates]] and
+    * [[containedDocuments]].
+    */
+  private def bandedCandidates(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int, bands: Int, shingleN: Int,
+                               maxBucket: Int,
+                               cacheSignatures: Boolean): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
+    val banded0 = bandSignatures(sigs, idCol, k, bands)
+    val banded =
+      if (cacheSignatures)
+        graft.util.Caches.retain(
+          banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else banded0
+    lshCandidates(banded, idCol, maxBucket)
+  }
+
   /** Exact n-gram Jaccard for given pairs: join shingle-sets back by id and
     * compute |∩|/|∪| with array ops. No broadcast hint: the candidate set is
     * usually small (AQE broadcasts it at runtime when it fits), but a skewed
@@ -167,37 +202,27 @@ object Dedup {
     * 100 TB (VERDICT r02 #3), so the join strategy is left to AQE.
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
-                    textCol: String, shingleN: Int = 3): DataFrame = {
-    val sets = docs
-      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
-      .select(col("__id"),
-        array_distinct(Text.shinglesFromTokens(col("__toks"), shingleN)).as("__set"))
-    pairs
-      .join(sets, col("id_a") === col("__id")).withColumnRenamed("__set", "set_a").drop("__id")
-      .join(sets, col("id_b") === col("__id")).withColumnRenamed("__set", "set_b").drop("__id")
+                    textCol: String, shingleN: Int = 3): DataFrame =
+    joinSets(pairs, shingleSets(docs, idCol, textCol, shingleN))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
-  }
 
   /** Asymmetric containment verify over candidate pairs: |A∩B|/|A| and
     * |A∩B|/|B| on distinct shingle sets — the subsumption score that
     * catches excerpts, quotes, and prefix copies jaccard misses (a
     * half-document excerpt has jaccard ≈ 0.5 against its source but
     * containment exactly 1.0). Same join shape and AQE strategy as
-    * [[jaccardVerify]]; an empty shingle set yields NaN, which every
-    * downstream threshold comparison rejects.
+    * [[jaccardVerify]]. NOTE: Spark orders NaN GREATER than every double,
+    * so a NaN score (never produced here — tokens/shinglesFromTokens give
+    * even an empty doc a one-element set — but possible on hand-built
+    * inputs) would PASS a plain `>=` threshold; filter with isnan like
+    * [[containedDocuments]] does if you compose this yourself.
     */
   def containmentVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                         textCol: String, shingleN: Int = 3): DataFrame = {
-    val sets = docs
-      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
-      .select(col("__id"),
-        array_distinct(Text.shinglesFromTokens(col("__toks"), shingleN)).as("__set"))
     val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
-    pairs
-      .join(sets, col("id_a") === col("__id")).withColumnRenamed("__set", "set_a").drop("__id")
-      .join(sets, col("id_b") === col("__id")).withColumnRenamed("__set", "set_b").drop("__id")
+    joinSets(pairs, shingleSets(docs, idCol, textCol, shingleN))
       .select(col("id_a"), col("id_b"),
         round(inter / size(col("set_a")), 6).as("containment_a"),
         round(inter / size(col("set_b")), 6).as("containment_b"))
@@ -206,34 +231,35 @@ object Dedup {
   /** Subsumed-document report: MinHash/LSH candidates, then every
     * direction whose containment clears `threshold` as
     * (contained_id, container_id, containment) — mutual containment (a
-    * true near-duplicate pair) reports both directions. Defaults band at
-    * r = 1 with a LARGER k than the jaccard pipeline: the target pairs
-    * sit near jaccard |A|/|B| (≈ 0.5 for a half-excerpt), where the
-    * 4×4 banding built for 0.8-jaccard dups would miss badly; k = 24
-    * single-row bands put the miss probability for a half-excerpt at
-    * (1−j)²⁴ ≈ 6e-8 while still hashing each shingle once. Everything
-    * else inherits the family's bounds: capped buckets, banded equi-join,
-    * no all-pairs.
+    * true near-duplicate pair) reports both directions, emitted in ONE
+    * pass over the verified frame (a struct explode, not a two-branch
+    * union that would execute the candidate/verify subtree twice).
+    * Defaults band at r = 1 with a LARGER k than the jaccard pipeline:
+    * the target pairs sit near jaccard |A|/|B| — ≈ 0.5 for a
+    * half-excerpt, and LOWER for short documents (a 6-token doc's
+    * half-excerpt shares only 1 of 4 distinct 3-gram shingles, j = 0.25)
+    * — so the miss probability (1−j)^k needs k sized for the worst
+    * admitted j, not the typical one. k = 48 puts even j = 0.25 at
+    * (0.75)⁴⁸ ≈ 1e-6 and j = 0.4 at 2e-11, while still hashing each
+    * shingle once per signature row. Everything else inherits the
+    * family's bounds: capped buckets, banded equi-join, no all-pairs.
     */
   def containedDocuments(docs: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.9, k: Int = 24, bands: Int = 24,
+                         threshold: Double = 0.9, k: Int = 48, bands: Int = 48,
                          shingleN: Int = 3, maxBucket: Int = 10000,
                          cacheSignatures: Boolean = true): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
-    val banded0 = bandSignatures(sigs, idCol, k, bands)
-    val banded =
-      if (cacheSignatures)
-        graft.util.Caches.retain(
-          banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else banded0
-    val cands = lshCandidates(banded, idCol, maxBucket)
-    val verified = containmentVerify(cands, docs, idCol, textCol, shingleN)
-    verified.filter(col("containment_a") >= threshold)
-      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
-        col("containment_a").as("containment"))
-      .unionByName(verified.filter(col("containment_b") >= threshold)
-        .select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
-          col("containment_b").as("containment")))
+    val cands = bandedCandidates(docs, idCol, textCol, k, bands, shingleN,
+      maxBucket, cacheSignatures)
+    containmentVerify(cands, docs, idCol, textCol, shingleN)
+      .select(explode(array(
+        struct(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          col("containment_a").as("containment")),
+        struct(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+          col("containment_b").as("containment")))).as("d"))
+      .select(col("d.contained_id").as("contained_id"),
+        col("d.container_id").as("container_id"),
+        col("d.containment").as("containment"))
+      .filter(!isnan(col("containment")) && col("containment") >= threshold)
   }
 
   /** The production "drop the near-duplicates" pass: [[nearDuplicates]]
@@ -283,23 +309,14 @@ object Dedup {
                      threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
                      shingleN: Int = 3, maxBucket: Int = 10000,
                      cacheSignatures: Boolean = true): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
-    // Persist the band signatures: the bucket-size count, and both sides of
-    // the self-join, would otherwise each recompute the whole
-    // explode→minhash pipeline (plan audit r3: 4× scan+aggregate). Banded
-    // sigs are (id, band, sig) — 3 fixed-width values × bands per doc —
-    // so the cache is tiny relative to the corpus at any scale. The cache
-    // backs the returned lazy plan, so it cannot be unpersisted here; it
-    // lives until [[clearCaches]] / session cleanup. Callers preferring
-    // recompute over a session-lived cache entry pass
-    // cacheSignatures = false.
-    val banded0 = bandSignatures(sigs, idCol, k, bands)
-    val banded =
-      if (cacheSignatures)
-        graft.util.Caches.retain(
-          banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else banded0
-    val cands = lshCandidates(banded, idCol, maxBucket)
+    // Band signatures persist inside bandedCandidates: the bucket-size
+    // count and both sides of the self-join would otherwise each recompute
+    // the whole explode→minhash pipeline (plan audit r3: 4× scan+agg).
+    // Banded sigs are (id, band, sig) — tiny at any scale. The cache backs
+    // the returned lazy plan, so it lives until [[clearCaches]] / session
+    // cleanup; callers preferring recompute pass cacheSignatures = false.
+    val cands = bandedCandidates(docs, idCol, textCol, k, bands, shingleN,
+      maxBucket, cacheSignatures)
     jaccardVerify(cands, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }

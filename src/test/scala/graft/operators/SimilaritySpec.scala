@@ -94,6 +94,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.takeRight(2).forall(_._2 > out(0)._2))
   }
 
+  test("pq fails loudly on a vector that is not dim-long") {
+    val bad = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.pqCodebook(bad, dim = 4, m = 2, ksub = 2, iters = 1).collect()
+    }
+    graft.operators.Dedup.clearCaches()
+    assert(e.getMessage != null)
+  }
+
   test("pqScores structural invariant: a corpus query's self row achieves the min ADC") {
     val qs = pqCorpus.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     val cb = Similarity.pqCodebook(pqCorpus, dim = 4, m = 2, ksub = 2, iters = 1)
