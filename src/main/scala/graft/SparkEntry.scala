@@ -504,13 +504,12 @@ object SparkEntry {
     // excerpt of every doc with ≥ 12 tokens (token-boundary cut, so the
     // excerpt's 3-gram shingles are a strict subset of the original's and
     // containment is exactly 1.0 by construction — a character cut could
-    // shear a token and break the subset property). The 12-token floor
-    // bounds the worst excerpt jaccard at ≈ 0.4 (4 of 10 shingles), so
-    // the r=1 k=48 banding miss is ≤ (0.6)⁴⁸ ≈ 2e-11 per pair —
-    // negligible at ANY sf, not just the gated one (code review r7:
-    // the earlier 6-token floor admitted j = 0.25 docs where a k=24 miss
-    // was ~1e-3). Deterministic seeded hashes; every excerpt must
-    // surface contained in its source.
+    // shear a token and break the subset property). Candidates come from
+    // the df-capped shingle join, so the recall condition is
+    // DETERMINISTIC: an excerpt is missed only if every one of its
+    // shingles appears in > maxDf documents — false for this corpus
+    // (doc-specific prose) and inspectable for any other; no
+    // probabilistic banding in the loop at all.
     "dedup_contained_recall" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val eligible = docs

@@ -228,28 +228,45 @@ object Dedup {
         round(inter / size(col("set_b")), 6).as("containment_b"))
   }
 
-  /** Subsumed-document report: MinHash/LSH candidates, then every
-    * direction whose containment clears `threshold` as
-    * (contained_id, container_id, containment) — mutual containment (a
-    * true near-duplicate pair) reports both directions, emitted in ONE
-    * pass over the verified frame (a struct explode, not a two-branch
-    * union that would execute the candidate/verify subtree twice).
-    * Defaults band at r = 1 with a LARGER k than the jaccard pipeline:
-    * the target pairs sit near jaccard |A|/|B| — ≈ 0.5 for a
-    * half-excerpt, and LOWER for short documents (a 6-token doc's
-    * half-excerpt shares only 1 of 4 distinct 3-gram shingles, j = 0.25)
-    * — so the miss probability (1−j)^k needs k sized for the worst
-    * admitted j, not the typical one. k = 48 puts even j = 0.25 at
-    * (0.75)⁴⁸ ≈ 1e-6 and j = 0.4 at 2e-11, while still hashing each
-    * shingle once per signature row. Everything else inherits the
-    * family's bounds: capped buckets, banded equi-join, no all-pairs.
+  /** Subsumed-document report: every direction whose containment clears
+    * `threshold` as (contained_id, container_id, containment) — mutual
+    * containment (a true near-duplicate pair) reports both directions,
+    * emitted in ONE pass over the verified frame (a struct explode, not a
+    * two-branch union that would execute the candidate subtree twice).
+    *
+    * Candidate generation is NOT the MinHash banding the jaccard family
+    * uses: containment pairs live at jaccard |A|/|B| — arbitrarily low
+    * for a short excerpt of a long document — and r=1 banding tuned for
+    * that regime turns weakly-similar pairs (j ≈ 0.05) into candidates
+    * with probability 1−(1−j)^k ≈ 0.9, which is all-pairs in disguise
+    * (measured: 10× data went 24× slower before this was replaced).
+    * Containment has a better structural handle: EVERY shingle of the
+    * contained doc appears in its container, so a shingle equi-join
+    * finds the pair through ANY ONE shared shingle. Shingles above
+    * `maxDf` document frequency drop WHOLE by a count-first cap (the
+    * inverted-index recipe) so boilerplate grams never form quadratic
+    * posting pairs; per-shingle candidate work is then ≤ maxDf per
+    * posting — linear in the corpus with a constant knob, no hashing,
+    * and a DETERMINISTIC miss condition: a contained doc is missed only
+    * if every one of its distinct shingles is boilerplate-grade
+    * (df > maxDf) — inspectable per corpus, not a probability.
     */
   def containedDocuments(docs: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.9, k: Int = 48, bands: Int = 48,
-                         shingleN: Int = 3, maxBucket: Int = 10000,
-                         cacheSignatures: Boolean = true): DataFrame = {
-    val cands = bandedCandidates(docs, idCol, textCol, k, bands, shingleN,
-      maxBucket, cacheSignatures)
+                         threshold: Double = 0.9, shingleN: Int = 3,
+                         maxDf: Int = 50): DataFrame = {
+    require(maxDf >= 2, s"maxDf must admit at least a pair, got $maxDf")
+    val sh = docs
+      .select(col(idCol).as("__sid"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("__sid"),
+        explode(array_distinct(Text.shinglesFromTokens(col("__toks"), shingleN)))
+          .as("__sh"))
+    val rare = sh.join(
+      sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("__sh")), Seq("__sh"))
+    val a = rare.select(col("__sh"), col("__sid").as("id_a"))
+    val b = rare.select(col("__sh"), col("__sid").as("id_b"))
+    val cands = a.join(b, Seq("__sh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
     containmentVerify(cands, docs, idCol, textCol, shingleN)
       .select(explode(array(
         struct(col("id_a").as("contained_id"), col("id_b").as("container_id"),

@@ -328,7 +328,7 @@ class DedupSpec extends SparkSpec {
     val excerpts = (1L to 20L).map(i =>
       (i + 100L, (0 until 6).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
     val got = Dedup.containedDocuments(docs.unionByName(excerpts),
-      "doc_id", "text", threshold = 0.9, cacheSignatures = false)
+      "doc_id", "text", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     (1L to 20L).foreach { i =>
       assert(got.contains((i + 100L, i, 1.0)), s"excerpt of $i missed: ${got.toSeq}")
