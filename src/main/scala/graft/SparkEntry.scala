@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-import graft.operators.{Dedup, Grouping, Pack, Sampling, Similarity, Skew, Upsert}
+import graft.operators.{Dedup, Grouping, LanguageModel, Pack, Sampling, SetJoin, Similarity, Skew, Upsert}
 import graft.functions.Text
 import graft.pipeline.Pipeline
 import graft.sources.{Tables, TestdataAdapter}
@@ -530,6 +530,20 @@ object SparkEntry {
         .select(col("doc_id"), lit(true).as("found"))
     }),
 
+    // EXACT set-similarity self-join (operators/SetJoin.scala): prefix
+    // filtering under the global (df, token) order with an exact integer
+    // accept test. The oracle recomputes the FULL pairwise closure brute
+    // force, so the prefix filter's losslessness theorem is itself what
+    // the hash compare pins — a missed pair fails the row count. Planted
+    // exact copies of docs < 100 guarantee Jaccard-1 pairs exist.
+    "dedup_ssjoin_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        .select("doc_id", "text")
+      val corpus = docs.unionByName(
+        exactCopy(docs.filter(col("doc_id") < 100), PlantedOffset))
+      SetJoin.jaccardSelfJoin(corpus, "doc_id", "text", 80)
+    }),
+
     // SemDeDup recall over planted EXACT copies: an identical vector is
     // assigned the same k-means cell by construction (deterministic argmax
     // over the same trained centroids), so every planted pair must surface
@@ -588,6 +602,33 @@ object SparkEntry {
     // so the oracle replicates the whole pass verbatim
     "t_bpe_pairs" -> ((s, dir) =>
       Text.bpePairCounts(Tables.documents(s, dir), "text")),
+    // Unigram-LM scoring (operators/LanguageModel.scala): the CCNet-style
+    // statistical quality signal. Train on the even-doc_id half (odd docs
+    // then carry genuinely unseen tokens through the add-one floor),
+    // score everything. Per-doc log-prob sums are term-ordered LEFT FOLDS
+    // (aggregate over sort_array here, list_reduce over list(ORDER BY) in
+    // DuckDB) — never sum(), whose re-association is engine-dependent.
+    "t_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      LanguageModel.unigramScore(
+        docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
+    }),
+    // CCNet head/middle/tail slices: exact NTILE(3) over descending
+    // avg_logprob through the scale-safe rank machinery (Ranking
+    // .ntileExact — no single-partition exchange; PlanAuditSpec class).
+    "t_lm_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      LanguageModel.perplexityBuckets(
+        docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
+    }),
+    // DSIR importance weights: per-doc log-likelihood ratio of an
+    // English-target unigram model over the whole-corpus source model,
+    // both smoothed over the SHARED union vocabulary.
+    "t_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      LanguageModel.dsirWeights(
+        docs.filter(col("lang") === "en"), docs, docs, "doc_id", "text")
+    }),
     // PII detection + redaction (functions/Pii.scala): plant emails /
     // phones / SSNs / IPv4s derived from doc_id (the oracle replants the
     // identical strings), then count per category on the raw text and
@@ -1973,6 +2014,29 @@ object SparkEntry {
        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE doc_id < 50 GROUP BY 1, 2),
        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1)"""
 
+  /** Oracle-side twin of [[LanguageModel.unigramScore]] on the
+    * even-doc_id training half — the shared CTE prefix behind t_lm_score
+    * and t_lm_buckets, ending in a `scored` CTE with the operator's
+    * output columns.
+    */
+  private lazy val sqlLmScoreCtes: String =
+    s"""WITH tr AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents WHERE doc_id % 2 = 0),
+       c AS (SELECT w, COUNT(*) AS c FROM tr GROUP BY 1),
+       s AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM c),
+       tok AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+       tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       lp AS (SELECT doc_id, w, tf,
+                CAST(tf AS DOUBLE) * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / CAST(s.n + s.v AS DOUBLE)) AS lp
+              FROM tf LEFT JOIN c USING (w) CROSS JOIN s),
+       pd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY w)),
+                  (a, b) -> a + b) AS lsum
+              FROM lp GROUP BY 1),
+       scored AS (SELECT d.doc_id, coalesce(pd.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                    round(pd.lsum / pd.n_tokens, 6) AS avg_logprob,
+                    round(exp(-(pd.lsum / pd.n_tokens)), 6) AS ppl
+                  FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id))"""
+
   /** The SCD2 interval table over the tie-collapsed lineitem change log
     * — shared by the batch build (e_scd2_history) and the streaming
     * maintenance operator (st_scd2_history), which must answer it
@@ -2248,6 +2312,22 @@ object SparkEntry {
          WHERE len(ts) >= 12""",
     "dedup_incremental_recall" ->
       "SELECT doc_id, true AS found FROM documents",
+    // brute-force pairwise closure — the prefix filter must reproduce it
+    "dedup_ssjoin_exact" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100),
+         sets AS (SELECT doc_id, unnest(list_distinct(${sqlTokens("lower(text)")})) AS w
+                  FROM corpus),
+         lens AS (SELECT doc_id, COUNT(*) AS len FROM sets GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS isect
+                   FROM sets a JOIN sets b ON a.w = b.w AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, isect, la.len + lb.len - isect AS union_size,
+                round(CAST(isect AS DOUBLE) / (la.len + lb.len - isect), 6) AS jaccard
+         FROM inter JOIN lens la ON la.doc_id = id_a
+                    JOIN lens lb ON lb.doc_id = id_b
+         WHERE 100 * isect >= 80 * (la.len + lb.len - isect)""",
     "t_boilerplate" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
            UNION ALL
@@ -2487,6 +2567,42 @@ object SparkEntry {
                FROM v WHERE len(w) >= 2)
          SELECT pair, CAST(SUM(wn) AS BIGINT) AS n FROM p
          GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""",
+    // unigram-LM scoring: the per-doc sum is list_reduce over
+    // list(lp ORDER BY w) — the same left fold, in the same term order,
+    // as the Spark side's aggregate over sort_array (LanguageModel's
+    // determinism contract); residual divergence is the last-ulp ln
+    "t_lm_score" ->
+      s"""$sqlLmScoreCtes
+         SELECT * FROM scored""",
+    "t_lm_buckets" ->
+      s"""$sqlLmScoreCtes
+         SELECT doc_id, n_tokens, avg_logprob, ppl,
+                CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS INTEGER) AS ppl_bucket
+         FROM scored WHERE n_tokens > 0""",
+    "t_dsir_weights" ->
+      s"""WITH tgt AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents WHERE lang = 'en'),
+         src AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+         ctab AS (SELECT w, COUNT(*) AS c_t FROM tgt GROUP BY 1),
+         cstab AS (SELECT w, COUNT(*) AS c_s FROM src GROUP BY 1),
+         vocab AS (SELECT coalesce(ctab.w, cstab.w) AS w,
+                     coalesce(c_t, 0) AS c_t, coalesce(c_s, 0) AS c_s
+                   FROM ctab FULL OUTER JOIN cstab ON ctab.w = cstab.w),
+         s AS (SELECT CAST(SUM(c_t) AS BIGINT) AS nt, CAST(SUM(c_s) AS BIGINT) AS ns,
+                 COUNT(*) AS v FROM vocab),
+         tok AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+         tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         lp AS (SELECT doc_id, w, tf,
+                  CAST(tf AS DOUBLE) *
+                    (ln(CAST(coalesce(vocab.c_t, 0) + 1 AS DOUBLE) / CAST(s.nt + s.v AS DOUBLE))
+                   - ln(CAST(coalesce(vocab.c_s, 0) + 1 AS DOUBLE) / CAST(s.ns + s.v AS DOUBLE))) AS lp
+                FROM tf LEFT JOIN vocab USING (w) CROSS JOIN s),
+         pd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY w)),
+                    (a, b) -> a + b) AS lsum
+                FROM lp GROUP BY 1)
+         SELECT d.doc_id, coalesce(pd.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                round(pd.lsum, 6) AS log_weight
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""",
     // only the sketch's GUARANTEED content is pinned: the exact heavy set
     // with true bound flags (see the query comment)
     "t_frequent_terms" ->
