@@ -723,6 +723,27 @@ object SparkEntry {
             col("est") >= col("n_exact") - lit(total / k.toLong + 1))
             .as("est_within_bounds"))
     }),
+    // Count-min point frequencies (functions/CountMin.scala): probe the
+    // English stopword list against a CMS over every corpus token. The
+    // oracle pins the GUARANTEED contract only (t_frequent_terms stance):
+    // est ≥ exact always (CMS never undercounts), and ≤ exact + ε·N —
+    // δ-probable in general, a fixed deterministic fact for this
+    // data + seed. The collected sketch is O(d·w) counters, not data.
+    "t_cms_counts" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(Text.tokens(lower(col("text")))).as("term"))
+      val probes = Text.stopwords("en")
+      val est = graft.functions.CountMin.pointEstimates(toks, "term", probes)
+      val exact = toks.filter(col("term").isin(probes: _*))
+        .groupBy("term").agg(count(lit(1)).as("__n"))
+      val epsBound = (toks.count() * 0.001).toLong + 1
+      est.join(exact, Seq("term"), "left")
+        .select(col("term"),
+          coalesce(col("__n"), lit(0L)).as("n_exact"),
+          (col("est") >= coalesce(col("__n"), lit(0L)) &&
+            col("est") <= coalesce(col("__n"), lit(0L)) + lit(epsBound))
+            .as("est_within_bounds"))
+    }),
     "t_fingerprint" -> ((s, dir) =>       // rows-only: xxhash64 rolling hash
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
@@ -1524,6 +1545,20 @@ object SparkEntry {
         .filter(col("__rn") <= 3)
         .select("l_partkey", "l_orderkey", "l_linenumber")
     }),
+
+    // Weighted sampling without replacement (Sampling.weightedSample —
+    // Efraimidis–Spirakis A-ES keys over an md5-derived uniform): top-500
+    // orders by u^(1/totalprice), compared in the rounded log domain so
+    // both engines rank identically. Inclusion probability follows the
+    // weight; the draw is deterministic, so the oracle replays it exactly.
+    "a17_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("double").as("weight")),
+        "o_orderkey", "weight", k = 500)
+        .select(col("rank"), col("o_orderkey"), col("weight"),
+          col("sample_key"))),
 
     // Sketch-distinct family: HyperLogLog++ approx_count_distinct — the
     // 100 TB default when an exact distinct (a2's Expand plan or
@@ -2487,6 +2522,18 @@ object SparkEntry {
     "a8_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, true AS approx_ok
          FROM events GROUP BY 1""",
+    // A-ES replay: same md5-uniform, same double-log rounded key (the
+    // expression SHAPE mirrors Sampling.weightedSample term for term)
+    "a17_weighted_sample" ->
+      """WITH w AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS weight,
+             round(ln(-ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                      / 1152921504606846976.0))
+                   - ln(CAST(o_totalprice AS DOUBLE)), 6) + 0.0 AS sample_key
+           FROM orders WHERE o_totalprice > 0),
+         t AS (SELECT * FROM w ORDER BY sample_key ASC, o_orderkey LIMIT 500)
+         SELECT CAST(row_number() OVER (ORDER BY sample_key ASC, o_orderkey) AS INTEGER) AS rank,
+                o_orderkey, weight, sample_key
+         FROM t""",
     "a9_sample_hash" ->
       """SELECT l_partkey, l_orderkey, l_linenumber FROM (
            SELECT l_partkey, l_orderkey, l_linenumber,
@@ -2603,6 +2650,14 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(pd.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
                 round(pd.lsum, 6) AS log_weight
          FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""",
+    // the CMS contract rows: exact count per probe, true bound flags
+    "t_cms_counts" ->
+      s"""WITH t AS (SELECT unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
+         c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY 1),
+         p AS (SELECT unnest($enOracleList) AS term)
+         SELECT p.term, CAST(coalesce(c.n, 0) AS BIGINT) AS n_exact,
+                true AS est_within_bounds
+         FROM p LEFT JOIN c USING (term)""",
     // only the sketch's GUARANTEED content is pinned: the exact heavy set
     // with true bound flags (see the query comment)
     "t_frequent_terms" ->

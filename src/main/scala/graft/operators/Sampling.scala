@@ -98,6 +98,47 @@ object Sampling {
         round(when(col("quota") > 0,
           col("kept_tokens").cast("double") / col("quota")).otherwise(lit(0.0)), 6))
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
+    * (published, "Weighted random sampling with a reservoir", 2006): each
+    * row draws key = u^(1/w) and the k LARGEST keys are the sample; one
+    * pass, no sequential draw loop, distributed as a TakeOrdered top-k.
+    * The uniform u derives from md5 of the id (the quotaSample /
+    * a9_sample_hash determinism convention — stable across runs, engines,
+    * and partitionings): u = (v + 1) / 2⁶⁰ ∈ (0, 1] with v the first 15
+    * md5 hex digits. Selecting the k largest u^(1/w) is equivalent to the
+    * k SMALLEST m = −ln(u)/w, and ranking happens on the ROUNDED
+    * double-log key `round(ln(m), 6)` ascending (id tie-break): the outer
+    * ln makes the 6-decimal rounding a RELATIVE precision of ~1e-6 at any
+    * weight scale (round(ln(u)/w, 6) itself collapses to −0.0 once
+    * weights reach ~1e6 — real-unit weights like prices or token counts
+    * would destroy the draw), and comparing rounded keys means a last-ulp
+    * `ln` divergence cannot flip cross-engine ranks (the bm25TopK
+    * stance). `+ 0.0` normalizes a rounded −0.0 to +0.0 — the engines
+    * disagree on the sign of a rounded negative epsilon, and the compare
+    * is on bit repr. Rows with NULL or non-positive weight are excluded —
+    * zero weight means never sampled, and a negative weight is corrupt
+    * input, not a draw.
+    *
+    * @return input columns + `sample_key` (smaller = stronger draw) +
+    *         `rank` (1-based; the rank window runs over the k selected
+    *         rows only, never the input)
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"weightedSample needs a positive k, got $k")
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (v + 1).cast("double") / lit(1152921504606846976.0) // 2^60, exact
+    val key = round(log(-log(u)) - log(col(weightCol).cast("double")), 6) + 0.0
+    val top = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_key", key)
+      .orderBy(col("sample_key").asc, col(idCol))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("sample_key").asc, col(idCol))))
+  }
+
   /** Leakage-safe train/validation/test split: every row is assigned a
     * named split by the md5 hash of its GROUP key, so all rows sharing
     * a group — a dedup cluster, a domain, a user — land on the SAME

@@ -152,4 +152,54 @@ class SamplingSpec extends SparkSpec {
     assert(q("a") == 6000L, "0.3 * 20000 = 5999.999... must round up, not floor")
     assert(q("b") == 8000L)
   }
+
+  // ---- weightedSample (A-ES) ----
+
+  /** Driver-side replay of the A-ES key: u from the first 15 md5 hex
+    * digits, key = round(ln(−ln(u)) − ln(w), 6) — smaller = stronger. */
+  private def aesKey(id: Long, w: Double): Double = {
+    val v = java.lang.Long.parseLong(md5hex(id.toString).take(15), 16)
+    val u = (v + 1).toDouble / 1152921504606846976.0
+    BigDecimal(math.log(-math.log(u)) - math.log(w))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+  }
+
+  test("weightedSample matches the driver-side A-ES model exactly") {
+    val rows = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble))
+    val expected = rows.map { case (id, w) => (id, aesKey(id, w)) }
+      .sortBy { case (id, k) => (k, id) }.take(25)
+    val got = Sampling.weightedSample(rows.toDF("id", "w"), "id", "w", 25)
+      .orderBy(col("rank"))
+      .select("id", "sample_key").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("weightedSample excludes null and non-positive weights; rank is 1..k") {
+    val rows = Seq((1L, Some(2.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, None), (5L, Some(1.0))).toDF("id", "w")
+    val out = Sampling.weightedSample(rows, "id", "w", 10).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 5L))
+    assert(out.map(_.getInt(out.head.fieldIndex("rank"))).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("weightedSample is invariant to input partitioning") {
+    val rows = (1L to 500L).map(i => (i, (i % 13 + 1).toDouble)).toDF("id", "w")
+    val a = Sampling.weightedSample(rows, "id", "w", 50)
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.weightedSample(rows.repartition(17), "id", "w", 50)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("weightedSample favors heavy weights (inclusion follows weight)") {
+    // ids 1..1000: weight 100 for ids <= 100, weight 1 otherwise.
+    // Expected heavy inclusion ~ k * (heavy mass / total mass) is high;
+    // the deterministic draw should reflect it by a wide margin.
+    val rows = (1L to 1000L).map(i => (i, if (i <= 100) 100.0 else 1.0))
+    val out = Sampling.weightedSample(rows.toDF("id", "w"), "id", "w", 100)
+      .collect().map(_.getLong(0))
+    val heavy = out.count(_ <= 100L)
+    assert(heavy > 50, s"expected heavy-weight majority in the sample, got $heavy/100")
+  }
 }
