@@ -336,6 +336,21 @@ object SparkEntry {
         .unionByName(e0.select((col("p") + 10000000L).as("src"), col("c").as("dst")))
       graft.operators.Graph.pageRankFixed(edges, "src", "dst", iters = 3)
     }),
+    // Exact per-node triangle counts (Grouping.triangleCounts — the
+    // Suri–Vassilvitskii degree-ordered wedge algorithm) over the same
+    // co-purchase graph as the CC queries; the oracle brute-forces the
+    // 3-way closing join, so exactly-once triangle generation AND the
+    // 0-for-triangle-free-nodes contract are both pinned.
+    "g_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_partkey") <= 30)
+        .select("l_partkey", "l_orderkey").distinct()
+      val a = li.select(col("l_partkey"), col("l_orderkey").as("src"))
+      val b = li.select(col("l_partkey"), col("l_orderkey").as("dst"))
+      val edges = a.join(b, Seq("l_partkey"))
+        .filter(col("src") < col("dst")).select("src", "dst").distinct()
+      Grouping.triangleCounts(edges, "src", "dst")
+        .select(col("node").as("order_id"), col("n_triangles"))
+    }),
     // Entity resolution end-to-end (the record-linkage composition of
     // two verified operators): records keyed by name#nation#segment,
     // every 5th customer planted as a one-char-mutated duplicate;
@@ -2032,7 +2047,9 @@ object SparkEntry {
     // round 7d: SemDeDup cells, daily-ingest incremental dedup, PQ ANN,
     // containment (subsumption) dedup, equi-depth histogram
     "dedup_semantic_recall", "dedup_incremental_recall", "ann_pq_recall",
-    "dedup_contained_recall", "a16_equidepth")
+    "dedup_contained_recall", "a16_equidepth",
+    // round 7e: LM scoring and the exact set-similarity join
+    "t_lm_buckets", "dedup_ssjoin_exact")
 
   // ---- DuckDB oracle twins ----
 
@@ -2268,6 +2285,22 @@ object SparkEntry {
            UNION
            SELECT r.node, e.dst FROM r JOIN e ON r.m = e.src)
          SELECT node AS order_id, MIN(m) AS component_id FROM r GROUP BY 1""",
+    // brute-force 3-way closing join over canonical u<v edges: each
+    // triangle appears once as a<b<c, attributed to all three corners
+    "g_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_partkey, l_orderkey FROM lineitem WHERE l_partkey <= 30),
+         e AS (SELECT DISTINCT a.l_orderkey AS u, b.l_orderkey AS v
+               FROM li a JOIN li b
+                 ON a.l_partkey = b.l_partkey AND a.l_orderkey < b.l_orderkey),
+         nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM e e1
+                 JOIN e e2 ON e2.u = e1.v
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pn AS (SELECT node, COUNT(*) AS n
+                FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1)
+         SELECT nodes.node AS order_id, CAST(coalesce(pn.n, 0) AS BIGINT) AS n_triangles
+         FROM nodes LEFT JOIN pn USING (node)""",
     "g_pagerank" -> {
       // the same damped integer iteration, unrolled: r{k} from r{k-1}
       def iter(prev: String, cur: String) =

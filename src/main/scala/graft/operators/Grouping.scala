@@ -323,4 +323,64 @@ object Grouping {
       semi(covered, entities.select(col(entityKey).as(factKey)), factKey),
       completed, factKey)
   }
+
+  /** EXACT per-node triangle counts — the local clustering signal a link
+    * graph analysis (spam/community detection over a crawl's hyperlink or
+    * co-occurrence graph) reads next after degree and PageRank. The
+    * degree-ordered wedge algorithm (Suri & Vassilvitskii, "Counting
+    * Triangles and the Curse of the Last Reducer", WWW '11 — published):
+    * orient every undirected edge from its (degree, id)-SMALLER endpoint
+    * to the larger, generate wedges only at each edge pair's common
+    * LOW-degree apex, and close them with one equi-join back to the
+    * oriented edge list. Orientation bounds every node's out-degree by
+    * O(√m) regardless of how skewed the raw degrees are — the celebrity
+    * node that makes naive wedge counting quadratic ("the last reducer")
+    * generates NO wedges at all, its low-degree neighbors do — so total
+    * wedge volume is O(m^1.5), the published optimum, and every step is a
+    * hash equi-join or aggregation (no cartesian, no driver sets).
+    *
+    * Each triangle has exactly one (degree, id)-minimal apex and its
+    * closing edge is oriented (middle → top) by construction, so every
+    * triangle is generated and counted EXACTLY once (the wedge emits
+    * partners in (degree, id) order, matching the closing edge's
+    * orientation). Counts are attributed to all three corners.
+    *
+    * @return (node, n_triangles) for EVERY node of the edge list —
+    *         triangle-free nodes report 0, not absence
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    // orient by (degree, id): struct comparison is lexicographic, so ties
+    // break on the id and the orientation is a strict total order
+    val dir = e
+      .join(deg.select(col("node").as("u"), col("__d").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("__d").as("__dv")), "v")
+      .select(
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b"),
+            col("__dv").as("__db")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"),
+            col("__du").as("__db"))).as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"), col("__e.__db").as("__db"))
+    // wedges at the common apex, partners in (degree, id) order — the
+    // same order the closing edge is oriented by
+    val wedges = dir.as("e1").join(dir.as("e2"),
+        col("e1.a") === col("e2.a") &&
+          struct(col("e1.__db"), col("e1.b")) < struct(col("e2.__db"), col("e2.b")))
+      .select(col("e1.a").as("apex"), col("e1.b").as("w1"), col("e2.b").as("w2"))
+    val triangles = wedges.join(dir.select(col("a").as("w1"), col("b").as("w2")),
+      Seq("w1", "w2"))
+    val counts = triangles
+      .select(explode(array(col("apex"), col("w1"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("__n"))
+    deg.join(counts, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__n"), lit(0L)).as("n_triangles"))
+  }
 }

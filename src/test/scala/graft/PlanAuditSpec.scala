@@ -240,4 +240,40 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("Window"), s"$q lost its window operator:\n$p")
     }
   }
+
+  test("t_lm_score / t_dsir_weights: counts-table equi-joins, 1-row stats broadcast only") {
+    for (q <- Seq("t_lm_score", "t_dsir_weights")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      // the single sanctioned BNLJ is the broadcast of the 1-row (N, V)
+      // stats frame — everything else must be hash equi-joins
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj <= 1, s"$q plans $bnlj nested-loop joins:\n$p")
+      // NOTE: one Exchange SinglePartition IS expected here — the final
+      // merge of the 1-row (N, V) scalar aggregate (its partials run
+      // distributed; what funnels is ≤ shuffle.partitions partial rows,
+      // metadata). The data-bearing joins/aggs must stay hash-partitioned.
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its hash joins:\n$p")
+    }
+  }
+
+  test("dedup_ssjoin_exact: prefix equi-join only — no cartesian, no nested loop") {
+    val p = plan("dedup_ssjoin_exact")
+    assertNoCartesian(p, "dedup_ssjoin_exact")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"ssjoin funnels to one partition:\n$p")
+  }
+
+  test("g_triangles: wedge + closing equi-joins only — no cartesian") {
+    val p = plan("g_triangles")
+    assertNoCartesian(p, "g_triangles")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"g_triangles funnels to one partition:\n$p")
+  }
+
+  test("a17_weighted_sample: two-stage top-k, never a global range sort") {
+    val p = plan("a17_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+    assert(!p.contains("rangepartitioning"), s"a17 global-sorts:\n$p")
+  }
 }
