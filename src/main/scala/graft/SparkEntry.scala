@@ -1310,6 +1310,19 @@ object SparkEntry {
         ntile(10).over(Window.orderBy(col("total_spend").desc, col("customer")))
           .as("decile"))
     }),
+    // Exact global percent_rank with distributed bookkeeping
+    // (Ranking.percentRank): the score-normalization transform on the
+    // same spend frame — the only single-partition stage runs over
+    // per-partition COUNT rows, never data.
+    "w_percent_rank" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("customer"))
+        .agg(Kpis.moneySum(col("o_totalprice")).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+      graft.operators.Ranking.percentRank(spend,
+        Seq(col("total_spend").desc, col("customer")), "pct_rank")
+        .select("customer", "total_spend", "n_orders", "pct_rank")
+    }),
     // the 100 TB form of w_ntile_deciles (VERDICT r05 #2): identical
     // deciles — same oracle SQL — via graft.operators.Ranking.ntileExact's
     // range-partition + exact rank arithmetic, with NO single-partition
@@ -1413,6 +1426,25 @@ object SparkEntry {
         .limit(20)
         .select(col("priority"), col("o_orderkey"), col("price"),
           round(rz, 6).as("robust_z"))
+    }),
+    // Group-median null imputation (the repair transform a feature
+    // pipeline runs before training): every 10th order's price is nulled,
+    // then filled with its priority group's EXACT median from the
+    // scale-safe quantilesCont — medians are bit-identical to DuckDB's
+    // quantile_cont (the a7/a14 contract), so the imputed values
+    // hash-compare without tolerance. NO broadcast hint on the median
+    // join (AQE broadcasts the 5-row frame at runtime anyway).
+    "a18_impute_median" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority").as("grp"),
+        when(col("o_orderkey") % 10 === 0, lit(null))
+          .otherwise(col("o_totalprice").cast("double")).as("__v"))
+      val med = graft.operators.Ranking.quantilesCont(
+        base, "grp", "__v", Seq(0.5 -> "__med"))
+      base.join(med, "grp")
+        .select(col("o_orderkey"), col("grp"),
+          round(coalesce(col("__v"), col("__med")), 6).as("value_imputed"),
+          col("__v").isNull.as("was_imputed"))
     }),
     // One-pass table profile (Profiling.tableProfile): every column's
     // counts/nulls/min/max in a single aggregation, pivoted to a row
@@ -2930,6 +2962,14 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY category ORDER BY revenue DESC, product_id) AS rn
            FROM r)
          WHERE rn <= 3""",
+    "w_percent_rank" ->
+      """WITH s AS (SELECT o_custkey AS customer,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+             COUNT(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT customer, total_spend, n_orders,
+                round(percent_rank() OVER (ORDER BY total_spend DESC, customer), 6) AS pct_rank
+         FROM s""",
     "w_ntile_deciles" ->
       """WITH s AS (SELECT o_custkey AS customer,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
@@ -2982,6 +3022,15 @@ object SparkEntry {
                 COALESCE(n_after, 0) AS n_after,
                 COALESCE(n_after, 0) - COALESCE(n_before, 0) AS delta
          FROM h0 FULL OUTER JOIN h1 ON h0.bucket = h1.bucket""",
+    "a18_impute_median" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority AS grp,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS v
+           FROM orders),
+         m AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM b GROUP BY 1)
+         SELECT o_orderkey, grp, round(coalesce(v, med), 6) AS value_imputed,
+                v IS NULL AS was_imputed
+         FROM b JOIN m USING (grp)""",
     "a14_robust_outliers" ->
       """WITH o AS (SELECT o_orderpriority AS priority, o_orderkey,
                       CAST(o_totalprice AS DOUBLE) AS price FROM orders),

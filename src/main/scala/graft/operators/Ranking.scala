@@ -204,4 +204,43 @@ object Ranking {
     }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Exact global PERCENT_RANK over a total order with NO
+    * single-partition data window — the scale-safe score-normalization
+    * transform (map any metric to its [0, 1] rank quantile; the
+    * per-domain quality-threshold primitive): pr = (rank − 1) / (N − 1),
+    * rounded to 6 (one IEEE division — the oracle-compare convention),
+    * 0.0 for a single-row input like SQL PERCENT_RANK.
+    *
+    * Shape is [[ntileExact]]'s range-partition + per-partition
+    * row_number + prefix offsets, with the bookkeeping DISTRIBUTED like
+    * [[quantilesCont]]: per-partition counts prefix-sum through a window
+    * over ≤ `spark.sql.shuffle.partitions` COUNT rows (metadata — the
+    * only single-partition stage runs on partition counts, never data)
+    * and N rides a 1-row broadcast. `order` must be a TOTAL order
+    * (unique tiebreaker) — the deterministic-ranking contract everywhere
+    * in the repo; under a total order RANK equals ROW_NUMBER, so the SQL
+    * twin is PERCENT_RANK() OVER (ORDER BY <same total order>).
+    */
+  def percentRank(df: DataFrame, order: Seq[Column], outCol: String): DataFrame = {
+    val ranged = graft.util.Caches.retain(
+      df.repartitionByRange(order: _*)
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val prefixW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.select(col("__pid").as("__opid"),
+      coalesce(sum(col("__cnt")).over(prefixW), lit(0L)).as("__off"))
+    val total = counts.agg(sum(col("__cnt")).as("__n"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    ranged.join(offs, col("__pid") === col("__opid")).drop("__opid")
+      .crossJoin(broadcast(total))
+      .withColumn("__rank", col("__off") + row_number().over(localW))
+      .withColumn(outCol, when(col("__n") > 1L,
+          round((col("__rank") - 1L).cast("double") /
+            (col("__n") - 1L).cast("double"), 6))
+        .otherwise(lit(0.0)))
+      .drop("__pid", "__off", "__rank", "__n")
+  }
 }

@@ -264,6 +264,17 @@ class PlanAuditSpec extends SparkSpec {
       s"ssjoin funnels to one partition:\n$p")
   }
 
+  test("w_percent_rank: data rides the range exchange; single-partition stages are count-metadata only") {
+    val p = plan("w_percent_rank")
+    assert(p.contains("rangepartitioning"), s"lost the range exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), "percent_rank plans a CartesianProduct")
+    // the two sanctioned SinglePartition stages run over per-partition
+    // COUNT rows (prefix-offset window + the 1-row N aggregate) — never
+    // the data itself
+    val sp = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(sp <= 2, s"$sp single-partition exchanges (expected <= 2):\n$p")
+  }
+
   test("g_triangles: wedge + closing equi-joins only — no cartesian") {
     val p = plan("g_triangles")
     assertNoCartesian(p, "g_triangles")

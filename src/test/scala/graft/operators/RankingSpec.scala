@@ -120,4 +120,22 @@ class RankingSpec extends SparkSpec {
     assert(got("g")(2).isPosInfinity && got("h")(0).isNegInfinity)
     graft.operators.Dedup.clearCaches()
   }
+
+  test("percentRank equals the PERCENT_RANK window incl. singleton and ties") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (n <- Seq(1, 2, 97, 500)) {
+      // v has heavy ties (mod 5) — the unique id tiebreaker makes the
+      // order total, so RANK == ROW_NUMBER and the window twin agrees
+      val df = (1L to n.toLong).map(i => (i, (i % 5).toDouble)).toDF("id", "v")
+      val expected = df.withColumn("pr",
+          percent_rank().over(Window.orderBy(col("v").desc, col("id"))))
+        .collect().map(r => r.getLong(0) -> r6(r.getDouble(2))).toMap
+      val got = Ranking.percentRank(df, Seq(col("v").desc, col("id")), "pr")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got == expected, s"percentRank diverged at n=$n")
+    }
+    graft.operators.Dedup.clearCaches()
+  }
 }
