@@ -1041,6 +1041,39 @@ object SparkEntry {
     // far-future sentinel event, advancing the watermark past every real
     // session end so the engine's no-data batch flushes them all.
     // Production uses a real delay and flushes continuously — same code.
+    // Streaming TF/DF maintenance (streaming/TermStatsStream.scala):
+    // documents replayed as a multi-batch file stream; per-term df
+    // (stateful distinct → update-mode count) and per-(doc, term) tf
+    // drain into two snapshot-isolated upsert stores, and the joined
+    // read-back answers t_term_stats's batch oracle VERBATIM. The same
+    // dfCounts/tfCounts functions run batch-side in TermStatsStreamSpec,
+    // so parity is by construction, not by copy.
+    "st_term_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val stage = tmpDir("graft_stterm_in")
+      docs.write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val (outTf, cpTf) = (tmpDir("graft_stterm_tf"), tmpDir("graft_stterm_tfcp"))
+      val (outDf, cpDf) = (tmpDir("graft_stterm_df"), tmpDir("graft_stterm_dfcp"))
+      def drain(transform: DataFrame => DataFrame, keys: Seq[String],
+                out: String, cp: String): Unit = {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 8).parquet(stage)
+        val q = transform(stream).writeStream.outputMode("update")
+          .option("checkpointLocation", cp)
+          .foreachBatch(graft.streaming.StreamingPipeline
+            .upsertBatchSnapshot(out, keys) _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain(graft.streaming.TermStatsStream.dfCounts, Seq("term"), outDf, cpDf)
+      drain(graft.streaming.TermStatsStream.tfCounts(_, 50L),
+        Seq("doc_id", "term"), outTf, cpTf)
+      graft.streaming.StreamingPipeline.readSnapshot(s, outTf)
+        .join(graft.streaming.StreamingPipeline.readSnapshot(s, outDf), "term")
+        .select("doc_id", "term", "tf", "df")
+    }),
     "st_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
@@ -1835,6 +1868,21 @@ object SparkEntry {
         .withColumn("z", graft.operators.Layout.zValue(
           Seq(col("x"), col("y")), 10))
         .select("o_orderkey", "x", "y", "z")),
+    // Small-file compaction (Layout.compact): orders scattered into 64
+    // files, bin-packed and rewritten in one pass; the read-back must be
+    // the exact source table (LayoutSpec pins the file-count collapse and
+    // the oversized-file path — here the oracle pins content identity).
+    "s_compact" -> ((s, dir) => {
+      val scattered = tmpDir("graft_compact_in")
+      Tables.orders(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(scattered)
+      val compacted = tmpDir("graft_compact_out")
+      graft.operators.Layout.compact(s, scattered, compacted,
+        targetBytes = 16L * 1024 * 1024)
+      s.read.parquet(compacted)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+    }),
     // File-stats data skipping (operators/Layout.scala) end-to-end over
     // the z-order layout it exists for: write orders z-ordered on
     // (custkey, orderkey), collect the per-file min/max index in one
@@ -2628,6 +2676,10 @@ object SparkEntry {
            s"(((o_orderkey % 1024) // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"))
            .mkString(" + ")} AS BIGINT) AS z
          FROM orders""",
+    "s_compact" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders""",
     "s_data_skipping" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_custkey BETWEEN 100 AND 400""",
@@ -2669,6 +2721,10 @@ object SparkEntry {
          SELECT ngram, COUNT(*) AS n FROM e
          GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""",
     "t_term_stats" ->
+      s"""$sqlTermStatsCtes
+         SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)""",
+    // the streaming drain must answer the batch query verbatim
+    "st_term_stats" ->
       s"""$sqlTermStatsCtes
          SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)""",
     "t_bpe_pairs" ->

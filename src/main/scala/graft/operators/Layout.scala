@@ -86,6 +86,68 @@ object Layout {
     * collected on the driver: it is bounded by the FILE count (what a
     * table format's manifest read does), never by rows.
     */
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * or incremental writer eventually owes its readers: micro-batch
+    * sinks and per-partition upserts leave thousands of KB-grade files,
+    * and at 100 TB the scan's task-scheduling and footer-read overhead
+    * ends up dominating actual I/O. Bin-packs the table's files into
+    * ~`targetBytes` output files and rewrites once:
+    *
+    *  1. PLAN on the driver from the file LISTING only — names + sizes,
+    *     O(files) metadata, the manifest-read class, never rows. Bins
+    *     are first-fit-decreasing over (size DESC, name) — a published
+    *     2-approximation, and deterministic because the order is total.
+    *  2. REWRITE in one distributed pass: rows join to their file's bin
+    *     id through a broadcast (file → bin) frame keyed by
+    *     `input_file_name()`, then a hash repartition on the bin id
+    *     writes one file per non-empty partition. A hash collision
+    *     between bins merges them into one larger output file — the
+    *     file COUNT bound (≤ bins ≤ ⌈total/target⌉ + files-larger-
+    *     than-target) holds regardless, and compaction's contract is
+    *     fewer-larger files, not exact sizes.
+    *
+    * Contents are untouched (same rows, snappy parquet) — the s_compact
+    * oracle reads the compacted table back against the source SQL.
+    *
+    * @return the bin count planned (output file count is ≤ this)
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              outPath: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"compact needs a positive target, got $targetBytes")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = spark.read.parquet(path).inputFiles.toSeq
+      .map(f => f -> fs.getFileStatus(new Path(new java.net.URI(f))).getLen)
+    require(files.nonEmpty, s"compact: no input files under $path")
+    // first-fit-decreasing over a total order -> deterministic plan
+    val bins = scala.collection.mutable.ArrayBuffer[(Long, Int)]() // (free, id)
+    val assign = files.sortBy { case (f, len) => (-len, f) }.map { case (f, len) =>
+      bins.indexWhere(_._1 >= len) match {
+        case -1 =>
+          bins += ((targetBytes - len) -> bins.size)
+          f -> (bins.size - 1)
+        case i =>
+          val (free, id) = bins(i)
+          bins(i) = (free - len) -> id
+          f -> id
+      }
+    }
+    val plan = spark.createDataFrame(assign).toDF("__file", "__bin")
+    // LEFT join + loud failure, not inner: if input_file_name() ever
+    // disagreed with inputFiles' URI form, an inner join would silently
+    // DROP those rows from the compacted table
+    spark.read.parquet(path)
+      .withColumn("__file", input_file_name())
+      .join(broadcast(plan), Seq("__file"), "left")
+      .withColumn("__bin", when(col("__bin").isNull,
+          raise_error(concat(lit("compact: unplanned input file "), col("__file"))))
+        .otherwise(col("__bin")))
+      .repartition(bins.size, col("__bin"))
+      .drop("__file", "__bin")
+      .write.mode("overwrite").parquet(outPath)
+    bins.size
+  }
+
   def skippingRead(spark: org.apache.spark.sql.SparkSession, path: String,
                    stats: DataFrame, column: String,
                    lo: Column, hi: Column): DataFrame = {

@@ -141,4 +141,32 @@ class LayoutSpec extends SparkSpec {
     val got = Layout.skippingRead(spark, dir, stats, "t", lit(0L), lit(100L))
     assert(got.count() == 0L)
   }
+
+  private def parquetFiles(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+
+  test("compact collapses scattered small files and preserves every row") {
+    val in = graft.util.Scratch.dir("graft_compact_scatter")
+    val out = graft.util.Scratch.dir("graft_compact_merged")
+    val df = (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v")
+    df.repartition(40).write.mode("overwrite").parquet(in)
+    assert(parquetFiles(in).size == 40)
+    val bins = Layout.compact(spark, in, out, targetBytes = 512L * 1024 * 1024)
+    assert(bins == 1, s"everything fits one huge bin, planned $bins")
+    assert(parquetFiles(out).size == 1)
+    val got = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    assert(got == df.collect().map(_.toSeq).toSet)
+  }
+
+  test("compact gives an oversized file its own bin instead of losing it") {
+    val in = graft.util.Scratch.dir("graft_compact_big")
+    val out = graft.util.Scratch.dir("graft_compact_bigout")
+    (1L to 2000L).map(i => (i, "x" * 50)).toDF("k", "v")
+      .repartition(4).write.mode("overwrite").parquet(in)
+    // target far below any file size -> every file is "oversized"
+    val bins = Layout.compact(spark, in, out, targetBytes = 1L)
+    assert(bins == 4)
+    assert(spark.read.parquet(out).count() == 2000L)
+  }
 }
