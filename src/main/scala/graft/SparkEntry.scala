@@ -887,6 +887,37 @@ object SparkEntry {
         .filter(col("rank") === 1)
         .select(col("q_id"), col("vec_id"), col("sim"))
     }),
+    // Multi-probe LSH (Similarity.lshTopKMultiProbe): the oracle pins the
+    // two structural guarantees — every query still self-retrieves at
+    // rank 1 / sim 1.0 (the base bucket always contains self), and
+    // recall@10 against the exact brute-force top-10 DOMINATES the
+    // single-probe run (the candidate set is a strict superset; anything
+    // outranking a true top-k member is itself a true top-k member, so
+    // hits cannot drop). Both recalls are computed distributively; only
+    // the invariant booleans reach the output row.
+    "ann_lsh_multiprobe_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val queries = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec"))
+      val corpus = e.select(col("vec_id"), col("emb_d").as("embedding"))
+      val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
+        .select(col("q_id"), col("vec_id"))
+      def hits(ann: DataFrame): DataFrame = ann
+        .select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("__hits"))
+      val single = Similarity.lshTopK(queries, corpus, dim = 64, k = 10)
+      val multi = Similarity.lshTopKMultiProbe(queries, corpus, dim = 64, k = 10)
+      val self = multi.filter(col("rank") === 1).agg(
+        count(lit(1)).as("__nq"),
+        min(when(col("vec_id") === col("q_id") && col("sim") === 1.0, 1)
+          .otherwise(0)).as("__selfok"))
+      self.crossJoin(hits(single).select(col("__hits").as("__hs")))
+        .crossJoin(hits(multi).select(col("__hits").as("__hm")))
+        .select(col("__nq").cast("int").as("n_queries"),
+          (col("__selfok") === 1).as("self_rank1_all"),
+          (col("__hm") >= col("__hs")).as("recall_dominates"))
+    }),
     // k-means assignment-quality invariants (VERDICT r03 #1): every vector
     // assigned exactly once, every cell id in [0, k), and a planted
     // near-identical copy (tiny scale perturbation — cosine is
@@ -2568,6 +2599,10 @@ object SparkEntry {
     "ann_lsh_recall" ->
       """SELECT vec_id AS q_id, vec_id, CAST(1.0 AS DOUBLE) AS sim
          FROM embeddings WHERE vec_id < 5""",
+    // the structural guarantees only: self-retrieval and recall dominance
+    "ann_lsh_multiprobe_recall" ->
+      """SELECT CAST(50 AS INTEGER) AS n_queries, true AS self_rank1_all,
+                true AS recall_dominates""",
     "ann_pq_recall" ->
       "SELECT vec_id AS q_id, true AS found FROM embeddings WHERE vec_id < 50",
     "ann_ivf_kmeans_quality" ->

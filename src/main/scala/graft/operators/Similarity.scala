@@ -397,15 +397,52 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
               nbits: Int = 8, ntables: Int = 4, seed: Long = 42L,
               qId: String = "q_id", qVec: String = "q_vec",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    lshJoinTopK(queries, corpus, dim, k, nbits, ntables, seed,
+      multiProbe = false, qId, qVec, cId, cVec)
+
+  /** Multi-probe LSH ANN (Lv et al., VLDB '07 — published): the same
+    * tables and hyperplanes as [[lshTopK]], but each query ALSO probes
+    * every bucket at Hamming distance 1 from its own (each single sign
+    * bit flipped — the vectors most likely to be near-misses of the
+    * hyperplane test). The candidate set is a SUPERSET of the
+    * single-probe run's, so recall@k against the exact top-k can only
+    * improve (under the repo's deterministic tie order, anything that
+    * outranks a true top-k candidate is itself a true top-k member —
+    * ann_lsh_multiprobe_recall pins the dominance). Cost lands on the
+    * QUERY side only — (nbits+1)× probe rows on the broadcast frame;
+    * the corpus is bucketed exactly once, same as single-probe — which
+    * is the whole point of multi-probe over adding tables: more recall
+    * without re-hashing or re-shuffling the 100 TB side.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+                        nbits: Int = 8, ntables: Int = 4, seed: Long = 42L,
+                        qId: String = "q_id", qVec: String = "q_vec",
+                        cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    lshJoinTopK(queries, corpus, dim, k, nbits, ntables, seed,
+      multiProbe = true, qId, qVec, cId, cVec)
+
+  private def lshJoinTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+                          k: Int, nbits: Int, ntables: Int, seed: Long,
+                          multiProbe: Boolean, qId: String, qVec: String,
+                          cId: String, cVec: String): DataFrame = {
     val tableCol = (v: Column) => array((0 until ntables).map(t =>
       struct(lit(t).as("tbl"), lshBucket(v, dim, nbits, seed + t).as("bucket"))): _*)
+    // query probes: the base bucket, plus (multi-probe) each Hamming-1
+    // neighbor — bit i of the base flipped
+    val probeCol = (v: Column) => array((for {
+      t <- 0 until ntables
+      p <- -1 until (if (multiProbe) nbits else 0)
+      base = lshBucket(v, dim, nbits, seed + t)
+    } yield struct(lit(t).as("tbl"),
+      (if (p < 0) base else base.bitwiseXOR(lit(1L << p))).as("bucket"))): _*)
     val cb = corpus.select(col(cId), col(cVec),
       explode(tableCol(col(cVec))).as("tb"))
       .select(col(cId), col(cVec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val qb = queries.select(col(qId), col(qVec),
-      explode(tableCol(col(qVec))).as("tb"))
+      explode(probeCol(col(qVec))).as("tb"))
       .select(col(qId), col(qVec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .distinct()
     val met = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .select(col(qId), col(qVec), col(cId), col(cVec)).distinct()
     val globalW = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))

@@ -45,6 +45,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty && out(0)._1 == 1L && out(0)._2 == 1.0)
   }
 
+  test("lshTopKMultiProbe: self rank 1, and recall vs brute force dominates single-probe") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+      .toDF("q_id", "q_vec")
+    val exact = Similarity.bruteForceTopK(qs, vecs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(exact).size
+    val single = Similarity.lshTopK(qs, vecs, dim = 16, k = 5, nbits = 6)
+    val multi = Similarity.lshTopKMultiProbe(qs, vecs, dim = 16, k = 5, nbits = 6)
+    assert(hits(multi) >= hits(single))
+    val rank1 = multi.filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rank1.length == 20 && rank1.forall(r => r._1 == r._2 && r._3 == 1.0))
+  }
+
   // separable 4-dim corpus for PQ (m=2 subspaces of 2 dims): two tight
   // groups per subspace, so even 1-iteration codebooks quantize cleanly
   private val pqCorpus = Seq(
