@@ -205,7 +205,13 @@ object Bench {
     catch { case _: Throwable => () }
 
     var failed = false
-    val results = SparkEntry.headline.map { name =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (local iteration /
+    // cross-SF scaling tooling — the Verify filter's twin); unset = full
+    // headline, the driver's mode
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.headline
+      .filter(name => only.forall(_.contains(name)))
+      .map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
