@@ -193,9 +193,18 @@ object ManifestStore {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = resolveVersion(fs, rootPath, sub, versionAsOf)
     val manifest = readManifestOrEmpty(fs, rootPath, v, sub)
-    if (manifest.isEmpty) throw new IllegalStateException(
-      s"table '$sub' under $root has no committed data as of version $v — " +
-        "its batches have been empty so far")
+    if (manifest.isEmpty) {
+      // an empty manifest WITH a committed schema is a real (empty)
+      // table — deletePartitioned's delete-all state. No schema means
+      // the table never had a non-empty batch: still an error.
+      readSchemaAt(fs, rootPath, v, sub) match {
+        case Some(sc) => return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        case None => throw new IllegalStateException(
+          s"table '$sub' under $root has no committed data as of version $v — " +
+            "its batches have been empty so far")
+      }
+    }
     readManifested(spark, rootPath, manifest,
       readSchemaAt(fs, rootPath, v, sub), sub)
   }
@@ -288,6 +297,69 @@ object ManifestStore {
     if (newManifest.isEmpty && prevManifest.isEmpty)
       // the pointer stays unset rather than publishing a schema-less table
       return
+    SnapshotStore.pointTo(fs, root, batchId)
+    reclaimVersions(fs, root,
+      newManifest.values.toSet ++ prevManifest.values.toSet + batchId,
+      retentionMs)
+  }
+
+  /** Keyed DELETE committed at O(touched-partitions) cost — the DELETE
+    * leg of the reference's Delta MERGE, and the "right to be forgotten"
+    * maintenance op a lake owes its compliance team. Only partitions
+    * holding a delete key are read (the touched manifest slice) and
+    * rewritten minus the keyed rows; untouched partitions inherit by
+    * reference as in [[commitPartitioned]]. A partition the delete
+    * EMPTIES leaves the manifest entirely — inheriting its old entry
+    * would resurrect the deleted rows — and deleting every row commits
+    * an empty manifest WITH the schema file, which [[read]] returns as
+    * an empty typed table rather than an error.
+    *
+    * `delKeys` must carry `partitionCol` (the key-stays-in-its-partition
+    * precondition shared with merge commits); touched partitions are
+    * found by UNESCAPING the manifest's directory names
+    * (ExternalCatalogUtils — the exact inverse of what `partitionBy`
+    * wrote) and comparing against the keys' partition values as strings,
+    * so the store never re-implements Spark's escaping. Contract: the
+    * partition column is string- or date-typed (its `toString` is the
+    * written form — true of every store in this repo).
+    *
+    * Caller holds the writer lock and gates replayed batch ids, same as
+    * every commit path here.
+    */
+  def deletePartitioned(spark: SparkSession, root: Path, batchId: Long,
+                        delKeys: DataFrame, keys: Seq[String],
+                        partitionCol: String,
+                        retentionMs: Long = 10 * 60 * 1000L): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.functions.col
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = SnapshotStore.currentVersion(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"deletePartitioned: no committed table under $root"))
+    val prevManifest = readManifest(fs, root, cur)
+    val prevSchema = readSchemaAt(fs, root, cur, "")
+    val touched = delKeys.select(partitionCol).distinct().collect()
+      .map(_.get(0)).map {
+        case null => ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        case v => v.toString
+      }.toSet
+    val touchedManifest = prevManifest.filter { case (d, _) =>
+      touched(ExternalCatalogUtils.unescapePathName(
+        d.stripPrefix(partitionCol + "=")))
+    }
+    if (touchedManifest.isEmpty) return // keys target no live partition
+    val remaining = readManifested(spark, root, touchedManifest, prevSchema, "")
+      .join(delKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val dir = subDir(root, batchId, "")
+    remaining.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(dir.toString)
+    val written = fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .map(_.getPath.getName)
+    val newManifest = (prevManifest -- touchedManifest.keySet) ++
+      written.map(_ -> batchId)
+    writeManifest(fs, dir, newManifest)
+    writeSchema(fs, dir, remaining.schema)
     SnapshotStore.pointTo(fs, root, batchId)
     reclaimVersions(fs, root,
       newManifest.values.toSet ++ prevManifest.values.toSet + batchId,

@@ -200,4 +200,60 @@ class ManifestStoreSpec extends SparkSpec {
       s"reader hit ${errors.size} errors; first: ${Option(errors.peek())}")
     assert(StreamingPipeline.readPartitionedSnapshot(spark, root).count() == 61L)
   }
+
+  test("deletePartitioned removes keys O(touched); untouched partitions inherit") {
+    val root = tmp("graft_mfs_del")
+    val sink = StreamingPipeline.upsertPartitionedBatchSnapshot(
+      root, Seq("k"), "day") _
+    sink(Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 4.0, "c"))
+      .toDF("k", "v", "day"), 0L)
+    ManifestStore.deletePartitioned(spark, new Path(root), 1L,
+      Seq((1L, "a")).toDF("k", "day"), Seq("k"), "day")
+    assert(table(root) == Set((2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 4.0, "c")))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = ManifestStore.readManifest(fs, new Path(root), 1L)
+    assert(m == Map("day=a" -> 1L, "day=b" -> 0L, "day=c" -> 0L),
+      s"manifest was $m — only day=a should be rewritten")
+  }
+
+  test("deletePartitioned: an emptied partition leaves the manifest (no resurrection)") {
+    val root = tmp("graft_mfs_del_empty")
+    val sink = StreamingPipeline.upsertPartitionedBatchSnapshot(
+      root, Seq("k"), "day") _
+    sink(Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("k", "v", "day"), 0L)
+    ManifestStore.deletePartitioned(spark, new Path(root), 1L,
+      Seq((1L, "a")).toDF("k", "day"), Seq("k"), "day")
+    assert(table(root) == Set((2L, 2.0, "b")))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = ManifestStore.readManifest(fs, new Path(root), 1L)
+    assert(m == Map("day=b" -> 0L), s"emptied day=a must leave the manifest: $m")
+  }
+
+  test("deletePartitioned: delete-all reads back as an empty TYPED table") {
+    val root = tmp("graft_mfs_del_all")
+    val sink = StreamingPipeline.upsertPartitionedBatchSnapshot(
+      root, Seq("k"), "day") _
+    sink(Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("k", "v", "day"), 0L)
+    ManifestStore.deletePartitioned(spark, new Path(root), 1L,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "day"), Seq("k"), "day")
+    val empty = StreamingPipeline.readPartitionedSnapshot(spark, root)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSet == Set("k", "v", "day"))
+  }
+
+  test("deletePartitioned: keys in absent partitions and null partitions behave") {
+    val root = tmp("graft_mfs_del_misc")
+    val sink = StreamingPipeline.upsertPartitionedBatchSnapshot(
+      root, Seq("k"), "day") _
+    sink(Seq((1L, 1.0, null: String), (2L, 2.0, "b")).toDF("k", "v", "day"), 0L)
+    // absent partition: no-op, pointer still at v0
+    ManifestStore.deletePartitioned(spark, new Path(root), 1L,
+      Seq((9L, "zz")).toDF("k", "day"), Seq("k"), "day")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(SnapshotStore.currentVersion(fs, new Path(root)).contains(0L))
+    // null-partition delete rides __HIVE_DEFAULT_PARTITION__
+    ManifestStore.deletePartitioned(spark, new Path(root), 2L,
+      Seq((1L, null: String)).toDF("k", "day"), Seq("k"), "day")
+    assert(table(root) == Set((2L, 2.0, "b")))
+  }
 }
