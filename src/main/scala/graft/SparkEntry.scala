@@ -1699,6 +1699,41 @@ object SparkEntry {
         .select(col("rank"), col("o_orderkey"), col("weight"),
           col("sample_key"))),
 
+    // Stratified A-ES: the same draw ranked within each order-priority
+    // stratum by a group-partitioned window — partition-parallel across
+    // strata, and each stratum's sample equals what the global sampler
+    // would draw from that stratum alone.
+    "a19_weighted_stratified" -> ((s, dir) =>
+      Sampling.weightedSamplePerGroup(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+            col("o_totalprice").cast("double").as("weight")),
+        "o_orderkey", "weight", "grp", k = 20)
+        .select(col("grp"), col("rank"), col("o_orderkey"), col("weight"),
+          col("sample_key"))),
+
+    // Rolling z-score over each customer's last-7-order window — the
+    // time-series anomaly signal. Every windowed aggregate runs in
+    // DECIMAL (association-free exact sums — a double sum would differ
+    // between Spark's frame iteration and DuckDB's segment tree), then
+    // ONE cast to double feeds a fixed IEEE chain for the z value.
+    "w_rolling_z" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice").cast("decimal(15,2)").as("__p"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, Window.currentRow)
+      val nD = count(lit(1)).over(w).cast("double")
+      val smD = sum(col("__p")).over(w).cast("double")
+      val sqD = sum(col("__p") * col("__p")).over(w).cast("double")
+      val varD = (nD * sqD - smD * smD) / (nD * (nD - lit(1.0)))
+      val z = (col("__p").cast("double") - smD / nD) / sqrt(varD)
+      o.select(col("o_custkey"), col("o_orderkey"),
+        nD.cast("long").as("n_window"),
+        when(nD >= 2.0 && varD > 0.0, round(z, 6)).as("roll_z"))
+    }),
+
     // Sketch-distinct family: HyperLogLog++ approx_count_distinct — the
     // 100 TB default when an exact distinct (a2's Expand plan or
     // a2_scalable's two-phase) is still too expensive: constant-size
@@ -2732,6 +2767,34 @@ object SparkEntry {
          SELECT CAST(row_number() OVER (ORDER BY sample_key ASC, o_orderkey) AS INTEGER) AS rank,
                 o_orderkey, weight, sample_key
          FROM t""",
+    "a19_weighted_stratified" ->
+      """WITH w AS (SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(o_totalprice AS DOUBLE) AS weight,
+             round(ln(-ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                      / 1152921504606846976.0))
+                   - ln(CAST(o_totalprice AS DOUBLE)), 6) + 0.0 AS sample_key
+           FROM orders WHERE o_totalprice > 0),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY grp
+                 ORDER BY sample_key ASC, o_orderkey) AS INTEGER) AS rank FROM w)
+         SELECT grp, rank, o_orderkey, weight, sample_key
+         FROM r WHERE rank <= 20""",
+    "w_rolling_z" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                      CAST(o_totalprice AS DECIMAL(15,2)) AS p FROM orders),
+         w AS (SELECT o_custkey, o_orderkey, p,
+                 CAST(COUNT(*) OVER win AS DOUBLE) AS n,
+                 CAST(SUM(p) OVER win AS DOUBLE) AS sm,
+                 CAST(SUM(p * p) OVER win AS DOUBLE) AS sq
+               FROM b
+               WINDOW win AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT o_custkey, o_orderkey, CAST(n AS BIGINT) AS n_window,
+                CASE WHEN n >= 2 AND (n * sq - sm * sm) / (n * (n - 1.0)) > 0
+                     THEN round((CAST(p AS DOUBLE) - sm / n)
+                                / sqrt((n * sq - sm * sm) / (n * (n - 1.0))), 6)
+                END AS roll_z
+         FROM w""",
     "a9_sample_hash" ->
       """SELECT l_partkey, l_orderkey, l_linenumber FROM (
            SELECT l_partkey, l_orderkey, l_linenumber,

@@ -123,20 +123,44 @@ object Sampling {
     *         `rank` (1-based; the rank window runs over the k selected
     *         rows only, never the input)
     */
-  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
-                     k: Int): DataFrame = {
-    require(k > 0, s"weightedSample needs a positive k, got $k")
+  /** The A-ES draw key (see [[weightedSample]]): round(ln(−ln u) − ln w, 6),
+    * u from md5 of the id — smaller = stronger draw.
+    */
+  private def aesKey(idCol: String, weightCol: String): org.apache.spark.sql.Column = {
     val v = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val u = (v + 1).cast("double") / lit(1152921504606846976.0) // 2^60, exact
-    val key = round(log(-log(u)) - log(col(weightCol).cast("double")), 6) + 0.0
+    round(log(-log(u)) - log(col(weightCol).cast("double")), 6) + 0.0
+  }
+
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"weightedSample needs a positive k, got $k")
     val top = df
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("sample_key", key)
+      .withColumn("sample_key", aesKey(idCol, weightCol))
       .orderBy(col("sample_key").asc, col(idCol))
       .limit(k)
     top.withColumn("rank", row_number().over(
       Window.orderBy(col("sample_key").asc, col(idCol))))
+  }
+
+  /** Stratified (per-group) A-ES weighted sampling without replacement:
+    * the same draw key as [[weightedSample]], ranked WITHIN each group by
+    * a group-partitioned window — partition-parallel across strata, no
+    * global TakeOrdered bottleneck, and each stratum's sample is exactly
+    * what [[weightedSample]] would have drawn from that stratum alone
+    * (the key depends only on (id, weight), never the stratum).
+    */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, weightCol: String,
+                             groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"weightedSamplePerGroup needs a positive k, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("sample_key").asc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_key", aesKey(idCol, weightCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Leakage-safe train/validation/test split: every row is assigned a

@@ -192,6 +192,20 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedSamplePerGroup: each stratum equals the global sampler run on it alone") {
+    val rows = (1L to 300L).map(i => (i, s"g${i % 3}", (i % 11 + 1).toDouble))
+      .toDF("id", "grp", "w")
+    val strat = Sampling.weightedSamplePerGroup(rows, "id", "w", "grp", 10)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(r.fieldIndex("rank"))))
+      .toSet
+    val expected = (0 until 3).flatMap { g =>
+      Sampling.weightedSample(rows.filter(col("grp") === s"g$g"), "id", "w", 10)
+        .collect().map(r => (s"g$g", r.getLong(0), r.getInt(r.fieldIndex("rank"))))
+    }.toSet
+    assert(strat == expected)
+  }
+
   test("weightedSample favors heavy weights (inclusion follows weight)") {
     // ids 1..1000: weight 100 for ids <= 100, weight 1 otherwise.
     // Expected heavy inclusion ~ k * (heavy mass / total mass) is high;
