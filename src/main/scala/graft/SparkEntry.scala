@@ -1563,6 +1563,14 @@ object SparkEntry {
       graft.operators.Timeseries.resampleLocf(
         Tables.events(s, dir), "user_id", "ts", "value",
         stepMicros = 86400000000L)),
+    // Linear-interpolation resample: same grid, each point interpolated
+    // between its bracketing samples (exactly the sample when on one);
+    // both brackets from running last(ignoreNulls) windows over ONE key
+    // exchange, decimal/integer until the single IEEE chain.
+    "e_resample_linear" -> ((s, dir) =>
+      graft.operators.Timeseries.resampleLinear(
+        Tables.events(s, dir), "user_id", "ts", "value",
+        stepMicros = 86400000000L)),
     // Time-weighted average (operators/Timeseries.scala): per-user mean
     // of `value` weighted by how long each sample held — decimal-exact
     // products/sums, one IEEE division rounded to 6.
@@ -3298,6 +3306,33 @@ object SparkEntry {
          SELECT g.u AS user_id, CAST(g.gt AS BIGINT) AS grid_micros,
                 CAST(e.v AS DOUBLE) AS value
          FROM grid g ASOF JOIN e ON g.u = e.u AND g.gt >= e.t""",
+    "e_resample_linear" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                      MAX(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         b AS (SELECT u, MIN(t) AS t0, MAX(t) AS t1 FROM e GROUP BY 1),
+         grid AS (SELECT u, unnest(generate_series(t0, t1, 86400000000)) AS t FROM b),
+         un AS (SELECT u, t, 0 AS g, v FROM e
+                UNION ALL
+                SELECT u, t, 1 AS g, CAST(NULL AS DECIMAL(18,2)) AS v FROM grid),
+         br AS (SELECT u, t, g,
+                  last_value(CASE WHEN g = 0 THEN t END IGNORE NULLS) OVER fwd AS pt,
+                  last_value(CASE WHEN g = 0 THEN v END IGNORE NULLS) OVER fwd AS pv,
+                  last_value(CASE WHEN g = 0 THEN t END IGNORE NULLS) OVER bwd AS nt,
+                  last_value(CASE WHEN g = 0 THEN v END IGNORE NULLS) OVER bwd AS nv
+                FROM un
+                WINDOW fwd AS (PARTITION BY u ORDER BY t, g
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 bwd AS (PARTITION BY u ORDER BY t DESC, g DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT u AS user_id, CAST(t AS BIGINT) AS grid_micros,
+                round(CASE WHEN t = pt THEN CAST(pv AS DOUBLE)
+                      ELSE CAST(pv AS DOUBLE)
+                           + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                             * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                      END, 6) AS value
+         FROM br WHERE g = 1""",
     "e_time_weighted" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
                       CAST(value AS DECIMAL(18,2)) AS v FROM events

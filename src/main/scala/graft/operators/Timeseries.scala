@@ -60,6 +60,58 @@ object Timeseries {
         col("__fill").cast("double").as(valueCol))
   }
 
+  /** [[resampleLocf]]'s linear-interpolation sibling: each grid point
+    * takes v₀ + (v₁ − v₀)·(t − t₀)/(t₁ − t₀) between its surrounding
+    * samples (exactly v₀ when the grid point sits ON a sample). Same
+    * union-one-shuffle shape — BOTH bracketing samples come from running
+    * `last(ignoreNulls)` windows over the same key exchange, the
+    * previous one ascending, the next one descending; no per-grid-point
+    * join. The grid derives from each key's own [first, last] span, so
+    * both brackets always exist. Times/values stay integer-micros /
+    * DECIMAL until one fixed IEEE interpolation chain (identical input
+    * bits in any engine), rounded to 6.
+    *
+    * The bracket time and value ride separate `when(g = 0, …)` columns
+    * filled by the same window — they go non-null on exactly the same
+    * rows, so the (t₀, v₀) pair can never mix two samples.
+    */
+  def resampleLinear(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"resampleLinear needs a positive step, got $stepMicros")
+    val e = events.select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol)).as("__t"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .filter(col("__v").isNotNull && col("__t").isNotNull)
+      .groupBy(col("__k"), col("__t")).agg(max(col("__v")).as("__v"))
+    val grid = e.groupBy(col("__k"))
+      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
+      .select(col("__k"),
+        explode(sequence(col("__t0"), col("__t1"), lit(stepMicros))).as("__t"))
+    val union = e.select(col("__k"), col("__t"), lit(0).as("__g"), col("__v"))
+      .unionByName(grid.select(col("__k"), col("__t"), lit(1).as("__g"),
+        lit(null).cast("decimal(18,2)").as("__v")))
+    val fwd = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__g").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sampleT = when(col("__g") === 0, col("__t"))
+    val sampleV = when(col("__g") === 0, col("__v"))
+    val bracketed = union
+      .withColumn("__pt", last(sampleT, ignoreNulls = true).over(fwd))
+      .withColumn("__pv", last(sampleV, ignoreNulls = true).over(fwd))
+      .withColumn("__nt", last(sampleT, ignoreNulls = true).over(bwd))
+      .withColumn("__nv", last(sampleV, ignoreNulls = true).over(bwd))
+      .filter(col("__g") === 1)
+    val v0 = col("__pv").cast("double")
+    val v1 = col("__nv").cast("double")
+    val frac = (col("__t") - col("__pt")).cast("double") /
+      (col("__nt") - col("__pt")).cast("double")
+    bracketed.select(col("__k").as(keyCol), col("__t").as("grid_micros"),
+      round(when(col("__t") === col("__pt"), v0)
+        .otherwise(v0 + (v1 - v0) * frac), 6).as(valueCol))
+  }
+
   /** Per-key time-weighted average of `valueCol` over the key's event
     * timeline: Σ(vᵢ·dtᵢ)/Σ(dtᵢ) with dtᵢ the micros until the next
     * sample (the last sample carries no weight — its duration is

@@ -78,4 +78,28 @@ class TimeseriesSpec extends SparkSpec {
     val ev = Seq((1L, ts(0), 1.0), (2L, ts(5), 2.0)).toDF("k", "ts", "value")
     assert(Timeseries.timeWeightedAvg(ev, "k", "ts", "value").count() == 0L)
   }
+
+  test("resampleLinear: hand-computed interpolation, exact on-sample points") {
+    // samples 0s(=10), 4s(=30); grid 1s → 10, 15, 20, 25, 30
+    val ev = Seq((1L, ts(0), 10.0), (1L, ts(4000), 30.0))
+      .toDF("k", "ts", "value")
+    val got = Timeseries.resampleLinear(ev, "k", "ts", "value", 1000000L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((0L, 10.0), (1000000L, 15.0), (2000000L, 20.0),
+      (3000000L, 25.0), (4000000L, 30.0)))
+  }
+
+  test("resampleLinear: brackets pick the NEAREST samples, ties collapse, layout free") {
+    // samples 0s(=10), 2s(=20), 3s(=14): the 1s point interpolates
+    // 0s→2s (value 15), never 0s→3s; tied samples at 2s collapse to max
+    val ev = Seq((1L, ts(0), 10.0), (1L, ts(2000), 20.0),
+      (1L, ts(2000), 7.0), (1L, ts(3000), 14.0)).toDF("k", "ts", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Timeseries.resampleLinear(df, "k", "ts", "value", 1000000L)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val want = Seq((0L, 10.0), (1000000L, 15.0), (2000000L, 20.0),
+      (3000000L, 14.0))
+    assert(run(ev) == want && run(ev.repartition(5)) == want)
+  }
 }
