@@ -579,6 +579,31 @@ object SparkEntry {
         .select(col("vec_id"), lit(true).as("found"))
     }),
 
+    // k-NN graph recall (Similarity.knnGraph): every planted exact copy
+    // shares its original's k-means cell by construction, and an
+    // identical vector maximizes cosine — so the original MUST be the
+    // copy's rank-1 neighbor regardless of clustering quality. The
+    // structural invariant that puts the cluster-then-neighbor graph
+    // under the DuckDB oracle (the dedup_semantic_recall stance).
+    "knn_graph_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
+      val planted = e.unionByName(e.filter(col("vec_id") < 50).select(
+        (col("vec_id") + PlantedOffset).as("vec_id"), col("emb_d")))
+      val g = graft.operators.Similarity.knnGraph(planted, k = 5,
+        cId = "vec_id", cVec = "emb_d")
+      val base = e.filter(col("vec_id") < 50).select(col("vec_id"))
+      base.join(g,
+        base("vec_id") + PlantedOffset === g("src") &&
+          g("dst") === base("vec_id") && g("rank") === 1, "left_semi")
+        .select(col("vec_id"), lit(true).as("found"))
+    }),
+    // rows-only general form (kmeans cells aren't SQL-replicable; the
+    // recall twin above is the oracled leg)
+    "knn_graph" -> ((s, dir) =>
+      graft.operators.Similarity.knnGraph(
+        embDouble(s, dir).select(col("vec_id"), col("emb_d")),
+        k = 5, cId = "vec_id", cVec = "emb_d")),
+
     // Incremental (daily-ingest) dedup recall: fresh = an exact copy of
     // every document, registry = the originals plus a planted
     // registry-internal duplicate family (doc_id < 50 copied again at
@@ -601,7 +626,29 @@ object SparkEntry {
         .select(col("doc_id"), lit(true).as("found"))
     }),
 
+    // Bloom-prefiltered incremental exact dedup (operators/Bloom.scala):
+    // registry = even docs, fresh = odd docs plus planted exact copies
+    // of every 10th even doc. The bloom pass has no false negatives and
+    // the digest semi-join removes its false positives, so the output
+    // is bit-identical to the naive semi-join the oracle runs.
+    "dedup_bloom_registry" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val registry = docs.filter(col("doc_id") % 2 === 0)
+      val fresh = docs.filter(col("doc_id") % 2 === 1).unionByName(
+        exactCopy(docs.filter(col("doc_id") % 10 === 0), PlantedOffset))
+      graft.operators.Bloom.registryDups(registry, fresh, "doc_id", "text")
+    }),
+
     // ---- text analysis (§7.5) ----
+    // PMI term associations (operators/Association.scala): top pairs by
+    // pointwise mutual information at distinct-(doc, term) grain —
+    // df-banded vocabulary, per-doc rarest-term cap bounding the pair
+    // join, one ln per surviving pair; the oracle replays every stage.
+    "t_pmi_cooc" -> ((s, dir) =>
+      graft.operators.Association.pmiPairs(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", minDf = 2, maxDf = 1000000L,
+        perDocCap = 16, minPair = 5, k = 100)),
     "t_text_stats" -> ((s, dir) =>
       Text.analyzed(Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .select("doc_id", "n_tokens", "n_chars_measured", "mean_token_len",
@@ -643,6 +690,15 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
       LanguageModel.dsirWeights(
         docs.filter(col("lang") === "en"), docs, docs, "doc_id", "text")
+    }),
+    // Bigram LM with Stupid Backoff (Brants et al. 2007): conditional
+    // bigram scores backing off to the add-one unigram floor at α = 0.4.
+    // Same train/score split as t_lm_score, same sorted-fold determinism
+    // contract — the oracle replays the whole model in DuckDB.
+    "t_lm_bigram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      LanguageModel.bigramScore(
+        docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
     }),
     // PII detection + redaction (functions/Pii.scala): plant emails /
     // phones / SSNs / IPv4s derived from doc_id (the oracle replants the
@@ -2253,7 +2309,10 @@ object SparkEntry {
     "dedup_semantic_recall", "dedup_incremental_recall", "ann_pq_recall",
     "dedup_contained_recall", "a16_equidepth",
     // round 7e: LM scoring and the exact set-similarity join
-    "t_lm_buckets", "dedup_ssjoin_exact")
+    "t_lm_buckets", "dedup_ssjoin_exact",
+    // round 7f: bigram backoff LM, PMI associations, bloom-prefiltered
+    // registry dedup, cell-blocked k-NN graph
+    "t_lm_bigram", "t_pmi_cooc", "dedup_bloom_registry", "knn_graph")
 
   // ---- DuckDB oracle twins ----
 
@@ -2578,12 +2637,24 @@ object SparkEntry {
       "SELECT doc_id, true AS found FROM documents",
     "dedup_semantic_recall" ->
       "SELECT vec_id, true AS found FROM embeddings WHERE vec_id < 50",
+    "knn_graph_recall" ->
+      "SELECT vec_id, true AS found FROM embeddings WHERE vec_id < 50",
     "dedup_contained_recall" ->
       s"""SELECT doc_id, true AS found
          FROM (SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents)
          WHERE len(ts) >= 12""",
     "dedup_incremental_recall" ->
       "SELECT doc_id, true AS found FROM documents",
+    // bloom prefilter + exact verify == the naive digest semi-join
+    "dedup_bloom_registry" ->
+      s"""WITH reg AS (SELECT DISTINCT sha256(text) AS content_sha
+                 FROM documents WHERE doc_id % 2 = 0),
+         fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                   UNION ALL
+                   SELECT doc_id + 1000000 AS doc_id, text
+                   FROM documents WHERE doc_id % 10 = 0)
+         SELECT f.doc_id, sha256(f.text) AS content_sha
+         FROM fresh f JOIN reg ON sha256(f.text) = reg.content_sha""",
     // brute-force pairwise closure — the prefix filter must reproduce it
     "dedup_ssjoin_exact" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250
@@ -2907,6 +2978,64 @@ object SparkEntry {
          SELECT doc_id, n_tokens, avg_logprob, ppl,
                 CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS INTEGER) AS ppl_bucket
          FROM scored WHERE n_tokens > 0""",
+    // PMI associations: every stage replayed — distinct grain, df band,
+    // per-doc rarest-16 cap (same (df ASC, term) window), pair join,
+    // one ln per pair, rounded-score ordering with full tie-break
+    "t_pmi_cooc" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
+         dt AS (SELECT DISTINCT doc_id, term FROM tok),
+         dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         vocab AS (SELECT term, df FROM dfq WHERE df >= 2 AND df <= 1000000),
+         rn AS (SELECT dt.doc_id, dt.term,
+                  row_number() OVER (PARTITION BY dt.doc_id
+                    ORDER BY vocab.df ASC, dt.term) AS rn
+                FROM dt JOIN vocab USING (term)),
+         capped AS (SELECT doc_id, term FROM rn WHERE rn <= 16),
+         p AS (SELECT a.term AS w1, b.term AS w2, CAST(COUNT(*) AS BIGINT) AS co_df
+               FROM capped a JOIN capped b
+                 ON a.doc_id = b.doc_id AND a.term < b.term
+               GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT w1, w2, co_df, fa.df AS df1, fb.df AS df2,
+                round(ln(CAST(co_df * n_docs AS DOUBLE) /
+                         CAST(fa.df * fb.df AS DOUBLE)), 6) AS pmi
+         FROM p JOIN vocab fa ON p.w1 = fa.term
+                JOIN vocab fb ON p.w2 = fb.term
+                CROSS JOIN d
+         ORDER BY pmi DESC, w1, w2 LIMIT 100""",
+    // bigram Stupid Backoff: the CASE replays S(w2|w1) literally — exact
+    // bigram branch c2/c1(w1), else α times the add-one unigram floor;
+    // per-doc sum is the same (w1, w2)-ordered left fold as t_lm_score
+    "t_lm_bigram" ->
+      s"""WITH tr AS (SELECT ${sqlTokens("lower(text)")} AS ts FROM documents WHERE doc_id % 2 = 0),
+         trbg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+                  FROM tr, unnest(range(1, len(ts))) AS u(i)),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM trbg GROUP BY 1, 2),
+         trw AS (SELECT unnest(ts) AS w FROM tr),
+         c1 AS (SELECT w, COUNT(*) AS c FROM trw GROUP BY 1),
+         s AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM c1),
+         tok AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+         bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                FROM tok, unnest(range(1, len(ts))) AS u(i)),
+         tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         lp AS (SELECT doc_id, w1, w2, tf,
+                  CAST(tf AS DOUBLE) * ln(CASE WHEN c2.c2 IS NOT NULL
+                      THEN CAST(c2.c2 AS DOUBLE) / CAST(cp.c AS DOUBLE)
+                      ELSE CAST(0.4 AS DOUBLE) *
+                           CAST(coalesce(cw.c, 0) + 1 AS DOUBLE) /
+                           CAST(s.n + s.v AS DOUBLE) END) AS lp
+                FROM tf LEFT JOIN c2 USING (w1, w2)
+                     LEFT JOIN c1 cp ON tf.w1 = cp.w
+                     LEFT JOIN c1 cw ON tf.w2 = cw.w
+                     CROSS JOIN s),
+         pd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY w1, w2)),
+                    (a, b) -> a + b) AS lsum
+                FROM lp GROUP BY 1)
+         SELECT d.doc_id, coalesce(pd.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+                round(pd.lsum / pd.n_bigrams, 6) AS avg_logprob,
+                round(exp(-(pd.lsum / pd.n_bigrams)), 6) AS ppl
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""",
     "t_dsir_weights" ->
       s"""WITH tgt AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents WHERE lang = 'en'),
          src AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),

@@ -120,6 +120,82 @@ object LanguageModel {
         round(col("__sum"), 6).as("log_weight"))
   }
 
+  /** Per-document (id, w1, w2, tf) at distinct-BIGRAM grain: consecutive
+    * token pairs of the lowercased whitespace stream. The pair list is
+    * built by zipping the token array against its own 1-shift
+    * (`slice`+`zip_with`) — per-row work linear in document length, no
+    * self-join, no positional explode.
+    */
+  private def docBigramTf(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val ts = Text.tokens(lower(col(textCol)))
+    val n1 = greatest(size(ts) - 1, lit(0))
+    docs.select(col(idCol).as("__id"),
+        explode(zip_with(slice(ts, lit(1), n1), slice(ts, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .groupBy(col("__id"), col("__bg.w1").as("__w1"),
+        col("__bg.w2").as("__w2"))
+      .agg(count(lit(1)).as("__tf"))
+  }
+
+  /** Score every document under a BIGRAM model with Stupid Backoff
+    * (Brants et al., EMNLP 2007 — "Large Language Models in Machine
+    * Translation", the web-scale scoring scheme that replaces discounted
+    * smoothing with a fixed backoff multiplier precisely because it
+    * needs no held-out tuning at corpus scale):
+    *
+    *   S(w2 | w1) = c2(w1 w2) / c1(w1)            if c2(w1 w2) > 0
+    *              = α · (c1(w2) + 1) / (N + V)     otherwise
+    *
+    * with α = 0.4 (the paper's constant) and the backoff terminal
+    * add-one-smoothed (the [[unigramScore]] floor) so unseen words keep
+    * a finite score. Each document is scored over its n−1 bigram
+    * positions: `(idCol, n_bigrams, avg_logprob, ppl)`, rounded to 6;
+    * documents with fewer than 2 tokens keep NULL scores.
+    *
+    * Scale shape: the model is two count DataFrames (bigrams + unigrams)
+    * from map-side-combined aggregations — never a driver-side object;
+    * scoring joins per-document distinct-bigram frequencies to both
+    * count tables (hash joins on the pair / the predecessor token) and
+    * folds one hash aggregation per document. Corpus scalars (N, V) ride
+    * a 1-row broadcast. Determinism: one fixed IEEE expression per
+    * distinct bigram, summed as a (w1, w2)-sorted LEFT FOLD — the
+    * [[foldLogProbs]] / DuckDB `list_reduce` contract.
+    */
+  def bigramScore(train: DataFrame, docs: DataFrame,
+                  idCol: String, textCol: String,
+                  alpha: Double = 0.4): DataFrame = {
+    val c2 = docBigramTf(train, idCol, textCol)
+      .groupBy(col("__w1"), col("__w2")).agg(sum(col("__tf")).as("__c2"))
+    val c1 = tokenCounts(train, textCol)
+    val stats = c1.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    val contribs = docBigramTf(docs, idCol, textCol)
+      .join(c2, Seq("__w1", "__w2"), "left")
+      .join(c1.select(col("__w").as("__w1"), col("__c").as("__cp")),
+        Seq("__w1"), "left")
+      .join(c1.select(col("__w").as("__w2"), col("__c").as("__cw")),
+        Seq("__w2"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("__id"),
+        // fold key: the sorted struct must lead with (w1, w2) so the
+        // engine-side sort_array and the oracle's ORDER BY w1, w2 agree
+        struct(col("__w1"), col("__w2")).as("__w"),
+        col("__tf"),
+        (col("__tf").cast("double") *
+          log(when(col("__c2").isNotNull,
+              col("__c2").cast("double") / col("__cp").cast("double"))
+            .otherwise(lit(alpha) *
+              (coalesce(col("__cw"), lit(0L)) + 1L).cast("double") /
+              (col("__n") + col("__v")).cast("double")))).as("__lp"))
+    docs.select(col(idCol))
+      .join(foldLogProbs(contribs).withColumnRenamed("__id", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ntok"), lit(0L)).as("n_bigrams"),
+        round(col("__sum") / col("__ntok"), 6).as("avg_logprob"),
+        round(exp(-(col("__sum") / col("__ntok"))), 6).as("ppl"))
+  }
+
   /** CCNet's head/middle/tail perplexity bucketing: score with
     * [[unigramScore]], then exact NTILE (no single-partition funnel —
     * [[Ranking.ntileExact]]) over descending avg_logprob, so bucket 1 is

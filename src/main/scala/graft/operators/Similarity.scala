@@ -450,4 +450,46 @@ object Similarity {
       .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
       .select(col(qId), col(cId), round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  /** k-NN graph over the whole corpus: each vector's `k` nearest
+    * neighbors by cosine among vectors sharing its k-means cell — the
+    * cluster-then-neighbor blocking of the SemDeDup family
+    * ([[graft.operators.Dedup.semanticNearDuplicates]]), here producing
+    * the neighbor LISTS that downstream curation consumes (graph-based
+    * dedup clustering, label propagation, kNN-classifier quality
+    * scoring à la DataComp). Identical vectors land in the same cell by
+    * construction (the assignment is a deterministic argmax over the
+    * same centroids), so an exact copy is ALWAYS its twin's rank-1
+    * neighbor at cos 1.0 — the structural invariant knn_graph_recall
+    * pins under the oracle; cross-cell near neighbors are subject to
+    * the usual blocking recall trade-off (raise `nCells` resolution, or
+    * probe neighbor cells the ivfTopK way, for higher recall).
+    *
+    * Scale shape: ONE cell equi-join (the shuffle keys on the cell id —
+    * never all-pairs, never a cartesian), cells larger than `maxCell`
+    * dropped WHOLE by a count-first pass (the capBuckets stance: a
+    * degenerate clustering degrades to a capped drop, not a quadratic
+    * join), and the per-source top-k window is bounded by the cell size
+    * — at most `maxCell` rows per partition, never the corpus.
+    * Output: `(src, dst, sim, rank)` with rank 1..k per surviving src.
+    */
+  def knnGraph(vectors: DataFrame, k: Int, nCells: Int = 16,
+               iters: Int = 3, maxCell: Int = 10000,
+               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(k > 0, s"knnGraph needs a positive k, got $k")
+    val cells = kmeansCells(vectors, nCells, iters, cId, cVec)
+    val assigned = vectors.join(cells, cId)
+    val kept = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxCell)
+      .select(col("cell"))
+    val bounded = assigned.join(kept, Seq("cell"))
+    val a = bounded.select(col("cell"), col(cId).as("src"), col(cVec).as("__va"))
+    val b = bounded.select(col("cell"), col(cId).as("dst"), col(cVec).as("__vb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), cosine(col("__va"), col("__vb")).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("src"), col("dst"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
 }

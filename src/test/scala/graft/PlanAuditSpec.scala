@@ -287,4 +287,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
     assert(!p.contains("rangepartitioning"), s"a17 global-sorts:\n$p")
   }
+
+  test("t_pmi_cooc: doc-keyed pair equi-join + TakeOrdered — no cartesian, no global sort") {
+    val p = plan("t_pmi_cooc")
+    assert(!p.contains("CartesianProduct"), s"t_pmi_cooc plans a CartesianProduct")
+    // the single sanctioned BNLJ is the 1-row n_docs broadcast cross
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"t_pmi_cooc plans $bnlj nested-loop joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+    assert(!p.contains("rangepartitioning"), s"t_pmi_cooc global-sorts:\n$p")
+  }
+
+  test("t_lm_bigram: counts-table equi-joins, 1-row stats broadcast only") {
+    val p = plan("t_lm_bigram")
+    assert(!p.contains("CartesianProduct"), s"t_lm_bigram plans a CartesianProduct")
+    // the single sanctioned BNLJ is the 1-row (N, V) stats broadcast —
+    // the t_lm_score stance; everything else must be hash equi-joins
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"t_lm_bigram plans $bnlj nested-loop joins:\n$p")
+    assert(!p.contains("rangepartitioning"), s"t_lm_bigram global-sorts:\n$p")
+  }
+
+  test("dedup_bloom_registry: the bloom probe filters the fresh scan BEFORE the exchange") {
+    val p = plan("dedup_bloom_registry")
+    assertNoCartesian(p, "dedup_bloom_registry")
+    // the probe is a scan-local predicate: might_contain must appear in
+    // the plan (a Filter above the fresh scan), upstream of the semi-join
+    assert(p.contains("might_contain"), s"no bloom probe in:\n$p")
+    assert(p.contains("LeftSemi"), s"no exact verify semi-join in:\n$p")
+  }
+
+  test("knn_graph: cell equi-join, cell-bounded window — no cartesian, no single partition") {
+    val p = plan("knn_graph")
+    assert(!p.contains("CartesianProduct"), s"knn_graph plans a CartesianProduct")
+    // BNLJs here are kmeansCells' sanctioned corpus × nlist-row centroid
+    // crosses (the ivfTopK stance); the NEIGHBOR join itself must be the
+    // cell sort-merge/hash equi-join — pinned by requiring no
+    // single-partition stage and the two-stage per-src top-k
+    assert(!p.contains("Exchange SinglePartition"),
+      s"knn_graph funnels to one partition:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"knn_graph lost the rank pushdown:\n$p")
+  }
 }

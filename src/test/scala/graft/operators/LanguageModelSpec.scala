@@ -59,6 +59,39 @@ class LanguageModelSpec extends SparkSpec {
     assert(byBucket == Seq(1, 1, 2, 2, 3, 3))
   }
 
+  test("bigramScore: hand-computed stupid backoff, unseen pair + unseen word") {
+    // train bigrams: (a,a) x1, (a,b) x1; unigrams: a x2, b x1 -> N=3, V=2
+    val train = Seq((100L, "a a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a a b"),  // both bigrams seen
+      (2L, "b a"),    // (b,a) unseen -> backoff to alpha * (c(a)+1)/(N+V)
+      (3L, "a z"),    // (a,z) unseen, z OOV -> alpha * (0+1)/(N+V)
+      (4L, "a"),      // single token: no bigrams -> NULL scores
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = byId(LanguageModel.bigramScore(train, docs, "doc_id", "text").collect())
+    // S(a|a) = 1/2, S(b|a) = 1/2
+    assert(out(1L).getLong(1) == 2L)
+    assert(out(1L).getDouble(2) == r6((math.log(0.5) + math.log(0.5)) / 2))
+    // S(a|b) backs off: 0.4 * (2+1)/(3+2)
+    assert(out(2L).getDouble(2) == r6(math.log(0.4 * 3.0 / 5)))
+    // S(z|a) backs off to the OOV floor: 0.4 * 1/(3+2)
+    assert(out(3L).getDouble(2) == r6(math.log(0.4 / 5)))
+    assert(out(3L).getDouble(3) == r6(math.exp(-math.log(0.4 / 5))))
+    assert(out(4L).getLong(1) == 0L && out(4L).isNullAt(2))
+    assert(out(5L).getLong(1) == 0L && out(5L).isNullAt(2))
+  }
+
+  test("bigramScore: seen-bigram branch beats backoff for repeated pairs") {
+    // "x y" repeated heavily: S(y|x) = c2/c1(x) must reflect multiplicity
+    val train = Seq((100L, "x y x y x y x z")).toDF("doc_id", "text")
+    // c2(x,y)=3, c1(x)=4 -> S(y|x)=3/4
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val out = byId(LanguageModel.bigramScore(train, docs, "doc_id", "text").collect())
+    assert(out(1L).getLong(1) == 1L)
+    assert(out(1L).getDouble(2) == r6(math.log(3.0 / 4)))
+  }
+
   test("scores are invariant to input partitioning (fixed-order fold)") {
     val docs = (0L until 40L)
       .map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 2} shared"))
@@ -68,5 +101,10 @@ class LanguageModelSpec extends SparkSpec {
     val b = LanguageModel.unigramScore(docs.repartition(13), docs.repartition(7),
       "doc_id", "text").collect().map(_.toSeq).toSet
     assert(a == b)
+    val ba = LanguageModel.bigramScore(docs, docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val bb = LanguageModel.bigramScore(docs.repartition(13), docs.repartition(7),
+      "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(ba == bb)
   }
 }

@@ -137,4 +137,45 @@ class SimilaritySpec extends SparkSpec {
       assert(self == rows.map(_._3).min, s"query $q: self $self not min")
     }
   }
+
+  test("knnGraph: exact copies are mutual rank-1 neighbors; k and cells bound output") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val planted = base ++ base.take(5).map { case (i, v) => (i + 1000L, v) }
+    val vecs = planted.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, k = 3, nCells = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    graft.operators.Dedup.clearCaches()
+    // every planted copy finds its original at rank 1, sim 1.0 — and back
+    for (i <- 0L until 5L) {
+      assert(g.exists(e => e._1 == i + 1000L && e._2 == i && e._4 == 1 && e._3 == 1.0),
+        s"copy ${i + 1000L} missing original")
+      assert(g.exists(e => e._1 == i && e._2 == i + 1000L && e._4 == 1 && e._3 == 1.0),
+        s"original $i missing copy")
+    }
+    // no source exceeds k neighbors; ranks are 1..k without gaps
+    g.groupBy(_._1).foreach { case (src, rows) =>
+      val ranks = rows.map(_._4).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"src $src ranks $ranks")
+      assert(ranks.size <= 3)
+    }
+  }
+
+  test("knnGraph: a cell over maxCell is dropped whole, smaller cells survive") {
+    val rnd = new scala.util.Random(11)
+    // ids 0 and 1 are the k-means seeds (k lowest ids) — put one in each
+    // group so the two clusters separate deterministically: thin around
+    // -e1 (ids 0, 2, 3), fat around +e1 (id 1 and 4..33 -> 31 members)
+    def thinV() = Seq(-5.0 + rnd.nextGaussian() * 0.01, rnd.nextGaussian() * 0.01)
+    def fatV() = Seq(5.0 + rnd.nextGaussian() * 0.01, rnd.nextGaussian() * 0.01)
+    val vecs = (Seq((0L, thinV()), (1L, fatV()), (2L, thinV()), (3L, thinV())) ++
+      (4L until 34L).map(i => (i, fatV()))).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, k = 2, nCells = 2, iters = 3, maxCell = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.operators.Dedup.clearCaches()
+    assert(g.nonEmpty)
+    // the fat cell's vectors emit nothing; the thin cell still pairs up
+    val thinIds = Set(0L, 2L, 3L)
+    assert(g.forall { case (s, d) => thinIds(s) && thinIds(d) })
+  }
 }
