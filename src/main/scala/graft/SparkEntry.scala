@@ -603,6 +603,14 @@ object SparkEntry {
       graft.operators.Similarity.knnGraph(
         embDouble(s, dir).select(col("vec_id"), col("emb_d")),
         k = 5, cId = "vec_id", cVec = "emb_d")),
+    // JL random projection (Similarity.randomProjection): 64 -> 8 dims
+    // under the seed-77 Gaussian planes; pure per-row map, long-form
+    // output, IEEE-exact (products + left-assoc sums, no ln) — the
+    // oracle replays all 8 folds term by term from the same PRNG.
+    "emb_project" -> ((s, dir) =>
+      graft.operators.Similarity.randomProjection(
+        embDouble(s, dir).select(col("vec_id"), col("emb_d")),
+        dim = 64, outDim = 8, seed = 77L, cId = "vec_id", cVec = "emb_d")),
 
     // Incremental (daily-ingest) dedup recall: fresh = an exact copy of
     // every document, registry = the originals plus a planted
@@ -664,6 +672,17 @@ object SparkEntry {
     // so the oracle replicates the whole pass verbatim
     "t_bpe_pairs" -> ((s, dir) =>
       Text.bpePairCounts(Tables.documents(s, dir), "text")),
+    // FULL BPE training loop (Text.bpeLoop): 3 greedy merges — each
+    // iteration counts pairs over the evolving symbol sequences, argmaxes
+    // with a fixed tie-break, and applies the merge leftmost-greedy. The
+    // oracle unrolls the identical loop in DuckDB (every intermediate
+    // merge DECISION is verified, not just the final table).
+    "t_bpe_train" -> ((s, dir) =>
+      Text.bpeTrainMerges(Tables.documents(s, dir), "text", nMerges = 3)),
+    // the trained tokenizer applied to its vocabulary: piece sequences
+    // after the same 3 merges, flat-string serialized
+    "t_bpe_segment" -> ((s, dir) =>
+      Text.bpeSegment(Tables.documents(s, dir), "text", nMerges = 3)),
     // Unigram-LM scoring (operators/LanguageModel.scala): the CCNet-style
     // statistical quality signal. Train on the even-doc_id half (odd docs
     // then carry genuinely unseen tokens through the add-one floor),
@@ -1673,6 +1692,31 @@ object SparkEntry {
             .cast("integer").as("f0_byte"))
     }),
 
+    // Perceptual-hash media dedup (Multimodal.phash + the shared Hamming
+    // banding): planted byte-identical payloads decode (stub) to
+    // identical features, hence identical average-hash bits — every
+    // planted pair MUST surface at hamming 0 regardless of how crude the
+    // stub decode is. Codec stays stubbed; hashing and banding are the
+    // production expressions.
+    "mm_phash_dups" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.unionByName(
+        exactCopy(docs.filter(col("doc_id") < 50), PlantedOffset))
+      val media = planted.select(col("doc_id").as("media_id"),
+        lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("content"))
+        .as[graft.multimodal.MediaRecord]
+      val feats = graft.multimodal.Multimodal
+        .extractFeatures(media, dim = 64).toDF()
+      val pairs = graft.multimodal.Multimodal
+        .phashNearDuplicates(feats, maxDist = 0)
+      val base = docs.filter(col("doc_id") < 50).select(col("doc_id"))
+      base.join(pairs, base("doc_id") === pairs("id_a") &&
+          pairs("id_b") === base("doc_id") + PlantedOffset, "left_semi")
+        .select(col("doc_id"), lit(true).as("found"))
+    }),
+
     // Frame sampling through the stub demuxer (fixed-size frames, every
     // 2nd kept): deterministic record fan-out, so frame ids and sizes are
     // DuckDB-replicable — the flatMap decode boundary under the oracle.
@@ -2311,8 +2355,10 @@ object SparkEntry {
     // round 7e: LM scoring and the exact set-similarity join
     "t_lm_buckets", "dedup_ssjoin_exact",
     // round 7f: bigram backoff LM, PMI associations, bloom-prefiltered
-    // registry dedup, cell-blocked k-NN graph
-    "t_lm_bigram", "t_pmi_cooc", "dedup_bloom_registry", "knn_graph")
+    // registry dedup, cell-blocked k-NN graph, BPE training loop,
+    // JL projection
+    "t_lm_bigram", "t_pmi_cooc", "dedup_bloom_registry", "knn_graph",
+    "t_bpe_train", "emb_project", "mm_phash_dups")
 
   // ---- DuckDB oracle twins ----
 
@@ -2334,6 +2380,36 @@ object SparkEntry {
     * and t_lm_buckets, ending in a `scored` CTE with the operator's
     * output columns.
     */
+  /** Oracle-side unrolled twin of Text.bpeLoop: w0 = char-split vocab;
+    * per level i, p_i counts adjacent pairs, b_i argmaxes (cnt DESC, l, r),
+    * w_{i+1} applies the merge with a nested-list fold. The accumulator
+    * CARRIES the winning pair as its first two elements (stripped by the
+    * final [3:] slice) because DuckDB 1.0 lambdas cannot see correlated
+    * columns (they silently resolve NULL); explicit `a[1:len(a)-1]`
+    * bounds because `a[:-1]` on a lambda parameter is a no-op there.
+    */
+  private lazy val sqlBpeTrainCtes: String = {
+    def pairCtes(i: Int) =
+      s"""p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(wn) AS BIGINT) AS cnt
+           FROM w$i, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+         b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)"""
+    def mergeCte(i: Int) =
+      s"""w${i + 1} AS (SELECT w, wn,
+           list_reduce(list_concat([[b$i.l, b$i.r]], list_transform(syms, s -> [s])), (acc, x) ->
+             CASE WHEN len(acc) > 2 AND acc[len(acc)] = acc[1] AND x[1] = acc[2]
+                  THEN list_append(acc[1:len(acc) - 1], acc[1] || acc[2])
+                  ELSE list_concat(acc, x) END)[3:] AS syms
+         FROM w$i CROSS JOIN b$i)"""
+    s"""WITH toks AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+       v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
+       w0 AS (SELECT w, wn,
+                list_transform(generate_series(1, len(w)),
+                  i -> substr(w, CAST(i AS INTEGER), 1)) AS syms FROM v),
+       ${pairCtes(0)}, ${mergeCte(0)},
+       ${pairCtes(1)}, ${mergeCte(1)},
+       ${pairCtes(2)}, ${mergeCte(2)}"""
+  }
+
   private lazy val sqlLmScoreCtes: String =
     s"""WITH tr AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents WHERE doc_id % 2 = 0),
        c AS (SELECT w, COUNT(*) AS c FROM tr GROUP BY 1),
@@ -2639,6 +2715,23 @@ object SparkEntry {
       "SELECT vec_id, true AS found FROM embeddings WHERE vec_id < 50",
     "knn_graph_recall" ->
       "SELECT vec_id, true AS found FROM embeddings WHERE vec_id < 50",
+    // JL projection: the identical plane literals (same PRNG, same seed)
+    // folded in the identical ascending order from 0.0 — term-by-term
+    // IEEE parity, no tolerance needed
+    "emb_project" -> {
+      val planes = graft.operators.Similarity.projectionPlanes(64, 8, 77L)
+      val scale = 1.0 / math.sqrt(8.0)
+      // every operand CAST to DOUBLE: DuckDB parses long decimal literals
+      // as DECIMAL, and DECIMAL op FLOAT promotes to FLOAT32 — which
+      // would run the whole fold in single precision
+      planes.zipWithIndex.map { case (p, i) =>
+        val fold = p.zipWithIndex
+          .map { case (c, j) =>
+            s"CAST(embedding[${j + 1}] AS DOUBLE) * CAST($c AS DOUBLE)" }
+          .mkString("CAST(0.0 AS DOUBLE) + ", " + ", "")
+        s"SELECT vec_id, $i AS pos, round(($fold) * CAST($scale AS DOUBLE), 6) AS value FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+    },
     "dedup_contained_recall" ->
       s"""SELECT doc_id, true AS found
          FROM (SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents)
@@ -2978,6 +3071,19 @@ object SparkEntry {
          SELECT doc_id, n_tokens, avg_logprob, ppl,
                 CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS INTEGER) AS ppl_bucket
          FROM scored WHERE n_tokens > 0""",
+    // full BPE loop: every merge decision pinned (b0/b1/b2), then the
+    // segmented vocabulary after all three
+    "t_bpe_train" ->
+      s"""$sqlBpeTrainCtes
+         SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b0
+         UNION ALL SELECT 2, l, r, cnt FROM b1
+         UNION ALL SELECT 3, l, r, cnt FROM b2""",
+    "t_bpe_segment" ->
+      s"""$sqlBpeTrainCtes
+         SELECT w AS word, wn AS n_occurrences,
+                array_to_string(syms, ' ') AS pieces,
+                CAST(len(syms) AS INTEGER) AS n_pieces
+         FROM w3""",
     // PMI associations: every stage replayed — distinct grain, df band,
     // per-doc rarest-16 cap (same (df ASC, term) window), pair join,
     // one ln per pair, rounded-score ordering with full tie-break
@@ -3511,6 +3617,9 @@ object SparkEntry {
                 CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
                 CAST(ascii(text) AS INTEGER) AS f0_byte
          FROM documents""",
+    // planted-payload truth: byte-identical media must pair at hamming 0
+    "mm_phash_dups" ->
+      "SELECT doc_id, true AS found FROM documents WHERE doc_id < 50",
     "a7_percentiles" ->
       """SELECT p.p_type AS category,
                 round(quantile_cont(l.l_extendedprice, 0.5), 6) AS p50,

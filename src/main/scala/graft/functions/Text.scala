@@ -256,6 +256,101 @@ object Text {
       .limit(topN)
   }
 
+  /** The shared BPE greedy-merge loop behind [[bpeTrainMerges]] /
+    * [[bpeSegment]] — byte-pair-encoding tokenizer TRAINING (Sennrich
+    * et al., ACL 2016: start from characters, repeatedly merge the
+    * highest-frequency adjacent symbol pair), run entirely at
+    * DISTINCT-WORD grain: the corpus explode collapses to (word, count)
+    * once, and every subsequent pass touches the vocabulary, not token
+    * occurrences — the [[bpePairCounts]] scale stance, now with the
+    * merge-apply step that completes the training loop.
+    *
+    * Per merge: one map-side-combined pair aggregation, a LIMIT-1
+    * argmax collect (one row of driver METADATA — the kmeans-centroid
+    * class), and a per-word `aggregate` fold applying the winning pair
+    * greedily leftmost-non-overlapping ("aaa" + (a,a) → [aa, a] — the
+    * reference behavior). The vocabulary frame is persisted per
+    * iteration (plan depth stays constant; prior generations are
+    * unpersisted, the kmeansCells pattern). Ties break (count DESC,
+    * left, right) so engines agree; pair counting is integer-exact, so
+    * the DuckDB oracle replays the WHOLE loop unrolled — including
+    * every intermediate merge decision.
+    */
+  private def bpeLoop(docs: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(nMerges >= 1, s"bpeLoop needs at least one merge, got $nMerges")
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .select(col("w"), col("wn"), chars.as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (m <- 1 to nMerges) {
+      val n1 = greatest(size(col("syms")) - 1, lit(0))
+      val best = words.select(col("wn"),
+          explode(zip_with(slice(col("syms"), lit(1), n1),
+            slice(col("syms"), lit(2), n1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wn")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, cnt) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        merges += ((m, l, r, cnt))
+        // greedy leftmost fold: the merged symbol (l||r) differs from l,
+        // so a fresh merge never chains into the next element — exactly
+        // the non-overlapping reference semantics
+        val folded = aggregate(
+          slice(col("syms"), lit(2), n1),
+          slice(col("syms"), lit(1), lit(1)),
+          (acc, x) => when(
+              element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        val next = words.select(col("w"), col("wn"), folded.as("syms"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        words.unpersist()
+        words = next
+      }
+    }
+    (merges.toList, words)
+  }
+
+  /** The learned merge table: `(merge_rank, lhs, rhs, pair_count)` for
+    * the first `nMerges` greedy merges — the artifact a BPE trainer
+    * ships (apply ranks in order to tokenize new text).
+    */
+  def bpeTrainMerges(docs: DataFrame, textCol: String,
+                     nMerges: Int = 3): DataFrame = {
+    val (merges, words) = bpeLoop(docs, textCol, nMerges)
+    words.unpersist()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** The vocabulary segmented under the learned merges: one row per
+    * distinct word with its occurrence count, the piece sequence
+    * (space-joined — flat strings compare exactly across engines), and
+    * the piece count. This is the trained tokenizer APPLIED to the
+    * training vocabulary; new text tokenizes by replaying the same
+    * merges in rank order.
+    */
+  def bpeSegment(docs: DataFrame, textCol: String,
+                 nMerges: Int = 3): DataFrame = {
+    val (_, words) = bpeLoop(docs, textCol, nMerges)
+    graft.util.Caches.retain(words)
+    words.select(col("w").as("word"), col("wn").as("n_occurrences"),
+      array_join(col("syms"), " ").as("pieces"),
+      size(col("syms")).as("n_pieces"))
+  }
+
   /** THE curation annotation chain — [[stats]] columns, the composite
     * `quality_ok` flag, `lang_pred`, and `bpe_tokens` attached in one
     * stacked projection (pure codegen'd expressions, no shuffle). Batch

@@ -115,4 +115,39 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(decodeStub(_, dim)))
   }
+
+  /** Perceptual-hash signature over a decoded feature vector — the
+    * classic average-hash construction (each bit = is feature i above
+    * the vector's own mean?), the image-dedup fingerprint pHash-family
+    * tools compute from DCT/average intensities. Here it runs over
+    * [[extractFeatures]]' output, so the codec stays behind the stub
+    * boundary while the hashing is a pure codegen'd expression: one
+    * fixed left-to-right mean fold + up to 64 threshold bits packed into
+    * a long. Identical payloads decode to identical features and hence
+    * identical hashes — the structural invariant mm_phash_dups pins.
+    */
+  def phash(features: DataFrame, idCol: String = "media_id",
+            featCol: String = "features"): DataFrame = {
+    val f = transform(col(featCol), x => x.cast("double"))
+    val n = size(col(featCol))
+    val mean = aggregate(f, lit(0.0), (a, x) => a + x) / n.cast("double")
+    val sig = (0 until 64).map(j =>
+      when(n > j && element_at(col("__f"), j + 1) > col("__mean"),
+        shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    features
+      .withColumn("__f", f).withColumn("__mean", mean)
+      .select(col(idCol), sig.as("phash"))
+  }
+
+  /** Near-duplicate media pairs by perceptual hash: [[phash]] signatures
+    * through the SAME Hamming banding + capped self-join as the text
+    * SimHash family ([[graft.operators.Dedup.hammingBandPairs]]) —
+    * banded equi-join, never all-pairs. `(id_a, id_b, hamming ≤ maxDist)`.
+    */
+  def phashNearDuplicates(features: DataFrame, idCol: String = "media_id",
+                          featCol: String = "features", maxDist: Int = 3,
+                          maxBucket: Int = 10000): DataFrame =
+    graft.operators.Dedup.hammingBandPairs(
+      phash(features, idCol, featCol), idCol, "phash", maxDist, maxBucket)
 }

@@ -492,13 +492,25 @@ object Dedup {
         graft.util.Caches.retain(
           sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else sigs0
-    val banded = capBuckets(sigs.select(col(idCol), col("simhash"),
+    hammingBandPairs(sigs, idCol, "simhash", maxDist, maxBucket)
+  }
+
+  /** Hamming-banded candidate pairs over ANY 64-bit signature column —
+    * the [[simhashNearDuplicates]] join stage, shared with the multimodal
+    * perceptual-hash family: band the 64 bits into 4×16-bit keys (a pair
+    * within Hamming distance 3 shares at least one full band by
+    * pigeonhole) → capped banded self-join → exact `bit_count` XOR
+    * filter. Returns `(id_a, id_b, hamming)` with hamming ≤ `maxDist`.
+    */
+  def hammingBandPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                       maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val banded = capBuckets(sigs.select(col(idCol), col(sigCol),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig"))): _*)).as("bs"))
-      .select(col(idCol), col("simhash"), col("bs.band").as("band"), col("bs.sig").as("sig")),
+        shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig"))): _*)).as("bs"))
+      .select(col(idCol), col(sigCol), col("bs.band").as("band"), col("bs.sig").as("sig")),
       maxBucket)
-    val a = banded.select(col("band"), col("sig"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("sig"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    val a = banded.select(col("band"), col("sig"), col(idCol).as("id_a"), col(sigCol).as("sh_a"))
+    val b = banded.select(col("band"), col("sig"), col(idCol).as("id_b"), col(sigCol).as("sh_b"))
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -451,6 +451,53 @@ object Similarity {
       .select(col(qId), col(cId), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Johnson–Lindenstrauss random projection: compress `dim`-dimensional
+    * embeddings to `outDim` dimensions with a fixed Gaussian projection
+    * matrix, scaled by 1/√outDim so expected squared distances are
+    * preserved (the JL lemma's guarantee; Gaussian sketches are the
+    * classic construction — Indyk & Motwani 1998, Dasgupta & Gupta
+    * 2003). The curation use: shrink the 100 TB embedding column before
+    * brute-force/LSH candidate stages — an 8× narrower vector makes
+    * every downstream distance kernel 8× cheaper at a bounded recall
+    * cost, and the projection itself is a pure per-row map (no shuffle,
+    * no state, codegen'd through [[dot]]).
+    *
+    * The planes are generated driver-side from `seed` and ride the plan
+    * as literals (outDim × dim doubles — trivially small); the SAME
+    * seed must regenerate them for the result to be reproducible, which
+    * is also what lets the oracle replay the whole map term by term.
+    * Output is LONG form `(id, pos, value)` — flat doubles compare
+    * exactly across engines, unlike nested arrays — with
+    * `value = round(dot(vec, plane_pos) · (1/√outDim), 6)`; the dot is
+    * the fixed ascending multiply-accumulate from 0.0 ([[dot]]'s
+    * contract), so both engines compute bit-identical doubles modulo
+    * nothing at all — products and left-assoc sums are IEEE-exact.
+    */
+  def randomProjection(vectors: DataFrame, dim: Int, outDim: Int, seed: Long,
+                       cId: String = "vec_id",
+                       cVec: String = "embedding"): DataFrame = {
+    require(dim > 0 && outDim > 0,
+      s"randomProjection needs positive dims, got ($dim -> $outDim)")
+    val planes = projectionPlanes(dim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val cols = planes.zipWithIndex.map { case (p, i) =>
+      struct(lit(i).as("pos"),
+        round(dot(col(cVec), array(p.map(lit(_)): _*)) * lit(scale), 6)
+          .as("value"))
+    }
+    vectors.select(col(cId), explode(array(cols: _*)).as("__pv"))
+      .select(col(cId), col("__pv.pos").as("pos"), col("__pv.value").as("value"))
+  }
+
+  /** The deterministic plane matrix [[randomProjection]] embeds — public
+    * so the oracle twin (and any re-projection of query vectors) can
+    * regenerate the identical literals from the same seed.
+    */
+  def projectionPlanes(dim: Int, outDim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(outDim)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** k-NN graph over the whole corpus: each vector's `k` nearest
     * neighbors by cosine among vectors sharing its k-means cell — the
     * cluster-then-neighbor blocking of the SemDeDup family

@@ -176,4 +176,36 @@ class TextSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("ab", "bc")) // bc before cd on the pair tiebreak
   }
+
+  test("bpeTrainMerges/bpeSegment: hand-computed greedy merge sequence") {
+    // vocab: low×2, lower×1, newest×2
+    // pairs: (l,o)=3 (o,w)=3 (w,e)=3 (e,r)=1 (n,e)=2 (e,w)=2 (e,s)=2 (s,t)=2
+    // tie at 3 → lexicographic → (l,o); then (lo,w)=3 beats (w,e)=3 on
+    // lhs 'lo' < 'w'; then the 2-tie resolves to (e,s)
+    val docs = Seq((1L, "low low lower"), (2L, "newest newest"))
+      .toDF("doc_id", "text")
+    val merges = Text.bpeTrainMerges(docs, "text", nMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(merges == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L), (3, "e", "s", 2L)))
+    val seg = Text.bpeSegment(docs, "text", nMerges = 3).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getInt(3)))).toMap
+    graft.operators.Dedup.clearCaches()
+    assert(seg("low") == (("low", 1)))
+    assert(seg("lower") == (("low e r", 3)))
+    assert(seg("newest") == (("n e w es t", 5)))
+  }
+
+  test("bpeTrainMerges: runs merge leftmost-greedy; loop stops when pairs run dry") {
+    // 'aaa' + merge (a,a) must give [aa, a], then (aa, a) merges next
+    val docs = Seq((1L, "aaa aaa bb")).toDF("doc_id", "text")
+    val merges = Text.bpeTrainMerges(docs, "text", nMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(merges == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L), (3, "b", "b", 1L)))
+    // a vocabulary that exhausts its pairs early yields fewer rows
+    val short = Text.bpeTrainMerges(Seq((1L, "ab")).toDF("doc_id", "text"),
+      "text", nMerges = 5).collect()
+    assert(short.map(r => (r.getString(1), r.getString(2))).toSeq == Seq(("a", "b")))
+  }
 }

@@ -71,4 +71,28 @@ class MultimodalSpec extends SparkSpec {
       .map(f => f.media_id -> f.features.toSeq).toMap
     assert(a == b)
   }
+
+  test("phash: hand-computed average-hash bits") {
+    // mean 0.5 -> bits set where feature > 0.5: positions 2 and 4
+    val feats = Seq((1L, Seq(0.0f, 1.0f, 0.0f, 1.0f))).toDF("media_id", "features")
+    val out = Multimodal.phash(feats).collect().head
+    assert(out.getLong(1) == ((1L << 1) | (1L << 3)))
+    // constant vector: nothing is ABOVE the mean -> hash 0
+    val flat = Seq((2L, Seq(0.25f, 0.25f, 0.25f))).toDF("media_id", "features")
+    assert(Multimodal.phash(flat).collect().head.getLong(1) == 0L)
+  }
+
+  test("phashNearDuplicates: identical payloads pair at 0, a flipped bit at 1") {
+    val base = Seq.tabulate(64)(i => if (i % 3 == 0) 0.9f else 0.1f)
+    val flipped = base.updated(5, 0.9f) // one extra above-mean bit
+    val feats = Seq(
+      (1L, base), (2L, base), (3L, flipped)
+    ).toDF("media_id", "features")
+    val strict = Multimodal.phashNearDuplicates(feats, maxDist = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(strict == Set((1L, 2L, 0)))
+    val loose = Multimodal.phashNearDuplicates(feats, maxDist = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }

@@ -138,6 +138,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("randomProjection: basis vectors read the plane matrix back, scaled") {
+    val planes = Similarity.projectionPlanes(4, 3, seed = 5L)
+    val vecs = (0 until 4).map(j =>
+      (j.toLong, Seq.tabulate(4)(d => if (d == j) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(vecs, dim = 4, outDim = 3, seed = 5L)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(out.size == 12) // 4 vectors x 3 output dims
+    val s = 1.0 / math.sqrt(3.0)
+    for (j <- 0 until 4; i <- 0 until 3) {
+      val expect = BigDecimal(planes(i)(j) * s)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out((j.toLong, i)) == expect, s"vec $j pos $i")
+    }
+  }
+
+  test("randomProjection: same seed reproduces, different seed diverges") {
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq((1L, Seq.fill(6)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    def run(seed: Long) = Similarity.randomProjection(vecs, 6, 4, seed)
+      .collect().map(_.toSeq).toSet
+    assert(run(9L) == run(9L))
+    assert(run(9L) != run(10L))
+  }
+
   test("knnGraph: exact copies are mutual rank-1 neighbors; k and cells bound output") {
     val rnd = new scala.util.Random(7)
     val base = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
