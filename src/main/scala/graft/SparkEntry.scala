@@ -1328,6 +1328,40 @@ object SparkEntry {
             .as("batch_agree"))
     }),
 
+    // Streaming embedding dedup (streaming/EmbDedupStream.scala): the
+    // second modality through the streaming dedup machinery — planted
+    // exact copies of vec_id < 50 drained through the sign-bucket
+    // candidate state + registry cosine verify. An identical vector
+    // shares its original's bucket by construction and verifies at
+    // cosine 1.0, so every copy MUST drop and every original MUST
+    // survive — structural, independent of how crude the 8-bit blocking
+    // is. (At threshold 0.99 the random corpus holds no cross pairs; a
+    // planted pair is the only ≥-threshold edge per bucket.)
+    "st_emb_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
+      val planted = e.unionByName(e.filter(col("vec_id") < 50).select(
+        (col("vec_id") + PlantedOffset).as("vec_id"), col("emb_d")))
+      val stage = tmpDir("graft_sted_in")
+      planted.write.mode("overwrite").parquet(stage)
+      val (work, cp) = (tmpDir("graft_sted_work"), tmpDir("graft_sted_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+      val q = graft.streaming.EmbDedupStream.writer(stream, "vec_id", "emb_d",
+        work, cp, threshold = 0.99)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val kept = graft.streaming.EmbDedupStream.survivors(s, work)
+      val base = e.filter(col("vec_id") < 50).select(col("vec_id"))
+      base
+        .join(kept.select(col("vec_id"), lit(true).as("k_o")),
+          Seq("vec_id"), "left")
+        .join(kept.select((col("vec_id") - PlantedOffset).as("vec_id"),
+          lit(true).as("k_c")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("k_o"), lit(false)).as("original_kept"),
+          (!coalesce(col("k_c"), lit(false))).as("copy_dropped"))
+    }),
+
     // The bounded-TTL twin (VERDICT r06 #4): the SAME planted corpus
     // through candidatesBounded — watermark + per-bucket event-time TTL,
     // the declared 100 TB default — with every document timestamped inside
@@ -2878,6 +2912,9 @@ object SparkEntry {
     // bounded-TTL twin: within-horizon corpus, same planted truth
     "st_neardup_bounded" ->
       "SELECT doc_id, true AS dropped, true AS batch_agree FROM documents",
+    // streaming embedding dedup: planted vector copies dropped, originals kept
+    "st_emb_dedup" ->
+      "SELECT vec_id, true AS original_kept, true AS copy_dropped FROM embeddings WHERE vec_id < 50",
     // the jointly-committed pair answers the BATCH KPI oracles verbatim
     // (exact state, same math — a1/a2's SQL)
     "st_joint_category" ->
