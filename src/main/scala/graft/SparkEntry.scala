@@ -2119,6 +2119,34 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
     }),
+    // Table OPTIMIZE (Layout.optimize): 64 scattered files rewritten in
+    // ONE pass that both compacts (partition count from total bytes /
+    // target) and z-orders (custkey, orderkey) — the Delta
+    // OPTIMIZE+ZORDER maintenance shape; contents hash-locked against
+    // the source, file-count and clustering pinned by LayoutSpec.
+    "s_optimize" -> ((s, dir) => {
+      val scattered = tmpDir("graft_opt_in")
+      Tables.orders(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(scattered)
+      val out = tmpDir("graft_opt_out")
+      graft.operators.Layout.optimize(s, scattered, out,
+        zcols = Seq("o_custkey", "o_orderkey"), bits = 16,
+        targetBytes = 16L * 1024 * 1024,
+        statCols = Seq("o_custkey"))
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+    }),
+    // Dictionary label encoding (operators/Indexer.scala): the
+    // frequency-DESC StringIndexer mapping joined back broadcast — the
+    // fact table never reshuffles; the whole encoded table hash-compares
+    // against the window replay.
+    "e_string_index" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val mapping = graft.operators.Indexer.labelIndex(orders, "o_orderpriority")
+      graft.operators.Indexer.encode(orders, "o_orderpriority", mapping, "prio_idx")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("prio_idx"))
+    }),
     // File-stats data skipping (operators/Layout.scala) end-to-end over
     // the z-order layout it exists for: write orders z-ordered on
     // (custkey, orderkey), collect the per-file min/max index in one
@@ -3040,6 +3068,18 @@ object SparkEntry {
     "s_data_skipping" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_custkey BETWEEN 100 AND 400""",
+    // OPTIMIZE moves bytes, not rows: content equals the source
+    "s_optimize" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority
+         FROM orders""",
+    "e_string_index" ->
+      """WITH m AS (SELECT o_orderpriority AS label, CAST(COUNT(*) AS BIGINT) AS label_count
+                    FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+         r AS (SELECT label, CAST(row_number() OVER (ORDER BY label_count DESC, label) - 1 AS INTEGER) AS idx
+               FROM m)
+         SELECT o.o_orderkey, o.o_orderpriority, r.idx AS prio_idx
+         FROM orders o LEFT JOIN r ON o.o_orderpriority = r.label""",
     "dedup_embedding" ->
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          e AS (SELECT vec_id, v FROM e0

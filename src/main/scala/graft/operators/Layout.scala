@@ -148,6 +148,33 @@ object Layout {
     bins.size
   }
 
+  /** Table OPTIMIZE — the periodic maintenance pass a lake table owes
+    * its readers (the Delta `OPTIMIZE … ZORDER BY` shape): ONE rewrite
+    * that simultaneously compacts small files and clusters rows, then
+    * returns the file-stats skipping index of the result. Compaction
+    * falls out of the z-order exchange itself: the output partition
+    * count is ⌈total bytes / targetBytes⌉ (total from the file LISTING
+    * — O(files) driver metadata, the [[compact]] planning class), so the
+    * range exchange that buys multi-dimension file skipping ALSO merges
+    * the small files — no second pass, no separate bin-packing join.
+    * Rows are untouched; the s_optimize oracle reads the rewritten
+    * table back against the source.
+    */
+  def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
+               outPath: String, zcols: Seq[String], bits: Int,
+               targetBytes: Long, statCols: Seq[String]): DataFrame = {
+    require(targetBytes > 0, s"optimize needs a positive target, got $targetBytes")
+    require(zcols.nonEmpty, "optimize needs at least one z-order column")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = spark.read.parquet(path).inputFiles
+      .map(f => fs.getFileStatus(new Path(new java.net.URI(f))).getLen).sum
+    val parts = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    zorder(spark.read.parquet(path), zcols.map(col), bits, parts)
+      .write.mode("overwrite").parquet(outPath)
+    fileStats(spark, outPath, statCols)
+  }
+
   def skippingRead(spark: org.apache.spark.sql.SparkSession, path: String,
                    stats: DataFrame, column: String,
                    lo: Column, hi: Column): DataFrame = {

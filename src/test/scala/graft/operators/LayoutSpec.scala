@@ -169,4 +169,41 @@ class LayoutSpec extends SparkSpec {
     assert(bins == 4)
     assert(spark.read.parquet(out).count() == 2000L)
   }
+
+  test("optimize compacts AND clusters in one rewrite, returning the skip index") {
+    val in = graft.util.Scratch.dir("graft_opt_scatter")
+    val out = graft.util.Scratch.dir("graft_opt_done")
+    val df = (0L until 4000L).map(i => (i % 64, i / 64, s"r$i"))
+      .toDF("x", "y", "v")
+    df.repartition(40).write.mode("overwrite").parquet(in)
+    assert(parquetFiles(in).size == 40)
+    val stats = Layout.optimize(spark, in, out, zcols = Seq("x", "y"),
+      bits = 8, targetBytes = 512L * 1024 * 1024, statCols = Seq("x"))
+    // one huge target bin -> one output file; rows preserved exactly
+    assert(parquetFiles(out).size == 1)
+    assert(spark.read.parquet(out).collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+    // the returned index covers that file with exact x bounds
+    val s = stats.collect()
+    assert(s.length == 1 && s.head.getAs[Long]("n_rows") == 4000L)
+    assert(s.head.getAs[Long]("x_min") == 0L && s.head.getAs[Long]("x_max") == 63L)
+  }
+
+  test("optimize with a small target splits into clustered multi-file output") {
+    val in = graft.util.Scratch.dir("graft_opt_multi")
+    val out = graft.util.Scratch.dir("graft_opt_multiout")
+    (0L until 8000L).map(i => (i % 256, (i * 7) % 256, i))
+      .toDF("x", "y", "id")
+      .repartition(8).write.mode("overwrite").parquet(in)
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+    val target = inBytes / 4
+    Layout.optimize(spark, in, out, zcols = Seq("x", "y"), bits = 8,
+      targetBytes = target, statCols = Seq("x", "y"))
+    val outFiles = parquetFiles(out)
+    // ~4 planned partitions (range exchange may leave some empty)
+    assert(outFiles.nonEmpty && outFiles.size <= 5,
+      s"expected <= 5 clustered files, got ${outFiles.size}")
+    assert(spark.read.parquet(out).count() == 8000L)
+  }
 }
