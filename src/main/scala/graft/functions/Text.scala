@@ -288,7 +288,8 @@ object Text {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     words.count()
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    for (m <- 1 to nMerges) {
+    var dry = false // pair supply exhausted: stop launching count jobs
+    for (m <- 1 to nMerges if !dry) {
       val n1 = greatest(size(col("syms")) - 1, lit(0))
       val best = words.select(col("wn"),
           explode(zip_with(slice(col("syms"), lit(1), n1),
@@ -298,7 +299,8 @@ object Text {
         .agg(sum(col("wn")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
-      if (best.nonEmpty) {
+      if (best.isEmpty) dry = true
+      else {
         val (l, r, cnt) =
           (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         merges += ((m, l, r, cnt))

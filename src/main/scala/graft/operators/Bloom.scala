@@ -74,8 +74,15 @@ object Bloom {
                    numBits: Long = 32L * 1024 * 1024): DataFrame = {
     require(expectedItems > 0 && numBits > 0,
       s"bloom sizing must be positive, got ($expectedItems items, $numBits bits)")
-    val regDig = registry
-      .select(sha2(col(textCol), 256).as("content_sha")).distinct()
+    // persisted: the digest frame feeds TWO actions (the bloom-build
+    // collect below and the exact semi-join in the returned plan) — at
+    // the advertised registry scale, re-scanning and re-hashing the
+    // whole registry for each would double the dominant cost
+    // (code-review r7f). Session-lived, released via Dedup.clearCaches —
+    // the simhashNearDuplicates signature-cache pattern.
+    val regDig = graft.util.Caches.retain(
+      registry.select(sha2(col(textCol), 256).as("content_sha")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the ONLY driver materialization: the merged sketch, O(numBits/8)
     val bytes = regDig
       .agg(bloomAgg(xxhash64(col("content_sha")), expectedItems, numBits)

@@ -126,17 +126,30 @@ object LanguageModel {
     * (`slice`+`zip_with`) — per-row work linear in document length, no
     * self-join, no positional explode.
     */
-  private def docBigramTf(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame = {
+  private def bigramPairs(textCol: String) = {
     val ts = Text.tokens(lower(col(textCol)))
     val n1 = greatest(size(ts) - 1, lit(0))
+    zip_with(slice(ts, lit(1), n1), slice(ts, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  private def docBigramTf(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
     docs.select(col(idCol).as("__id"),
-        explode(zip_with(slice(ts, lit(1), n1), slice(ts, lit(2), n1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+        explode(bigramPairs(textCol)).as("__bg"))
       .groupBy(col("__id"), col("__bg.w1").as("__w1"),
         col("__bg.w2").as("__w2"))
       .agg(count(lit(1)).as("__tf"))
-  }
+
+  /** Corpus-wide bigram counts — no id column required on the training
+    * frame (the [[tokenCounts]] contract), and ONE map-side-combined
+    * aggregation instead of per-document counts re-aggregated
+    * (code-review r7f).
+    */
+  private def bigramCounts(train: DataFrame, textCol: String): DataFrame =
+    train.select(explode(bigramPairs(textCol)).as("__bg"))
+      .groupBy(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .agg(count(lit(1)).as("__c2"))
 
   /** Score every document under a BIGRAM model with Stupid Backoff
     * (Brants et al., EMNLP 2007 — "Large Language Models in Machine
@@ -165,8 +178,7 @@ object LanguageModel {
   def bigramScore(train: DataFrame, docs: DataFrame,
                   idCol: String, textCol: String,
                   alpha: Double = 0.4): DataFrame = {
-    val c2 = docBigramTf(train, idCol, textCol)
-      .groupBy(col("__w1"), col("__w2")).agg(sum(col("__tf")).as("__c2"))
+    val c2 = bigramCounts(train, textCol)
     val c1 = tokenCounts(train, textCol)
     val stats = c1.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
     val contribs = docBigramTf(docs, idCol, textCol)

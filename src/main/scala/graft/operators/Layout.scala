@@ -111,13 +111,23 @@ object Layout {
     *
     * @return the bin count planned (output file count is ≤ this)
     */
+  /** (file URI, size) for every input file of the parquet table — the
+    * shared O(files) driver listing behind [[compact]] and [[optimize]]
+    * (code-review r7f: one helper, one RPC pattern).
+    */
+  private def fileSizes(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[(String, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(path).inputFiles.toSeq
+      .map(f => f -> fs.getFileStatus(new Path(new java.net.URI(f))).getLen)
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               outPath: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"compact needs a positive target, got $targetBytes")
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = spark.read.parquet(path).inputFiles.toSeq
-      .map(f => f -> fs.getFileStatus(new Path(new java.net.URI(f))).getLen)
+    require(outPath != path, "compact cannot overwrite the table it is reading")
+    val files = fileSizes(spark, path)
     require(files.nonEmpty, s"compact: no input files under $path")
     // first-fit-decreasing over a total order -> deterministic plan
     val bins = scala.collection.mutable.ArrayBuffer[(Long, Int)]() // (free, id)
@@ -165,10 +175,8 @@ object Layout {
                targetBytes: Long, statCols: Seq[String]): DataFrame = {
     require(targetBytes > 0, s"optimize needs a positive target, got $targetBytes")
     require(zcols.nonEmpty, "optimize needs at least one z-order column")
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = spark.read.parquet(path).inputFiles
-      .map(f => fs.getFileStatus(new Path(new java.net.URI(f))).getLen).sum
+    require(outPath != path, "optimize cannot overwrite the table it is reading")
+    val total = fileSizes(spark, path).map(_._2).sum
     val parts = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     zorder(spark.read.parquet(path), zcols.map(col), bits, parts)
       .write.mode("overwrite").parquet(outPath)

@@ -105,9 +105,15 @@ object EmbDedupStream {
     * corpus ([[NearDupStream.prunedRegistry]]'s contract, vector form).
     */
   private[streaming] def prunedRegistry(spark: SparkSession, regPath: String,
-                                        partnerIds: Array[Long]): DataFrame = {
+                                        partnerIds: Array[Long],
+                                        excludeBatch: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val reg = spark.read.parquet(regPath).select("vec_id", "vec")
+    val all = spark.read.parquet(regPath)
+    val scoped = excludeBatch match {
+      case Some(b) => all.filter(col("batch") =!= b)
+      case None => all
+    }
+    val reg = scoped.select("vec_id", "vec")
     if (partnerIds.isEmpty) reg.limit(0)
     else if (partnerIds.length <= 10000)
       reg.filter(col("vec_id").isin(partnerIds.toSeq: _*))
@@ -123,33 +129,51 @@ object EmbDedupStream {
                                         (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val perVec = batch.groupBy(col("vec_id"))
+    val arrivals = batch.groupBy(col("vec_id"))
       .agg(first(col("vec")).as("vec"),
         array_distinct(flatten(collect_list(col("partners")))).as("partners"))
       .persist()
     try {
       val regRoot = new Path(s"$workDir/registry")
       val fs = regRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // cross-batch redelivery guard (code-review r7f): an over-cap
+      // arrival is never recorded in bucket state, so an at-least-once
+      // source can redeliver it in a LATER batch — without this check it
+      // would be written to clean/ twice. Any batch vec already present
+      // in a PRIOR batch's registry partition is a redelivery and is
+      // excluded whole; the CURRENT batch partition must not count
+      // (a same-batch replay would otherwise see its own failed write
+      // and drop everything).
+      val batchIds = arrivals.select("vec_id").as[Long].collect()
+      val perVec =
+        if (fs.exists(regRoot)) {
+          val seenBefore = prunedRegistry(spark, regRoot.toString, batchIds,
+            excludeBatch = Some(batchId)).select("vec_id")
+          arrivals.join(seenBefore, Seq("vec_id"), "left_anti")
+        } else arrivals
       val here = perVec.select(col("vec_id"), col("vec"))
       val partnerIds = perVec
         .select(explode(col("partners")).as("vec_id")).distinct()
         .as[Long].collect()
       val vecs =
         if (fs.exists(regRoot))
-          prunedRegistry(spark, regRoot.toString, partnerIds).unionByName(here)
+          prunedRegistry(spark, regRoot.toString, partnerIds)
+            .unionByName(here)
         else here
       val pairs = perVec
         .select(col("vec_id").as("id_b"), explode(col("partners")).as("id_a"))
       val dropped = pairs
         .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("__va")), Seq("id_a"))
         .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("__vb")), Seq("id_b"))
-        .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+        // round(·, 6) BEFORE the threshold — bit-for-bit the batch
+        // Dedup.embeddingNearDuplicates accept test (code-review r7f)
+        .filter(round(Similarity.cosine(col("__va"), col("__vb")), 6) >= threshold)
         .select(col("id_b").as("vec_id")).distinct()
       perVec.join(dropped, Seq("vec_id"), "left_anti")
         .select("vec_id", "vec")
         .write.mode("overwrite").parquet(s"$workDir/clean/batch=$batchId")
       here.write.mode("overwrite").parquet(s"$workDir/registry/batch=$batchId")
-    } finally perVec.unpersist()
+    } finally arrivals.unpersist()
   }
 
   /** The full streaming embedding-dedup leg; caller picks the trigger and

@@ -226,9 +226,15 @@ object NearDupStream {
     * Per-batch verify cost is now O(batch candidates), not O(corpus).
     */
   private[streaming] def prunedRegistry(spark: SparkSession, regPath: String,
-                                        partnerIds: Array[Long]): DataFrame = {
+                                        partnerIds: Array[Long],
+                                        excludeBatch: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val reg = spark.read.parquet(regPath).select("doc_id", "text")
+    val all = spark.read.parquet(regPath)
+    val scoped = excludeBatch match {
+      case Some(b) => all.filter(col("batch") =!= b)
+      case None => all
+    }
+    val reg = scoped.select("doc_id", "text")
     if (partnerIds.isEmpty) reg.limit(0)
     else if (partnerIds.length <= 10000)
       reg.filter(col("doc_id").isin(partnerIds.toSeq: _*))
@@ -249,13 +255,26 @@ object NearDupStream {
                                         (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val perDoc = batch.groupBy(col("doc_id"))
+    val arrivals = batch.groupBy(col("doc_id"))
       .agg(first(col("text")).as("text"),
         array_distinct(flatten(collect_list(col("partners")))).as("partners"))
       .persist()
     try {
       val regRoot = new Path(s"$workDir/registry")
       val fs = regRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // cross-batch redelivery guard (code-review r7f): over-cap docs are
+      // never recorded in bucket state, so an at-least-once source can
+      // redeliver them in a LATER batch — excluded here by checking the
+      // PRIOR batches' registry partitions (the current batch partition
+      // must not count, or a same-batch replay would see its own failed
+      // write and drop everything).
+      val batchIds = arrivals.select("doc_id").as[Long].collect()
+      val perDoc =
+        if (fs.exists(regRoot)) {
+          val seenBefore = prunedRegistry(spark, regRoot.toString, batchIds,
+            excludeBatch = Some(batchId)).select("doc_id")
+          arrivals.join(seenBefore, Seq("doc_id"), "left_anti")
+        } else arrivals
       val docsHere = perDoc.select(col("doc_id"), col("text"))
       // the partner ids this batch verifies against — bounded by the
       // batch's candidate volume (bucket caps), NOT the corpus size
@@ -278,7 +297,7 @@ object NearDupStream {
         .write.mode("overwrite").parquet(s"$workDir/clean/batch=$batchId")
       docsHere.write.mode("overwrite")
         .parquet(s"$workDir/registry/batch=$batchId")
-    } finally perDoc.unpersist()
+    } finally arrivals.unpersist()
   }
 
   /** The full streaming near-dup leg: candidate stage → verify-and-append

@@ -70,6 +70,24 @@ class EmbDedupStreamSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("an over-cap vector redelivered in a later batch is not written twice") {
+    implicit val ctx = spark.sqlContext
+    val (work, cp) = (tmp("graft_eds_rd"), tmp("graft_eds_rdcp"))
+    val v = Seq(0.7, 0.1, 0.2, 0.3, 0.0, 0.0, 0.0, 0.0)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EmbDedupStream.writer(input.toDF().toDF("vec_id", "emb"),
+      "vec_id", "emb", work, cp, threshold = 0.99, maxBucket = 1)
+      .start()
+    try {
+      input.addData(1L -> v); q.processAllAvailable() // records id 1
+      input.addData(2L -> v); q.processAllAvailable() // over-cap: unrecorded
+      input.addData(2L -> v); q.processAllAvailable() // at-least-once replay
+    } finally q.stop()
+    val rows = EmbDedupStream.survivors(spark, work)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(rows == Seq(1L, 2L)) // id 2 exactly once despite the redelivery
+  }
+
   test("replayed batch overwrites its own partition (idempotent sink)") {
     val v = Seq(0.3, -0.2, 0.9, 0.1, -0.5, 0.4, 0.2, -0.1)
     val work = tmp("graft_eds_rp")

@@ -96,6 +96,28 @@ class NearDupStreamSpec extends SparkSpec {
       == Set(1L, 3L, 4L))
   }
 
+  test("an over-cap doc redelivered in a later batch is not written twice") {
+    // cap=1: doc 1 records, doc 2 arrives over-cap (unrecorded in state),
+    // then the source redelivers doc 2 — the registry guard must keep it
+    // from landing in clean/ twice (over-cap ids bypass the state dedup)
+    val d = uniqueDoc(1)
+    implicit val ctx = spark.sqlContext
+    val work = tmp("graft_nds_rd")
+    val cp = tmp("graft_nds_rdcp")
+    val input = MemoryStream[(Long, String)]
+    val q = NearDupStream.writer(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", work, cp, threshold = 0.5, bands = 16, maxBucket = 1)
+      .start()
+    try {
+      input.addData(1L -> d); q.processAllAvailable()
+      input.addData(2L -> d); q.processAllAvailable()
+      input.addData(2L -> d); q.processAllAvailable()
+    } finally q.stop()
+    val rows = NearDupStream.survivors(spark, work)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(rows == Seq(1L, 2L))
+  }
+
   test("survivors equal batch dropNearDuplicates on an ascending-id planted corpus") {
     val originals = (0L until 20L).map(i => i -> uniqueDoc(i))
     val copies = (0L until 10L).map(i => (i + 100L) -> (uniqueDoc(i) + marker))
