@@ -112,6 +112,23 @@ object SparkEntry {
   /** embeddings with the float vector cast to double — keeps the Spark fold
     * and the DuckDB list_dot_product in the same precision.
     */
+  /** The shared end-to-end curation run behind pipeline_curate /
+    * pipeline_curate_report: planted exact-dup family (every 5th doc
+    * copied at PlantedOffset — the dedup stage must remove them), en-only
+    * language keep, perplexity cut at 30.5, a 3000-BPE-token mixture over
+    * four sources, 256-token sequences.
+    */
+  private def curationOf(s: SparkSession, dir: String): graft.pipeline.CurationResult = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + PlantedOffset).as("doc_id"),
+        col("source"), col("text")))
+    graft.pipeline.Pipeline.curate(corpus, "doc_id", "text", "source",
+      langKeep = Seq("en"), pplCutoff = 30.5, budget = 3000L,
+      weights = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+      seqBudget = 256L)
+  }
+
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).withColumn("emb_d",
       transform(col("embedding"), x => x.cast("double")))
@@ -1680,6 +1697,12 @@ object SparkEntry {
       graft.operators.Timeseries.resampleLinear(
         Tables.events(s, dir), "user_id", "ts", "value",
         stepMicros = 86400000000L)),
+    // EWMA (Timeseries.ewma): per-user exponentially weighted level at
+    // alpha 0.3 — the sequential recurrence as ONE time-ordered fold per
+    // key; the oracle replays the identical fold with list_reduce.
+    "e_ewma" -> ((s, dir) =>
+      graft.operators.Timeseries.ewma(
+        Tables.events(s, dir), "user_id", "ts", "value")),
     // Time-weighted average (operators/Timeseries.scala): per-user mean
     // of `value` weighted by how long each sample held — decimal-exact
     // products/sums, one IEEE division rounded to 6.
@@ -1972,6 +1995,17 @@ object SparkEntry {
           sum(col("n_tokens")).as("total_tokens"),
           sum(col("bpe_tokens")).as("total_bpe_tokens"))
     }),
+    // END-TO-END curation (pipeline/Pipeline.curate): exact dedup →
+    // quality gate → language filter → self-trained perplexity gate →
+    // mixture quota fill → sequence packing, each stage the
+    // already-oracled operator, composed — the "run the whole corpus
+    // pipeline on this library" call. The packed layout and the funnel
+    // report both hash-compare against a stage-by-stage DuckDB replay.
+    "pipeline_curate" -> ((s, dir) =>
+      curationOf(s, dir).packed
+        .select("doc_id", "n_tokens", "start_token", "seq_first",
+          "seq_last", "offset_in_seq")),
+    "pipeline_curate_report" -> ((s, dir) => curationOf(s, dir).report),
     // Sequence packing (operators/Pack.scala): the concatenate-and-chunk
     // layout onto 256-token training sequences, doc_id total order. All
     // integral arithmetic — start offsets, chunk ids, in-sequence offsets
@@ -2420,7 +2454,9 @@ object SparkEntry {
     // registry dedup, cell-blocked k-NN graph, BPE training loop,
     // JL projection
     "t_lm_bigram", "t_pmi_cooc", "dedup_bloom_registry", "knn_graph",
-    "t_bpe_train", "emb_project", "mm_phash_dups")
+    "t_bpe_train", "emb_project", "mm_phash_dups",
+    // round 7g: the end-to-end curation DAG and the EWMA fold
+    "pipeline_curate", "e_ewma")
 
   // ---- DuckDB oracle twins ----
 
@@ -2442,6 +2478,73 @@ object SparkEntry {
     * and t_lm_buckets, ending in a `scored` CTE with the operator's
     * output columns.
     */
+  /** Oracle-side stage-by-stage replay of Pipeline.curate: the
+    * pipeline_corpus_prep quality/langID CTEs, the t_lm_score model CTEs
+    * (trained on the post-language-filter survivors), the
+    * pipeline_mixture window, and the pipeline_packing arithmetic, all
+    * chained on one corpus with a planted dup family.
+    */
+  private lazy val sqlCurateCtes: String =
+    s"""WITH corpus AS (
+         SELECT doc_id, source, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 5 = 0),
+       keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)),
+       ded AS (SELECT c.doc_id, c.source, c.text FROM corpus c JOIN keep USING (doc_id)),
+       t0 AS (SELECT doc_id, source, text, ${sqlTokens("text")} AS ts,
+                     ${sqlTokens("lower(text)")} AS lts FROM ded),
+       st AS (SELECT doc_id, source, text, lts,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS bpe_tokens,
+         round(CASE WHEN len(ts) > 0 THEN CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts) ELSE 0.0 END, 6) AS mean_token_len,
+         round(CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END, 6) AS punct_ratio,
+         round(CASE WHEN len(ts) > 0 THEN CAST(len(list_filter(ts, x -> list_contains($enOracleList, x))) AS DOUBLE) / len(ts) ELSE 0.0 END, 6) AS stopword_ratio
+       FROM t0),
+       q AS (SELECT * FROM st
+             WHERE n_tokens >= 5 AND n_tokens <= 1000000
+               AND mean_token_len >= 2 AND mean_token_len <= 15
+               AND punct_ratio < 0.3 AND stopword_ratio > 0.01),
+       h AS (SELECT *,
+               len(list_filter(lts, x -> list_contains($enOracleList, x))) AS h_en,
+               len(list_filter(lts, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','von','zu','den','dem','auf','für','im','sich','auch'], x))) AS h_de,
+               len(list_filter(lts, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','no','por','con','para','del','se','su'], x))) AS h_es,
+               len(list_filter(lts, x -> list_contains(['le','la','les','de','des','et','un','une','est','dans','que','pour','qui','sur','pas','au','du','ce'], x))) AS h_fr
+             FROM q),
+       lang AS (SELECT *, CASE
+           WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+           WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
+           WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           WHEN greatest(h_en, h_de, h_es, h_fr) >= 1 THEN
+             CASE WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                  ELSE 'de' END
+           ELSE 'und' END AS lang_pred
+         FROM h),
+       l AS (SELECT doc_id, source, text, bpe_tokens FROM lang WHERE lang_pred = 'en'),
+       lmc AS (SELECT w, COUNT(*) AS c
+               FROM (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM l) GROUP BY 1),
+       lms AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM lmc),
+       lmtf AS (SELECT doc_id, w, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS w FROM l) GROUP BY 1, 2),
+       lmlp AS (SELECT doc_id, w, tf,
+                  CAST(tf AS DOUBLE) * ln(CAST(coalesce(lmc.c, 0) + 1 AS DOUBLE) / CAST(lms.n + lms.v AS DOUBLE)) AS lp
+                FROM lmtf LEFT JOIN lmc USING (w) CROSS JOIN lms),
+       lmpd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS lm_n,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY w)),
+                    (a, b) -> a + b) AS lsum
+                FROM lmlp GROUP BY 1),
+       pk AS (SELECT l.* FROM l JOIN lmpd USING (doc_id)
+              WHERE round(exp(-(lmpd.lsum / lmpd.lm_n)), 6) <= 30.5),
+       quo(source, quota) AS (VALUES ('src0', 1200), ('src1', 900), ('src2', 600), ('src3', 300)),
+       cum AS (SELECT doc_id, source, bpe_tokens,
+           CAST(SUM(greatest(0, bpe_tokens)) OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         FROM pk),
+       mixed AS (SELECT cum.doc_id, cum.source, cum.bpe_tokens
+                 FROM cum JOIN quo USING (source) WHERE cum.cum_tokens <= quo.quota)"""
+
   /** Oracle-side unrolled twin of Text.bpeLoop: w0 = char-split vocab;
     * per level i, p_i counts adjacent pairs, b_i argmaxes (cnt DESC, l, r),
     * w_{i+1} applies the merge with a nested-list fold. The accumulator
@@ -3656,6 +3759,20 @@ object SparkEntry {
          SELECT u AS user_id, round(CAST(num AS DOUBLE) / den, 6) AS tw_avg,
                 CAST(den AS BIGINT) AS span_micros
          FROM g""",
+    // EWMA: identical fold — first sample is the init (no-init
+    // list_reduce), then alpha*x + beta*acc per step in DOUBLE. beta is
+    // interpolated from the SAME 1.0 - alpha double the operator uses
+    // (1.0 - 0.3 is 0.7000000000000001 in IEEE, NOT 0.7)
+    "e_ewma" ->
+      s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                      CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+                    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         g AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_samples,
+                 list_reduce(list({'t': t, 'v': v} ORDER BY t, v),
+                   (acc, x) -> {'t': x.t,
+                     'v': CAST(0.3 AS DOUBLE) * x.v + CAST(${1.0 - 0.3} AS DOUBLE) * acc.v}) AS f
+               FROM e GROUP BY u)
+         SELECT u AS user_id, n_samples, round(f.v, 6) AS ewma FROM g""",
     "e_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id AS u,
                       CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
@@ -3847,6 +3964,41 @@ object SparkEntry {
                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                 CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
          FROM lang GROUP BY 1""",
+    // end-to-end curation: the packed layout of the mixture survivors
+    "pipeline_curate" ->
+      s"""$sqlCurateCtes,
+         pos AS (SELECT doc_id, bpe_tokens AS n_tokens,
+             CAST(COALESCE(SUM(greatest(0, bpe_tokens)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+           FROM mixed)
+         SELECT doc_id, n_tokens, start_token,
+           CAST(start_token // 256 AS BIGINT) AS seq_first,
+           CAST(CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 256
+                ELSE start_token // 256 END AS BIGINT) AS seq_last,
+           CAST(start_token % 256 AS BIGINT) AS offset_in_seq
+         FROM pos""",
+    // ... and the per-stage funnel report
+    "pipeline_curate_report" ->
+      s"""$sqlCurateCtes
+         SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COALESCE(SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))), 0) AS BIGINT) AS n_bpe_tokens
+         FROM corpus
+         UNION ALL
+         SELECT '1_dedup', CAST(COUNT(*) AS BIGINT),
+                CAST(COALESCE(SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))), 0) AS BIGINT)
+         FROM ded
+         UNION ALL
+         SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
+                CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM q
+         UNION ALL
+         SELECT '3_lang', CAST(COUNT(*) AS BIGINT),
+                CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM l
+         UNION ALL
+         SELECT '4_ppl', CAST(COUNT(*) AS BIGINT),
+                CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM pk
+         UNION ALL
+         SELECT '5_mixture', CAST(COUNT(*) AS BIGINT),
+                CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM mixed""",
     // sequence packing: the same BPE-ish token count, one window prefix
     // sum in doc_id order, integral div/mod chunk arithmetic
     "pipeline_packing" ->

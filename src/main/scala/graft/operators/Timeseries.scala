@@ -120,6 +120,42 @@ object Timeseries {
     * share the exchange; tied timestamps contribute zero duration, so
     * their order cannot affect the result.
     */
+  /** Exponentially weighted moving average per key — the classic
+    * smoothing/trend signal (Hunter 1986; the pandas `ewm` recurrence):
+    * s₁ = x₁, sₙ = α·xₙ + (1−α)·sₙ₋₁ over the time-ordered samples;
+    * the final sₙ is the key's smoothed level. The recurrence is
+    * inherently sequential per key, so it runs as ONE time-ordered LEFT
+    * FOLD inside a single aggregation buffer (`aggregate` over
+    * `sort_array(collect_list(...))` — the LanguageModel determinism
+    * contract): per-key state is O(that key's series), the
+    * repetitionStats bounded-buffer stance, and there is exactly one
+    * key-hash exchange. Values pass through DECIMAL(18,2) (the suite's
+    * value convention) and then one fixed IEEE chain
+    * `α·x + (1−α)·s` per step — engine-replayable term by term; null
+    * values/timestamps hold no slot (the [[timeWeightedAvg]] rule).
+    * Output: `(keyCol, n_samples, ewma)` with ewma rounded to 6.
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+           valueCol: String, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"ewma needs alpha in (0, 1], got $alpha")
+    val beta = 1.0 - alpha
+    val g = events.select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol)).as("__t"),
+        col(valueCol).cast("decimal(18,2)").cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__t").isNotNull)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_samples"),
+        sort_array(collect_list(struct(col("__t"), col("__v")))).as("__s"))
+    g.select(col("__k").as(keyCol), col("n_samples"),
+      round(aggregate(
+          slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
+          element_at(col("__s"), 1),
+          (acc, x) => struct(x.getField("__t").as("__t"),
+            (lit(alpha) * x.getField("__v") +
+              lit(beta) * acc.getField("__v")).as("__v")))
+        .getField("__v"), 6).as("ewma"))
+  }
+
   def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
                       valueCol: String): DataFrame = {
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__v"))

@@ -78,4 +78,69 @@ object Pipeline {
         KvSink.write(day, w)
       }
     }
+
+  /** End-to-end corpus curation: every LLM-data stage of the suite wired
+    * into ONE deterministic DAG — exact dedup → quality gate → language
+    * filter → self-trained perplexity gate → domain-mixture quota fill →
+    * sequence packing — with a per-stage funnel report. This is the
+    * "switch the corpus pipeline to this library" call: each stage is the
+    * already-oracled operator (Dedup.keepCanonical, Text.analyzed,
+    * LanguageModel.unigramScore, Sampling.quotaSample,
+    * Pack.packSequences), composed here rather than re-implemented, so
+    * the whole DAG replays in the DuckDB oracle stage by stage.
+    *
+    * Scale shape: the expensive annotation frame and the post-gate
+    * corpus persist once each (session-lived, Caches-registered) because
+    * the packed layout and the report both read them; everything else is
+    * the component operators' documented shapes. The perplexity gate
+    * compares the ROUNDED score, so the cut is engine-stable at any
+    * cutoff.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             domainCol: String, langKeep: Seq[String], pplCutoff: Double,
+             budget: Long, weights: Seq[(String, Double)],
+             seqBudget: Long): CurationResult = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    import graft.operators.{Dedup, LanguageModel, Pack, Sampling}
+    val base = docs.select(col(idCol), col(domainCol), col(textCol))
+    val ded = Dedup.keepCanonical(base, idCol, textCol)
+    val ann = graft.util.Caches.retain(
+      Text.analyzed(ded, textCol).persist(StorageLevel.MEMORY_AND_DISK))
+    val quality = ann.filter(col("quality_ok"))
+    val langed = quality.filter(col("lang_pred").isin(langKeep: _*))
+    val scored = LanguageModel.unigramScore(langed, langed, idCol, textCol)
+    val kept = graft.util.Caches.retain(
+      langed.join(scored.filter(col("ppl") <= pplCutoff).select(col(idCol)),
+          Seq(idCol), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val mixed = Sampling.quotaSample(
+      kept.select(col(idCol), col(domainCol), col("bpe_tokens")),
+      idCol, domainCol, "bpe_tokens",
+      Sampling.mixtureQuotas(budget, weights))
+    val packed = Pack.packSequences(
+      mixed.select(col(idCol), col("bpe_tokens").as("n_tokens")),
+      idCol, "n_tokens", seqBudget, Seq(col(idCol)))
+    def stage(name: String, df: DataFrame,
+              tok: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tok.cast("long")), lit(0L)).as("n_bpe_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_bpe_tokens"))
+    val report = Seq(
+      stage("0_input", base, Text.bpeTokenCount(col(textCol))),
+      stage("1_dedup", ded, Text.bpeTokenCount(col(textCol))),
+      stage("2_quality", quality, col("bpe_tokens")),
+      stage("3_lang", langed, col("bpe_tokens")),
+      stage("4_ppl", kept, col("bpe_tokens")),
+      stage("5_mixture", mixed, col("bpe_tokens"))
+    ).reduce(_ unionByName _)
+    CurationResult(kept, mixed, packed, report)
+  }
 }
+
+/** The frames [[Pipeline.curate]] hands back: the gated corpus, the
+  * mixture-sampled slice, the packed training layout, and the per-stage
+  * funnel report.
+  */
+case class CurationResult(kept: DataFrame, mixed: DataFrame,
+                          packed: DataFrame, report: DataFrame)

@@ -79,6 +79,32 @@ class TimeseriesSpec extends SparkSpec {
     assert(Timeseries.timeWeightedAvg(ev, "k", "ts", "value").count() == 0L)
   }
 
+  test("ewma: hand-computed recurrence, alpha respected, nulls excluded") {
+    val ev = Seq(
+      (1L, ts(0), Some(10.0)), (1L, ts(1000), Some(20.0)),
+      (1L, ts(2000), Some(30.0)),
+      (2L, ts(0), Some(7.0)),
+      (3L, ts(0), None: Option[Double])
+    ).toDF("k", "ts", "value")
+    val got = Timeseries.ewma(ev, "k", "ts", "value", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // s1=10, s2=.5*20+.5*10=15, s3=.5*30+.5*15=22.5
+    assert(got(1L) == ((3L, 22.5)))
+    assert(got(2L) == ((1L, 7.0))) // single sample: ewma = x1
+    assert(!got.contains(3L)) // all-null key yields no row
+  }
+
+  test("ewma: order comes from time, not arrival; layout independent") {
+    val ev = Seq(
+      (1L, ts(2000), 30.0), (1L, ts(0), 10.0), (1L, ts(1000), 20.0)
+    ).toDF("k", "ts", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Timeseries.ewma(df, "k", "ts", "value", alpha = 0.5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(run(ev) == Seq((1L, 22.5)))
+    assert(run(ev.repartition(7)) == Seq((1L, 22.5)))
+  }
+
   test("resampleLinear: hand-computed interpolation, exact on-sample points") {
     // samples 0s(=10), 4s(=30); grid 1s → 10, 15, 20, 25, 30
     val ev = Seq((1L, ts(0), 10.0), (1L, ts(4000), 30.0))

@@ -59,6 +59,52 @@ class PipelineSpec extends SparkSpec {
     assert(seen.reverse == List(true, false)) // hook saw both terminal states
   }
 
+  test("curate: every stage of the funnel cuts what it should") {
+    import org.apache.spark.sql.functions._
+    val en = "the and is in it of to for on this table row data value key"
+    val docs = Seq(
+      (1L, "a", en + " alpha"),          // survives everything
+      (2L, "a", en + " alpha"),          // exact dup of 1 -> dedup cut
+      (3L, "a", "x"),                    // 1 token -> quality cut
+      (4L, "a", "in der die das und ist nicht ein eine mit von zu den dem"),
+      // ^ German run with ONE English stopword ("in") so the
+      //   English-centric stopword-ratio quality gate passes, then
+      //   h_de >> h_en -> lang_pred=de -> lang cut
+      (5L, "b", en + " beta gamma delta epsilon zeta")
+      // ^ five tokens unseen elsewhere -> worst perplexity candidate
+    ).toDF("doc_id", "source", "text")
+    val res = Pipeline.curate(docs, "doc_id", "text", "source",
+      langKeep = Seq("en"), pplCutoff = 1e9, // keep all: ppl gate open
+      budget = 1000L, weights = Seq("a" -> 1.0), seqBudget = 8L)
+    val report = res.report.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report("0_input") == 5L)
+    assert(report("1_dedup") == 4L)   // doc 2 gone
+    assert(report("2_quality") == 3L) // doc 3 gone
+    assert(report("3_lang") == 2L)    // doc 4 gone
+    assert(report("4_ppl") == 2L)     // open gate keeps 1 and 5
+    assert(report("5_mixture") == 1L) // source b unlisted -> only doc 1
+    val packed = res.packed.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(packed == Seq(1L))
+    graft.operators.Dedup.clearCaches()
+  }
+
+  test("curate: the perplexity gate actually cuts when closed") {
+    import org.apache.spark.sql.functions._
+    val common = "the and is in it of to for on this table row data value"
+    val docs = (0L until 20L).map(i => (i, "a", common + s" w$i")).toDF(
+      "doc_id", "source", "text")
+    // cutoff below any achievable ppl -> everything dies at stage 4
+    val res = Pipeline.curate(docs, "doc_id", "text", "source",
+      langKeep = Seq("en"), pplCutoff = 1.0,
+      budget = 1000L, weights = Seq("a" -> 1.0), seqBudget = 8L)
+    val report = res.report.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report("3_lang") == 20L && report("4_ppl") == 0L)
+    assert(res.packed.count() == 0L)
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("FileState: pending diff, mark, save/load roundtrip, idempotent re-run") {
     val dir = Files.createTempDirectory("graft_state").toString + "/state.parquet"
     val s0 = FileState.load(spark, dir)
