@@ -353,6 +353,33 @@ object SparkEntry {
         .unionByName(e0.select((col("p") + 10000000L).as("src"), col("c").as("dst")))
       graft.operators.Graph.pageRankFixed(edges, "src", "dst", iters = 3)
     }),
+    // Exact k-core by iterative peeling (Graph.kCore) over the
+    // co-purchase graph with planted STRUCTURAL truth: a disjoint
+    // 7-clique is always in the 3-core (its internal degrees alone
+    // satisfy k), an isolated 5-chain never is (endpoints peel first,
+    // then inductively the rest) — both independent of what the real
+    // graph's core looks like.
+    "g_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_partkey") + 10000000L).as("dst"))
+        .distinct()
+      val cliqueIds = (1 to 7).map(i => 900000000L + i)
+      val clique = (for { a <- cliqueIds; b <- cliqueIds if a < b } yield (a, b))
+        .toDF("src", "dst")
+      val chainIds = (1 to 5).map(i => 910000000L + i)
+      val chain = chainIds.zip(chainIds.tail).toDF("src", "dst")
+      val core = graft.operators.Graph.kCore(
+        e0.unionByName(clique).unionByName(chain), "src", "dst", k = 3)
+      val planted = (cliqueIds.map(id => (id, true)) ++
+        chainIds.map(id => (id, false))).toDF("node", "expect_in_core")
+      planted.join(core.select(col("node"), lit(true).as("__in")),
+          Seq("node"), "left")
+        .select(col("node"), col("expect_in_core"),
+          coalesce(col("__in"), lit(false)).as("in_core"))
+    }),
     // Exact per-node triangle counts (Grouping.triangleCounts — the
     // Suri–Vassilvitskii degree-ordered wedge algorithm) over the same
     // co-purchase graph as the CC queries; the oracle brute-forces the
@@ -1664,6 +1691,22 @@ object SparkEntry {
           round(coalesce(col("__v"), col("__med")), 6).as("value_imputed"),
           col("__v").isNull.as("was_imputed"))
     }),
+    // Winsorization (the outlier-clipping repair transform): values
+    // clipped to their priority group's EXACT [p10, p90] off the same
+    // scale-safe quantilesCont — bit-identical quantiles (the a7/a18
+    // contract), so clipped values hash-compare without tolerance.
+    "a20_winsorize" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority").as("grp"),
+        col("o_totalprice").cast("double").as("__v"))
+      val q = graft.operators.Ranking.quantilesCont(base, "grp", "__v",
+        Seq(0.1 -> "__lo", 0.9 -> "__hi"))
+      base.join(q, "grp")
+        .select(col("o_orderkey"), col("grp"),
+          round(least(greatest(col("__v"), col("__lo")), col("__hi")), 6)
+            .as("value_w"),
+          (col("__v") < col("__lo") || col("__v") > col("__hi")).as("was_clipped"))
+    }),
     // One-pass table profile (Profiling.tableProfile): every column's
     // counts/nulls/min/max in a single aggregation, pivoted to a row
     // per column. The oracled projection keeps the exact columns; the
@@ -2455,8 +2498,8 @@ object SparkEntry {
     // JL projection
     "t_lm_bigram", "t_pmi_cooc", "dedup_bloom_registry", "knn_graph",
     "t_bpe_train", "emb_project", "mm_phash_dups",
-    // round 7g: the end-to-end curation DAG and the EWMA fold
-    "pipeline_curate", "e_ewma")
+    // round 7g: the end-to-end curation DAG, the EWMA fold, k-core
+    "pipeline_curate", "e_ewma", "g_kcore")
 
   // ---- DuckDB oracle twins ----
 
@@ -2805,6 +2848,13 @@ object SparkEntry {
                 FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1)
          SELECT nodes.node AS order_id, CAST(coalesce(pn.n, 0) AS BIGINT) AS n_triangles
          FROM nodes LEFT JOIN pn USING (node)""",
+    // k-core planted truth: the clique is in BY STRUCTURE, the chain out
+    "g_kcore" -> {
+      val rows = ((1 to 7).map(i => s"(${900000000L + i}, true, true)") ++
+        (1 to 5).map(i => s"(${910000000L + i}, false, false)")).mkString(", ")
+      s"""SELECT CAST(node AS BIGINT) AS node, expect_in_core, in_core
+         FROM (VALUES $rows) t(node, expect_in_core, in_core)"""
+    },
     "g_pagerank" -> {
       // the same damped integer iteration, unrolled: r{k} from r{k-1}
       def iter(prev: String, cur: String) =
@@ -3662,6 +3712,15 @@ object SparkEntry {
          SELECT o_orderkey, grp, round(coalesce(v, med), 6) AS value_imputed,
                 v IS NULL AS was_imputed
          FROM b JOIN m USING (grp)""",
+    "a20_winsorize" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+         q AS (SELECT grp, quantile_cont(v, 0.1) AS lo,
+                 quantile_cont(v, 0.9) AS hi FROM b GROUP BY 1)
+         SELECT o_orderkey, grp,
+                round(least(greatest(v, lo), hi), 6) AS value_w,
+                (v < lo OR v > hi) AS was_clipped
+         FROM b JOIN q USING (grp)""",
     "a14_robust_outliers" ->
       """WITH o AS (SELECT o_orderpriority AS priority, o_orderkey,
                       CAST(o_totalprice AS DOUBLE) AS price FROM orders),

@@ -51,4 +51,57 @@ object Graph {
     }
     rank
   }
+
+  /** Exact k-core decomposition by iterative peeling (Matula & Beck
+    * 1983): repeatedly delete every node of degree < k until the
+    * remainder is stable — the survivors are EXACTLY the k-core, the
+    * maximal subgraph of minimum degree ≥ k. The density read a graph
+    * curation pass runs (spam farms and templated link blocks live in
+    * dense cores; tendrils and chains peel away).
+    *
+    * Driver loop, one round = one degree aggregation + two semi-joins
+    * of the edge list; the fixpoint test is a node COUNT per round
+    * (one long of driver metadata — the kmeansCells materialize
+    * pattern, with per-generation persist/unpersist). Rounds are
+    * data-dependent (bounded by the peeling depth), and each round
+    * strictly shrinks the node set or terminates. Edges are
+    * canonicalized first: undirected (both directions), self-loops
+    * dropped, duplicates collapsed — so "degree" means distinct
+    * neighbors.
+    *
+    * Output: `(node, core_degree)` for every k-core member, with its
+    * degree inside the core. Structural invariants the oracle pins: a
+    * (k+1)-clique is ALWAYS in the k-core (its internal degrees alone
+    * satisfy k, whatever peels around it), and an isolated chain NEVER
+    * is for k ≥ 2 (endpoints peel first, then inductively the rest).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    var cur = und.persist(mem)
+    var nNodes = cur.select(col("src")).distinct().count()
+    var done = nNodes == 0
+    while (!done) {
+      val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src"))
+      val next = cur
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .persist(mem)
+      val m = next.select(col("src")).distinct().count()
+      done = m == nNodes || m == 0 // nothing peeled, or nothing left
+      cur.unpersist()
+      cur = next
+      nNodes = m
+    }
+    graft.util.Caches.retain(cur)
+    cur.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
 }
