@@ -1639,6 +1639,17 @@ object SparkEntry {
       graft.operators.Profiling.histogramDrift(o, mutated,
         col("o_totalprice"), 25000.0, 20)
     }),
+    // Exact two-sample KS drift (Profiling.ksDrift): the same planted
+    // price-doubling mutation as a12_drift, read as ONE distribution
+    // statistic — the supremum CDF gap found with pure integer
+    // arithmetic (|cumA·nB − cumB·nA| maximized, divided once).
+    "a21_ks_drift" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val mutated = o.withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      graft.operators.Profiling.ksDrift(o, mutated, col("o_totalprice"))
+    }),
     // Robust outliers (median/MAD, the quantile companion to
     // a10_outliers' moment z-scores): per-priority exact medians via
     // the scale-safe quantilesCont machinery — both the median and the
@@ -2498,8 +2509,9 @@ object SparkEntry {
     // JL projection
     "t_lm_bigram", "t_pmi_cooc", "dedup_bloom_registry", "knn_graph",
     "t_bpe_train", "emb_project", "mm_phash_dups",
-    // round 7g: the end-to-end curation DAG, the EWMA fold, k-core
-    "pipeline_curate", "e_ewma", "g_kcore")
+    // round 7g: the end-to-end curation DAG, the EWMA fold, k-core,
+    // exact KS drift
+    "pipeline_curate", "e_ewma", "g_kcore", "a21_ks_drift")
 
   // ---- DuckDB oracle twins ----
 
@@ -3685,6 +3697,25 @@ object SparkEntry {
          SELECT bucket, bucket * 25000.0 AS lo, (bucket + 1) * 25000.0 AS hi,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM b GROUP BY 1""",
+    // the supremum CDF gap: integer numerator maximized, one division
+    "a21_ks_drift" ->
+      """WITH av AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+         bv AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                       ELSE o_totalprice END AS v
+                FROM orders WHERE o_totalprice IS NOT NULL),
+         p AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+               FROM (SELECT v, 1 AS ia, 0 AS ib FROM av
+                     UNION ALL SELECT v, 0, 1 FROM bv)
+               GROUP BY v),
+         c AS (SELECT v,
+                 SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+                 SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB
+               FROM p),
+         t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM p)
+         SELECT t.na AS n_before, t.nb AS n_after,
+                round(CAST(MAX(abs(cumA * nb - cumB * na)) AS DOUBLE) /
+                      CAST(na * nb AS DOUBLE), 6) AS ks_stat
+         FROM c CROSS JOIN t GROUP BY t.na, t.nb""",
     "a12_drift" ->
       """WITH h0 AS (
            SELECT greatest(0, least(19, CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT))) AS bucket,

@@ -71,18 +71,24 @@ object Bloom {
   def registryDups(registry: DataFrame, fresh: DataFrame,
                    idCol: String, textCol: String,
                    expectedItems: Long = 4L * 1000 * 1000,
-                   numBits: Long = 32L * 1024 * 1024): DataFrame = {
+                   numBits: Long = 32L * 1024 * 1024,
+                   cacheDigests: Boolean = false): DataFrame = {
     require(expectedItems > 0 && numBits > 0,
       s"bloom sizing must be positive, got ($expectedItems items, $numBits bits)")
-    // persisted: the digest frame feeds TWO actions (the bloom-build
-    // collect below and the exact semi-join in the returned plan) — at
-    // the advertised registry scale, re-scanning and re-hashing the
-    // whole registry for each would double the dominant cost
-    // (code-review r7f). Session-lived, released via Dedup.clearCaches —
-    // the simhashNearDuplicates signature-cache pattern.
-    val regDig = graft.util.Caches.retain(
-      registry.select(sha2(col(textCol), 256).as("content_sha")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // The digest frame feeds TWO actions (the bloom-build collect below
+    // and the exact semi-join in the returned plan). `cacheDigests`
+    // persists it across them — the right call when the registry scan
+    // itself is the dominant cost (remote storage, wide rows). It is
+    // OFF by default because it was MEASURED slower on columnar local
+    // tables (sf0.1: 2.9 s → 9.5 s): sha2 over one projected column is
+    // cheaper to recompute than to materialize through a cached
+    // exchange, and a caller at real registry scale passes an
+    // already-materialized digest table anyway.
+    val rd0 = registry.select(sha2(col(textCol), 256).as("content_sha")).distinct()
+    val regDig =
+      if (cacheDigests) graft.util.Caches.retain(
+        rd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else rd0
     // the ONLY driver materialization: the merged sketch, O(numBits/8)
     val bytes = regDig
       .agg(bloomAgg(xxhash64(col("content_sha")), expectedItems, numBits)

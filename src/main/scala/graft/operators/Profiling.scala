@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-profiling passes — the monitoring reads that run before (and
@@ -115,5 +116,62 @@ object Profiling {
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))
       .withColumn("delta", col("n_after") - col("n_before"))
+  }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between two value
+    * columns — the distribution-level drift test that complements
+    * [[histogramDrift]]'s bucket deltas: D = sup|F_before − F_after|
+    * over the pooled values, the classic nonparametric two-sample test.
+    *
+    * Exactness: at every pooled distinct value,
+    * |F_a − F_b| = |cumA·nB − cumB·nA| / (nA·nB) — the NUMERATOR is
+    * pure integer arithmetic, so the supremum is found exactly and only
+    * ONE division produces the reported statistic (rounded 6). Long
+    * arithmetic bounds each side at ~3·10⁹ rows (cum·n must fit a
+    * long) — the documented contract; shard larger tables by group
+    * before testing.
+    *
+    * Scale shape: the pooled frame collapses to DISTINCT-VALUE grain
+    * first (one map-side-combined count aggregation), then cumulative
+    * counts run through the [[Ranking.percentRank]] distributed-prefix
+    * machinery — range exchange on the value, per-partition window
+    * sums, partition offsets over ≤ shuffle.partitions COUNT rows
+    * (metadata). No global sort of raw rows, no single-partition stage
+    * over data.
+    */
+  def ksDrift(before: DataFrame, after: DataFrame, value: Column): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val a = before.select(value.as("__v")).filter(col("__v").isNotNull)
+      .select(col("__v"), lit(1L).as("__ia"), lit(0L).as("__ib"))
+    val b = after.select(value.as("__v")).filter(col("__v").isNotNull)
+      .select(col("__v"), lit(0L).as("__ia"), lit(1L).as("__ib"))
+    val p = a.unionByName(b).groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val ranged = graft.util.Caches.retain(
+      p.repartitionByRange(col("__v"))
+        .withColumn("__pid", spark_partition_id()).persist(mem))
+    val counts = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+    val prefixW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.select(col("__pid").as("__opid"),
+      coalesce(sum(col("__ta")).over(prefixW), lit(0L)).as("__offa"),
+      coalesce(sum(col("__tb")).over(prefixW), lit(0L)).as("__offb"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranged.join(broadcast(offs), ranged("__pid") === offs("__opid"))
+      .withColumn("__cumA", col("__offa") + sum(col("__ca")).over(localW))
+      .withColumn("__cumB", col("__offb") + sum(col("__cb")).over(localW))
+    val tot = p.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(abs(col("__cumA") * col("__nb") - col("__cumB") * col("__na")))
+          .as("__d"),
+        first(col("__na")).as("n_before"), first(col("__nb")).as("n_after"))
+      .select(col("n_before"), col("n_after"),
+        when(col("n_before") > 0 && col("n_after") > 0,
+          round(col("__d").cast("double") /
+            (col("n_before") * col("n_after")).cast("double"), 6))
+          .as("ks_stat"))
   }
 }

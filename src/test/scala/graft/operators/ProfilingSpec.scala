@@ -89,4 +89,39 @@ class ProfilingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
     assert(got.toSeq == Seq((0, 3.0, 9.0, 2L)))
   }
+
+  test("ksDrift: hand-computed supremum, identical zero, disjoint one") {
+    import org.apache.spark.sql.functions.col
+    def df(vs: Double*) = vs.map(Tuple1(_)).toDF("v")
+    // before {1,2,3} vs after {2,3,4}: max gap at v=1 -> |3-0|/9 = 1/3
+    val r = Profiling.ksDrift(df(1, 2, 3), df(2, 3, 4), col("v")).collect().head
+    graft.operators.Dedup.clearCaches()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getDouble(2) == 0.333333)
+    // identical distributions: D = 0
+    val same = Profiling.ksDrift(df(5, 6, 6), df(6, 5, 6), col("v"))
+      .collect().head
+    graft.operators.Dedup.clearCaches()
+    assert(same.getDouble(2) == 0.0)
+    // disjoint supports: D = 1
+    val far = Profiling.ksDrift(df(1, 2), df(10, 11), col("v")).collect().head
+    graft.operators.Dedup.clearCaches()
+    assert(far.getDouble(2) == 1.0)
+  }
+
+  test("ksDrift: an empty side reports NULL, nulls excluded, layout free") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq(Some(1.0), Some(2.0), None).map(Tuple1(_)).toDF("v")
+    val empty = Seq.empty[Tuple1[Double]].toDF("v")
+    val r = Profiling.ksDrift(a, empty, col("v")).collect().head
+    graft.operators.Dedup.clearCaches()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(2))
+    val b = Seq(2.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
+    val x = Profiling.ksDrift(a, b, col("v")).collect().head.getDouble(2)
+    graft.operators.Dedup.clearCaches()
+    val y = Profiling.ksDrift(a.repartition(5), b.repartition(3), col("v"))
+      .collect().head.getDouble(2)
+    graft.operators.Dedup.clearCaches()
+    assert(x == y)
+  }
 }
