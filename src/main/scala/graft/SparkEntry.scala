@@ -118,7 +118,18 @@ object SparkEntry {
     * language keep, perplexity cut at 30.5, a 3000-BPE-token mixture over
     * four sources, 256-token sequences.
     */
-  private def curationOf(s: SparkSession, dir: String): graft.pipeline.CurationResult = {
+  // memoized per (session, dir): pipeline_curate and its report would
+  // otherwise each re-run the whole 6-stage DAG and double the retained
+  // cache footprint (code-review r7g) — the frames are lazy plans over
+  // session-lived persisted intermediates, safe to share
+  private val curationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.pipeline.CurationResult]()
+
+  private def curationOf(s: SparkSession, dir: String): graft.pipeline.CurationResult =
+    curationCache.computeIfAbsent((s, dir), _ => curationRun(s, dir))
+
+  private def curationRun(s: SparkSession, dir: String): graft.pipeline.CurationResult = {
     val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
     val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + PlantedOffset).as("doc_id"),

@@ -123,10 +123,28 @@ object Layout {
       .map(f => f -> fs.getFileStatus(new Path(new java.net.URI(f))).getLen)
   }
 
+  /** Self-overwrite guard shared by [[compact]]/[[optimize]]: raw string
+    * inequality would let a trailing slash or a `file://` scheme variant
+    * of the SAME location through, and `overwrite` would then delete the
+    * input mid-read (code-review r7g) — compare fully-qualified paths.
+    */
+  private def requireDistinctPaths(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, outPath: String,
+                                   op: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String) = {
+      val hp = new Path(p)
+      hp.getFileSystem(conf).makeQualified(hp)
+    }
+    require(qualified(outPath) != qualified(path),
+      s"$op cannot overwrite the table it is reading: $path")
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               outPath: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"compact needs a positive target, got $targetBytes")
-    require(outPath != path, "compact cannot overwrite the table it is reading")
+    requireDistinctPaths(spark, path, outPath, "compact")
     val files = fileSizes(spark, path)
     require(files.nonEmpty, s"compact: no input files under $path")
     // first-fit-decreasing over a total order -> deterministic plan
@@ -175,7 +193,7 @@ object Layout {
                targetBytes: Long, statCols: Seq[String]): DataFrame = {
     require(targetBytes > 0, s"optimize needs a positive target, got $targetBytes")
     require(zcols.nonEmpty, "optimize needs at least one z-order column")
-    require(outPath != path, "optimize cannot overwrite the table it is reading")
+    requireDistinctPaths(spark, path, outPath, "optimize")
     val total = fileSizes(spark, path).map(_._2).sum
     val parts = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     zorder(spark.read.parquet(path), zcols.map(col), bits, parts)

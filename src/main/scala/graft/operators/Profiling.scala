@@ -162,16 +162,23 @@ object Profiling {
     val cum = ranged.join(broadcast(offs), ranged("__pid") === offs("__opid"))
       .withColumn("__cumA", col("__offa") + sum(col("__ca")).over(localW))
       .withColumn("__cumB", col("__offb") + sum(col("__cb")).over(localW))
-    val tot = p.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    // totals from the per-partition counts (metadata-sized, derived from
+    // the PERSISTED frame) — summing `p` directly would re-scan and
+    // re-aggregate both inputs end-to-end (code-review r7g); coalesce
+    // keeps the both-empty case reporting (0, 0, NULL) like the
+    // one-empty-side case, not (NULL, NULL, NULL)
+    val tot = counts.agg(
+      coalesce(sum(col("__ta")), lit(0L)).as("__na"),
+      coalesce(sum(col("__tb")), lit(0L)).as("__nb"))
     cum.crossJoin(broadcast(tot))
       .agg(
         max(abs(col("__cumA") * col("__nb") - col("__cumB") * col("__na")))
-          .as("__d"),
-        first(col("__na")).as("n_before"), first(col("__nb")).as("n_after"))
-      .select(col("n_before"), col("n_after"),
-        when(col("n_before") > 0 && col("n_after") > 0,
+          .as("__d"))
+      .crossJoin(broadcast(tot))
+      .select(col("__na").as("n_before"), col("__nb").as("n_after"),
+        when(col("__na") > 0 && col("__nb") > 0,
           round(col("__d").cast("double") /
-            (col("n_before") * col("n_after")).cast("double"), 6))
+            (col("__na") * col("__nb")).cast("double"), 6))
           .as("ks_stat"))
   }
 }

@@ -105,15 +105,9 @@ object EmbDedupStream {
     * corpus ([[NearDupStream.prunedRegistry]]'s contract, vector form).
     */
   private[streaming] def prunedRegistry(spark: SparkSession, regPath: String,
-                                        partnerIds: Array[Long],
-                                        excludeBatch: Option[Long] = None): DataFrame = {
+                                        partnerIds: Array[Long]): DataFrame = {
     import spark.implicits._
-    val all = spark.read.parquet(regPath)
-    val scoped = excludeBatch match {
-      case Some(b) => all.filter(col("batch") =!= b)
-      case None => all
-    }
-    val reg = scoped.select("vec_id", "vec")
+    val reg = spark.read.parquet(regPath).select("vec_id", "vec")
     if (partnerIds.isEmpty) reg.limit(0)
     else if (partnerIds.length <= 10000)
       reg.filter(col("vec_id").isin(partnerIds.toSeq: _*))
@@ -143,12 +137,15 @@ object EmbDedupStream {
       // in a PRIOR batch's registry partition is a redelivery and is
       // excluded whole; the CURRENT batch partition must not count
       // (a same-batch replay would otherwise see its own failed write
-      // and drop everything).
-      val batchIds = arrivals.select("vec_id").as[Long].collect()
+      // and drop everything). The check is a DISTRIBUTED anti-join
+      // against the registry's ID COLUMN only (columnar projection —
+      // never the vector bodies, never a driver collect: a rate-free
+      // catch-up batch has unbounded distinct ids, unlike the cap-bounded
+      // partner set below; code-review r7g).
       val perVec =
         if (fs.exists(regRoot)) {
-          val seenBefore = prunedRegistry(spark, regRoot.toString, batchIds,
-            excludeBatch = Some(batchId)).select("vec_id")
+          val seenBefore = spark.read.parquet(regRoot.toString)
+            .filter(col("batch") =!= batchId).select("vec_id")
           arrivals.join(seenBefore, Seq("vec_id"), "left_anti")
         } else arrivals
       val here = perVec.select(col("vec_id"), col("vec"))

@@ -226,15 +226,9 @@ object NearDupStream {
     * Per-batch verify cost is now O(batch candidates), not O(corpus).
     */
   private[streaming] def prunedRegistry(spark: SparkSession, regPath: String,
-                                        partnerIds: Array[Long],
-                                        excludeBatch: Option[Long] = None): DataFrame = {
+                                        partnerIds: Array[Long]): DataFrame = {
     import spark.implicits._
-    val all = spark.read.parquet(regPath)
-    val scoped = excludeBatch match {
-      case Some(b) => all.filter(col("batch") =!= b)
-      case None => all
-    }
-    val reg = scoped.select("doc_id", "text")
+    val reg = spark.read.parquet(regPath).select("doc_id", "text")
     if (partnerIds.isEmpty) reg.limit(0)
     else if (partnerIds.length <= 10000)
       reg.filter(col("doc_id").isin(partnerIds.toSeq: _*))
@@ -267,12 +261,15 @@ object NearDupStream {
       // redeliver them in a LATER batch — excluded here by checking the
       // PRIOR batches' registry partitions (the current batch partition
       // must not count, or a same-batch replay would see its own failed
-      // write and drop everything).
-      val batchIds = arrivals.select("doc_id").as[Long].collect()
+      // write and drop everything). A DISTRIBUTED anti-join against the
+      // registry's ID COLUMN only — columnar projection, never the text
+      // bodies, never a driver collect (a rate-free catch-up batch has
+      // unbounded distinct ids, unlike the cap-bounded partner set
+      // below; code-review r7g).
       val perDoc =
         if (fs.exists(regRoot)) {
-          val seenBefore = prunedRegistry(spark, regRoot.toString, batchIds,
-            excludeBatch = Some(batchId)).select("doc_id")
+          val seenBefore = spark.read.parquet(regRoot.toString)
+            .filter(col("batch") =!= batchId).select("doc_id")
           arrivals.join(seenBefore, Seq("doc_id"), "left_anti")
         } else arrivals
       val docsHere = perDoc.select(col("doc_id"), col("text"))
