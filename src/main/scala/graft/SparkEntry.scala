@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-import graft.operators.{Dedup, Grouping, LanguageModel, Pack, Sampling, SetJoin, Similarity, Skew, Upsert}
+import graft.operators.{Dedup, Grouping, LanguageModel, Pack, Passages, Sampling, SetJoin, Similarity, Skew, Upsert}
 import graft.functions.Text
 import graft.pipeline.Pipeline
 import graft.sources.{Tables, TestdataAdapter}
@@ -94,6 +94,28 @@ object SparkEntry {
   /** A verbatim copy of `docs` with ids shifted by `offset`. */
   private def exactCopy(docs: DataFrame, offset: Long): DataFrame =
     docs.select((col("doc_id") + offset).as("doc_id"), col("text"))
+
+  /** documents ∪ a planted partial-overlap twin per donor doc (< 40, ≥ 16
+    * tokens): the twin copies the donor's FIRST 11 tokens and pads with 5
+    * repeats of a doc-unique filler token. Under 6-token windows, exactly
+    * the donor-prefix windows (positions 1-6) are shared cross-doc; every
+    * filler-touching window is unique to the twin. The planted corpus for
+    * the duplicated-passage queries.
+    */
+  private def passageCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select("doc_id", "text")
+    val donors = base
+      .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
+      .filter(col("doc_id") < 40 && size(col("__t")) >= 16)
+    val planted = donors.select(
+      (col("doc_id") + PlantedOffset).as("doc_id"),
+      concat_ws(" ",
+        concat(slice(col("__t"), 1, 11),
+          array_repeat(
+            format_string("uniq%d", col("doc_id") + PlantedOffset),
+            5))).as("text"))
+    base.unionByName(planted)
+  }
 
   /** A suffix-mutated (near-duplicate) copy of `docs`, ids shifted. */
   private def mutatedCopy(docs: DataFrame, offset: Long): DataFrame =
@@ -542,6 +564,28 @@ object SparkEntry {
     // a pad suffix — guaranteed shared 8-grams). Exact integer overlap
     // counts, so the oracle replicates the whole pass verbatim: every
     // planted twin must flag contaminated, every count must hash-match.
+    // Trainable quality classifier (operators/Classify.scala): hashed
+    // bag-of-words logistic regression, full-batch GD in DataFrame ops.
+    // Planted: every doc gets a class marker token repeated 3× (qpos for
+    // odd ids, qneg for even) appended to its REAL text — linearly
+    // separable by construction, so a converged model must classify every
+    // doc exactly; the oracle states the planted truth directly. This pins
+    // the whole train→score loop end-to-end (features, broadcast weight
+    // joins, gradient shuffle, bias path) without exposing FP-order-
+    // sensitive raw weights to the hash compare.
+    "t_quality_train" -> ((s, dir) => {
+      val labeled = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 1, lit(" qpos qpos qpos"))
+            .otherwise(lit(" qneg qneg qneg"))).as("text"),
+        (col("doc_id") % 2).cast("int").as("label"))
+      val model = graft.operators.Classify.train(labeled, "doc_id", "text",
+        "label", dim = 1 << 16, iters = 30, lr = 0.8)
+      graft.operators.Classify.score(labeled, "doc_id", "text", model,
+        dim = 1 << 16)
+        .select(col("doc_id"), col("predicted"))
+    }),
+
     "t_contamination" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select("doc_id", "text")
       val bench = d.filter(col("doc_id") < 10)
@@ -599,6 +643,27 @@ object SparkEntry {
           pairs("containment") === 1.0d, "left_semi")
         .select(col("doc_id"), lit(true).as("found"))
     }),
+
+    // Cross-document duplicated-passage dedup (operators/Passages.scala):
+    // exact substring dedup at 6-token window grain. Planted: each donor
+    // doc (< 40, ≥ 16 tokens) spawns a twin that copies the donor's first
+    // 11 tokens and pads with a doc-unique filler token — a guaranteed
+    // partial overlap (6 shared windows ⇒ one merged span of 11 tokens in
+    // both docs), while the filler windows stay doc-unique. The oracle
+    // replicates the WHOLE pass verbatim (windows by string equality —
+    // also re-proving the operator's hash shortcut collision-free on this
+    // corpus), so every span boundary hash-compares.
+    "dedup_passages" -> ((s, dir) =>
+      Passages.duplicatedSpans(passageCorpus(s, dir), "doc_id", "text",
+        w = 6, minDocs = 2)),
+
+    // The removal leg: canonical (smallest doc, pos) occurrence keeps its
+    // passage, every other occurrence loses it; docs without a foreign
+    // span pass through with their original text. Same planted corpus,
+    // same verbatim oracle — the cleaned TEXT itself is hash-compared.
+    "dedup_passage_clean" -> ((s, dir) =>
+      Passages.removePassages(passageCorpus(s, dir), "doc_id", "text",
+        w = 6, minDocs = 2)),
 
     // EXACT set-similarity self-join (operators/SetJoin.scala): prefix
     // filtering under the global (df, token) order with an exact integer
@@ -2533,6 +2598,53 @@ object SparkEntry {
   private def sqlTokens(textExpr: String): String =
     s"list_filter(string_split_regex(trim($textExpr), '\\s+'), x -> len(x) > 0)"
 
+  /** Oracle-side twin of [[passageCorpus]] + Passages.windowOccurrences —
+    * the shared CTE prefix for the duplicated-passage oracles. Windows are
+    * compared by STRING (the operator compares xxhash64 of the string, so
+    * the hash compare also certifies collision-freeness on this corpus).
+    * Ends in `toks` (doc_id, text, ts) and `wins` (doc_id, pos, win).
+    */
+  private lazy val sqlPassageCtes: String =
+    s"""WITH donors AS (
+         SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents
+         WHERE doc_id < 40),
+       planted AS (
+         SELECT doc_id + 1000000 AS doc_id,
+                array_to_string(ts[1:11], ' ') || ' ' ||
+                trim(repeat('uniq' || CAST(doc_id + 1000000 AS VARCHAR) || ' ', 5)) AS text
+         FROM donors WHERE len(ts) >= 16),
+       corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL SELECT doc_id, text FROM planted),
+       toks AS (SELECT doc_id, text, ${sqlTokens("text")} AS ts FROM corpus),
+       wins AS (
+         SELECT doc_id, u.pos AS pos, u.win AS win FROM (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(ts) - 5),
+             i -> {'pos': i, 'win': concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4], ts[i+5])})) AS u
+           FROM toks WHERE len(ts) >= 6))"""
+
+  /** Gaps-and-islands span merge over a `hits` CTE (doc_id, pos) — the
+    * oracle twin of Passages.mergeSpans for 6-token windows. Emits
+    * `spans` (doc_id, g, span_start, span_end).
+    */
+  private def sqlPassageSpans(hitsCte: String): String =
+    s"""$hitsCte,
+       marked AS (
+         SELECT doc_id, pos,
+           CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS brk
+         FROM hits),
+       isl AS (
+         SELECT doc_id, pos, SUM(brk) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS g
+         FROM marked),
+       spans AS (
+         SELECT doc_id, g, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end
+         FROM isl GROUP BY doc_id, g)"""
+
   /** Oracle-side twin of [[termStats]] — the shared TF/DF CTE prefix. */
   private lazy val sqlTermStatsCtes: String =
     s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
@@ -2976,6 +3088,48 @@ object SparkEntry {
          WHERE len(ts) >= 12""",
     "dedup_incremental_recall" ->
       "SELECT doc_id, true AS found FROM documents",
+    // the planted truth the converged classifier must reproduce exactly
+    "t_quality_train" ->
+      "SELECT doc_id, doc_id % 2 = 1 AS predicted FROM documents",
+    // full verbatim replay of the duplicated-passage pass (string-equality
+    // windows — also certifies the operator's xxhash64 shortcut)
+    "dedup_passages" ->
+      s"""${sqlPassageSpans(s"""$sqlPassageCtes,
+         flag AS (SELECT win FROM wins
+                  GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+         hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN flag f USING (win))""")}
+         SELECT doc_id, span_start, span_end,
+                span_end - span_start + 1 AS span_tokens
+         FROM spans""",
+    "dedup_passage_clean" ->
+      s"""${sqlPassageSpans(s"""$sqlPassageCtes,
+         own AS (SELECT win, MIN(doc_id) AS odoc FROM wins
+                 GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+         own2 AS (SELECT w.win, o.odoc, MIN(w.pos) AS opos
+                  FROM wins w JOIN own o
+                    ON w.win = o.win AND w.doc_id = o.odoc
+                  GROUP BY 1, 2),
+         hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN own2 o USING (win)
+                  WHERE NOT (w.doc_id = o.odoc AND w.pos = o.opos))""")},
+         kept AS (
+           SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+             SELECT t.doc_id, unnest(list_transform(
+               generate_series(1, len(ts)),
+               i -> {'i': i, 'tok': ts[i]})) AS u
+             FROM toks t
+             WHERE EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id)) q
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+                             WHERE s.doc_id = q.doc_id
+                               AND q.u.i BETWEEN s.span_start AND s.span_end)),
+         cleaned AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ctext
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+                CASE WHEN sp.doc_id IS NULL THEN t.text
+                     ELSE COALESCE(c.ctext, '') END AS text
+         FROM toks t
+         LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
+         LEFT JOIN cleaned c USING (doc_id)""",
     // bloom prefilter + exact verify == the naive digest semi-join
     "dedup_bloom_registry" ->
       s"""WITH reg AS (SELECT DISTINCT sha256(text) AS content_sha
