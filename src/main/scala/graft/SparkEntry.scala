@@ -95,6 +95,19 @@ object SparkEntry {
   private def exactCopy(docs: DataFrame, offset: Long): DataFrame =
     docs.select((col("doc_id") + offset).as("doc_id"), col("text"))
 
+  /** The planted linearly-separable quality corpus: every doc keeps its
+    * REAL text plus a class marker token repeated 3× (qpos for odd ids,
+    * qneg for even) and the matching 0/1 label — separable by
+    * construction, so a converged classifier must reproduce the labels
+    * exactly (the t_quality_train / st_quality_score oracle).
+    */
+  private def qualityLabeled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 1, lit(" qpos qpos qpos"))
+          .otherwise(lit(" qneg qneg qneg"))).as("text"),
+      (col("doc_id") % 2).cast("int").as("label"))
+
   /** documents ∪ a planted partial-overlap twin per donor doc (< 40, ≥ 16
     * tokens): the twin copies the donor's FIRST 11 tokens and pads with 5
     * repeats of a doc-unique filler token. Under 6-token windows, exactly
@@ -574,16 +587,43 @@ object SparkEntry {
     // joins, gradient shuffle, bias path) without exposing FP-order-
     // sensitive raw weights to the hash compare.
     "t_quality_train" -> ((s, dir) => {
-      val labeled = Tables.documents(s, dir).select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 2 === 1, lit(" qpos qpos qpos"))
-            .otherwise(lit(" qneg qneg qneg"))).as("text"),
-        (col("doc_id") % 2).cast("int").as("label"))
+      val labeled = qualityLabeled(s, dir)
       val model = graft.operators.Classify.train(labeled, "doc_id", "text",
-        "label", dim = 1 << 16, iters = 30, lr = 0.8)
+        "label", dim = 1 << 16, iters = 15, lr = 0.8)
       graft.operators.Classify.score(labeled, "doc_id", "text", model,
         dim = 1 << 16)
         .select(col("doc_id"), col("predicted"))
+    }),
+
+    // Model SERVING in Structured Streaming: the classifier trains
+    // batch-side (models are batch artifacts), then the same planted
+    // corpus replays as a multi-batch file stream and every micro-batch
+    // scores through ONE broadcast weight join into the snapshot-isolated
+    // upsert store. Answers t_quality_train's oracle verbatim — streaming
+    // inference must agree with batch inference exactly.
+    "st_quality_score" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val labeled = qualityLabeled(s, dir)
+      val model = graft.operators.Classify.train(labeled, "doc_id", "text",
+        "label", dim = 1 << 16, iters = 15, lr = 0.8)
+      val stage = tmpDir("graft_stqual_in")
+      labeled.select("doc_id", "text").write.mode("overwrite").parquet(stage)
+      val (out, cp) = (tmpDir("graft_stqual_out"), tmpDir("graft_stqual_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 8).parquet(stage)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val scored = graft.operators.Classify
+            .score(batch, "doc_id", "text", model, dim = 1 << 16)
+            .select(col("doc_id"), col("predicted"))
+          graft.streaming.StreamingPipeline
+            .upsertBatchSnapshot(out, Seq("doc_id"))(scored, id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingPipeline.readSnapshot(s, out)
+        .select("doc_id", "predicted")
     }),
 
     "t_contamination" -> ((s, dir) => {
@@ -2587,7 +2627,10 @@ object SparkEntry {
     "t_bpe_train", "emb_project", "mm_phash_dups",
     // round 7g: the end-to-end curation DAG, the EWMA fold, k-core,
     // exact KS drift
-    "pipeline_curate", "e_ewma", "g_kcore", "a21_ks_drift")
+    "pipeline_curate", "e_ewma", "g_kcore", "a21_ks_drift",
+    // round 8: duplicated-passage dedup and the trainable quality
+    // classifier (t_quality_train times the full 30-iteration GD loop)
+    "dedup_passages", "dedup_passage_clean", "t_quality_train")
 
   // ---- DuckDB oracle twins ----
 
@@ -3090,6 +3133,9 @@ object SparkEntry {
       "SELECT doc_id, true AS found FROM documents",
     // the planted truth the converged classifier must reproduce exactly
     "t_quality_train" ->
+      "SELECT doc_id, doc_id % 2 = 1 AS predicted FROM documents",
+    // streaming inference must agree with batch inference exactly
+    "st_quality_score" ->
       "SELECT doc_id, doc_id % 2 = 1 AS predicted FROM documents",
     // full verbatim replay of the duplicated-passage pass (string-equality
     // windows — also certifies the operator's xxhash64 shortcut)

@@ -57,9 +57,18 @@ object Classify {
       .agg((count(lit(1)).cast("double") / first(col("__len"))).as("x"))
   }
 
+  /** The bias rides the gradient loop as a constant feature under this
+    * reserved (never hash-produced, pmod is non-negative) key — one
+    * collect per iteration covers weights AND bias.
+    */
+  private val BiasFeat = -1L
+
   /** Train by full-batch gradient descent on documents labeled 0/1 in
-    * `labelCol`. Empty documents contribute no features and train the
-    * bias only. Returns the bounded-size model.
+    * `labelCol`. Every document (empty ones included) carries an implicit
+    * constant bias feature, so each iteration is exactly ONE driver
+    * action: broadcast-join the (≤ dim)-row weight table, aggregate
+    * per-doc margins, aggregate per-feature gradients, collect the
+    * dim-bounded gradient vector. Returns the bounded-size model.
     */
   def train(docs: DataFrame, idCol: String, textCol: String,
             labelCol: String, dim: Int = 1 << 16, iters: Int = 40,
@@ -68,46 +77,45 @@ object Classify {
     val spark = docs.sparkSession
     val labels = docs.select(col(idCol),
       col(labelCol).cast("double").as("__y"))
-    val feats = features(docs, idCol, textCol, dim).persist()
+    val feats = features(docs, idCol, textCol, dim)
+      .unionByName(labels.select(col(idCol), lit(BiasFeat).as("feat"),
+        lit(1.0).as("x")))
+      .persist()
     try {
       val n = labels.count().toDouble
       var weights = Map.empty[Long, Double]
-      var bias = 0.0
       for (_ <- 1 to iters) {
-        val wDf = if (weights.isEmpty) null else {
-          import spark.implicits._
-          weights.toSeq.toDF("feat", "__w")
-        }
         val joined =
-          if (wDf == null) feats.withColumn("__w", lit(0.0))
-          else feats.join(broadcast(wDf), Seq("feat"), "left")
-            .withColumn("__w", coalesce(col("__w"), lit(0.0)))
-        // margins + per-doc error: err = sigmoid(margin) − y. LEFT join
-        // from labels so feature-less (empty) docs still contribute their
-        // error to the bias gradient.
-        val margins = joined
+          if (weights.isEmpty) feats.withColumn("__w", lit(0.0))
+          else {
+            import spark.implicits._
+            feats.join(broadcast(weights.toSeq.toDF("feat", "__w")),
+              Seq("feat"), "left")
+              .withColumn("__w", coalesce(col("__w"), lit(0.0)))
+          }
+        // per-doc error: err = sigmoid(margin) − y; the bias feature is in
+        // the margin sum like any other weight
+        val errs = joined
           .groupBy(col(idCol))
           .agg(sum(col("x") * col("__w")).as("__m"))
-        val errs = labels.join(margins, Seq(idCol), "left")
+          .join(labels, idCol)
           .select(col(idCol),
-            (lit(1.0) / (lit(1.0) +
-              exp(-(coalesce(col("__m"), lit(0.0)) + bias))) - col("__y"))
+            (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y"))
               .as("__err"))
-        // feature gradients (bounded by dim) + bias gradient, one pass
+        // feature gradients (bounded by dim+1), ONE collect; the BiasFeat
+        // row's gradient is Σerr because its x is the constant 1
         val grads = feats.join(errs, idCol)
           .groupBy(col("feat"))
           .agg(sum(col("x") * col("__err")).as("__g"))
           .collect()
           .map(r => r.getLong(0) -> r.getDouble(1))
-        // docs with no features still push the bias through their error
-        val biasGrad = errs.agg(sum(col("__err"))).head().getDouble(0) / n
         weights = grads.map { case (f, g) =>
           val w = weights.getOrElse(f, 0.0)
-          f -> (w - lr * (g / n + l2 * w))
+          val reg = if (f == BiasFeat) 0.0 else l2 * w // no decay on bias
+          f -> (w - lr * (g / n + reg))
         }.toMap ++ (weights -- grads.map(_._1)) // untouched feats keep w
-        bias -= lr * biasGrad
       }
-      LogRegModel(weights, bias)
+      LogRegModel(weights - BiasFeat, weights.getOrElse(BiasFeat, 0.0))
     } finally feats.unpersist()
   }
 
