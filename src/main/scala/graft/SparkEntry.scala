@@ -705,6 +705,29 @@ object SparkEntry {
       Passages.removePassages(passageCorpus(s, dir), "doc_id", "text",
         w = 6, minDocs = 2)),
 
+    // Incremental (daily-ingest) passage dedup: three ingest days —
+    // donors (< 200), the rest of the base corpus, then the planted
+    // twins — each cleaned against the window-hash registry of the
+    // PRIOR days plus today's intra-batch pass. The twins' copied
+    // prefixes hit the day-0/1 registry and strip even though no donor
+    // doc is in their batch; the oracle replays the day-by-day registry
+    // semantics verbatim (first-seen day owns each window).
+    "dedup_passage_incremental" -> ((s, dir) => {
+      val corpus = passageCorpus(s, dir)
+      val days = Seq(
+        corpus.filter(col("doc_id") < 200),
+        corpus.filter(col("doc_id") >= 200 && col("doc_id") < PlantedOffset),
+        corpus.filter(col("doc_id") >= PlantedOffset))
+      val emptyReg = s.range(0).select(col("id").as("win_hash"))
+      val (cleanedAll, _) = days.foldLeft(
+        (Seq.empty[DataFrame], emptyReg)) { case ((acc, reg), day) =>
+        val (cleaned, newHashes) = Passages.cleanIncremental(
+          day, "doc_id", "text", reg, w = 6, minDocs = 2)
+        (acc :+ cleaned, reg.unionByName(newHashes))
+      }
+      cleanedAll.reduce(_ unionByName _)
+    }),
+
     // EXACT set-similarity self-join (operators/SetJoin.scala): prefix
     // filtering under the global (df, token) order with an exact integer
     // accept test. The oracle recomputes the FULL pairwise closure brute
@@ -2688,6 +2711,32 @@ object SparkEntry {
          SELECT doc_id, g, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end
          FROM isl GROUP BY doc_id, g)"""
 
+  /** The shared removal tail: spans from a `hits` CTE (doc_id, pos), kept
+    * tokens re-joined, untouched docs keep their original text — the
+    * oracle twin of Passages.cleanByForeign.
+    */
+  private def sqlPassageCleanSql(hitsCte: String): String =
+    s"""${sqlPassageSpans(hitsCte)},
+       kept AS (
+         SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+           SELECT t.doc_id, unnest(list_transform(
+             generate_series(1, len(ts)),
+             i -> {'i': i, 'tok': ts[i]})) AS u
+           FROM toks t
+           WHERE EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id)) q
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = q.doc_id
+                             AND q.u.i BETWEEN s.span_start AND s.span_end)),
+       cleaned AS (
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ctext
+         FROM kept GROUP BY doc_id)
+       SELECT t.doc_id,
+              CASE WHEN sp.doc_id IS NULL THEN t.text
+                   ELSE COALESCE(c.ctext, '') END AS text
+       FROM toks t
+       LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
+       LEFT JOIN cleaned c USING (doc_id)"""
+
   /** Oracle-side twin of [[termStats]] — the shared TF/DF CTE prefix. */
   private lazy val sqlTermStatsCtes: String =
     s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
@@ -3148,7 +3197,7 @@ object SparkEntry {
                 span_end - span_start + 1 AS span_tokens
          FROM spans""",
     "dedup_passage_clean" ->
-      s"""${sqlPassageSpans(s"""$sqlPassageCtes,
+      sqlPassageCleanSql(s"""$sqlPassageCtes,
          own AS (SELECT win, MIN(doc_id) AS odoc FROM wins
                  GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
          own2 AS (SELECT w.win, o.odoc, MIN(w.pos) AS opos
@@ -3156,26 +3205,32 @@ object SparkEntry {
                     ON w.win = o.win AND w.doc_id = o.odoc
                   GROUP BY 1, 2),
          hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN own2 o USING (win)
-                  WHERE NOT (w.doc_id = o.odoc AND w.pos = o.opos))""")},
-         kept AS (
-           SELECT doc_id, u.i AS i, u.tok AS tok FROM (
-             SELECT t.doc_id, unnest(list_transform(
-               generate_series(1, len(ts)),
-               i -> {'i': i, 'tok': ts[i]})) AS u
-             FROM toks t
-             WHERE EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id)) q
-           WHERE NOT EXISTS (SELECT 1 FROM spans s
-                             WHERE s.doc_id = q.doc_id
-                               AND q.u.i BETWEEN s.span_start AND s.span_end)),
-         cleaned AS (
-           SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ctext
-           FROM kept GROUP BY doc_id)
-         SELECT t.doc_id,
-                CASE WHEN sp.doc_id IS NULL THEN t.text
-                     ELSE COALESCE(c.ctext, '') END AS text
-         FROM toks t
-         LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
-         LEFT JOIN cleaned c USING (doc_id)""",
+                  WHERE NOT (w.doc_id = o.odoc AND w.pos = o.opos))"""),
+    // day-by-day registry replay: the first-seen day owns each window;
+    // later days strip every occurrence, the owning day applies the
+    // intra-batch canonical rule
+    "dedup_passage_incremental" ->
+      sqlPassageCleanSql(s"""$sqlPassageCtes,
+         daywins AS (SELECT doc_id, pos, win,
+             CASE WHEN doc_id < 200 THEN 0
+                  WHEN doc_id < 1000000 THEN 1 ELSE 2 END AS day
+           FROM wins),
+         firstday AS (SELECT win, MIN(day) AS d0 FROM daywins GROUP BY 1),
+         intra AS (SELECT win, day, COUNT(DISTINCT doc_id) AS nd,
+                          MIN(doc_id) AS mdoc
+                   FROM daywins GROUP BY 1, 2),
+         intra2 AS (SELECT i.win, i.day, i.nd, i.mdoc, MIN(w.pos) AS mpos
+                    FROM intra i JOIN daywins w
+                      ON w.win = i.win AND w.day = i.day AND w.doc_id = i.mdoc
+                    GROUP BY 1, 2, 3, 4),
+         hits AS (
+           SELECT w.doc_id, w.pos
+           FROM daywins w
+           JOIN firstday f ON w.win = f.win
+           LEFT JOIN intra2 i ON i.win = w.win AND i.day = w.day
+           WHERE w.day > f.d0
+              OR (w.day = f.d0 AND i.nd >= 2
+                  AND NOT (w.doc_id = i.mdoc AND w.pos = i.mpos)))"""),
     // bloom prefilter + exact verify == the naive digest semi-join
     "dedup_bloom_registry" ->
       s"""WITH reg AS (SELECT DISTINCT sha256(text) AS content_sha

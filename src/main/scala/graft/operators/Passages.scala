@@ -121,7 +121,16 @@ object Passages {
       .filter(!(col(idCol) === col("owner_id") &&
         col("pos") === col("owner_pos")))
       .select(col(idCol), col("pos"))
-    val spans = mergeSpans(foreign, idCol, w)
+    cleanByForeign(docs, idCol, textCol, foreign, w)
+  }
+
+  /** Strip the spans covered by a frame of FOREIGN window positions
+    * (idCol, pos) from the documents — the shared removal tail of
+    * [[removePassages]] and [[cleanIncremental]].
+    */
+  private def cleanByForeign(docs: DataFrame, idCol: String, textCol: String,
+                             foreignOcc: DataFrame, w: Int): DataFrame = {
+    val spans = mergeSpans(foreignOcc, idCol, w)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
@@ -133,5 +142,40 @@ object Passages {
               !exists(col("__spans"), s =>
                 i + 1 >= s("span_start") && i + 1 <= s("span_end")))))
           .as(textCol))
+  }
+
+  /** Incremental (daily-ingest) passage dedup against a REGISTRY of
+    * previously-seen window hashes: an occurrence is foreign when its
+    * window was registered by ANY earlier ingest (the earlier corpus owns
+    * it — all of today's occurrences strip, even "canonical" ones), or
+    * when today's batch itself duplicates it across ≥ `minDocs` docs (then
+    * the intra-batch canonical smallest-(doc, pos) occurrence survives,
+    * exactly like [[removePassages]]). Returns (cleaned docs, the batch's
+    * distinct NEW window hashes to append to the registry).
+    *
+    * Scale contract: the registry carries 8-byte hashes, never text; the
+    * registry probe is a semi-join on the hash (broadcast- or
+    * shuffle-hash-joinable), today's intra-batch pass touches only
+    * today's windows, and the new-hash frame is `except`-free (one
+    * left-anti join). Per-ingest cost is O(today's tokens + matching
+    * registry partitions) — the incremental form a 100 TB daily pipeline
+    * actually runs, where re-running [[removePassages]] over the full
+    * archive would rescan everything.
+    */
+  def cleanIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                       registry: DataFrame, w: Int = 8,
+                       minDocs: Int = 2): (DataFrame, DataFrame) = {
+    val occ = windowOccurrences(newDocs, idCol, textCol, w)
+    val regForeign = occ
+      .join(registry.select(col("win_hash")), Seq("win_hash"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val intraForeign = duplicatedWindows(newDocs, idCol, textCol, w, minDocs)
+      .filter(!(col(idCol) === col("owner_id") &&
+        col("pos") === col("owner_pos")))
+      .select(col(idCol), col("pos"))
+    val foreign = regForeign.unionByName(intraForeign).distinct()
+    val newHashes = occ.select(col("win_hash")).distinct()
+      .join(registry.select(col("win_hash")), Seq("win_hash"), "left_anti")
+    (cleanByForeign(newDocs, idCol, textCol, foreign, w), newHashes)
   }
 }

@@ -139,6 +139,42 @@ class PassagesSpec extends SparkSpec {
     assert(a.map(_.toString) == b.map(_.toString))
   }
 
+  test("incremental: registry-era passages strip even with no partner in the batch") {
+    val shared = "r s t u v w"
+    val day0 = Seq((1L, s"first doc holds $shared and more text")).toDF("doc_id", "text")
+    val day1 = Seq((9L, s"later ingest repeats $shared here"),
+      (10L, "unrelated later doc")).toDF("doc_id", "text")
+    val emptyReg = spark.range(0).selectExpr("id AS win_hash")
+    val (c0, reg0) = Passages.cleanIncremental(day0, "doc_id", "text", emptyReg, 4, 2)
+    // day 0 is alone: nothing strips, all hashes register
+    assert(c0.collect().map(r => r.getString(1)).head == day0.head().getString(1))
+    val (c1, _) = Passages.cleanIncremental(day1, "doc_id", "text", reg0, 4, 2)
+    val m = c1.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(m(9L) == "later ingest repeats here")
+    assert(m(10L) == "unrelated later doc")
+  }
+
+  test("incremental with an empty registry equals the batch operator") {
+    val shared = "c d e f g"
+    val docs = (0L until 20L).map(i =>
+      (i, if (i % 4 == 0) s"doc $i has $shared inside" else s"doc $i text w${i % 3}"))
+      .toDF("doc_id", "text")
+    val emptyReg = spark.range(0).selectExpr("id AS win_hash")
+    val (inc, _) = Passages.cleanIncremental(docs, "doc_id", "text", emptyReg, 4, 2)
+    val batch = Passages.removePassages(docs, "doc_id", "text", 4, 2)
+    assert(inc.collect().map(r => (r.getLong(0), r.getString(1))).toMap ==
+      batch.collect().map(r => (r.getLong(0), r.getString(1))).toMap)
+  }
+
+  test("incremental: newHashes excludes already-registered windows") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val emptyReg = spark.range(0).selectExpr("id AS win_hash")
+    val (_, nh0) = Passages.cleanIncremental(docs, "doc_id", "text", emptyReg, 4, 2)
+    val reg = nh0
+    val (_, nh1) = Passages.cleanIncremental(docs, "doc_id", "text", reg, 4, 2)
+    assert(nh0.count() == 3 && nh1.count() == 0)
+  }
+
   test("plan: no cartesian product, flagged join is an equi-join") {
     val docs = (0L until 10L).map(i => (i, s"a b c d e f g$i")).toDF("doc_id", "text")
     val plan = Passages.removePassages(docs, "doc_id", "text", 4, 2)
