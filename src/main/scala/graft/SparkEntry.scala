@@ -2653,7 +2653,8 @@ object SparkEntry {
     "pipeline_curate", "e_ewma", "g_kcore", "a21_ks_drift",
     // round 8: duplicated-passage dedup and the trainable quality
     // classifier (t_quality_train times the full 30-iteration GD loop)
-    "dedup_passages", "dedup_passage_clean", "t_quality_train")
+    "dedup_passages", "dedup_passage_clean", "dedup_passage_incremental",
+    "t_quality_train")
 
   // ---- DuckDB oracle twins ----
 
