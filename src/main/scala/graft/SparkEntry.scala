@@ -1789,6 +1789,42 @@ object SparkEntry {
           .otherwise(col("o_totalprice")))
       graft.operators.Profiling.ksDrift(o, mutated, col("o_totalprice"))
     }),
+    // STREAMING drift monitor: the mutated price stream replays in
+    // micro-batches; an update-mode per-value count aggregation drains
+    // cumulative counts into the snapshot upsert store (the st_term_stats
+    // convergence argument: last-wins keyed upserts of cumulative counts
+    // equal the batch counts once drained), and the final KS reads the
+    // STORE against the reference — answering a21_ks_drift's oracle
+    // verbatim. The monitor a 100 TB ingest actually runs: per-trigger
+    // cost is the batch's count delta, the KS itself is O(distinct
+    // values) whenever probed.
+    "st_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val o = Tables.orders(s, dir)
+      val mutated = o.select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val stage = tmpDir("graft_stdrift_in")
+      mutated.write.mode("overwrite").parquet(stage)
+      val (out, cp) = (tmpDir("graft_stdrift_out"), tmpDir("graft_stdrift_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 8).parquet(stage)
+      val counts = stream
+        .select(col("o_totalprice").as("v")).filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val q = counts.writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch(graft.streaming.StreamingPipeline
+          .upsertBatchSnapshot(out, Seq("v")) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val after = graft.streaming.StreamingPipeline.readSnapshot(s, out)
+      val before = o.select(col("o_totalprice").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      graft.operators.Profiling.ksDriftFromCounts(before, after, "v", "cnt")
+    }),
+
     // Robust outliers (median/MAD, the quantile companion to
     // a10_outliers' moment z-scores): per-priority exact medians via
     // the scale-safe quantilesCont machinery — both the median and the
@@ -3966,6 +4002,26 @@ object SparkEntry {
          FROM b GROUP BY 1""",
     // the supremum CDF gap: integer numerator maximized, one division
     "a21_ks_drift" ->
+      """WITH av AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+         bv AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                       ELSE o_totalprice END AS v
+                FROM orders WHERE o_totalprice IS NOT NULL),
+         p AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+               FROM (SELECT v, 1 AS ia, 0 AS ib FROM av
+                     UNION ALL SELECT v, 0, 1 FROM bv)
+               GROUP BY v),
+         c AS (SELECT v,
+                 SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+                 SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB
+               FROM p),
+         t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM p)
+         SELECT t.na AS n_before, t.nb AS n_after,
+                round(CAST(MAX(abs(cumA * nb - cumB * na)) AS DOUBLE) /
+                      CAST(na * nb AS DOUBLE), 6) AS ks_stat
+         FROM c CROSS JOIN t GROUP BY t.na, t.nb""",
+    // the drained cumulative-count store equals the batch counts, so the
+    // streaming monitor answers the batch KS verbatim
+    "st_drift" ->
       """WITH av AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
          bv AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
                        ELSE o_totalprice END AS v

@@ -140,12 +140,38 @@ object Profiling {
     * over data.
     */
   def ksDrift(before: DataFrame, after: DataFrame, value: Column): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val a = before.select(value.as("__v")).filter(col("__v").isNotNull)
       .select(col("__v"), lit(1L).as("__ia"), lit(0L).as("__ib"))
     val b = after.select(value.as("__v")).filter(col("__v").isNotNull)
       .select(col("__v"), lit(0L).as("__ia"), lit(1L).as("__ib"))
-    val p = a.unionByName(b).groupBy(col("__v"))
+    ksFromIndicators(a.unionByName(b))
+  }
+
+  /** The KS statistic from PRE-AGGREGATED value counts — (valueCol,
+    * cntCol) per side — for callers that maintain counts incrementally
+    * (the streaming drift monitor: cumulative per-value counts drained
+    * from an update-mode aggregation equal the batch counts, so this
+    * answers [[ksDrift]]'s oracle verbatim without re-scanning rows).
+    * Count-weighted indicators feed the same integer sup-CDF-gap tail.
+    */
+  def ksDriftFromCounts(beforeCounts: DataFrame, afterCounts: DataFrame,
+                        valueCol: String, cntCol: String): DataFrame = {
+    val a = beforeCounts.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"), col(cntCol).cast("long").as("__ia"),
+        lit(0L).as("__ib"))
+    val b = afterCounts.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"), lit(0L).as("__ia"),
+        col(cntCol).cast("long").as("__ib"))
+    ksFromIndicators(a.unionByName(b))
+  }
+
+  /** Shared KS tail over (value, countA-weight, countB-weight) rows: one
+    * aggregation to distinct-value grain, then the range-partitioned
+    * integer prefix machinery.
+    */
+  private def ksFromIndicators(ind: DataFrame): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = ind.groupBy(col("__v"))
       .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
     val ranged = graft.util.Caches.retain(
       p.repartitionByRange(col("__v"))

@@ -109,6 +109,24 @@ class ProfilingSpec extends SparkSpec {
     assert(far.getDouble(2) == 1.0)
   }
 
+  test("ksDriftFromCounts agrees with ksDrift on expanded rows") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val as = Seq.fill(40)(rnd.nextInt(8).toDouble)
+    val bs = Seq.fill(55)(rnd.nextInt(8).toDouble + (rnd.nextInt(3) - 1))
+    val raw = Profiling.ksDrift(as.map(Tuple1(_)).toDF("v"),
+      bs.map(Tuple1(_)).toDF("v"), col("v")).collect().head
+    graft.operators.Dedup.clearCaches()
+    def counts(vs: Seq[Double]) =
+      vs.groupBy(identity).map { case (v, o) => (v, o.size.toLong) }
+        .toSeq.toDF("v", "cnt")
+    val fromCounts = Profiling.ksDriftFromCounts(
+      counts(as), counts(bs), "v", "cnt").collect().head
+    graft.operators.Dedup.clearCaches()
+    assert((raw.getLong(0), raw.getLong(1), raw.getDouble(2)) ==
+      ((fromCounts.getLong(0), fromCounts.getLong(1), fromCounts.getDouble(2))))
+  }
+
   test("ksDrift: an empty side reports NULL, nulls excluded, layout free") {
     import org.apache.spark.sql.functions.col
     val a = Seq(Some(1.0), Some(2.0), None).map(Tuple1(_)).toDF("v")
