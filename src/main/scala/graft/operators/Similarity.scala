@@ -173,15 +173,23 @@ object Similarity {
     // graft.util.Caches), keyed by the canonicalized corpus plan so
     // repeated calls reuse ONE entry — and only the first call for a given
     // corpus pays the materializing count() job (ADVICE r5).
-    val cents = centroidCache.computeIfAbsent(
+    // compute + liveness check, not computeIfAbsent: spark.catalog
+    // .clearCache() strips the memoized frame's persist entry without
+    // going through the Caches.onClear hook, and a dead memo re-runs the
+    // corpus aggregation on every reference (the pipeline_curate stale-memo
+    // bug, round 8)
+    val cents = centroidCache.compute(
       (corpus.queryExecution.analyzed.canonicalized, cellCol, cVec),
-      _ => {
-        val c = graft.util.Caches.retain(
-          centroids(corpus, cellCol, cVec)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        c.count()
-        c
-      })
+      (_, prev) =>
+        if (prev != null && prev.storageLevel !=
+          org.apache.spark.storage.StorageLevel.NONE) prev
+        else {
+          val c = graft.util.Caches.retain(
+            centroids(corpus, cellCol, cVec)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          c.count()
+          c
+        })
     val probeW = Window.partitionBy(col(qId)).orderBy(col("csim").desc, col("cell"))
     val probes = queries.join(broadcast(cents))
       .select(col(qId), col(qVec), col("cell"),
@@ -238,13 +246,19 @@ object Similarity {
                  cVec: String = "embedding"): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     require(ksub > 0 && iters > 0, s"need positive ksub/iters: $ksub/$iters")
-    pqCache.computeIfAbsent(
+    pqCache.compute(
       // cId/cVec are part of the key (like centroidCache): the same corpus
       // plan trained over a different vector or seed-id column is a
-      // DIFFERENT codebook
+      // DIFFERENT codebook. Liveness-checked like centroidCache — a dead
+      // memoized codebook is the WORST case of the stale-memo bug: its
+      // plan chains every Lloyd's iteration, so re-referencing it uncached
+      // re-executes the whole training loop as one deep nested join.
       (corpus.queryExecution.analyzed.canonicalized, dim, m, ksub, iters,
         cId, cVec),
-      _ => trainPqCodebook(corpus, dim, m, ksub, iters, cId, cVec))
+      (_, prev) =>
+        if (prev != null && prev.storageLevel !=
+          org.apache.spark.storage.StorageLevel.NONE) prev
+        else trainPqCodebook(corpus, dim, m, ksub, iters, cId, cVec))
   }
 
   private def trainPqCodebook(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
