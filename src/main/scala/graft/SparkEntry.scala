@@ -742,6 +742,46 @@ object SparkEntry {
       cleanedAll.reduce(_ unionByName _)
     }),
 
+    // STREAMING exact-substring dedup (streaming/PassageStream.scala):
+    // the three ingest days replay as one-file-per-trigger micro-batches
+    // (staged with ascending mtimes so file→batch order is
+    // deterministic); each batch cleans through the SAME
+    // Passages.cleanIncremental the batch query runs — batch/stream
+    // parity by construction — against the per-batch-partitioned
+    // window-hash registry. Answers dedup_passage_incremental's
+    // first-seen-day oracle VERBATIM.
+    "st_passage_clean" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val corpus = passageCorpus(s, dir)
+      val days = Seq(
+        corpus.filter(col("doc_id") < 200),
+        corpus.filter(col("doc_id") >= 200 && col("doc_id") < PlantedOffset),
+        corpus.filter(col("doc_id") >= PlantedOffset))
+      val stage = tmpDir("graft_stpass_in")
+      days.zipWithIndex.foreach { case (d, i) =>
+        val sub = s"$stage/d$i"
+        d.coalesce(1).write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stpass_work"), tmpDir("graft_stpass_cp"))
+      val schema = s.read.parquet(s"$stage/d0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/d*")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch(graft.streaming.PassageStream
+          .cleanAndRegister(work, w = 6, minDocs = 2) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.PassageStream.readClean(s, work)
+    }),
+
     // EXACT set-similarity self-join (operators/SetJoin.scala): prefix
     // filtering under the global (df, token) order with an exact integer
     // accept test. The oracle recomputes the FULL pairwise closure brute
@@ -2788,6 +2828,34 @@ object SparkEntry {
        LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
        LEFT JOIN cleaned c USING (doc_id)"""
 
+  /** The incremental-passage replay shared by dedup_passage_incremental
+    * and its streaming leg: the first-seen day owns each window; later
+    * days strip every occurrence, the owning day applies the intra-batch
+    * canonical rule.
+    */
+  private lazy val sqlPassageIncrementalOracle: String =
+    sqlPassageCleanSql(s"""$sqlPassageCtes,
+         daywins AS (SELECT doc_id, pos, win,
+             CASE WHEN doc_id < 200 THEN 0
+                  WHEN doc_id < 1000000 THEN 1 ELSE 2 END AS day
+           FROM wins),
+         firstday AS (SELECT win, MIN(day) AS d0 FROM daywins GROUP BY 1),
+         intra AS (SELECT win, day, COUNT(DISTINCT doc_id) AS nd,
+                          MIN(doc_id) AS mdoc
+                   FROM daywins GROUP BY 1, 2),
+         intra2 AS (SELECT i.win, i.day, i.nd, i.mdoc, MIN(w.pos) AS mpos
+                    FROM intra i JOIN daywins w
+                      ON w.win = i.win AND w.day = i.day AND w.doc_id = i.mdoc
+                    GROUP BY 1, 2, 3, 4),
+         hits AS (
+           SELECT w.doc_id, w.pos
+           FROM daywins w
+           JOIN firstday f ON w.win = f.win
+           LEFT JOIN intra2 i ON i.win = w.win AND i.day = w.day
+           WHERE w.day > f.d0
+              OR (w.day = f.d0 AND i.nd >= 2
+                  AND NOT (w.doc_id = i.mdoc AND w.pos = i.mpos)))""")
+
   /** Oracle-side twin of [[termStats]] — the shared TF/DF CTE prefix. */
   private lazy val sqlTermStatsCtes: String =
     s"""WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
@@ -3260,28 +3328,10 @@ object SparkEntry {
     // day-by-day registry replay: the first-seen day owns each window;
     // later days strip every occurrence, the owning day applies the
     // intra-batch canonical rule
-    "dedup_passage_incremental" ->
-      sqlPassageCleanSql(s"""$sqlPassageCtes,
-         daywins AS (SELECT doc_id, pos, win,
-             CASE WHEN doc_id < 200 THEN 0
-                  WHEN doc_id < 1000000 THEN 1 ELSE 2 END AS day
-           FROM wins),
-         firstday AS (SELECT win, MIN(day) AS d0 FROM daywins GROUP BY 1),
-         intra AS (SELECT win, day, COUNT(DISTINCT doc_id) AS nd,
-                          MIN(doc_id) AS mdoc
-                   FROM daywins GROUP BY 1, 2),
-         intra2 AS (SELECT i.win, i.day, i.nd, i.mdoc, MIN(w.pos) AS mpos
-                    FROM intra i JOIN daywins w
-                      ON w.win = i.win AND w.day = i.day AND w.doc_id = i.mdoc
-                    GROUP BY 1, 2, 3, 4),
-         hits AS (
-           SELECT w.doc_id, w.pos
-           FROM daywins w
-           JOIN firstday f ON w.win = f.win
-           LEFT JOIN intra2 i ON i.win = w.win AND i.day = w.day
-           WHERE w.day > f.d0
-              OR (w.day = f.d0 AND i.nd >= 2
-                  AND NOT (w.doc_id = i.mdoc AND w.pos = i.mpos)))"""),
+    "dedup_passage_incremental" -> sqlPassageIncrementalOracle,
+    // the streaming leg's batches ARE the three days (one staged file per
+    // trigger, mtime-ordered), so it answers the identical replay
+    "st_passage_clean" -> sqlPassageIncrementalOracle,
     // bloom prefilter + exact verify == the naive digest semi-join
     "dedup_bloom_registry" ->
       s"""WITH reg AS (SELECT DISTINCT sha256(text) AS content_sha
