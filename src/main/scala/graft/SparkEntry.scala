@@ -338,6 +338,20 @@ object SparkEntry {
           coalesce(col("asof_o_orderkey"), lit(-1L)).as("asof_orderkey"),
           coalesce(col("asof_o_orderstatus"), lit("NONE")).as("asof_status"))
     }),
+    // FORWARD as-of join: each event sees the user's NEXT order at or
+    // after event time — the label-attribution mirror of j8 (same
+    // union + one window pass, descending scan).
+    "j11_asof_next" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val or = Tables.orders(s, dir)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      graft.operators.AsOf.asofJoinForward(ev, "user_id", "ts",
+        or, "o_custkey", "o_orderdate", "o_orderkey",
+        Seq("o_orderkey", "o_orderstatus"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("next_o_orderkey"), lit(-1L)).as("next_orderkey"),
+          coalesce(col("next_o_orderstatus"), lit("NONE")).as("next_status"))
+    }),
     // Bucketized interval join (attribution shape): every event within two
     // hours of a same-user signup, joined on (user, hour-bucket) with the
     // exact BETWEEN inside the join — no key-hot quadratic post-filter
@@ -4319,6 +4333,21 @@ object SparkEntry {
          SELECT e.event_id, e.user_id,
                 COALESCE(c.o_orderkey, -1) AS asof_orderkey,
                 COALESCE(c.o_orderstatus, 'NONE') AS asof_status
+         FROM ev e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+           ON c.event_id = e.event_id""",
+    // the forward mirror: smallest date >= event time, smallest orderkey
+    // breaks the tie
+    "j11_asof_next" ->
+      """WITH ev AS (SELECT event_id, user_id, ts FROM events),
+         cand AS (
+           SELECT e.event_id, o.o_orderkey, o.o_orderstatus,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+           FROM ev e JOIN orders o
+             ON o.o_custkey = e.user_id AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts)
+         SELECT e.event_id, e.user_id,
+                COALESCE(c.o_orderkey, -1) AS next_orderkey,
+                COALESCE(c.o_orderstatus, 'NONE') AS next_status
          FROM ev e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
            ON c.event_id = e.event_id""",
     "w_global_topk" ->

@@ -39,7 +39,29 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, leftKey: String, leftTs: String,
                right: DataFrame, rightKey: String, rightTs: String,
-               rightTiebreak: String, carried: Seq[String]): DataFrame = {
+               rightTiebreak: String, carried: Seq[String]): DataFrame =
+    asofImpl(left, leftKey, leftTs, right, rightKey, rightTs, rightTiebreak,
+      carried, forward = false, prefix = "asof_")
+
+  /** The FORWARD as-of join: for each left row, the single right row with
+    * the SMALLEST timestamp ≥ the left row's timestamp, per key — the
+    * label-attribution staple ("the next order after this event"), where
+    * the backward form is the feature staple. Same union-and-one-window
+    * shape and cost; carried columns come back as `next_<c>`. Ties: a
+    * right row AT exactly the left timestamp matches, and among right
+    * rows sharing the as-of timestamp the SMALLEST `rightTiebreak` wins
+    * (the mirror of the backward form's greatest-wins).
+    */
+  def asofJoinForward(left: DataFrame, leftKey: String, leftTs: String,
+                      right: DataFrame, rightKey: String, rightTs: String,
+                      rightTiebreak: String, carried: Seq[String]): DataFrame =
+    asofImpl(left, leftKey, leftTs, right, rightKey, rightTs, rightTiebreak,
+      carried, forward = true, prefix = "next_")
+
+  private def asofImpl(left: DataFrame, leftKey: String, leftTs: String,
+                       right: DataFrame, rightKey: String, rightTs: String,
+                       rightTiebreak: String, carried: Seq[String],
+                       forward: Boolean, prefix: String): DataFrame = {
     val leftCols = left.columns.toSeq
     val carriedType = StructType(carried.map(c => right.schema(c)))
     // SQL join semantics: a null key matches nothing — without this filter
@@ -57,13 +79,18 @@ object AsOf {
         lit(0).as("__side"), col(rightTiebreak).as("__tie"),
         struct(carried.map(col): _*).as("__r")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // forward mirrors the scan: descending time, rights still sort before
+    // lefts at equal time (≥ matches), descending tie so the running
+    // `last` holds the SMALLEST tiebreak of the nearest-following version
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .orderBy(
+        (if (forward) Seq(col("__ts").desc, col("__side"), col("__tie").desc)
+        else Seq(col("__ts"), col("__side"), col("__tie"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        carried.map(c => col(s"__last.$c").as(s"asof_$c")): _*)
+        carried.map(c => col(s"__last.$c").as(s"$prefix$c")): _*)
   }
 }

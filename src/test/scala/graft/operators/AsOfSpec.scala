@@ -55,6 +55,28 @@ class AsOfSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  private lazy val fwd = AsOf.asofJoinForward(
+    events, "user_id", "ts", versions, "key", "vts", "version",
+    Seq("version", "payload"))
+    .collect()
+    .map(r => r.getLong(0) ->
+      (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4))))
+    .toMap
+
+  test("forward: each left row sees the earliest version at or after its timestamp") {
+    assert(fwd(1L) == ((Some(2L), Some("b")))) // next version after Jan 10
+    assert(fwd(3L) == ((Some(1L), Some("a")))) // before all → first version
+  }
+
+  test("forward: a left row after every version gets nulls") {
+    assert(fwd(2L) == ((None, None)))          // Jan 20, both versions past
+    assert(fwd(5L) == ((None, None)))          // key with no right rows
+  }
+
+  test("forward: exact-time versions match and the SMALLEST tiebreak wins") {
+    assert(fwd(4L) == ((Some(3L), None)))      // v3 < v4, payload from v3
+  }
+
   test("null keys never match each other (SQL join semantics)") {
     val l = Seq((1L, Option.empty[String], ts("2024-01-10 00:00:00")))
       .toDF("event_id", "user_id", "ts")
