@@ -19,7 +19,7 @@ import graft.operators.Similarity
   * Registered: graft_dot, graft_cosine, graft_norm, graft_tokens,
   * graft_shingles, graft_lang_id, graft_bpe_token_count,
   * graft_fingerprint, graft_minhash, graft_band_sigs,
-  * graft_delete_variants.
+  * graft_window_hashes, graft_delete_variants.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -80,6 +80,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "graft_band_sigs", 3, es => GraftBridge.resolvableExpression(
       operators.Dedup.bandStructsExpr(GraftBridge.column(es(0)),
         litInt("graft_band_sigs", es(1)), litInt("graft_band_sigs", es(2)))))
+    // the exact-substring-dedup primitive (Passages.windowHashesExpr):
+    // graft_window_hashes(toks, w) → one xxhash64 per w-token sliding
+    // window, ready to posexplode into the duplicated-passage join
+    inject(ext, "graft_window_hashes", 2, es => GraftBridge.resolvableExpression(
+      operators.Passages.windowHashesExpr(GraftBridge.column(es(0)),
+        litInt("graft_window_hashes", es(1)))))
     // the fuzzy-join blocking primitive (Dedup.deleteVariantsExpr):
     // graft_delete_variants(key, maxKeyLen) → the SymSpell depth-1
     // delete neighborhood, ready to explode into a candidate join

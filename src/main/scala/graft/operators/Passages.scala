@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
@@ -35,6 +35,18 @@ import graft.functions.Text
   * pass it sits beside.
   */
 object Passages {
+
+  /** The per-row window-hash primitive behind [[windowOccurrences]], for
+    * SQL users (graft_window_hashes) and custom pipelines: xxhash64 of
+    * every w-token sliding window of an ALREADY-projected token array
+    * (see [[Text.shinglesFromTokens]]'s materialization warning), index i
+    * = window at token position i+1; fewer than w tokens → empty array.
+    */
+  def windowHashesExpr(ts: Column, w: Int): Column = {
+    require(w >= 2, s"passage window must be at least 2 tokens, got $w")
+    when(size(ts) < w, array().cast("array<bigint>"))
+      .otherwise(transform(Text.shinglesFromTokens(ts, w), s => xxhash64(s)))
+  }
 
   /** One row per (doc, window position): `pos` (1-based token index) and
     * `win_hash` (xxhash64 of the w-token window). Documents shorter than w

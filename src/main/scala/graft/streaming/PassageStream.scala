@@ -63,4 +63,49 @@ object PassageStream {
   /** The cleaned corpus across all drained batches. */
   def readClean(spark: SparkSession, workDir: String): DataFrame =
     spark.read.parquet(s"$workDir/clean").select("doc_id", "text")
+
+  /** Compact registry partitions for batches BELOW `upToBatch` (plus any
+    * earlier compacted blob) into ONE distinct-hash partition under a
+    * fresh reserved NEGATIVE batch id, then delete the absorbed
+    * partitions — a long-running stream otherwise accumulates one
+    * directory per trigger and every probe pays the file-listing fan-in.
+    * Negative ids can never equal a live batch id, so the current-batch
+    * exclusion filter keeps working.
+    *
+    * Crash-safe by ordering, not locking: the new blob is WRITTEN (under
+    * the next unused negative id, decreasing monotonically) before
+    * anything is deleted, so every interruption window leaves at worst
+    * duplicate hashes across partitions — harmless to a semi-join probe —
+    * never a loss; the next compaction absorbs any leftovers.
+    *
+    * Redelivery boundary: only compact batches the CHECKPOINT has
+    * committed past. An at-least-once source redelivers at most the last
+    * uncommitted batch; a redelivered batch whose own partition was folded
+    * into the blob would see its OWN hashes as registry-era and strip
+    * everything. Pass the last-committed batch id (exclusive) and the
+    * invariant holds.
+    */
+  def compactRegistry(spark: SparkSession, workDir: String,
+                      upToBatch: Long): Unit = {
+    val regRoot = new Path(s"$workDir/registry")
+    val fs = regRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(regRoot)) return
+    val ids = fs.listStatus(regRoot).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    val absorbed = ids.filter(id => id < 0 || id < upToBatch)
+    if (absorbed.count(_ >= 0) == 0 && absorbed.length <= 1) return
+    val newId = math.min(ids.min, 0L) - 1L
+    val merged = spark.read.parquet(regRoot.toString)
+      .filter(col("batch") < 0 || col("batch") < upToBatch)
+      .select("win_hash").distinct()
+    // stage OUTSIDE the partitioned root (never write into a tree being
+    // read), then rename to the fresh reserved id — both steps leave the
+    // absorbed partitions authoritative until the blob is fully in place
+    val tmp = new Path(s"$workDir/registry_compact_tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(tmp, new Path(s"$regRoot/batch=$newId"))
+    absorbed.foreach(id => fs.delete(new Path(s"$regRoot/batch=$id"), true))
+  }
 }

@@ -113,6 +113,26 @@ class SqlSurfaceSpec extends SparkSpec {
       "SQL-surface signatures diverged from the batch operators")
   }
 
+  test("graft_window_hashes equals windowOccurrences from pure SQL") {
+    val s = sqlSession
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d"), (3L, "x y"),
+      (4L, "")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sqlspec_win_docs")
+    val viaSql = s.sql(
+      """SELECT doc_id, pos + 1 AS pos, col AS win_hash FROM (
+           SELECT doc_id,
+                  posexplode(graft_window_hashes(graft_tokens(text), 4))
+           FROM sqlspec_win_docs)""").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    val viaBatch = graft.operators.Passages
+      .windowOccurrences(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql == viaBatch,
+      "SQL-surface window hashes diverged from the batch operator")
+    assert(viaBatch.exists(_._1 == 1L) && !viaBatch.exists(_._1 == 3L))
+  }
+
   test("graft_delete_variants equals the fuzzy-join blocking expression from pure SQL") {
     val s = sqlSession
     val got = s.sql("SELECT graft_delete_variants('abc', 64)")

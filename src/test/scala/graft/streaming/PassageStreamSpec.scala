@@ -47,6 +47,33 @@ class PassageStreamSpec extends SparkSpec {
     assert(first(5L) == "second")
   }
 
+  test("registry compaction: one blob, same strips, filter still works") {
+    val dirW = work()
+    val shared = "aa bb cc dd ee ff"
+    PassageStream.cleanAndRegister(dirW, w = 4, minDocs = 2)(
+      Seq((1L, s"first $shared xx")).toDF("doc_id", "text"), 0L)
+    PassageStream.cleanAndRegister(dirW, w = 4, minDocs = 2)(
+      Seq((2L, s"middle $shared yy")).toDF("doc_id", "text"), 1L)
+    PassageStream.compactRegistry(spark, dirW, upToBatch = 2L)
+    val fs = new org.apache.hadoop.fs.Path(s"$dirW/registry")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dirW/registry"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+    assert(parts.toSeq == Seq("batch=-1"), parts.mkString(","))
+    // a post-compaction batch still strips against the compacted blob
+    PassageStream.cleanAndRegister(dirW, w = 4, minDocs = 2)(
+      Seq((9L, s"late $shared zz")).toDF("doc_id", "text"), 2L)
+    assert(clean(dirW)(9L) == "late zz")
+    // second compaction absorbs the blob + batch 2 into the next id
+    PassageStream.compactRegistry(spark, dirW, upToBatch = 3L)
+    val parts2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dirW/registry"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+    assert(parts2.toSeq == Seq("batch=-2"), parts2.mkString(","))
+    PassageStream.cleanAndRegister(dirW, w = 4, minDocs = 2)(
+      Seq((12L, s"even later $shared ww")).toDF("doc_id", "text"), 3L)
+    assert(clean(dirW)(12L) == "even later ww")
+  }
+
   test("stream of one batch equals the batch operator") {
     val dirW = work()
     val docs = (0L until 15L).map(i =>
