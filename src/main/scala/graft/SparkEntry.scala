@@ -671,6 +671,14 @@ object SparkEntry {
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir),
         "doc_id", "text", Seq("spark", "scan"), k = 20)),
 
+    // TF-IDF cosine retrieval — the vector-space scorer beside BM25,
+    // normalized by the FULL document vector norm (term-sorted left fold,
+    // the LM-score determinism contract); the oracle replays idf, fold,
+    // fixed-order dot, and the single division verbatim.
+    "t_tfidf_topk" -> ((s, dir) =>
+      graft.operators.Retrieval.tfidfTopK(Tables.documents(s, dir),
+        "doc_id", "text", Seq("spark", "scan"), k = 20)),
+
     // embedding-cosine near-dup: plant near-identical vectors (tiny
     // perturbation keeps the sign pattern) so the pair set is non-empty
     "dedup_embedding" -> ((s, dir) => {
@@ -3460,6 +3468,43 @@ object SparkEntry {
          SELECT CAST(row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS INT) AS rank,
                 doc_id, round(s, 6) AS score
          FROM piv WHERE round(s, 6) > 0
+         ORDER BY rank LIMIT 20""",
+    // idf = ln(N/df); per-doc norm as the term-ORDERED fold of squared
+    // weights; dot in fixed query-term order; one division of the rounded
+    // report — the Spark expression tree transcribed operator-for-operator
+    "t_tfidf_topk" ->
+      s"""WITH base AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+                GROUP BY 1, 2),
+         stats AS (SELECT COUNT(*) AS n FROM base),
+         dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         weighted AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n AS DOUBLE) / df) AS w,
+             ln(CAST(n AS DOUBLE) / df) AS idf
+           FROM tf JOIN dft USING (term) CROSS JOIN stats),
+         norms AS (SELECT doc_id,
+             sqrt(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(w * w ORDER BY term)),
+               (acc, x) -> acc + x)) AS dnorm
+           FROM weighted GROUP BY doc_id),
+         qidf AS (SELECT term, ln(CAST(n AS DOUBLE) / df) AS idf
+                  FROM dft CROSS JOIN stats
+                  WHERE term IN ('spark', 'scan')),
+         qn AS (SELECT sqrt(
+             COALESCE(MAX(CASE WHEN term = 'spark' THEN idf * idf END), 0.0)
+               + COALESCE(MAX(CASE WHEN term = 'scan' THEN idf * idf END), 0.0))
+             AS qnorm FROM qidf),
+         piv AS (SELECT doc_id,
+             COALESCE(MAX(CASE WHEN term = 'spark' THEN w * idf END), 0.0)
+               + COALESCE(MAX(CASE WHEN term = 'scan' THEN w * idf END), 0.0) AS dot
+           FROM weighted WHERE term IN ('spark', 'scan') GROUP BY 1),
+         scored AS (SELECT p.doc_id,
+             round(p.dot / (q.qnorm * nm.dnorm), 6) AS score
+           FROM piv p JOIN norms nm USING (doc_id) CROSS JOIN qn q)
+         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+                doc_id, score
+         FROM scored WHERE score > 0
          ORDER BY rank LIMIT 20""",
     "ann_lsh_recall" ->
       """SELECT vec_id AS q_id, vec_id, CAST(1.0 AS DOUBLE) AS sim

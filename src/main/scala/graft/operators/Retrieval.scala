@@ -71,6 +71,67 @@ object Retrieval {
       .select(col("rank"), col("__id").as(idCol), col("score"))
   }
 
+  /** Top-`k` documents for `terms` by TF-IDF COSINE — the vector-space
+    * scorer beside [[bm25TopK]]'s probabilistic one. Unlike BM25 it
+    * normalizes by the FULL document vector norm (every term's tf·idf,
+    * not just the query's), so long documents stuffed with off-query
+    * terms rank lower: one extra O(total tokens) tf aggregation and a
+    * vocabulary-grain df join, both term-hash exchanges.
+    *
+    * Determinism: idf = ln(N/df) per term; the per-document norm is a
+    * term-SORTED left fold of the squared weights (the foldLogProbs /
+    * DuckDB list_reduce contract — a sum() would re-associate), the dot
+    * product adds per-term parts in the FIXED query-term order via the
+    * pivot, the query norm folds idf² in the same fixed order, and the
+    * ranking orders by the 6-rounded score, id-tiebroken.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "tfidfTopK needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    require(k > 0, s"tfidfTopK needs a positive k, got $k")
+    val base = docs.select(col(idCol).as("__id"),
+      Text.tokens(lower(col(textCol))).as("__toks"))
+    val tfAll = base.select(col("__id"), explode(col("__toks")).as("__term"))
+      .groupBy(col("__id"), col("__term")).agg(count(lit(1)).as("__tf"))
+    val stats = base.agg(count(lit(1)).as("__n"))
+    val dfAll = tfAll.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val idf = log(col("__n").cast("double") / col("__df"))
+    val weighted = tfAll.join(dfAll, "__term")
+      .crossJoin(broadcast(stats))
+      .select(col("__id"), col("__term"),
+        (col("__tf") * idf).as("__w"), idf.as("__idf"))
+    val norms = weighted.groupBy(col("__id")).agg(
+      sqrt(aggregate(
+        sort_array(collect_list(struct(col("__term"),
+          (col("__w") * col("__w")).as("__w2")))),
+        lit(0.0), (acc, x) => acc + x.getField("__w2"))).as("__dnorm"))
+    // query-term idf (absent terms contribute nothing, to norm or dot)
+    val qidf = dfAll.filter(col("__term").isin(terms: _*))
+      .crossJoin(broadcast(stats))
+      .select(col("__term"), idf.as("__qidf"))
+    val qnormRow = qidf.groupBy()
+      .pivot("__term", terms).agg(first(col("__qidf") * col("__qidf")))
+    val qnorm: Column = sqrt(terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduce(_ + _))
+    val parts = weighted.filter(col("__term").isin(terms: _*))
+      .select(col("__id"), col("__term"), (col("__w") * col("__idf")).as("__part"))
+    val pivoted = parts.groupBy(col("__id"))
+      .pivot("__term", terms).agg(first(col("__part")))
+    val dot: Column = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduce(_ + _)
+    val scored = pivoted.select(col("__id"), dot.as("__dot"))
+      .join(norms, "__id")
+      .crossJoin(broadcast(qnormRow.select(qnorm.as("__qnorm"))))
+      .select(col("__id"),
+        round(col("__dot") / (col("__qnorm") * col("__dnorm")), 6).as("score"))
+      .filter(col("score") > 0)
+    val top = scored.orderBy(col("score").desc, col("__id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("__id"))))
+      .select(col("rank"), col("__id").as(idCol), col("score"))
+  }
+
   /** Inverted-index build: one row per surviving term with its document
     * frequency, total term frequency, and the doc_id-sorted posting
     * list serialized as `"id:tf,id:tf,…"` (a flat string — exactly

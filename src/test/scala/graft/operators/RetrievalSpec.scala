@@ -80,4 +80,39 @@ class RetrievalSpec extends SparkSpec {
       .filter(col("term") === "zzz").collect()(0).getString(3)
     assert(idx == (1 to 50).map(i => s"$i:1").mkString(","))
   }
+
+  test("tfidf cosine matches the closed form and the full norm demotes stuffed docs") {
+    // docs 1 and 2 both contain 'apple' once, but doc 2 carries extra
+    // off-query weight -> larger norm -> lower cosine; doc 3 excluded
+    val corpus = Seq(
+      (1L, "apple pear"),
+      (2L, "apple pear rare1 rare2 rare3 rare4"),
+      (3L, "melon grape"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfTopK(corpus, "doc_id", "text", Seq("apple"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    def idf(df: Long): Double = math.log(3.0 / df)
+    def norm(dfs: Seq[Long]): Double =
+      math.sqrt(dfs.map(d => idf(d) * idf(d)).sum)
+    val qn = idf(2) // sqrt(idf_apple^2)
+    def cos(dfs: Seq[Long]): Double =
+      math.rint(idf(2) * idf(2) / (qn * norm(dfs)) * 1e6) / 1e6
+    // doc 1 terms: apple(df2) pear(df2); doc 2: apple pear + 4 df-1 terms
+    val expect = Seq(
+      (1, 1L, cos(Seq(2L, 2L))),
+      (2, 2L, cos(Seq(2L, 2L, 1L, 1L, 1L, 1L))))
+    assert(got.toSeq == expect, s"got ${got.toSeq}, expected $expect")
+  }
+
+  test("tfidf ranks by tf when norms agree; absent query terms contribute nothing") {
+    val corpus = Seq(
+      (1L, "apple apple pear plum"),
+      (2L, "apple pear plum kiwi"),
+      (3L, "melon grape kiwi fig"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfTopK(corpus, "doc_id", "text",
+      Seq("apple", "nosuchterm"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.map(_._2).toSeq == Seq(1L, 2L), got.mkString(","))
+  }
 }
