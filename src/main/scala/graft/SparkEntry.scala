@@ -741,6 +741,12 @@ object SparkEntry {
       Passages.removePassages(passageCorpus(s, dir), "doc_id", "text",
         w = 6, minDocs = 2)),
 
+    // the curation-dashboard read: how much of the corpus sits inside
+    // duplicated passages (docs hit, span tokens, corpus tokens, ratio)
+    "dedup_passage_stats" -> ((s, dir) =>
+      Passages.duplicationProfile(passageCorpus(s, dir), "doc_id", "text",
+        w = 6, minDocs = 2)),
+
     // Incremental (daily-ingest) passage dedup: three ingest days —
     // donors (< 200), the rest of the base corpus, then the planted
     // twins — each cleaned against the window-hash registry of the
@@ -3347,6 +3353,21 @@ object SparkEntry {
                   GROUP BY 1, 2),
          hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN own2 o USING (win)
                   WHERE NOT (w.doc_id = o.odoc AND w.pos = o.opos))"""),
+    // the span report re-aggregated + one token count + ONE division
+    "dedup_passage_stats" ->
+      s"""${sqlPassageSpans(s"""$sqlPassageCtes,
+         flag AS (SELECT win FROM wins
+                  GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+         hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN flag f USING (win))""")},
+         sa AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_with_dups,
+                       CAST(COALESCE(SUM(span_end - span_start + 1), 0) AS BIGINT) AS dup_tokens
+                FROM spans),
+         ta AS (SELECT CAST(COALESCE(SUM(len(ts)), 0) AS BIGINT) AS total_tokens FROM toks)
+         SELECT sa.docs_with_dups, sa.dup_tokens, ta.total_tokens,
+                CASE WHEN ta.total_tokens > 0 THEN
+                  round(CAST(sa.dup_tokens AS DOUBLE) /
+                        CAST(ta.total_tokens AS DOUBLE), 6) END AS dup_token_ratio
+         FROM sa CROSS JOIN ta""",
     // day-by-day registry replay: the first-seen day owns each window;
     // later days strip every occurrence, the owning day applies the
     // intra-batch canonical rule

@@ -156,6 +156,29 @@ object Passages {
           .as(textCol))
   }
 
+  /** Corpus-level duplication profile — the curation-dashboard read over
+    * [[duplicatedSpans]]: how much of the corpus sits inside duplicated
+    * passages. One row: documents with ≥1 duplicated span, total span
+    * tokens, total corpus tokens, and the 6-rounded ratio (ONE division).
+    * Span totals aggregate the span report (output-sized); corpus tokens
+    * are one `size()` aggregation over the docs.
+    */
+  def duplicationProfile(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, w, minDocs)
+    val spanAgg = spans.agg(
+      countDistinct(col(idCol)).as("docs_with_dups"),
+      coalesce(sum(col("span_tokens")), lit(0L)).as("dup_tokens"))
+    val tokAgg = docs.agg(
+      coalesce(sum(size(Text.tokens(col(textCol)))), lit(0L))
+        .as("total_tokens"))
+    spanAgg.crossJoin(tokAgg)
+      .select(col("docs_with_dups"), col("dup_tokens"), col("total_tokens"),
+        when(col("total_tokens") > 0,
+          round(col("dup_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6)).as("dup_token_ratio"))
+  }
+
   /** Incremental (daily-ingest) passage dedup against a REGISTRY of
     * previously-seen window hashes: an occurrence is foreign when its
     * window was registered by ANY earlier ingest (the earlier corpus owns

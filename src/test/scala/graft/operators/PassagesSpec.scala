@@ -175,6 +175,22 @@ class PassagesSpec extends SparkSpec {
     assert(nh0.count() == 3 && nh1.count() == 0)
   }
 
+  test("duplication profile counts span tokens and rounds one ratio") {
+    val shared = "a b c d e"
+    val docs = Seq((1L, s"$shared x"), (2L, s"y $shared"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val r = Passages.duplicationProfile(docs, "doc_id", "text", 4, 2)
+      .collect().head
+    // spans: doc1 [1,5], doc2 [2,6] -> 10 dup tokens of 18 total
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 10L, 18L)))
+    assert(r.getDouble(3) == math.rint(10.0 / 18.0 * 1e6) / 1e6)
+    val empty = Passages.duplicationProfile(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 4, 2)
+      .collect().head
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2)) ==
+      ((0L, 0L, 0L)) && empty.isNullAt(3))
+  }
+
   test("plan: no cartesian product, flagged join is an equi-join") {
     val docs = (0L until 10L).map(i => (i, s"a b c d e f g$i")).toDF("doc_id", "text")
     val plan = Passages.removePassages(docs, "doc_id", "text", 4, 2)
