@@ -2769,10 +2769,11 @@ object SparkEntry {
     // round 7g: the end-to-end curation DAG, the EWMA fold, k-core,
     // exact KS drift
     "pipeline_curate", "e_ewma", "g_kcore", "a21_ks_drift",
-    // round 8: duplicated-passage dedup and the trainable quality
-    // classifier (t_quality_train times the full 30-iteration GD loop)
+    // round 8: duplicated-passage dedup, the trainable quality
+    // classifier (t_quality_train times the full 15-iteration GD loop),
+    // the forward as-of join, and TF-IDF cosine retrieval
     "dedup_passages", "dedup_passage_clean", "dedup_passage_incremental",
-    "t_quality_train")
+    "t_quality_train", "j11_asof_next", "t_tfidf_topk")
 
   // ---- DuckDB oracle twins ----
 
