@@ -81,10 +81,18 @@ object AsOf {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // forward mirrors the scan: descending time, rights still sort before
     // lefts at equal time (≥ matches), descending tie so the running
-    // `last` holds the SMALLEST tiebreak of the nearest-following version
+    // `last` holds the SMALLEST tiebreak of the nearest-following version.
+    // desc_nulls_first, NOT desc (code-review r8): plain desc puts NULLs
+    // last, so a null-ts left row would sort after every right row and
+    // spuriously "match" the earliest version — nulls must scan first in
+    // both directions (asc already defaults to nulls-first), matching the
+    // backward form and SQL's NULL >= anything = no match; likewise a
+    // null tiebreak must lose the exact-time tie in both directions.
     val w = Window.partitionBy(col("__key"))
       .orderBy(
-        (if (forward) Seq(col("__ts").desc, col("__side"), col("__tie").desc)
+        (if (forward)
+          Seq(col("__ts").desc_nulls_first, col("__side"),
+            col("__tie").desc_nulls_first)
         else Seq(col("__ts"), col("__side"), col("__tie"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)

@@ -44,7 +44,9 @@ object Passages {
     */
   def windowHashesExpr(ts: Column, w: Int): Column = {
     require(w >= 2, s"passage window must be at least 2 tokens, got $w")
-    when(size(ts) < w, array().cast("array<bigint>"))
+    // null-safe guard (code-review r8): size(NULL) is NULL, which would
+    // fall through to a NULL result instead of the documented empty array
+    when(coalesce(size(ts), lit(0)) < w, array().cast("array<bigint>"))
       .otherwise(transform(Text.shinglesFromTokens(ts, w), s => xxhash64(s)))
   }
 
@@ -73,8 +75,17 @@ object Passages {
     * cannot fan out.
     */
   def duplicatedWindows(docs: DataFrame, idCol: String, textCol: String,
-                        w: Int, minDocs: Int): DataFrame = {
-    val occ = windowOccurrences(docs, idCol, textCol, w)
+                        w: Int, minDocs: Int): DataFrame =
+    duplicatedWindowsFromOcc(windowOccurrences(docs, idCol, textCol, w),
+      idCol, minDocs)
+
+  /** [[duplicatedWindows]] over a PRECOMPUTED occurrence frame — so
+    * callers that already hold one ([[cleanIncremental]]'s registry
+    * probe) don't pay the tokenize + shingle + hash explode twice
+    * (code-review r8).
+    */
+  def duplicatedWindowsFromOcc(occ: DataFrame, idCol: String,
+                               minDocs: Int): DataFrame = {
     val flagged = occ
       .groupBy(col("win_hash"))
       .agg(countDistinct(col(idCol)).as("__nd"),
@@ -204,7 +215,7 @@ object Passages {
     val regForeign = occ
       .join(registry.select(col("win_hash")), Seq("win_hash"), "left_semi")
       .select(col(idCol), col("pos"))
-    val intraForeign = duplicatedWindows(newDocs, idCol, textCol, w, minDocs)
+    val intraForeign = duplicatedWindowsFromOcc(occ, idCol, minDocs)
       .filter(!(col(idCol) === col("owner_id") &&
         col("pos") === col("owner_pos")))
       .select(col(idCol), col("pos"))

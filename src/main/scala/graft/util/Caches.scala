@@ -42,14 +42,23 @@ object Caches {
 
   /** Unpersist every registered operator cache. `blocking = true` waits for
     * the blocks to actually drop (tests assert on `getPersistentRDDs`).
+    *
+    * Hooks run OUTSIDE the monitor (code-review r8): a hook clears an
+    * operator memo map whose compute() remapping may concurrently be
+    * building a frame and calling [[retain]] — invoking the hook while
+    * holding this monitor would deadlock against that map's bin lock
+    * (clear → monitor → bin lock vs compute → bin lock → monitor).
     */
-  def clear(blocking: Boolean = false): Unit = synchronized {
-    frames.foreach { ds =>
-      try ds.unpersist(blocking)
-      catch { case _: Throwable => () } // a dead session's frame: nothing to free
+  def clear(blocking: Boolean = false): Unit = {
+    val hs = synchronized {
+      frames.foreach { ds =>
+        try ds.unpersist(blocking)
+        catch { case _: Throwable => () } // a dead session's frame: nothing to free
+      }
+      frames.clear()
+      hooks.toList
     }
-    frames.clear()
-    hooks.foreach { h =>
+    hs.foreach { h =>
       try h() catch { case _: Throwable => () }
     }
   }

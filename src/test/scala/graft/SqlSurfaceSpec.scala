@@ -116,8 +116,9 @@ class SqlSurfaceSpec extends SparkSpec {
   test("graft_window_hashes equals windowOccurrences from pure SQL") {
     val s = sqlSession
     import s.implicits._
-    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d"), (3L, "x y"),
-      (4L, "")).toDF("doc_id", "text")
+    val docs = Seq((1L, Some("a b c d e f g")), (2L, Some("a b c d")),
+      (3L, Some("x y")), (4L, Some("")), (5L, Option.empty[String]))
+      .toDF("doc_id", "text")
     docs.createOrReplaceTempView("sqlspec_win_docs")
     val viaSql = s.sql(
       """SELECT doc_id, pos + 1 AS pos, col AS win_hash FROM (
@@ -131,6 +132,11 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaBatch,
       "SQL-surface window hashes diverged from the batch operator")
     assert(viaBatch.exists(_._1 == 1L) && !viaBatch.exists(_._1 == 3L))
+    // null text -> EMPTY array (not NULL), per the documented contract
+    val nullRow = s.sql(
+      """SELECT size(graft_window_hashes(graft_tokens(text), 4))
+         FROM sqlspec_win_docs WHERE doc_id = 5""").collect().head
+    assert(!nullRow.isNullAt(0) && nullRow.getInt(0) == 0)
   }
 
   test("graft_delete_variants equals the fuzzy-join blocking expression from pure SQL") {

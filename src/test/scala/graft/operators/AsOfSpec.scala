@@ -77,6 +77,17 @@ class AsOfSpec extends SparkSpec {
     assert(fwd(4L) == ((Some(3L), None)))      // v3 < v4, payload from v3
   }
 
+  test("forward: a null left timestamp matches nothing (NULL >= anything is no match)") {
+    val l = Seq((1L, Some("u1"), Option.empty[Timestamp]),
+      (2L, Some("u1"), Some(ts("2024-01-01 00:00:00"))))
+      .toDF("event_id", "user_id", "ts")
+    val o = AsOf.asofJoinForward(l, "user_id", "ts", versions, "key", "vts",
+      "version", Seq("version", "payload")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(o(1L).isEmpty, "null-ts left row must not match any version")
+    assert(o(2L).contains(1L)) // sanity: a real ts still matches forward
+  }
+
   test("null keys never match each other (SQL join semantics)") {
     val l = Seq((1L, Option.empty[String], ts("2024-01-10 00:00:00")))
       .toDF("event_id", "user_id", "ts")
