@@ -2321,6 +2321,29 @@ object SparkEntry {
     // layout onto 256-token training sequences, doc_id total order. All
     // integral arithmetic — start offsets, chunk ids, in-sequence offsets
     // hash-compare exactly against the oracle's window sum.
+    // TRAINED-tokenizer packing: the BPE loop trains on the corpus, every
+    // document's token count is the sum of its words' trained piece
+    // counts (one vocabulary-grain join — the fact table never carries
+    // symbol arrays), and the packer lays those counts onto 256-token
+    // sequences. Token-less documents have nothing to pack and drop out.
+    // The oracle unrolls the merge decisions (the t_bpe_segment CTEs),
+    // replays the join-sum, and the prefix-sum packing arithmetic.
+    "pipeline_tokenize_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val seg = Text.bpeSegment(docs, "text", nMerges = 3)
+        .select(col("word"), col("n_pieces"))
+      val counts = docs
+        .select(col("doc_id"),
+          explode(Text.tokens(lower(col("text")))).as("word"))
+        .join(seg, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_pieces")).cast("long").as("n_tokens"))
+      Pack.packSequences(counts, "doc_id", "n_tokens", budget = 256,
+        order = Seq(col("doc_id")))
+        .select("doc_id", "n_tokens", "start_token", "seq_first",
+          "seq_last", "offset_in_seq")
+    }),
+
     "pipeline_packing" -> ((s, dir) =>
       Pack.packSequences(
         Tables.documents(s, dir).select(col("doc_id"),
@@ -4574,6 +4597,25 @@ object SparkEntry {
                 CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM mixed""",
     // sequence packing: the same BPE-ish token count, one window prefix
     // sum in doc_id order, integral div/mod chunk arithmetic
+    // trained-BPE piece counts per doc (vocabulary join-sum over the
+    // unrolled merge CTEs), then the same prefix-sum packing arithmetic
+    "pipeline_tokenize_pack" ->
+      s"""$sqlBpeTrainCtes,
+         counts AS (
+           SELECT d.doc_id, CAST(SUM(len(w3.syms)) AS BIGINT) AS n_tokens
+           FROM (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS w
+                 FROM documents) d
+           JOIN w3 ON w3.w = d.w GROUP BY 1),
+         pos AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+           FROM counts)
+         SELECT doc_id, n_tokens, start_token,
+           CAST(start_token // 256 AS BIGINT) AS seq_first,
+           CAST(CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 256
+                ELSE start_token // 256 END AS BIGINT) AS seq_last,
+           CAST(start_token % 256 AS BIGINT) AS offset_in_seq
+         FROM pos""",
     "pipeline_packing" ->
       """WITH toks AS (SELECT doc_id,
              CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens
