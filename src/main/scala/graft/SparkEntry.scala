@@ -2796,7 +2796,8 @@ object SparkEntry {
     // classifier (t_quality_train times the full 15-iteration GD loop),
     // the forward as-of join, and TF-IDF cosine retrieval
     "dedup_passages", "dedup_passage_clean", "dedup_passage_incremental",
-    "t_quality_train", "j11_asof_next", "t_tfidf_topk")
+    "t_quality_train", "j11_asof_next", "t_tfidf_topk",
+    "pipeline_tokenize_pack")
 
   // ---- DuckDB oracle twins ----
 
