@@ -119,6 +119,32 @@ object Bench {
       catch { case _: Throwable => Seq.empty }
     }.groupMapReduce(_._1)(_._2)(math.min)
 
+  /** Debut-baseline qualification (VERDICT r08 #1b): a query with NO entry
+    * in the committed baseline enters the record at whatever the loaded
+    * full-headline session happened to measure, and that number becomes
+    * the all-rounds MIN every future gate compares against — r8's
+    * dedup_contained_recall debuted at 26.9 s against a ~6 s isolated
+    * truth, so a future regression to ~54 s would have passed 2× under
+    * the radar. Every debut query above the noise floor therefore gets
+    * ONE requalification re-run (in main: after a fresh load-guard wait,
+    * cache clear and GC), and the record keeps the better of first-pass
+    * and re-run — the same better-of-two rule as [[adjudicate]]. Returns
+    * the updated times plus the names that were requalified (recorded in
+    * the JSON line so the adjudication trail is machine-readable).
+    */
+  private[graft] def qualifyDebuts(baseline: Map[String, Double],
+                                   first: Map[String, Double],
+                                   rerun: String => Option[Double],
+                                   floorSec: Double = 0.5)
+      : (Map[String, Double], Seq[String]) = {
+    val debuts = first.keys.toSeq.sorted
+      .filter(n => !baseline.contains(n) && first(n) >= floorSec)
+    val now = debuts.foldLeft(first) { (acc, name) =>
+      rerun(name).fold(acc)(again => acc.updated(name, math.min(acc(name), again)))
+    }
+    (now, debuts)
+  }
+
   /** The breach re-adjudication protocol (VERDICT r06 #2a, codifying the
     * judge's manual r6 procedure): each apparent regression gets ONE
     * re-run via `rerun` (which in main waits for the load guard first);
@@ -234,6 +260,11 @@ object Bench {
         .getOrElse(Right(runs.collect { case Right(s) => s }.min))
       if (r.isLeft) failed = true
       spark.catalog.clearCache()
+      // release cross-query session pressure (VERDICT r08 #1c): the r8
+      // record showed timings inflate up to 4.6× late in the 66-query
+      // session without any code change — give the JVM a collection point
+      // between entries so each query is timed against a settled heap
+      System.gc()
       (name, r)
     }
     // escape ALL control chars (<0x20), like Verify.q — a stray \b in an
@@ -275,12 +306,13 @@ object Bench {
          catch { case _: Throwable => Map.empty[String, Double] })
       else minBaseline()
     var waitedForRerun = false
-    val (nowTimes, regs) = adjudicate(baseline, firstTimes, { name =>
+    def requalify(why: String)(name: String): Option[Double] = {
       if (!waitedForRerun) {
-        System.err.println("bench gate: apparent regression(s) — re-adjudicating after load guard")
+        System.err.println(s"bench gate: $why — re-running after load guard")
         waitForLoad(); waitedForRerun = true
       }
       spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
@@ -288,7 +320,18 @@ object Bench {
         System.err.println(f"bench gate: $name re-run $again%.2fs (first ${firstTimes(name)}%.2fs)")
         Some(again)
       } catch { case _: Throwable => None }
-    })
+    }
+    // debut-baseline qualification first (VERDICT r08 #1b): queries absent
+    // from every committed record get a settled re-run before their number
+    // enters the record as the future gate's floor. Skipped when there is
+    // no baseline at all (round 1 / gate off) — requalifying the whole set
+    // would just double the session.
+    val (qualified, debuts) =
+      if (baseline.isEmpty) (firstTimes, Seq.empty[String])
+      else qualifyDebuts(baseline, firstTimes,
+        requalify("debut-baseline qualification"))
+    val (nowTimes, regs) =
+      adjudicate(baseline, qualified, requalify("apparent regression(s)"))
     regs.foreach { case (name, prev, t) =>
       System.err.println(f"bench gate BREACH: $name ${t}%.2fs > 2x all-rounds-min ${prev}%.2fs")
     }
@@ -310,10 +353,11 @@ object Bench {
     // the corpus-prep chain: content dedup → annotate → gate → rollup
     val corpusJson = streamMetric("corpus_stream", "docs", "docs_per_sec")(
       graft.streaming.StreamBench.corpusPrepThroughput(spark, nDocs = 50000))
+    val debutJson = debuts.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""flagship_total":$flagship,$streamJson,$corpusJson,""" +
-        s""""regressions":$regJson,""" +
+        s""""regressions":$regJson,"debut_qualified":$debutJson,""" +
         s""""cpus":$cpus,"timed_runs":$timedRuns,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")

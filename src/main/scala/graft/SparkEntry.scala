@@ -96,17 +96,26 @@ object SparkEntry {
     docs.select((col("doc_id") + offset).as("doc_id"), col("text"))
 
   /** The planted linearly-separable quality corpus: every doc keeps its
-    * REAL text plus a class marker token repeated 3× (qpos for odd ids,
-    * qneg for even) and the matching 0/1 label — separable by
-    * construction, so a converged classifier must reproduce the labels
-    * exactly (the t_quality_train / st_quality_score oracle).
+    * REAL text plus a class marker token (qpos for odd ids, qneg for
+    * even) repeated proportionally to the document's own length — at
+    * least 3 times, and at least a quarter of the word count — plus the
+    * matching 0/1 label. The proportional repeat (ADVICE r08) keeps the
+    * marker a constant FRACTION of the hashed-tf feature mass (~1/5)
+    * instead of a 3/len signal that fades on longer documents, so the
+    * oracle pins converged classification, not a corpus-specific
+    * convergence margin. Separable by construction, so a converged
+    * classifier must reproduce the labels exactly (the t_quality_train /
+    * st_quality_score oracle).
     */
-  private def qualityLabeled(s: SparkSession, dir: String): DataFrame =
+  private def qualityLabeled(s: SparkSession, dir: String): DataFrame = {
+    val reps = greatest(lit(3),
+      (size(split(col("text"), "\\s+")) / 4).cast("int"))
     Tables.documents(s, dir).select(col("doc_id"),
       concat(col("text"),
-        when(col("doc_id") % 2 === 1, lit(" qpos qpos qpos"))
-          .otherwise(lit(" qneg qneg qneg"))).as("text"),
+        when(col("doc_id") % 2 === 1, repeat(lit(" qpos"), reps))
+          .otherwise(repeat(lit(" qneg"), reps))).as("text"),
       (col("doc_id") % 2).cast("int").as("label"))
+  }
 
   /** documents ∪ a planted partial-overlap twin per donor doc (< 40, ≥ 16
     * tokens): the twin copies the donor's FIRST 11 tokens and pads with 5
@@ -618,8 +627,7 @@ object SparkEntry {
       val labeled = qualityLabeled(s, dir)
       val model = graft.operators.Classify.train(labeled, "doc_id", "text",
         "label", dim = 1 << 16, iters = 15, lr = 0.8)
-      graft.operators.Classify.score(labeled, "doc_id", "text", model,
-        dim = 1 << 16)
+      graft.operators.Classify.score(labeled, "doc_id", "text", model)
         .select(col("doc_id"), col("predicted"))
     }),
 
@@ -643,7 +651,7 @@ object SparkEntry {
         .option("checkpointLocation", cp)
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val scored = graft.operators.Classify
-            .score(batch, "doc_id", "text", model, dim = 1 << 16)
+            .score(batch, "doc_id", "text", model)
             .select(col("doc_id"), col("predicted"))
           graft.streaming.StreamingPipeline
             .upsertBatchSnapshot(out, Seq("doc_id"))(scored, id)

@@ -29,10 +29,14 @@ import graft.functions.Text
   */
 object Classify {
 
-  /** A trained model: hashed-feature weights (≤ dim entries) + bias.
+  /** A trained model: hashed-feature weights (≤ dim entries) + bias +
+    * the hash dimension it was trained under. `dim` rides the model
+    * (ADVICE r08): scoring hashes tokens with the SAME modulus or the
+    * features land in different buckets and predictions are silently
+    * wrong — so [[score]] takes it from here, not as a free parameter.
     * Driver-side by design — the model is broadcast into scoring joins.
     */
-  case class LogRegModel(weights: Map[Long, Double], bias: Double) {
+  case class LogRegModel(weights: Map[Long, Double], bias: Double, dim: Int) {
     def toDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
       weights.toSeq.toDF("feat", "w")
@@ -115,7 +119,7 @@ object Classify {
           f -> (w - lr * (g / n + reg))
         }.toMap ++ (weights -- grads.map(_._1)) // untouched feats keep w
       }
-      LogRegModel(weights - BiasFeat, weights.getOrElse(BiasFeat, 0.0))
+      LogRegModel(weights - BiasFeat, weights.getOrElse(BiasFeat, 0.0), dim)
     } finally feats.unpersist()
   }
 
@@ -123,13 +127,14 @@ object Classify {
     * score is the sigmoid probability and predicted = margin > 0. The
     * model is the broadcast side; scoring is one broadcast join + one
     * doc-grain aggregation regardless of corpus size. Empty documents
-    * score sigmoid(bias).
+    * score sigmoid(bias). The hash dimension comes from the model itself —
+    * a caller cannot re-bucket the features out from under the weights.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            model: LogRegModel, dim: Int = 1 << 16): DataFrame = {
+            model: LogRegModel): DataFrame = {
     val spark = docs.sparkSession
     val wDf = model.toDF(spark).withColumnRenamed("w", "__w")
-    val margins = features(docs, idCol, textCol, dim)
+    val margins = features(docs, idCol, textCol, model.dim)
       .join(broadcast(wDf), Seq("feat"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("x") * coalesce(col("__w"), lit(0.0))).as("__m"))

@@ -123,6 +123,12 @@ object Retrieval {
     val scored = pivoted.select(col("__id"), dot.as("__dot"))
       .join(norms, "__id")
       .crossJoin(broadcast(qnormRow.select(qnorm.as("__qnorm"))))
+      // degenerate corpus guard (ADVICE r08): if every query term occurs in
+      // ALL documents, idf=0 makes qnorm=0 and dot=0, and 0/0=NaN — which
+      // Spark orders ABOVE every double, so NaN "scores" would pass the >0
+      // filter and occupy the top-k. Zero-norm vectors have no cosine;
+      // exclude them before the division.
+      .filter(col("__qnorm") > 0 && col("__dnorm") > 0)
       .select(col("__id"),
         round(col("__dot") / (col("__qnorm") * col("__dnorm")), 6).as("score"))
       .filter(col("score") > 0)

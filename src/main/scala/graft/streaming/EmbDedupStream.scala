@@ -107,7 +107,12 @@ object EmbDedupStream {
   private[streaming] def prunedRegistry(spark: SparkSession, regPath: String,
                                         partnerIds: Array[Long]): DataFrame = {
     import spark.implicits._
-    val reg = spark.read.parquet(regPath).select("vec_id", "vec")
+    // schema-pinned + missing-file-tolerant for the same reasons as the
+    // anti-join read in verifyAndAppend (ADVICE r08)
+    val reg = spark.read
+      .schema("vec_id LONG, vec ARRAY<DOUBLE>, batch LONG")
+      .option("ignoreMissingFiles", "true")
+      .parquet(regPath).select("vec_id", "vec")
     if (partnerIds.isEmpty) reg.limit(0)
     else if (partnerIds.length <= 10000)
       reg.filter(col("vec_id").isin(partnerIds.toSeq: _*))
@@ -142,9 +147,16 @@ object EmbDedupStream {
       // never the vector bodies, never a driver collect: a rate-free
       // catch-up batch has unbounded distinct ids, unlike the cap-bounded
       // partner set below; code-review r7g).
+      // schema-pinned (ADVICE r08): a first-batch crash can leave
+      // registry/ existing with only _temporary under it; inference over
+      // zero committed files fails the redelivered batch permanently,
+      // while a pinned-schema read of an empty root is an empty frame
       val perVec =
         if (fs.exists(regRoot)) {
-          val seenBefore = spark.read.parquet(regRoot.toString)
+          val seenBefore = spark.read
+            .schema("vec_id LONG, vec ARRAY<DOUBLE>, batch LONG")
+            .option("ignoreMissingFiles", "true")
+            .parquet(regRoot.toString)
             .filter(col("batch") =!= batchId).select("vec_id")
           arrivals.join(seenBefore, Seq("vec_id"), "left_anti")
         } else arrivals

@@ -228,7 +228,11 @@ object NearDupStream {
   private[streaming] def prunedRegistry(spark: SparkSession, regPath: String,
                                         partnerIds: Array[Long]): DataFrame = {
     import spark.implicits._
-    val reg = spark.read.parquet(regPath).select("doc_id", "text")
+    // schema-pinned + missing-file-tolerant for the same reasons as the
+    // anti-join read in verifyAndAppend (ADVICE r08)
+    val reg = spark.read.schema("doc_id LONG, text STRING, batch LONG")
+      .option("ignoreMissingFiles", "true")
+      .parquet(regPath).select("doc_id", "text")
     if (partnerIds.isEmpty) reg.limit(0)
     else if (partnerIds.length <= 10000)
       reg.filter(col("doc_id").isin(partnerIds.toSeq: _*))
@@ -266,9 +270,16 @@ object NearDupStream {
       // bodies, never a driver collect (a rate-free catch-up batch has
       // unbounded distinct ids, unlike the cap-bounded partner set
       // below; code-review r7g).
+      // schema-pinned (ADVICE r08): a first-batch crash can leave
+      // registry/ existing with only _temporary under it; inference over
+      // zero committed files fails the redelivered batch permanently,
+      // while a pinned-schema read of an empty root is an empty frame
       val perDoc =
         if (fs.exists(regRoot)) {
-          val seenBefore = spark.read.parquet(regRoot.toString)
+          val seenBefore = spark.read
+            .schema("doc_id LONG, text STRING, batch LONG")
+            .option("ignoreMissingFiles", "true")
+            .parquet(regRoot.toString)
             .filter(col("batch") =!= batchId).select("doc_id")
           arrivals.join(seenBefore, Seq("doc_id"), "left_anti")
         } else arrivals

@@ -46,9 +46,18 @@ object PassageStream {
     // JointKpis ADVICE r06 lesson)
     batch.persist()
     try {
+      // explicit schema (ADVICE r08): a crash during the FIRST batch's
+      // registry write can leave registry/ existing with only _temporary
+      // underneath — schema inference over zero committed files would fail
+      // the redelivered batch permanently, but a schema-pinned read of an
+      // empty root is just an empty frame. ignoreMissingFiles covers the
+      // other race: a concurrent compaction deleting absorbed partitions
+      // after this trigger's scan listed them.
       val registry =
         if (fs.exists(regRoot))
-          spark.read.parquet(regRoot.toString)
+          spark.read.schema("win_hash LONG, batch LONG")
+            .option("ignoreMissingFiles", "true")
+            .parquet(regRoot.toString)
             .filter(col("batch") =!= batchId).select("win_hash")
         else spark.range(0).select(col("id").as("win_hash"))
       val (cleaned, newHashes) = Passages.cleanIncremental(
@@ -84,6 +93,15 @@ object PassageStream {
     * into the blob would see its OWN hashes as registry-era and strip
     * everything. Pass the last-committed batch id (exclusive) and the
     * invariant holds.
+    *
+    * Reader coordination (ADVICE r08): the crash-safe ordering protects
+    * against interruption, not against a CONCURRENT trigger whose registry
+    * scan already listed the partitions this call deletes — run compaction
+    * between triggers (e.g. from the foreachBatch thread itself, after the
+    * sink writes), which is also where the committed-batch boundary is
+    * known. The probe read additionally sets ignoreMissingFiles, so even a
+    * mis-scheduled compaction degrades to a smaller registry view (exact
+    * verify still behind the probe), never a failed trigger.
     */
   def compactRegistry(spark: SparkSession, workDir: String,
                       upToBatch: Long): Unit = {

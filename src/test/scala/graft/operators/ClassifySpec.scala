@@ -22,7 +22,7 @@ class ClassifySpec extends SparkSpec {
     val docs = corpus(80).toDF("doc_id", "text", "label")
     val m = Classify.train(docs, "doc_id", "text", "label",
       dim = 1 << 12, iters = 40, lr = 0.8)
-    val out = Classify.score(docs, "doc_id", "text", m, dim = 1 << 12)
+    val out = Classify.score(docs, "doc_id", "text", m)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert((0L until 80L).forall(i => out(i) == (i % 2 == 1)))
   }
@@ -32,7 +32,7 @@ class ClassifySpec extends SparkSpec {
     def loss(iters: Int): Double = {
       val m = Classify.train(docs, "doc_id", "text", "label",
         dim = 1 << 12, iters = iters, lr = 0.5)
-      val s = Classify.score(docs, "doc_id", "text", m, dim = 1 << 12)
+      val s = Classify.score(docs, "doc_id", "text", m)
         .join(docs.select(col("doc_id"), col("label").cast("double").as("y")),
           "doc_id")
         .select(
@@ -51,7 +51,7 @@ class ClassifySpec extends SparkSpec {
       dim = 1 << 12, iters = 20, lr = 0.5)
     val fresh = Seq((100L, "zzz yyy xxx unseen tokens only"), (101L, ""))
       .toDF("doc_id", "text")
-    val out = Classify.score(fresh, "doc_id", "text", m, dim = 1 << 12)
+    val out = Classify.score(fresh, "doc_id", "text", m)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val sigBias = 1.0 / (1.0 + math.exp(-m.bias))
     assert(math.abs(out(101L) - sigBias) < 1e-12)
@@ -82,7 +82,7 @@ class ClassifySpec extends SparkSpec {
     val docs = corpus(30).toDF("doc_id", "text", "label")
     val m = Classify.train(docs, "doc_id", "text", "label",
       dim = 1 << 12, iters = 2, lr = 0.5)
-    val plan = Classify.score(docs, "doc_id", "text", m, dim = 1 << 12)
+    val plan = Classify.score(docs, "doc_id", "text", m)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
@@ -94,9 +94,9 @@ class ClassifySpec extends SparkSpec {
       dim = 1 << 12, iters = 10, lr = 0.5)
     val m2 = Classify.train(docs.repartition(7), "doc_id", "text", "label",
       dim = 1 << 12, iters = 10, lr = 0.5)
-    val p1 = Classify.score(docs, "doc_id", "text", m1, dim = 1 << 12)
+    val p1 = Classify.score(docs, "doc_id", "text", m1)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    val p2 = Classify.score(docs, "doc_id", "text", m2, dim = 1 << 12)
+    val p2 = Classify.score(docs, "doc_id", "text", m2)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(p1 == p2)
   }
