@@ -129,20 +129,27 @@ object Bench {
     * ONE requalification re-run (in main: after a fresh load-guard wait,
     * cache clear and GC), and the record keeps the better of first-pass
     * and re-run — the same better-of-two rule as [[adjudicate]]. Returns
-    * the updated times plus the names that were requalified (recorded in
-    * the JSON line so the adjudication trail is machine-readable).
+    * the updated times plus the debut names SPLIT by whether the re-run
+    * actually produced a settled value (ADVICE r09: a debut whose re-run
+    * crashed enters the record at its unadjudicated first-pass number,
+    * and the JSON trail must say so instead of claiming a settled run).
     */
   private[graft] def qualifyDebuts(baseline: Map[String, Double],
                                    first: Map[String, Double],
                                    rerun: String => Option[Double],
                                    floorSec: Double = 0.5)
-      : (Map[String, Double], Seq[String]) = {
+      : (Map[String, Double], Seq[String], Seq[String]) = {
     val debuts = first.keys.toSeq.sorted
       .filter(n => !baseline.contains(n) && first(n) >= floorSec)
-    val now = debuts.foldLeft(first) { (acc, name) =>
-      rerun(name).fold(acc)(again => acc.updated(name, math.min(acc(name), again)))
+    var now = first
+    val (ok, rerunFailed) = debuts.partition { name =>
+      rerun(name) match {
+        case Some(again) =>
+          now = now.updated(name, math.min(now(name), again)); true
+        case None => false
+      }
     }
-    (now, debuts)
+    (now, ok, rerunFailed)
   }
 
   /** The breach re-adjudication protocol (VERDICT r06 #2a, codifying the
@@ -326,8 +333,8 @@ object Bench {
     // enters the record as the future gate's floor. Skipped when there is
     // no baseline at all (round 1 / gate off) — requalifying the whole set
     // would just double the session.
-    val (qualified, debuts) =
-      if (baseline.isEmpty) (firstTimes, Seq.empty[String])
+    val (qualified, debuts, debutRerunFailed) =
+      if (baseline.isEmpty) (firstTimes, Seq.empty[String], Seq.empty[String])
       else qualifyDebuts(baseline, firstTimes,
         requalify("debut-baseline qualification"))
     val (nowTimes, regs) =
@@ -354,10 +361,13 @@ object Bench {
     val corpusJson = streamMetric("corpus_stream", "docs", "docs_per_sec")(
       graft.streaming.StreamBench.corpusPrepThroughput(spark, nDocs = 50000))
     val debutJson = debuts.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
+    val debutFailJson =
+      debutRerunFailed.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""flagship_total":$flagship,$streamJson,$corpusJson,""" +
         s""""regressions":$regJson,"debut_qualified":$debutJson,""" +
+        s""""debut_rerun_failed":$debutFailJson,""" +
         s""""cpus":$cpus,"timed_runs":$timedRuns,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")

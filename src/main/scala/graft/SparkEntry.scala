@@ -108,8 +108,11 @@ object SparkEntry {
     * st_quality_score oracle).
     */
   private def qualityLabeled(s: SparkSession, dir: String): DataFrame = {
+    // reps counts via Text.tokens — the SAME tokenization Classify.features
+    // hashes (ADVICE r09: a whitespace split diverges on punctuation-heavy
+    // docs, eroding the documented constant marker fraction)
     val reps = greatest(lit(3),
-      (size(split(col("text"), "\\s+")) / 4).cast("int"))
+      (size(Text.tokens(lower(col("text")))) / 4).cast("int"))
     Tables.documents(s, dir).select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 2 === 1, repeat(lit(" qpos"), reps))

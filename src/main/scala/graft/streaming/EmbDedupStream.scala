@@ -49,6 +49,13 @@ case class VecCandidate(vec_id: Long, vec: Seq[Double], partners: Seq[Long])
   */
 object EmbDedupStream {
 
+  /** The registry's committed schema — what the per-batch sink WRITES to
+    * `registry/batch=N`. Both probe reads pin this single constant
+    * (ADVICE r09) so a write-path change fails loudly instead of
+    * surfacing as null columns.
+    */
+  private[streaming] val RegistrySchema = "vec_id LONG, vec ARRAY<DOUBLE>, batch LONG"
+
   /** Sign-pattern bucket — MUST stay in lockstep with
     * [[graft.operators.Dedup.embeddingNearDuplicates]]'s blocking key so
     * stream and batch block identically.
@@ -110,7 +117,7 @@ object EmbDedupStream {
     // schema-pinned + missing-file-tolerant for the same reasons as the
     // anti-join read in verifyAndAppend (ADVICE r08)
     val reg = spark.read
-      .schema("vec_id LONG, vec ARRAY<DOUBLE>, batch LONG")
+      .schema(RegistrySchema)
       .option("ignoreMissingFiles", "true")
       .parquet(regPath).select("vec_id", "vec")
     if (partnerIds.isEmpty) reg.limit(0)
@@ -154,7 +161,7 @@ object EmbDedupStream {
       val perVec =
         if (fs.exists(regRoot)) {
           val seenBefore = spark.read
-            .schema("vec_id LONG, vec ARRAY<DOUBLE>, batch LONG")
+            .schema(RegistrySchema)
             .option("ignoreMissingFiles", "true")
             .parquet(regRoot.toString)
             .filter(col("batch") =!= batchId).select("vec_id")

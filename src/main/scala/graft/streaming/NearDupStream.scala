@@ -88,6 +88,14 @@ case class CandidateDoc(doc_id: Long, text: String, partners: Seq[Long])
   */
 object NearDupStream {
 
+  /** The registry's committed schema — what [[verifyAndAppend]] WRITES to
+    * `registry/batch=N` (every seen doc plus the partition column). All
+    * registry reads pin this single constant (ADVICE r09): a write-path
+    * schema change must surface as a loud failure here, not as
+    * silently-null columns in the probe reads.
+    */
+  private[streaming] val RegistrySchema = "doc_id LONG, text STRING, batch LONG"
+
   /** Fold one micro-batch of one bucket's arrivals into the member list
     * and emit each doc with the partners it must verify against. Arrivals
     * are processed in ascending doc id so intra-batch pairing follows the
@@ -230,7 +238,7 @@ object NearDupStream {
     import spark.implicits._
     // schema-pinned + missing-file-tolerant for the same reasons as the
     // anti-join read in verifyAndAppend (ADVICE r08)
-    val reg = spark.read.schema("doc_id LONG, text STRING, batch LONG")
+    val reg = spark.read.schema(RegistrySchema)
       .option("ignoreMissingFiles", "true")
       .parquet(regPath).select("doc_id", "text")
     if (partnerIds.isEmpty) reg.limit(0)
@@ -277,7 +285,7 @@ object NearDupStream {
       val perDoc =
         if (fs.exists(regRoot)) {
           val seenBefore = spark.read
-            .schema("doc_id LONG, text STRING, batch LONG")
+            .schema(RegistrySchema)
             .option("ignoreMissingFiles", "true")
             .parquet(regRoot.toString)
             .filter(col("batch") =!= batchId).select("doc_id")

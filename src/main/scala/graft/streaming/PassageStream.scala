@@ -32,6 +32,14 @@ import graft.operators.Passages
   */
 object PassageStream {
 
+  /** The registry's committed schema — what [[cleanAndRegister]] WRITES to
+    * `registry/batch=N` (the distinct new window hashes plus the partition
+    * column). Every registry read pins this (never inference): a mismatch
+    * with the write path must fail loudly at the write, not surface as
+    * silently-null columns in a later read (ADVICE r09).
+    */
+  private[streaming] val RegistrySchema = "win_hash LONG, batch LONG"
+
   /** foreachBatch sink: clean the batch against the prior-batch registry,
     * write cleaned docs to `clean/batch=N` and the batch's distinct
     * new window hashes to `registry/batch=N` (both overwrite-by-batch).
@@ -55,7 +63,7 @@ object PassageStream {
       // after this trigger's scan listed them.
       val registry =
         if (fs.exists(regRoot))
-          spark.read.schema("win_hash LONG, batch LONG")
+          spark.read.schema(RegistrySchema)
             .option("ignoreMissingFiles", "true")
             .parquet(regRoot.toString)
             .filter(col("batch") =!= batchId).select("win_hash")
@@ -114,7 +122,13 @@ object PassageStream {
     val absorbed = ids.filter(id => id < 0 || id < upToBatch)
     if (absorbed.count(_ >= 0) == 0 && absorbed.length <= 1) return
     val newId = math.min(ids.min, 0L) - 1L
-    val merged = spark.read.parquet(regRoot.toString)
+    // same pinned schema + missing-file tolerance as the trigger-side
+    // probe read (ADVICE r09): compaction scans the identical tree and is
+    // exposed to the identical first-batch-_temporary and
+    // concurrent-delete races
+    val merged = spark.read.schema(RegistrySchema)
+      .option("ignoreMissingFiles", "true")
+      .parquet(regRoot.toString)
       .filter(col("batch") < 0 || col("batch") < upToBatch)
       .select("win_hash").distinct()
     // stage OUTSIDE the partitioned root (never write into a tree being

@@ -84,20 +84,25 @@ class BenchGateSpec extends AnyFunSuite {
     val first = Map("old" -> 5.0, "debut_slow" -> 26.9,
       "debut_fast" -> 3.0, "debut_tiny" -> 0.1)
     val reran = scala.collection.mutable.ListBuffer.empty[String]
-    val (now, debuts) = Bench.qualifyDebuts(baseline, first, { name =>
+    val (now, debuts, failedReruns) = Bench.qualifyDebuts(baseline, first, { name =>
       reran += name
       if (name == "debut_slow") Some(6.0) else Some(4.2)
     })
     assert(reran.toSet == Set("debut_slow", "debut_fast"),
       "only un-baselined queries above the noise floor re-run")
     assert(debuts == Seq("debut_fast", "debut_slow"))
+    assert(failedReruns.isEmpty)
     assert(now("debut_slow") == 6.0, "the settled re-run replaces the inflated debut")
     assert(now("debut_fast") == 3.0, "a re-run slower than first-pass is ignored")
     assert(now("old") == 5.0, "baselined queries belong to adjudicate, not here")
     assert(now("debut_tiny") == 0.1)
-    // a crashing re-run keeps the first-pass time rather than losing the entry
-    val (now2, _) = Bench.qualifyDebuts(baseline, first, _ => None)
+    // a crashing re-run keeps the first-pass time rather than losing the
+    // entry — and reports the debut as rerun-FAILED, not as qualified
+    // (ADVICE r09: the trail must not claim a settled re-run that never ran)
+    val (now2, qualified2, failed2) = Bench.qualifyDebuts(baseline, first, _ => None)
     assert(now2 == first)
+    assert(qualified2.isEmpty, "no rerun value -> not qualified")
+    assert(failed2 == Seq("debut_fast", "debut_slow"))
   }
 
   test("adjudicate requalifies a load blip and keeps a real regression") {
