@@ -201,6 +201,65 @@ object SparkEntry {
       seqBudget = 256L)
   }
 
+  /** One drained CurateStream run per (session, sfDir): st_curate and
+    * st_curate_report read the published artifacts of the SAME drained
+    * stream instead of each paying a 3-trigger replay of the identical
+    * DAG (the jointKpiRoots recipe). The memoized value is the stream's
+    * work dir (paths on disk, no persisted frames — no liveness check
+    * needed); entries drop with Caches.clear so a bench clear-per-run
+    * protocol re-drains rather than serving a deleted scratch dir.
+    */
+  private val curateStreamRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.util.Caches.onClear(() => curateStreamRoots.clear())
+
+  /** Replay the pipeline_curate corpus (planted every-5th exact dups at
+    * +PlantedOffset) as three ascending-doc_id ingest days through the
+    * full streaming curation DAG ([[graft.streaming.CurateStream]]) and
+    * return the drained work dir. Ascending day splits make cross-batch
+    * first-seen-wins equal the batch DAG's min-id canonical rule, so the
+    * published artifacts answer pipeline_curate's oracle VERBATIM.
+    */
+  private def curateStreamRoot(s: SparkSession, dir: String): String =
+    curateStreamRoots.computeIfAbsent((s, dir), { _ =>
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + PlantedOffset).as("doc_id"),
+            col("source"), col("text")))
+        .select(col("doc_id"), col("source").as("domain"), col("text"))
+      val days = Seq(
+        corpus.filter(col("doc_id") < 200),
+        corpus.filter(col("doc_id") >= 200 && col("doc_id") < PlantedOffset),
+        corpus.filter(col("doc_id") >= PlantedOffset))
+      val stage = tmpDir("graft_stcur_in")
+      days.zipWithIndex.foreach { case (d, i) =>
+        val sub = s"$stage/d$i"
+        d.coalesce(1).write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stcur_work"), tmpDir("graft_stcur_cp"))
+      val cfg = graft.streaming.CurateConfig(langKeep = Seq("en"),
+        pplCutoff = 30.5, budget = 3000L,
+        weights = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        seqBudget = 256L)
+      val schema = s.read.parquet(s"$stage/d0").schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/d*")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch(graft.streaming.CurateStream.curateBatch(work, cfg) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      work
+    })
+
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).withColumn("emb_d",
       transform(col("embedding"), x => x.cast("double")))
@@ -2328,6 +2387,20 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "start_token", "seq_first",
           "seq_last", "offset_in_seq")),
     "pipeline_curate_report" -> ((s, dir) => curationOf(s, dir).report),
+    // STREAMING end-to-end curation (streaming/CurateStream.scala): the
+    // same planted corpus replays as three ascending ingest days; every
+    // trigger gates (dedup-registry anti-join + quality + language) and
+    // republishes the whole-corpus artifacts (ppl gate, mixture, packing)
+    // from the drained cumulative state through one atomic snapshot
+    // commit. The drained layout and funnel report answer
+    // pipeline_curate's / pipeline_curate_report's oracles VERBATIM —
+    // batch/stream parity for the entire curation DAG.
+    "st_curate" -> ((s, dir) =>
+      graft.streaming.CurateStream.readPacked(s, curateStreamRoot(s, dir))
+        .select("doc_id", "n_tokens", "start_token", "seq_first",
+          "seq_last", "offset_in_seq")),
+    "st_curate_report" -> ((s, dir) =>
+      graft.streaming.CurateStream.readReport(s, curateStreamRoot(s, dir))),
     // Sequence packing (operators/Pack.scala): the concatenate-and-chunk
     // layout onto 256-token training sequences, doc_id total order. All
     // integral arithmetic — start offsets, chunk ids, in-sequence offsets
@@ -2808,7 +2881,10 @@ object SparkEntry {
     // the forward as-of join, and TF-IDF cosine retrieval
     "dedup_passages", "dedup_passage_clean", "dedup_passage_incremental",
     "t_quality_train", "j11_asof_next", "t_tfidf_topk",
-    "pipeline_tokenize_pack")
+    "pipeline_tokenize_pack",
+    // round 10: the streaming end-to-end curation DAG (3-trigger replay,
+    // per-trigger global refit + atomic artifact commit)
+    "st_curate")
 
   // ---- DuckDB oracle twins ----
 
@@ -2997,6 +3073,48 @@ object SparkEntry {
          FROM pk),
        mixed AS (SELECT cum.doc_id, cum.source, cum.bpe_tokens
                  FROM cum JOIN quo USING (source) WHERE cum.cum_tokens <= quo.quota)"""
+
+  /** The packed training layout of the curation DAG's mixture survivors —
+    * shared verbatim by pipeline_curate (batch) and st_curate (streaming):
+    * the two engines must answer the identical replay.
+    */
+  private lazy val sqlCuratePackedOracle: String =
+    s"""$sqlCurateCtes,
+       pos AS (SELECT doc_id, bpe_tokens AS n_tokens,
+           CAST(COALESCE(SUM(greatest(0, bpe_tokens)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+         FROM mixed)
+       SELECT doc_id, n_tokens, start_token,
+         CAST(start_token // 256 AS BIGINT) AS seq_first,
+         CAST(CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 256
+              ELSE start_token // 256 END AS BIGINT) AS seq_last,
+         CAST(start_token % 256 AS BIGINT) AS offset_in_seq
+       FROM pos"""
+
+  /** The curation DAG's per-stage funnel report — shared by
+    * pipeline_curate_report and st_curate_report.
+    */
+  private lazy val sqlCurateReportOracle: String =
+    s"""$sqlCurateCtes
+       SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COALESCE(SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))), 0) AS BIGINT) AS n_bpe_tokens
+       FROM corpus
+       UNION ALL
+       SELECT '1_dedup', CAST(COUNT(*) AS BIGINT),
+              CAST(COALESCE(SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))), 0) AS BIGINT)
+       FROM ded
+       UNION ALL
+       SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
+              CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM q
+       UNION ALL
+       SELECT '3_lang', CAST(COUNT(*) AS BIGINT),
+              CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM l
+       UNION ALL
+       SELECT '4_ppl', CAST(COUNT(*) AS BIGINT),
+              CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM pk
+       UNION ALL
+       SELECT '5_mixture', CAST(COUNT(*) AS BIGINT),
+              CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM mixed"""
 
   /** Oracle-side unrolled twin of Text.bpeLoop: w0 = char-split vocab;
     * per level i, p_i counts adjacent pairs, b_i argmaxes (cnt DESC, l, r),
@@ -4572,41 +4690,15 @@ object SparkEntry {
                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                 CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
          FROM lang GROUP BY 1""",
-    // end-to-end curation: the packed layout of the mixture survivors
-    "pipeline_curate" ->
-      s"""$sqlCurateCtes,
-         pos AS (SELECT doc_id, bpe_tokens AS n_tokens,
-             CAST(COALESCE(SUM(greatest(0, bpe_tokens)) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
-           FROM mixed)
-         SELECT doc_id, n_tokens, start_token,
-           CAST(start_token // 256 AS BIGINT) AS seq_first,
-           CAST(CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 256
-                ELSE start_token // 256 END AS BIGINT) AS seq_last,
-           CAST(start_token % 256 AS BIGINT) AS offset_in_seq
-         FROM pos""",
-    // ... and the per-stage funnel report
-    "pipeline_curate_report" ->
-      s"""$sqlCurateCtes
-         SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(COALESCE(SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))), 0) AS BIGINT) AS n_bpe_tokens
-         FROM corpus
-         UNION ALL
-         SELECT '1_dedup', CAST(COUNT(*) AS BIGINT),
-                CAST(COALESCE(SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))), 0) AS BIGINT)
-         FROM ded
-         UNION ALL
-         SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
-                CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM q
-         UNION ALL
-         SELECT '3_lang', CAST(COUNT(*) AS BIGINT),
-                CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM l
-         UNION ALL
-         SELECT '4_ppl', CAST(COUNT(*) AS BIGINT),
-                CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM pk
-         UNION ALL
-         SELECT '5_mixture', CAST(COUNT(*) AS BIGINT),
-                CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) FROM mixed""",
+    // end-to-end curation: the packed layout of the mixture survivors.
+    // st_curate answers the SAME replay — the streaming DAG's published
+    // artifact must be indistinguishable from the batch DAG's output.
+    "pipeline_curate" -> sqlCuratePackedOracle,
+    "st_curate" -> sqlCuratePackedOracle,
+    // ... and the per-stage funnel report (batch + streaming twins)
+    "pipeline_curate_report" -> sqlCurateReportOracle,
+    "st_curate_report" -> sqlCurateReportOracle,
+   
     // sequence packing: the same BPE-ish token count, one window prefix
     // sum in doc_id order, integral div/mod chunk arithmetic
     // trained-BPE piece counts per doc (vocabulary join-sum over the

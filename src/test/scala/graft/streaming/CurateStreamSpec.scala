@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The streaming curation DAG: after EVERY trigger the published
+  * artifacts equal the batch [[graft.pipeline.Pipeline.curate]] on the
+  * data seen so far (the update-mode contract), the cross-batch digest
+  * registry enforces first-seen-wins, and a redelivered trigger
+  * republishes byte-equal state.
+  */
+class CurateStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = CurateConfig(langKeep = Seq("en"), pplCutoff = 1e6,
+    budget = 10000L, weights = Seq("a" -> 0.6, "b" -> 0.4), seqBudget = 16L)
+
+  // three ascending-id ingest days: an intra-batch dup (2 of 1), a
+  // cross-batch dup (10 of 1, 20 of 3), a quality reject (4), a language
+  // reject (11)
+  private val day0 = Seq(
+    (1L, "a", "the quick brown fox jumps over the lazy dog"),
+    (2L, "a", "the quick brown fox jumps over the lazy dog"),
+    (3L, "b", "a small stream of words with the usual and common tokens"),
+    (4L, "b", "!!!! ???? ...."))
+  private val day1 = Seq(
+    (10L, "a", "the quick brown fox jumps over the lazy dog"),
+    (11L, "b", "der hund und die katze sind nicht ein gutes team"),
+    (12L, "a", "fresh words that the corpus has not seen with many of the tokens"))
+  private val day2 = Seq(
+    (20L, "b", "a small stream of words with the usual and common tokens"),
+    (21L, "a", "closing day text where the tokens keep being mostly the same ones"))
+
+  private def df(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.toDF("doc_id", "domain", "text")
+
+  private def packedSet(workDir: String): Set[(Long, Long, Long, Long, Long, Long)] =
+    CurateStream.readPacked(spark, workDir)
+      .select("doc_id", "n_tokens", "start_token", "seq_first", "seq_last",
+        "offset_in_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+  private def reportSet(workDir: String): Set[(String, Long, Long)] =
+    CurateStream.readReport(spark, workDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("per-trigger artifacts equal the batch DAG on the prefix") {
+    val work = graft.util.Scratch.dir("graft_stcur_spec")
+    val days = Seq(day0, day1, day2)
+    days.indices.foreach { i =>
+      CurateStream.curateBatch(work, cfg)(df(days(i)), i.toLong)
+      val prefix = df(days.take(i + 1).flatten)
+      val want = graft.pipeline.Pipeline.curate(prefix, "doc_id", "text",
+        "domain", cfg.langKeep, cfg.pplCutoff, cfg.budget, cfg.weights,
+        cfg.seqBudget)
+      val wantPacked = want.packed
+        .select("doc_id", "n_tokens", "start_token", "seq_first", "seq_last",
+          "offset_in_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(packedSet(work) == wantPacked, s"packed parity after trigger $i")
+      val wantReport = want.report.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(reportSet(work) == wantReport, s"report parity after trigger $i")
+    }
+  }
+
+  test("cross-batch registry: first-seen wins, later copies strip") {
+    val work = graft.util.Scratch.dir("graft_stcur_spec")
+    Seq(day0, day1, day2).zipWithIndex.foreach { case (d, i) =>
+      CurateStream.curateBatch(work, cfg)(df(d), i.toLong)
+    }
+    val gated = CurateStream.readGated(spark, work)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 (intra-batch dup), 10 and 20 (cross-batch dups), 4 (quality),
+    // 11 (language) are gone; canonical ids survive
+    assert(gated == Set(1L, 3L, 12L, 21L))
+  }
+
+  test("redelivered trigger republishes byte-equal state") {
+    val work = graft.util.Scratch.dir("graft_stcur_spec")
+    CurateStream.curateBatch(work, cfg)(df(day0), 0L)
+    CurateStream.curateBatch(work, cfg)(df(day1), 1L)
+    val (p1, r1) = (packedSet(work), reportSet(work))
+    val gated1 = CurateStream.readGated(spark, work)
+      .select("doc_id").as[Long].collect().toSet
+    // at-least-once: the last trigger redelivers — the registry read must
+    // exclude the batch's own partition (or every row would strip as
+    // already-seen) and the republished artifacts must be identical
+    CurateStream.curateBatch(work, cfg)(df(day1), 1L)
+    assert(packedSet(work) == p1)
+    assert(reportSet(work) == r1)
+    assert(CurateStream.readGated(spark, work)
+      .select("doc_id").as[Long].collect().toSet == gated1)
+  }
+}
