@@ -2658,6 +2658,50 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")
     }),
+    // SCHEMA EVOLUTION ON WRITE (Upsert.upsertEvolve through the
+    // partition-manifest sink — the reference's Delta MERGE autoMerge,
+    // transform.py:331-339): batch 1 carries a NEVER-SEEN `note` column
+    // and touches only the URGENT/HIGH priority partitions; the other
+    // priorities are inherited by manifest reference with their
+    // pre-evolution files and must read the new column as null. The
+    // whole full-outer+coalesce+null-fill surface replays in DuckDB.
+    "s_evolve_upsert" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+      val tmp = tmpDir("graft_evolve")
+      val sink = graft.streaming.StreamingPipeline.upsertPartitionedBatchSnapshot(
+        tmp, Seq("o_orderkey"), "o_orderpriority", mergeSchema = true) _
+      sink(t.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"), 0L)
+      sink(t.filter(col("o_orderkey") % 2 === 0 &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderpriority"),
+          concat(lit("c"), (col("o_orderkey") % 5).cast("string")).as("note")),
+        1L)
+      graft.streaming.StreamingPipeline.readPartitionedSnapshot(s, tmp)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "note")
+    }),
+    // ... and the pinning half of the contract: AFTER the evolving commit,
+    // versionAsOf = 0 still reads the pre-evolution schema and rows —
+    // time travel is pinned to each version's own committed schema file.
+    "s_evolve_timetravel" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+      val tmp = tmpDir("graft_evolve_tt")
+      val sink = graft.streaming.StreamingPipeline.upsertPartitionedBatchSnapshot(
+        tmp, Seq("o_orderkey"), "o_orderpriority", mergeSchema = true) _
+      sink(t.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"), 0L)
+      sink(t.filter(col("o_orderkey") % 2 === 0 &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderpriority"),
+          concat(lit("c"), (col("o_orderkey") % 5).cast("string")).as("note")),
+        1L)
+      graft.streaming.StreamingPipeline.readPartitionedSnapshot(s, tmp, Some(0L))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    }),
 
     // Keyed DELETE on the manifest store (ManifestStore.deletePartitioned
     // — the reference's Delta MERGE DELETE leg): commit orders, delete
@@ -4829,6 +4873,30 @@ object SparkEntry {
                      ELSE o_totalprice END AS o_totalprice,
                 o_orderdate, o_orderpriority
          FROM orders""",
+    // schema evolution: the full-outer MERGE with the update batch's new
+    // column, null on every row the evolving batch didn't write
+    "s_evolve_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+                    FROM orders WHERE o_orderkey % 3 = 0),
+            u AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+                         o_orderpriority,
+                         'c' || CAST(o_orderkey % 5 AS VARCHAR) AS note
+                  FROM orders
+                  WHERE o_orderkey % 2 = 0
+                    AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         SELECT
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderkey
+                ELSE t.o_orderkey END AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority
+                ELSE t.o_orderpriority END AS o_orderpriority,
+           u.note AS note
+         FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey""",
+    // time travel after the evolving commit: version 0's own schema/rows
+    "s_evolve_timetravel" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 3 = 0""",
     // the delete replayed as an anti-filter on the raw table
     "s_partitioned_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

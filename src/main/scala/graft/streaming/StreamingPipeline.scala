@@ -339,7 +339,8 @@ object StreamingPipeline {
     */
   def upsertBatchSnapshot(targetDir: String, keys: Seq[String],
                           staleMs: Option[Long] = None,
-                          retainVersions: Int = 2)
+                          retainVersions: Int = 2,
+                          mergeSchema: Boolean = false)
                          (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new Path(targetDir)
@@ -347,8 +348,14 @@ object StreamingPipeline {
     withWriterLock(fs, root, resolveStaleMs(spark, staleMs)) {
       val cur = graft.state.SnapshotStore.currentVersion(fs, root)
       if (!cur.exists(_ >= batchId)) {
+        // mergeSchema = Delta autoMerge semantics (schema evolution on
+        // write): a batch carrying a never-seen column unions it into the
+        // committed schema; committed versions stay pinned (time travel
+        // reads each version's own schema), type conflicts reject loudly
+        val mergeFn: (DataFrame, DataFrame, Seq[String]) => DataFrame =
+          if (mergeSchema) Upsert.upsertEvolve else Upsert.upsert
         val merged = cur match {
-          case Some(v) => Upsert.upsert(
+          case Some(v) => mergeFn(
             spark.read.parquet(new Path(
               graft.state.SnapshotStore.versionDir(root, v), "data").toString),
             batch, keys)
@@ -381,16 +388,23 @@ object StreamingPipeline {
                                      partitionCol: String,
                                      staleMs: Option[Long] = None,
                                      maxManifestVersions: Int = 16,
-                                     retentionMs: Long = 10 * 60 * 1000L)
+                                     retentionMs: Long = 10 * 60 * 1000L,
+                                     mergeSchema: Boolean = false)
                                     (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLock(fs, root, resolveStaleMs(spark, staleMs)) {
       if (!graft.state.SnapshotStore.currentVersion(fs, root).exists(_ >= batchId))
+        // evolution composes with the manifest layout for free: the new
+        // version's schema file carries the union, and readManifested
+        // reads every inherited (untouched, older-schema) partition group
+        // with that pinned schema — parquet fills the missing column with
+        // nulls; versionAsOf reads stay pinned to their own schema file
         graft.state.ManifestStore.commitPartitioned(spark, root, batchId,
-          batch, keys, partitionCol, Upsert.upsert, maxManifestVersions,
-          retentionMs)
+          batch, keys, partitionCol,
+          if (mergeSchema) Upsert.upsertEvolve else Upsert.upsert,
+          maxManifestVersions, retentionMs)
     }
   }
 

@@ -256,4 +256,54 @@ class ManifestStoreSpec extends SparkSpec {
       Seq((1L, null: String)).toDF("k", "day"), Seq("k"), "day")
     assert(table(root) == Set((2L, 2.0, "b")))
   }
+
+  test("schema evolution: new column unions in; inherited partitions read null") {
+    val root = tmp("graft_mfs_evolve")
+    val sink = StreamingPipeline.upsertPartitionedBatchSnapshot(
+      root, Seq("k"), "day", mergeSchema = true) _
+    sink(Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("k", "v", "day"), 0L)
+    // batch 1 carries a NEW column and touches ONLY day=a — day=b is
+    // inherited by manifest reference with its v0 (pre-evolution) files
+    sink(Seq((1L, 9.0, "tag1", "a"), (3L, 3.0, "tag3", "a"))
+      .toDF("k", "v", "note", "day"), 1L)
+    val out = StreamingPipeline.readPartitionedSnapshot(spark, root)
+    assert(out.columns.toSet == Set("k", "v", "note", "day"))
+    val m = out.collect().map(r =>
+      (r.getLong(r.fieldIndex("k")),
+        (r.getDouble(r.fieldIndex("v")),
+          Option(r.get(r.fieldIndex("note"))),
+          r.getString(r.fieldIndex("day"))))).toMap
+    assert(m(1L) == ((9.0, Some("tag1"), "a")))
+    assert(m(3L) == ((3.0, Some("tag3"), "a")))
+    assert(m(2L) == ((2.0, None, "b")),
+      "inherited pre-evolution partition reads the new column as null")
+    // time travel stays PINNED: version 0 reads with its own schema
+    val v0 = StreamingPipeline.readPartitionedSnapshot(spark, root, Some(0L))
+    assert(v0.columns.toSet == Set("k", "v", "day"),
+      "versionAsOf must not see a column committed later")
+    // type conflict rejects loudly, and the pointer stays on v1
+    val e = intercept[IllegalArgumentException] {
+      sink(Seq((1L, "oops", "a")).toDF("k", "v", "day"), 2L)
+    }
+    assert(e.getMessage.contains("v"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(SnapshotStore.currentVersion(fs, new Path(root)).contains(1L))
+  }
+
+  test("schema evolution in the whole-table snapshot sink") {
+    val root = tmp("graft_snap_evolve")
+    val sink = StreamingPipeline.upsertBatchSnapshot(
+      root, Seq("k"), mergeSchema = true) _
+    sink(Seq((1L, "x"), (2L, "y")).toDF("k", "v"), 0L)
+    sink(Seq((2L, "y2", 20L), (3L, "z", 30L)).toDF("k", "v", "extra"), 1L)
+    val out = StreamingPipeline.readSnapshot(spark, root)
+    assert(out.columns.toSeq == Seq("k", "v", "extra"))
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2))))).toMap
+    assert(m == Map(1L -> (("x", None)), 2L -> (("y2", Some(20L))),
+      3L -> (("z", Some(30L)))))
+    // version 0 stays pinned to its own (pre-evolution) schema
+    assert(StreamingPipeline.readSnapshot(spark, root, Some(0L))
+      .columns.toSeq == Seq("k", "v"))
+  }
 }
