@@ -260,6 +260,28 @@ object SparkEntry {
       work
     })
 
+  /** One 256-merge BPE training run per (session, sfDir), shared by the
+    * prefix-replay and shape queries. bpeTrainMerges returns a
+    * driver-list-backed frame (the merge decisions ARE driver metadata),
+    * so the memo holds no persisted plans and needs no liveness check;
+    * entries drop with Caches.clear like every operator memo.
+    */
+  private val bpe256Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.util.Caches.onClear(() => bpe256Cache.clear())
+
+  /** Spark-side twin of [[sqlBpeRichRel]]: the vocabulary-rich deep-BPE
+    * training corpus (documents text + two doc_id-derived numeric words).
+    */
+  private def bpeRichCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(concat(col("text"), lit(" "),
+      ((col("doc_id") * 2654435761L) % 1000000000L).cast("string"), lit(" "),
+      (((col("doc_id") + 7L) * 40503L) % 100000L).cast("string")).as("text"))
+
+  private def bpe256(s: SparkSession, dir: String): DataFrame =
+    bpe256Cache.computeIfAbsent((s, dir), _ =>
+      Text.bpeTrainMerges(bpeRichCorpus(s, dir), "text", nMerges = 256))
+
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).withColumn("emb_d",
       transform(col("embedding"), x => x.cast("double")))
@@ -1014,6 +1036,19 @@ object SparkEntry {
     // merge DECISION is verified, not just the final table).
     "t_bpe_train" -> ((s, dir) =>
       Text.bpeTrainMerges(Tables.documents(s, dir), "text", nMerges = 3)),
+    // BPE at VOCABULARY scale (VERDICT r09 #3): the same greedy loop run
+    // to 256 merges — realistic tokenizer-training depth, one Spark job
+    // per merge after the r10 rework. The oracle is the decision-replay
+    // PREFIX: the first three merges of the deep run must equal the
+    // 3-merge unrolled DuckDB replay (greedy is prefix-stable — depth
+    // changes nothing about earlier decisions), and the shape twin pins
+    // that the full 256-merge depth was actually reached.
+    "t_bpe_train256" -> ((s, dir) =>
+      bpe256(s, dir).filter(col("merge_rank") <= 3)),
+    "t_bpe_train256_shape" -> ((s, dir) =>
+      bpe256(s, dir).agg(
+        count(lit(1)).cast("long").as("n_merges"),
+        (min(col("pair_count")) >= 1L).as("counts_positive"))),
     // the trained tokenizer applied to its vocabulary: piece sequences
     // after the same 3 merges, flat-string serialized
     "t_bpe_segment" -> ((s, dir) =>
@@ -3168,7 +3203,13 @@ object SparkEntry {
     * columns (they silently resolve NULL); explicit `a[1:len(a)-1]`
     * bounds because `a[:-1]` on a lambda parameter is a no-op there.
     */
-  private lazy val sqlBpeTrainCtes: String = {
+  private lazy val sqlBpeTrainCtes: String = sqlBpeTrainCtesFor("documents")
+
+  /** Oracle-side unrolled BPE trainer over any source relation exposing a
+    * `text` column — shared by the 3-merge oracle (documents) and the
+    * deep run's prefix oracle (the rich corpus).
+    */
+  private def sqlBpeTrainCtesFor(sourceRel: String): String = {
     def pairCtes(i: Int) =
       s"""p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(wn) AS BIGINT) AS cnt
            FROM w$i, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
@@ -3180,7 +3221,7 @@ object SparkEntry {
                   THEN list_append(acc[1:len(acc) - 1], acc[1] || acc[2])
                   ELSE list_concat(acc, x) END)[3:] AS syms
          FROM w$i CROSS JOIN b$i)"""
-    s"""WITH toks AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+    s"""WITH toks AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM $sourceRel),
        v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
        w0 AS (SELECT w, wn,
                 list_transform(generate_series(1, len(w)),
@@ -3189,6 +3230,21 @@ object SparkEntry {
        ${pairCtes(1)}, ${mergeCte(1)},
        ${pairCtes(2)}, ${mergeCte(2)}"""
   }
+
+  /** The deep-BPE training corpus: documents text plus two deterministic
+    * doc_id-derived numeric words per document. The natural corpus has
+    * only ~31 distinct words (the synthetic generator's vocabulary), so
+    * greedy merging exhausts its pair supply near merge 90; the numeric
+    * tail guarantees >256 merges by a counting argument — the loop can
+    * only run dry when every distinct multi-char word has collapsed to
+    * one symbol, which needs at least as many merges as there are
+    * distinct numeric words (hundreds at sf0.001, thousands at sf0.01).
+    * Pure integer arithmetic, so the oracle replays the corpus verbatim.
+    */
+  private lazy val sqlBpeRichRel: String =
+    """(SELECT text || ' ' || CAST((doc_id * 2654435761) % 1000000000 AS VARCHAR)
+              || ' ' || CAST(((doc_id + 7) * 40503) % 100000 AS VARCHAR) AS text
+       FROM documents)"""
 
   private lazy val sqlLmScoreCtes: String =
     s"""WITH tr AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents WHERE doc_id % 2 = 0),
@@ -3965,6 +4021,18 @@ object SparkEntry {
          SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b0
          UNION ALL SELECT 2, l, r, cnt FROM b1
          UNION ALL SELECT 3, l, r, cnt FROM b2""",
+    // the deep run's first three decisions — greedy is prefix-stable, so
+    // the 256-merge loop must answer the 3-merge replay verbatim (over
+    // the same vocabulary-rich corpus)
+    "t_bpe_train256" ->
+      s"""${sqlBpeTrainCtesFor(sqlBpeRichRel)}
+         SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b0
+         UNION ALL SELECT 2, l, r, cnt FROM b1
+         UNION ALL SELECT 3, l, r, cnt FROM b2""",
+    // planted-truth shape of the deep run: the full depth was reached and
+    // every chosen pair existed (count >= 1)
+    "t_bpe_train256_shape" ->
+      "SELECT CAST(256 AS BIGINT) AS n_merges, true AS counts_positive",
     "t_bpe_segment" ->
       s"""$sqlBpeTrainCtes
          SELECT w AS word, wn AS n_occurrences,

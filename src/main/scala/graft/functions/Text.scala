@@ -265,16 +265,35 @@ object Text {
     * occurrences — the [[bpePairCounts]] scale stance, now with the
     * merge-apply step that completes the training loop.
     *
-    * Per merge: one map-side-combined pair aggregation, a LIMIT-1
-    * argmax collect (one row of driver METADATA — the kmeans-centroid
-    * class), and a per-word `aggregate` fold applying the winning pair
-    * greedily leftmost-non-overlapping ("aaa" + (a,a) → [aa, a] — the
-    * reference behavior). The vocabulary frame is persisted per
-    * iteration (plan depth stays constant; prior generations are
-    * unpersisted, the kmeansCells pattern). Ties break (count DESC,
-    * left, right) so engines agree; pair counting is integer-exact, so
-    * the DuckDB oracle replays the WHOLE loop unrolled — including
-    * every intermediate merge decision.
+    * Per merge: ONE Spark job — the map-side-combined pair aggregation
+    * with its LIMIT-1 argmax collect (one row of driver METADATA — the
+    * kmeans-centroid class). The merge applies per-word as an `aggregate`
+    * fold, greedily leftmost-non-overlapping ("aaa" + (a,a) → [aa, a] —
+    * the reference behavior). Ties break (count DESC, left, right) so
+    * engines agree; pair counting is integer-exact, so the DuckDB oracle
+    * replays the loop unrolled — every intermediate merge decision of the
+    * oracle depth, and [[bpeTrainMerges]] at ANY depth answers the same
+    * prefix.
+    *
+    * LINEAGE TRUNCATION (the r10 rework that makes ≥256-merge
+    * vocabulary-scale training practical): each generation is a fold
+    * PROJECT over the previous one, and chaining those plans makes the
+    * optimizer's project-collapse inline every fold into its successor —
+    * the fold references its input array ~6×, so the collapsed expression
+    * grows 6^depth and the argmax's planning time DOUBLES per merge
+    * (measured: 0.3 s at depth 8, 13 s at depth 16, OOM near 30; caching
+    * each generation does not help because substitution happens after the
+    * Dataset chain is already deep). The fix is the iterative-algorithm
+    * idiom (ALS/GraphFrames): `localCheckpoint(eager = false)` each
+    * generation, which rebases the plan on the materialized RDD —
+    * planning cost is then CONSTANT per merge, and the lazy checkpoint
+    * materializes as a side effect of the next argmax job, keeping the
+    * loop at one job per merge. The superseded generation's blocks are
+    * dropped explicitly once its successor has materialized. Local
+    * checkpoints trade fault-tolerance for speed (an executor loss mid-
+    * loop fails the job — acceptable for a training artifact build, and
+    * `spark.checkpoint.dir`-based reliable checkpoints are the swap-in if
+    * a deployment needs resumability).
     */
   private def bpeLoop(docs: DataFrame, textCol: String, nMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
@@ -285,8 +304,14 @@ object Text {
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wn"))
       .select(col("w"), col("wn"), chars.as("syms"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    words.count()
+      .localCheckpoint(false)
+    // the checkpointed RDD backing the PREVIOUS generation: its blocks can
+    // drop only after a job has materialized the current generation
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var dry = false // pair supply exhausted: stop launching count jobs
     for (m <- 1 to nMerges if !dry) {
@@ -299,6 +324,10 @@ object Text {
         .agg(sum(col("wn")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
+      // the argmax job materialized `words`' checkpoint — the generation
+      // that produced it can release its blocks now
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = None
       if (best.isEmpty) dry = true
       else {
         val (l, r, cnt) =
@@ -314,13 +343,14 @@ object Text {
               element_at(acc, -1) === lit(l) && x === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x))))
-        val next = words.select(col("w"), col("wn"), folded.as("syms"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        words.unpersist()
-        words = next
+        prevRdd = backingRdd(words)
+        words = words.select(col("w"), col("wn"), folded.as("syms"))
+          .localCheckpoint(false)
       }
     }
+    // the final generation may still be lazy; callers that READ it
+    // (bpeSegment) need it materialized before its parent's blocks drop
+    if (prevRdd.isDefined) { words.count(); prevRdd.foreach(_.unpersist(false)) }
     (merges.toList, words)
   }
 
@@ -331,7 +361,11 @@ object Text {
   def bpeTrainMerges(docs: DataFrame, textCol: String,
                      nMerges: Int = 3): DataFrame = {
     val (merges, words) = bpeLoop(docs, textCol, nMerges)
-    words.unpersist()
+    // the merge table is driver metadata; the final vocabulary generation
+    // is not needed — release its checkpoint blocks now
+    words.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
@@ -347,6 +381,10 @@ object Text {
   def bpeSegment(docs: DataFrame, textCol: String,
                  nMerges: Int = 3): DataFrame = {
     val (_, words) = bpeLoop(docs, textCol, nMerges)
+    // `words` is checkpoint-backed (not cache-backed) since the r10
+    // lineage-truncation rework: retain is a no-op for it, and its blocks
+    // are released by the ContextCleaner once the returned frame is
+    // unreferenced (vocabulary-grain blocks — a few MB per run)
     graft.util.Caches.retain(words)
     words.select(col("w").as("word"), col("wn").as("n_occurrences"),
       array_join(col("syms"), " ").as("pieces"),
