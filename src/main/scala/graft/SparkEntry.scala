@@ -2164,6 +2164,41 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast("double") * 255d, 0)
             .cast("integer").as("f0_byte"))
     }),
+    // REAL-codec decode (multimodal/Codecs.scala — VERDICT r09 #4): 512
+    // synthetic 24-bit BMPs built executor-side from closed-form pixel
+    // formulas, encoded by the real encoder (padded bottom-up BGR rows)
+    // and re-parsed by the real decoder; the oracle recomputes dimensions,
+    // exact file length (header + stride padding), and per-channel pixel
+    // SUMS analytically — one wrong byte offset, stride, or row direction
+    // anywhere in the codec and the integer sums mismatch.
+    "mm_decode_bmp" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 7).toInt
+        graft.multimodal.MediaRecord(id, "image/bmp",
+          graft.multimodal.Codecs.Bmp.encode(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.bmpStats(media)
+    }),
+    // ... and the audio twin: PCM-16 WAVs through the RIFF chunk walk,
+    // with the exact interleaved-sample sum replayed by the oracle.
+    "mm_decode_wav" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nSamples = (64 + id % 33).toInt * channels
+        val samples = Array.tabulate(nSamples)(i =>
+          (((i * 31 + 7 * id) % 65536) - 32768).toShort)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.wavStats(media)
+    }),
 
     // Perceptual-hash media dedup (Multimodal.phash + the shared Hamming
     // banding): planted byte-identical payloads decode (stub) to
@@ -4637,6 +4672,34 @@ object SparkEntry {
     // planted-payload truth: byte-identical media must pair at hamming 0
     "mm_phash_dups" ->
       "SELECT doc_id, true AS found FROM documents WHERE doc_id < 50",
+    // real-codec BMP: dimensions, exact padded file length, and
+    // per-channel pixel sums recomputed analytically from the generator
+    // formulas — the encode→parse roundtrip must land every byte
+    "mm_decode_bmp" ->
+      """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h
+                       FROM (SELECT unnest(range(0, 512)) AS id))
+         SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+                CAST(SUM((x * 7 + y * 13 + id) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((x * 5 + y * 11 + 2 * id) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((x * 3 + y * 17 + 3 * id) % 256) AS BIGINT) AS sum_b
+         FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+         GROUP BY 1, 2, 3, 4""",
+    // real-codec WAV: fmt-chunk fields + the exact interleaved PCM-16
+    // sample sum
+    "mm_decode_wav" ->
+      """WITH clips AS (SELECT id, 1 + id % 2 AS ch,
+                               8000 + (id % 3) * 4000 AS rate,
+                               64 + id % 33 AS frames
+                        FROM (SELECT unnest(range(0, 512)) AS id))
+         SELECT id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(frames AS BIGINT) AS n_frames,
+                CAST(44 + frames * ch * 2 AS BIGINT) AS n_bytes,
+                CAST(SUM((i * 31 + 7 * id) % 65536 - 32768) AS BIGINT) AS sum_samples
+         FROM clips, unnest(range(0, frames * ch)) AS ui(i)
+         GROUP BY 1, 2, 3, 4, 5""",
     "a7_percentiles" ->
       """SELECT p.p_type AS category,
                 round(quantile_cont(l.l_extendedprice, 0.5), 6) AS p50,
