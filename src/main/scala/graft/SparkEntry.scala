@@ -273,10 +273,15 @@ object SparkEntry {
   /** Spark-side twin of [[sqlBpeRichRel]]: the vocabulary-rich deep-BPE
     * training corpus (documents text + two doc_id-derived numeric words).
     */
+  // doc_id reduced mod 1e9 BEFORE the Knuth multiply: scaled-up corpora
+  // (ScaleUp's key-offset copies) carry doc_ids large enough that the
+  // raw product overflows a long under ANSI mode (found at sf1)
   private def bpeRichCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(concat(col("text"), lit(" "),
-      ((col("doc_id") * 2654435761L) % 1000000000L).cast("string"), lit(" "),
-      (((col("doc_id") + 7L) * 40503L) % 100000L).cast("string")).as("text"))
+      (((col("doc_id") % 1000000000L) * 2654435761L) % 1000000000L)
+        .cast("string"), lit(" "),
+      ((((col("doc_id") % 100000L) + 7L) * 40503L) % 100000L)
+        .cast("string")).as("text"))
 
   private def bpe256(s: SparkSession, dir: String): DataFrame =
     bpe256Cache.computeIfAbsent((s, dir), _ =>
@@ -3405,8 +3410,8 @@ object SparkEntry {
     * Pure integer arithmetic, so the oracle replays the corpus verbatim.
     */
   private lazy val sqlBpeRichRel: String =
-    """(SELECT text || ' ' || CAST((doc_id * 2654435761) % 1000000000 AS VARCHAR)
-              || ' ' || CAST(((doc_id + 7) * 40503) % 100000 AS VARCHAR) AS text
+    """(SELECT text || ' ' || CAST(((doc_id % 1000000000) * 2654435761) % 1000000000 AS VARCHAR)
+              || ' ' || CAST((((doc_id % 100000) + 7) * 40503) % 100000 AS VARCHAR) AS text
        FROM documents)"""
 
   private lazy val sqlLmScoreCtes: String =
