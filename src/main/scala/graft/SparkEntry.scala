@@ -2317,6 +2317,32 @@ object SparkEntry {
       }
       graft.multimodal.Multimodal.bmpStats(media)
     }),
+    // Real-codec pixels through the media-dedup chain: 100 base BMPs plus
+    // pixel-IDENTICAL twins of ids < 30 at +1e6; real decode → bucketed
+    // descriptors → average-hash → Hamming banding. Identical payloads
+    // decode to identical features and hence identical hashes, so every
+    // planted twin MUST pair at hamming 0 regardless of descriptor
+    // quality — the mm_phash_dups structural oracle, now with the real
+    // codec (not the stub) behind the boundary.
+    "mm_phash_real" -> ((s, dir) => {
+      import s.implicits._
+      def img(id: Long, seed: Long) = graft.multimodal.MediaRecord(id,
+        "image/bmp", graft.multimodal.Codecs.Bmp.encode(16, 16, (x, y) => (
+          ((x * 7 + y * 13 + seed * 31) % 256).toInt,
+          ((x * 5 + y * 11 + seed * 17) % 256).toInt,
+          ((x * 3 + y * 17 + seed * 7) % 256).toInt)))
+      val media = s.range(100).map(id => img(id, id))
+        .union(s.range(30).map(id => img(id + PlantedOffset, id)))
+      val feats = graft.multimodal.Multimodal
+        .extractFeaturesBmp(media, dim = 64).toDF()
+      val pairs = graft.multimodal.Multimodal
+        .phashNearDuplicates(feats, maxDist = 0)
+      s.range(30).toDF("media_id")
+        .join(pairs.filter(col("id_b") - col("id_a") === PlantedOffset)
+            .select(col("id_a").as("media_id"), lit(true).as("found")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), coalesce(col("found"), lit(false)).as("found"))
+    }),
     // ... and the audio twin: PCM-16 WAVs through the RIFF chunk walk,
     // with the exact interleaved-sample sum replayed by the oracle.
     "mm_decode_wav" -> ((s, dir) => {
@@ -4843,6 +4869,11 @@ object SparkEntry {
                 CAST(SUM((x * 3 + y * 17 + 3 * id) % 256) AS BIGINT) AS sum_b
          FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
          GROUP BY 1, 2, 3, 4""",
+    // planted-payload truth through the REAL codec: pixel-identical BMPs
+    // must pair at hamming 0
+    "mm_phash_real" ->
+      """SELECT id AS media_id, true AS found
+         FROM (SELECT unnest(range(0, 30)) AS id)""",
     // real-codec WAV: fmt-chunk fields + the exact interleaved PCM-16
     // sample sum
     "mm_decode_wav" ->
