@@ -1123,6 +1123,18 @@ object SparkEntry {
     // that the full 256-merge depth was actually reached.
     "t_bpe_train256" -> ((s, dir) =>
       bpe256(s, dir).filter(col("merge_rank") <= 3)),
+    // The tokenizer's ENCODE path (Text.bpeEncode): merges trained on
+    // documents applied to the UNSEEN rich corpus (its numeric words
+    // never appeared in training) — the train→ship→tokenize-new-text
+    // lifecycle. The oracle trains the same 3 merges and replays the
+    // application fold by fold over the new corpus's vocabulary.
+    "t_bpe_encode" -> ((s, dir) => {
+      val merges = Text.bpeTrainMerges(Tables.documents(s, dir), "text",
+          nMerges = 3)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Text.bpeEncode(bpeRichCorpus(s, dir), "text", merges)
+    }),
     "t_bpe_train256_shape" -> ((s, dir) =>
       bpe256(s, dir).agg(
         count(lit(1)).cast("long").as("n_merges"),
@@ -3425,6 +3437,20 @@ object SparkEntry {
        ${pairCtes(2)}, ${mergeCte(2)}"""
   }
 
+  /** One merge-APPLY CTE: `dst` = `src` with merge `b$bIdx` applied under
+    * the training fold's leftmost-non-overlapping accumulator semantics —
+    * the body of sqlBpeTrainCtesFor's merge step, reusable over any
+    * vocabulary (the t_bpe_encode oracle applies TRAINED merges to a NEW
+    * corpus's vocab).
+    */
+  private def sqlBpeApplyCte(src: String, dst: String, bIdx: Int): String =
+    s"""$dst AS (SELECT w, wn,
+         list_reduce(list_concat([[b$bIdx.l, b$bIdx.r]], list_transform(syms, s -> [s])), (acc, x) ->
+           CASE WHEN len(acc) > 2 AND acc[len(acc)] = acc[1] AND x[1] = acc[2]
+                THEN list_append(acc[1:len(acc) - 1], acc[1] || acc[2])
+                ELSE list_concat(acc, x) END)[3:] AS syms
+       FROM $src CROSS JOIN b$bIdx)"""
+
   /** The deep-BPE training corpus: documents text plus two deterministic
     * doc_id-derived numeric words per document. The natural corpus has
     * only ~31 distinct words (the synthetic generator's vocabulary), so
@@ -4227,6 +4253,23 @@ object SparkEntry {
     // every chosen pair existed (count >= 1)
     "t_bpe_train256_shape" ->
       "SELECT CAST(256 AS BIGINT) AS n_merges, true AS counts_positive",
+    // encode: train on documents, apply the 3 learned merges fold-by-fold
+    // to the rich corpus's vocabulary
+    "t_bpe_encode" ->
+      s"""${sqlBpeTrainCtesFor("documents")},
+         n0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn
+                FROM (SELECT unnest(${sqlTokens("lower(text)")}) AS w
+                      FROM $sqlBpeRichRel) GROUP BY 1),
+         n0s AS (SELECT w, wn,
+                  list_transform(generate_series(1, len(w)),
+                    i -> substr(w, CAST(i AS INTEGER), 1)) AS syms FROM n0),
+         ${sqlBpeApplyCte("n0s", "n1", 0)},
+         ${sqlBpeApplyCte("n1", "n2", 1)},
+         ${sqlBpeApplyCte("n2", "n3", 2)}
+         SELECT w AS word, wn AS n_occurrences,
+                array_to_string(syms, ' ') AS pieces,
+                CAST(len(syms) AS INTEGER) AS n_pieces
+         FROM n3""",
     "t_bpe_segment" ->
       s"""$sqlBpeTrainCtes
          SELECT w AS word, wn AS n_occurrences,

@@ -391,6 +391,55 @@ object Text {
       size(col("syms")).as("n_pieces"))
   }
 
+  /** The trained tokenizer's ENCODE path: apply a learned merge table
+    * ([[bpeTrainMerges]]' `(lhs, rhs)` pairs IN RANK ORDER) to arbitrary
+    * NEW text — the call a shipped BPE tokenizer serves. Runs at
+    * distinct-word grain like training (one corpus explode collapses to
+    * the vocabulary; the fact table never carries symbol arrays), then
+    * applies the merges per word executor-side with the merge table
+    * BROADCAST (a 32k–100k-row artifact — kilobytes; the per-word loop
+    * is genuine imperative per-row logic, the sanctioned mapPartitions
+    * case). Each merge applies with EXACTLY the training fold's
+    * leftmost-non-overlapping accumulator semantics, so encoding the
+    * training corpus reproduces [[bpeSegment]] verbatim and the DuckDB
+    * oracle replays the application fold by fold.
+    * Output matches bpeSegment's shape:
+    * `(word, n_occurrences, pieces, n_pieces)`.
+    */
+  def bpeEncode(docs: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (w, wn) =>
+          var syms: Array[String] = w.map(_.toString).toArray
+          var i = 0
+          while (i < ms.length) {
+            val (l, r) = ms(i)
+            // the training fold verbatim: append, or fuse with the
+            // accumulator's last element when it is `l` and this is `r`
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (out.nonEmpty && out.last == l && syms(j) == r)
+                out(out.length - 1) = l + r
+              else out += syms(j)
+              j += 1
+            }
+            syms = out.toArray
+            i += 1
+          }
+          (w, wn, syms.mkString(" "), syms.length)
+        }
+      }
+      .toDF("word", "n_occurrences", "pieces", "n_pieces")
+  }
+
   /** THE curation annotation chain — [[stats]] columns, the composite
     * `quality_ok` flag, `lang_pred`, and `bpe_tokens` attached in one
     * stacked projection (pure codegen'd expressions, no shuffle). Batch

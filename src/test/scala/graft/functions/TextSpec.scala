@@ -208,4 +208,25 @@ class TextSpec extends SparkSpec {
       "text", nMerges = 5).collect()
     assert(short.map(r => (r.getString(1), r.getString(2))).toSeq == Seq(("a", "b")))
   }
+
+  test("bpeEncode: applying trained merges reproduces bpeSegment; new words encode") {
+    val docs = Seq((1L, "low low lower"), (2L, "newest newest"))
+      .toDF("doc_id", "text")
+    val merges = Text.bpeTrainMerges(docs, "text", nMerges = 3).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // encode(training corpus) must equal segment(training corpus) verbatim
+    val seg = Text.bpeSegment(docs, "text", nMerges = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    graft.operators.Dedup.clearCaches()
+    val enc = Text.bpeEncode(docs, "text", merges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    assert(enc == seg)
+    // unseen words encode under the same rank-ordered greedy application:
+    // merges are (l,o), (lo,w), (e,s) — "slow" → [s, low], "best" → [b, es, t]
+    val nw = Text.bpeEncode(Seq((1L, "slow best")).toDF("doc_id", "text"),
+        "text", merges).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(nw("slow") == "s low")
+    assert(nw("best") == "b es t")
+  }
 }
