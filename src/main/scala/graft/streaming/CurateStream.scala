@@ -220,6 +220,48 @@ object CurateStream {
     refit(batch.sparkSession, workDir, cfg, batchId)
   }
 
+  /** Compact the per-trigger partition dirs of a LONG-RUNNING stream —
+    * registry digests (distinct-merged) and gated survivors (disjoint
+    * union) below `upToBatch` fold into one blob each under fresh
+    * reserved NEGATIVE batch ids, then the absorbed partitions delete.
+    * Same crash-safety-by-ordering, redelivery-boundary, and
+    * between-triggers scheduling contract as
+    * [[PassageStream.compactRegistry]] (write the blob before deleting
+    * anything; only compact batches the checkpoint committed past; a
+    * negative id never equals a live batch id, so the current-batch
+    * exclusion filter keeps working and [[readGated]]'s dir enumeration
+    * still sees every row exactly once).
+    */
+  def compact(spark: SparkSession, workDir: String, upToBatch: Long): Unit = {
+    def compactDir(sub: String, schema: String, distinctCols: Option[Seq[String]]): Unit = {
+      val root = new Path(s"$workDir/$sub")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) return
+      val ids = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+      val absorbed = ids.filter(id => id < 0 || id < upToBatch)
+      if (absorbed.count(_ >= 0) == 0 && absorbed.length <= 1) return
+      val newId = math.min(ids.min, 0L) - 1L
+      val all = spark.read.schema(schema)
+        .option("ignoreMissingFiles", "true")
+        .parquet(root.toString)
+        .filter(col("batch") < 0 || col("batch") < upToBatch)
+        .drop("batch")
+      val merged = distinctCols.fold(all)(cs =>
+        all.select(cs.map(col): _*).distinct())
+      val tmp = new Path(s"$workDir/${sub}_compact_tmp")
+      fs.delete(tmp, true)
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.rename(tmp, new Path(s"$root/batch=$newId"))
+      absorbed.foreach(id => fs.delete(new Path(s"$root/batch=$id"), true))
+    }
+    compactDir("registry", ShaRegistrySchema, Some(Seq("content_sha")))
+    // gated rows across batches are disjoint by construction (the digest
+    // registry admits each text once) — a plain union, no distinct
+    compactDir("gated", GatedSchema, None)
+  }
+
   /** The currently-published packed training layout (snapshot-isolated;
     * `versionAsOf` = a retained trigger's batch id for one step of time
     * travel).

@@ -328,4 +328,20 @@ class PlanAuditSpec extends SparkSpec {
       s"knn_graph funnels to one partition:\n$p")
     assert(p.contains("WindowGroupLimit"), s"knn_graph lost the rank pushdown:\n$p")
   }
+
+  test("upsertEvolve: ONE full-outer key join, no cartesian, no single partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 2).as("v"))
+    val u = spark.range(500).select((col("id") * 3).as("k"),
+      (col("id") * 5).as("v"), lit("n").as("extra"))
+    val p = graft.operators.Upsert.upsertEvolve(t, u, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assertNoCartesian(p, "upsertEvolve")
+    assert("FullOuter".r.findAllIn(p).length == 1,
+      s"evolution must stay one keyed MERGE join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"upsertEvolve funnels to one partition:\n$p")
+  }
 }

@@ -79,6 +79,41 @@ class CurateStreamSpec extends SparkSpec {
     assert(gated == Set(1L, 3L, 12L, 21L))
   }
 
+  test("compaction folds registry+gated blobs; dedup and artifacts unchanged") {
+    val work = graft.util.Scratch.dir("graft_stcur_spec")
+    CurateStream.curateBatch(work, cfg)(df(day0), 0L)
+    CurateStream.curateBatch(work, cfg)(df(day1), 1L)
+    val (p1, r1) = (packedSet(work), reportSet(work))
+    // checkpoint committed past batch 1 → both per-trigger dirs fold
+    CurateStream.compact(spark, work, upToBatch = 2L)
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs(sub: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/$sub"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(batchDirs("registry") == Seq("batch=-1"))
+    assert(batchDirs("gated") == Seq("batch=-1"))
+    // published artifacts unaffected by the relayout
+    assert(packedSet(work) == p1)
+    assert(reportSet(work) == r1)
+    // a post-compaction trigger still strips cross-batch dups (doc 20
+    // duplicates batch-0's doc 3, now living in the blob) and the final
+    // state equals the full batch DAG
+    CurateStream.curateBatch(work, cfg)(df(day2), 2L)
+    val gated = CurateStream.readGated(spark, work)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == Set(1L, 3L, 12L, 21L))
+    val want = graft.pipeline.Pipeline.curate(df(day0 ++ day1 ++ day2),
+      "doc_id", "text", "domain", cfg.langKeep, cfg.pplCutoff, cfg.budget,
+      cfg.weights, cfg.seqBudget)
+    val wantPacked = want.packed
+      .select("doc_id", "n_tokens", "start_token", "seq_first", "seq_last",
+        "offset_in_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(packedSet(work) == wantPacked)
+  }
+
   test("redelivered trigger republishes byte-equal state") {
     val work = graft.util.Scratch.dir("graft_stcur_spec")
     CurateStream.curateBatch(work, cfg)(df(day0), 0L)
