@@ -2923,6 +2923,41 @@ object SparkEntry {
       graft.streaming.StreamingPipeline.readPartitionedSnapshot(s, tmp)
         .select("o_orderkey", "o_totalprice", "o_orderpriority", "note")
     }),
+    // SCHEMA EVOLUTION ACROSS STREAM RESTARTS — the form a live pipeline
+    // actually meets (the reference's producers evolve, its Delta sink
+    // autoMerges): era 1 drains a narrow producer into the evolving
+    // snapshot sink and stops; the producer starts emitting a NEW column;
+    // era 2 RESTARTS on the same checkpoint with the widened schema,
+    // processes only the new files, and the store unions the column in —
+    // no rewrite, no downtime, old rows read null. Batch ids continue
+    // across the restart, so the sink's replay gate keeps working.
+    "st_evolve" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t = Tables.orders(s, dir)
+      val stage = tmpDir("graft_stevo_in")
+      val (store, cp) = (tmpDir("graft_stevo_out"), tmpDir("graft_stevo_cp"))
+      def drain(schema: String): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$stage/era*")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch(graft.streaming.StreamingPipeline.upsertBatchSnapshot(
+            store, Seq("o_orderkey"), mergeSchema = true) _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      t.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/era1")
+      drain("o_orderkey LONG, prio STRING")
+      t.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          concat(lit("u:"), col("o_orderpriority")).as("prio"),
+          col("o_totalprice").as("bonus"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/era2")
+      drain("o_orderkey LONG, prio STRING, bonus DOUBLE")
+      graft.streaming.StreamingPipeline.readSnapshot(s, store)
+        .select("o_orderkey", "prio", "bonus")
+    }),
     // ... and the pinning half of the contract: AFTER the evolving commit,
     // versionAsOf = 0 still reads the pre-evolution schema and rows —
     // time travel is pinned to each version's own committed schema file.
@@ -5259,6 +5294,21 @@ object SparkEntry {
     "s_evolve_timetravel" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
          FROM orders WHERE o_orderkey % 3 = 0""",
+    // the restarted-stream evolution: era-1 MERGE then era-2 MERGE with
+    // the new column — same full-outer semantics, null on era-1-only rows
+    "st_evolve" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority AS prio
+                    FROM orders WHERE o_orderkey % 3 = 0),
+            u AS (SELECT o_orderkey, 'u:' || o_orderpriority AS prio,
+                         o_totalprice AS bonus
+                  FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderkey
+                ELSE t.o_orderkey END AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.prio
+                ELSE t.prio END AS prio,
+           u.bonus AS bonus
+         FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey""",
     // the delete replayed as an anti-filter on the raw table
     "s_partitioned_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
