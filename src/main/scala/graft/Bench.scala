@@ -360,12 +360,16 @@ object Bench {
     // the corpus-prep chain: content dedup → annotate → gate → rollup
     val corpusJson = streamMetric("corpus_stream", "docs", "docs_per_sec")(
       graft.streaming.StreamBench.corpusPrepThroughput(spark, nDocs = 50000))
+    // the full streaming curation DAG (per-trigger gate + global refit +
+    // atomic artifact commit across 4 triggers)
+    val curateJson = streamMetric("curate_stream", "docs", "docs_per_sec")(
+      graft.streaming.StreamBench.curateThroughput(spark, nDocs = 10000))
     val debutJson = debuts.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     val debutFailJson =
       debutRerunFailed.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""flagship_total":$flagship,$streamJson,$corpusJson,""" +
+        s""""flagship_total":$flagship,$streamJson,$corpusJson,$curateJson,""" +
         s""""regressions":$regJson,"debut_qualified":$debutJson,""" +
         s""""debut_rerun_failed":$debutFailJson,""" +
         s""""cpus":$cpus,"timed_runs":$timedRuns,"sf":"$sfDir"}"""

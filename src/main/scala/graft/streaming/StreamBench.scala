@@ -64,6 +64,45 @@ object StreamBench {
     (nEvents, secs)
   }
 
+  /** Drain `nDocs` synthetic documents through the FULL streaming
+    * curation DAG (CurateStream: per-trigger registry-dedup gate +
+    * whole-corpus refit + atomic artifact commit) across several
+    * file-source triggers. Returns (docs drained, wall seconds for the
+    * streaming query) — the round-10 headline surface's throughput
+    * number, beside the corpus-prep and completeness legs.
+    */
+  def curateThroughput(spark: SparkSession, nDocs: Int): (Long, Double) = {
+    import spark.implicits._
+    val words = Array("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "and", "it", "was", "a", "good", "day", "for", "this",
+      "stream", "of", "documents", "to", "be", "scored", "in", "order")
+    val docs = spark.range(nDocs).map { id =>
+      val i: Long = id
+      val base: Long = if (i % 3 == 2) i - 1 else i // every 3rd duplicates
+      val n = (20 + (base * 7) % 60).toInt
+      val text = (0 until n).map(j => words(((base + j * 13) % words.length).toInt))
+        .mkString(" ")
+      (i, s"d${i % 4}", text)
+    }.toDF("doc_id", "domain", "text")
+    val inDir = stage(docs, "graft_curbench_in", 32)
+    val cfg = CurateConfig(langKeep = Seq("en"), pplCutoff = 1e6,
+      budget = 1000000L, weights = Seq("d0" -> 0.25, "d1" -> 0.25,
+        "d2" -> 0.25, "d3" -> 0.25), seqBudget = 256L)
+    val work = graft.util.Scratch.dir("graft_curbench_work")
+    val checkpoint = graft.util.Scratch.dir("graft_curbench_cp")
+    val t0 = System.nanoTime()
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 8).parquet(inDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(CurateStream.curateBatch(work, cfg) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    (nDocs.toLong, secs)
+  }
+
   /** Drain `nDocs` synthetic documents (every third a content duplicate)
     * through the full streaming corpus-prep chain — content dedup →
     * annotation → quality gate → update-mode language rollup — into a
