@@ -1135,6 +1135,25 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Text.bpeEncode(bpeRichCorpus(s, dir), "text", merges)
     }),
+    // CURRICULUM packing: the same distributed prefix-sum packer, ordered
+    // by self-trained perplexity ASCENDING (cleanest-text-first — the
+    // curriculum-learning layout) instead of doc_id. packSequences'
+    // `order` parameter is the whole feature: any total order lays the
+    // corpus out without new machinery, and the rounded ppl + doc_id
+    // tie-break keep the order engine-stable under the oracle.
+    "pipeline_pack_curriculum" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val scored = graft.operators.LanguageModel
+        .unigramScore(docs, docs, "doc_id", "text")
+        .filter(col("ppl").isNotNull).select("doc_id", "ppl")
+      val withTok = docs.select(col("doc_id"),
+          Text.bpeTokenCount(col("text")).as("n_tokens"))
+        .join(scored, Seq("doc_id"))
+      Pack.packSequences(withTok, "doc_id", "n_tokens", 256L,
+          Seq(col("ppl"), col("doc_id")))
+        .select("doc_id", "n_tokens", "ppl", "start_token", "seq_first",
+          "seq_last", "offset_in_seq")
+    }),
     "t_bpe_train256_shape" -> ((s, dir) =>
       bpe256(s, dir).agg(
         count(lit(1)).cast("long").as("n_merges"),
@@ -4288,6 +4307,39 @@ object SparkEntry {
     // every chosen pair existed (count >= 1)
     "t_bpe_train256_shape" ->
       "SELECT CAST(256 AS BIGINT) AS n_merges, true AS counts_positive",
+    // curriculum packing: the unigram ppl (trained on the full corpus)
+    // replayed with the t_lm_score fold, then the packing window ordered
+    // (ppl, doc_id) instead of doc_id
+    "pipeline_pack_curriculum" ->
+      s"""WITH c AS (SELECT w, COUNT(*) AS c
+             FROM (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents)
+             GROUP BY 1),
+         s AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM c),
+         tok AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+         tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         lp AS (SELECT doc_id, w, tf,
+                  CAST(tf AS DOUBLE) * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / CAST(s.n + s.v AS DOUBLE)) AS lp
+                FROM tf LEFT JOIN c USING (w) CROSS JOIN s),
+         pd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS lm_n,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY w)),
+                    (a, b) -> a + b) AS lsum
+                FROM lp GROUP BY 1),
+         sc AS (SELECT doc_id, round(exp(-(lsum / lm_n)), 6) AS ppl FROM pd),
+         nt AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens
+                FROM documents),
+         j AS (SELECT nt.doc_id, nt.n_tokens, sc.ppl
+               FROM nt JOIN sc USING (doc_id) WHERE sc.ppl IS NOT NULL),
+         pos AS (SELECT doc_id, n_tokens, ppl,
+             CAST(COALESCE(SUM(greatest(0, n_tokens)) OVER (ORDER BY ppl, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+           FROM j)
+         SELECT doc_id, n_tokens, ppl, start_token,
+           CAST(start_token // 256 AS BIGINT) AS seq_first,
+           CAST(CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 256
+                ELSE start_token // 256 END AS BIGINT) AS seq_last,
+           CAST(start_token % 256 AS BIGINT) AS offset_in_seq
+         FROM pos""",
     // encode: train on documents, apply the 3 learned merges fold-by-fold
     // to the rich corpus's vocabulary
     "t_bpe_encode" ->
