@@ -667,6 +667,22 @@ object SparkEntry {
         threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>       // rows-only: xxhash64 simhash
       Dedup.simhashNearDuplicates(docsWithPlantedDups(s, dir), "doc_id", "text")),
+    // SOURCE-PRIORITY exact dedup (Dedup.keepCanonicalBy): every doc < 100
+    // gets a planted exact copy at +PlantedOffset under source "zz-mirror"
+    // — the lexicographically LAST source, so priority (source ASC,
+    // doc_id) must keep every original and drop every mirror copy, while
+    // natural intra-corpus dups resolve by the same deterministic order.
+    // The cross-corpus curation rule: identical content appears in a
+    // curated source and in a crawl mirror → keep the curated copy.
+    "dedup_priority" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + PlantedOffset).as("doc_id"),
+          lit("zz-mirror").as("source"), col("text")))
+      Dedup.keepCanonicalBy(corpus, "text",
+          Seq(col("source"), col("doc_id")))
+        .select("doc_id", "source")
+    }),
     // Derived-invariant twins for the rows-only pair outputs (VERDICT r09
     // #7): the pair SETS are seeded-hash-dependent, but their structure
     // is not — ordering, uniqueness, verify-score range, id provenance
@@ -4961,6 +4977,19 @@ object SparkEntry {
     // planted-payload truth: byte-identical media must pair at hamming 0
     "mm_phash_dups" ->
       "SELECT doc_id, true AS found FROM documents WHERE doc_id < 50",
+    // source-priority exact dedup: the same digest window, ordered
+    // (source, doc_id) — mirrors drop, curated copies survive
+    "dedup_priority" ->
+      """WITH corpus AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, 'zz-mirror', text FROM documents
+           WHERE doc_id < 100),
+         r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                   ORDER BY source, doc_id) AS rn
+               FROM corpus)
+         SELECT doc_id, source FROM r WHERE rn = 1""",
     // derived-invariant twins (VERDICT r09 #7): literal structural truth
     // for the seeded-hash outputs whose row sets DuckDB cannot replay
     "ann_lsh_valid" ->

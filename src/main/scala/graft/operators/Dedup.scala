@@ -50,6 +50,22 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[keepCanonical]] under a caller-chosen PRIORITY order — the
+    * cross-corpus curation rule ("identical content appears in wiki and
+    * in the crawl: keep the wiki copy"). `order` must be a total order
+    * (end it with the id column) or the survivor is partition-dependent.
+    * Same single-scan single-exchange digest-window shape as
+    * [[keepCanonical]], which is exactly this with `order = (id)`.
+    */
+  def keepCanonicalBy(docs: DataFrame, textCol: String,
+                      order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(order.nonEmpty, "keepCanonicalBy needs a priority order")
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(order: _*)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** MinHash signatures: one row per document with k minhash columns.
     *
     * The k independent hash functions re-hash a 64-bit base hash with a
