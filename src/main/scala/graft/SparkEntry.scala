@@ -303,7 +303,10 @@ object SparkEntry {
   private def topkValid(r: DataFrame, qCol: String, nCol: String,
                         scoreCol: String, ascending: Boolean, k: Int,
                         corpusIds: DataFrame): DataFrame = {
-    val flagged = r.join(corpusIds.toDF(nCol).withColumn("__in", lit(true)),
+    // distinct: a duplicated corpus id would MULTIPLY result rows through
+    // the flag join and corrupt every count-based flag below
+    val flagged = r.join(
+      corpusIds.toDF(nCol).distinct().withColumn("__in", lit(true)),
       Seq(nCol), "left")
     val pairs = sort_array(collect_list(struct(col("rank"),
       col(scoreCol).cast("double").as("s"))))

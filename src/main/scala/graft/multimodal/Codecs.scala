@@ -106,8 +106,13 @@ object Codecs {
       require(u16(bytes, 28) == 24, s"unsupported bit depth ${u16(bytes, 28)}")
       require(i32(bytes, 30) == 0, s"unsupported compression ${i32(bytes, 30)}")
       val stride = rowStride(width)
-      require(bytes.length >= dataOffset + stride * height,
-        s"truncated BMP payload: need ${dataOffset + stride * height}, have ${bytes.length}")
+      // long arithmetic: an adversarial width/height pair overflows the
+      // int product and would slip past the length check
+      val need = dataOffset.toLong + stride.toLong * height.toLong
+      require(dataOffset >= 0 && need <= bytes.length,
+        s"truncated BMP payload: need $need, have ${bytes.length}")
+      require(width.toLong * height.toLong * 3L <= Int.MaxValue,
+        s"unreasonable BMP dimensions ${width}x$height")
       val rgb = new Array[Byte](width * height * 3)
       var y = 0
       while (y < height) {
