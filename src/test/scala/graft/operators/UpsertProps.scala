@@ -37,4 +37,38 @@ object UpsertProps extends Properties("Upsert") {
     forAll(rowSet, rowSet) { (t, b) =>
       toMap(Upsert.upsert(df(t), df(b), Seq("k"))) == (t.toMap ++ b.toMap)
     }
+
+  property("evolve degenerates to upsert on identical schemas") =
+    forAll(rowSet, rowSet) { (t, b) =>
+      toMap(Upsert.upsertEvolve(df(t), df(b), Seq("k"))) == (t.toMap ++ b.toMap)
+    }
+
+  property("evolve: new column == b's value on b-keys, null exactly on t-only keys") =
+    forAll(rowSet, rowSet) { (t, b) =>
+      import spark.implicits._
+      val u = b.map { case (k, v) => (k, v, v * 7L) }.toDF("k", "v", "extra")
+      val out = Upsert.upsertEvolve(df(t), u, Seq("k")).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), Option(r.get(2))))).toMap
+      val bm = b.toMap
+      val tm = t.toMap
+      out.keySet == (tm ++ bm).keySet &&
+        out.forall { case (k, (v, extra)) =>
+          bm.get(k) match {
+            case Some(bv) => v == bv && extra.contains(bv * 7L)
+            case None => v == tm(k) && extra.isEmpty
+          }
+        }
+    }
+
+  property("evolve keeps a target-only column through an update (matched rows too)") =
+    forAll(rowSet, rowSet) { (t, b) =>
+      import spark.implicits._
+      val tw = t.map { case (k, v) => (k, v, s"o$k") }.toDF("k", "v", "old")
+      val out = Upsert.upsertEvolve(tw, df(b), Seq("k")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+      val tm = t.toMap
+      out.forall { case (k, old) =>
+        if (tm.contains(k)) old.contains(s"o$k") else old.isEmpty
+      }
+    }
 }
