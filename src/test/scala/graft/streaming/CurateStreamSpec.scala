@@ -114,6 +114,23 @@ class CurateStreamSpec extends SparkSpec {
     assert(packedSet(work) == wantPacked)
   }
 
+  test("an empty trigger republishes unchanged artifacts and breaks nothing") {
+    val work = graft.util.Scratch.dir("graft_stcur_spec")
+    CurateStream.curateBatch(work, cfg)(df(day0), 0L)
+    val (p0, r0) = (packedSet(work), reportSet(work))
+    // a zero-row micro-batch mid-stream: the gate writes empty partitions,
+    // the refit recomputes from unchanged cumulative state
+    CurateStream.curateBatch(work, cfg)(df(Seq.empty), 1L)
+    assert(packedSet(work) == p0)
+    // report gains nothing: the empty batch's stage counts are all zero
+    assert(reportSet(work) == r0)
+    // and the stream continues normally afterwards
+    CurateStream.curateBatch(work, cfg)(df(day1), 2L)
+    val gated = CurateStream.readGated(spark, work)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == Set(1L, 3L, 12L))
+  }
+
   test("redelivered trigger republishes byte-equal state") {
     val work = graft.util.Scratch.dir("graft_stcur_spec")
     CurateStream.curateBatch(work, cfg)(df(day0), 0L)
