@@ -1154,6 +1154,18 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Text.bpeEncode(bpeRichCorpus(s, dir), "text", merges)
     }),
+    // EPOCH PLAN (Sampling.epochPlan): the data-recipe arithmetic for an
+    // over-budget mixture — "how many passes of each source does this
+    // recipe need": 200k-token budget over the four sources makes the
+    // large-weight sources multi-epoch and the small-weight one
+    // fractional. Integer div/mod + one rounded division, O(domains) out.
+    "pipeline_epoch_plan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        Text.bpeTokenCount(col("text")).as("bpe_tokens"))
+      Sampling.epochPlan(docs, "source", "bpe_tokens", budget = 200000L,
+        weights = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+          "src3" -> 0.1))
+    }),
     // CURRICULUM packing: the same distributed prefix-sum packer, ordered
     // by self-trained perplexity ASCENDING (cleanest-text-first — the
     // curriculum-learning layout) instead of doc_id. packSequences'
@@ -4326,6 +4338,23 @@ object SparkEntry {
     // every chosen pair existed (count >= 1)
     "t_bpe_train256_shape" ->
       "SELECT CAST(256 AS BIGINT) AS n_merges, true AS counts_positive",
+    // epoch plan: domain-grain token mass vs quota, integer passes +
+    // leftover + rounded fractional epochs
+    "pipeline_epoch_plan" ->
+      """WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(greatest(0, len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')))), 0) AS BIGINT) AS available_tokens
+           FROM documents GROUP BY 1),
+         q(source, quota) AS (VALUES ('src0', 80000), ('src1', 60000),
+                                     ('src2', 40000), ('src3', 20000))
+         SELECT t.source, n_docs, available_tokens,
+           CAST(q.quota AS BIGINT) AS quota,
+           CASE WHEN available_tokens > 0
+                THEN CAST(q.quota // available_tokens AS BIGINT) END AS full_epochs,
+           CASE WHEN available_tokens > 0
+                THEN CAST(q.quota % available_tokens AS BIGINT) END AS remainder_tokens,
+           CASE WHEN available_tokens > 0
+                THEN round(CAST(q.quota AS DOUBLE) / available_tokens, 6) END AS epochs
+         FROM t JOIN q USING (source)""",
     // curriculum packing: the unigram ppl (trained on the full corpus)
     // replayed with the t_lm_score fold, then the packing window ordered
     // (ppl, doc_id) instead of doc_id

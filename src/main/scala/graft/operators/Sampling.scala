@@ -98,6 +98,40 @@ object Sampling {
         round(when(col("quota") > 0,
           col("kept_tokens").cast("double") / col("quota")).otherwise(lit(0.0)), 6))
 
+  /** Epoch plan for an over-budget mixture — the data-recipe arithmetic a
+    * training run does when a domain's quota EXCEEDS its available tokens
+    * (the usual case for small high-quality sources: "4 epochs of wiki,
+    * 0.3 epochs of crawl"): per domain, the available token mass, the
+    * target quota, the whole-pass count and leftover-token tail
+    * (integer-exact `div`/`mod`, so engines agree), and the fractional
+    * epoch count (rounded). One map-side-combined aggregation at domain
+    * grain + a broadcast quota join — O(domains) output at any corpus
+    * size. Domains missing from `weights` get no row (not part of the
+    * mixture); a zero-token domain reports its quota with NULL epochs —
+    * the caller's signal that the recipe is unfillable.
+    */
+  def epochPlan(docs: DataFrame, domainCol: String, tokensCol: String,
+                budget: Long, weights: Seq[(String, Double)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotas = mixtureQuotas(budget, weights).toDF(domainCol, "quota")
+    docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(greatest(lit(0L),
+          coalesce(col(tokensCol).cast("long"), lit(0L)))), lit(0L))
+          .as("available_tokens"))
+      .join(broadcast(quotas), Seq(domainCol))
+      .select(col(domainCol), col("n_docs"), col("available_tokens"),
+        col("quota"),
+        when(col("available_tokens") > 0,
+          expr("quota div available_tokens")).as("full_epochs"),
+        when(col("available_tokens") > 0,
+          col("quota") % col("available_tokens")).as("remainder_tokens"),
+        when(col("available_tokens") > 0,
+          round(col("quota").cast("double") /
+            col("available_tokens").cast("double"), 6)).as("epochs"))
+  }
+
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
     * (published, "Weighted random sampling with a reservoir", 2006): each
     * row draws key = u^(1/w) and the k LARGEST keys are the sample; one
