@@ -188,7 +188,10 @@ object Codecs {
       while (off + 8 <= bytes.length) {
         val id = new String(bytes, off, 4, "US-ASCII")
         val len = i32(bytes, off + 4)
-        require(len >= 0 && off + 8 + len <= bytes.length,
+        // long arithmetic (the Bmp.decode stance): a chunk declaring
+        // len ≈ 2^31 would wrap the int sum past the bound check and
+        // defeat the truncation guard
+        require(len >= 0 && off.toLong + 8L + len <= bytes.length,
           s"truncated chunk '$id' at $off: declared $len")
         if (id == "fmt ") {
           require(len >= 16, s"short fmt chunk: $len")

@@ -43,12 +43,8 @@ object Dedup {
     * twice. Digest partitioning keeps groups tiny (collisions only), so
     * the per-partition sort is O(dup-count), not O(corpus).
     */
-  def keepCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  def keepCanonical(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    keepCanonicalBy(docs, textCol, Seq(col(idCol)))
 
   /** [[keepCanonical]] under a caller-chosen PRIORITY order — the
     * cross-corpus curation rule ("identical content appears in wiki and

@@ -107,20 +107,28 @@ object Sampling {
     * epoch count (rounded). One map-side-combined aggregation at domain
     * grain + a broadcast quota join — O(domains) output at any corpus
     * size. Domains missing from `weights` get no row (not part of the
-    * mixture); a zero-token domain reports its quota with NULL epochs —
-    * the caller's signal that the recipe is unfillable.
+    * mixture); a weight-listed domain with NO rows (or no tokens) still
+    * reports its quota with 0 docs/tokens and NULL epochs — the caller's
+    * signal that the recipe is unfillable (an absent domain silently
+    * vanishing would silently vanish its budget share with it).
     */
   def epochPlan(docs: DataFrame, domainCol: String, tokensCol: String,
                 budget: Long, weights: Seq[(String, Double)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val quotas = mixtureQuotas(budget, weights).toDF(domainCol, "quota")
-    docs.groupBy(col(domainCol))
+    val avail = docs.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(greatest(lit(0L),
           coalesce(col(tokensCol).cast("long"), lit(0L)))), lit(0L))
           .as("available_tokens"))
-      .join(broadcast(quotas), Seq(domainCol))
+    // quotas drive the join: every weight-listed domain gets a row even
+    // when the corpus has none of it
+    broadcast(quotas).join(avail, Seq(domainCol), "left")
+      .select(col(domainCol),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
+        col("quota"))
       .select(col(domainCol), col("n_docs"), col("available_tokens"),
         col("quota"),
         when(col("available_tokens") > 0,

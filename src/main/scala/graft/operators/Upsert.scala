@@ -59,6 +59,10 @@ object Upsert {
   def upsertEvolve(target: DataFrame, updates: DataFrame,
                    keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsertEvolve needs at least one key column")
+    require(!target.columns.contains("__present") &&
+      !updates.columns.contains("__present"),
+      "'__present' is this operator's internal row-presence marker — " +
+        "rename the column before merging")
     keys.foreach { k =>
       require(target.columns.contains(k) && updates.columns.contains(k),
         s"key column '$k' must exist on both sides")
@@ -90,6 +94,10 @@ object Upsert {
 
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    require(!target.columns.contains("__present") &&
+      !updates.columns.contains("__present"),
+      "'__present' is this operator's internal row-presence marker — " +
+        "rename the column before merging")
     val dataCols = target.columns.filterNot(keys.contains)
     val t = target.as("t")
     // Row-presence marker: distinguishes "no matching update row" from "an

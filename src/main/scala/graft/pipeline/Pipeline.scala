@@ -121,20 +121,29 @@ object Pipeline {
     val packed = Pack.packSequences(
       mixed.select(col(idCol), col("bpe_tokens").as("n_tokens")),
       idCol, "n_tokens", seqBudget, Seq(col(idCol)))
-    def stage(name: String, df: DataFrame,
-              tok: org.apache.spark.sql.Column): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(tok.cast("long")), lit(0L)).as("n_bpe_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_bpe_tokens"))
     val report = Seq(
-      stage("0_input", base, Text.bpeTokenCount(col(textCol))),
-      stage("1_dedup", ded, Text.bpeTokenCount(col(textCol))),
-      stage("2_quality", quality, col("bpe_tokens")),
-      stage("3_lang", langed, col("bpe_tokens")),
-      stage("4_ppl", kept, col("bpe_tokens")),
-      stage("5_mixture", mixed, col("bpe_tokens"))
+      stageRow("0_input", base, Text.bpeTokenCount(col(textCol))),
+      stageRow("1_dedup", ded, Text.bpeTokenCount(col(textCol))),
+      stageRow("2_quality", quality, col("bpe_tokens")),
+      stageRow("3_lang", langed, col("bpe_tokens")),
+      stageRow("4_ppl", kept, col("bpe_tokens")),
+      stageRow("5_mixture", mixed, col("bpe_tokens"))
     ).reduce(_ unionByName _)
     CurationResult(kept, mixed, packed, report)
+  }
+
+  /** One funnel-report row: `(stage, n_docs, n_bpe_tokens)`. Shared by the
+    * batch DAG above and [[graft.streaming.CurateStream]]'s per-trigger /
+    * refit reports — st_curate_report's verbatim parity with the batch
+    * report depends on both emitting THIS exact aggregation, so there is
+    * exactly one copy.
+    */
+  private[graft] def stageRow(name: String, df: DataFrame,
+                              tok: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(tok.cast("long")), lit(0L)).as("n_bpe_tokens"))
+      .select(lit(name).as("stage"), col("n_docs"), col("n_bpe_tokens"))
   }
 }
 

@@ -79,6 +79,38 @@ object CurateStream {
   private[streaming] val GatedSchema =
     "doc_id LONG, domain STRING, text STRING, bpe_tokens LONG, batch LONG"
 
+  /** [[GatedSchema]] minus the dir-derived partition column — the schema
+    * of the FILES, for reads that enumerate leaf dirs explicitly.
+    */
+  private[streaming] val GatedDataSchema =
+    "doc_id LONG, domain STRING, text STRING, bpe_tokens LONG"
+
+  /** Marker file a compaction blob carries (written INSIDE the blob dir
+    * before the atomic rename publishes it): the batch-dir names the blob
+    * absorbed. Readers exclude marked dirs even when a crash interrupted
+    * the post-rename deletes — without this, a crash window would leave
+    * gated rows in BOTH the blob and an absorbed dir, and the next refit
+    * would double-count them (the registry tolerates duplicates, gated
+    * does not). Underscore prefix → parquet readers ignore the file.
+    */
+  private val AbsorbedMarker = "_absorbed"
+
+  private def deadDirNames(fs: org.apache.hadoop.fs.FileSystem,
+                           root: Path): Set[String] =
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=-"))
+      .flatMap { d =>
+        val m = new Path(d.getPath, AbsorbedMarker)
+        if (!fs.exists(m)) Seq.empty[String]
+        else {
+          val in = fs.open(m)
+          try scala.io.Source.fromInputStream(in).getLines()
+            .filter(_.nonEmpty).toList
+          finally in.close()
+        }
+      }.toSet
+
   /** What the gate WRITES to `report/batch=N`: this batch's funnel counts
     * for the per-trigger stages (0_input/1_dedup/2_quality/3_lang) —
     * additive across batches because those stages decide row-locally.
@@ -86,10 +118,10 @@ object CurateStream {
   private[streaming] val ReportSchema =
     "stage STRING, n_docs LONG, n_bpe_tokens LONG, batch LONG"
 
+  // the ONE funnel-row aggregation, shared with the batch DAG — verbatim
+  // report parity depends on both emitting exactly this shape
   private def stageRow(name: String, df: DataFrame, tok: Column): DataFrame =
-    df.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(tok.cast("long")), lit(0L)).as("n_bpe_tokens"))
-      .select(lit(name).as("stage"), col("n_docs"), col("n_bpe_tokens"))
+    graft.pipeline.Pipeline.stageRow(name, df, tok)
 
   /** foreachBatch gate: intra-batch canonical dedup, cross-batch digest
     * anti-join, quality + language filter; append survivors to
@@ -155,19 +187,23 @@ object CurateStream {
   def readGated(spark: SparkSession, workDir: String): DataFrame = {
     val root = new Path(s"$workDir/gated")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // exclude dirs a published compaction blob absorbed (the marker
+    // contract above) — they may linger if the post-rename deletes were
+    // interrupted, and reading them would double-count their rows
+    val dead = deadDirNames(fs, root)
     val dirs =
       if (fs.exists(root))
-        fs.listStatus(root).map(_.getPath.toString)
-          .filter(_.contains("batch=")).sorted.toSeq
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") && !dead(p.getName))
+          .map(_.toString).sorted.toSeq
       else Seq.empty
-    val dataSchema = "doc_id LONG, domain STRING, text STRING, bpe_tokens LONG"
     if (dirs.isEmpty)
       spark.range(0).select(col("id").as("doc_id"),
         lit(null).cast("string").as("domain"),
         lit(null).cast("string").as("text"),
         lit(0L).as("bpe_tokens"))
     else
-      spark.read.schema(dataSchema).option("ignoreMissingFiles", "true")
+      spark.read.schema(GatedDataSchema).option("ignoreMissingFiles", "true")
         .parquet(dirs: _*)
         .select("doc_id", "domain", "text", "bpe_tokens")
   }
@@ -233,33 +269,51 @@ object CurateStream {
     * still sees every row exactly once).
     */
   def compact(spark: SparkSession, workDir: String, upToBatch: Long): Unit = {
-    def compactDir(sub: String, schema: String, distinctCols: Option[Seq[String]]): Unit = {
+    def compactDir(sub: String, dataSchema: String,
+                   distinctCols: Option[Seq[String]]): Unit = {
       val root = new Path(s"$workDir/$sub")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(root)) return
-      val ids = fs.listStatus(root).map(_.getPath.getName)
+      val dead = deadDirNames(fs, root)
+      val all = fs.listStatus(root).map(_.getPath.getName)
         .filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong)
-      val absorbed = ids.filter(id => id < 0 || id < upToBatch)
-      if (absorbed.count(_ >= 0) == 0 && absorbed.length <= 1) return
-      val newId = math.min(ids.min, 0L) - 1L
-      val all = spark.read.schema(schema)
+      val live = all.filterNot(dead)
+      val liveIds = live.map(_.stripPrefix("batch=").toLong)
+      val absorbed = liveIds.filter(id => id < 0 || id < upToBatch)
+      // still garbage-collect a prior crash's leftover dead dirs even
+      // when there is nothing new to fold
+      if (absorbed.count(_ >= 0) == 0 && absorbed.length <= 1) {
+        dead.foreach(n => fs.delete(new Path(root, n), true))
+        return
+      }
+      // min over EVERY dir (dead included) so a crash can never reuse a
+      // blob id that a lingering marker still references
+      val newId = all.map(_.stripPrefix("batch=").toLong).min - 1L
+      val merged0 = spark.read.schema(dataSchema)
         .option("ignoreMissingFiles", "true")
-        .parquet(root.toString)
-        .filter(col("batch") < 0 || col("batch") < upToBatch)
-        .drop("batch")
-      val merged = distinctCols.fold(all)(cs =>
-        all.select(cs.map(col): _*).distinct())
+        .parquet(absorbed.map(id => s"$root/batch=$id"): _*)
+      val merged = distinctCols.fold(merged0)(cs =>
+        merged0.select(cs.map(col): _*).distinct())
       val tmp = new Path(s"$workDir/${sub}_compact_tmp")
       fs.delete(tmp, true)
       merged.write.mode("overwrite").parquet(tmp.toString)
+      // the marker rides INSIDE the blob, so the rename atomically
+      // publishes data + absorbed-list together: a crash during the
+      // deletes below leaves dirs that every reader already ignores
+      val out = fs.create(new Path(tmp, AbsorbedMarker), true)
+      out.writeBytes(absorbed.sorted.map(id => s"batch=$id")
+        .mkString("", "\n", "\n"))
+      out.close()
       fs.rename(tmp, new Path(s"$root/batch=$newId"))
       absorbed.foreach(id => fs.delete(new Path(s"$root/batch=$id"), true))
+      dead.foreach(n => fs.delete(new Path(root, n), true))
     }
-    compactDir("registry", ShaRegistrySchema, Some(Seq("content_sha")))
-    // gated rows across batches are disjoint by construction (the digest
-    // registry admits each text once) — a plain union, no distinct
-    compactDir("gated", GatedSchema, None)
+    compactDir("registry", "content_sha STRING", Some(Seq("content_sha")))
+    // gated rows across LIVE batches are disjoint by construction (the
+    // digest registry admits each text once) — a plain union; duplicates
+    // can only come from un-deleted absorbed dirs, which the marker
+    // excludes from every read
+    compactDir("gated", GatedDataSchema, None)
   }
 
   /** The currently-published packed training layout (snapshot-isolated;
@@ -276,12 +330,21 @@ object CurateStream {
     * answers [[graft.pipeline.Pipeline.curate]]'s report verbatim.
     */
   def readReport(spark: SparkSession, workDir: String): DataFrame = {
-    val perBatch = spark.read.schema(ReportSchema)
-      .option("ignoreMissingFiles", "true")
-      .parquet(s"$workDir/report")
-      .groupBy("stage")
-      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"))
+    val root = new Path(s"$workDir/report")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // missing-root guard (readGated's stance): without it a pre-first-
+    // trigger read dies on an unhelpful raw path error instead of
+    // SnapshotStore's clear "no committed snapshot" message below
+    val perBatch =
+      if (!fs.exists(root))
+        spark.range(0).select(lit("").as("stage"), lit(0L).as("n_docs"),
+          lit(0L).as("n_bpe_tokens"))
+      else spark.read.schema(ReportSchema)
+        .option("ignoreMissingFiles", "true")
+        .parquet(root.toString)
+        .groupBy("stage")
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"))
     val global = SnapshotStore.read(spark, s"$workDir/artifact", "report_global")
     perBatch.unionByName(global)
   }

@@ -114,6 +114,37 @@ class CurateStreamSpec extends SparkSpec {
     assert(packedSet(work) == wantPacked)
   }
 
+  test("a crash between blob publish and absorbed-dir deletes never double-counts") {
+    val work = graft.util.Scratch.dir("graft_stcur_spec")
+    CurateStream.curateBatch(work, cfg)(df(day0), 0L)
+    CurateStream.curateBatch(work, cfg)(df(day1), 1L)
+    val gatedBefore = CurateStream.readGated(spark, work)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // snapshot an absorbed partition, compact, then RESTORE it — the
+    // state a crash mid-deletes leaves behind
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g0 = new org.apache.hadoop.fs.Path(s"$work/gated/batch=0")
+    val bak = new org.apache.hadoop.fs.Path(s"$work/g0_bak")
+    org.apache.hadoop.fs.FileUtil.copy(fs, g0, fs, bak, false,
+      spark.sparkContext.hadoopConfiguration)
+    CurateStream.compact(spark, work, upToBatch = 2L)
+    org.apache.hadoop.fs.FileUtil.copy(fs, bak, fs, g0, false,
+      spark.sparkContext.hadoopConfiguration)
+    // the blob's _absorbed marker makes every reader ignore the leftover
+    assert(CurateStream.readGated(spark, work)
+      .select("doc_id").as[Long].collect().sorted.toSeq == gatedBefore,
+      "leftover absorbed dir must not double-count")
+    // the stream continues correctly, and the next compaction folds the
+    // leftover away instead of merging its rows twice
+    CurateStream.curateBatch(work, cfg)(df(day2), 2L)
+    CurateStream.compact(spark, work, upToBatch = 3L)
+    val gated = CurateStream.readGated(spark, work)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(gated.sorted == Seq(1L, 3L, 12L, 21L),
+      s"post-recovery gated store wrong: $gated")
+  }
+
   test("an empty trigger republishes unchanged artifacts and breaks nothing") {
     val work = graft.util.Scratch.dir("graft_stcur_spec")
     CurateStream.curateBatch(work, cfg)(df(day0), 0L)
