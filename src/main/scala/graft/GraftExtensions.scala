@@ -19,7 +19,8 @@ import graft.operators.Similarity
   * Registered: graft_dot, graft_cosine, graft_norm, graft_tokens,
   * graft_shingles, graft_lang_id, graft_bpe_token_count,
   * graft_fingerprint, graft_minhash, graft_band_sigs,
-  * graft_window_hashes, graft_delete_variants.
+  * graft_window_hashes, graft_delete_variants, graft_nfc,
+  * graft_clean_text.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -57,10 +58,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name: the width argument must be a literal")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // native codegen'd expression — injected directly
+    // native codegen'd expressions — injected directly
     inject(ext, "graft_dot", 2, {
       case Seq(l, r) => DotProduct(l, r)
     })
+    inject(ext, "graft_nfc", 1, {
+      case Seq(c) => graft.functions.NfcNormalize(c)
+    })
+    // the full corpus-ingest cleanup chain (functions/Normalize.scala)
+    inject(ext, "graft_clean_text", 1, col1(graft.functions.Normalize.cleaned))
     // Column-composed surfaces, shared verbatim with the DataFrame API
     inject(ext, "graft_cosine", 2, col2(Similarity.cosine))
     inject(ext, "graft_norm", 1, col1(Similarity.norm))

@@ -1121,6 +1121,46 @@ object SparkEntry {
     "t_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    // Corpus-ingest text normalization (functions/Normalize.scala): the
+    // native NFC Catalyst expression + the codegen'd cleanup chain. Mess is
+    // planted on doc_id%7 (decomposed accent, NBSP/em-space, CRLF, BEL,
+    // edge spaces); the oracle builds the identical mess with chr() and
+    // replays the identical regex chain over DuckDB's nfc_normalize.
+    "t_normalize" -> ((s, dir) => {
+      val raw = when(col("doc_id") % 7 === 0,
+        concat(lit("Café du monde  \t\r\n"),
+          col("text"), lit("  "))).otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("__raw"))
+        .select(col("doc_id"),
+          graft.functions.Normalize.cleaned(col("__raw")).as("norm_text"),
+          (graft.functions.Normalize.cleaned(col("__raw")) =!= col("__raw"))
+            .as("changed"),
+          length(col("__raw")).cast("long").as("n_chars_raw"))
+        .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+    }),
+    // C4 line-level cleaning (operators/LineCuration.scala) over the
+    // deterministically planted page corpus (LineCuration.plantPages
+    // scaladoc) — terminal-punct/word-count/javascript line gates plus the
+    // lorem-ipsum/curly-brace/min-lines page gates, all replayed in DuckDB.
+    "t_c4_lines" -> ((s, dir) =>
+      graft.operators.LineCuration.c4Clean(
+        graft.operators.LineCuration.plantPages(
+          Tables.documents(s, dir), "doc_id", "text"), "doc_id", "page")),
+    // Order-preserving intra-document line dedup on the same planted pages
+    // (even ids re-append their first two lines, so the removal count is
+    // provably exercised).
+    "t_line_dedup" -> ((s, dir) =>
+      graft.operators.LineCuration.dedupLines(
+        graft.operators.LineCuration.plantPages(
+          Tables.documents(s, dir), "doc_id", "text"), "doc_id", "page")),
+    // Gopher/MassiveText quality-rule battery on the planted pages: every
+    // signal, every per-rule verdict, and the composite flag, each
+    // hash-compared against the DuckDB transcription.
+    "t_gopher_report" -> ((s, dir) =>
+      graft.operators.LineCuration.gopherReport(
+        graft.operators.LineCuration.plantPages(
+          Tables.documents(s, dir), "doc_id", "text"), "doc_id", "page")),
     // BPE tokenizer-training step: corpus-wide weighted adjacent-char
     // pair counts at distinct-word grain — integer counting all the way,
     // so the oracle replicates the whole pass verbatim
@@ -3254,7 +3294,11 @@ object SparkEntry {
     "pipeline_tokenize_pack",
     // round 10: the streaming end-to-end curation DAG (3-trigger replay,
     // per-trigger global refit + atomic artifact commit)
-    "st_curate")
+    "st_curate",
+    // round 10b: the line-grain curation family + NFC normalization —
+    // all four are shuffle-free single projections (PlanAuditSpec pins
+    // zero exchanges), so they double as a map-throughput benchmark
+    "t_normalize", "t_c4_lines", "t_line_dedup", "t_gopher_report")
 
   // ---- DuckDB oracle twins ----
 
@@ -3264,6 +3308,32 @@ object SparkEntry {
   /** Shared SQL fragment: whitespace tokens of a text column. */
   private def sqlTokens(textExpr: String): String =
     s"list_filter(string_split_regex(trim($textExpr), '\\s+'), x -> len(x) > 0)"
+
+  /** Oracle-side twin of LineCuration.plantPages — the deterministic page
+    * structure (6-word lines, modulo-scheduled bullets/symbols/punctuation,
+    * poison lines, duplicate tail) replayed verbatim; ends in
+    * `pages(doc_id, page)`. Shared by the t_c4_lines / t_line_dedup /
+    * t_gopher_report twins.
+    */
+  private lazy val sqlPagedCtes: String =
+    s"""ptoks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+       plines AS (SELECT doc_id,
+           list_transform(generate_series(0, (len(ts) + 5) // 6 - 1), i ->
+               (CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END)
+            || array_to_string(list_slice(ts, i*6 + 1, i*6 + 6), ' ')
+            || (CASE WHEN (doc_id + i) % 9 = 0 THEN ' #' ELSE '' END)
+            || (CASE WHEN (doc_id + i) % 7 = 0 THEN '...'
+                     WHEN (doc_id + i) % 3 = 0 THEN '.'
+                     WHEN (doc_id + i) % 3 = 2 THEN '!'
+                     ELSE '' END)) AS ls
+         FROM ptoks WHERE len(ts) > 0),
+       pages AS (SELECT doc_id, array_to_string(
+           ls
+           || (CASE WHEN doc_id % 11 = 0 THEN ['this line has javascript inside it.'] ELSE CAST([] AS VARCHAR[]) END)
+           || (CASE WHEN doc_id % 13 = 0 THEN ['and this page mentions lorem ipsum.'] ELSE CAST([] AS VARCHAR[]) END)
+           || (CASE WHEN doc_id % 17 = 0 THEN ['{ a curly brace config line.'] ELSE CAST([] AS VARCHAR[]) END)
+           || (CASE WHEN doc_id % 2 = 0 THEN list_slice(ls, 1, 2) ELSE CAST([] AS VARCHAR[]) END),
+           chr(10)) AS page FROM plines)"""
 
   /** Oracle-side twin of [[passageCorpus]] + Passages.windowOccurrences —
     * the shared CTE prefix for the duplicated-passage oracles. Windows are
@@ -4280,6 +4350,66 @@ object SparkEntry {
                 AND mean_token_len >= 2 AND mean_token_len <= 15
                 AND punct_ratio < 0.3 AND stopword_ratio > 0.01) AS quality_ok
          FROM st""",
+    // the identical mess built with chr(), the identical regex chain over
+    // DuckDB's nfc_normalize (classes spelled out — Java \s and RE2 \s
+    // disagree on \x0B, Normalize.scaladoc)
+    "t_normalize" ->
+      s"""WITH m AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'Cafe'||chr(769)||chr(160)||'du'||chr(8195)||'monde  '||chr(9)||chr(13)||chr(10)||chr(7)||text||'  '
+                ELSE text END AS raw FROM documents),
+         n AS (SELECT doc_id, raw,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             nfc_normalize(raw),
+             '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+             '[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]', ' ', 'g'),
+             '[ \\t]+', ' ', 'g'),
+             ' ?\\n ?', chr(10), 'g')) AS norm_text FROM m)
+         SELECT doc_id, norm_text, (norm_text != raw) AS changed,
+           CAST(len(raw) AS BIGINT) AS n_chars_raw,
+           CAST(len(norm_text) AS BIGINT) AS n_chars_norm FROM n""",
+    "t_c4_lines" ->
+      s"""WITH $sqlPagedCtes,
+         l AS (SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM pages),
+         k AS (SELECT doc_id, page, lines,
+           list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$$')
+             AND len(regexp_split_to_array(trim(x), ' +')) >= 5
+             AND NOT contains(lower(x), 'javascript')) AS kept FROM l)
+         SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           (len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
+             AND NOT contains(page, '{')) AS doc_kept FROM k""",
+    "t_line_dedup" ->
+      s"""WITH $sqlPagedCtes,
+         l AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pages),
+         k AS (SELECT doc_id, lines,
+           list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept FROM l)
+         SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(kept) AS BIGINT) AS n_dups_removed FROM k""",
+    "t_gopher_report" ->
+      s"""WITH $sqlPagedCtes,
+         g AS (SELECT doc_id, page, string_split(page, chr(10)) AS lines,
+                      ${sqlTokens("page")} AS ws FROM pages),
+         m AS (SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           round(CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) ELSE 0.0 END, 6) AS mean_word_len,
+           round(CASE WHEN len(ws) > 0 THEN CAST((len(page) - len(replace(page, '#', ''))) + (len(page) - len(replace(page, '...', ''))) // 3 AS DOUBLE) / len(ws) ELSE 0.0 END, 6) AS symbol_ratio,
+           round(CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* ') OR starts_with(x, '• '))) AS DOUBLE) / len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
+           round(CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, x -> ends_with(x, '...'))) AS DOUBLE) / len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+           round(CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(ws) ELSE 0.0 END, 6) AS alpha_word_frac,
+           CAST(len(list_filter($enOracleList, s -> list_contains(ws, s))) AS BIGINT) AS n_stop_present
+         FROM g)
+         SELECT *, (n_words BETWEEN 50 AND 100000) AS r_word_count,
+           (mean_word_len >= 3 AND mean_word_len <= 10) AS r_mean_len,
+           (symbol_ratio <= 0.1) AS r_symbol,
+           (bullet_line_frac <= 0.9) AS r_bullet,
+           (ellipsis_line_frac <= 0.3) AS r_ellipsis,
+           (alpha_word_frac >= 0.8) AS r_alpha,
+           (n_stop_present >= 2) AS r_stop,
+           (r_word_count AND r_mean_len AND r_symbol AND r_bullet
+             AND r_ellipsis AND r_alpha AND r_stop) AS gopher_ok FROM m""",
     "t_top_ngrams" ->
       s"""WITH toks AS (SELECT ${sqlTokens("text")} AS ts FROM documents),
          sh AS (SELECT list_transform(generate_series(1, greatest(len(ts) - 2, 1)),

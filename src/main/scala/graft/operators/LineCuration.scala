@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Line-grain corpus curation — the page-level cleaning passes every
+  * public pretraining recipe runs before tokenization: C4's
+  * terminal-punctuation line filter (Raffel et al. 2020, §2.2), the
+  * Gopher/MassiveText document-quality rule battery (Rae et al. 2021,
+  * appendix A1.1), and order-preserving intra-document line dedup.
+  *
+  * All three are single-projection, shuffle-free operators: a document's
+  * lines live in one array cell, so the whole pass is a map over the scan
+  * — embarrassingly parallel, the exact shape that scales to 100 TB (no
+  * exchange anywhere; `.explain` shows scan → project). The per-line
+  * predicates run as array higher-order functions; each lambda touches one
+  * short line, so the interpreted-HOF cost that makes shingle explosion a
+  * trap (Text.shinglesFromTokens scaladoc) does not bite at line grain.
+  */
+object LineCuration {
+
+  /** C4-style line filter + page gate (the T5 corpus recipe, re-expressed
+    * over any (id, multi-line text) input):
+    *
+    *  - a LINE survives iff it (trimmed) ends in terminal punctuation
+    *    (`.`, `!`, `?`, `"`), has at least `minWords` space-separated
+    *    words, and does not mention "javascript" (case-insensitive);
+    *  - the PAGE is kept iff at least `minKeptLines` lines survived, the
+    *    raw page mentions no "lorem ipsum" (case-insensitive), and
+    *    contains no `{`.
+    *
+    * Emits every page with its cleaned text and the keep decision — the
+    * caller filters on `doc_kept` (keeping the report queryable, the
+    * v_rules convention).
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col("__page"), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), " +")) >= minWords &&
+        !lower(l).contains("javascript"))
+    docs.select(col(idCol), col(textCol).as("__page"))
+      .select(col(idCol), lines.as("__lines"), kept.as("__kept"), col("__page"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__kept")) >= minKeptLines &&
+          !lower(col("__page")).contains("lorem ipsum") &&
+          !col("__page").contains("{")).as("doc_kept"))
+  }
+
+  /** Order-preserving intra-document line dedup (the MassiveText
+    * preprocessing step): a line is kept iff it is the FIRST occurrence of
+    * its content in the document. The indexed-filter form
+    * (`array_position(lines, l) == i + 1`) is O(lines²) per document with
+    * zero shuffle; lines-per-document is bounded (thousands, not
+    * millions), so the quadratic term is a per-row constant — for a
+    * corpus-wide grain change (dedup ACROSS documents) use
+    * [[Passages]]/[[Dedup]] instead.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol), col("__lines"),
+        filter(col("__lines"),
+          (l, i) => array_position(col("__lines"), l) === i + 1).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_dups_removed"))
+
+  /** The Gopher document-quality rule battery — one row per document with
+    * every signal, every per-rule verdict, and the composite keep flag:
+    *
+    *  - `r_word_count`: word count in [minWords, maxWords];
+    *  - `r_mean_len`: mean word length in [minMeanLen, maxMeanLen];
+    *  - `r_symbol`: (`#` + `...` occurrences) / words ≤ maxSymbolRatio;
+    *  - `r_bullet`: fraction of lines starting `- `/`* `/`• ` ≤ maxBullet;
+    *  - `r_ellipsis`: fraction of lines ending `...` ≤ maxEllipsis;
+    *  - `r_alpha`: fraction of words containing a letter ≥ minAlpha;
+    *  - `r_stop`: at least `minStopHits` DISTINCT members of `stopList`
+    *    appear (Text.stopwords("en") by default — the published rule uses
+    *    a fixed 8-word set; the list is a parameter).
+    *
+    * Ratios are round(…, 6) BEFORE thresholding (the oracle-compare
+    * convention — the verdicts must be reproducible from the emitted
+    * signals). Like [[c4Clean]], emits every document; callers filter on
+    * `gopher_ok`.
+    */
+  def gopherReport(docs: DataFrame, idCol: String, textCol: String,
+                   stopList: Seq[String] = Text.stopwords("en"),
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanLen: Double = 3, maxMeanLen: Double = 10,
+                   maxSymbolRatio: Double = 0.1, maxBullet: Double = 0.9,
+                   maxEllipsis: Double = 0.3, minAlpha: Double = 0.8,
+                   minStopHits: Int = 2): DataFrame = {
+    val page = col("__page")
+    val ws = col("__ws")
+    val lines = col("__lines")
+    val frac6 = (num: Column, den: Column) =>
+      round(when(den > 0, num.cast("double") / den).otherwise(lit(0.0)), 6)
+    val nHash = length(page) - length(replace(page, lit("#"), lit("")))
+    val nEllipsis = (length(page) - length(replace(page, lit("..."), lit("")))) / 3
+    val base = docs.select(col(idCol), col(textCol).as("__page"))
+      .select(col(idCol), page, Text.tokens(page).as("__ws"),
+        split(page, "\n").as("__lines"))
+      .select(col(idCol),
+        size(ws).cast("long").as("n_words"),
+        frac6(length(concat_ws("", ws)), size(ws)).as("mean_word_len"),
+        frac6(nHash + floor(nEllipsis), size(ws)).as("symbol_ratio"),
+        frac6(size(filter(lines, l => l.startsWith("- ") ||
+          l.startsWith("* ") || l.startsWith("• "))), size(lines))
+          .as("bullet_line_frac"),
+        frac6(size(filter(lines, l => l.endsWith("..."))), size(lines))
+          .as("ellipsis_line_frac"),
+        frac6(size(filter(ws, w => w.rlike("[a-zA-Z]"))), size(ws))
+          .as("alpha_word_frac"),
+        size(filter(typedlit(stopList), s => array_contains(ws, s)))
+          .cast("long").as("n_stop_present"))
+    base.select(col("*"),
+      col("n_words").between(minWords, maxWords).as("r_word_count"),
+      (col("mean_word_len") >= minMeanLen &&
+        col("mean_word_len") <= maxMeanLen).as("r_mean_len"),
+      (col("symbol_ratio") <= maxSymbolRatio).as("r_symbol"),
+      (col("bullet_line_frac") <= maxBullet).as("r_bullet"),
+      (col("ellipsis_line_frac") <= maxEllipsis).as("r_ellipsis"),
+      (col("alpha_word_frac") >= minAlpha).as("r_alpha"),
+      (col("n_stop_present") >= minStopHits).as("r_stop"))
+      .withColumn("gopher_ok",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop"))
+  }
+
+  /** Test-harness corpus: the synthetic documents are single-line word
+    * bags, so the line-grain operators need a page STRUCTURE planted
+    * deterministically (the passageCorpus convention — the plant is part
+    * of the harness, not the operator, and the DuckDB oracle replays it
+    * verbatim). Per document: lowercase tokens re-wrapped into 6-word
+    * lines; line i gets a `- ` bullet when (id+i)%5=0, a ` #` symbol when
+    * (id+i)%9=0, and a suffix by the first match of (id+i)%7=0 → `...`,
+    * (id+i)%3=0 → `.`, (id+i)%3=2 → `!`, else none. Pages with id%11=0 /
+    * %13=0 / %17=0 gain a javascript / lorem-ipsum / `{` poison line (the
+    * C4 page gates), and even ids re-append their first two lines (the
+    * dedup plant). Token-empty documents are dropped on both sides.
+    */
+  def plantPages(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val ts = col("__ts")
+    val emptyArr = array().cast("array<string>")
+    val withTs = docs
+      .select(id, Text.tokens(lower(col(textCol))).as("__ts"))
+      .filter(size(ts) > 0)
+    val lines = transform(
+      sequence(lit(0L), floor((size(ts) + 5) / 6).cast("long") - 1),
+      i => {
+        val k = id + i
+        concat(
+          when(k % 5 === 0, "- ").otherwise(""),
+          concat_ws(" ", slice(ts, (i * 6 + 1).cast("int"), lit(6))),
+          when(k % 9 === 0, " #").otherwise(""),
+          when(k % 7 === 0, "...")
+            .when(k % 3 === 0, ".")
+            .when(k % 3 === 2, "!")
+            .otherwise(""))
+      })
+    withTs.select(id, lines.as("__ls"))
+      .select(id,
+        array_join(
+          concat(col("__ls"),
+            when(id % 11 === 0,
+              array(lit("this line has javascript inside it.")))
+              .otherwise(emptyArr),
+            when(id % 13 === 0,
+              array(lit("and this page mentions lorem ipsum.")))
+              .otherwise(emptyArr),
+            when(id % 17 === 0,
+              array(lit("{ a curly brace config line.")))
+              .otherwise(emptyArr),
+            when(id % 2 === 0, slice(col("__ls"), 1, 2)).otherwise(emptyArr)),
+          "\n").as("page"))
+  }
+}

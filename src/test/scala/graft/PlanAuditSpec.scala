@@ -192,6 +192,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 4, s"expected 4 scans, got $scans in:\n$p")
   }
 
+  test("line-curation family + normalization: zero exchanges — pure map over the scan") {
+    // the 100 TB story for these four IS the absence of any shuffle:
+    // a single projection per document, embarrassingly parallel
+    Seq("t_normalize", "t_c4_lines", "t_line_dedup", "t_gopher_report")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("Exchange"), s"$name plans a shuffle:\n$p")
+        assert(!p.contains("Join"), s"$name plans a join:\n$p")
+        val scans = "Scan parquet".r.findAllIn(p).length
+        assert(scans == 1, s"$name: expected 1 scan, got $scans in:\n$p")
+      }
+  }
+
   test("pipeline_corpus_prep: single-pass dedup — 2 scans (the union), no join") {
     val p = plan("pipeline_corpus_prep")
     val scans = "Scan parquet".r.findAllIn(p).length

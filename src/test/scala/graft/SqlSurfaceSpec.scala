@@ -54,6 +54,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getLong(4) != r.getLong(5), "fingerprint must be order-sensitive")
   }
 
+  test("normalization functions from SQL: graft_nfc and graft_clean_text") {
+    val r = sqlSession.sql(
+      """SELECT graft_nfc('Café') AS composed,
+                graft_clean_text('  a  b\r\nc  ') AS cleaned""").collect()(0)
+    assert(r.getString(0) == "Café")
+    assert(r.getString(1) == "a b\nc")
+  }
+
   test("SQL twins equal the DataFrame-API composition on a real column") {
     import org.apache.spark.sql.functions.col
     val s = sqlSession
