@@ -77,7 +77,7 @@ object Unigram {
     val singles = words
       .select(explode(transform(
         sequence(lit(1), length(col("word"))),
-        i => substring(col("word"), i, 1))).as("piece"), col("cnt"))
+        i => substring(col("word"), i, lit(1)))).as("piece"), col("cnt"))
       .groupBy("piece").agg(sum(col("cnt")).as("weight"))
     // a single char may also sit in the multi top-k only if maxPieceLen
     // made it so (it cannot — L ≥ 2), so the union is disjoint by length
