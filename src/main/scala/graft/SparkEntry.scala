@@ -291,6 +291,68 @@ object SparkEntry {
     Tables.embeddings(s, dir).withColumn("emb_d",
       transform(col("embedding"), x => x.cast("double")))
 
+  /** The FIXED prime-log piece table behind t_unigram_segment: every
+    * lowercase letter/digit plus six common bigrams, each scored
+    * log(prime) with a distinct prime. Distinct paths multiply distinct
+    * prime sets, so path scores are tie-free by unique factorization
+    * (bigram primes sit away from their char-prime products — "er"'s 673
+    * vs 11·61 = 671 is the closest pair, a 0.3% log gap, far above float
+    * noise). ONE source of truth: the Scala map and the SQL VALUES list
+    * below both derive from this sequence, so they cannot diverge.
+    */
+  private val unigramPrimes: Seq[(String, Int)] = {
+    val letterPrimes = Seq(2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41,
+      43, 47, 53, 59, 61, 67, 71, 73, 79, 83, 89, 97, 101)
+    val digitPrimes = Seq(103, 107, 109, 113, 127, 131, 137, 139, 149, 151)
+    ('a' to 'z').map(_.toString).zip(letterPrimes) ++
+      ('0' to '9').map(_.toString).zip(digitPrimes) ++
+      Seq("th" -> 1361, "he" -> 211, "in" -> 991, "er" -> 673,
+        "an" -> 89, "re" -> 677)
+  }
+
+  private lazy val unigramFixedTable: Map[String, Double] =
+    unigramPrimes.map { case (p, n) => p -> math.log(n.toDouble) }.toMap
+
+  /** DuckDB VALUES twin of [[unigramFixedTable]] — ln(prime) evaluates
+    * engine-side, so both engines' doubles agree to libm rounding and the
+    * round-6 output absorbs the residue.
+    */
+  private lazy val sqlUnigramPieces: String =
+    unigramPrimes.map { case (p, n) => s"('$p', ln($n))" }.mkString(", ")
+
+  /** Derived-invariant twin for unigram-LM EM training (rows-only by
+    * design: cross-word float aggregation order makes trained
+    * probabilities reproducible only to association noise —
+    * Unigram.scala:29-35). Flags computed from the ACTUAL trained model:
+    * the EM log-likelihood trace must be non-decreasing through the
+    * pre-prune passes (1e-6 relative slack; the post-prune final entry MAY
+    * dip — pruning removes mass by design), every tokenizer character must
+    * survive pruning (coverage), the vocabulary must respect its bound,
+    * and the final table must be a probability distribution.
+    */
+  private def unigramTrainValid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val emIters = 3
+    val m = graft.operators.Unigram.train(docs, "text", vocabSize = 96,
+      maxPieceLen = 6, seedSize = 256, emIters = emIters)
+    val corpusChars = graft.operators.Unigram.wordCounts(docs, "text")
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(length(col("c")) === 1)
+      .distinct().as[String].collect().toSet
+    val singles = m.logp.keySet.filter(_.length == 1)
+    val pre = m.llTrace.take(emIters)
+    val nonDec = pre.zip(pre.tail).forall { case (a, b) =>
+      b >= a - 1e-6 * math.abs(a) }
+    val covered = corpusChars.subsetOf(singles)
+    val bounded = m.logp.size <= math.max(96, singles.size)
+    val mass = m.logp.values.map(math.exp).sum
+    Seq((m.llTrace.length.toLong, nonDec, covered, bounded,
+      math.abs(mass - 1.0) < 1e-6))
+      .toDF("ll_len", "ll_nondecreasing", "singles_covered",
+        "vocab_bounded", "probs_normalized")
+  }
+
   /** Structural validity of a top-k result (VERDICT r09 #7 — the
     * derived-invariant oracle for seeded-hash outputs DuckDB cannot
     * replay): per query, ranks must be exactly 1..n with n ≤ k, the
@@ -1233,6 +1295,31 @@ object SparkEntry {
     // after the same 3 merges, flat-string serialized
     "t_bpe_segment" -> ((s, dir) =>
       Text.bpeSegment(Tables.documents(s, dir), "text", nMerges = 3)),
+    // Unigram tokenizer SEED vocabulary (Kudo 2018 step 1 — the other
+    // tokenizer family beside BPE): substring candidates at distinct-word
+    // grain, top-k by corpus weight, singles appended unconditionally.
+    // Pure integer counting → the oracle replays it verbatim (seedSize
+    // 128 so the top-k boundary actually bites on this corpus).
+    "t_unigram_seed" -> ((s, dir) =>
+      graft.operators.Unigram.seedVocab(Tables.documents(s, dir), "text",
+        maxPieceLen = 8, seedSize = 128)),
+    // Viterbi segmentation under the FIXED prime-log table
+    // (unigramFixedTable): tie-free by unique prime factorization, score
+    // a fixed left-fold both engines replay bit-for-bit — the oracle
+    // enumerates EVERY lattice path by recursive CTE and takes the same
+    // argmax. Words with uncoverable chars (punctuation — table covers
+    // [a-z0-9]) drop on both sides; ≤12-char cap bounds the oracle's
+    // path enumeration.
+    "t_unigram_segment" -> ((s, dir) => {
+      val words = graft.operators.Unigram
+        .wordCounts(Tables.documents(s, dir), "text")
+        .filter(length(col("word")) <= 12).select("word")
+      graft.operators.Unigram.segmentWords(words, "word",
+        unigramFixedTable, maxPieceLen = 2)
+    }),
+    // Full EM training — rows-only with derived invariants (the
+    // unigramTrainValid scaladoc has the why).
+    "t_unigram_train_valid" -> ((s, dir) => unigramTrainValid(s, dir)),
     // Unigram-LM scoring (operators/LanguageModel.scala): the CCNet-style
     // statistical quality signal. Train on the even-doc_id half (odd docs
     // then carry genuinely unseen tokens through the add-one floor),
@@ -4468,6 +4555,46 @@ object SparkEntry {
     // every chosen pair existed (count >= 1)
     "t_bpe_train256_shape" ->
       "SELECT CAST(256 AS BIGINT) AS n_merges, true AS counts_positive",
+    // unigram seed vocab: the substring-explode counting replayed
+    // verbatim (generate_series(1, 0) is [] in DuckDB, so the too-short
+    // guard is implicit in the comprehension bounds)
+    "t_unigram_seed" ->
+      s"""WITH w AS (SELECT unnest(${sqlTokens("lower(text)")}) AS word FROM documents),
+         wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+         subs AS (SELECT unnest(flatten([[substring(word, i, L) for i in generate_series(1, len(word) - L + 1)] for L in generate_series(2, 8) if len(word) >= L])) AS piece, cnt FROM wc),
+         multi AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS weight FROM subs GROUP BY 1 ORDER BY weight DESC, piece LIMIT 128),
+         sing AS (SELECT unnest([substring(word, i, 1) for i in generate_series(1, len(word))]) AS piece, cnt FROM wc),
+         sgrp AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS weight FROM sing GROUP BY 1)
+         SELECT piece, weight FROM multi UNION ALL SELECT piece, weight FROM sgrp""",
+    // Viterbi under the fixed prime-log table: exhaustive lattice-path
+    // enumeration (recursive CTE), same left-fold score accumulation in
+    // path order, same (score desc, fewer pieces, lex path) argmax
+    "t_unigram_segment" ->
+      s"""WITH RECURSIVE pieces(piece, lp) AS (VALUES $sqlUnigramPieces),
+         w AS (SELECT unnest(${sqlTokens("lower(text)")}) AS word FROM documents),
+         wc AS (SELECT word FROM w WHERE len(word) <= 12 GROUP BY 1),
+         paths(word, pos, path, npieces, score) AS (
+           SELECT word, 0, '', 0, CAST(0.0 AS DOUBLE) FROM wc
+           UNION ALL
+           SELECT p.word, p.pos + len(pc.piece),
+                  CASE WHEN p.path = '' THEN pc.piece ELSE p.path || '|' || pc.piece END,
+                  p.npieces + 1, p.score + pc.lp
+           FROM paths p JOIN pieces pc
+             ON p.pos + len(pc.piece) <= len(p.word)
+            AND substring(p.word, p.pos + 1, len(pc.piece)) = pc.piece),
+         complete AS (SELECT word, path, npieces, score FROM paths WHERE pos = len(word)),
+         ranked AS (SELECT word, path AS pieces, CAST(npieces AS BIGINT) AS n_pieces,
+                  round(score, 6) AS score,
+                  row_number() OVER (PARTITION BY word
+                    ORDER BY score DESC, npieces ASC, path ASC) AS rn
+                  FROM complete)
+         SELECT word, pieces, n_pieces, score FROM ranked WHERE rn = 1""",
+    // EM training: literal structural truth (unigramTrainValid computes
+    // the flags from the actual model; emIters 3 + the post-prune pass)
+    "t_unigram_train_valid" ->
+      """SELECT CAST(4 AS BIGINT) AS ll_len, true AS ll_nondecreasing,
+                true AS singles_covered, true AS vocab_bounded,
+                true AS probs_normalized""",
     // epoch plan: domain-grain token mass vs quota, integer passes +
     // leftover + rounded fractional epochs
     "pipeline_epoch_plan" ->
