@@ -1223,6 +1223,17 @@ object SparkEntry {
       graft.operators.LineCuration.gopherReport(
         graft.operators.LineCuration.plantPages(
           Tables.documents(s, dir), "doc_id", "text"), "doc_id", "page")),
+    // URL/domain front door (VERDICT r10 #5 — the step ahead of c4Clean):
+    // canonicalization + blocklist gate (one suffix-matched, one exact)
+    // + canonical-URL dedup over the planted crawl. The oracle replays
+    // the planting and every normalization step; the blocked "spam
+    // .tracker.net" rows prove the subdomain suffix match.
+    "t_url_filter" -> ((s, dir) =>
+      graft.operators.LineCuration.urlFilter(
+        graft.operators.LineCuration.plantUrls(
+          Tables.documents(s, dir), "doc_id"),
+        "doc_id", "url",
+        blocked = Seq("tracker.net", "ads.clickbait.io"))),
     // BPE tokenizer-training step: corpus-wide weighted adjacent-char
     // pair counts at distinct-word grain — integer counting all the way,
     // so the oracle replicates the whole pass verbatim
@@ -4475,6 +4486,62 @@ object SparkEntry {
          SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
            CAST(len(lines) AS BIGINT) AS n_lines,
            CAST(len(lines) - len(kept) AS BIGINT) AS n_dups_removed FROM k""",
+    // URL front door: plantUrls + every urlCanonicalize step replayed
+    // (RE2 side of the shared lookahead-free patterns; DuckDB's
+    // first-match regexp_replace equals Spark's global replace here —
+    // every pattern is end-anchored, so at most one match exists)
+    "t_url_filter" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS s,
+           (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+           (CASE doc_id % 6 WHEN 0 THEN 'news.example.com'
+              WHEN 1 THEN 'blog.example.org' WHEN 2 THEN 'spam.tracker.net'
+              WHEN 3 THEN 'docs.example.com' WHEN 4 THEN 'ads.clickbait.io'
+              ELSE 'shop.example.com' END) AS h
+         FROM documents),
+       u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 8 < 2 THEN upper(s) ELSE s END) || '://' ||
+           (CASE WHEN doc_id % 10 = 0 THEN upper(h) ELSE h END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN
+              (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+            ELSE '' END) ||
+           '/p/' || CAST(doc_id % 10 AS VARCHAR) ||
+           (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+           (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=r' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN doc_id % 4 = 2 THEN '?ref=r' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+                 ELSE '' END) ||
+           (CASE WHEN doc_id % 9 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+         FROM d),
+       c0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+       c1 AS (SELECT doc_id, url, nf,
+                regexp_extract(nf, '^([A-Za-z]+://[^/?#]*)', 1) AS head FROM c0),
+       c2 AS (SELECT doc_id, url,
+                lower(head) || substring(nf, len(head) + 1) AS lo FROM c1),
+       c3 AS (SELECT doc_id, url,
+                regexp_replace(regexp_replace(lo,
+                  '^(http://[^/:?]+):80([/?].*)?$', '\1\2'),
+                  '^(https://[^/:?]+):443([/?].*)?$', '\1\2') AS np FROM c2),
+       c4 AS (SELECT doc_id, url,
+                regexp_replace(np, '^(https?://)www\.', '\1') AS nw FROM c3),
+       c5 AS (SELECT doc_id, url,
+                regexp_replace(regexp_replace(nw, '\?.*$', ''), '/$', '') AS base,
+                list_filter(string_split(regexp_extract(nw, '\?(.*)$', 1), '&'),
+                  p -> p <> '' AND NOT regexp_matches(p, '^utm_')) AS ps FROM c4),
+       c6 AS (SELECT doc_id, url,
+                CASE WHEN len(ps) = 0 THEN base
+                     ELSE base || '?' || array_to_string(ps, '&') END AS canonical_url
+              FROM c5),
+       c7 AS (SELECT doc_id, url, canonical_url,
+                regexp_extract(canonical_url, '^https?://([^/:?]+)', 1) AS domain FROM c6),
+       c8 AS (SELECT doc_id, url, canonical_url, domain,
+                (domain = 'tracker.net' OR ends_with(domain, '.tracker.net')
+                 OR domain = 'ads.clickbait.io'
+                 OR ends_with(domain, '.ads.clickbait.io')) AS domain_blocked FROM c7),
+       c9 AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY canonical_url, domain_blocked
+                ORDER BY doc_id) AS BIGINT) AS url_rank FROM c8)
+       SELECT doc_id, url, canonical_url, domain, domain_blocked, url_rank,
+              (NOT domain_blocked AND url_rank = 1) AS url_kept FROM c9""",
     "t_gopher_report" ->
       s"""WITH $sqlPagedCtes,
          g AS (SELECT doc_id, page, string_split(page, chr(10)) AS lines,

@@ -148,6 +148,105 @@ object LineCuration {
     * C4 page gates), and even ids re-append their first two lines (the
     * dedup plant). Token-empty documents are dropped on both sides.
     */
+  /** URL canonicalization — the normalization every web-corpus front door
+    * (RefinedWeb §3.1, C4's provenance handling) applies before URL-level
+    * dedup, as one shuffle-free codegen'd projection:
+    *
+    *  1. strip the fragment (`#…`);
+    *  2. lowercase the scheme+authority head (path/query case survives);
+    *  3. strip default ports (`:80` on http, `:443` on https);
+    *  4. strip a leading `www.`;
+    *  5. drop `utm_*` tracking params, re-joining the survivors in order
+    *     (the `?` goes too when nothing survives);
+    *  6. strip a trailing `/` from the path.
+    *
+    * No lookaheads anywhere — the same patterns run under Java regex here
+    * and RE2 in the DuckDB oracle, and the two dialects only agree on the
+    * lookahead-free subset.
+    */
+  def urlCanonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val head = regexp_extract(noFrag, "^([A-Za-z]+://[^/?#]*)", 1)
+    val lowered = concat(lower(head),
+      substring(noFrag, length(head) + 1, length(noFrag)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?]+):80([/?].*)?$", "$1$2"),
+      "^(https://[^/:?]+):443([/?].*)?$", "$1$2")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    val base = regexp_replace(regexp_replace(noWww, "\\?.*$", ""), "/$", "")
+    val query = regexp_extract(noWww, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => !(p === "" || p.rlike("^utm_")))
+    when(size(params) === 0, base)
+      .otherwise(concat(base, lit("?"), array_join(params, "&")))
+  }
+
+  /** Blocklist/allowlist domain gate + canonical-URL dedup — the corpus
+    * front door ahead of [[c4Clean]]. Per input row: the canonical URL,
+    * its registrable domain, the block verdict (exact match or subdomain
+    * of a blocked domain; an empty `allowed` list means no allowlist
+    * restriction), the dedup rank among same-verdict rows of the
+    * canonical group (doc_id ascending — first-crawled wins), and the
+    * composite keep flag. Report-style output (the v_rules convention):
+    * every row with its flags, caller filters on `url_kept`.
+    *
+    * Scale shape: one projection + ONE hash-partitioned window over
+    * canonical_url (the dedup grain) — no global sort, no broadcast of
+    * anything but the literal domain lists; group cardinality is bounded
+    * by crawl duplication, never corpus size.
+    */
+  def urlFilter(pages: DataFrame, idCol: String, urlCol: String,
+                blocked: Seq[String],
+                allowed: Seq[String] = Nil): DataFrame = {
+    val canon = urlCanonicalize(col(urlCol))
+    val domain = regexp_extract(col("canonical_url"), "^https?://([^/:?]+)", 1)
+    def inList(ds: Seq[String]) = ds
+      .map(b => col("domain") === b || col("domain").endsWith("." + b))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_url"), col("domain_blocked"))
+      .orderBy(col(idCol))
+    pages.select(col(idCol), col(urlCol), canon.as("canonical_url"))
+      .withColumn("domain", domain)
+      .withColumn("domain_blocked",
+        inList(blocked) ||
+          (if (allowed.nonEmpty) !inList(allowed) else lit(false)))
+      .withColumn("url_rank", row_number().over(w).cast("long"))
+      .withColumn("url_kept", !col("domain_blocked") && col("url_rank") === 1)
+  }
+
+  /** Deterministic (doc_id, url) planting for the t_url_filter oracle:
+    * modulo-scheduled domains (two of six blocked), uppercase
+    * scheme/host variants, `www.` prefixes, default ports, shared paths
+    * (mod 10 — collisions within small corpora), `utm_*` tracking
+    * params, trailing slashes, and fragments, so every canonicalization
+    * rule and the dedup rank are all exercised and SQL-replayable.
+    */
+  def plantUrls(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val domains = Seq("news.example.com", "blog.example.org",
+      "spam.tracker.net", "docs.example.com", "ads.clickbait.io",
+      "shop.example.com")
+    val dom = element_at(array(domains.map(lit): _*), (id % 6).cast("int") + 1)
+    val scheme0 = when(id % 2 === 0, "http").otherwise("https")
+    val scheme = when(id % 8 < 2, upper(scheme0)).otherwise(scheme0)
+    val host0 = concat(when(id % 3 === 0, "www.").otherwise(""), dom)
+    val host = when(id % 10 === 0, upper(host0)).otherwise(host0)
+    val port = when(id % 5 === 0,
+      when(id % 2 === 0, ":80").otherwise(":443")).otherwise("")
+    val path = concat(lit("/p/"), (id % 10).cast("string"),
+      when(id % 6 === 0, "/").otherwise(""))
+    val query = when(id % 4 === 0,
+        concat(lit("?utm_source=feed&ref=r"), (id % 7).cast("string")))
+      .when(id % 4 === 2,
+        concat(lit("?ref=r"), (id % 7).cast("string"), lit("&utm_campaign=x")))
+      .otherwise("")
+    val frag = when(id % 9 === 0,
+      concat(lit("#sec"), (id % 3).cast("string"))).otherwise("")
+    docs.select(id, concat(scheme, lit("://"), host, port, path,
+      query, frag).as("url"))
+  }
+
   def plantPages(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
     val ts = col("__ts")
