@@ -3347,6 +3347,19 @@ object SparkEntry {
     })
   )
 
+  /** Queries whose registered plan answers from a per-(session, sfDir)
+    * operator memo after its first computation — st_curate reads the
+    * artifacts of an already-drained stream, t_bpe_train256 a driver-held
+    * merge list — so their benched numbers measure a memo read
+    * (spark.catalog.clearCache does not touch these memos; only
+    * Caches.clear does). Bench reports a paired `fresh_cost_s` for each,
+    * measured once after a full Caches.clear, so the committed record
+    * carries the operator's real cost next to the read cost (VERDICT r10
+    * #6). pipeline_curate is NOT here: its memo liveness-checks the
+    * persisted frame and re-executes uncached after clearCache.
+    */
+  val memoizedHeadline: Seq[String] = Seq("st_curate", "t_bpe_train256")
+
   /** The benchmark set (Bench.scala): the flagship KPIs plus the heaviest
     * representative of each new operator family.
     */
