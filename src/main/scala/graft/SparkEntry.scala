@@ -320,6 +320,33 @@ object SparkEntry {
   private lazy val sqlUnigramPieces: String =
     unigramPrimes.map { case (p, n) => s"('$p', ln($n))" }.mkString(", ")
 
+  /** Oracle twin of Unigram.segmentWords under [[unigramFixedTable]]:
+    * exhaustive lattice-path enumeration by recursive CTE, the same
+    * path-order left-fold score, the same (score desc, fewer pieces, lex
+    * path) argmax; ends in `useg(word, pieces, n_pieces, score)`. Shared
+    * by t_unigram_segment and pipeline_unigram_pack.
+    */
+  private lazy val sqlUnigramSegCtes: String =
+    s"""WITH RECURSIVE pieces(piece, lp) AS (VALUES $sqlUnigramPieces),
+       w AS (SELECT unnest(${sqlTokens("lower(text)")}) AS word FROM documents),
+       wc AS (SELECT word FROM w WHERE len(word) <= 12 GROUP BY 1),
+       paths(word, pos, path, npieces, score) AS (
+         SELECT word, 0, '', 0, CAST(0.0 AS DOUBLE) FROM wc
+         UNION ALL
+         SELECT p.word, p.pos + len(pc.piece),
+                CASE WHEN p.path = '' THEN pc.piece ELSE p.path || '|' || pc.piece END,
+                p.npieces + 1, p.score + pc.lp
+         FROM paths p JOIN pieces pc
+           ON p.pos + len(pc.piece) <= len(p.word)
+          AND substring(p.word, p.pos + 1, len(pc.piece)) = pc.piece),
+       complete AS (SELECT word, path, npieces, score FROM paths WHERE pos = len(word)),
+       ranked AS (SELECT word, path AS pieces, CAST(npieces AS BIGINT) AS n_pieces,
+                round(score, 6) AS score,
+                row_number() OVER (PARTITION BY word
+                  ORDER BY score DESC, npieces ASC, path ASC) AS rn
+                FROM complete),
+       useg AS (SELECT word, pieces, n_pieces, score FROM ranked WHERE rn = 1)"""
+
   /** Derived-invariant twin for unigram-LM EM training (rows-only by
     * design: cross-word float aggregation order makes trained
     * probabilities reproducible only to association noise —
@@ -2857,6 +2884,32 @@ object SparkEntry {
           "seq_last", "offset_in_seq")
     }),
 
+    // The SECOND tokenizer family driving the same packer (VERDICT r10
+    // #8): unigram-LM Viterbi segmentation under the FIXED prime-log
+    // table (exactly oracle-replayable — the trained table's float noise
+    // stays out of the lineage), per-word piece counts joined at
+    // vocabulary grain, prefix-sum packed onto 256-token sequences.
+    // Documents whose every word is uncoverable (or >12 chars) drop out,
+    // mirroring the oracle's inner join.
+    "pipeline_unigram_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val words = graft.operators.Unigram.wordCounts(docs, "text")
+        .filter(length(col("word")) <= 12).select("word")
+      val seg = graft.operators.Unigram.segmentWords(words, "word",
+          unigramFixedTable, maxPieceLen = 2)
+        .select(col("word"), col("n_pieces"))
+      val counts = docs
+        .select(col("doc_id"),
+          explode(Text.tokens(lower(col("text")))).as("word"))
+        .join(seg, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_pieces")).cast("long").as("n_tokens"))
+      Pack.packSequences(counts, "doc_id", "n_tokens", budget = 256,
+        order = Seq(col("doc_id")))
+        .select("doc_id", "n_tokens", "start_token", "seq_first",
+          "seq_last", "offset_in_seq")
+    }),
+
     "pipeline_packing" -> ((s, dir) =>
       Pack.packSequences(
         Tables.documents(s, dir).select(col("doc_id"),
@@ -4650,25 +4703,8 @@ object SparkEntry {
     // enumeration (recursive CTE), same left-fold score accumulation in
     // path order, same (score desc, fewer pieces, lex path) argmax
     "t_unigram_segment" ->
-      s"""WITH RECURSIVE pieces(piece, lp) AS (VALUES $sqlUnigramPieces),
-         w AS (SELECT unnest(${sqlTokens("lower(text)")}) AS word FROM documents),
-         wc AS (SELECT word FROM w WHERE len(word) <= 12 GROUP BY 1),
-         paths(word, pos, path, npieces, score) AS (
-           SELECT word, 0, '', 0, CAST(0.0 AS DOUBLE) FROM wc
-           UNION ALL
-           SELECT p.word, p.pos + len(pc.piece),
-                  CASE WHEN p.path = '' THEN pc.piece ELSE p.path || '|' || pc.piece END,
-                  p.npieces + 1, p.score + pc.lp
-           FROM paths p JOIN pieces pc
-             ON p.pos + len(pc.piece) <= len(p.word)
-            AND substring(p.word, p.pos + 1, len(pc.piece)) = pc.piece),
-         complete AS (SELECT word, path, npieces, score FROM paths WHERE pos = len(word)),
-         ranked AS (SELECT word, path AS pieces, CAST(npieces AS BIGINT) AS n_pieces,
-                  round(score, 6) AS score,
-                  row_number() OVER (PARTITION BY word
-                    ORDER BY score DESC, npieces ASC, path ASC) AS rn
-                  FROM complete)
-         SELECT word, pieces, n_pieces, score FROM ranked WHERE rn = 1""",
+      s"""$sqlUnigramSegCtes
+         SELECT word, pieces, n_pieces, score FROM useg""",
     // EM training: literal structural truth (unigramTrainValid computes
     // the flags from the actual model; emIters 3 + the post-prune pass)
     "t_unigram_train_valid" ->
@@ -5601,6 +5637,26 @@ object SparkEntry {
            FROM (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS w
                  FROM documents) d
            JOIN w3 ON w3.w = d.w GROUP BY 1),
+         pos AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+           FROM counts)
+         SELECT doc_id, n_tokens, start_token,
+           CAST(start_token // 256 AS BIGINT) AS seq_first,
+           CAST(CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 256
+                ELSE start_token // 256 END AS BIGINT) AS seq_last,
+           CAST(start_token % 256 AS BIGINT) AS offset_in_seq
+         FROM pos""",
+    // unigram-tokenizer packing: the fixed-table Viterbi piece counts
+    // (useg) joined over each document's words, then the same prefix-sum
+    // packing arithmetic as pipeline_tokenize_pack
+    "pipeline_unigram_pack" ->
+      s"""$sqlUnigramSegCtes,
+         counts AS (
+           SELECT d.doc_id, CAST(SUM(u.n_pieces) AS BIGINT) AS n_tokens
+           FROM (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS w
+                 FROM documents) d
+           JOIN useg u ON u.word = d.w GROUP BY 1),
          pos AS (SELECT doc_id, n_tokens,
              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
