@@ -1207,6 +1207,13 @@ object SparkEntry {
     "t_bpe_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.bpeTokenCount(col("text")).as("bpe_tokens"))),
+    // Tokenizer fertility/compression table (Text.fertilityReport): per
+    // source, whitespace-word and BPE-regex-piece totals plus the
+    // pieces-per-word and chars-per-piece ratios — both tokenizations
+    // are the deterministic codegen'd counters, so the oracle replays
+    // the whole report including the ratio arithmetic.
+    "t_tokenizer_fertility" -> ((s, dir) =>
+      Text.fertilityReport(Tables.documents(s, dir), "source")),
     "t_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
@@ -1305,6 +1312,17 @@ object SparkEntry {
       Sampling.epochPlan(docs, "source", "bpe_tokens", budget = 200000L,
         weights = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
           "src3" -> 0.1))
+    }),
+    // TEMPERATURE mixture (Sampling.temperatureQuotas): source shares ∝
+    // token-mass^0.5 — the mT5 flattening recipe. alpha = 0.5 keeps the
+    // power a sqrt (IEEE-exact in both engines); the normalizing sum is
+    // an exact decimal sum of 15-decimal powers, so combine order cannot
+    // move a digit of the published weight.
+    "pipeline_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("source"),
+        Text.bpeTokenCount(col("text")).as("bpe_tokens"))
+      Sampling.temperatureQuotas(docs, "source", "bpe_tokens",
+        budget = 200000L, alpha = 0.5)
     }),
     // CURRICULUM packing: the same distributed prefix-sum packer, ordered
     // by self-trained perplexity ASCENDING (cleanest-text-first — the
@@ -1565,6 +1583,40 @@ object SparkEntry {
           .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
         e.select(col("vec_id"), col("emb_d").as("embedding")),
         k = 10)
+    }),
+    // Hard-negative mining (Similarity.hardNegativesTopK): per query
+    // vector, the top-10 most-similar DIFFERENT-label vectors — the
+    // contrastive-training batch builder. Label inequality rides the
+    // broadcast join condition; the two-stage top-k never windows the
+    // corpus globally.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.hardNegativesTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec"),
+            col("label").as("q_label")),
+        e.select(col("vec_id"), col("emb_d").as("embedding"), col("label")),
+        k = 10)
+    }),
+    // Semantic eval-set decontamination (Similarity.semanticDecontam —
+    // the embedding-space sibling of t_contamination's n-gram overlap):
+    // bench = the vec_id % 41 slice (13 vectors — metadata-grade, as a
+    // real benchmark suite is), corpus = the rest UNION planted
+    // near-copies of every bench vector (scaled 1.0000001, offset ids —
+    // the embeddingNearDuplicates planting), so the contaminated flag
+    // provably bites on exactly the planted rows. Broadcast bench, one
+    // corpus pass, max-of-struct argmax; the oracle replays the planting
+    // and takes the same (sim DESC, bench_id) argmax by row_number.
+    "t_decontam_semantic" -> ((s, dir) => {
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
+      val bench = e.filter(col("vec_id") % 41 === 0)
+        .select(col("vec_id").as("bench_id"), col("emb_d").as("bench_vec"))
+      val corpus = e.filter(col("vec_id") % 41 =!= 0)
+        .unionByName(bench.select(
+          (col("bench_id") + PlantedOffset).as("vec_id"),
+          transform(col("bench_vec"), x => x * 1.0000001d).as("emb_d")))
+      Similarity.semanticDecontam(corpus, bench, tau = 0.9,
+        cId = "vec_id", cVec = "emb_d")
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embDouble(s, dir)
@@ -3462,7 +3514,11 @@ object SparkEntry {
     // round 10b: the line-grain curation family + NFC normalization —
     // all four are shuffle-free single projections (PlanAuditSpec pins
     // zero exchanges), so they double as a map-throughput benchmark
-    "t_normalize", "t_c4_lines", "t_line_dedup", "t_gopher_report")
+    "t_normalize", "t_c4_lines", "t_line_dedup", "t_gopher_report",
+    // round 11: the URL front door, the unigram tokenizer family + its
+    // packer, semantic decontamination, the tokenizer fertility table
+    "t_url_filter", "t_unigram_seed", "t_unigram_segment",
+    "pipeline_unigram_pack", "t_decontam_semantic", "t_tokenizer_fertility")
 
   // ---- DuckDB oracle twins ----
 
@@ -4728,6 +4784,21 @@ object SparkEntry {
            CASE WHEN available_tokens > 0
                 THEN round(CAST(q.quota AS DOUBLE) / available_tokens, 6) END AS epochs
          FROM t JOIN q USING (source)""",
+    // temperature mixture: the same token-mass aggregation, sqrt powers
+    // rounded to DECIMAL(27,15), exact decimal normalizing sum, double
+    // division for the published weight/quota
+    "pipeline_temperature_mix" ->
+      """WITH t AS (SELECT source,
+             CAST(COALESCE(SUM(greatest(0, len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')))), 0) AS BIGINT) AS available_tokens
+           FROM documents GROUP BY 1),
+         p AS (SELECT source, available_tokens,
+                 CAST(pow(CAST(available_tokens AS DOUBLE), 0.5) AS DECIMAL(27,15)) AS pw
+               FROM t),
+         s AS (SELECT SUM(pw) AS tot FROM p)
+         SELECT source, available_tokens,
+           round(CAST(pw AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+           CAST(round(200000 * CAST(pw AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT) AS quota
+         FROM p CROSS JOIN s""",
     // curriculum packing: the unigram ppl (trained on the full corpus)
     // replayed with the t_lm_score fold, then the packing window ordered
     // (ppl, doc_id) instead of doc_id
@@ -4894,6 +4965,19 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS bpe_tokens
          FROM documents""",
+    "t_tokenizer_fertility" ->
+      s"""WITH d AS (SELECT source,
+                CAST(length(text) AS BIGINT) AS chars,
+                CAST(len(${sqlTokens("text")}) AS BIGINT) AS words,
+                CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS pieces
+              FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(chars) AS BIGINT) AS chars,
+                CAST(SUM(words) AS BIGINT) AS words,
+                CAST(SUM(pieces) AS BIGINT) AS bpe_pieces,
+                round(CAST(SUM(pieces) AS DOUBLE) / SUM(words), 6) AS pieces_per_word,
+                round(CAST(SUM(chars) AS DOUBLE) / SUM(pieces), 6) AS chars_per_piece
+         FROM d GROUP BY source""",
     "t_lang_id" ->
       s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("lower(text)")} AS ts FROM documents),
          h AS (SELECT doc_id, text,
@@ -4981,6 +5065,31 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
                FROM s)
          WHERE rank <= 10""",
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, e.vec_id, ${sqlCosine("q_vec", "v")} AS sim
+               FROM e CROSS JOIN q WHERE e.label != q.q_label)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+         FROM (SELECT q_id, vec_id, sim,
+                      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+               FROM s)
+         WHERE rank <= 10""",
+    "t_decontam_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bench AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 41 = 0),
+         corpus AS (SELECT vec_id, v FROM e WHERE vec_id % 41 != 0
+                    UNION ALL
+                    SELECT bench_id + 1000000, list_transform(bv, x -> x * 1.0000001)
+                    FROM bench),
+         s AS (SELECT c.vec_id, b.bench_id, ${sqlCosine("c.v", "b.bv")} AS sim
+               FROM corpus c CROSS JOIN bench b),
+         top AS (SELECT vec_id, bench_id, sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, bench_id) AS rn
+                 FROM s)
+         SELECT vec_id, bench_id, round(sim, 6) AS sim, sim >= 0.9 AS contaminated
+         FROM top WHERE rn = 1""",
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),

@@ -440,6 +440,42 @@ object Text {
       .toDF("word", "n_occurrences", "pieces", "n_pieces")
   }
 
+  /** Tokenizer FERTILITY report — the per-source compression table a
+    * tokenizer evaluation publishes (pieces per word, chars per piece):
+    * how many whitespace words and BPE-regex pieces each source costs,
+    * and the ratios that say which sources tokenize efficiently (prose ≈
+    * 1.1–1.3 pieces/word; code, URLs, and numeric tables fragment far
+    * harder and burn context budget). Both tokenizations here are the
+    * deterministic codegen'd counters ([[tokens]], [[bpeTokenCount]]) —
+    * no trained state, so the whole report replays exactly in SQL.
+    *
+    * Scale shape: one narrow scan (two regex counters + a length per
+    * row) into a map-side-combinable O(sources) aggregation — no joins,
+    * no windows; the 100 TB cost is the scan it shares with any other
+    * full-corpus statistic. Ratios divide exact integer sums (grouped
+    * AFTER the shuffle), so combine order cannot move a digit.
+    */
+  def fertilityReport(docs: DataFrame, srcCol: String,
+                      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .select(col(srcCol),
+        length(t).cast("long").as("__chars"),
+        size(tokens(t)).cast("long").as("__words"),
+        bpeTokenCount(t).as("__pieces"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("chars"),
+        sum(col("__words")).as("words"),
+        sum(col("__pieces")).as("bpe_pieces"))
+      .select(col(srcCol), col("n_docs"), col("chars"), col("words"),
+        col("bpe_pieces"),
+        round(col("bpe_pieces").cast("double") / col("words"), 6)
+          .as("pieces_per_word"),
+        round(col("chars").cast("double") / col("bpe_pieces"), 6)
+          .as("chars_per_piece"))
+  }
+
   /** THE curation annotation chain — [[stats]] columns, the composite
     * `quality_ok` flag, `lang_pred`, and `bpe_tokens` attached in one
     * stacked projection (pure codegen'd expressions, no shuffle). Batch

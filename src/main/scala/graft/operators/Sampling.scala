@@ -140,6 +140,41 @@ object Sampling {
             col("available_tokens").cast("double"), 6)).as("epochs"))
   }
 
+  /** Temperature-scaled mixture quotas — the multilingual/multi-source
+    * "temperature sampling" recipe (Raffel 2020 §3.4.3 / mT5): source
+    * i's share of the token budget ∝ (its token mass)^alpha, alpha < 1
+    * flattening the natural distribution so small high-quality sources
+    * up-sample and the head crawl stops dominating (alpha = 1 recovers
+    * proportional sampling, alpha → 0 approaches uniform).
+    *
+    * Scale shape: ONE map-side-combined integer aggregation at domain
+    * grain; the power/normalize arithmetic runs on the O(sources)
+    * aggregate, with the normalizing sum an EXACT decimal sum of
+    * 15-decimal powers (the repo rule: never sum raw doubles in an
+    * oracled path — combine order cannot move a digit), then double
+    * division for the published weight. Output (source,
+    * available_tokens, weight, quota), Σ quota ≈ budget up to rounding.
+    */
+  def temperatureQuotas(docs: DataFrame, domainCol: String, tokensCol: String,
+                        budget: Long, alpha: Double): DataFrame = {
+    require(budget > 0, s"temperatureQuotas needs a positive budget, got $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val avail = docs.groupBy(col(domainCol))
+      .agg(coalesce(sum(greatest(lit(0L),
+        coalesce(col(tokensCol).cast("long"), lit(0L)))), lit(0L))
+        .as("available_tokens"))
+    val powed = avail.withColumn("__pw",
+      pow(col("available_tokens").cast("double"), lit(alpha))
+        .cast("decimal(27,15)"))
+    val total = powed.agg(sum(col("__pw")).as("__tot"))
+    powed.crossJoin(broadcast(total))
+      .select(col(domainCol), col("available_tokens"),
+        round(col("__pw").cast("double") / col("__tot").cast("double"), 6)
+          .as("weight"),
+        round(lit(budget.toDouble) * col("__pw").cast("double") /
+          col("__tot").cast("double")).cast("long").as("quota"))
+  }
+
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
     * (published, "Weighted random sampling with a reservoir", 2006): each
     * row draws key = u^(1/w) and the k LARGEST keys are the sample; one

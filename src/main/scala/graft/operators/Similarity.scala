@@ -79,6 +79,16 @@ object Similarity {
       .select(col(qId), col(cId),
         cosine(col(qVec), col(cVec)).as("sim"),
         spark_partition_id().as("__part"))
+    twoStageTopK(scored, k, qId, cId)
+  }
+
+  /** The shared two-stage top-k tail: rank within each scan partition
+    * first (cheap, no shuffle), keep ≤ k per partition, THEN shuffle only
+    * ~k·numPartitions survivors per query for the global rank. Expects
+    * `(qId, cId, sim, __part)`.
+    */
+  private def twoStageTopK(scored: DataFrame, k: Int,
+                           qId: String, cId: String): DataFrame = {
     val localW = Window.partitionBy(col(qId), col("__part"))
       .orderBy(col("sim").desc, col(cId))
     val globalW = Window.partitionBy(col(qId))
@@ -87,6 +97,27 @@ object Similarity {
       .withColumn("__lr", row_number().over(localW)).filter(col("__lr") <= k)
       .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
       .select(col(qId), col(cId), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Hard-negative mining for embedding-model training data: per query,
+    * the top-k most-similar corpus vectors whose label DIFFERS from the
+    * query's — the high-cosine wrong-class examples a contrastive run
+    * wants in its batches. The same broadcast + two-stage top-k shape as
+    * [[bruteForceTopK]]; the label inequality rides the broadcast join
+    * condition, so same-class pairs drop AT THE SCAN, before either
+    * window. For corpora beyond a brute-force pass, feed a candidate set
+    * from [[lshTopK]]/[[ivfTopK]] through the same label filter instead.
+    */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        qId: String = "q_id", qVec: String = "q_vec",
+                        qLabel: String = "q_label",
+                        cId: String = "vec_id", cVec: String = "embedding",
+                        cLabel: String = "label"): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col(qLabel) =!= col(cLabel))
+      .select(col(qId), col(cId),
+        cosine(col(qVec), col(cVec)).as("sim"),
+        spark_partition_id().as("__part"))
+    twoStageTopK(scored, k, qId, cId)
   }
 
   /** IVF "training": one centroid per coarse cell — here the mean vector per
@@ -534,6 +565,36 @@ object Similarity {
     * — at most `maxCell` rows per partition, never the corpus.
     * Output: `(src, dst, sim, rank)` with rank 1..k per surviving src.
     */
+  /** Semantic eval-set decontamination — the embedding-space sibling of
+    * [[Dedup.contaminationReport]] (which flags verbatim n-gram overlap;
+    * this flags paraphrased/near-duplicate leakage the token grams miss).
+    * Per corpus vector: the nearest benchmark vector by cosine and a
+    * `contaminated` verdict at threshold `tau`.
+    *
+    * Scale shape: a benchmark suite is metadata-grade next to a 100 TB
+    * corpus (thousands of prompts, not billions of documents), so the
+    * bench side is BROADCAST — one narrow corpus pass scores every
+    * (corpus, bench) pair locally, and the per-vector argmax is a
+    * max-of-struct aggregation (map-side combinable: each scan partition
+    * reduces to one candidate per vector before the shuffle). No window
+    * over the corpus, no cartesian through an exchange. The struct orders
+    * (sim, -bench_id), so ties in sim resolve to the SMALLEST bench id —
+    * the same total order the oracle's row_number replays.
+    */
+  def semanticDecontam(corpus: DataFrame, bench: DataFrame, tau: Double,
+                       cId: String = "vec_id", cVec: String = "embedding",
+                       bId: String = "bench_id", bVec: String = "bench_vec"): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine, got $tau")
+    val scored = corpus.join(broadcast(bench))
+      .select(col(cId), col(bId), cosine(col(cVec), col(bVec)).as("sim"))
+    scored.groupBy(col(cId))
+      .agg(max(struct(col("sim"), (-col(bId)).as("__nb"))).as("__top"))
+      .select(col(cId),
+        (-col("__top.__nb")).as(bId),
+        round(col("__top.sim"), 6).as("sim"),
+        (col("__top.sim") >= tau).as("contaminated"))
+  }
+
   def knnGraph(vectors: DataFrame, k: Int, nCells: Int = 16,
                iters: Int = 3, maxCell: Int = 10000,
                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {

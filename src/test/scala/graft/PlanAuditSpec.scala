@@ -357,4 +357,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"upsertEvolve funnels to one partition:\n$p")
   }
+
+  test("t_decontam_semantic: bench broadcast to the scan, partial argmax before the exchange") {
+    val p = plan("t_decontam_semantic")
+    // the corpus×bench product is the sanctioned broadcast form — the
+    // tiny bench suite rides to every scan partition; a CartesianProduct
+    // (both sides shuffled) would be the scale bug
+    assert(p.contains("BroadcastNestedLoopJoin"), s"bench not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"decontam plans a cartesian:\n$p")
+    // max-of-struct argmax must combine map-side: partial_max before the
+    // vec_id exchange, so the shuffle carries one candidate per vector
+    assert(p.contains("partial_max"), s"no map-side partial argmax in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"decontam funnels to one partition:\n$p")
+  }
+
+  test("t_tokenizer_fertility: one scan, one exchange, map-side partial sums") {
+    val p = plan("t_tokenizer_fertility")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans in:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side partial aggregation in:\n$p")
+    assert(!p.contains("Join"), s"fertility report plans a join:\n$p")
+  }
 }

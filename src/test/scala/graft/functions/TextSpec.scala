@@ -229,4 +229,23 @@ class TextSpec extends SparkSpec {
     assert(nw("slow") == "s low")
     assert(nw("best") == "b es t")
   }
+
+  test("fertilityReport: exact per-source sums and ratio arithmetic") {
+    val docs = Seq(
+      (1L, "src0", "hello world"),           // 11 chars, 2 words, 2 pieces
+      (2L, "src0", "ab1 cd"),                // 6 chars, 2 words; "ab","1"," cd" → 3 pieces
+      (3L, "src1", "x-y")                    // 3 chars, 1 word; "x","-","y" → 3 pieces
+    ).toDF("doc_id", "source", "text")
+    val out = Text.fertilityReport(docs, "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out("src0") == ((2L, 17L, 4L, 5L, 1.25, 3.4)))
+    assert(out("src1") == ((1L, 3L, 1L, 3L, 3.0, 1.0)))
+  }
+
+  test("fertilityReport: an empty document counts zero words and pieces") {
+    val docs = Seq((1L, "s", ""), (2L, "s", "one two")).toDF("doc_id", "source", "text")
+    val r = Text.fertilityReport(docs, "source").collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(3) == 2L && r.getLong(4) == 2L)
+  }
 }

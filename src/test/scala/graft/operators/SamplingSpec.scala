@@ -216,4 +216,36 @@ class SamplingSpec extends SparkSpec {
     val heavy = out.count(_ <= 100L)
     assert(heavy > 50, s"expected heavy-weight majority in the sample, got $heavy/100")
   }
+
+  test("temperatureQuotas: alpha=1 recovers proportional shares") {
+    val docs = Seq(("a", 300L), ("a", 100L), ("b", 100L), ("c", 100L))
+      .toDF("source", "n_tok")
+    val out = Sampling.temperatureQuotas(docs, "source", "n_tok",
+        budget = 1000L, alpha = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out("a") == ((400L, 0.666667, 667L)))
+    assert(out("b") == ((100L, 0.166667, 167L)))
+    assert(out("c") == ((100L, 0.166667, 167L)))
+  }
+
+  test("temperatureQuotas: alpha=0.5 flattens toward the small sources") {
+    val docs = Seq(("big", 10000L), ("small", 100L)).toDF("source", "n_tok")
+    val out = Sampling.temperatureQuotas(docs, "source", "n_tok",
+        budget = 1100L, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    // sqrt: 100 vs 10 → weights 10/11 and 1/11 (vs 100:1 proportional)
+    assert(out("big") == ((0.909091, 1000L)))
+    assert(out("small") == ((0.090909, 100L)))
+  }
+
+  test("temperatureQuotas guards its domain") {
+    val docs = Seq(("a", 1L)).toDF("source", "n_tok")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureQuotas(docs, "source", "n_tok", 0L, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureQuotas(docs, "source", "n_tok", 10L, 1.5)
+    }
+  }
 }

@@ -203,4 +203,42 @@ class SimilaritySpec extends SparkSpec {
     val thinIds = Set(0L, 2L, 3L)
     assert(g.forall { case (s, d) => thinIds(s) && thinIds(d) })
   }
+
+  test("semanticDecontam: nearest bench argmax, threshold verdict, small-id tie-break") {
+    val bench = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)),
+      (20L, Seq(0.0, 1.0, 0.0))
+    ).toDF("bench_id", "bench_vec")
+    val c = Seq(
+      (1L, Seq(2.0, 0.0, 0.0)),   // exact direction match → bench 10, sim 1
+      (2L, Seq(1.0, 1.0, 0.0)),   // equidistant 45° tie → smaller bench_id 10
+      (3L, Seq(0.0, 0.1, 5.0))    // near-orthogonal to both → clean
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontam(c, bench, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 10L, 1.0, true)))
+    assert(out(1)._2 == 10L && !out(1)._4)             // tie → bench 10, below tau
+    assert(math.abs(out(1)._3 - math.sqrt(0.5)) < 1e-6)
+    assert(out(2)._2 == 20L && !out(2)._4)             // argmax still reported
+  }
+
+  test("hardNegativesTopK: same-label vectors never surface, ranks are exact") {
+    val q = Seq((100L, Seq(1.0, 0.0, 0.0), 0)).toDF("q_id", "q_vec", "q_label")
+    val out = Similarity.hardNegativesTopK(q, corpus, k = 4)
+      .collect().sortBy(_.getInt(3))
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // label-0 vectors (1, 4) are excluded despite cos 1 and ≈1;
+    // the negatives rank 3 (cos .707) above 2 (cos 0)
+    assert(out.map(_._1).toSeq == Seq(3L, 2L))
+    assert(math.abs(out(0)._2 - math.sqrt(0.5)) < 1e-4)
+    assert(out(1)._2 == 0.0)
+  }
+
+  test("semanticDecontam rejects a non-cosine threshold") {
+    val b = Seq((1L, Seq(1.0))).toDF("bench_id", "bench_vec")
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDecontam(b.toDF("vec_id", "embedding"), b, tau = 1.5)
+    }
+  }
 }
