@@ -491,4 +491,40 @@ object Text {
       .withColumn("lang_pred", langId(t))
       .withColumn("bpe_tokens", bpeTokenCount(t))
   }
+
+  /** Per-document Shannon token entropy — the repetitiveness signal
+    * lexical-diversity ratios miss (a document repeating ten words
+    * equally often has high TTR at short lengths but low entropy):
+    * `H = ln(n) − (Σ c·ln c)/n` over per-term counts `c`, plus the
+    * ln(vocab)-normalized ratio in [0, 1] (null when vocab = 1 — a
+    * one-term document has no distribution to normalize).
+    *
+    * The Σ c·ln c term is the [[foldLogProbs]] determinism contract: a
+    * left fold over the TERM-SORTED count list (`aggregate` over
+    * `sort_array(collect_list(...))` here, `list_reduce` over
+    * `list(... ORDER BY term)` in the oracle), so the IEEE addition
+    * order is pinned and the compare stays bit-exact. Two hash
+    * exchanges ((doc, term) counts, then doc) — the t_lm grain.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__term"))
+      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__cnt"))
+    counts.groupBy(col(idCol)).agg(
+        sum(col("__cnt")).as("n_toks"),
+        count(lit(1)).as("n_vocab"),
+        aggregate(
+          sort_array(collect_list(struct(col("__term"), col("__cnt")))),
+          lit(0.0),
+          (acc, x) => acc + x("__cnt").cast("double") *
+            log(x("__cnt").cast("double"))).as("__s"))
+      .select(col(idCol), col("n_toks"), col("n_vocab"),
+        round(log(col("n_toks").cast("double")) -
+          col("__s") / col("n_toks").cast("double"), 6).as("entropy"),
+        when(col("n_vocab") > 1,
+          round((log(col("n_toks").cast("double")) -
+            col("__s") / col("n_toks").cast("double")) /
+            log(col("n_vocab").cast("double")), 6)).as("entropy_ratio"))
+  }
 }

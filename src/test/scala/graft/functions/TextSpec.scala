@@ -248,4 +248,25 @@ class TextSpec extends SparkSpec {
     val r = Text.fertilityReport(docs, "source").collect()(0)
     assert(r.getLong(1) == 2L && r.getLong(3) == 2L && r.getLong(4) == 2L)
   }
+
+  test("tokenEntropy: uniform two-term doc hits ln 2, ratio 1; constant doc hits 0") {
+    val docs = Seq((1L, "a a b b"), (2L, "a a a")).toDF("doc_id", "text")
+    val out = Text.tokenEntropy(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val u = out(1L)
+    assert(u.getAs[Long]("n_toks") == 4L && u.getAs[Long]("n_vocab") == 2L)
+    assert(u.getAs[Double]("entropy") == 0.693147)      // round(ln 2, 6)
+    assert(u.getAs[Double]("entropy_ratio") == 1.0)
+    val c = out(2L)
+    assert(c.getAs[Double]("entropy") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("entropy_ratio")))   // vocab 1: undefined
+  }
+
+  test("tokenEntropy: skew lowers entropy at equal length/vocab; case folds") {
+    val docs = Seq((1L, "a a a B"), (2L, "a a b b")).toDF("doc_id", "text")
+    val out = Text.tokenEntropy(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(out(1L) < out(2L))
+    assert(out(1L) == 0.562335) // round(ln4 - (3 ln3)/4, 6)
+  }
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Crawl front door: WET record framing round-trips (including bodies
+  * with blank lines), the length-delimited slice, and every HTML-strip
+  * rewrite stage on hand-built pages.
+  */
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "plain single line body"),
+    (1L, "two lines\nof body text"),
+    (2L, "body with a blank line\n\ninside it"),
+    (9L, "same file as doc 1 (9 % 8)")
+  ).toDF("doc_id", "text")
+
+  test("plantWet concatenates records per file in id order") {
+    val wet = Crawl.plantWet(corpus, "doc_id", "text", files = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wet.keySet == Set(0L, 1L, 2L))
+    // file 1 holds docs 1 and 9, in that order
+    val f1 = wet(1L)
+    assert(f1.indexOf("/d/1\n") >= 0 && f1.indexOf("/d/9\n") > f1.indexOf("/d/1\n"))
+    assert(f1.startsWith("WARC/1.0\nWARC-Type: conversion\n"))
+  }
+
+  test("wetParse round-trips every body, blank lines included") {
+    val parsed = Crawl.wetParse(Crawl.plantWet(corpus, "doc_id", "text"))
+    val byId = parsed.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet == Set(0L, 1L, 2L, 9L))
+    val orig = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, r) <- byId) {
+      assert(r.getAs[String]("body") == orig(id), s"body of $id")
+      assert(r.getAs[Long]("declared_len") == orig(id).length.toLong)
+      assert(r.getAs[Boolean]("len_ok"), s"framing of $id")
+      assert(r.getAs[String]("uri") == s"https://example.com/d/$id")
+    }
+  }
+
+  test("wetParse flags a truncated record via len_ok") {
+    val wet = Seq((0L,
+      "WARC/1.0\nWARC-Target-URI: https://example.com/d/7\n" +
+        "Content-Length: 50\n\nonly twenty chars here\n\n"))
+      .toDF("file_id", "wet")
+    val r = Crawl.wetParse(wet).head()
+    assert(!r.getAs[Boolean]("len_ok"))
+  }
+
+  test("htmlStrip drops script/style/comment spans whole") {
+    val page = Seq((1L,
+      "<html><head><script>var a = '<p>not text</p>';</script>" +
+        "<style>p { x }</style></head>" +
+        "<body><!-- note --><p>real text.</p></body></html>"))
+      .toDF("doc_id", "html")
+    val r = Crawl.htmlStrip(page).head()
+    assert(r.getAs[String]("strip_text") == "real text.")
+  }
+
+  test("htmlStrip turns block closers into line breaks, inline tags into nothing") {
+    val page = Seq((1L,
+      "<body><h1>Title here</h1><p>first <b>bold</b> para.</p>" +
+        "<div>second para.</div>tail text</body>"))
+      .toDF("doc_id", "html")
+    val r = Crawl.htmlStrip(page).head()
+    assert(r.getAs[String]("strip_text") ==
+      "Title here\nfirst bold para.\nsecond para.\ntail text")
+  }
+
+  test("htmlStrip decodes entities once — no double decode") {
+    val page = Seq((1L, "<p>&amp;lt; stays, &lt; decodes, 1 &amp; 2</p>"))
+      .toDF("doc_id", "html")
+    val r = Crawl.htmlStrip(page).head()
+    assert(r.getAs[String]("strip_text") == "&lt; stays, < decodes, 1 & 2")
+  }
+
+  test("htmlStrip squeezes whitespace and drops empty lines") {
+    val page = Seq((1L, "<p>a   b\t c</p><p>  </p><p>next.</p>"))
+      .toDF("doc_id", "html")
+    val r = Crawl.htmlStrip(page).head()
+    assert(r.getAs[String]("strip_text") == "a b c\nnext.")
+  }
+
+  test("htmlStrip extracts the title and counts removed tags") {
+    val r = Crawl.htmlStrip(Crawl.plantHtml(corpus, "doc_id", "text"))
+      .filter(col("doc_id") === 0L).head()
+    assert(r.getAs[String]("title") == "Doc 0")
+    // doc 0 (%3==0 branch on): html+head+title pair (4) + script/style
+    // pairs (4) + /head+body (2) + h1 pair (2) + p pair (2) + comment +
+    // div/p/close/close (5) + /body + /html (2) = 21
+    assert(r.getAs[Long]("n_tags") == 21L)
+    assert(r.getAs[String]("strip_text").contains("plain single line body"))
+  }
+}
