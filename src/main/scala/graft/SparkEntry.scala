@@ -95,6 +95,19 @@ object SparkEntry {
   private def exactCopy(docs: DataFrame, offset: Long): DataFrame =
     docs.select((col("doc_id") + offset).as("doc_id"), col("text"))
 
+  /** Integer token/vocabulary counts per document (whitespace tokens of
+    * the lowercased text — the sqlTokens convention): the all-integer
+    * quality signal the shard/budget/adaptive-gate queries rank on, so
+    * their total orders never involve float comparison.
+    */
+  private def docTokenVocab(docs: DataFrame): DataFrame = {
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_toks"),
+      size(array_distinct(toks)).cast("long").as("n_vocab"))
+  }
+
   /** The planted linearly-separable quality corpus: every doc keeps its
     * REAL text plus a class marker token (qpos for odd ids, qneg for
     * even) repeated proportionally to the document's own length — at
@@ -1268,6 +1281,72 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id"),
         "doc_id", "url",
         blocked = Seq("tracker.net", "ads.clickbait.io"))),
+    // Crawl-archive front door (operators/Crawl.scala): the planted WET
+    // blobs (8 files, records concatenated in id order, length-delimited
+    // bodies) parsed back to per-document rows — split + regexp_extract
+    // + substring projections only, no join/agg. The oracle rebuilds the
+    // identical blobs with ordered string_agg and replays the parse,
+    // including the `len_ok` framing re-check.
+    "src_wet_parse" -> ((s, dir) =>
+      graft.operators.Crawl.wetParse(
+        graft.operators.Crawl.plantWet(
+          Tables.documents(s, dir), "doc_id", "text"))),
+    // HTML → text extraction over planted pages: script/style/comment
+    // spans dropped whole (lazy dot-all), block closers → newlines, tags
+    // stripped, the six entities decoded (&amp; last), whitespace
+    // squeezed — every rewrite replayed in DuckDB with the same
+    // RE2-portable patterns under the 'g' flag.
+    "t_html_strip" -> ((s, dir) =>
+      graft.operators.Crawl.htmlStrip(
+        graft.operators.Crawl.plantHtml(
+          Tables.documents(s, dir), "doc_id", "text"))),
+    // Deterministic training-shard shuffle (operators/Shards.scala):
+    // md5-seeded permutation + ntileExact sharding + in-shard sequence
+    // numbers — the scale-safe rank machinery, never a global window.
+    // DuckDB replays md5/ntile/row_number verbatim (both engines emit
+    // lowercase-hex MD5 and remainder-to-first-buckets NTILE).
+    "pipeline_shard_shuffle" -> ((s, dir) =>
+      graft.operators.Shards.shardShuffle(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        nShards = 16, seed = "r11")),
+    // Token-budget greedy selection: ship the highest-vocabulary
+    // documents until 10k tokens are on the stream (Pack.packSequences
+    // prefix sums under (n_vocab DESC, doc_id) order). Integer score —
+    // no float ordering anywhere; the oracle is one window cumsum.
+    "pipeline_token_budget" -> ((s, dir) =>
+      graft.operators.Shards.tokenBudgetSelect(
+        docTokenVocab(Tables.documents(s, dir)),
+        "doc_id", "n_toks", "n_vocab", budget = 10000L)),
+    // Rendezvous (HRW) sharding at 16 AND 17 shards in one shuffle-free
+    // projection: per-row md5 weight arrays, argmax by array_max +
+    // array_position. The `moved` column exhibits the consistent-hashing
+    // contract (ShardsSpec pins that every moved row lands in the NEW
+    // shard); the oracle replays both assignments with list_aggregate.
+    "pipeline_shard_rendezvous" -> ((s, dir) => {
+      val d16 = graft.operators.Shards.rendezvousShard(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", 16, "r11")
+        .withColumnRenamed("shard", "shard16")
+        .withColumnRenamed("rdv_weight", "w16")
+      graft.operators.Shards.rendezvousShard(d16, "doc_id", 17, "r11")
+        .withColumnRenamed("shard", "shard17")
+        .withColumnRenamed("rdv_weight", "w17")
+        .withColumn("moved", col("shard16") =!= col("shard17"))
+        .select("doc_id", "shard16", "w16", "shard17", "w17", "moved")
+    }),
+    // Per-document token entropy (Text.tokenEntropy): the
+    // repetitiveness signal with the foldLogProbs determinism contract —
+    // the Σ c·ln c term folds over the term-sorted count list on both
+    // engines, so even the double arithmetic hash-compares bit-exact.
+    "t_entropy_quality" -> ((s, dir) =>
+      Text.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")),
+    // Per-source adaptive quality gate: keep the top 75% of each
+    // source's documents by vocabulary richness — percent_rank inside
+    // the source partition with an id tiebreak, so the kept set is
+    // deterministic and the oracle replays rank arithmetic exactly.
+    "t_adaptive_quality" -> ((s, dir) =>
+      graft.operators.Shards.adaptiveQualityGate(
+        docTokenVocab(Tables.documents(s, dir)),
+        "source", "doc_id", "n_vocab", q = 0.25)),
     // BPE tokenizer-training step: corpus-wide weighted adjacent-char
     // pair counts at distinct-word grain — integer counting all the way,
     // so the oracle replicates the whole pass verbatim
@@ -3518,7 +3597,14 @@ object SparkEntry {
     // round 11: the URL front door, the unigram tokenizer family + its
     // packer, semantic decontamination, the tokenizer fertility table
     "t_url_filter", "t_unigram_seed", "t_unigram_segment",
-    "pipeline_unigram_pack", "t_decontam_semantic", "t_tokenizer_fertility")
+    "pipeline_unigram_pack", "t_decontam_semantic", "t_tokenizer_fertility",
+    // round 11b: the crawl-archive front door (WET record parse, HTML
+    // strip — both shuffle-free map passes) and the shard/budget tail
+    // (ntileExact shuffle-shard, prefix-sum token budget, per-source
+    // adaptive quality gate)
+    "src_wet_parse", "t_html_strip", "pipeline_shard_shuffle",
+    "pipeline_token_budget", "t_adaptive_quality",
+    "pipeline_shard_rendezvous", "t_entropy_quality")
 
   // ---- DuckDB oracle twins ----
 
@@ -4664,6 +4750,149 @@ object SparkEntry {
                 ORDER BY doc_id) AS BIGINT) AS url_rank FROM c8)
        SELECT doc_id, url, canonical_url, domain, domain_blocked, url_rank,
               (NOT domain_blocked AND url_rank = 1) AS url_kept FROM c9""",
+    // WET front door: rebuild the blobs with ordered string_agg, replay
+    // the record split, header extraction, length-delimited body slice,
+    // and the framing re-check
+    "src_wet_parse" ->
+      """WITH r AS (SELECT doc_id, doc_id % 8 AS file_id,
+           'WARC/1.0' || chr(10) || 'WARC-Type: conversion' || chr(10) ||
+           'WARC-Target-URI: https://example.com/d/' || CAST(doc_id AS VARCHAR) || chr(10) ||
+           'Content-Length: ' || CAST(len(text) AS VARCHAR) || chr(10) || chr(10) ||
+           text || chr(10) || chr(10) AS rec
+         FROM documents),
+       b AS (SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS wet
+             FROM r GROUP BY file_id),
+       e AS (SELECT file_id,
+               unnest(string_split(wet, 'WARC/1.0' || chr(10))) AS rec FROM b),
+       f AS (SELECT file_id, rec FROM e WHERE rec <> ''),
+       p AS (SELECT file_id, rec,
+           regexp_extract(rec, 'WARC-Target-URI: ([^\n]*)\n', 1) AS uri,
+           CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)\n', 1) AS BIGINT)
+             AS declared_len,
+           strpos(rec, chr(10) || chr(10)) AS he FROM f)
+       SELECT file_id, uri,
+         CAST(regexp_extract(rec,
+           'WARC-Target-URI: https://example\.com/d/([0-9]+)\n', 1) AS BIGINT)
+           AS doc_id,
+         declared_len,
+         substring(rec, he + 2, CAST(declared_len AS INTEGER)) AS body,
+         (len(rec) = he + 1 + declared_len + 2) AS len_ok
+       FROM p""",
+    // HTML strip: replant the page, then replay all five rewrite stages
+    // ('g'-flagged — Spark regexp_replace is always global) and the raw
+    // tag count
+    "t_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+           '<script type="text/javascript">if (x &lt; 1) { x = 2; }</script>' ||
+           '<style>p { color: red }</style></head><body>' ||
+           '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+           '<p class="lead">' || substring(text, 1, 120) ||
+           ' &amp; more &lt;tags&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end.</p>' ||
+           (CASE WHEN doc_id % 3 = 0 THEN
+              '<!-- hidden --><div><p>Extra ' || CAST(doc_id AS VARCHAR) || '</p></div>'
+            ELSE '' END) ||
+           '</body></html>' AS html
+         FROM documents),
+       s1 AS (SELECT doc_id, html, regexp_replace(html,
+           '(?s)<script[^>]*>.*?</script>|(?s)<style[^>]*>.*?</style>|(?s)<!--.*?-->',
+           '', 'g') AS t FROM h),
+       s2 AS (SELECT doc_id, html, regexp_replace(t,
+           '</p>|</div>|</h[1-6]>|</li>|</title>|<br */?>', chr(10), 'g') AS t
+         FROM s1),
+       s3 AS (SELECT doc_id, html,
+           regexp_replace(t, '<[^>]+>', '', 'g') AS t FROM s2),
+       s4 AS (SELECT doc_id, html,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+             '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+       s5 AS (SELECT doc_id, html, regexp_replace(regexp_replace(t,
+           '[ \t]+', ' ', 'g'), ' *\n *', chr(10), 'g') AS t FROM s4),
+       s6 AS (SELECT doc_id, html, array_to_string(
+           list_filter(string_split(t, chr(10)), x -> x <> ''), chr(10))
+           AS strip_text FROM s5)
+       SELECT doc_id,
+         regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+         strip_text,
+         CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags
+       FROM s6""",
+    // Deterministic shard shuffle: md5 permutation, NTILE sharding,
+    // in-shard sequence — all three native on both engines
+    "pipeline_shard_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+           md5('r11:' || CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents),
+       n AS (SELECT doc_id, shuffle_key,
+           CAST(ntile(16) OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS shard
+         FROM k)
+       SELECT doc_id, shuffle_key, shard,
+         CAST(row_number() OVER (PARTITION BY shard
+           ORDER BY shuffle_key, doc_id) AS BIGINT) AS seq_in_shard
+       FROM n""",
+    // Token-budget greedy selection: one descending-quality window
+    // cumsum is the whole oracle
+    "pipeline_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+             ${sqlTokens("lower(text)")} AS ts FROM documents),
+       d AS (SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS n_vocab FROM t),
+       c AS (SELECT *, CAST(coalesce(sum(n_toks) OVER (
+             ORDER BY n_vocab DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before FROM d)
+       SELECT doc_id, source, n_toks, n_vocab, cum_before,
+         (cum_before < 10000) AS kept,
+         (cum_before < 10000 AND cum_before + n_toks > 10000) AS cut FROM c""",
+    // Rendezvous sharding: replay both weight arrays; argmax via
+    // list_aggregate max + list_position (no struct sort needed — md5
+    // collisions across shard ids cannot happen, so max is unique)
+    "pipeline_shard_rendezvous" ->
+      """WITH c AS (SELECT doc_id,
+           list_transform(generate_series(0, 15), s ->
+             md5('r11:' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))) AS w16l,
+           list_transform(generate_series(0, 16), s ->
+             md5('r11:' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))) AS w17l
+         FROM documents),
+       m AS (SELECT doc_id,
+           CAST(list_position(w16l, list_aggregate(w16l, 'max')) - 1 AS BIGINT) AS shard16,
+           list_aggregate(w16l, 'max') AS w16,
+           CAST(list_position(w17l, list_aggregate(w17l, 'max')) - 1 AS BIGINT) AS shard17,
+           list_aggregate(w17l, 'max') AS w17
+         FROM c)
+       SELECT doc_id, shard16, w16, shard17, w17,
+              (shard16 <> shard17) AS moved FROM m""",
+    // Token entropy: the foldLogProbs contract — list_reduce over the
+    // term-ordered count list pins the IEEE addition order
+    "t_entropy_quality" ->
+      s"""WITH t AS (SELECT doc_id,
+             unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
+       c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+             FROM t GROUP BY doc_id, term),
+       d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
+             CAST(count(*) AS BIGINT) AS n_vocab,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CAST(cnt AS DOUBLE) ORDER BY term)),
+               (acc, x) -> acc + x * ln(x)) AS s
+         FROM c GROUP BY doc_id)
+       SELECT doc_id, n_toks, n_vocab,
+         round(ln(CAST(n_toks AS DOUBLE)) - s / CAST(n_toks AS DOUBLE), 6)
+           AS entropy,
+         CASE WHEN n_vocab > 1 THEN
+           round((ln(CAST(n_toks AS DOUBLE)) - s / CAST(n_toks AS DOUBLE))
+             / ln(CAST(n_vocab AS DOUBLE)), 6) END AS entropy_ratio
+       FROM d""",
+    // Per-source adaptive gate: percent_rank with the id tiebreak,
+    // rounded like the operator
+    "t_adaptive_quality" ->
+      s"""WITH t AS (SELECT doc_id, source,
+             ${sqlTokens("lower(text)")} AS ts FROM documents),
+       d AS (SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS n_vocab FROM t)
+       SELECT doc_id, source, n_toks, n_vocab,
+         round(percent_rank() OVER (PARTITION BY source
+           ORDER BY n_vocab, doc_id), 6) AS q_rank,
+         (percent_rank() OVER (PARTITION BY source
+           ORDER BY n_vocab, doc_id) >= 0.25) AS kept
+       FROM d""",
     "t_gopher_report" ->
       s"""WITH $sqlPagedCtes,
          g AS (SELECT doc_id, page, string_split(page, chr(10)) AS lines,

@@ -372,6 +372,47 @@ class PlanAuditSpec extends SparkSpec {
       s"decontam funnels to one partition:\n$p")
   }
 
+  test("t_html_strip: zero exchanges — pure map over the scan") {
+    val p = plan("t_html_strip")
+    assert(!p.contains("Exchange"), s"t_html_strip plans a shuffle:\n$p")
+    assert(!p.contains("Join"), s"t_html_strip plans a join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"t_html_strip: expected 1 scan, got $scans in:\n$p")
+  }
+
+  test("src_wet_parse: fixture groupBy is the only exchange; the parse is a map") {
+    val p = plan("src_wet_parse")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange (blob build), got $exchanges in:\n$p")
+    assert(!p.contains("Join"), s"wet parse plans a join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"wet parse funnels to one partition:\n$p")
+  }
+
+  test("shard/budget tail: rank machinery — no single-partition window, no cartesian") {
+    // ntileExact / packSequences range-repartition + per-partition
+    // windows; a plain ntile()/row_number() OVER a global ORDER BY would
+    // show Exchange SinglePartition — the 100 TB bug these two exist to
+    // avoid
+    Seq("pipeline_shard_shuffle", "pipeline_token_budget").foreach { q =>
+      val p = plan(q)
+      assertNoCartesian(p, q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q funnels to one partition:\n$p")
+      assert(p.contains("rangepartitioning"),
+        s"$q lost its range repartition:\n$p")
+    }
+  }
+
+  test("t_adaptive_quality: one exchange (the source partition), parallel windows") {
+    val p = plan("t_adaptive_quality")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"adaptive gate funnels to one partition:\n$p")
+    assert(!p.contains("Join"), s"adaptive gate plans a join:\n$p")
+  }
+
   test("t_tokenizer_fertility: one scan, one exchange, map-side partial sums") {
     val p = plan("t_tokenizer_fertility")
     val scans = "Scan parquet".r.findAllIn(p).length
