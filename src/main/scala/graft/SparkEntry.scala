@@ -1300,6 +1300,47 @@ object SparkEntry {
       graft.operators.Crawl.htmlStrip(
         graft.operators.Crawl.plantHtml(
           Tables.documents(s, dir), "doc_id", "text"))),
+    // STREAMING crawl ingestion (streaming/WetStream.scala): the WET
+    // front door drained across 9 file triggers — 8 archive files in
+    // file_id order plus a 9th REFETCH file redelivering every
+    // doc_id%8==0 record under the same URI. First-seen-wins keeps the
+    // original file's parse; the seen/ log proves the refetch was
+    // observed (n_seen = 2) before being dropped. The oracle states the
+    // closed-form expectation per document.
+    "st_wet_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val blobs = graft.operators.Crawl.plantWet(docs, "doc_id", "text")
+        .unionByName(graft.operators.Crawl
+          .plantWet(docs.filter(col("doc_id") % 8 === 0), "doc_id", "text",
+            files = 1)
+          .select(lit(8L).as("file_id"), col("wet")))
+      val stage = tmpDir("graft_stwet_in")
+      (0L to 8L).foreach { i =>
+        val sub = s"$stage/f$i"
+        blobs.filter(col("file_id") === i).coalesce(1)
+          .write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stwet_work"), tmpDir("graft_stwet_cp"))
+      val schema = s.read.parquet(s"$stage/f0").schema
+      val q = graft.streaming.WetStream.writer(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*"),
+          work, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.WetStream.records(s, work)
+        .join(graft.streaming.WetStream.sightings(s, work), Seq("uri"))
+        .select(col("doc_id"), col("uri"), col("file_id"),
+          col("declared_len"), col("body"), col("len_ok"), col("n_seen"))
+    }),
     // Deterministic training-shard shuffle (operators/Shards.scala):
     // md5-seeded permutation + ntileExact sharding + in-shard sequence
     // numbers — the scale-safe rank machinery, never a global window.
@@ -4816,6 +4857,18 @@ object SparkEntry {
          strip_text,
          CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags
        FROM s6""",
+    // Streaming WET ingestion: after first-seen dedup across the 9
+    // triggers the table is exactly one row per document — original
+    // file, exact body, framing ok, and the refetched rows seen twice
+    "st_wet_ingest" ->
+      """SELECT doc_id,
+           'https://example.com/d/' || CAST(doc_id AS VARCHAR) AS uri,
+           doc_id % 8 AS file_id,
+           CAST(len(text) AS BIGINT) AS declared_len,
+           text AS body,
+           true AS len_ok,
+           CAST(CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_seen
+         FROM documents""",
     // Deterministic shard shuffle: md5 permutation, NTILE sharding,
     // in-shard sequence — all three native on both engines
     "pipeline_shard_shuffle" ->

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Crawl
+
+/** Streaming crawl ingestion — [[graft.operators.Crawl.wetParse]] as an
+  * incremental stream, putting the archive FRONT DOOR on the same
+  * exactly-once footing as the curation stages behind it: WET blobs
+  * arrive as files; each trigger parses its records (a stateless map —
+  * no state store anywhere in the parse), resolves intra-batch URI
+  * collisions canonically (min (file_id, doc_id) — the suite's
+  * canonical-min convention), and drops cross-batch redeliveries by an
+  * anti-join against the URI registry (first-seen-wins, ≡ the batch min
+  * rule under ascending file delivery).
+  *
+  * Per-batch artifacts are batch-id-keyed partition dirs written with
+  * overwrite — a redelivered batch recomputes byte-equal state
+  * (registry reads exclude the CURRENT batch id, the
+  * [[EmbDedupStream.verifyAndAppend]] redelivery guard) — and every
+  * sighting is counted into `seen/` BEFORE dedup, so refetch pressure
+  * per URI stays observable after the duplicates are gone.
+  *
+  * Scale shape: per-trigger cost is O(batch) — parse is a projection,
+  * the canonical window partitions by uri, and the registry anti-join
+  * touches only the registry's URI COLUMN (columnar projection, never
+  * bodies). Registry growth is one small string column per corpus URI —
+  * the same footprint class as the passage/digest registries.
+  */
+object WetStream {
+
+  /** Registry commit schema — pinned on every read (ADVICE r09: a
+    * write-path change must fail loudly, and a first-batch crash that
+    * leaves only _temporary under the root must read as empty, not fail
+    * inference).
+    */
+  private[streaming] val RegistrySchema = "uri STRING, batch LONG"
+
+  /** Committed record schema (parse output + the batch partition). */
+  private[streaming] val RecordSchema =
+    "file_id LONG, uri STRING, doc_id LONG, declared_len LONG, " +
+      "body STRING, len_ok BOOLEAN, batch LONG"
+
+  private[streaming] val SeenSchema = "uri STRING, cnt LONG, batch LONG"
+
+  /** One micro-batch of (file_id, wet) blobs → parsed, deduped, appended. */
+  private[streaming] def ingestBatch(workDir: String)
+                                    (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return // empty trigger: commit nothing
+    val parsed = Crawl.wetParse(batch, "file_id", "wet").persist()
+    try {
+      // sightings BEFORE dedup — redelivery pressure per uri
+      parsed.groupBy(col("uri")).agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$workDir/seen/batch=$batchId")
+      val w = Window.partitionBy(col("uri"))
+        .orderBy(col("file_id"), col("doc_id"))
+      val best = parsed.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1).drop("__rk")
+      val regRoot = new Path(s"$workDir/registry")
+      val fs = regRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh =
+        if (fs.exists(regRoot)) {
+          val seenBefore = spark.read.schema(RegistrySchema)
+            .option("ignoreMissingFiles", "true")
+            .parquet(regRoot.toString)
+            .filter(col("batch") =!= batchId) // same-batch replay guard
+            .select("uri")
+          best.join(seenBefore, Seq("uri"), "left_anti")
+        } else best
+      fresh.write.mode("overwrite").parquet(s"$workDir/records/batch=$batchId")
+      fresh.select("uri").write.mode("overwrite")
+        .parquet(s"$workDir/registry/batch=$batchId")
+    } finally parsed.unpersist()
+  }
+
+  /** The streaming ingestion leg; the caller picks the trigger and
+    * starts it, like every writer in the suite.
+    */
+  def writer(wet: DataFrame, workDir: String,
+             checkpointDir: String): DataStreamWriter[Row] =
+    wet.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(ingestBatch(workDir) _)
+
+  /** Schema-pinned read that reads a never-written root as the empty
+    * frame (a drain whose every trigger was empty commits no dirs).
+    */
+  private def readOrEmpty(spark: SparkSession, path: String,
+                          ddl: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.schema(ddl).option("ignoreMissingFiles", "true").parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
+  /** Every record ingested so far — one row per distinct URI, the
+    * first-seen parse.
+    */
+  def records(spark: SparkSession, workDir: String): DataFrame =
+    readOrEmpty(spark, s"$workDir/records", RecordSchema)
+      .select("file_id", "uri", "doc_id", "declared_len", "body", "len_ok")
+
+  /** Total sightings per URI across all batches (dedup-independent). */
+  def sightings(spark: SparkSession, workDir: String): DataFrame =
+    readOrEmpty(spark, s"$workDir/seen", SeenSchema)
+      .groupBy(col("uri")).agg(sum(col("cnt")).as("n_seen"))
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Crawl
+
+/** WetStream: cross-batch first-seen URI dedup, sighting counts,
+  * intra-batch canonical pick, and same-batch replay idempotence.
+  */
+class WetStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = graft.util.Scratch.dir(p)
+
+  test("drain: first file wins a refetched uri; sightings count both") {
+    val docs = Seq((0L, "alpha body"), (1L, "beta body"), (2L, "gamma body"))
+      .toDF("doc_id", "text")
+    // f0 carries all three; f1 refetches doc 0 and 2 under the same uris
+    val blobs = Crawl.plantWet(docs, "doc_id", "text", files = 1)
+      .select(lit(0L).as("file_id"), col("wet"))
+      .unionByName(
+        Crawl.plantWet(docs.filter(col("doc_id") =!= 1L), "doc_id", "text",
+          files = 1).select(lit(1L).as("file_id"), col("wet")))
+    val stage = tmp("wetspec_in")
+    (0L to 1L).foreach { i =>
+      val sub = s"$stage/f$i"
+      blobs.filter(col("file_id") === i).coalesce(1)
+        .write.mode("overwrite").parquet(sub)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+        .iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(1800000000000L + i * 60000L)))
+    }
+    val (work, cp) = (tmp("wetspec_work"), tmp("wetspec_cp"))
+    val schema = spark.read.parquet(s"$stage/f0").schema
+    val q = WetStream.writer(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*"),
+        work, cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val recs = WetStream.records(spark, work).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("file_id"), r.getAs[String]("body"),
+          r.getAs[Boolean]("len_ok"))).toMap
+    assert(recs.keySet == Set(0L, 1L, 2L))
+    assert(recs(0L) == ((0L, "alpha body", true)), "refetch must not displace f0's parse")
+    assert(recs(2L) == ((0L, "gamma body", true)))
+    val seen = WetStream.sightings(spark, work).collect()
+      .map(r => r.getAs[String]("uri") -> r.getAs[Long]("n_seen")).toMap
+    assert(seen("https://example.com/d/0") == 2L)
+    assert(seen("https://example.com/d/1") == 1L)
+    assert(seen("https://example.com/d/2") == 2L)
+  }
+
+  test("ingestBatch: intra-batch collision resolves to min file_id; replay is byte-equal") {
+    val docs = Seq((5L, "five body")).toDF("doc_id", "text")
+    // one BATCH holding two files that both carry doc 5's record
+    val batch = Crawl.plantWet(docs, "doc_id", "text", files = 1)
+      .select(lit(3L).as("file_id"), col("wet"))
+      .unionByName(Crawl.plantWet(docs, "doc_id", "text", files = 1)
+        .select(lit(2L).as("file_id"), col("wet")))
+    val work = tmp("wetspec_unit")
+    WetStream.ingestBatch(work)(batch, 0L)
+    val first = WetStream.records(spark, work).collect()
+    assert(first.length == 1 && first(0).getAs[Long]("file_id") == 2L)
+    // same-batch redelivery: the batch-0 registry partition must not
+    // shadow its own replay — the rewrite recomputes the same row
+    WetStream.ingestBatch(work)(batch, 0L)
+    val again = WetStream.records(spark, work).collect()
+    assert(again.length == 1 && again(0).getAs[Long]("file_id") == 2L)
+    // a later batch redelivering the uri commits nothing new
+    WetStream.ingestBatch(work)(batch, 1L)
+    assert(WetStream.records(spark, work).count() == 1L)
+    // 2 sightings in batch 0 (its replay overwrote, not doubled) + 2 in
+    // batch 1
+    assert(WetStream.sightings(spark, work).head().getAs[Long]("n_seen") == 4L)
+  }
+
+  test("ingestBatch: an empty batch commits nothing") {
+    val work = tmp("wetspec_empty")
+    val empty = Seq.empty[(Long, String)].toDF("file_id", "wet")
+    WetStream.ingestBatch(work)(empty, 0L)
+    assert(WetStream.records(spark, work).count() == 0L)
+  }
+}
