@@ -1380,6 +1380,36 @@ object SparkEntry {
     // engines, so even the double arithmetic hash-compares bit-exact.
     "t_entropy_quality" -> ((s, dir) =>
       Text.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")),
+    // Sequential gate-attrition funnel (LineCuration.gateFunnel): the
+    // curation observability table — lang → exact-dup → length-band →
+    // lexical-diversity gates over documents plus planted %9 duplicate
+    // copies; a document counts against the FIRST gate it fails, so the
+    // removals sum to total − survivors. O(stages) output; the oracle
+    // replays the first-fail classification and the funnel arithmetic.
+    "t_filter_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val planted = base.unionByName(base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + PlantedOffset).as("doc_id"),
+          col("lang"), col("text")))
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+        t => length(t) > 0)
+      val flagged = planted
+        .withColumn("n_toks", size(toks).cast("long"))
+        .withColumn("n_vocab", size(array_distinct(toks)).cast("long"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      graft.operators.LineCuration.gateFunnel(flagged, Seq(
+        "lang_en" -> (col("lang") === "en"),
+        "exact_dup" -> (col("__rn") === 1),
+        "length_band" -> col("n_toks").between(20, 1000),
+        "lexical_diversity" -> (col("n_vocab") * 10 >= col("n_toks") * 3)))
+    }),
+    // Zipf fit over the 64 most frequent terms (Text.zipfFit): corpus
+    // health in two numbers — least-squares slope/intercept of ln(freq)
+    // on ln(rank), folds and expression trees replayed token-for-token.
+    "t_corpus_zipf" -> ((s, dir) =>
+      Text.zipfFit(Tables.documents(s, dir), "text", topK = 64)),
     // Per-source adaptive quality gate: keep the top 75% of each
     // source's documents by vocabulary richness — percent_rank inside
     // the source partition with an id tiebreak, so the kept set is
@@ -3645,7 +3675,8 @@ object SparkEntry {
     // adaptive quality gate)
     "src_wet_parse", "t_html_strip", "pipeline_shard_shuffle",
     "pipeline_token_budget", "t_adaptive_quality",
-    "pipeline_shard_rendezvous", "t_entropy_quality")
+    "pipeline_shard_rendezvous", "t_entropy_quality",
+    "t_filter_funnel", "t_corpus_zipf")
 
   // ---- DuckDB oracle twins ----
 
@@ -4933,6 +4964,69 @@ object SparkEntry {
            round((ln(CAST(n_toks AS DOUBLE)) - s / CAST(n_toks AS DOUBLE))
              / ln(CAST(n_vocab AS DOUBLE)), 6) END AS entropy_ratio
        FROM d""",
+    // Gate funnel: first-fail classification, scalar counts, per-stage
+    // arithmetic over the aggregate
+    "t_filter_funnel" ->
+      s"""WITH u AS (SELECT doc_id, lang, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 9 = 0),
+       d AS (SELECT doc_id, lang, ${sqlTokens("lower(text)")} AS ts,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         FROM u),
+       f AS (SELECT (lang = 'en') AS g0, (rn = 1) AS g1,
+             (len(ts) BETWEEN 20 AND 1000) AS g2,
+             (CAST(len(list_distinct(ts)) AS BIGINT) * 10
+                >= CAST(len(ts) AS BIGINT) * 3) AS g3 FROM d),
+       x AS (SELECT CASE WHEN NOT g0 THEN 0 WHEN NOT g1 THEN 1
+                         WHEN NOT g2 THEN 2 WHEN NOT g3 THEN 3
+                         ELSE -1 END AS fail FROM f),
+       a AS (SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(count(*) FILTER (WHERE fail = 0) AS BIGINT) AS r0,
+             CAST(count(*) FILTER (WHERE fail = 1) AS BIGINT) AS r1,
+             CAST(count(*) FILTER (WHERE fail = 2) AS BIGINT) AS r2,
+             CAST(count(*) FILTER (WHERE fail = 3) AS BIGINT) AS r3 FROM x),
+       s AS (SELECT * FROM (VALUES
+             (CAST(0 AS BIGINT), 'lang_en'), (1, 'exact_dup'),
+             (2, 'length_band'), (3, 'lexical_diversity'))
+             AS v(stage_idx, stage)),
+       w AS (SELECT stage_idx, stage,
+             total - (CASE WHEN stage_idx > 0 THEN r0 ELSE 0 END)
+                   - (CASE WHEN stage_idx > 1 THEN r1 ELSE 0 END)
+                   - (CASE WHEN stage_idx > 2 THEN r2 ELSE 0 END) AS n_in,
+             CASE stage_idx WHEN 0 THEN r0 WHEN 1 THEN r1
+                            WHEN 2 THEN r2 ELSE r3 END AS n_removed
+         FROM a, s)
+       SELECT stage_idx, stage, n_in, n_removed,
+         n_in - n_removed AS n_out,
+         CASE WHEN n_in > 0 THEN
+           round(CAST(n_removed AS DOUBLE) / CAST(n_in AS DOUBLE), 6)
+         END AS removal_frac
+       FROM w""",
+    // Zipf fit: term counts → top-64 → rank → four rank-ordered folds →
+    // the identical slope/intercept expression trees
+    "t_corpus_zipf" ->
+      s"""WITH t AS (SELECT unnest(${sqlTokens("lower(text)")}) AS term
+             FROM documents),
+       c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t
+             GROUP BY term ORDER BY cnt DESC, term LIMIT 64),
+       r AS (SELECT term, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+         FROM c),
+       v AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+             ln(CAST(cnt AS DOUBLE)) AS y FROM r),
+       a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(x ORDER BY rank)), (p, q) -> p + q) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(y ORDER BY rank)), (p, q) -> p + q) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(x * y ORDER BY rank)), (p, q) -> p + q) AS sxy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(x * x ORDER BY rank)), (p, q) -> p + q) AS sxx FROM v),
+       b AS (SELECT n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM a)
+       SELECT CAST(n AS BIGINT) AS n_terms, round(b, 6) AS slope,
+              round((sy - b * sx) / n, 6) AS intercept FROM b""",
     // Per-source adaptive gate: percent_rank with the id tiebreak,
     // rounded like the operator
     "t_adaptive_quality" ->

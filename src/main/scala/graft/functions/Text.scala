@@ -506,6 +506,49 @@ object Text {
     * order is pinned and the compare stays bit-exact. Two hash
     * exchanges ((doc, term) counts, then doc) — the t_lm grain.
     */
+  /** Zipf fit over the corpus head — the corpus-health statistic
+    * (natural text sits near slope −1; a slope collapsing toward 0 means
+    * boilerplate/template flooding, a cliff below −1.5 means a
+    * degenerate vocabulary): least-squares `ln(freq) = a + b·ln(rank)`
+    * over the `topK` most frequent terms.
+    *
+    * The term count is one hash aggregation; the top-k slice is a
+    * TakeOrdered (never a global sort), and the regression runs over
+    * that K-row slice only — the ranking window and the four Σ folds are
+    * K-bounded metadata, not corpus-sized data. Every Σ folds over the
+    * rank-sorted value list ([[foldLogProbs]] contract) and the
+    * slope/intercept expression trees match the oracle's token for
+    * token, so the doubles hash-compare bit-exact.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 64): DataFrame = {
+    require(topK >= 2, s"zipfFit needs topK >= 2, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topK)
+    val ranked = tf
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term")))
+          .cast("long"))
+      .withColumn("x", log(col("rank").cast("double")))
+      .withColumn("y", log(col("cnt").cast("double")))
+      .withColumn("xy", col("x") * col("y"))
+      .withColumn("xx", col("x") * col("x"))
+    def fold(c: String) = aggregate(
+      sort_array(collect_list(struct(col("rank"), col(c).as("v")))),
+      lit(0.0), (acc, e) => acc + e("v"))
+    val sums = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      fold("x").as("sx"), fold("y").as("sy"),
+      fold("xy").as("sxy"), fold("xx").as("sxx"))
+    sums
+      .withColumn("b", (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n").cast("long").as("n_terms"),
+        round(col("b"), 6).as("slope"),
+        round((col("sy") - col("b") * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
   def tokenEntropy(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
     val counts = docs

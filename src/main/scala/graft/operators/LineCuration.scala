@@ -283,4 +283,53 @@ object LineCuration {
             when(id % 2 === 0, slice(col("__ls"), 1, 2)).otherwise(emptyArr)),
           "\n").as("page"))
   }
+
+  /** Sequential gate-attrition funnel — the curation-pipeline
+    * observability table ("how many documents did each stage remove, in
+    * order?") that per-rule verdict reports ([[Rules]], gopherReport)
+    * don't give: a document counts against the FIRST gate it fails, so
+    * the per-stage removal counts sum to total − survivors and answer
+    * "what would loosening stage k actually buy".
+    *
+    * One pass: every gate evaluates as a column, the first failing index
+    * folds into one `when` chain, and a single O(1)-row aggregation
+    * yields all counts; the per-stage rows are arithmetic OVER that
+    * aggregate (n_in(k) = total − Σ_{j<k} removed(j)), built driver-side
+    * as expressions — output is O(stages) regardless of corpus size, and
+    * the only exchange beyond the gates' own is the final scalar
+    * aggregation (metadata-grade).
+    */
+  def gateFunnel(docs: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty, "gateFunnel needs at least one gate")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val flagged = gates.zipWithIndex.foldLeft(docs) {
+      case (df, ((_, c), i)) => df.withColumn(s"__g$i", c)
+    }
+    val firstFail = gates.indices.foldRight(lit(-1): Column) {
+      case (i, rest) => when(!col(s"__g$i"), lit(i)).otherwise(rest)
+    }
+    val agg = flagged.select(firstFail.as("__fail"))
+      .agg(count(lit(1)).as("total"),
+        gates.indices.map(i =>
+          sum(when(col("__fail") === i, 1L).otherwise(0L)).as(s"__r$i")): _*)
+    val stages = spark.createDataset(
+      gates.zipWithIndex.map { case ((n, _), i) => (i.toLong, n) })
+      .toDF("stage_idx", "stage")
+    // O(stages) × O(1) cross of two metadata-grade frames
+    agg.crossJoin(stages)
+      .withColumn("n_in", gates.indices.foldLeft(col("total")) {
+        case (e, i) => e - when(col("stage_idx") > i, col(s"__r$i")).otherwise(lit(0L))
+      })
+      .withColumn("n_removed",
+        gates.indices.foldRight(lit(null).cast("long"): Column) {
+          case (i, rest) =>
+            when(col("stage_idx") === i, col(s"__r$i")).otherwise(rest)
+        })
+      .withColumn("n_out", col("n_in") - col("n_removed"))
+      .withColumn("removal_frac",
+        when(col("n_in") > 0,
+          round(col("n_removed").cast("double") / col("n_in").cast("double"), 6)))
+      .select("stage_idx", "stage", "n_in", "n_removed", "n_out", "removal_frac")
+  }
 }

@@ -269,4 +269,29 @@ class TextSpec extends SparkSpec {
     assert(out(1L) < out(2L))
     assert(out(1L) == 0.562335) // round(ln4 - (3 ln3)/4, 6)
   }
+
+  test("zipfFit matches the independently computed least-squares closed form") {
+    // term w_r appears 2^(8-r) times → ranks 1..4 with distinct counts
+    val words = (1 to 4).flatMap(r => Seq.fill(1 << (8 - r))(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = Text.zipfFit(docs, "text", topK = 4).head()
+    assert(row.getAs[Long]("n_terms") == 4L)
+    // closed form: x_i = ln i, y_i = ln 2^(8-i); slope computed offline
+    val xs = (1 to 4).map(i => math.log(i.toDouble))
+    val ys = (1 to 4).map(i => math.log((1 << (8 - i)).toDouble))
+    val n = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(row.getAs[Double]("slope") - b) < 1e-5)
+    assert(math.abs(row.getAs[Double]("intercept") - (sy - b * sx) / n) < 1e-5)
+  }
+
+  test("zipfFit: fewer distinct terms than topK uses what exists") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val row = Text.zipfFit(docs, "text", topK = 64).head()
+    assert(row.getAs[Long]("n_terms") == 3L)
+    assert(row.getAs[Double]("slope") < 0.0) // frequencies decay
+  }
 }

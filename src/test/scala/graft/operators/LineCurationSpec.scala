@@ -121,4 +121,38 @@ class LineCurationSpec extends SparkSpec {
       Seq((1L, "  "), (2L, "ok")).toDF("doc_id", "text"),
       "doc_id", "text").count() == 1)
   }
+
+  test("gateFunnel: first-fail attribution, sequential n_in, removal fractions") {
+    import org.apache.spark.sql.functions._
+    // 6 docs: a fails g0; b fails g0 AND g1 (counts against g0 only);
+    // c fails g1; d fails g2; e, f pass everything
+    val docs = Seq(
+      ("a", false, true, true), ("b", false, false, true),
+      ("c", true, false, true), ("d", true, true, false),
+      ("e", true, true, true), ("f", true, true, true)
+    ).toDF("id", "p0", "p1", "p2")
+    val out = LineCuration.gateFunnel(docs,
+      Seq("g0" -> col("p0"), "g1" -> col("p1"), "g2" -> col("p2")))
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_out"), r.getAs[Double]("removal_frac"))).toMap
+    assert(out("g0") == ((6L, 2L, 4L, 0.333333)))
+    assert(out("g1") == ((4L, 1L, 3L, 0.25)))
+    assert(out("g2") == ((3L, 1L, 2L, 0.333333)))
+  }
+
+  test("gateFunnel: a stage that removes everything leaves later stages at zero n_in") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(("a", false), ("b", false)).toDF("id", "p0")
+    val out = LineCuration.gateFunnel(docs,
+      Seq("kill" -> col("p0"), "after" -> lit(true)))
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_removed"))).toMap
+    assert(out("kill") == ((2L, 2L)))
+    assert(out("after") == ((0L, 0L)))
+    val afterRow = LineCuration.gateFunnel(docs,
+      Seq("kill" -> col("p0"), "after" -> lit(true)))
+      .filter(col("stage") === "after").head()
+    assert(afterRow.isNullAt(afterRow.fieldIndex("removal_frac")))
+  }
 }
