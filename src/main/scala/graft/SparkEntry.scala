@@ -1380,6 +1380,38 @@ object SparkEntry {
     // engines, so even the double arithmetic hash-compares bit-exact.
     "t_entropy_quality" -> ((s, dir) =>
       Text.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")),
+    // END-TO-END selection-and-shipping tail: per-source adaptive gate →
+    // token-budget selection → deterministic shard shuffle, composed
+    // over the same integer/md5 arithmetic each stage proved alone — the
+    // "pick the best 8k tokens fairly across sources and lay them into
+    // balanced shards" recipe as ONE lineage. The oracle chains the
+    // three stages' CTEs.
+    "pipeline_select_and_shard" -> ((s, dir) => {
+      val gated = graft.operators.Shards.adaptiveQualityGate(
+          docTokenVocab(Tables.documents(s, dir)),
+          "source", "doc_id", "n_vocab", q = 0.25)
+        .filter(col("kept")).drop("q_rank", "kept")
+      val chosen = graft.operators.Shards.tokenBudgetSelect(
+          gated, "doc_id", "n_toks", "n_vocab", budget = 8000L)
+        .filter(col("kept")).drop("kept", "cut")
+      graft.operators.Shards.shardShuffle(chosen, "doc_id",
+        nShards = 8, seed = "r11e2e")
+        .select("doc_id", "source", "n_toks", "n_vocab", "cum_before",
+          "shuffle_key", "shard", "seq_in_shard")
+    }),
+    // Sized-output-file write planning (Pack.packSequences under a BYTE
+    // budget): bin documents onto ~64 KiB target files in id order —
+    // the "write uniformly sized parquet files" layout pass, integer
+    // arithmetic end to end.
+    "s_file_binpack" -> ((s, dir) =>
+      Pack.packSequences(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", budget = 65536L, order = Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_chars"),
+          col("start_token").as("start_byte"),
+          col("seq_first").as("file_first"),
+          col("seq_last").as("file_last"),
+          col("offset_in_seq").as("offset_in_file"))),
     // Sequential gate-attrition funnel (LineCuration.gateFunnel): the
     // curation observability table — lang → exact-dup → length-band →
     // lexical-diversity gates over documents plus planted %9 duplicate
@@ -3676,7 +3708,8 @@ object SparkEntry {
     "src_wet_parse", "t_html_strip", "pipeline_shard_shuffle",
     "pipeline_token_budget", "t_adaptive_quality",
     "pipeline_shard_rendezvous", "t_entropy_quality",
-    "t_filter_funnel", "t_corpus_zipf")
+    "t_filter_funnel", "t_corpus_zipf",
+    "pipeline_select_and_shard", "s_file_binpack")
 
   // ---- DuckDB oracle twins ----
 
@@ -4964,6 +4997,43 @@ object SparkEntry {
            round((ln(CAST(n_toks AS DOUBLE)) - s / CAST(n_toks AS DOUBLE))
              / ln(CAST(n_vocab AS DOUBLE)), 6) END AS entropy_ratio
        FROM d""",
+    // Selection-and-shipping tail: the three stages' CTEs chained
+    "pipeline_select_and_shard" ->
+      s"""WITH t AS (SELECT doc_id, source,
+             ${sqlTokens("lower(text)")} AS ts FROM documents),
+       d AS (SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS n_vocab FROM t),
+       g AS (SELECT doc_id, source, n_toks, n_vocab FROM
+             (SELECT *, percent_rank() OVER (PARTITION BY source
+                ORDER BY n_vocab, doc_id) AS pr FROM d)
+             WHERE pr >= 0.25),
+       c AS (SELECT *, CAST(coalesce(sum(n_toks) OVER (
+             ORDER BY n_vocab DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before FROM g),
+       k AS (SELECT * FROM c WHERE cum_before < 8000),
+       s AS (SELECT *, md5('r11e2e:' || CAST(doc_id AS VARCHAR))
+             AS shuffle_key FROM k),
+       n AS (SELECT *, CAST(ntile(8) OVER (ORDER BY shuffle_key, doc_id)
+             AS BIGINT) AS shard FROM s)
+       SELECT doc_id, source, n_toks, n_vocab, cum_before, shuffle_key,
+         shard,
+         CAST(row_number() OVER (PARTITION BY shard
+           ORDER BY shuffle_key, doc_id) AS BIGINT) AS seq_in_shard
+       FROM n""",
+    // Byte-budget file bin-packing: one ordered cumsum + integer div
+    "s_file_binpack" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+           CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_byte
+         FROM documents)
+       SELECT doc_id, n_chars, start_byte,
+         start_byte // 65536 AS file_first,
+         CASE WHEN n_chars > 0 THEN (start_byte + n_chars - 1) // 65536
+              ELSE start_byte // 65536 END AS file_last,
+         start_byte % 65536 AS offset_in_file
+       FROM c""",
     // Gate funnel: first-fail classification, scalar counts, per-stage
     // arithmetic over the aggregate
     "t_filter_funnel" ->

@@ -404,6 +404,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_select_and_shard / s_file_binpack: prefix-sum machinery end to end") {
+    Seq("pipeline_select_and_shard", "s_file_binpack").foreach { q =>
+      val p = plan(q)
+      assertNoCartesian(p, q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q funnels to one partition:\n$p")
+      assert(p.contains("rangepartitioning"),
+        s"$q lost its range repartition:\n$p")
+    }
+  }
+
   test("t_adaptive_quality: one exchange (the source partition), parallel windows") {
     val p = plan("t_adaptive_quality")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
