@@ -1380,6 +1380,45 @@ object SparkEntry {
     // engines, so even the double arithmetic hash-compares bit-exact.
     "t_entropy_quality" -> ((s, dir) =>
       Text.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")),
+    // Embedding-dimension ablation (Matryoshka-style truncation eval):
+    // per query, top-10 overlap between the full-dimension cosine
+    // ranking and the first-16-dims ranking — the "how many dims can we
+    // drop" table. Both rankings are the oracle-verified
+    // Similarity.bruteForceTopK; the overlap is an integer semi-join
+    // count, recall one exact division.
+    "ann_dim_ablation" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec"))
+      val full = Similarity.bruteForceTopK(q,
+        e.select(col("vec_id"), col("emb_d").as("embedding")), k = 10)
+      val trunc = Similarity.bruteForceTopK(
+        q.select(col("q_id"), slice(col("q_vec"), 1, 16).as("q_vec")),
+        e.select(col("vec_id"), slice(col("emb_d"), 1, 16).as("embedding")),
+        k = 10)
+      full.select("q_id", "vec_id")
+        .join(trunc.select("q_id", "vec_id"),
+          Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("overlap"))
+        .select(col("q_id"), col("overlap"),
+          round(col("overlap").cast("double") / 10.0, 6).as("recall_at_10"))
+    }),
+    // Corpus vocabulary drift (Profiling.dfDrift): document-frequency
+    // shift between the even- and odd-id cohorts — integer df counts up
+    // to ONE ln of one division, top-50 by |drift| with term tiebreak.
+    "t_df_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      graft.operators.Profiling.dfDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", minDf = 5, k = 50)
+    }),
+    // k-anonymity release gate (Profiling.kAnonymity) over the
+    // (lang, source) quasi-identifier: every combination's population
+    // and whether it clears k = 10.
+    "v_k_anonymity" -> ((s, dir) =>
+      graft.operators.Profiling.kAnonymity(
+        Tables.documents(s, dir), Seq("lang", "source"), k = 10L)),
     // END-TO-END selection-and-shipping tail: per-source adaptive gate →
     // token-budget selection → deterministic shard shuffle, composed
     // over the same integer/md5 arithmetic each stage proved alone — the
@@ -3709,7 +3748,11 @@ object SparkEntry {
     "pipeline_token_budget", "t_adaptive_quality",
     "pipeline_shard_rendezvous", "t_entropy_quality",
     "t_filter_funnel", "t_corpus_zipf",
-    "pipeline_select_and_shard", "s_file_binpack")
+    "pipeline_select_and_shard", "s_file_binpack",
+    // round 11c: corpus observability + release gating — vocabulary
+    // drift between cohorts, Matryoshka-style dimension-ablation recall,
+    // k-anonymity release gate
+    "t_df_drift", "ann_dim_ablation", "v_k_anonymity")
 
   // ---- DuckDB oracle twins ----
 
@@ -4997,6 +5040,55 @@ object SparkEntry {
            round((ln(CAST(n_toks AS DOUBLE)) - s / CAST(n_toks AS DOUBLE))
              / ln(CAST(n_vocab AS DOUBLE)), 6) END AS entropy_ratio
        FROM d""",
+    // Dimension ablation: both rankings replayed, overlap joined
+    "ann_dim_ablation" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+       sf AS (SELECT q_id, e.vec_id, ${sqlCosine("q_vec", "v")} AS sim
+              FROM e CROSS JOIN q),
+       rf AS (SELECT q_id, vec_id FROM
+              (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, vec_id) AS rank FROM sf)
+              WHERE rank <= 10),
+       et AS (SELECT vec_id, v[1:16] AS v FROM e),
+       qt AS (SELECT q_id, q_vec[1:16] AS q_vec FROM q),
+       st AS (SELECT q_id, et.vec_id, ${sqlCosine("q_vec", "v")} AS sim
+              FROM et CROSS JOIN qt),
+       rt AS (SELECT q_id, vec_id FROM
+              (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, vec_id) AS rank FROM st)
+              WHERE rank <= 10)
+       SELECT q_id, CAST(count(*) AS BIGINT) AS overlap,
+         round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+       FROM rf JOIN rt USING (q_id, vec_id) GROUP BY q_id""",
+    // DF drift: distinct-(doc, term) counts per cohort, smoothed
+    // integer rate ratio, one ln
+    "t_df_drift" ->
+      s"""WITH ha AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       hb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+       ta AS (SELECT DISTINCT doc_id, term FROM
+             (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM ha)),
+       tb AS (SELECT DISTINCT doc_id, term FROM
+             (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM hb)),
+       da AS (SELECT term, CAST(count(*) AS BIGINT) AS df_a FROM ta GROUP BY term),
+       db AS (SELECT term, CAST(count(*) AS BIGINT) AS df_b FROM tb GROUP BY term),
+       j AS (SELECT coalesce(da.term, db.term) AS term,
+             coalesce(df_a, 0) AS df_a, coalesce(df_b, 0) AS df_b
+         FROM da FULL OUTER JOIN db ON da.term = db.term),
+       f AS (SELECT * FROM j WHERE df_a + df_b >= 5),
+       d AS (SELECT term, df_a, df_b,
+             round(ln((CAST(df_a + 1 AS DOUBLE) *
+                       CAST((SELECT count(*) + 2 FROM hb) AS DOUBLE)) /
+                      (CAST(df_b + 1 AS DOUBLE) *
+                       CAST((SELECT count(*) + 2 FROM ha) AS DOUBLE))), 6)
+             AS drift FROM f)
+       SELECT term, df_a, df_b, drift FROM d
+       ORDER BY abs(drift) DESC, term LIMIT 50""",
+    // k-anonymity: one aggregation at quasi-identifier grain
+    "v_k_anonymity" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+           (count(*) >= 10) AS anonymous
+         FROM documents GROUP BY lang, source""",
     // Selection-and-shipping tail: the three stages' CTEs chained
     "pipeline_select_and_shard" ->
       s"""WITH t AS (SELECT doc_id, source,

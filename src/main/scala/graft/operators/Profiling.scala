@@ -207,4 +207,49 @@ object Profiling {
             (col("__na") * col("__nb")).cast("double"), 6))
           .as("ks_stat"))
   }
+
+  /** Corpus vocabulary drift between two document cohorts — which terms'
+    * DOCUMENT frequency shifted most (the corpus-shift alarm term-level
+    * histogram drift can't give, because the interesting unit is "what
+    * fraction of documents mention X", not value buckets):
+    * `drift = ln(((df_a+1)·(n_b+2)) / ((df_b+1)·(n_a+2)))` — the
+    * log-odds-style smoothed rate ratio, integer arithmetic up to ONE
+    * ln of one division, so it replays bit-exact. Top `k` terms by
+    * |drift| (term tiebreak), among terms with total df ≥ `minDf`.
+    *
+    * One distinct-(doc, term) pass, one term-grain aggregation with
+    * map-side partials, a TakeOrdered slice — never a global sort.
+    */
+  def dfDrift(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
+              minDf: Long = 5, k: Int = 50): DataFrame = {
+    def df(side: DataFrame, flag: String) = side
+      .select(col(idCol),
+        explode(graft.functions.Text.tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as(flag))
+    val na = a.count()
+    val nb = b.count()
+    val p = (col("df_a") + 1).cast("double") * lit((nb + 2).toDouble)
+    val q = (col("df_b") + 1).cast("double") * lit((na + 2).toDouble)
+    df(a, "df_a").join(df(b, "df_b"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("df_a"), lit(0L)).as("df_a"),
+        coalesce(col("df_b"), lit(0L)).as("df_b"))
+      .filter(col("df_a") + col("df_b") >= minDf)
+      .withColumn("drift", round(log(p / q), 6))
+      .orderBy(abs(col("drift")).desc, col("term")).limit(k)
+  }
+
+  /** k-anonymity release gate over quasi-identifier columns: every
+    * combination's population, flagged when it identifies fewer than
+    * `k` rows — the "can this corpus slice be published" check. One
+    * hash aggregation at quasi-identifier grain.
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k > 0, s"kAnonymity needs positive k, got $k")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous", col("n") >= k)
+  }
 }

@@ -142,4 +142,46 @@ class ProfilingSpec extends SparkSpec {
     graft.operators.Dedup.clearCaches()
     assert(x == y)
   }
+
+  test("dfDrift: document frequency counts docs once, drift sign follows the shift") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, "cat cat cat dog"), (2L, "cat fish"), (3L, "cat dog"))
+      .toDF("doc_id", "text")
+    val b = Seq((4L, "dog fish"), (5L, "dog bird"), (6L, "dog bird fish"))
+      .toDF("doc_id", "text")
+    val out = Profiling.dfDrift(a, b, "doc_id", "text", minDf = 2, k = 10)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df_a"), r.getAs[Long]("df_b"),
+          r.getAs[Double]("drift"))).toMap
+    // "cat cat cat" counts ONE doc; cat: 3 vs 0, dog: 2 vs 3
+    assert(out("cat")._1 == 3L && out("cat")._2 == 0L)
+    assert(out("dog") == ((2L, 3L,
+      math.BigDecimal(math.log((3.0 * 5.0) / (4.0 * 5.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out("cat")._3 > 0 && out("bird")._3 < 0)
+    // minDf = 2 keeps fish (1+2) but a term seen once total is out
+    assert(out.contains("fish"))
+  }
+
+  test("dfDrift: top-k slices by |drift| with term tiebreak") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, "x y z w")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y z w")).toDF("doc_id", "text")
+    // all four terms have identical drift — the k=2 slice must be the
+    // lexicographically first two
+    val terms = Profiling.dfDrift(a, b, "doc_id", "text", minDf = 2, k = 2)
+      .collect().map(_.getAs[String]("term")).toSeq
+    assert(terms == Seq("w", "x"))
+  }
+
+  test("kAnonymity flags under-populated quasi-identifier groups") {
+    val df = (Seq.fill(5)(("en", "s0")) ++ Seq.fill(2)(("en", "s1")) ++
+      Seq.fill(3)(("fr", "s0"))).toDF("lang", "source")
+    val out = Profiling.kAnonymity(df, Seq("lang", "source"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("anonymous"))).toMap
+    assert(out(("en", "s0")) == ((5L, true)))
+    assert(out(("en", "s1")) == ((2L, false)))
+    assert(out(("fr", "s0")) == ((3L, true)))
+  }
 }
