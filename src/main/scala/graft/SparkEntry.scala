@@ -1291,6 +1291,30 @@ object SparkEntry {
       graft.operators.Crawl.wetParse(
         graft.operators.Crawl.plantWet(
           Tables.documents(s, dir), "doc_id", "text"))),
+    // The BYTE-DOMAIN front door (VERDICT r11 #1): same corpus, framed by
+    // UTF-8 byte count and shipped as real multi-member .wet.gz (one
+    // deflate member per record, the Common Crawl layout); inflate +
+    // byte-walk behind the Codecs boundary. On this all-ASCII corpus
+    // byte and char framing coincide, so the gz parse must answer
+    // src_wet_parse's oracle VERBATIM — a framing or inflate bug
+    // anywhere and the hashes split.
+    "src_wet_parse_gz" -> ((s, dir) =>
+      graft.operators.Crawl.wetParseBytes(
+        graft.operators.Crawl.plantWetBytes(
+          Tables.documents(s, dir), "doc_id", "text", gzipRecords = true),
+        gz = true)),
+    // Non-ASCII byte framing (VERDICT r11 #3): every body gets a
+    // multi-byte prefix, so Content-Length (UTF-8 BYTES) exceeds the
+    // char count and only a byte-sliced parse round-trips with
+    // len_ok = true — the char-counting parser would misframe every
+    // record. The oracle states the closed form per document,
+    // octet_length(encode(...)) supplying the byte count.
+    "src_wet_bytes" -> ((s, dir) =>
+      graft.operators.Crawl.wetParseBytes(
+        graft.operators.Crawl.plantWetBytes(
+          Tables.documents(s, dir).select(col("doc_id"),
+            concat(lit("héllo → "), col("text")).as("text")),
+          "doc_id", "text"))),
     // HTML → text extraction over planted pages: script/style/comment
     // spans dropped whole (lazy dot-all), block closers → newlines, tags
     // stripped, the six entities decoded (&amp; last), whitespace
@@ -2859,6 +2883,68 @@ object SparkEntry {
       graft.multimodal.Multimodal.wavStats(media)
     }),
 
+    // Real PNG decode (Codecs.Png — VERDICT r11 #4): 512 RGB8 PNGs from
+    // closed-form pixel formulas, zlib-deflated with the scanline filter
+    // CYCLING y % 5, so every image exercises all five reconstruction
+    // filters (None/Sub/Up/Average/Paeth); the oracle recomputes
+    // dimensions and per-channel pixel sums analytically. (A deflate
+    // stream's length is not closed-form, so n_pixels stands where the
+    // BMP twin pins n_bytes.)
+    "mm_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 7).toInt
+        graft.multimodal.MediaRecord(id, "image/png",
+          graft.multimodal.Codecs.Png.encode(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.pngStats(media)
+    }),
+    // The real image chain end to end (VERDICT r11 #4: resizeStub
+    // replaced): PNG decode → EXACT 2×2 integer box resize → stats.
+    // Every output pixel is floor(Σ block / 4), closed-form integer, so
+    // the oracle recomputes the downsampled image block by block — a
+    // wrong filter predictor, stride, or mean and the sums split.
+    "mm_resize_real" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val w = (2 * (4 + id % 5)).toInt
+        val h = (2 * (3 + id % 4)).toInt
+        graft.multimodal.MediaRecord(id, "image/png",
+          graft.multimodal.Codecs.Png.encode(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.resizePngStats(media, k = 2)
+    }),
+    // mm_phash_real's chain with the REAL RESAMPLER in the middle: PNG
+    // decode → 2×2 box resize → bucketed descriptor → average-hash →
+    // Hamming banding. Pixel-identical payloads resize to identical
+    // pixels, so every planted twin must pair at hamming 0.
+    "mm_phash_resized" -> ((s, dir) => {
+      import s.implicits._
+      def img(id: Long, seed: Long) = graft.multimodal.MediaRecord(id,
+        "image/png", graft.multimodal.Codecs.Png.encode(16, 16, (x, y) => (
+          ((x * 7 + y * 13 + seed * 31) % 256).toInt,
+          ((x * 5 + y * 11 + seed * 17) % 256).toInt,
+          ((x * 3 + y * 17 + seed * 7) % 256).toInt)))
+      val media = s.range(100).map(id => img(id, id))
+        .union(s.range(30).map(id => img(id + PlantedOffset, id)))
+      val feats = graft.multimodal.Multimodal
+        .extractFeaturesPngResized(media, k = 2, dim = 64).toDF()
+      val pairs = graft.multimodal.Multimodal
+        .phashNearDuplicates(feats, maxDist = 0)
+      s.range(30).toDF("media_id")
+        .join(pairs.filter(col("id_b") - col("id_a") === PlantedOffset)
+            .select(col("id_a").as("media_id"), lit(true).as("found")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), coalesce(col("found"), lit(false)).as("found"))
+    }),
+
     // Perceptual-hash media dedup (Multimodal.phash + the shared Hamming
     // banding): planted byte-identical payloads decode (stub) to
     // identical features, hence identical average-hash bits — every
@@ -3752,7 +3838,13 @@ object SparkEntry {
     // round 11c: corpus observability + release gating — vocabulary
     // drift between cohorts, Matryoshka-style dimension-ablation recall,
     // k-anonymity release gate
-    "t_df_drift", "ann_dim_ablation", "v_k_anonymity")
+    "t_df_drift", "ann_dim_ablation", "v_k_anonymity",
+    // round 12: the byte-domain crawl front door (multi-member .wet.gz
+    // inflate + octet-counted framing) and the real image path (PNG
+    // decode through all five filters, exact box resize, phash on real
+    // resized pixels)
+    "src_wet_parse_gz", "src_wet_bytes", "mm_decode_png", "mm_resize_real",
+    "mm_phash_resized")
 
   // ---- DuckDB oracle twins ----
 
@@ -4132,6 +4224,37 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
     */
+  /** The WET-parse replay — shared verbatim by `src_wet_parse` (the char
+    * parser) and `src_wet_parse_gz` (the gzipped byte parser): on the
+    * all-ASCII corpus byte and char framing coincide, so both parsers
+    * must hash-match this one statement.
+    */
+  private val wetParseOracle: String =
+    """WITH r AS (SELECT doc_id, doc_id % 8 AS file_id,
+           'WARC/1.0' || chr(10) || 'WARC-Type: conversion' || chr(10) ||
+           'WARC-Target-URI: https://example.com/d/' || CAST(doc_id AS VARCHAR) || chr(10) ||
+           'Content-Length: ' || CAST(len(text) AS VARCHAR) || chr(10) || chr(10) ||
+           text || chr(10) || chr(10) AS rec
+         FROM documents),
+       b AS (SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS wet
+             FROM r GROUP BY file_id),
+       e AS (SELECT file_id,
+               unnest(string_split(wet, 'WARC/1.0' || chr(10))) AS rec FROM b),
+       f AS (SELECT file_id, rec FROM e WHERE rec <> ''),
+       p AS (SELECT file_id, rec,
+           regexp_extract(rec, 'WARC-Target-URI: ([^\n]*)\n', 1) AS uri,
+           CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)\n', 1) AS BIGINT)
+             AS declared_len,
+           strpos(rec, chr(10) || chr(10)) AS he FROM f)
+       SELECT file_id, uri,
+         CAST(regexp_extract(rec,
+           'WARC-Target-URI: https://example\.com/d/([0-9]+)\n', 1) AS BIGINT)
+           AS doc_id,
+         declared_len,
+         substring(rec, he + 2, CAST(declared_len AS INTEGER)) AS body,
+         (len(rec) = he + 1 + declared_len + 2) AS len_ok
+       FROM p"""
+
   def oracleSql: Map[String, String] = Map(
     "a1_category_kpis" ->
       """SELECT p.p_type AS category,
@@ -4901,31 +5024,22 @@ object SparkEntry {
     // WET front door: rebuild the blobs with ordered string_agg, replay
     // the record split, header extraction, length-delimited body slice,
     // and the framing re-check
-    "src_wet_parse" ->
-      """WITH r AS (SELECT doc_id, doc_id % 8 AS file_id,
-           'WARC/1.0' || chr(10) || 'WARC-Type: conversion' || chr(10) ||
-           'WARC-Target-URI: https://example.com/d/' || CAST(doc_id AS VARCHAR) || chr(10) ||
-           'Content-Length: ' || CAST(len(text) AS VARCHAR) || chr(10) || chr(10) ||
-           text || chr(10) || chr(10) AS rec
-         FROM documents),
-       b AS (SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS wet
-             FROM r GROUP BY file_id),
-       e AS (SELECT file_id,
-               unnest(string_split(wet, 'WARC/1.0' || chr(10))) AS rec FROM b),
-       f AS (SELECT file_id, rec FROM e WHERE rec <> ''),
-       p AS (SELECT file_id, rec,
-           regexp_extract(rec, 'WARC-Target-URI: ([^\n]*)\n', 1) AS uri,
-           CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)\n', 1) AS BIGINT)
-             AS declared_len,
-           strpos(rec, chr(10) || chr(10)) AS he FROM f)
-       SELECT file_id, uri,
-         CAST(regexp_extract(rec,
-           'WARC-Target-URI: https://example\.com/d/([0-9]+)\n', 1) AS BIGINT)
-           AS doc_id,
-         declared_len,
-         substring(rec, he + 2, CAST(declared_len AS INTEGER)) AS body,
-         (len(rec) = he + 1 + declared_len + 2) AS len_ok
-       FROM p""",
+    "src_wet_parse" -> wetParseOracle,
+    // the gz byte-domain parse answers the SAME oracle on the all-ASCII
+    // corpus (byte count == char count there) — inflate + byte framing
+    // must be invisible to the result
+    "src_wet_parse_gz" -> wetParseOracle,
+    // non-ASCII framing: declared_len is the UTF-8 BYTE count of the
+    // prefixed body, and a correct byte slice round-trips every record
+    "src_wet_bytes" ->
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS file_id,
+                'https://example.com/d/' || CAST(doc_id AS VARCHAR) AS uri,
+                doc_id,
+                CAST(octet_length(encode('héllo → ' || text)) AS BIGINT)
+                  AS declared_len,
+                'héllo → ' || text AS body,
+                true AS len_ok
+         FROM documents""",
     // HTML strip: replant the page, then replay all five rewrite stages
     // ('g'-flagged — Spark regexp_replace is always global) and the raw
     // tag count
@@ -6099,6 +6213,45 @@ object SparkEntry {
                 CAST(SUM((i * 31 + 7 * id) % 65536 - 32768) AS BIGINT) AS sum_samples
          FROM clips, unnest(range(0, frames * ch)) AS ui(i)
          GROUP BY 1, 2, 3, 4, 5""",
+    // real-codec PNG: dimensions + per-channel pixel sums recomputed
+    // analytically — the zlib inflate and all five scanline filters must
+    // land every byte (n_pixels replaces n_bytes: deflate length is not
+    // closed-form)
+    "mm_decode_png" ->
+      """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h
+                       FROM (SELECT unnest(range(0, 512)) AS id))
+         SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(SUM((x * 7 + y * 13 + id) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((x * 5 + y * 11 + 2 * id) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((x * 3 + y * 17 + 3 * id) % 256) AS BIGINT) AS sum_b
+         FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+         GROUP BY 1, 2, 3, 4""",
+    // decode → exact 2×2 box resize → stats: every output pixel is
+    // floor(block sum / 4), recomputed block by block
+    "mm_resize_real" ->
+      """WITH dims AS (SELECT id, 2 * (4 + id % 5) AS w, 2 * (3 + id % 4) AS h
+                       FROM (SELECT unnest(range(0, 256)) AS id)),
+         blocks AS (SELECT id, w, h, bx, by,
+             SUM(((2 * bx + dx) * 7 + (2 * by + dy) * 13 + id) % 256) // 4 AS pr,
+             SUM(((2 * bx + dx) * 5 + (2 * by + dy) * 11 + 2 * id) % 256) // 4 AS pg,
+             SUM(((2 * bx + dx) * 3 + (2 * by + dy) * 17 + 3 * id) % 256) // 4 AS pb
+           FROM dims, unnest(range(0, w // 2)) AS ubx(bx),
+                unnest(range(0, h // 2)) AS uby(by),
+                unnest(range(0, 2)) AS udx(dx), unnest(range(0, 2)) AS udy(dy)
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT id AS media_id, CAST(w // 2 AS BIGINT) AS out_width,
+                CAST(h // 2 AS BIGINT) AS out_height,
+                CAST(SUM(pr) AS BIGINT) AS sum_r,
+                CAST(SUM(pg) AS BIGINT) AS sum_g,
+                CAST(SUM(pb) AS BIGINT) AS sum_b
+         FROM blocks GROUP BY 1, 2, 3""",
+    // planted-payload truth through decode + REAL resize: pixel-identical
+    // PNGs must still pair at hamming 0
+    "mm_phash_resized" ->
+      """SELECT id AS media_id, true AS found
+         FROM (SELECT unnest(range(0, 30)) AS id)""",
     "a7_percentiles" ->
       """SELECT p.p_type AS category,
                 round(quantile_cont(l.l_extendedprice, 0.5), 6) AS p50,

@@ -132,11 +132,225 @@ object Codecs {
     }
   }
 
+  /** Multi-member gzip — the Common Crawl archive framing (each WARC/WET
+    * record is its own deflate member, so a reader can seek to a record
+    * boundary and inflate just that record). Pure JDK (`java.util.zip`),
+    * offline-safe; [[gunzipAll]] inflates EVERY member of a concatenated
+    * stream (GZIPInputStream handles member boundaries natively).
+    */
+  object Gzip {
+    /** One gzip member over `bytes` (deterministic: fixed default
+      * deflate level, no timestamp — GZIPOutputStream writes MTIME 0).
+      */
+    def gzip(bytes: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(bytes); gz.finish(); gz.close()
+      bos.toByteArray
+    }
+
+    /** Inflate ALL members of a (possibly multi-member) gzip stream into
+      * one contiguous payload. Throws on malformed input (bad magic,
+      * truncated member, CRC mismatch) — the loud-rejection codec stance.
+      */
+    def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    }
+  }
+
   /** A decoded PCM-16 clip: interleaved samples, frame count =
     * samples.length / channels.
     */
   final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short]) {
     def frames: Int = samples.length / channels
+  }
+
+  /** 8-bit-RGB PNG (color type 2), pure JVM: zlib via
+    * `java.util.zip.Inflater`/`Deflater`, CRC-32 via `java.util.zip.CRC32`
+    * — no native or third-party codec (VERDICT r11 #4). The encoder
+    * exists for fixtures and deliberately cycles the scanline filter
+    * (row y uses filter y % 5), so a decode fixture exercises ALL FIVE
+    * reconstruction filters (None/Sub/Up/Average/Paeth); one wrong
+    * predictor and the pixel sums the oracle recomputes mismatch.
+    * Interlace, palettes, alpha, and non-8-bit depths are out of scope
+    * and REJECTED loudly, like every unsupported branch in this file.
+    */
+  object Png {
+    private val Signature = Array[Int](0x89, 0x50, 0x4E, 0x47,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def beI32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+        ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+    private def putBeI32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = ((v >>> 24) & 0xFF).toByte; b(off + 1) = ((v >>> 16) & 0xFF).toByte
+      b(off + 2) = ((v >>> 8) & 0xFF).toByte; b(off + 3) = (v & 0xFF).toByte
+    }
+
+    private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      putBeI32(out, 0, data.length)
+      tpe.getBytes("US-ASCII").copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32
+      crc.update(out, 4, 4 + data.length)
+      putBeI32(out, 8 + data.length, crc.getValue.toInt)
+      out
+    }
+
+    /** a = left, b = above, c = upper-left (the PNG spec predictor). */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Encode top-down RGB pixels as an RGB8 PNG, filter = y % 5. */
+    def encode(width: Int, height: Int,
+               pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+      val stride = width * 3
+      val raw = new Array[Byte](height * stride) // unfiltered scanlines
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixel(x, y)
+          raw(y * stride + 3 * x) = r.toByte
+          raw(y * stride + 3 * x + 1) = g.toByte
+          raw(y * stride + 3 * x + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      val filtered = new Array[Byte](height * (1 + stride))
+      y = 0
+      while (y < height) {
+        val f = y % 5
+        filtered(y * (1 + stride)) = f.toByte
+        var i = 0
+        while (i < stride) {
+          val cur = raw(y * stride + i) & 0xFF
+          val left = if (i >= 3) raw(y * stride + i - 3) & 0xFF else 0
+          val up = if (y > 0) raw((y - 1) * stride + i) & 0xFF else 0
+          val ul = if (y > 0 && i >= 3) raw((y - 1) * stride + i - 3) & 0xFF else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 => cur - paeth(left, up, ul)
+          }
+          filtered(y * (1 + stride) + 1 + i) = (v & 0xFF).toByte
+          i += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater
+      deflater.setInput(filtered); deflater.finish()
+      val zbuf = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+      val tmp = new Array[Byte](64 * 1024)
+      while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val ihdr = new Array[Byte](13)
+      putBeI32(ihdr, 0, width); putBeI32(ihdr, 4, height)
+      ihdr(8) = 8 // bit depth
+      ihdr(9) = 2 // color type: truecolor RGB
+      // compression 0, filter 0, interlace 0 already zeroed
+      Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Parse an RGB8 non-interlaced PNG: chunk walk with CRC
+      * verification, multi-IDAT zlib inflate, and full five-filter
+      * scanline reconstruction. Output is top-down RGB (PNG's native
+      * order). Throws IllegalArgumentException on malformed or
+      * unsupported input.
+      */
+    def decode(bytes: Array[Byte]): Image = {
+      require(bytes.length >= 8 + 25 + 12, s"truncated PNG: ${bytes.length} bytes")
+      require(Signature.indices.forall(i => bytes(i) == Signature(i)),
+        "bad PNG signature")
+      var off = 8
+      var width = -1
+      var height = -1
+      val idat = new java.io.ByteArrayOutputStream(bytes.length)
+      var sawEnd = false
+      while (off + 12 <= bytes.length && !sawEnd) {
+        val len = beI32(bytes, off)
+        require(len >= 0 && off.toLong + 12L + len <= bytes.length,
+          s"truncated chunk at $off: declared $len")
+        val tpe = new String(bytes, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes, off + 4, 4 + len)
+        require(crc.getValue.toInt == beI32(bytes, off + 8 + len),
+          s"CRC mismatch in chunk '$tpe'")
+        tpe match {
+          case "IHDR" =>
+            require(len == 13, s"bad IHDR length $len")
+            width = beI32(bytes, off + 8); height = beI32(bytes, off + 12)
+            require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+            require(bytes(off + 16) == 8, s"unsupported bit depth ${bytes(off + 16)}")
+            require(bytes(off + 17) == 2, s"unsupported color type ${bytes(off + 17)}")
+            require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
+              "unsupported compression/filter method")
+            require(bytes(off + 20) == 0, "interlaced PNG unsupported")
+            require(width.toLong * height.toLong * 3L <= Int.MaxValue,
+              s"unreasonable PNG dimensions ${width}x$height")
+          case "IDAT" => idat.write(bytes, off + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => // ancillary chunk: skip
+        }
+        off += 12 + len
+      }
+      require(width > 0, "missing IHDR chunk")
+      require(sawEnd, "missing IEND chunk")
+      val stride = width * 3
+      val filtered = new Array[Byte](height * (1 + stride))
+      val inflater = new java.util.zip.Inflater
+      inflater.setInput(idat.toByteArray)
+      var got = 0
+      while (got < filtered.length && !inflater.finished()) {
+        val n = inflater.inflate(filtered, got, filtered.length - got)
+        require(n > 0 || !inflater.needsInput, "truncated IDAT payload")
+        got += n
+      }
+      inflater.end()
+      require(got == filtered.length,
+        s"short IDAT payload: got $got, need ${filtered.length}")
+      val rgb = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        val f = filtered(y * (1 + stride)) & 0xFF
+        require(f <= 4, s"bad filter type $f on row $y")
+        var i = 0
+        while (i < stride) {
+          val v = filtered(y * (1 + stride) + 1 + i) & 0xFF
+          val left = if (i >= 3) rgb(y * stride + i - 3) & 0xFF else 0
+          val up = if (y > 0) rgb((y - 1) * stride + i) & 0xFF else 0
+          val ul = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xFF else 0
+          val raw = f match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case 4 => v + paeth(left, up, ul)
+          }
+          rgb(y * stride + i) = (raw & 0xFF).toByte
+          i += 1
+        }
+        y += 1
+      }
+      Image(width, height, rgb)
+    }
   }
 
   object Wav {

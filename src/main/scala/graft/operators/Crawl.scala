@@ -78,6 +78,160 @@ object Crawl {
         (length(rec) === hdrEnd + lit(1) + declared + lit(2)).as("len_ok"))
   }
 
+  // ---------------------------------------------------------------------
+  // Byte-domain WET framing (VERDICT r11 #1/#3): the REAL WARC contract is
+  // octet-counted — Content-Length is the body's byte length, and real
+  // Common Crawl ships multi-member gzip (.wet.gz, one deflate member per
+  // record). The char-based plantWet/wetParse pair above stays as the
+  // ASCII fixture oracle; the functions below are the production path —
+  // byte-accurate framing, gzip behind the Codecs boundary, parsing as an
+  // imperative byte walk (the codec mapPartitions tier: WARC readers are
+  // genuinely per-record imperative, like the BMP/WAV/PNG decoders).
+  // ---------------------------------------------------------------------
+
+  private val VersionLine = "WARC/1.0\n".getBytes("US-ASCII")
+
+  private def matchesAt(b: Array[Byte], pos: Int, pat: Array[Byte]): Boolean = {
+    if (pos < 0 || pos + pat.length > b.length) return false
+    var i = 0
+    while (i < pat.length) {
+      if (b(pos + i) != pat(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def indexOf(b: Array[Byte], from: Int, pat: Array[Byte]): Int = {
+    var pos = math.max(from, 0)
+    while (pos + pat.length <= b.length) {
+      if (matchesAt(b, pos, pat)) return pos
+      pos += 1
+    }
+    -1
+  }
+
+  /** One byte-accurate WET conversion record: ASCII headers declaring the
+    * body's UTF-8 BYTE count, then the body's UTF-8 bytes, then the two
+    * record-terminating newlines.
+    */
+  private[operators] def wetRecordBytes(uri: String, body: String): Array[Byte] = {
+    val bodyBytes = body.getBytes("UTF-8")
+    val header = ("WARC/1.0\nWARC-Type: conversion\n" +
+      s"WARC-Target-URI: $uri\nContent-Length: ${bodyBytes.length}\n\n")
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + bodyBytes.length + 2)
+    header.copyToArray(out, 0)
+    bodyBytes.copyToArray(out, header.length)
+    out(out.length - 2) = '\n'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** [[plantWet]]'s byte-domain twin: each document becomes one record
+    * with Content-Length = the body's UTF-8 BYTE count (correct for
+    * non-ASCII bodies, where the char-counting fixture would misframe),
+    * records concatenate in id order into one binary blob per file —
+    * optionally each record as its OWN gzip member (`gzipRecords`), the
+    * real `.wet.gz` layout. Fixture-grain: the per-file group collects to
+    * build the blob, exactly like [[plantWet]]'s collect_list.
+    */
+  def plantWetBytes(docs: DataFrame, idCol: String, textCol: String,
+                    files: Int = 8, gzipRecords: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select((col(idCol) % files).cast("long").as("file_id"),
+        col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (fileId, it) =>
+        val recs = it.toArray.sortBy(_._2).map { case (_, id, text) =>
+          val rec = wetRecordBytes(s"https://example.com/d/$id", text)
+          if (gzipRecords) graft.multimodal.Codecs.Gzip.gzip(rec) else rec
+        }
+        val out = new Array[Byte](recs.map(_.length).sum)
+        recs.foldLeft(0) { (off, r) => r.copyToArray(out, off); off + r.length }
+        (fileId, out)
+      }
+      .toDF("file_id", "content")
+  }
+
+  private val UriHeader = """WARC-Target-URI: ([^\n]*)\n""".r.unanchored
+  private val LenHeader = """Content-Length: ([0-9]+)\n""".r.unanchored
+  private val DocUri = """^https://example\.com/d/([0-9]+)$""".r
+
+  /** Walk one decompressed WET payload record by record: match the
+    * version line, read ASCII headers to the first blank line, slice the
+    * body by its declared BYTE count, decode UTF-8, and verify the
+    * two-newline terminator sits exactly where the count says (`len_ok`).
+    * A record whose framing fails resyncs at the next version line (the
+    * detectable-truncation stance of the char parser) instead of
+    * cascading the misalignment.
+    */
+  private[operators] def parseWetPayload(bytes: Array[Byte])
+      : Seq[(String, Option[Long], Option[Long], String, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[Long], Option[Long], String, Boolean)]
+    var pos = if (matchesAt(bytes, 0, VersionLine)) 0
+      else indexOf(bytes, 0, VersionLine)
+    while (pos >= 0 && pos < bytes.length) {
+      val hdrStart = pos + VersionLine.length
+      val hdrEnd = indexOf(bytes, hdrStart, "\n\n".getBytes("US-ASCII"))
+      if (hdrEnd < 0) { pos = -1 } // truncated header: nothing parseable
+      else {
+        val header = new String(bytes, hdrStart, hdrEnd + 1 - hdrStart, "UTF-8")
+        val uri = UriHeader.findFirstMatchIn(header).map(_.group(1)).getOrElse("")
+        val docId = uri match {
+          case DocUri(d) => Some(d.toLong)
+          case _ => None
+        }
+        val declared = LenHeader.findFirstMatchIn(header).map(_.group(1).toLong)
+        val bodyStart = hdrEnd + 2
+        val bodyEnd = declared.map(d => bodyStart + d)
+        val framed = bodyEnd.exists(e => e >= bodyStart && e <= bytes.length)
+        val body =
+          if (framed)
+            new String(bytes, bodyStart, (bodyEnd.get - bodyStart).toInt, "UTF-8")
+          else ""
+        val lenOk = framed && bodyEnd.exists { e =>
+          val ei = e.toInt
+          ei + 2 <= bytes.length && bytes(ei) == '\n' && bytes(ei + 1) == '\n' &&
+            (ei + 2 == bytes.length || matchesAt(bytes, ei + 2, VersionLine))
+        }
+        out += ((uri, docId, declared, body, lenOk))
+        pos =
+          if (lenOk) {
+            val next = bodyEnd.get.toInt + 2
+            if (next >= bytes.length) -1 else next
+          } else indexOf(bytes, bodyStart, VersionLine) // resync
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[wetParse]]'s byte-domain twin over BINARY blobs `(fileCol,
+    * binCol)`: optionally inflate every gzip member
+    * ([[graft.multimodal.Codecs.Gzip.gunzipAll]]), then
+    * [[parseWetPayload]] per blob. Output matches [[wetParse]] column
+    * for column — on an all-ASCII corpus the two parsers answer the
+    * SAME oracle; on non-ASCII bodies only this one frames correctly.
+    * Executor-side per-partition iterator (decode behind the codec
+    * boundary, one blob in → many records out), no shuffle anywhere.
+    */
+  def wetParseBytes(blobs: DataFrame, fileCol: String = "file_id",
+                    binCol: String = "content",
+                    gz: Boolean = false): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col(fileCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fileId, raw) =>
+        val payload = if (gz) graft.multimodal.Codecs.Gzip.gunzipAll(raw) else raw
+        parseWetPayload(payload).map { case (uri, docId, declared, body, lenOk) =>
+          (fileId, uri, docId, declared, body, lenOk)
+        }
+      })
+      .toDF(fileCol, "uri", "doc_id", "declared_len", "body", "len_ok")
+  }
+
   /** Deterministic HTML pages planted from any (id, text) corpus: head
     * with title/script/style (the blocks a stripper must DROP whole),
     * entity-encoded punctuation, a comment, block and inline tags, and

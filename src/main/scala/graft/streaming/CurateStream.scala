@@ -85,32 +85,6 @@ object CurateStream {
   private[streaming] val GatedDataSchema =
     "doc_id LONG, domain STRING, text STRING, bpe_tokens LONG"
 
-  /** Marker file a compaction blob carries (written INSIDE the blob dir
-    * before the atomic rename publishes it): the batch-dir names the blob
-    * absorbed. Readers exclude marked dirs even when a crash interrupted
-    * the post-rename deletes — without this, a crash window would leave
-    * gated rows in BOTH the blob and an absorbed dir, and the next refit
-    * would double-count them (the registry tolerates duplicates, gated
-    * does not). Underscore prefix → parquet readers ignore the file.
-    */
-  private val AbsorbedMarker = "_absorbed"
-
-  private def deadDirNames(fs: org.apache.hadoop.fs.FileSystem,
-                           root: Path): Set[String] =
-    if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=-"))
-      .flatMap { d =>
-        val m = new Path(d.getPath, AbsorbedMarker)
-        if (!fs.exists(m)) Seq.empty[String]
-        else {
-          val in = fs.open(m)
-          try scala.io.Source.fromInputStream(in).getLines()
-            .filter(_.nonEmpty).toList
-          finally in.close()
-        }
-      }.toSet
-
   /** What the gate WRITES to `report/batch=N`: this batch's funnel counts
     * for the per-trigger stages (0_input/1_dedup/2_quality/3_lang) —
     * additive across batches because those stages decide row-locally.
@@ -184,29 +158,13 @@ object CurateStream {
     * trigger make the plans distinct, so each refit caches and reads its
     * own era.
     */
-  def readGated(spark: SparkSession, workDir: String): DataFrame = {
-    val root = new Path(s"$workDir/gated")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // exclude dirs a published compaction blob absorbed (the marker
-    // contract above) — they may linger if the post-rename deletes were
-    // interrupted, and reading them would double-count their rows
-    val dead = deadDirNames(fs, root)
-    val dirs =
-      if (fs.exists(root))
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.startsWith("batch=") && !dead(p.getName))
-          .map(_.toString).sorted.toSeq
-      else Seq.empty
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"),
-        lit(null).cast("string").as("domain"),
-        lit(null).cast("string").as("text"),
-        lit(0L).as("bpe_tokens"))
-    else
-      spark.read.schema(GatedDataSchema).option("ignoreMissingFiles", "true")
-        .parquet(dirs: _*)
-        .select("doc_id", "domain", "text", "bpe_tokens")
-  }
+  def readGated(spark: SparkSession, workDir: String): DataFrame =
+    // live-dir enumeration excludes dirs a published compaction blob
+    // absorbed (the [[Compaction]] marker contract) — they may linger if
+    // the post-rename deletes were interrupted, and reading them would
+    // double-count their rows
+    Compaction.readLive(spark, s"$workDir/gated", GatedDataSchema)
+      .select("doc_id", "domain", "text", "bpe_tokens")
 
   /** Recompute the whole-corpus stages from the drained cumulative state
     * and publish them atomically as version `batchId`: train the unigram
@@ -269,51 +227,13 @@ object CurateStream {
     * still sees every row exactly once).
     */
   def compact(spark: SparkSession, workDir: String, upToBatch: Long): Unit = {
-    def compactDir(sub: String, dataSchema: String,
-                   distinctCols: Option[Seq[String]]): Unit = {
-      val root = new Path(s"$workDir/$sub")
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(root)) return
-      val dead = deadDirNames(fs, root)
-      val all = fs.listStatus(root).map(_.getPath.getName)
-        .filter(_.startsWith("batch="))
-      val live = all.filterNot(dead)
-      val liveIds = live.map(_.stripPrefix("batch=").toLong)
-      val absorbed = liveIds.filter(id => id < 0 || id < upToBatch)
-      // still garbage-collect a prior crash's leftover dead dirs even
-      // when there is nothing new to fold
-      if (absorbed.count(_ >= 0) == 0 && absorbed.length <= 1) {
-        dead.foreach(n => fs.delete(new Path(root, n), true))
-        return
-      }
-      // min over EVERY dir (dead included) so a crash can never reuse a
-      // blob id that a lingering marker still references
-      val newId = all.map(_.stripPrefix("batch=").toLong).min - 1L
-      val merged0 = spark.read.schema(dataSchema)
-        .option("ignoreMissingFiles", "true")
-        .parquet(absorbed.map(id => s"$root/batch=$id"): _*)
-      val merged = distinctCols.fold(merged0)(cs =>
-        merged0.select(cs.map(col): _*).distinct())
-      val tmp = new Path(s"$workDir/${sub}_compact_tmp")
-      fs.delete(tmp, true)
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      // the marker rides INSIDE the blob, so the rename atomically
-      // publishes data + absorbed-list together: a crash during the
-      // deletes below leaves dirs that every reader already ignores
-      val out = fs.create(new Path(tmp, AbsorbedMarker), true)
-      out.writeBytes(absorbed.sorted.map(id => s"batch=$id")
-        .mkString("", "\n", "\n"))
-      out.close()
-      fs.rename(tmp, new Path(s"$root/batch=$newId"))
-      absorbed.foreach(id => fs.delete(new Path(s"$root/batch=$id"), true))
-      dead.foreach(n => fs.delete(new Path(root, n), true))
-    }
-    compactDir("registry", "content_sha STRING", Some(Seq("content_sha")))
+    Compaction.compactDir(spark, s"$workDir/registry", "content_sha STRING",
+      upToBatch, Compaction.distinctFold(Seq("content_sha")))
     // gated rows across LIVE batches are disjoint by construction (the
     // digest registry admits each text once) — a plain union; duplicates
     // can only come from un-deleted absorbed dirs, which the marker
     // excludes from every read
-    compactDir("gated", GatedDataSchema, None)
+    Compaction.compactDir(spark, s"$workDir/gated", GatedDataSchema, upToBatch)
   }
 
   /** The currently-published packed training layout (snapshot-isolated;

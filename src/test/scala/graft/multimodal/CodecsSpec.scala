@@ -86,6 +86,53 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.Wav.decode(good.take(46)))
   }
 
+  test("PNG roundtrip is pixel-exact through all five scanline filters") {
+    // height 7 ≥ 5 → the encoder's y % 5 cycle uses None/Sub/Up/Average/
+    // Paeth at least once; any wrong reconstruction corrupts pixels
+    val px = (x: Int, y: Int) => ((x * 37 + y * 91) % 256,
+      (255 - x * 13 + y * 7) % 256, (x * x + y * 3) % 256)
+    val bytes = Codecs.Png.encode(5, 7, px)
+    // signature + IHDR chunk present
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N')
+    val img = Codecs.Png.decode(bytes)
+    assert(img.width == 5 && img.height == 7)
+    for (x <- 0 until 5; y <- 0 until 7)
+      assert(img.pixel(x, y) == px(x, y), s"pixel ($x,$y)")
+  }
+
+  test("PNG rejects bad signature, CRC corruption, unsupported shape, truncation") {
+    val good = Codecs.Png.encode(4, 4, (x, y) => (x, y, x + y))
+    val badSig = good.clone(); badSig(0) = 'X'
+    intercept[IllegalArgumentException](Codecs.Png.decode(badSig))
+    // flip one IDAT payload byte → CRC must catch it
+    val badCrc = good.clone(); badCrc(8 + 25 + 8 + 3) = (badCrc(8 + 25 + 8 + 3) ^ 0x7F).toByte
+    intercept[IllegalArgumentException](Codecs.Png.decode(badCrc))
+    // color type 6 (RGBA) unsupported — re-CRC the IHDR so the type check
+    // is what trips, not the CRC
+    val rgba = good.clone(); rgba(8 + 8 + 9) = 6
+    val crc = new java.util.zip.CRC32
+    crc.update(rgba, 8 + 4, 4 + 13)
+    val cv = crc.getValue.toInt
+    rgba(8 + 8 + 13) = ((cv >>> 24) & 0xFF).toByte
+    rgba(8 + 8 + 14) = ((cv >>> 16) & 0xFF).toByte
+    rgba(8 + 8 + 15) = ((cv >>> 8) & 0xFF).toByte
+    rgba(8 + 8 + 16) = (cv & 0xFF).toByte
+    intercept[IllegalArgumentException](Codecs.Png.decode(rgba))
+    intercept[IllegalArgumentException](Codecs.Png.decode(good.take(30)))
+    intercept[IllegalArgumentException](Codecs.Png.decode(good.dropRight(12)))
+  }
+
+  test("gzip multi-member stream inflates to the concatenated payload") {
+    val a = "first member — ünïcode".getBytes("UTF-8")
+    val b = "second".getBytes("UTF-8")
+    val c = new Array[Byte](100000) // compressible bulk
+    java.util.Arrays.fill(c, 'z'.toByte)
+    val stream = Codecs.Gzip.gzip(a) ++ Codecs.Gzip.gzip(b) ++ Codecs.Gzip.gzip(c)
+    assert(Codecs.Gzip.gunzipAll(stream).toSeq == (a ++ b ++ c).toSeq)
+    // loud rejection of garbage
+    intercept[Exception](Codecs.Gzip.gunzipAll("not gzip".getBytes("UTF-8")))
+  }
+
   test("real-codec feature extractors produce sane bucketed descriptors") {
     // an all-white image has mean intensity 1.0 in every bucket
     val white = MediaRecord(1L, "image/bmp",

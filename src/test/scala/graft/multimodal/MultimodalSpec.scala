@@ -72,6 +72,49 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("boxResize: exact k×k integer means, hand-computed") {
+    // 4×2 image, k=2 → 2×1 output; block means floor-divide
+    val img = Codecs.Image(4, 2, Array[Byte](
+      10, 0, 0, 20, 0, 0, 100, 0, 0, (200 & 0xFF).toByte, 0, 0, // row 0
+      30, 1, 0, 41, 1, 0, 50, 1, 0, 60, 1, 0)) // row 1
+    val out = Multimodal.boxResize(img, 2)
+    assert(out.width == 2 && out.height == 1)
+    assert(out.pixel(0, 0) == (((10 + 20 + 30 + 41) / 4, 0, 0))) // floor(101/4)=25
+    assert(out.pixel(1, 0) == (((100 + 200 + 50 + 60) / 4, 0, 0)))
+    assert(out.pixel(0, 0)._2 == (0 + 0 + 1 + 1) / 4) // green floors to 0
+    // k=1 is the identity
+    assert(Multimodal.boxResize(img, 1).rgb.toSeq == img.rgb.toSeq)
+    // non-divisible dimensions reject loudly
+    intercept[IllegalArgumentException](Multimodal.boxResize(img, 3))
+  }
+
+  test("PNG → boxResize → stats chain is integer-exact end to end") {
+    val px = (x: Int, y: Int) => ((x * 16) % 256, (y * 32) % 256, (x + y) % 256)
+    val media = Seq(MediaRecord(1L, "image/png", Codecs.Png.encode(4, 4, px))).toDS()
+    val r = Multimodal.resizePngStats(media, k = 2).head()
+    assert(r.getAs[Long]("out_width") == 2L && r.getAs[Long]("out_height") == 2L)
+    // red blocks: (0+16+0+16)/4=8, (32+48+32+48)/4=40 → per column, rows same
+    assert(r.getAs[Long]("sum_r") == (8L + 40L) * 2)
+    val full = Multimodal.pngStats(media).head()
+    assert(full.getAs[Long]("width") == 4L && full.getAs[Long]("n_pixels") == 16L)
+    assert(full.getAs[Long]("sum_r") == (0 + 16 + 32 + 48) * 4L)
+  }
+
+  test("phash chain on REAL resized pixels: identical payloads pair at 0") {
+    def png(id: Long, seed: Long) = MediaRecord(id, "image/png",
+      Codecs.Png.encode(16, 16, (x, y) => (
+        ((x * 7 + y * 13 + seed * 31) % 256).toInt,
+        ((x * 5 + y * 11 + seed * 17) % 256).toInt,
+        ((x * 3 + y * 17 + seed * 7) % 256).toInt)))
+    val media = (Seq.tabulate(20)(i => png(i.toLong, i.toLong)) ++
+      Seq.tabulate(5)(i => png(i + 1000L, i.toLong))).toDS()
+    val feats = Multimodal.extractFeaturesPngResized(media, k = 2, dim = 64).toDF()
+    val pairs = Multimodal.phashNearDuplicates(feats, maxDist = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted twin must pair with its original at hamming 0
+    for (i <- 0 until 5) assert(pairs.contains((i.toLong, i + 1000L)), s"twin $i")
+  }
+
   test("phash: hand-computed average-hash bits") {
     // mean 0.5 -> bits set where feature > 0.5: positions 2 and 4
     val feats = Seq((1L, Seq(0.0f, 1.0f, 0.0f, 1.0f))).toDF("media_id", "features")

@@ -52,6 +52,69 @@ class CrawlSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("len_ok"))
   }
 
+  test("wetParseBytes frames non-ASCII bodies by BYTE count (chars would misframe)") {
+    val docs = Seq(
+      (0L, "héllo — ünïcode ⊕ body"), // multi-byte: chars ≠ bytes
+      (1L, "plain ascii"),
+      (2L, "blank\n\nline ün it")
+    ).toDF("doc_id", "text")
+    val parsed = Crawl.wetParseBytes(
+      Crawl.plantWetBytes(docs, "doc_id", "text", files = 2))
+    val byId = parsed.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.keySet == Set(0L, 1L, 2L))
+    for ((id, r) <- byId) {
+      assert(r.getAs[String]("body") == orig(id), s"body of $id")
+      assert(r.getAs[Long]("declared_len") ==
+        orig(id).getBytes("UTF-8").length.toLong, s"byte framing of $id")
+      assert(r.getAs[Boolean]("len_ok"), s"terminator of $id")
+    }
+    // the proof the char parser CANNOT make: bytes > chars for doc 0
+    assert(byId(0L).getAs[Long]("declared_len") > orig(0L).length.toLong)
+  }
+
+  test("wetParseBytes inflates multi-member gzip (one member per record)") {
+    val docs = Seq((0L, "first ün body"), (8L, "second body"), (16L, "third"))
+      .toDF("doc_id", "text") // all % 8 == 0 → one file, three gzip members
+    val parsed = Crawl.wetParseBytes(
+      Crawl.plantWetBytes(docs, "doc_id", "text", files = 8,
+        gzipRecords = true), gz = true)
+    val rows = parsed.collect()
+    assert(rows.length == 3 && rows.forall(_.getAs[Boolean]("len_ok")))
+    assert(rows.map(_.getAs[String]("body")).toSet ==
+      Set("first ün body", "second body", "third"))
+    // and the raw blob really is gzip, not plaintext
+    val blob = Crawl.plantWetBytes(docs, "doc_id", "text", files = 8,
+      gzipRecords = true).head().getAs[Array[Byte]]("content")
+    assert((blob(0) & 0xFF) == 0x1F && (blob(1) & 0xFF) == 0x8B)
+  }
+
+  test("wetParseBytes resyncs after a corrupt record instead of cascading") {
+    val good = Crawl.wetRecordBytes("https://example.com/d/1", "good body")
+    val bad = ("WARC/1.0\nWARC-Target-URI: https://example.com/d/7\n" +
+      "Content-Length: 500\n\nshort\n\n").getBytes("UTF-8")
+    val blob = bad ++ good
+    import spark.implicits._
+    val parsed = Crawl.wetParseBytes(Seq((0L, blob)).toDF("file_id", "content"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!parsed(7L).getAs[Boolean]("len_ok"))
+    assert(parsed(1L).getAs[String]("body") == "good body")
+    assert(parsed(1L).getAs[Boolean]("len_ok"))
+  }
+
+  test("wetParseBytes agrees with wetParse on an all-ASCII corpus") {
+    val ascii = corpus // the shared fixture is all-ASCII
+    val chars = Crawl.wetParse(Crawl.plantWet(ascii, "doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("file_id"), r.getAs[String]("uri"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("declared_len"),
+        r.getAs[String]("body"), r.getAs[Boolean]("len_ok"))).toSet
+    val bytes = Crawl.wetParseBytes(Crawl.plantWetBytes(ascii, "doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("file_id"), r.getAs[String]("uri"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("declared_len"),
+        r.getAs[String]("body"), r.getAs[Boolean]("len_ok"))).toSet
+    assert(bytes == chars)
+  }
+
   test("htmlStrip drops script/style/comment spans whole") {
     val page = Seq((1L,
       "<html><head><script>var a = '<p>not text</p>';</script>" +

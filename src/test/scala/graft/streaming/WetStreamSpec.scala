@@ -65,16 +65,16 @@ class WetStreamSpec extends SparkSpec {
       .unionByName(Crawl.plantWet(docs, "doc_id", "text", files = 1)
         .select(lit(2L).as("file_id"), col("wet")))
     val work = tmp("wetspec_unit")
-    WetStream.ingestBatch(work)(batch, 0L)
+    WetStream.ingestBatch(work, Crawl.wetParse(_, "file_id", "wet"))(batch, 0L)
     val first = WetStream.records(spark, work).collect()
     assert(first.length == 1 && first(0).getAs[Long]("file_id") == 2L)
     // same-batch redelivery: the batch-0 registry partition must not
     // shadow its own replay — the rewrite recomputes the same row
-    WetStream.ingestBatch(work)(batch, 0L)
+    WetStream.ingestBatch(work, Crawl.wetParse(_, "file_id", "wet"))(batch, 0L)
     val again = WetStream.records(spark, work).collect()
     assert(again.length == 1 && again(0).getAs[Long]("file_id") == 2L)
     // a later batch redelivering the uri commits nothing new
-    WetStream.ingestBatch(work)(batch, 1L)
+    WetStream.ingestBatch(work, Crawl.wetParse(_, "file_id", "wet"))(batch, 1L)
     assert(WetStream.records(spark, work).count() == 1L)
     // 2 sightings in batch 0 (its replay overwrote, not doubled) + 2 in
     // batch 1
@@ -84,7 +84,89 @@ class WetStreamSpec extends SparkSpec {
   test("ingestBatch: an empty batch commits nothing") {
     val work = tmp("wetspec_empty")
     val empty = Seq.empty[(Long, String)].toDF("file_id", "wet")
-    WetStream.ingestBatch(work)(empty, 0L)
+    WetStream.ingestBatch(work, Crawl.wetParse(_, "file_id", "wet"))(empty, 0L)
     assert(WetStream.records(spark, work).count() == 0L)
+  }
+
+  test("gz drain: multi-member .wet.gz blobs parse, dedup, and count identically") {
+    val docs = Seq((0L, "gz alpha"), (1L, "gz béta — non-ASCII"), (2L, "gz gamma"))
+      .toDF("doc_id", "text")
+    val blobs = Crawl.plantWetBytes(docs, "doc_id", "text", files = 1,
+        gzipRecords = true)
+      .select(lit(0L).as("file_id"), col("content"))
+      .unionByName(Crawl.plantWetBytes(docs.filter(col("doc_id") === 0L),
+        "doc_id", "text", files = 1, gzipRecords = true)
+        .select(lit(1L).as("file_id"), col("content")))
+    val stage = tmp("wetgz_in")
+    (0L to 1L).foreach { i =>
+      val sub = s"$stage/f$i"
+      blobs.filter(col("file_id") === i).coalesce(1)
+        .write.mode("overwrite").parquet(sub)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+        .iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(1800000000000L + i * 60000L)))
+    }
+    val (work, cp) = (tmp("wetgz_work"), tmp("wetgz_cp"))
+    val schema = spark.read.parquet(s"$stage/f0").schema
+    val q = WetStream.writerGz(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*"),
+        work, cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val recs = WetStream.records(spark, work).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("file_id"), r.getAs[String]("body"),
+          r.getAs[Long]("declared_len"), r.getAs[Boolean]("len_ok"))).toMap
+    assert(recs.keySet == Set(0L, 1L, 2L))
+    assert(recs(0L) == ((0L, "gz alpha", 8L, true)), "refetch must not displace f0")
+    // byte framing: the non-ASCII body declares its UTF-8 BYTE count
+    val bodyBytes = "gz béta — non-ASCII".getBytes("UTF-8").length.toLong
+    assert(recs(1L) == ((0L, "gz béta — non-ASCII", bodyBytes, true)))
+    val seen = WetStream.sightings(spark, work).collect()
+      .map(r => r.getAs[String]("uri") -> r.getAs[Long]("n_seen")).toMap
+    assert(seen("https://example.com/d/0") == 2L)
+    assert(seen("https://example.com/d/1") == 1L)
+  }
+
+  test("compact folds registry/seen/records; reads answer the same after") {
+    val work = tmp("wetspec_compact")
+    def batchOf(fileId: Long, docs: Seq[(Long, String)]) =
+      Crawl.plantWet(docs.toDF("doc_id", "text"), "doc_id", "text", files = 1)
+        .select(lit(fileId).as("file_id"), col("wet"))
+    val parse = Crawl.wetParse(_: org.apache.spark.sql.DataFrame, "file_id", "wet")
+    WetStream.ingestBatch(work, parse)(batchOf(0L, Seq(0L -> "a", 1L -> "b")), 0L)
+    WetStream.ingestBatch(work, parse)(batchOf(1L, Seq(0L -> "a", 2L -> "c")), 1L)
+    WetStream.ingestBatch(work, parse)(batchOf(2L, Seq(2L -> "c", 3L -> "d")), 2L)
+    def snapshot() = (
+      WetStream.records(spark, work).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("file_id"),
+          r.getAs[String]("body"))).toSet,
+      WetStream.sightings(spark, work).collect()
+        .map(r => (r.getAs[String]("uri"), r.getAs[Long]("n_seen"))).toSet)
+    val before = snapshot()
+    assert(before._1 == Set((0L, 0L, "a"), (1L, 0L, "b"), (2L, 1L, "c"),
+      (3L, 2L, "d")))
+    // checkpoint committed past batches 0 and 1 → fold them, keep batch 2
+    WetStream.compact(spark, work, upToBatch = 2L)
+    assert(snapshot() == before, "compaction must not change any answer")
+    def dirs(sub: String) =
+      new java.io.File(s"$work/$sub").listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).toSet
+    assert(dirs("records") == Set("batch=-1", "batch=2"))
+    assert(dirs("seen") == Set("batch=-1", "batch=2"))
+    assert(dirs("registry") == Set("batch=-1", "batch=2"))
+    // a later batch still dedups against the folded registry
+    WetStream.ingestBatch(work, parse)(batchOf(3L, Seq(0L -> "a", 4L -> "e")), 3L)
+    val after = snapshot()
+    assert(after._1 == before._1 + ((4L, 3L, "e")),
+      "refetched uri 0 must stay deduped by the compacted registry")
+    assert(after._2.toMap.apply("https://example.com/d/0") == 3L)
+    // idempotent: a second fold over everything still answers the same
+    WetStream.compact(spark, work, upToBatch = 4L)
+    assert(snapshot() == after)
   }
 }
