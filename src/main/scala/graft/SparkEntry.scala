@@ -300,6 +300,13 @@ object SparkEntry {
     bpe256Cache.computeIfAbsent((s, dir), _ =>
       Text.bpeTrainMerges(bpeRichCorpus(s, dir), "text", nMerges = 256))
 
+  /** Spark-side twin of [[sqlBpeBytesRel]]: documents text plus one
+    * non-ASCII word per document — the byte-BPE fixture corpus.
+    */
+  private def bpeBytesCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(concat(col("text"), lit(" über"),
+      (col("doc_id") % 7L).cast("string")).as("text"))
+
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).withColumn("emb_d",
       transform(col("embedding"), x => x.cast("double")))
@@ -1596,6 +1603,28 @@ object SparkEntry {
     // after the same 3 merges, flat-string serialized
     "t_bpe_segment" -> ((s, dir) =>
       Text.bpeSegment(Tables.documents(s, dir), "text", nMerges = 3)),
+    // BYTE-LEVEL BPE (VERDICT r11 #5 — the GPT-2 variant): the same
+    // greedy loop started from UTF-8 hex-pair bytes over the ü-enriched
+    // corpus, so merges cross multi-byte boundaries. The oracle unrolls
+    // the identical loop at byte grain — every merge DECISION replays.
+    "t_bpe_bytes" -> ((s, dir) =>
+      Text.bpeTrainMergesBytes(bpeBytesCorpus(s, dir), "text", nMerges = 3)),
+    // the byte-trained tokenizer applied to its vocabulary, with the
+    // LOSSLESS ROUND-TRIP column: word_rt re-decodes each word from its
+    // hex pieces (unhex → UTF-8) and must equal word on every row — the
+    // zero-OOV guarantee the byte alphabet buys, hash-checked corpus-wide
+    "t_bpe_bytes_segment" -> ((s, dir) =>
+      Text.bpeSegmentBytes(bpeBytesCorpus(s, dir), "text", nMerges = 3)),
+    // the byte encode path: merges trained on documents applied to the
+    // UNSEEN ü-corpus — non-ASCII words the training text never
+    // contained still encode with zero OOV (base bytes always cover)
+    "t_bpe_bytes_encode" -> ((s, dir) => {
+      val merges = Text.bpeTrainMergesBytes(Tables.documents(s, dir), "text",
+          nMerges = 3)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Text.bpeEncodeBytes(bpeBytesCorpus(s, dir), "text", merges)
+    }),
     // Unigram tokenizer SEED vocabulary (Kudo 2018 step 1 — the other
     // tokenizer family beside BPE): substring candidates at distinct-word
     // grain, top-k by corpus weight, singles appended unconditionally.
@@ -3844,7 +3873,9 @@ object SparkEntry {
     // decode through all five filters, exact box resize, phash on real
     // resized pixels)
     "src_wet_parse_gz", "src_wet_bytes", "mm_decode_png", "mm_resize_real",
-    "mm_phash_resized")
+    "mm_phash_resized",
+    // round 12b: byte-level BPE (zero-OOV tokenizer family)
+    "t_bpe_bytes", "t_bpe_bytes_segment", "t_bpe_bytes_encode")
 
   // ---- DuckDB oracle twins ----
 
@@ -4113,10 +4144,13 @@ object SparkEntry {
   private lazy val sqlBpeTrainCtes: String = sqlBpeTrainCtesFor("documents")
 
   /** Oracle-side unrolled BPE trainer over any source relation exposing a
-    * `text` column — shared by the 3-merge oracle (documents) and the
-    * deep run's prefix oracle (the rich corpus).
+    * `text` column — shared by the 3-merge oracle (documents), the deep
+    * run's prefix oracle (the rich corpus), and the BYTE-GRAIN twins
+    * (`byteGrain = true` starts w0 from UTF-8 hex pairs instead of
+    * characters; everything after the alphabet is the same loop).
     */
-  private def sqlBpeTrainCtesFor(sourceRel: String): String = {
+  private def sqlBpeTrainCtesFor(sourceRel: String,
+                                 byteGrain: Boolean = false): String = {
     def pairCtes(i: Int) =
       s"""p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(wn) AS BIGINT) AS cnt
            FROM w$i, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
@@ -4128,11 +4162,13 @@ object SparkEntry {
                   THEN list_append(acc[1:len(acc) - 1], acc[1] || acc[2])
                   ELSE list_concat(acc, x) END)[3:] AS syms
          FROM w$i CROSS JOIN b$i)"""
+    val symInit =
+      if (byteGrain) "regexp_extract_all(hex(encode(w)), '[0-9A-F]{2}')"
+      else """list_transform(generate_series(1, len(w)),
+                  i -> substr(w, CAST(i AS INTEGER), 1))"""
     s"""WITH toks AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM $sourceRel),
        v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
-       w0 AS (SELECT w, wn,
-                list_transform(generate_series(1, len(w)),
-                  i -> substr(w, CAST(i AS INTEGER), 1)) AS syms FROM v),
+       w0 AS (SELECT w, wn, $symInit AS syms FROM v),
        ${pairCtes(0)}, ${mergeCte(0)},
        ${pairCtes(1)}, ${mergeCte(1)},
        ${pairCtes(2)}, ${mergeCte(2)}"""
@@ -4165,6 +4201,16 @@ object SparkEntry {
   private lazy val sqlBpeRichRel: String =
     """(SELECT text || ' ' || CAST(((doc_id % 1000000000) * 2654435761) % 1000000000 AS VARCHAR)
               || ' ' || CAST((((doc_id % 100000) + 7) * 40503) % 100000 AS VARCHAR) AS text
+       FROM documents)"""
+
+  /** The byte-BPE corpus: documents text plus one NON-ASCII word per
+    * document ("über0".."über6") — multi-byte UTF-8 sequences the char
+    * alphabet never sees, forcing the byte-grain loop to merge across
+    * byte boundaries (C3+BC first, on any corpus where the ü word family
+    * is frequent enough). Deterministic, so both engines replant it.
+    */
+  private lazy val sqlBpeBytesRel: String =
+    """(SELECT text || ' über' || CAST(doc_id % 7 AS VARCHAR) AS text
        FROM documents)"""
 
   private lazy val sqlLmScoreCtes: String =
@@ -5507,6 +5553,37 @@ object SparkEntry {
                 array_to_string(syms, ' ') AS pieces,
                 CAST(len(syms) AS INTEGER) AS n_pieces
          FROM w3""",
+    // byte-grain training decisions replayed verbatim (hex-pair alphabet)
+    "t_bpe_bytes" ->
+      s"""${sqlBpeTrainCtesFor(sqlBpeBytesRel, byteGrain = true)}
+         SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b0
+         UNION ALL SELECT 2, l, r, cnt FROM b1
+         UNION ALL SELECT 3, l, r, cnt FROM b2""",
+    // byte-grain segmentation + the lossless round-trip reconstruction
+    "t_bpe_bytes_segment" ->
+      s"""${sqlBpeTrainCtesFor(sqlBpeBytesRel, byteGrain = true)}
+         SELECT w AS word, wn AS n_occurrences,
+                array_to_string(syms, ' ') AS pieces,
+                CAST(len(syms) AS INTEGER) AS n_pieces,
+                decode(unhex(array_to_string(syms, ''))) AS word_rt
+         FROM w3""",
+    // byte encode: train on documents at byte grain, apply the 3 merges
+    // fold-by-fold to the unseen ü-corpus vocabulary
+    "t_bpe_bytes_encode" ->
+      s"""${sqlBpeTrainCtesFor("documents", byteGrain = true)},
+         n0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn
+                FROM (SELECT unnest(${sqlTokens("lower(text)")}) AS w
+                      FROM $sqlBpeBytesRel) GROUP BY 1),
+         n0s AS (SELECT w, wn,
+                  regexp_extract_all(hex(encode(w)), '[0-9A-F]{2}') AS syms
+                 FROM n0),
+         ${sqlBpeApplyCte("n0s", "n1", 0)},
+         ${sqlBpeApplyCte("n1", "n2", 1)},
+         ${sqlBpeApplyCte("n2", "n3", 2)}
+         SELECT w AS word, wn AS n_occurrences,
+                array_to_string(syms, ' ') AS pieces,
+                CAST(len(syms) AS INTEGER) AS n_pieces
+         FROM n3""",
     // PMI associations: every stage replayed — distinct grain, df band,
     // per-doc rarest-16 cap (same (df ASC, term) window), pair join,
     // one ln per pair, rounded-score ordering with full tie-break
