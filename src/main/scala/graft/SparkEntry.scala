@@ -1322,6 +1322,27 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id"),
             concat(lit("héllo → "), col("text")).as("text")),
           "doc_id", "text"))),
+    // Full WARC RESPONSE parse (VERDICT r11 #7): response records carry
+    // an HTTP payload — status line, headers, body. The parser slices
+    // the record length-delimited, then parses the HTTP layer, pulling
+    // Content-Type from the HEADER SECTION only (a body mentioning
+    // "Content-Type:" cannot spoof the gate). is_html = status 200 AND
+    // text/html — the fetch gate ahead of htmlStrip. Oracle states the
+    // planted closed form per document.
+    "src_warc_parse" -> ((s, dir) =>
+      graft.operators.Crawl.warcParse(
+        graft.operators.Crawl.plantWarc(
+          Tables.documents(s, dir), "doc_id", "text"))),
+    // ... and the gated records feeding the strip — the crawl DAG's
+    // first two real stages composed: parse → is_html gate → htmlStrip.
+    "t_warc_strip" -> ((s, dir) =>
+      graft.operators.Crawl.htmlStrip(
+        graft.operators.Crawl.warcParse(
+          graft.operators.Crawl.plantWarc(
+            Tables.documents(s, dir), "doc_id", "text"))
+          .filter(col("is_html"))
+          .select(col("doc_id"), col("body")),
+        "doc_id", "body")),
     // HTML → text extraction over planted pages: script/style/comment
     // spans dropped whole (lazy dot-all), block closers → newlines, tags
     // stripped, the six entities decoded (&amp; last), whitespace
@@ -3875,7 +3896,10 @@ object SparkEntry {
     "src_wet_parse_gz", "src_wet_bytes", "mm_decode_png", "mm_resize_real",
     "mm_phash_resized",
     // round 12b: byte-level BPE (zero-OOV tokenizer family)
-    "t_bpe_bytes", "t_bpe_bytes_segment", "t_bpe_bytes_encode")
+    "t_bpe_bytes", "t_bpe_bytes_segment", "t_bpe_bytes_encode",
+    // round 12c: WARC response records — HTTP status/content-type gate
+    // ahead of the strip
+    "src_warc_parse", "t_warc_strip")
 
   // ---- DuckDB oracle twins ----
 
@@ -5086,6 +5110,65 @@ object SparkEntry {
                 'héllo → ' || text AS body,
                 true AS len_ok
          FROM documents""",
+    // WARC response parse: the planted record layer restated closed-form
+    // (status/ctype/payload all deterministic in doc_id), the gate being
+    // 200 AND text/html
+    "src_warc_parse" ->
+      """WITH d AS (SELECT doc_id, text,
+             CASE WHEN doc_id % 7 = 0 THEN '404 Not Found' ELSE '200 OK' END AS status,
+             CASE WHEN doc_id % 5 = 0 THEN 'application/pdf'
+                  ELSE 'text/html; charset=UTF-8' END AS ctype,
+             CASE WHEN doc_id % 5 = 0 THEN substring(text, 1, 40)
+                  ELSE '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+                       '</h1><p>' || substring(text, 1, 120) ||
+                       '</p></body></html>' END AS payload
+           FROM documents),
+         h AS (SELECT doc_id, status, ctype, payload,
+             'HTTP/1.1 ' || status || chr(13) || chr(10) ||
+             'Content-Type: ' || ctype || chr(13) || chr(10) ||
+             'Server: graft-fixture' || chr(13) || chr(10) ||
+             chr(13) || chr(10) || payload AS http
+           FROM d)
+         SELECT CAST(doc_id % 8 AS BIGINT) AS file_id,
+           'https://example.com/d/' || CAST(doc_id AS VARCHAR) AS uri,
+           doc_id,
+           CAST(len(http) AS BIGINT) AS declared_len,
+           CAST(substring(status, 1, 3) AS BIGINT) AS http_status,
+           ctype AS content_type,
+           (substring(status, 1, 3) = '200' AND starts_with(ctype, 'text/html'))
+             AS is_html,
+           payload AS body,
+           true AS len_ok
+         FROM h""",
+    // parse → gate → strip: the is_html survivors' payloads through the
+    // same five rewrite stages as t_html_strip
+    "t_warc_strip" ->
+      """WITH h AS (SELECT doc_id,
+             '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+             substring(text, 1, 120) || '</p></body></html>' AS html
+           FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0),
+         s1 AS (SELECT doc_id, html, regexp_replace(html,
+             '(?s)<script[^>]*>.*?</script>|(?s)<style[^>]*>.*?</style>|(?s)<!--.*?-->',
+             '', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, html, regexp_replace(t,
+             '</p>|</div>|</h[1-6]>|</li>|</title>|<br */?>', chr(10), 'g') AS t
+           FROM s1),
+         s3 AS (SELECT doc_id, html,
+             regexp_replace(t, '<[^>]+>', '', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id, html,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+               '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+         s5 AS (SELECT doc_id, html, regexp_replace(regexp_replace(t,
+             '[ \t]+', ' ', 'g'), ' *\n *', chr(10), 'g') AS t FROM s4),
+         s6 AS (SELECT doc_id, html, array_to_string(
+             list_filter(string_split(t, chr(10)), x -> x <> ''), chr(10))
+             AS strip_text FROM s5)
+         SELECT doc_id,
+           regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+           strip_text,
+           CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags
+         FROM s6""",
     // HTML strip: replant the page, then replay all five rewrite stages
     // ('g'-flagged — Spark regexp_replace is always global) and the raw
     // tag count

@@ -232,6 +232,84 @@ object Crawl {
       .toDF(fileCol, "uri", "doc_id", "declared_len", "body", "len_ok")
   }
 
+  /** Deterministic WARC RESPONSE records (VERDICT r11 #7 — the record
+    * type real pipelines start from, one step AHEAD of WET conversions):
+    * each document becomes one `WARC-Type: response` record whose
+    * payload is a full HTTP response — status line, headers, blank line,
+    * body. Planted variety covers the four gate outcomes: status 404
+    * when id % 7 == 0, Content-Type application/pdf when id % 5 == 0,
+    * text/html + 200 otherwise; html bodies carry real markup so the
+    * gated output feeds [[htmlStrip]] directly. Records concatenate in
+    * id order per file, length-delimited — the [[plantWet]] layout.
+    */
+  def plantWarc(docs: DataFrame, idCol: String, textCol: String,
+                files: Int = 8): DataFrame = {
+    val status = when(col(idCol) % 7 === 0, lit("404 Not Found"))
+      .otherwise(lit("200 OK"))
+    val ctype = when(col(idCol) % 5 === 0, lit("application/pdf"))
+      .otherwise(lit("text/html; charset=UTF-8"))
+    val payload = when(col(idCol) % 5 === 0, substring(col(textCol), 1, 40))
+      .otherwise(concat(lit("<html><body><h1>Doc "), col(idCol),
+        lit("</h1><p>"), substring(col(textCol), 1, 120),
+        lit("</p></body></html>")))
+    val http = concat(lit("HTTP/1.1 "), status,
+      lit("\r\nContent-Type: "), ctype,
+      lit("\r\nServer: graft-fixture\r\n\r\n"), payload)
+    val rec = concat(
+      lit("WARC/1.0\n"),
+      lit("WARC-Type: response\n"),
+      lit("WARC-Target-URI: https://example.com/d/"), col(idCol), lit("\n"),
+      lit("Content-Length: "), length(http), lit("\n\n"),
+      http, lit("\n\n"))
+    docs.select((col(idCol) % files).cast("long").as("file_id"),
+        col(idCol).cast("long").as("__id"), rec.as("__rec"))
+      .groupBy(col("file_id"))
+      .agg(collect_list(struct(col("__id"), col("__rec"))).as("__rs"))
+      .select(col("file_id"),
+        array_join(transform(array_sort(col("__rs")), r => r("__rec")), "")
+          .as("warc"))
+  }
+
+  /** Parse WARC response blobs: the [[wetParse]] record split + header
+    * extraction + length-delimited slice, then the HTTP layer INSIDE the
+    * payload — status line, `Content-Type` pulled from the HTTP HEADER
+    * SECTION only (everything before the first `\r\n\r\n`, so a body
+    * mentioning "Content-Type:" can never spoof the gate), body after
+    * it. `is_html` is the fetch gate a crawl pipeline applies before
+    * [[htmlStrip]]: status 200 AND a text/html content type. All
+    * projections — no join, no shuffle, oracle-replayable.
+    */
+  def warcParse(warc: DataFrame, fileCol: String = "file_id",
+                blobCol: String = "warc"): DataFrame = {
+    val rec = col("__rec")
+    val hdrEnd = instr(rec, "\n\n")
+    val declared = regexp_extract(rec, "Content-Length: ([0-9]+)\n", 1)
+      .cast("long")
+    val block = substring(rec, hdrEnd + lit(2), declared)
+    val httpHdrEnd = instr(col("__block"), "\r\n\r\n")
+    val httpHdr = substring(col("__block"), lit(1), httpHdrEnd - 1)
+    val status = regexp_extract(col("__hdr"), "^HTTP/1\\.[01] ([0-9]{3})", 1)
+      .cast("long")
+    val ctype = regexp_extract(col("__hdr"), "Content-Type: ([^\r\n]*)", 1)
+    warc.select(col(fileCol),
+        explode(split(col(blobCol), "WARC/1\\.0\n")).as("__rec"))
+      .filter(col("__rec") =!= "")
+      .select(col(fileCol),
+        regexp_extract(rec, "WARC-Target-URI: ([^\n]*)\n", 1).as("uri"),
+        regexp_extract(rec, "WARC-Target-URI: https://example\\.com/d/([0-9]+)\n", 1)
+          .cast("long").as("doc_id"),
+        declared.as("declared_len"),
+        block.as("__block"),
+        (length(rec) === hdrEnd + lit(1) + declared + lit(2)).as("len_ok"))
+      .withColumn("__hdr", httpHdr)
+      .select(col(fileCol), col("uri"), col("doc_id"), col("declared_len"),
+        status.as("http_status"), ctype.as("content_type"),
+        (status === 200 && ctype.startsWith("text/html")).as("is_html"),
+        substring(col("__block"), httpHdrEnd + lit(4),
+          length(col("__block"))).as("body"),
+        col("len_ok"))
+  }
+
   /** Deterministic HTML pages planted from any (id, text) corpus: head
     * with title/script/style (the blocks a stripper must DROP whole),
     * entity-encoded punctuation, a comment, block and inline tags, and

@@ -207,11 +207,23 @@ object CurateStream {
     * batch, then republish the global artifacts from cumulative state —
     * after every trigger the published layout answers the batch DAG's
     * result on the data seen so far.
+    *
+    * `refitEvery` is the REFIT CADENCE knob (VERDICT r11 #6 — the
+    * escape hatch for a gated archive that outgrows per-trigger refit):
+    * the O(batch) gate runs EVERY trigger, the O(cumulative) [[refit]]
+    * only on every `refitEvery`-th batch id (1 = every trigger, the
+    * update-mode default). A drain whose last batch missed the cadence
+    * finishes with one standalone `refit(spark, workDir, cfg,
+    * lastBatchId)` call — refit is deterministic given the gated store,
+    * so the cadenced run's final artifact equals the per-trigger run's
+    * (the parity CurateStreamSpec pins).
     */
-  def curateBatch(workDir: String, cfg: CurateConfig)
+  def curateBatch(workDir: String, cfg: CurateConfig, refitEvery: Int = 1)
                  (batch: DataFrame, batchId: Long): Unit = {
+    require(refitEvery >= 1, s"refitEvery must be >= 1, got $refitEvery")
     gateAndRegister(workDir, cfg.langKeep)(batch, batchId)
-    refit(batch.sparkSession, workDir, cfg, batchId)
+    if (batchId % refitEvery == refitEvery - 1)
+      refit(batch.sparkSession, workDir, cfg, batchId)
   }
 
   /** Compact the per-trigger partition dirs of a LONG-RUNNING stream —

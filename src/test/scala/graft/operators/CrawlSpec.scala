@@ -115,6 +115,43 @@ class CrawlSpec extends SparkSpec {
     assert(bytes == chars)
   }
 
+  test("warcParse: HTTP layer, gate, and header-section-only content type") {
+    val docs = Seq(
+      (1L, "html doc body text"), // 200 + text/html → gated in
+      (5L, "pdf doc body"), // % 5 == 0 → application/pdf
+      (7L, "missing doc body"), // % 7 == 0 → 404
+      (35L, "missing pdf") // both
+    ).toDF("doc_id", "text")
+    val parsed = Crawl.warcParse(Crawl.plantWarc(docs, "doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(parsed.keySet == Set(1L, 5L, 7L, 35L))
+    assert(parsed.values.forall(_.getAs[Boolean]("len_ok")))
+    assert(parsed(1L).getAs[Long]("http_status") == 200L)
+    assert(parsed(1L).getAs[String]("content_type") == "text/html; charset=UTF-8")
+    assert(parsed(1L).getAs[Boolean]("is_html"))
+    assert(parsed(1L).getAs[String]("body")
+      == "<html><body><h1>Doc 1</h1><p>html doc body text</p></body></html>")
+    assert(parsed(5L).getAs[String]("content_type") == "application/pdf")
+    assert(!parsed(5L).getAs[Boolean]("is_html"))
+    assert(parsed(5L).getAs[String]("body") == "pdf doc body")
+    assert(parsed(7L).getAs[Long]("http_status") == 404L)
+    assert(!parsed(7L).getAs[Boolean]("is_html"))
+    assert(!parsed(35L).getAs[Boolean]("is_html"))
+  }
+
+  test("warcParse: a body mentioning Content-Type cannot spoof the gate") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n" +
+      "body says Content-Type: text/html but the header rules"
+    val rec = s"WARC/1.0\nWARC-Type: response\n" +
+      s"WARC-Target-URI: https://example.com/d/3\n" +
+      s"Content-Length: ${http.length}\n\n$http\n\n"
+    val r = Crawl.warcParse(Seq((0L, rec)).toDF("file_id", "warc")).head()
+    assert(r.getAs[String]("content_type") == "application/pdf")
+    assert(!r.getAs[Boolean]("is_html"))
+    assert(r.getAs[String]("body")
+      == "body says Content-Type: text/html but the header rules")
+  }
+
   test("htmlStrip drops script/style/comment spans whole") {
     val page = Seq((1L,
       "<html><head><script>var a = '<p>not text</p>';</script>" +

@@ -162,6 +162,32 @@ class CurateStreamSpec extends SparkSpec {
     assert(gated == Set(1L, 3L, 12L))
   }
 
+  test("refitEvery > 1: gate every trigger, refit on cadence; final refit matches per-trigger run") {
+    val perTrigger = graft.util.Scratch.dir("graft_stcur_spec")
+    val cadenced = graft.util.Scratch.dir("graft_stcur_spec")
+    val days = Seq(day0, day1, day2)
+    days.indices.foreach { i =>
+      CurateStream.curateBatch(perTrigger, cfg)(df(days(i)), i.toLong)
+      CurateStream.curateBatch(cadenced, cfg, refitEvery = 2)(df(days(i)), i.toLong)
+    }
+    // the gate ran every trigger on both sides — identical gated state
+    assert(CurateStream.readGated(spark, cadenced)
+      .select("doc_id").as[Long].collect().toSet ==
+      CurateStream.readGated(spark, perTrigger)
+        .select("doc_id").as[Long].collect().toSet)
+    // only batch 1 hit the cadence (1 % 2 == 1): the published artifact
+    // is the batch-1-prefix refit, not batch 2's
+    assert(CurateStream.readPacked(spark, cadenced, versionAsOf = Some(1L))
+      .count() > 0)
+    intercept[Exception](
+      CurateStream.readPacked(spark, cadenced, versionAsOf = Some(2L)).count())
+    // drain: one standalone final refit — deterministic given the gated
+    // store, so the artifact equals the per-trigger run's final publish
+    CurateStream.refit(spark, cadenced, cfg, 2L)
+    assert(packedSet(cadenced) == packedSet(perTrigger))
+    assert(reportSet(cadenced) == reportSet(perTrigger))
+  }
+
   test("redelivered trigger republishes byte-equal state") {
     val work = graft.util.Scratch.dir("graft_stcur_spec")
     CurateStream.curateBatch(work, cfg)(df(day0), 0L)
