@@ -3810,17 +3810,26 @@ object SparkEntry {
   )
 
   /** Queries whose registered plan answers from a per-(session, sfDir)
-    * operator memo after its first computation — st_curate reads the
-    * artifacts of an already-drained stream, t_bpe_train256 a driver-held
-    * merge list — so their benched numbers measure a memo read
-    * (spark.catalog.clearCache does not touch these memos; only
-    * Caches.clear does). Bench reports a paired `fresh_cost_s` for each,
-    * measured once after a full Caches.clear, so the committed record
-    * carries the operator's real cost next to the read cost (VERDICT r10
-    * #6). pipeline_curate is NOT here: its memo liveness-checks the
-    * persisted frame and re-executes uncached after clearCache.
+    * operator memo after its first computation — a drained stream's
+    * artifact dirs or a driver-held merge list — so their benched numbers
+    * measure a memo read (spark.catalog.clearCache does not touch these
+    * memos; only Caches.clear does). Bench reports a paired
+    * `fresh_cost_s` for each, measured once after a full Caches.clear,
+    * so the committed record carries the operator's real cost next to
+    * the read cost (VERDICT r10 #6).
+    *
+    * ONE representative per distinct memo (VERDICT r11 #9 — every memo
+    * covered, no redundant rebuilds): curateStreamRoots → st_curate
+    * (st_curate_report reads the same drained root), jointKpiRoots plain
+    * → st_joint_daily (st_joint_category same root), jointKpiRoots
+    * manifested → st_jointm_daily (st_jointm_category same root),
+    * bpe256Cache → t_bpe_train256 (…_shape reads the same merge list).
+    * pipeline_curate and the Similarity centroid/PQ memos are NOT here:
+    * they liveness-check their persisted frames and re-execute uncached
+    * after clearCache, so their benched tail numbers are already fresh.
     */
-  val memoizedHeadline: Seq[String] = Seq("st_curate", "t_bpe_train256")
+  val memoizedHeadline: Seq[String] = Seq("st_curate", "st_joint_daily",
+    "st_jointm_daily", "t_bpe_train256")
 
   /** The benchmark set (Bench.scala): the flagship KPIs plus the heaviest
     * representative of each new operator family.
