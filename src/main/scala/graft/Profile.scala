@@ -20,7 +20,7 @@ object Profile {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
-    val docs = SparkEntry.docsWithPlantedDups(spark, sfDir)
+    val docs = EntryFixtures.docsWithPlantedDups(spark, sfDir)
     docs.count() // warm
     t("docs.count")(docs.count())
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)

@@ -1,0 +1,407 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.operators.{Dedup, Grouping, LanguageModel, Pack, Passages, Sampling, SetJoin, Similarity, Skew, Upsert}
+import graft.functions.Text
+import graft.pipeline.Pipeline
+import graft.sources.{Tables, TestdataAdapter}
+import graft.transform.Kpis
+import graft.validate.{Rules, TableRules}
+import graft.EntryFixtures._
+import graft.EntryOracles._
+
+/** The Ann slice of the SparkEntry registry — similarity search, embeddings, and ANN indexes.
+  * Entries are verbatim from the pre-split SparkEntry (VERDICT r11 #8);
+  * SparkEntry merges every slice into the driver-contract maps.
+  */
+private[graft] object AnnQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // k-NN graph recall (Similarity.knnGraph): every planted exact copy
+    // shares its original's k-means cell by construction, and an
+    // identical vector maximizes cosine — so the original MUST be the
+    // copy's rank-1 neighbor regardless of clustering quality. The
+    // structural invariant that puts the cluster-then-neighbor graph
+    // under the DuckDB oracle (the dedup_semantic_recall stance).
+    "knn_graph_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
+      val planted = e.unionByName(e.filter(col("vec_id") < 50).select(
+        (col("vec_id") + PlantedOffset).as("vec_id"), col("emb_d")))
+      val g = graft.operators.Similarity.knnGraph(planted, k = 5,
+        cId = "vec_id", cVec = "emb_d")
+      val base = e.filter(col("vec_id") < 50).select(col("vec_id"))
+      base.join(g,
+        base("vec_id") + PlantedOffset === g("src") &&
+          g("dst") === base("vec_id") && g("rank") === 1, "left_semi")
+        .select(col("vec_id"), lit(true).as("found"))
+    }),
+    // rows-only general form (kmeans cells aren't SQL-replicable; the
+    // recall twin above is the oracled leg)
+    "knn_graph" -> ((s, dir) =>
+      graft.operators.Similarity.knnGraph(
+        embDouble(s, dir).select(col("vec_id"), col("emb_d")),
+        k = 5, cId = "vec_id", cVec = "emb_d")),
+    // JL random projection (Similarity.randomProjection): 64 -> 8 dims
+    // under the seed-77 Gaussian planes; pure per-row map, long-form
+    // output, IEEE-exact (products + left-assoc sums, no ln) — the
+    // oracle replays all 8 folds term by term from the same PRNG.
+    "emb_project" -> ((s, dir) =>
+      graft.operators.Similarity.randomProjection(
+        embDouble(s, dir).select(col("vec_id"), col("emb_d")),
+        dim = 64, outDim = 8, seed = 77L, cId = "vec_id", cVec = "emb_d")),
+    // Embedding-dimension ablation (Matryoshka-style truncation eval):
+    // per query, top-10 overlap between the full-dimension cosine
+    // ranking and the first-16-dims ranking — the "how many dims can we
+    // drop" table. Both rankings are the oracle-verified
+    // Similarity.bruteForceTopK; the overlap is an integer semi-join
+    // count, recall one exact division.
+    "ann_dim_ablation" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec"))
+      val full = Similarity.bruteForceTopK(q,
+        e.select(col("vec_id"), col("emb_d").as("embedding")), k = 10)
+      val trunc = Similarity.bruteForceTopK(
+        q.select(col("q_id"), slice(col("q_vec"), 1, 16).as("q_vec")),
+        e.select(col("vec_id"), slice(col("emb_d"), 1, 16).as("embedding")),
+        k = 10)
+      full.select("q_id", "vec_id")
+        .join(trunc.select("q_id", "vec_id"),
+          Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("overlap"))
+        .select(col("q_id"), col("overlap"),
+          round(col("overlap").cast("double") / 10.0, 6).as("recall_at_10"))
+    }),
+
+    // ---- similarity / ANN (§7.5) ----
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d").as("embedding")),
+        k = 10)
+    }),
+    // Hard-negative mining (Similarity.hardNegativesTopK): per query
+    // vector, the top-10 most-similar DIFFERENT-label vectors — the
+    // contrastive-training batch builder. Label inequality rides the
+    // broadcast join condition; the two-stage top-k never windows the
+    // corpus globally.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.hardNegativesTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec"),
+            col("label").as("q_label")),
+        e.select(col("vec_id"), col("emb_d").as("embedding"), col("label")),
+        k = 10)
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("label"), col("emb_d").as("embedding")),
+        cellCol = "label", k = 10, nprobe = 2)
+    }),
+    "ann_ivf_kmeans" -> ((s, dir) => {    // rows-only: fp-sensitive training
+      val e = embDouble(s, dir)
+      val corpus = e.select(col("vec_id"), col("emb_d").as("embedding"))
+      val cells = Similarity.kmeansCells(corpus, k = 8, iters = 2)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        corpus.join(cells, "vec_id"),
+        cellCol = "cell", k = 10, nprobe = 2)
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {      // rows-only: PRNG hyperplanes
+      val e = embDouble(s, dir)
+      val dim = 64 // hyperplane width ≥ vector dim; dot ignores the excess
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d").as("embedding")),
+        dim = dim, k = 10)
+    }),
+    // Derived-invariant twins for the rows-only top-k outputs (VERDICT
+    // r09 #7): which neighbors the seeded structures retrieve is not
+    // SQL-replayable, but rank contiguity, score monotonicity, neighbor
+    // uniqueness, and corpus provenance are — all computed from the
+    // actual result and hash-compared against literal truth per query.
+    "ann_lsh_valid" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      topkValid(Similarity.lshTopK(
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+          e.select(col("vec_id"), col("emb_d").as("embedding")),
+          dim = 64, k = 10),
+        "q_id", "vec_id", "sim", ascending = false, k = 10,
+        e.select("vec_id"))
+    }),
+    "ann_pq_valid" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      topkValid(Similarity.pqTopK(
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+          e.select(col("vec_id"), col("emb_d")),
+          dim = 64, k = 10, cVec = "emb_d"),
+        "q_id", "vec_id", "adc_dist", ascending = true, k = 10,
+        e.select("vec_id"))
+    }),
+    "ann_ivf_valid" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val corpus = e.select(col("vec_id"), col("emb_d").as("embedding"))
+      val cells = Similarity.kmeansCells(corpus, k = 8, iters = 2)
+      topkValid(Similarity.ivfTopK(
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+          corpus.join(cells, "vec_id"),
+          cellCol = "cell", k = 10, nprobe = 2),
+        "q_id", "vec_id", "sim", ascending = false, k = 10,
+        e.select("vec_id"))
+    }),
+    // ... and the kNN graph: per-source flags folded into one global row
+    // (the source SET depends on the clustering, so per-source rows are
+    // not a deterministic oracle shape; the conjunction is).
+    "knn_graph_valid" -> ((s, dir) => {
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
+      val g = graft.operators.Similarity.knnGraph(e, k = 5,
+        cId = "vec_id", cVec = "emb_d")
+      val per = topkValid(g, "src", "dst", "sim", ascending = false, k = 5,
+        e.select("vec_id"))
+      def allOf(c: String) = coalesce(
+        min(when(col(c), 1).otherwise(0)) === 1, lit(true)).as(s"all_$c")
+      val folded = per.agg(allOf("ranks_ok"), allOf("scores_sorted"),
+        allOf("neighbors_distinct"), allOf("neighbors_in_corpus"))
+      val noSelf = g.agg(coalesce(
+        min(when(col("src") =!= col("dst"), 1).otherwise(0)) === 1,
+        lit(true)).as("no_self_loops"))
+      folded.crossJoin(noSelf)
+    }),
+    "ann_pq_topk" -> ((s, dir) => {       // rows-only: fp-sensitive training
+      val e = embDouble(s, dir)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d")),
+        dim = 64, k = 10, cVec = "emb_d")
+    }),
+    // PQ structural self-recall: a query drawn from the corpus encodes to
+    // the codes that MINIMIZE each subspace's quantization distance, so
+    // its ADC score Σ_j min_c d2(q_j, c) is termwise ≤ any other row's —
+    // and IEEE rounding is monotone under the fixed-order fold — so the
+    // self row always ties the global minimum EXACTLY (same doubles, same
+    // order). Pins training/encoding/table consistency end-to-end even
+    // though the trained centroids aren't SQL-replicable.
+    "ann_pq_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val corpus = e.select(col("vec_id"), col("emb_d"))
+      val cb = Similarity.pqCodebook(corpus, dim = 64, m = 4, cVec = "emb_d")
+      val scored = Similarity.pqScores(
+        corpus.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        Similarity.pqCodes(corpus, cb, dim = 64, m = 4, cVec = "emb_d"),
+        cb, dim = 64, m = 4)
+      val mins = scored.groupBy(col("q_id")).agg(min(col("adc_dist")).as("min_adc"))
+      val self = scored.filter(col("q_id") === col("vec_id"))
+        .select(col("q_id"), col("adc_dist").as("self_adc"))
+      mins.join(self, "q_id")
+        .select(col("q_id"), (col("self_adc") === col("min_adc")).as("found"))
+    }),
+    // LSH self-recall (VERDICT r03 #1): each query vector is drawn from the
+    // corpus, collides with itself in every hash table by construction, and
+    // cosine(v, v) rounds to exactly 1.0 — so rank 1 must be the query
+    // itself. Oracle-exact even though the hyperplanes are PRNG.
+    "ann_lsh_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d").as("embedding")),
+        dim = 64, k = 10)
+        .filter(col("rank") === 1)
+        .select(col("q_id"), col("vec_id"), col("sim"))
+    }),
+    // Multi-probe LSH (Similarity.lshTopKMultiProbe): the oracle pins the
+    // two structural guarantees — every query still self-retrieves at
+    // rank 1 / sim 1.0 (the base bucket always contains self), and
+    // recall@10 against the exact brute-force top-10 DOMINATES the
+    // single-probe run (the candidate set is a strict superset; anything
+    // outranking a true top-k member is itself a true top-k member, so
+    // hits cannot drop). Both recalls are computed distributively; only
+    // the invariant booleans reach the output row.
+    "ann_lsh_multiprobe_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val queries = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec"))
+      val corpus = e.select(col("vec_id"), col("emb_d").as("embedding"))
+      val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
+        .select(col("q_id"), col("vec_id"))
+      def hits(ann: DataFrame): DataFrame = ann
+        .select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("__hits"))
+      val single = Similarity.lshTopK(queries, corpus, dim = 64, k = 10)
+      val multi = Similarity.lshTopKMultiProbe(queries, corpus, dim = 64, k = 10)
+      val self = multi.filter(col("rank") === 1).agg(
+        count(lit(1)).as("__nq"),
+        min(when(col("vec_id") === col("q_id") && col("sim") === 1.0, 1)
+          .otherwise(0)).as("__selfok"))
+      self.crossJoin(hits(single).select(col("__hits").as("__hs")))
+        .crossJoin(hits(multi).select(col("__hits").as("__hm")))
+        .select(col("__nq").cast("int").as("n_queries"),
+          (col("__selfok") === 1).as("self_rank1_all"),
+          (col("__hm") >= col("__hs")).as("recall_dominates"))
+    }),
+    // k-means assignment-quality invariants (VERDICT r03 #1): every vector
+    // assigned exactly once, every cell id in [0, k), and a planted
+    // near-identical copy (tiny scale perturbation — cosine is
+    // scale-invariant) lands in the same cell as its original. All counts
+    // are oracle-derivable even though the trained centroids aren't.
+    "ann_ivf_kmeans_quality" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val base = e.select(col("vec_id"), col("emb_d").as("embedding"))
+      val planted = base.filter(col("vec_id") < 50).select(
+        (col("vec_id") + PlantedOffset).as("vec_id"),
+        transform(col("embedding"), x => x * 1.0000001d).as("embedding"))
+      val corpus = base.unionByName(planted)
+      val cells = Similarity.kmeansCells(corpus, k = 8, iters = 2)
+      val orig = cells.filter(col("vec_id") < PlantedOffset)
+      val copies = cells.filter(col("vec_id") >= PlantedOffset).select(
+        (col("vec_id") - PlantedOffset).as("vec_id"), col("cell").as("copy_cell"))
+      val nVectors = corpus.agg(count(lit(1)).as("n_vectors"))
+      val totals = cells.agg(count(lit(1)).as("n_assigned"),
+        sum(when(col("cell") < 0 || col("cell") >= 8, 1L).otherwise(0L))
+          .as("n_bad_cell"))
+      val same = orig.join(copies, "vec_id").agg(
+        count(lit(1)).as("n_planted"),
+        sum(when(col("cell") === col("copy_cell"), 1L).otherwise(0L))
+          .as("n_same_cell"))
+      // single-row × single-row joins on a constant key (not a data-path
+      // cross join — each side is one aggregate row)
+      nVectors.withColumn("__j", lit(1))
+        .join(totals.withColumn("__j", lit(1)), "__j")
+        .join(same.withColumn("__j", lit(1)), "__j")
+        .drop("__j")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "knn_graph_recall" ->
+      "SELECT vec_id, true AS found FROM embeddings WHERE vec_id < 50",
+    // JL projection: the identical plane literals (same PRNG, same seed)
+    // folded in the identical ascending order from 0.0 — term-by-term
+    // IEEE parity, no tolerance needed
+    "emb_project" -> {
+      val planes = graft.operators.Similarity.projectionPlanes(64, 8, 77L)
+      val scale = 1.0 / math.sqrt(8.0)
+      // every operand CAST to DOUBLE: DuckDB parses long decimal literals
+      // as DECIMAL, and DECIMAL op FLOAT promotes to FLOAT32 — which
+      // would run the whole fold in single precision
+      planes.zipWithIndex.map { case (p, i) =>
+        val fold = p.zipWithIndex
+          .map { case (c, j) =>
+            s"CAST(embedding[${j + 1}] AS DOUBLE) * CAST($c AS DOUBLE)" }
+          .mkString("CAST(0.0 AS DOUBLE) + ", " + ", "")
+        s"SELECT vec_id, $i AS pos, round(($fold) * CAST($scale AS DOUBLE), 6) AS value FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+    },
+    "ann_lsh_recall" ->
+      """SELECT vec_id AS q_id, vec_id, CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings WHERE vec_id < 5""",
+    // the structural guarantees only: self-retrieval and recall dominance
+    "ann_lsh_multiprobe_recall" ->
+      """SELECT CAST(50 AS INTEGER) AS n_queries, true AS self_rank1_all,
+                true AS recall_dominates""",
+    "ann_pq_recall" ->
+      "SELECT vec_id AS q_id, true AS found FROM embeddings WHERE vec_id < 50",
+    "ann_ivf_kmeans_quality" ->
+      """SELECT CAST(COUNT(*) + 50 AS BIGINT) AS n_vectors,
+                CAST(COUNT(*) + 50 AS BIGINT) AS n_assigned,
+                CAST(0 AS BIGINT) AS n_bad_cell,
+                CAST(50 AS BIGINT) AS n_planted,
+                CAST(50 AS BIGINT) AS n_same_cell
+         FROM embeddings""",
+    // Dimension ablation: both rankings replayed, overlap joined
+    "ann_dim_ablation" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+       sf AS (SELECT q_id, e.vec_id, ${sqlCosine("q_vec", "v")} AS sim
+              FROM e CROSS JOIN q),
+       rf AS (SELECT q_id, vec_id FROM
+              (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, vec_id) AS rank FROM sf)
+              WHERE rank <= 10),
+       et AS (SELECT vec_id, v[1:16] AS v FROM e),
+       qt AS (SELECT q_id, q_vec[1:16] AS q_vec FROM q),
+       st AS (SELECT q_id, et.vec_id, ${sqlCosine("q_vec", "v")} AS sim
+              FROM et CROSS JOIN qt),
+       rt AS (SELECT q_id, vec_id FROM
+              (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, vec_id) AS rank FROM st)
+              WHERE rank <= 10)
+       SELECT q_id, CAST(count(*) AS BIGINT) AS overlap,
+         round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+       FROM rf JOIN rt USING (q_id, vec_id) GROUP BY q_id""",
+
+    "sim_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, e.vec_id, ${sqlCosine("q_vec", "v")} AS sim FROM e CROSS JOIN q)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+         FROM (SELECT q_id, vec_id, sim,
+                      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+               FROM s)
+         WHERE rank <= 10""",
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, e.vec_id, ${sqlCosine("q_vec", "v")} AS sim
+               FROM e CROSS JOIN q WHERE e.label != q.q_label)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+         FROM (SELECT q_id, vec_id, sim,
+                      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+               FROM s)
+         WHERE rank <= 10""",
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+         ex AS (SELECT label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM e),
+         cpos AS (SELECT label AS cell, pos,
+                  CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(x) AS m
+                  FROM ex GROUP BY 1, 2),
+         cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cpos GROUP BY 1),
+         cs AS (SELECT q_id, q_vec, cell, ${sqlCosine("q_vec", "centroid")} AS csim
+                FROM q CROSS JOIN cent),
+         probes AS (SELECT q_id, q_vec, cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, cell) AS pr FROM cs)
+                    WHERE pr <= 2),
+         sc AS (SELECT p.q_id, e.vec_id, ${sqlCosine("p.q_vec", "e.v")} AS sim
+                FROM e JOIN probes p ON e.label = p.cell)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+         FROM (SELECT q_id, vec_id, sim,
+                      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+               FROM sc)
+         WHERE rank <= 10""",
+    // derived-invariant twins (VERDICT r09 #7): literal structural truth
+    // for the seeded-hash outputs whose row sets DuckDB cannot replay
+    "ann_lsh_valid" ->
+      """SELECT vec_id AS q_id, true AS ranks_ok, true AS scores_sorted,
+                true AS neighbors_distinct, true AS neighbors_in_corpus
+         FROM embeddings WHERE vec_id < 5""",
+    "ann_pq_valid" ->
+      """SELECT vec_id AS q_id, true AS ranks_ok, true AS scores_sorted,
+                true AS neighbors_distinct, true AS neighbors_in_corpus
+         FROM embeddings WHERE vec_id < 5""",
+    "ann_ivf_valid" ->
+      """SELECT vec_id AS q_id, true AS ranks_ok, true AS scores_sorted,
+                true AS neighbors_distinct, true AS neighbors_in_corpus
+         FROM embeddings WHERE vec_id < 5""",
+    "knn_graph_valid" ->
+      """SELECT true AS all_ranks_ok, true AS all_scores_sorted,
+                true AS all_neighbors_distinct, true AS all_neighbors_in_corpus,
+                true AS no_self_loops""")
+}

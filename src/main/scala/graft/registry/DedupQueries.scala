@@ -1,0 +1,501 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.operators.{Dedup, Grouping, LanguageModel, Pack, Passages, Sampling, SetJoin, Similarity, Skew, Upsert}
+import graft.functions.Text
+import graft.pipeline.Pipeline
+import graft.sources.{Tables, TestdataAdapter}
+import graft.transform.Kpis
+import graft.validate.{Rules, TableRules}
+import graft.EntryFixtures._
+import graft.EntryOracles._
+
+/** The Dedup slice of the SparkEntry registry — exact/near/semantic dedup and entity resolution.
+  * Entries are verbatim from the pre-split SparkEntry (VERDICT r11 #8);
+  * SparkEntry merges every slice into the driver-contract maps.
+  */
+private[graft] object DedupQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Entity resolution end-to-end (the record-linkage composition of
+    // two verified operators): records keyed by name#nation#segment,
+    // every 5th customer planted as a one-char-mutated duplicate;
+    // fuzzyPairs blocks + verifies edit-distance ≤ 1 WITHOUT a
+    // cartesian, connectedComponents clusters the pairs, and every
+    // record maps to its cluster's min id (singletons to themselves).
+    // The oracle recomputes the SAME pairs with a brute-force
+    // levenshtein cross join (byte == char on this ASCII key) and the
+    // same recursive closure — exact agreement of the whole pipeline.
+    "er_entities" -> ((s, dir) => {
+      val base = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        concat(col("c_name"), lit("#"), col("c_nationkey").cast("string"),
+          lit("#"), col("c_mktsegment")).as("name"))
+      val dups = base.filter(col("id") % 5 === 0)
+        .select((col("id") + PlantedOffset).as("id"),
+          concat(substring(col("name"), 1, 4), lit("@"),
+            substring(col("name"), 6, 1000000)).as("name"))
+      val all = base.unionByName(dups)
+      val pairs = Dedup.fuzzyPairs(all, "id", "name")
+      val comps = Grouping.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")), "src", "dst")
+      all.select(col("id"))
+        .join(comps.select(col("node").as("id"), col("component")), Seq("id"), "left")
+        .select(col("id").as("customer_id"),
+          coalesce(col("component"), col("id")).as("entity_id"))
+    }),
+
+    // ---- dedup suite (§7.5) ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.jaccardVerify(pairs, docs, "doc_id", "text")
+    }),
+    "dedup_near" -> ((s, dir) =>          // rows-only: xxhash64 minhash
+      Dedup.nearDuplicates(docsWithPlantedDups(s, dir), "doc_id", "text",
+        threshold = 0.5)),
+    "dedup_simhash" -> ((s, dir) =>       // rows-only: xxhash64 simhash
+      Dedup.simhashNearDuplicates(docsWithPlantedDups(s, dir), "doc_id", "text")),
+    // SOURCE-PRIORITY exact dedup (Dedup.keepCanonicalBy): every doc < 100
+    // gets a planted exact copy at +PlantedOffset under source "zz-mirror"
+    // — the lexicographically LAST source, so priority (source ASC,
+    // doc_id) must keep every original and drop every mirror copy, while
+    // natural intra-corpus dups resolve by the same deterministic order.
+    // The cross-corpus curation rule: identical content appears in a
+    // curated source and in a crawl mirror → keep the curated copy.
+    "dedup_priority" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + PlantedOffset).as("doc_id"),
+          lit("zz-mirror").as("source"), col("text")))
+      Dedup.keepCanonicalBy(corpus, "text",
+          Seq(col("source"), col("doc_id")))
+        .select("doc_id", "source")
+    }),
+    // Derived-invariant twins for the rows-only pair outputs (VERDICT r09
+    // #7): the pair SETS are seeded-hash-dependent, but their structure
+    // is not — ordering, uniqueness, verify-score range, id provenance
+    // all hash-compare against literal truth.
+    "dedup_near_valid" -> ((s, dir) => {
+      val docs = docsWithPlantedDups(s, dir)
+      pairsValid(Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5),
+        "jaccard", 0.5, 1.0, docs.select("doc_id"))
+    }),
+    "dedup_simhash_valid" -> ((s, dir) => {
+      val docs = docsWithPlantedDups(s, dir)
+      pairsValid(Dedup.simhashNearDuplicates(docs, "doc_id", "text"),
+        "hamming", 0.0, 3.0, docs.select("doc_id"))
+    }),
+
+    // Planted-truth recall (VERDICT r03 #1): ground truth is known by
+    // construction (doc_id ↔ doc_id + 1,000,000), so "every planted pair
+    // was found" IS DuckDB-expressible even though the xxhash64 signatures
+    // aren't. A missed pair drops a row → the driver's rows/hash compare
+    // fails. This puts the whole MinHash→band→bucket-join→Jaccard pipeline
+    // under the oracle.
+    "dedup_near_recall" -> ((s, dir) => {
+      // bands = k (r = 1): a pair collides when ANY minhash agrees, so the
+      // miss probability for a planted pair (jaccard ≥ 0.5 by construction)
+      // is ≤ (1-j)^16 ≈ 1e-5 — and the pipeline is fully deterministic
+      // (seeded xxhash64), so a locally-green run stays green. The default
+      // 4×4 banding stays in dedup_near: it's the right cost/recall trade
+      // for a real corpus; this query trades candidate-side cost for a
+      // recall guarantee the oracle can pin.
+      val pairs = Dedup.nearDuplicates(docsWithPlantedDups(s, dir), "doc_id",
+        "text", threshold = 0.5, bands = 16)
+      val planted = Tables.documents(s, dir).select(col("doc_id"))
+      planted.join(pairs,
+        planted("doc_id") === pairs("id_a") &&
+          pairs("id_b") === planted("doc_id") + PlantedOffset, "left_semi")
+        .select(col("doc_id"), lit(true).as("found"))
+    }),
+    // End-to-end dedup: MinHash-LSH pairs → connected-component clusters →
+    // planted-truth check that every copy clusters with its original. The
+    // full production shape (signatures → candidates → verify → clusters)
+    // under one oracle.
+    "dedup_clusters_recall" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(docsWithPlantedDups(s, dir), "doc_id",
+        "text", threshold = 0.5, bands = 16)
+      val cc = Grouping.connectedComponents(pairs, "id_a", "id_b")
+      val orig = cc.filter(col("node") < PlantedOffset)
+        .select(col("node").as("doc_id"), col("component").as("c_orig"))
+      val copies = cc.filter(col("node") >= PlantedOffset)
+        .select((col("node") - PlantedOffset).as("doc_id"), col("component").as("c_copy"))
+      orig.join(copies, "doc_id")
+        .select(col("doc_id"), (col("c_orig") === col("c_copy")).as("same_cluster"))
+    }),
+    // The end-to-end DROP: dropNearDuplicates must remove every planted
+    // copy (its original has the smaller id, so the copy can never be the
+    // cluster canonical; bands=16 gives the r=1 recall guarantee that the
+    // pair IS found). Emits one row per original whose copy was dropped —
+    // a surviving copy deletes a row and fails the driver's rows/hash
+    // compare.
+    "dedup_dropped_recall" -> ((s, dir) => {
+      val kept = Dedup.dropNearDuplicates(docsWithPlantedDups(s, dir),
+        "doc_id", "text", threshold = 0.5, bands = 16)
+      val copies = Tables.documents(s, dir)
+        .select((col("doc_id") + PlantedOffset).as("doc_id"))
+      copies.join(kept, Seq("doc_id"), "left_anti")
+        .select((col("doc_id") - PlantedOffset).as("doc_id"),
+          lit(true).as("dropped"))
+    }),
+    // SimHash recall over planted EXACT duplicates: identical token streams
+    // give identical 64-bit signatures, so every planted pair must surface
+    // with Hamming distance 0 — a structural guarantee, not an empirical
+    // one (the suffix-mutated corpus stays rows-only in dedup_simhash
+    // because near-dup recall there is genuinely probabilistic).
+    "dedup_simhash_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.unionByName(exactCopy(docs, PlantedOffset))
+      val pairs = Dedup.simhashNearDuplicates(corpus, "doc_id", "text")
+      val planted = docs.select(col("doc_id"))
+      planted.join(pairs,
+        planted("doc_id") === pairs("id_a") &&
+          pairs("id_b") === planted("doc_id") + PlantedOffset, "inner")
+        .select(col("doc_id"), col("hamming").cast("integer").as("hamming"))
+    }),
+
+    // Fuzzy key join (SymSpell symmetric deletes → exact Levenshtein
+    // verify): plant a ONE-character substitution inside every document's
+    // key window (position 3; '¤' is outside the corpus alphabet, so the
+    // distance is exactly 1) — every planted pair must surface at
+    // edit_distance 1. Only (doc, its own mutation) pairs can differ by
+    // exactly the planted offset, so the join pins recall per document.
+    "dedup_fuzzy_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + PlantedOffset).as("doc_id"),
+        concat(substring(col("text"), 1, 2), lit("¤"),
+          substring(col("text"), 4, 1000000)).as("text"))
+      val pairs = Dedup.fuzzyPairs(docs.unionByName(mutated), "doc_id", "text")
+      docs.select("doc_id")
+        .join(pairs.filter(col("id_b") - col("id_a") === PlantedOffset)
+          .select(col("id_a").as("doc_id"),
+            (col("edit_distance") === 1).as("d1")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("d1"), lit(false)).as("found"))
+    }),
+
+    // embedding-cosine near-dup: plant near-identical vectors (tiny
+    // perturbation keeps the sign pattern) so the pair set is non-empty
+    "dedup_embedding" -> ((s, dir) => {
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
+      val planted = e.unionByName(e.filter(col("vec_id") < 50).select(
+        (col("vec_id") + PlantedOffset).as("vec_id"),
+        transform(col("emb_d"), x => x * 1.0000001d).as("emb_d")))
+      Dedup.embeddingNearDuplicates(planted, "vec_id", "emb_d",
+        threshold = 0.99, nbits = 8)
+    }),
+
+    // Containment (subsumption) recall: plant the FIRST-HALF token
+    // excerpt of every doc with ≥ 12 tokens (token-boundary cut, so the
+    // excerpt's 3-gram shingles are a strict subset of the original's and
+    // containment is exactly 1.0 by construction — a character cut could
+    // shear a token and break the subset property). Candidates come from
+    // the df-capped shingle join, so the recall condition is
+    // DETERMINISTIC: an excerpt is missed only if every one of its
+    // shingles appears in > maxDf documents — false for this corpus
+    // (doc-specific prose) and inspectable for any other; no
+    // probabilistic banding in the loop at all.
+    "dedup_contained_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val eligible = docs
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__t"))
+        .filter(size(col("__t")) >= 12)
+      val excerpts = eligible.select(
+        (col("doc_id") + PlantedOffset).as("doc_id"),
+        concat_ws(" ", slice(col("__t"), lit(1),
+          floor(size(col("__t")) / 2).cast("int"))).as("text"))
+      val corpus = docs.unionByName(excerpts)
+      val pairs = Dedup.containedDocuments(corpus, "doc_id", "text",
+        threshold = 0.9)
+      val base = eligible.select(col("doc_id"))
+      base.join(pairs,
+        base("doc_id") + PlantedOffset === pairs("contained_id") &&
+          pairs("container_id") === base("doc_id") &&
+          pairs("containment") === 1.0d, "left_semi")
+        .select(col("doc_id"), lit(true).as("found"))
+    }),
+
+    // Cross-document duplicated-passage dedup (operators/Passages.scala):
+    // exact substring dedup at 6-token window grain. Planted: each donor
+    // doc (< 40, ≥ 16 tokens) spawns a twin that copies the donor's first
+    // 11 tokens and pads with a doc-unique filler token — a guaranteed
+    // partial overlap (6 shared windows ⇒ one merged span of 11 tokens in
+    // both docs), while the filler windows stay doc-unique. The oracle
+    // replicates the WHOLE pass verbatim (windows by string equality —
+    // also re-proving the operator's hash shortcut collision-free on this
+    // corpus), so every span boundary hash-compares.
+    "dedup_passages" -> ((s, dir) =>
+      Passages.duplicatedSpans(passageCorpus(s, dir), "doc_id", "text",
+        w = 6, minDocs = 2)),
+
+    // The removal leg: canonical (smallest doc, pos) occurrence keeps its
+    // passage, every other occurrence loses it; docs without a foreign
+    // span pass through with their original text. Same planted corpus,
+    // same verbatim oracle — the cleaned TEXT itself is hash-compared.
+    "dedup_passage_clean" -> ((s, dir) =>
+      Passages.removePassages(passageCorpus(s, dir), "doc_id", "text",
+        w = 6, minDocs = 2)),
+
+    // the curation-dashboard read: how much of the corpus sits inside
+    // duplicated passages (docs hit, span tokens, corpus tokens, ratio)
+    "dedup_passage_stats" -> ((s, dir) =>
+      Passages.duplicationProfile(passageCorpus(s, dir), "doc_id", "text",
+        w = 6, minDocs = 2)),
+
+    // Incremental (daily-ingest) passage dedup: three ingest days —
+    // donors (< 200), the rest of the base corpus, then the planted
+    // twins — each cleaned against the window-hash registry of the
+    // PRIOR days plus today's intra-batch pass. The twins' copied
+    // prefixes hit the day-0/1 registry and strip even though no donor
+    // doc is in their batch; the oracle replays the day-by-day registry
+    // semantics verbatim (first-seen day owns each window).
+    "dedup_passage_incremental" -> ((s, dir) => {
+      val corpus = passageCorpus(s, dir)
+      val days = Seq(
+        corpus.filter(col("doc_id") < 200),
+        corpus.filter(col("doc_id") >= 200 && col("doc_id") < PlantedOffset),
+        corpus.filter(col("doc_id") >= PlantedOffset))
+      val emptyReg = s.range(0).select(col("id").as("win_hash"))
+      val (cleanedAll, _) = days.foldLeft(
+        (Seq.empty[DataFrame], emptyReg)) { case ((acc, reg), day) =>
+        val (cleaned, newHashes) = Passages.cleanIncremental(
+          day, "doc_id", "text", reg, w = 6, minDocs = 2)
+        (acc :+ cleaned, reg.unionByName(newHashes))
+      }
+      cleanedAll.reduce(_ unionByName _)
+    }),
+
+    // EXACT set-similarity self-join (operators/SetJoin.scala): prefix
+    // filtering under the global (df, token) order with an exact integer
+    // accept test. The oracle recomputes the FULL pairwise closure brute
+    // force, so the prefix filter's losslessness theorem is itself what
+    // the hash compare pins — a missed pair fails the row count. Planted
+    // exact copies of docs < 100 guarantee Jaccard-1 pairs exist.
+    "dedup_ssjoin_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        .select("doc_id", "text")
+      val corpus = docs.unionByName(
+        exactCopy(docs.filter(col("doc_id") < 100), PlantedOffset))
+      SetJoin.jaccardSelfJoin(corpus, "doc_id", "text", 80)
+    }),
+
+    // SemDeDup recall over planted EXACT copies: an identical vector is
+    // assigned the same k-means cell by construction (deterministic argmax
+    // over the same trained centroids), so every planted pair must surface
+    // from the cell self-join with cos_sim 1.0 REGARDLESS of clustering
+    // quality — the structural guarantee that lets the kmeans-cell
+    // blocking pipeline sit under the DuckDB oracle even though the
+    // centroids themselves aren't SQL-replicable.
+    "dedup_semantic_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
+      val planted = e.unionByName(e.filter(col("vec_id") < 50).select(
+        (col("vec_id") + PlantedOffset).as("vec_id"), col("emb_d")))
+      val pairs = Dedup.semanticNearDuplicates(planted, "vec_id", "emb_d",
+        threshold = 0.99)
+      val base = e.filter(col("vec_id") < 50).select(col("vec_id"))
+      base.join(pairs,
+        base("vec_id") === pairs("id_a") &&
+          pairs("id_b") === base("vec_id") + PlantedOffset, "left_semi")
+        .select(col("vec_id"), lit(true).as("found"))
+    }),
+
+    // Incremental (daily-ingest) dedup recall: fresh = an exact copy of
+    // every document, registry = the originals plus a planted
+    // registry-internal duplicate family (doc_id < 50 copied again at
+    // PlantedOffset2). Identical text gives identical MinHash band
+    // signatures, so every fresh copy MUST collide with its registry
+    // original and verify at jaccard 1.0 — a missed pair drops a row and
+    // fails the driver compare. Registry×registry pairs (the planted
+    // internal family) staying out of the output is pinned by DedupSpec.
+    "dedup_incremental_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val registry = docs.unionByName(
+        exactCopy(docs.filter(col("doc_id") < 50), PlantedOffset2))
+      val fresh = exactCopy(docs, PlantedOffset)
+      val pairs = Dedup.incrementalNearDuplicates(registry, fresh,
+        "doc_id", "text", threshold = 0.8)
+      val base = docs.select(col("doc_id"))
+      base.join(pairs,
+        base("doc_id") + PlantedOffset === pairs("id_a") &&
+          pairs("id_b") === base("doc_id"), "left_semi")
+        .select(col("doc_id"), lit(true).as("found"))
+    }),
+
+    // Bloom-prefiltered incremental exact dedup (operators/Bloom.scala):
+    // registry = even docs, fresh = odd docs plus planted exact copies
+    // of every 10th even doc. The bloom pass has no false negatives and
+    // the digest semi-join removes its false positives, so the output
+    // is bit-identical to the naive semi-join the oracle runs.
+    "dedup_bloom_registry" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val registry = docs.filter(col("doc_id") % 2 === 0)
+      val fresh = docs.filter(col("doc_id") % 2 === 1).unionByName(
+        exactCopy(docs.filter(col("doc_id") % 10 === 0), PlantedOffset))
+      graft.operators.Bloom.registryDups(registry, fresh, "doc_id", "text")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "er_entities" ->
+      """WITH RECURSIVE
+         base AS (SELECT c_custkey AS id,
+                    c_name || '#' || CAST(c_nationkey AS VARCHAR) || '#' || c_mktsegment AS name
+                  FROM customer),
+         dups AS (SELECT id + 1000000 AS id,
+                    substr(name, 1, 4) || '@' || substr(name, 6) AS name
+                  FROM base WHERE id % 5 = 0),
+         all_recs AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+         e AS (SELECT a.id AS src, b.id AS dst
+               FROM all_recs a JOIN all_recs b
+                 ON a.id <> b.id AND levenshtein(a.name, b.name) <= 1),
+         r(node, m) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM e)
+           UNION
+           SELECT r.node, e.dst FROM r JOIN e ON r.m = e.src),
+         comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY 1)
+         SELECT ar.id AS customer_id, COALESCE(c.component, ar.id) AS entity_id
+         FROM all_recs ar LEFT JOIN comp c ON ar.id = c.node""",
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id,
+                CAST(COUNT(*) AS BIGINT) AS dup_count
+         FROM documents GROUP BY 1""",
+    "dedup_jaccard_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents),
+         sh AS (SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                                 i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) AS sl
+                FROM toks),
+         sets AS (SELECT doc_id, list_distinct(sl) AS st FROM sh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_distinct(list_intersect(a.st, b.st))) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
+         FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0""",
+
+    // planted-truth recall oracles: ground truth by construction (see the
+    // matching queries' scaladoc) — a missed planted pair changes the row
+    // set and fails the driver's rows/hash compare
+    "dedup_near_recall" ->
+      "SELECT doc_id, true AS found FROM documents",
+    "dedup_clusters_recall" ->
+      "SELECT doc_id, true AS same_cluster FROM documents",
+    "dedup_dropped_recall" ->
+      "SELECT doc_id, true AS dropped FROM documents",
+    "dedup_simhash_recall" ->
+      "SELECT doc_id, CAST(0 AS INTEGER) AS hamming FROM documents",
+    // fuzzy join planted truth: every 1-edit mutation found at distance 1
+    "dedup_fuzzy_recall" ->
+      "SELECT doc_id, true AS found FROM documents",
+    "dedup_semantic_recall" ->
+      "SELECT vec_id, true AS found FROM embeddings WHERE vec_id < 50",
+    "dedup_contained_recall" ->
+      s"""SELECT doc_id, true AS found
+         FROM (SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents)
+         WHERE len(ts) >= 12""",
+    "dedup_incremental_recall" ->
+      "SELECT doc_id, true AS found FROM documents",
+    // full verbatim replay of the duplicated-passage pass (string-equality
+    // windows — also certifies the operator's xxhash64 shortcut)
+    "dedup_passages" ->
+      s"""${sqlPassageSpans(s"""$sqlPassageCtes,
+         flag AS (SELECT win FROM wins
+                  GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+         hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN flag f USING (win))""")}
+         SELECT doc_id, span_start, span_end,
+                span_end - span_start + 1 AS span_tokens
+         FROM spans""",
+    "dedup_passage_clean" ->
+      sqlPassageCleanSql(s"""$sqlPassageCtes,
+         own AS (SELECT win, MIN(doc_id) AS odoc FROM wins
+                 GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+         own2 AS (SELECT w.win, o.odoc, MIN(w.pos) AS opos
+                  FROM wins w JOIN own o
+                    ON w.win = o.win AND w.doc_id = o.odoc
+                  GROUP BY 1, 2),
+         hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN own2 o USING (win)
+                  WHERE NOT (w.doc_id = o.odoc AND w.pos = o.opos))"""),
+    // the span report re-aggregated + one token count + ONE division
+    "dedup_passage_stats" ->
+      s"""${sqlPassageSpans(s"""$sqlPassageCtes,
+         flag AS (SELECT win FROM wins
+                  GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+         hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN flag f USING (win))""")},
+         sa AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_with_dups,
+                       CAST(COALESCE(SUM(span_end - span_start + 1), 0) AS BIGINT) AS dup_tokens
+                FROM spans),
+         ta AS (SELECT CAST(COALESCE(SUM(len(ts)), 0) AS BIGINT) AS total_tokens FROM toks)
+         SELECT sa.docs_with_dups, sa.dup_tokens, ta.total_tokens,
+                CASE WHEN ta.total_tokens > 0 THEN
+                  round(CAST(sa.dup_tokens AS DOUBLE) /
+                        CAST(ta.total_tokens AS DOUBLE), 6) END AS dup_token_ratio
+         FROM sa CROSS JOIN ta""",
+    // day-by-day registry replay: the first-seen day owns each window;
+    // later days strip every occurrence, the owning day applies the
+    // intra-batch canonical rule
+    "dedup_passage_incremental" -> sqlPassageIncrementalOracle,
+    // bloom prefilter + exact verify == the naive digest semi-join
+    "dedup_bloom_registry" ->
+      s"""WITH reg AS (SELECT DISTINCT sha256(text) AS content_sha
+                 FROM documents WHERE doc_id % 2 = 0),
+         fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                   UNION ALL
+                   SELECT doc_id + 1000000 AS doc_id, text
+                   FROM documents WHERE doc_id % 10 = 0)
+         SELECT f.doc_id, sha256(f.text) AS content_sha
+         FROM fresh f JOIN reg ON sha256(f.text) = reg.content_sha""",
+    // brute-force pairwise closure — the prefix filter must reproduce it
+    "dedup_ssjoin_exact" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100),
+         sets AS (SELECT doc_id, unnest(list_distinct(${sqlTokens("lower(text)")})) AS w
+                  FROM corpus),
+         lens AS (SELECT doc_id, COUNT(*) AS len FROM sets GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS isect
+                   FROM sets a JOIN sets b ON a.w = b.w AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, isect, la.len + lb.len - isect AS union_size,
+                round(CAST(isect AS DOUBLE) / (la.len + lb.len - isect), 6) AS jaccard
+         FROM inter JOIN lens la ON la.doc_id = id_a
+                    JOIN lens lb ON lb.doc_id = id_b
+         WHERE 100 * isect >= 80 * (la.len + lb.len - isect)""",
+    "dedup_embedding" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         e AS (SELECT vec_id, v FROM e0
+               UNION ALL
+               SELECT vec_id + 1000000, list_transform(v, x -> x * 1.0000001) FROM e0 WHERE vec_id < 50),
+         b AS (SELECT vec_id, v,
+                 (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+               + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS sig
+               FROM e)
+         SELECT id_a, id_b, cos_sim FROM (
+           SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                  round(${sqlCosine("a.v", "b2.v")}, 6) AS cos_sim
+           FROM b a JOIN b b2 ON a.sig = b2.sig AND a.vec_id < b2.vec_id)
+         WHERE cos_sim >= 0.99""",
+    // source-priority exact dedup: the same digest window, ordered
+    // (source, doc_id) — mirrors drop, curated copies survive
+    "dedup_priority" ->
+      """WITH corpus AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, 'zz-mirror', text FROM documents
+           WHERE doc_id < 100),
+         r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                   ORDER BY source, doc_id) AS rn
+               FROM corpus)
+         SELECT doc_id, source FROM r WHERE rn = 1""",
+    "dedup_near_valid" ->
+      """SELECT true AS pairs_ordered, true AS pairs_distinct,
+                true AS scores_in_range, true AS ids_in_corpus""",
+    "dedup_simhash_valid" ->
+      """SELECT true AS pairs_ordered, true AS pairs_distinct,
+                true AS scores_in_range, true AS ids_in_corpus""")
+}

@@ -1,0 +1,308 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.operators.{Dedup, Grouping, LanguageModel, Pack, Passages, Sampling, SetJoin, Similarity, Skew, Upsert}
+import graft.functions.Text
+import graft.pipeline.Pipeline
+import graft.sources.{Tables, TestdataAdapter}
+import graft.transform.Kpis
+import graft.validate.{Rules, TableRules}
+import graft.EntryFixtures._
+import graft.EntryOracles._
+
+/** The Multimodal slice of the SparkEntry registry — binary media columns and the real codecs.
+  * Entries are verbatim from the pre-split SparkEntry (VERDICT r11 #8);
+  * SparkEntry merges every slice into the driver-contract maps.
+  */
+private[graft] object MultimodalQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // ---- multimodal columns (§7.5: opaque binary + typed metadata) ----
+    "mm_describe" -> ((s, dir) =>
+      graft.multimodal.Multimodal.describe(
+        Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"),
+          lit("text/plain").as("media_type"),
+          col("text").cast("binary").as("content")))),
+    // The stub decoder is deterministic (feature i = byte[i % len] / 255f),
+    // so the whole mapPartitions decode boundary is oracle-checkable: the
+    // first feature, scaled back to its byte, must equal the first byte of
+    // the content — which DuckDB reads as ascii(text) on this all-ASCII
+    // corpus. (The raw float survives the 255× round-trip exactly for all
+    // 256 byte values; the rounded float itself doesn't, e.g. byte 80.)
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("content"))
+        .as[graft.multimodal.MediaRecord]
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double") * 255d, 0)
+            .cast("integer").as("f0_byte"))
+    }),
+    // REAL-codec decode (multimodal/Codecs.scala — VERDICT r09 #4): 512
+    // synthetic 24-bit BMPs built executor-side from closed-form pixel
+    // formulas, encoded by the real encoder (padded bottom-up BGR rows)
+    // and re-parsed by the real decoder; the oracle recomputes dimensions,
+    // exact file length (header + stride padding), and per-channel pixel
+    // SUMS analytically — one wrong byte offset, stride, or row direction
+    // anywhere in the codec and the integer sums mismatch.
+    "mm_decode_bmp" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 7).toInt
+        graft.multimodal.MediaRecord(id, "image/bmp",
+          graft.multimodal.Codecs.Bmp.encode(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.bmpStats(media)
+    }),
+    // Real-codec pixels through the media-dedup chain: 100 base BMPs plus
+    // pixel-IDENTICAL twins of ids < 30 at +1e6; real decode → bucketed
+    // descriptors → average-hash → Hamming banding. Identical payloads
+    // decode to identical features and hence identical hashes, so every
+    // planted twin MUST pair at hamming 0 regardless of descriptor
+    // quality — the mm_phash_dups structural oracle, now with the real
+    // codec (not the stub) behind the boundary.
+    "mm_phash_real" -> ((s, dir) => {
+      import s.implicits._
+      def img(id: Long, seed: Long) = graft.multimodal.MediaRecord(id,
+        "image/bmp", graft.multimodal.Codecs.Bmp.encode(16, 16, (x, y) => (
+          ((x * 7 + y * 13 + seed * 31) % 256).toInt,
+          ((x * 5 + y * 11 + seed * 17) % 256).toInt,
+          ((x * 3 + y * 17 + seed * 7) % 256).toInt)))
+      val media = s.range(100).map(id => img(id, id))
+        .union(s.range(30).map(id => img(id + PlantedOffset, id)))
+      val feats = graft.multimodal.Multimodal
+        .extractFeaturesBmp(media, dim = 64).toDF()
+      val pairs = graft.multimodal.Multimodal
+        .phashNearDuplicates(feats, maxDist = 0)
+      s.range(30).toDF("media_id")
+        .join(pairs.filter(col("id_b") - col("id_a") === PlantedOffset)
+            .select(col("id_a").as("media_id"), lit(true).as("found")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), coalesce(col("found"), lit(false)).as("found"))
+    }),
+    // ... and the audio twin: PCM-16 WAVs through the RIFF chunk walk,
+    // with the exact interleaved-sample sum replayed by the oracle.
+    "mm_decode_wav" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nSamples = (64 + id % 33).toInt * channels
+        val samples = Array.tabulate(nSamples)(i =>
+          (((i * 31 + 7 * id) % 65536) - 32768).toShort)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.wavStats(media)
+    }),
+
+    // Real PNG decode (Codecs.Png — VERDICT r11 #4): 512 RGB8 PNGs from
+    // closed-form pixel formulas, zlib-deflated with the scanline filter
+    // CYCLING y % 5, so every image exercises all five reconstruction
+    // filters (None/Sub/Up/Average/Paeth); the oracle recomputes
+    // dimensions and per-channel pixel sums analytically. (A deflate
+    // stream's length is not closed-form, so n_pixels stands where the
+    // BMP twin pins n_bytes.)
+    "mm_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 7).toInt
+        graft.multimodal.MediaRecord(id, "image/png",
+          graft.multimodal.Codecs.Png.encode(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.pngStats(media)
+    }),
+    // The real image chain end to end (VERDICT r11 #4: resizeStub
+    // replaced): PNG decode → EXACT 2×2 integer box resize → stats.
+    // Every output pixel is floor(Σ block / 4), closed-form integer, so
+    // the oracle recomputes the downsampled image block by block — a
+    // wrong filter predictor, stride, or mean and the sums split.
+    "mm_resize_real" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val w = (2 * (4 + id % 5)).toInt
+        val h = (2 * (3 + id % 4)).toInt
+        graft.multimodal.MediaRecord(id, "image/png",
+          graft.multimodal.Codecs.Png.encode(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.resizePngStats(media, k = 2)
+    }),
+    // mm_phash_real's chain with the REAL RESAMPLER in the middle: PNG
+    // decode → 2×2 box resize → bucketed descriptor → average-hash →
+    // Hamming banding. Pixel-identical payloads resize to identical
+    // pixels, so every planted twin must pair at hamming 0.
+    "mm_phash_resized" -> ((s, dir) => {
+      import s.implicits._
+      def img(id: Long, seed: Long) = graft.multimodal.MediaRecord(id,
+        "image/png", graft.multimodal.Codecs.Png.encode(16, 16, (x, y) => (
+          ((x * 7 + y * 13 + seed * 31) % 256).toInt,
+          ((x * 5 + y * 11 + seed * 17) % 256).toInt,
+          ((x * 3 + y * 17 + seed * 7) % 256).toInt)))
+      val media = s.range(100).map(id => img(id, id))
+        .union(s.range(30).map(id => img(id + PlantedOffset, id)))
+      val feats = graft.multimodal.Multimodal
+        .extractFeaturesPngResized(media, k = 2, dim = 64).toDF()
+      val pairs = graft.multimodal.Multimodal
+        .phashNearDuplicates(feats, maxDist = 0)
+      s.range(30).toDF("media_id")
+        .join(pairs.filter(col("id_b") - col("id_a") === PlantedOffset)
+            .select(col("id_a").as("media_id"), lit(true).as("found")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), coalesce(col("found"), lit(false)).as("found"))
+    }),
+
+    // Perceptual-hash media dedup (Multimodal.phash + the shared Hamming
+    // banding): planted byte-identical payloads decode (stub) to
+    // identical features, hence identical average-hash bits — every
+    // planted pair MUST surface at hamming 0 regardless of how crude the
+    // stub decode is. Codec stays stubbed; hashing and banding are the
+    // production expressions.
+    "mm_phash_dups" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.unionByName(
+        exactCopy(docs.filter(col("doc_id") < 50), PlantedOffset))
+      val media = planted.select(col("doc_id").as("media_id"),
+        lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("content"))
+        .as[graft.multimodal.MediaRecord]
+      val feats = graft.multimodal.Multimodal
+        .extractFeatures(media, dim = 64).toDF()
+      val pairs = graft.multimodal.Multimodal
+        .phashNearDuplicates(feats, maxDist = 0)
+      val base = docs.filter(col("doc_id") < 50).select(col("doc_id"))
+      base.join(pairs, base("doc_id") === pairs("id_a") &&
+          pairs("id_b") === base("doc_id") + PlantedOffset, "left_semi")
+        .select(col("doc_id"), lit(true).as("found"))
+    }),
+
+    // Frame sampling through the stub demuxer (fixed-size frames, every
+    // 2nd kept): deterministic record fan-out, so frame ids and sizes are
+    // DuckDB-replicable — the flatMap decode boundary under the oracle.
+    "mm_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("content"))
+        .as[graft.multimodal.MediaRecord]
+      graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 32, everyNth = 2)
+        .toDF()
+        .select(col("media_id").as("frame_id"),
+          length(col("content")).as("n_bytes"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "mm_describe" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+                CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+                sha256(text) AS content_sha
+         FROM documents""",
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id, CAST(text AS BLOB) AS b FROM documents),
+         f AS (SELECT doc_id, octet_length(b) AS len,
+                      unnest(generate_series(0, CAST(ceil(octet_length(b) / 32.0) AS INTEGER) - 1)) AS i
+               FROM d)
+         SELECT doc_id * 100000 + i AS frame_id,
+                CAST(least(32, len - i * 32) AS INTEGER) AS n_bytes
+         FROM f WHERE i % 2 = 0""",
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+                CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+                CAST(ascii(text) AS INTEGER) AS f0_byte
+         FROM documents""",
+    // planted-payload truth: byte-identical media must pair at hamming 0
+    "mm_phash_dups" ->
+      "SELECT doc_id, true AS found FROM documents WHERE doc_id < 50",
+    // real-codec BMP: dimensions, exact padded file length, and
+    // per-channel pixel sums recomputed analytically from the generator
+    // formulas — the encode→parse roundtrip must land every byte
+    "mm_decode_bmp" ->
+      """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h
+                       FROM (SELECT unnest(range(0, 512)) AS id))
+         SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+                CAST(SUM((x * 7 + y * 13 + id) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((x * 5 + y * 11 + 2 * id) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((x * 3 + y * 17 + 3 * id) % 256) AS BIGINT) AS sum_b
+         FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+         GROUP BY 1, 2, 3, 4""",
+    // planted-payload truth through the REAL codec: pixel-identical BMPs
+    // must pair at hamming 0
+    "mm_phash_real" ->
+      """SELECT id AS media_id, true AS found
+         FROM (SELECT unnest(range(0, 30)) AS id)""",
+    // real-codec WAV: fmt-chunk fields + the exact interleaved PCM-16
+    // sample sum
+    "mm_decode_wav" ->
+      """WITH clips AS (SELECT id, 1 + id % 2 AS ch,
+                               8000 + (id % 3) * 4000 AS rate,
+                               64 + id % 33 AS frames
+                        FROM (SELECT unnest(range(0, 512)) AS id))
+         SELECT id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(frames AS BIGINT) AS n_frames,
+                CAST(44 + frames * ch * 2 AS BIGINT) AS n_bytes,
+                CAST(SUM((i * 31 + 7 * id) % 65536 - 32768) AS BIGINT) AS sum_samples
+         FROM clips, unnest(range(0, frames * ch)) AS ui(i)
+         GROUP BY 1, 2, 3, 4, 5""",
+    // real-codec PNG: dimensions + per-channel pixel sums recomputed
+    // analytically — the zlib inflate and all five scanline filters must
+    // land every byte (n_pixels replaces n_bytes: deflate length is not
+    // closed-form)
+    "mm_decode_png" ->
+      """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h
+                       FROM (SELECT unnest(range(0, 512)) AS id))
+         SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(SUM((x * 7 + y * 13 + id) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((x * 5 + y * 11 + 2 * id) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((x * 3 + y * 17 + 3 * id) % 256) AS BIGINT) AS sum_b
+         FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+         GROUP BY 1, 2, 3, 4""",
+    // decode → exact 2×2 box resize → stats: every output pixel is
+    // floor(block sum / 4), recomputed block by block
+    "mm_resize_real" ->
+      """WITH dims AS (SELECT id, 2 * (4 + id % 5) AS w, 2 * (3 + id % 4) AS h
+                       FROM (SELECT unnest(range(0, 256)) AS id)),
+         blocks AS (SELECT id, w, h, bx, by,
+             SUM(((2 * bx + dx) * 7 + (2 * by + dy) * 13 + id) % 256) // 4 AS pr,
+             SUM(((2 * bx + dx) * 5 + (2 * by + dy) * 11 + 2 * id) % 256) // 4 AS pg,
+             SUM(((2 * bx + dx) * 3 + (2 * by + dy) * 17 + 3 * id) % 256) // 4 AS pb
+           FROM dims, unnest(range(0, w // 2)) AS ubx(bx),
+                unnest(range(0, h // 2)) AS uby(by),
+                unnest(range(0, 2)) AS udx(dx), unnest(range(0, 2)) AS udy(dy)
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT id AS media_id, CAST(w // 2 AS BIGINT) AS out_width,
+                CAST(h // 2 AS BIGINT) AS out_height,
+                CAST(SUM(pr) AS BIGINT) AS sum_r,
+                CAST(SUM(pg) AS BIGINT) AS sum_g,
+                CAST(SUM(pb) AS BIGINT) AS sum_b
+         FROM blocks GROUP BY 1, 2, 3""",
+    // planted-payload truth through decode + REAL resize: pixel-identical
+    // PNGs must still pair at hamming 0
+    "mm_phash_resized" ->
+      """SELECT id AS media_id, true AS found
+         FROM (SELECT unnest(range(0, 30)) AS id)""")
+}

@@ -1,0 +1,742 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.operators.{Dedup, Grouping, LanguageModel, Pack, Passages, Sampling, SetJoin, Similarity, Skew, Upsert}
+import graft.functions.Text
+import graft.pipeline.Pipeline
+import graft.sources.{Tables, TestdataAdapter}
+import graft.transform.Kpis
+import graft.validate.{Rules, TableRules}
+import graft.EntryFixtures._
+import graft.EntryOracles._
+
+/** The Streaming slice of the SparkEntry registry — structured-streaming surfaces drained via AvailableNow.
+  * Entries are verbatim from the pre-split SparkEntry (VERDICT r11 #8);
+  * SparkEntry merges every slice into the driver-contract maps.
+  */
+private[graft] object StreamingQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // Model SERVING in Structured Streaming: the classifier trains
+    // batch-side (models are batch artifacts), then the same planted
+    // corpus replays as a multi-batch file stream and every micro-batch
+    // scores through ONE broadcast weight join into the snapshot-isolated
+    // upsert store. Answers t_quality_train's oracle verbatim — streaming
+    // inference must agree with batch inference exactly.
+    "st_quality_score" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val labeled = qualityLabeled(s, dir)
+      val model = graft.operators.Classify.train(labeled, "doc_id", "text",
+        "label", dim = 1 << 16, iters = 15, lr = 0.8)
+      val stage = tmpDir("graft_stqual_in")
+      labeled.select("doc_id", "text").write.mode("overwrite").parquet(stage)
+      val (out, cp) = (tmpDir("graft_stqual_out"), tmpDir("graft_stqual_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 8).parquet(stage)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val scored = graft.operators.Classify
+            .score(batch, "doc_id", "text", model)
+            .select(col("doc_id"), col("predicted"))
+          graft.streaming.StreamingPipeline
+            .upsertBatchSnapshot(out, Seq("doc_id"))(scored, id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingPipeline.readSnapshot(s, out)
+        .select("doc_id", "predicted")
+    }),
+
+    // STREAMING exact-substring dedup (streaming/PassageStream.scala):
+    // the three ingest days replay as one-file-per-trigger micro-batches
+    // (staged with ascending mtimes so file→batch order is
+    // deterministic); each batch cleans through the SAME
+    // Passages.cleanIncremental the batch query runs — batch/stream
+    // parity by construction — against the per-batch-partitioned
+    // window-hash registry. Answers dedup_passage_incremental's
+    // first-seen-day oracle VERBATIM.
+    "st_passage_clean" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val corpus = passageCorpus(s, dir)
+      val days = Seq(
+        corpus.filter(col("doc_id") < 200),
+        corpus.filter(col("doc_id") >= 200 && col("doc_id") < PlantedOffset),
+        corpus.filter(col("doc_id") >= PlantedOffset))
+      val stage = tmpDir("graft_stpass_in")
+      days.zipWithIndex.foreach { case (d, i) =>
+        val sub = s"$stage/d$i"
+        d.coalesce(1).write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stpass_work"), tmpDir("graft_stpass_cp"))
+      val schema = s.read.parquet(s"$stage/d0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/d*")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch(graft.streaming.PassageStream
+          .cleanAndRegister(work, w = 6, minDocs = 2) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.PassageStream.readClean(s, work)
+    }),
+    // STREAMING crawl ingestion (streaming/WetStream.scala): the WET
+    // front door drained across 9 file triggers — 8 archive files in
+    // file_id order plus a 9th REFETCH file redelivering every
+    // doc_id%8==0 record under the same URI. First-seen-wins keeps the
+    // original file's parse; the seen/ log proves the refetch was
+    // observed (n_seen = 2) before being dropped. The oracle states the
+    // closed-form expectation per document.
+    "st_wet_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val blobs = graft.operators.Crawl.plantWet(docs, "doc_id", "text")
+        .unionByName(graft.operators.Crawl
+          .plantWet(docs.filter(col("doc_id") % 8 === 0), "doc_id", "text",
+            files = 1)
+          .select(lit(8L).as("file_id"), col("wet")))
+      val stage = tmpDir("graft_stwet_in")
+      (0L to 8L).foreach { i =>
+        val sub = s"$stage/f$i"
+        blobs.filter(col("file_id") === i).coalesce(1)
+          .write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stwet_work"), tmpDir("graft_stwet_cp"))
+      val schema = s.read.parquet(s"$stage/f0").schema
+      val q = graft.streaming.WetStream.writer(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*"),
+          work, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.WetStream.records(s, work)
+        .join(graft.streaming.WetStream.sightings(s, work), Seq("uri"))
+        .select(col("doc_id"), col("uri"), col("file_id"),
+          col("declared_len"), col("body"), col("len_ok"), col("n_seen"))
+    }),
+
+    // ST3 (batch execution): the same flatMapGroupsWithState operator the
+    // streaming layer runs, driven by a batch event Dataset built from the
+    // tables — orders as header arrivals, lineitem as item arrivals, and
+    // product arrivals for even part keys only (so completeness is a real
+    // filter, like g_complete_groups).
+    "st_completeness" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.{Completeness, PartEvent}
+      val header = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("orderId"),
+        lit(Completeness.KindOrder).as("kind"),
+        lit(null).cast("string").as("productId"))
+      val items = Tables.lineitem(s, dir).select(
+        col("l_orderkey").cast("string").as("orderId"),
+        lit(Completeness.KindItem).as("kind"),
+        col("l_partkey").cast("string").as("productId"))
+      val prods = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") % 2 === 0).select(
+          col("l_orderkey").cast("string").as("orderId"),
+          lit(Completeness.KindProduct).as("kind"),
+          col("l_partkey").cast("string").as("productId"))
+      Completeness.stream(header.unionByName(items).unionByName(prods).as[PartEvent])
+        .select(col("orderId").as("order_id"),
+          array_join(col("productIds"), ",").as("product_ids"))
+    }),
+
+    // ST5, exact streaming form of the daily KPIs: the batch execution of
+    // the flatMapGroupsWithState operator (graft.streaming.DailyKpis),
+    // oracled against the SAME SQL as a2_daily_kpis — per-day id-set state
+    // reproduces the exact countDistinct integers, so streaming-exact and
+    // batch math cannot drift.
+    "st_daily_kpis_exact" -> ((s, dir) =>
+      graft.streaming.DailyKpis.stream(enriched(s, dir)).toDF()),
+
+    // Streaming sessionization answering e_sessionize's oracle VERBATIM:
+    // events replayed as a multi-batch file stream (maxFilesPerTrigger
+    // forces real cross-batch session-state merging), session_window in
+    // append mode, finalized sessions landing in the snapshot-isolated
+    // key upsert table. Two AvailableNow drains from ONE checkpoint pin
+    // the stop/resume story: run 1 ingests every real file (the huge
+    // watermark delay means nothing finalizes — arrival order is
+    // hash-partitioned, so a smaller delay would drop genuinely-early
+    // files as late); run 2 resumes the same state and ships one
+    // far-future sentinel event, advancing the watermark past every real
+    // session end so the engine's no-data batch flushes them all.
+    // Production uses a real delay and flushes continuously — same code.
+    // Streaming LM scoring (score-on-ingest): documents replayed as a
+    // multi-batch file stream, each micro-batch scored against the FIXED
+    // batch-trained unigram model inside foreachBatch — scoring is
+    // per-document given the model, so batch-local scoring is exact with
+    // NO cross-batch state — and upserted into the snapshot store. The
+    // read-back answers t_lm_score's batch oracle VERBATIM, and the
+    // scorer is LanguageModel.unigramScore itself, not a streaming copy.
+    "st_lm_score" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val model = docs.filter(col("doc_id") % 2 === 0)
+      val stage = tmpDir("graft_stlm_in")
+      docs.write.mode("overwrite").parquet(stage)
+      val (out, cp) = (tmpDir("graft_stlm_out"), tmpDir("graft_stlm_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 8).parquet(stage)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val scored = LanguageModel.unigramScore(model, batch, "doc_id", "text")
+          graft.streaming.StreamingPipeline
+            .upsertBatchSnapshot(out, Seq("doc_id"))(scored, id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingPipeline.readSnapshot(s, out)
+        .select("doc_id", "n_tokens", "avg_logprob", "ppl")
+    }),
+    // Streaming TF/DF maintenance (streaming/TermStatsStream.scala):
+    // documents replayed as a multi-batch file stream; per-term df
+    // (stateful distinct → update-mode count) and per-(doc, term) tf
+    // drain into two snapshot-isolated upsert stores, and the joined
+    // read-back answers t_term_stats's batch oracle VERBATIM. The same
+    // dfCounts/tfCounts functions run batch-side in TermStatsStreamSpec,
+    // so parity is by construction, not by copy.
+    "st_term_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val stage = tmpDir("graft_stterm_in")
+      docs.write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val (outTf, cpTf) = (tmpDir("graft_stterm_tf"), tmpDir("graft_stterm_tfcp"))
+      val (outDf, cpDf) = (tmpDir("graft_stterm_df"), tmpDir("graft_stterm_dfcp"))
+      def drain(transform: DataFrame => DataFrame, keys: Seq[String],
+                out: String, cp: String): Unit = {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 8).parquet(stage)
+        val q = transform(stream).writeStream.outputMode("update")
+          .option("checkpointLocation", cp)
+          .foreachBatch(graft.streaming.StreamingPipeline
+            .upsertBatchSnapshot(out, keys) _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain(graft.streaming.TermStatsStream.dfCounts, Seq("term"), outDf, cpDf)
+      drain(graft.streaming.TermStatsStream.tfCounts(_, 50L),
+        Seq("doc_id", "term"), outTf, cpTf)
+      graft.streaming.StreamingPipeline.readSnapshot(s, outTf)
+        .join(graft.streaming.StreamingPipeline.readSnapshot(s, outDf), "term")
+        .select("doc_id", "term", "tf", "df")
+    }),
+    "st_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val stage = tmpDir("graft_stsess_in")
+      ev.write.mode("overwrite").parquet(stage)
+      val maxTs = s.read.parquet(stage).agg(max(col("ts"))).first().getTimestamp(0)
+      val (out, cp) = (tmpDir("graft_stsess_out"), tmpDir("graft_stsess_cp"))
+      def drain(): Unit = {
+        val stream = s.readStream.schema(s.read.parquet(stage).schema)
+          .option("maxFilesPerTrigger", 8).parquet(stage)
+        val sess = graft.streaming.Windows.sessionizeStream(
+          stream, "ts", "user_id", "30 minutes", "3650 days")
+        val q = sess.writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch(graft.streaming.StreamingPipeline
+            .upsertBatchSnapshot(out, Seq("user_id", "session_start")) _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain()
+      // sentinel: one event far enough ahead that watermark (sentinel −
+      // delay) clears every real session end; its own session never
+      // finalizes and its user id never appears in the output
+      import s.implicits._
+      Seq((-1L, new java.sql.Timestamp(
+        maxTs.getTime + (3651L * 24 * 3600 * 1000))))
+        .toDF("user_id", "ts")
+        .write.mode("append").parquet(stage)
+      drain()
+      graft.streaming.StreamingPipeline.readSnapshot(s, out)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"))
+    }),
+
+    // ST5, second KPI table (VERDICT r04 #1): the REAL streaming
+    // dailyKpiWriterPartitioned drained (AvailableNow) over a file-sourced
+    // copy of the enriched rows into its partitioned upsert table, read
+    // back and compared per day against the exact batch dailyKpis. Exact
+    // columns (decimal-summed revenue, item count) are pinned equal; the
+    // HLL++ sketch columns are pinned within 5% (tolerance-oracle pattern,
+    // like a8_approx_distinct). An inner join makes a MISSING day fail the
+    // driver's row-count compare, so silent drops can't pass.
+    "st_daily_kpis" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val enr = enriched(s, dir)
+      val stage = tmpDir("graft_stdk_in")
+      enr.select(col("order_id"), col("user_id"), col("product_id"),
+          col("sale_price"), col("is_returned"), col("order_date"))
+        .write.mode("overwrite").parquet(stage)
+      val (out, cp) = (tmpDir("graft_stdk_out"), tmpDir("graft_stdk_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+      val q = graft.streaming.StreamingPipeline
+        .dailyKpiWriterPartitioned(stream, out, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = s.read.parquet(out + "/data").select(
+        col("order_date"), col("total_orders").as("s_orders"),
+        col("total_revenue").as("s_revenue"),
+        col("total_items_sold").as("s_items"),
+        col("return_rate").as("s_rr"),
+        col("unique_customers").as("s_users"))
+      Kpis.dailyKpis(enr).join(streamed, Seq("order_date"))
+        .select(col("order_date"),
+          (col("s_revenue") === col("total_revenue")).as("revenue_exact"),
+          (col("s_items") === col("total_items_sold")).as("items_exact"),
+          (abs(col("s_orders") - col("total_orders")) <=
+            greatest(lit(1.0), col("total_orders") * 0.05)).as("orders_close"),
+          (abs(col("s_users") - col("unique_customers")) <=
+            greatest(lit(1.0), col("unique_customers") * 0.05)).as("customers_close"),
+          // rate × orders recovers the EXACT returned-item count on both
+          // sides (the numerator is exact everywhere; only the denominator
+          // is sketched) — a sharper invariant than a tolerance on the
+          // ratio itself, which an off-by-one sketch on a 2-order day
+          // would break while still being a correct sketch
+          (abs(col("s_rr") * col("s_orders") -
+            col("return_rate") * col("total_orders")) <= lit(0.5))
+            .as("returned_count_match"))
+    }),
+    // Streaming near-duplicate dedup (VERDICT r05 #1): the planted corpus
+    // drained through the incremental MinHash/LSH leg
+    // (graft.streaming.NearDupStream — per-row signatures, banded
+    // candidate state, registry Jaccard verify), then compared against the
+    // batch Dedup.dropNearDuplicates on the SAME corpus. bands = 16 (r=1)
+    // gives the planted-recall guarantee of dedup_near_recall; the whole
+    // corpus drains as one AvailableNow batch, where intra-bucket
+    // ascending-id processing matches the batch min-id-canonical
+    // convention — so survivors must agree EXACTLY. One row per original:
+    // its copy dropped in the stream, and stream/batch membership agreeing
+    // for both the original and the copy.
+    "st_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val corpus = docsWithPlantedDups(s, dir)
+      val stage = tmpDir("graft_stnd_in")
+      corpus.write.mode("overwrite").parquet(stage)
+      val (work, cp) = (tmpDir("graft_stnd_work"), tmpDir("graft_stnd_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+      val q = graft.streaming.NearDupStream.writer(stream, "doc_id", "text",
+        work, cp, threshold = 0.5, bands = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamKept = graft.streaming.NearDupStream.survivors(s, work)
+      val batchKept = Dedup.dropNearDuplicates(corpus, "doc_id", "text",
+        threshold = 0.5, bands = 16)
+      def member(kept: DataFrame, flag: String, shift: Long) =
+        kept.select((col("doc_id") - shift).as("doc_id"), lit(true).as(flag))
+      Tables.documents(s, dir).select("doc_id")
+        .join(member(streamKept, "s_o", 0L), Seq("doc_id"), "left")
+        .join(member(batchKept, "b_o", 0L), Seq("doc_id"), "left")
+        .join(member(streamKept, "s_c", PlantedOffset), Seq("doc_id"), "left")
+        .join(member(batchKept, "b_c", PlantedOffset), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (!coalesce(col("s_c"), lit(false))).as("dropped"),
+          ((coalesce(col("s_o"), lit(false)) === coalesce(col("b_o"), lit(false))) &&
+            (coalesce(col("s_c"), lit(false)) === coalesce(col("b_c"), lit(false))))
+            .as("batch_agree"))
+    }),
+
+    // Streaming embedding dedup (streaming/EmbDedupStream.scala): the
+    // second modality through the streaming dedup machinery — planted
+    // exact copies of vec_id < 50 drained through the sign-bucket
+    // candidate state + registry cosine verify. An identical vector
+    // shares its original's bucket by construction and verifies at
+    // cosine 1.0, so every copy MUST drop and every original MUST
+    // survive — structural, independent of how crude the 8-bit blocking
+    // is. (At threshold 0.99 the random corpus holds no cross pairs; a
+    // planted pair is the only ≥-threshold edge per bucket.)
+    "st_emb_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
+      val planted = e.unionByName(e.filter(col("vec_id") < 50).select(
+        (col("vec_id") + PlantedOffset).as("vec_id"), col("emb_d")))
+      val stage = tmpDir("graft_sted_in")
+      planted.write.mode("overwrite").parquet(stage)
+      val (work, cp) = (tmpDir("graft_sted_work"), tmpDir("graft_sted_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+      val q = graft.streaming.EmbDedupStream.writer(stream, "vec_id", "emb_d",
+        work, cp, threshold = 0.99)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val kept = graft.streaming.EmbDedupStream.survivors(s, work)
+      val base = e.filter(col("vec_id") < 50).select(col("vec_id"))
+      base
+        .join(kept.select(col("vec_id"), lit(true).as("k_o")),
+          Seq("vec_id"), "left")
+        .join(kept.select((col("vec_id") - PlantedOffset).as("vec_id"),
+          lit(true).as("k_c")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("k_o"), lit(false)).as("original_kept"),
+          (!coalesce(col("k_c"), lit(false))).as("copy_dropped"))
+    }),
+
+    // The bounded-TTL twin (VERDICT r06 #4): the SAME planted corpus
+    // through candidatesBounded — watermark + per-bucket event-time TTL,
+    // the declared 100 TB default — with every document timestamped inside
+    // one 30-minute window so the whole corpus sits within the 24 h
+    // horizon. Within-horizon, eviction must be a no-op: the dropped set
+    // equals the unbounded leg's, which equals batch. This puts the
+    // eviction-capable code path (watermark tagging, null-ts filter, TTL
+    // arming) under the driver's oracle, not just TestGroupState units.
+    "st_neardup_bounded" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val corpus = docsWithPlantedDups(s, dir).withColumn("ts",
+        timestamp_seconds(lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))
+          .cast("long") + pmod(col("doc_id"), lit(1800L))))
+      val stage = tmpDir("graft_stndb_in")
+      corpus.write.mode("overwrite").parquet(stage)
+      val (work, cp) = (tmpDir("graft_stndb_work"), tmpDir("graft_stndb_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema).parquet(stage)
+      val q = graft.streaming.NearDupStream.writerBounded(stream, "doc_id",
+        "text", "ts", watermark = "2 hours", ttlMs = 24L * 3600 * 1000,
+        work, cp, threshold = 0.5, bands = 16)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamKept = graft.streaming.NearDupStream.survivors(s, work)
+      val batchKept = Dedup.dropNearDuplicates(corpus.drop("ts"), "doc_id",
+        "text", threshold = 0.5, bands = 16)
+      def member(kept: DataFrame, flag: String, shift: Long) =
+        kept.select((col("doc_id") - shift).as("doc_id"), lit(true).as(flag))
+      Tables.documents(s, dir).select("doc_id")
+        .join(member(streamKept, "s_o", 0L), Seq("doc_id"), "left")
+        .join(member(batchKept, "b_o", 0L), Seq("doc_id"), "left")
+        .join(member(streamKept, "s_c", PlantedOffset), Seq("doc_id"), "left")
+        .join(member(batchKept, "b_c", PlantedOffset), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (!coalesce(col("s_c"), lit(false))).as("dropped"),
+          ((coalesce(col("s_o"), lit(false)) === coalesce(col("b_o"), lit(false))) &&
+            (coalesce(col("s_c"), lit(false)) === coalesce(col("b_c"), lit(false))))
+            .as("batch_agree"))
+    }),
+
+    // Joint KPI commit (VERDICT r05 #4): ONE streaming query maintains BOTH
+    // reference KPI tables in one date-keyed state machine and commits them
+    // under a single SnapshotStore pointer per micro-batch (a crash cannot
+    // leave the pair at different batch ids; readers are snapshot-isolated,
+    // VERDICT r05 #3). Both tables are exact, so each drained table answers
+    // the corresponding BATCH oracle verbatim (a1/a2's SQL).
+    "st_joint_category" -> ((s, dir) =>
+      graft.streaming.JointKpis.categoryTable(s, jointKpiRoot(s, dir))
+        .select("category", "order_date", "daily_revenue", "avg_order_value",
+          "avg_return_rate")),
+    "st_joint_daily" -> ((s, dir) =>
+      graft.streaming.JointKpis.dailyTable(s, jointKpiRoot(s, dir))
+        .select("order_date", "total_orders", "total_revenue",
+          "total_items_sold", "return_rate", "unique_customers")),
+    // The fact-grain variant (VERDICT r06 missing #3): the same pair
+    // committed through ONE multi-table partition manifest —
+    // O(touched order_date partitions) per table under a single pointer —
+    // and still answering the batch a1/a2 oracles verbatim.
+    "st_jointm_category" -> ((s, dir) =>
+      graft.streaming.JointKpis.categoryTableManifested(s,
+        jointKpiRootManifested(s, dir))
+        .select("category", "order_date", "daily_revenue", "avg_order_value",
+          "avg_return_rate")),
+    "st_jointm_daily" -> ((s, dir) =>
+      graft.streaming.JointKpis.dailyTableManifested(s,
+        jointKpiRootManifested(s, dir))
+        .select("order_date", "total_orders", "total_revenue",
+          "total_items_sold", "return_rate", "unique_customers")),
+    // STREAMING drift monitor: the mutated price stream replays in
+    // micro-batches; an update-mode per-value count aggregation drains
+    // cumulative counts into the snapshot upsert store (the st_term_stats
+    // convergence argument: last-wins keyed upserts of cumulative counts
+    // equal the batch counts once drained), and the final KS reads the
+    // STORE against the reference — answering a21_ks_drift's oracle
+    // verbatim. The monitor a 100 TB ingest actually runs: per-trigger
+    // cost is the batch's count delta, the KS itself is O(distinct
+    // values) whenever probed.
+    "st_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val o = Tables.orders(s, dir)
+      val mutated = o.select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val stage = tmpDir("graft_stdrift_in")
+      mutated.write.mode("overwrite").parquet(stage)
+      val (out, cp) = (tmpDir("graft_stdrift_out"), tmpDir("graft_stdrift_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 8).parquet(stage)
+      val counts = stream
+        .select(col("o_totalprice").as("v")).filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val q = counts.writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch(graft.streaming.StreamingPipeline
+          .upsertBatchSnapshot(out, Seq("v")) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val after = graft.streaming.StreamingPipeline.readSnapshot(s, out)
+      val before = o.select(col("o_totalprice").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      graft.operators.Profiling.ksDriftFromCounts(before, after, "v", "cnt")
+    }),
+    // STREAMING end-to-end curation (streaming/CurateStream.scala): the
+    // same planted corpus replays as three ascending ingest days; every
+    // trigger gates (dedup-registry anti-join + quality + language) and
+    // republishes the whole-corpus artifacts (ppl gate, mixture, packing)
+    // from the drained cumulative state through one atomic snapshot
+    // commit. The drained layout and funnel report answer
+    // pipeline_curate's / pipeline_curate_report's oracles VERBATIM —
+    // batch/stream parity for the entire curation DAG.
+    "st_curate" -> ((s, dir) =>
+      graft.streaming.CurateStream.readPacked(s, curateStreamRoot(s, dir))
+        .select("doc_id", "n_tokens", "start_token", "seq_first",
+          "seq_last", "offset_in_seq")),
+    "st_curate_report" -> ((s, dir) =>
+      graft.streaming.CurateStream.readReport(s, curateStreamRoot(s, dir))),
+    // SCHEMA EVOLUTION ACROSS STREAM RESTARTS — the form a live pipeline
+    // actually meets (the reference's producers evolve, its Delta sink
+    // autoMerges): era 1 drains a narrow producer into the evolving
+    // snapshot sink and stops; the producer starts emitting a NEW column;
+    // era 2 RESTARTS on the same checkpoint with the widened schema,
+    // processes only the new files, and the store unions the column in —
+    // no rewrite, no downtime, old rows read null. Batch ids continue
+    // across the restart, so the sink's replay gate keeps working.
+    "st_evolve" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t = Tables.orders(s, dir)
+      val stage = tmpDir("graft_stevo_in")
+      val (store, cp) = (tmpDir("graft_stevo_out"), tmpDir("graft_stevo_cp"))
+      def drain(schema: String): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$stage/era*")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch(graft.streaming.StreamingPipeline.upsertBatchSnapshot(
+            store, Seq("o_orderkey"), mergeSchema = true) _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      t.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/era1")
+      drain("o_orderkey LONG, prio STRING")
+      t.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          concat(lit("u:"), col("o_orderpriority")).as("prio"),
+          col("o_totalprice").as("bonus"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/era2")
+      drain("o_orderkey LONG, prio STRING, bonus DOUBLE")
+      graft.streaming.StreamingPipeline.readSnapshot(s, store)
+        .select("o_orderkey", "prio", "bonus")
+    }),
+    // The STREAMING SCD2 maintenance operator (streaming/Scd2Stream)
+    // batch-executed over the same collapsed change log: per-key state
+    // holds only the open run (O(keys), history-length independent),
+    // and the emitted intervals answer e_scd2_history's oracle SQL
+    // verbatim — streaming maintenance and the batch build cannot
+    // drift. Payload packs (returnflag, linestatus) into one string
+    // and unpacks after, keeping the operator schema-free.
+    "st_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val events = Tables.lineitem(s, dir)
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_returnflag")).as("rf"), min(col("l_linestatus")).as("ls"))
+        .select(col("l_orderkey").cast("long").as("key"),
+          col("l_linenumber").cast("long").as("version"),
+          concat(col("rf"), lit("|"), col("ls")).as("payload"))
+        .as[graft.streaming.ScdEvent]
+      graft.streaming.Scd2Stream.runs(events).toDF()
+        .select(col("key").as("l_orderkey"), col("effective_from"),
+          col("effective_to"), col("is_current"),
+          split(col("payload"), "\\|").getItem(0).as("l_returnflag"),
+          split(col("payload"), "\\|").getItem(1).as("l_linestatus"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    // streaming inference must agree with batch inference exactly
+    "st_quality_score" ->
+      "SELECT doc_id, doc_id % 2 = 1 AS predicted FROM documents",
+    // the streaming leg's batches ARE the three days (one staged file per
+    // trigger, mtime-ordered), so it answers the identical replay
+    "st_passage_clean" -> sqlPassageIncrementalOracle,
+    // streaming near-dup: every planted copy dropped by the drained
+    // stream, and stream survivors equal to the batch operator's
+    "st_neardup" ->
+      "SELECT doc_id, true AS dropped, true AS batch_agree FROM documents",
+    // bounded-TTL twin: within-horizon corpus, same planted truth
+    "st_neardup_bounded" ->
+      "SELECT doc_id, true AS dropped, true AS batch_agree FROM documents",
+    // streaming embedding dedup: planted vector copies dropped, originals kept
+    "st_emb_dedup" ->
+      "SELECT vec_id, true AS original_kept, true AS copy_dropped FROM embeddings WHERE vec_id < 50",
+    // the jointly-committed pair answers the BATCH KPI oracles verbatim
+    // (exact state, same math — a1/a2's SQL)
+    "st_joint_category" ->
+      """SELECT p.p_type AS category,
+         CAST(o.o_orderdate AS DATE) AS order_date,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l.l_extendedprice) AS avg_order_value,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS avg_return_rate
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "st_joint_daily" ->
+      """SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+         COUNT(DISTINCT o.o_orderkey) AS total_orders,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         COUNT(l.l_partkey) AS total_items_sold,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(DISTINCT o.o_orderkey) AS return_rate,
+         COUNT(DISTINCT o.o_custkey) AS unique_customers
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1""",
+    // the manifested pair: same math, same oracles (multi-table manifest
+    // commit under one pointer)
+    "st_jointm_category" ->
+      """SELECT p.p_type AS category,
+         CAST(o.o_orderdate AS DATE) AS order_date,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l.l_extendedprice) AS avg_order_value,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS avg_return_rate
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "st_jointm_daily" ->
+      """SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+         COUNT(DISTINCT o.o_orderkey) AS total_orders,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         COUNT(l.l_partkey) AS total_items_sold,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(DISTINCT o.o_orderkey) AS return_rate,
+         COUNT(DISTINCT o.o_custkey) AS unique_customers
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1""",
+    // Streaming WET ingestion: after first-seen dedup across the 9
+    // triggers the table is exactly one row per document — original
+    // file, exact body, framing ok, and the refetched rows seen twice
+    "st_wet_ingest" ->
+      """SELECT doc_id,
+           'https://example.com/d/' || CAST(doc_id AS VARCHAR) AS uri,
+           doc_id % 8 AS file_id,
+           CAST(len(text) AS BIGINT) AS declared_len,
+           text AS body,
+           true AS len_ok,
+           CAST(CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_seen
+         FROM documents""",
+    // the streaming drain must answer the batch query verbatim
+    "st_term_stats" ->
+      s"""$sqlTermStatsCtes
+         SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)""",
+    // the streaming score-on-ingest drain answers the batch query verbatim
+    "st_lm_score" ->
+      s"""$sqlLmScoreCtes
+         SELECT * FROM scored""",
+    "st_completeness" ->
+      """WITH ok AS (
+           SELECT l_orderkey FROM lineitem GROUP BY 1
+           HAVING COUNT(*) FILTER (WHERE l_partkey % 2 <> 0) = 0),
+         compl AS (SELECT l_orderkey FROM ok WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+         SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
+                array_to_string(list_sort(list(DISTINCT CAST(l_partkey AS VARCHAR))), ',') AS product_ids
+         FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM compl)
+         GROUP BY 1""",
+    // the stateful exact-streaming operator answers the BATCH daily-KPI
+    // oracle verbatim (same math, different execution)
+    "st_daily_kpis_exact" ->
+      """SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+         COUNT(DISTINCT o.o_orderkey) AS total_orders,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         COUNT(l.l_partkey) AS total_items_sold,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(DISTINCT o.o_orderkey) AS return_rate,
+         COUNT(DISTINCT o.o_custkey) AS unique_customers
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1""",
+    // every day present, every comparison flag true — a false or missing
+    // row fails the hash/row compare
+    "st_daily_kpis" ->
+      """SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+                true AS revenue_exact, true AS items_exact,
+                true AS orders_close, true AS customers_close,
+                true AS returned_count_match
+         FROM orders o
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1""",
+    // the streaming session store must answer the batch gaps-and-islands
+    // sessionization exactly (same SQL as e_sessionize)
+    "st_sessionize" ->
+      """WITH x AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x)
+         SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                COUNT(*) AS n_events
+         FROM y GROUP BY user_id, sid""",
+    // the drained cumulative-count store equals the batch counts, so the
+    // streaming monitor answers the batch KS verbatim
+    "st_drift" ->
+      """WITH av AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+         bv AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                       ELSE o_totalprice END AS v
+                FROM orders WHERE o_totalprice IS NOT NULL),
+         p AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+               FROM (SELECT v, 1 AS ia, 0 AS ib FROM av
+                     UNION ALL SELECT v, 0, 1 FROM bv)
+               GROUP BY v),
+         c AS (SELECT v,
+                 SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+                 SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB
+               FROM p),
+         t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM p)
+         SELECT t.na AS n_before, t.nb AS n_after,
+                round(CAST(MAX(abs(cumA * nb - cumB * na)) AS DOUBLE) /
+                      CAST(na * nb AS DOUBLE), 6) AS ks_stat
+         FROM c CROSS JOIN t GROUP BY t.na, t.nb""",
+    "st_curate" -> sqlCuratePackedOracle,
+    "st_curate_report" -> sqlCurateReportOracle,
+    // the restarted-stream evolution: era-1 MERGE then era-2 MERGE with
+    // the new column — same full-outer semantics, null on era-1-only rows
+    "st_evolve" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority AS prio
+                    FROM orders WHERE o_orderkey % 3 = 0),
+            u AS (SELECT o_orderkey, 'u:' || o_orderpriority AS prio,
+                         o_totalprice AS bonus
+                  FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderkey
+                ELSE t.o_orderkey END AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.prio
+                ELSE t.prio END AS prio,
+           u.bonus AS bonus
+         FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey""",
+    // the STREAMING maintenance operator answers the batch oracle
+    // verbatim (the st_daily_kpis_exact convention)
+    "st_scd2_history" -> scd2HistoryOracle)
+}
