@@ -143,7 +143,10 @@ object SparkEntry {
     "t_bpe_bytes", "t_bpe_bytes_segment", "t_bpe_bytes_encode",
     // round 12c: WARC response records — HTTP status/content-type gate
     // ahead of the strip
-    "src_warc_parse", "t_warc_strip")
+    "src_warc_parse", "t_warc_strip",
+    // round 12d: gz streaming ingest with post-drain compaction under
+    // the oracle, and the real audio decimation chain
+    "st_wet_ingest_gz", "mm_resample_wav")
 
   // ---- DuckDB oracle twins ----
 

@@ -256,6 +256,54 @@ object Multimodal {
     Codecs.Image(w2, h2, out)
   }
 
+  /** EXACT integer audio decimation — [[boxResize]]'s audio twin: each
+    * output frame is the per-channel integer mean of `k` consecutive
+    * input frames (truncating division, matching DuckDB's `//`, which
+    * rounds toward zero on negative sums), and
+    * the sample rate divides by `k`. Requiring `k | frames` and
+    * `k | sampleRate` keeps every window full and the arithmetic
+    * closed-form. (A production resampler adds fractional-rate
+    * interpolation and an anti-aliasing filter; the exact decimation
+    * core is what the correctness gate can pin.)
+    */
+  def decimateAudio(audio: Codecs.Audio, k: Int): Codecs.Audio = {
+    require(k >= 1, s"decimation needs k >= 1, got $k")
+    require(audio.frames % k == 0 && audio.sampleRate % k == 0,
+      s"k=$k must divide frames=${audio.frames} and rate=${audio.sampleRate}")
+    val ch = audio.channels
+    val outFrames = audio.frames / k
+    val out = new Array[Short](outFrames * ch)
+    var t = 0
+    while (t < outFrames) {
+      var c = 0
+      while (c < ch) {
+        var s = 0L
+        var j = 0
+        while (j < k) { s += audio.samples((t * k + j) * ch + c); j += 1 }
+        out(t * ch + c) = (s / k).toShort
+        c += 1
+      }
+      t += 1
+    }
+    Codecs.Audio(audio.sampleRate / k, ch, out)
+  }
+
+  /** The real audio chain — WAV decode → exact [[decimateAudio]] →
+    * integer stats of the RESAMPLED clip. Every column integral, so the
+    * oracle recomputes the decimated samples analytically frame by frame.
+    */
+  def resampleWavStats(media: Dataset[MediaRecord], k: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { rec =>
+      val audio = decimateAudio(Codecs.Wav.decode(rec.content), k)
+      var s = 0L
+      var i = 0
+      while (i < audio.samples.length) { s += audio.samples(i); i += 1 }
+      (rec.media_id, audio.sampleRate.toLong, audio.channels.toLong,
+        audio.frames.toLong, s)
+    }).toDF("media_id", "out_rate", "channels", "out_frames", "sum_samples")
+  }
+
   /** [[bmpStats]]'s PNG twin: dimensions from the parsed IHDR,
     * per-channel pixel sums from the fully reconstructed (inflated +
     * unfiltered) payload. `n_pixels` replaces the BMP's `n_bytes` — a

@@ -106,6 +106,24 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.wavStats(media)
     }),
+    // The real AUDIO chain — WAV decode → exact ÷4 decimation
+    // (per-channel truncated mean of 4 consecutive frames, matching
+    // DuckDB's //) → stats of the RESAMPLED clip. Closed-form
+    // integers end to end, so the oracle recomputes every decimated
+    // sample frame by frame.
+    "mm_resample_wav" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nFrames = (4 * (16 + id % 9)).toInt
+        val samples = Array.tabulate(nFrames * channels)(i =>
+          (((i * 31 + 7 * id) % 65536) - 32768).toShort)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.resampleWavStats(media, k = 4)
+    }),
 
     // Real PNG decode (Codecs.Png — VERDICT r11 #4): 512 RGB8 PNGs from
     // closed-form pixel formulas, zlib-deflated with the scanline filter
@@ -266,6 +284,25 @@ private[graft] object MultimodalQueries {
                 CAST(SUM((i * 31 + 7 * id) % 65536 - 32768) AS BIGINT) AS sum_samples
          FROM clips, unnest(range(0, frames * ch)) AS ui(i)
          GROUP BY 1, 2, 3, 4, 5""",
+    // decode -> exact /4 decimation -> stats: every decimated sample is
+    // the truncated mean over 4 frames per channel, recomputed analytically
+    "mm_resample_wav" ->
+      """WITH clips AS (SELECT id, 1 + id % 2 AS ch,
+                               8000 + (id % 3) * 4000 AS rate,
+                               4 * (16 + id % 9) AS frames
+                        FROM (SELECT unnest(range(0, 256)) AS id)),
+         dec AS (SELECT id, ch, rate, frames // 4 AS out_frames, t, c,
+                   SUM((((4 * t + j) * ch + c) * 31 + 7 * id) % 65536 - 32768) // 4 AS v
+                 FROM clips,
+                      unnest(range(0, frames // 4)) AS ut(t),
+                      unnest(range(0, ch)) AS uc(c),
+                      unnest(range(0, 4)) AS uj(j)
+                 GROUP BY 1, 2, 3, 4, 5, 6)
+         SELECT id AS media_id, CAST(rate // 4 AS BIGINT) AS out_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(out_frames AS BIGINT) AS out_frames,
+                CAST(SUM(v) AS BIGINT) AS sum_samples
+         FROM dec GROUP BY 1, 2, 3, 4""",
     // real-codec PNG: dimensions + per-channel pixel sums recomputed
     // analytically — the zlib inflate and all five scanline filters must
     // land every byte (n_pixels replaces n_bytes: deflate length is not

@@ -115,6 +115,18 @@ class MultimodalSpec extends SparkSpec {
     for (i <- 0 until 5) assert(pairs.contains((i.toLong, i + 1000L)), s"twin $i")
   }
 
+  test("decimateAudio: exact per-channel truncated means, incl. negative sums") {
+    // stereo, 4 frames, k=2 → 2 frames; interleaved [L0,R0,L1,R1,...]
+    val audio = Codecs.Audio(8000, 2,
+      Array[Short](10, -3, 21, -4, 100, 7, -101, 8))
+    val out = Multimodal.decimateAudio(audio, 2)
+    assert(out.sampleRate == 4000 && out.channels == 2 && out.frames == 2)
+    // L: (10+21)/2 = 15, R: (-3 + -4)/2 = -3 (truncation toward zero,
+    // matching DuckDB's //), then L: (100 + -101)/2 = 0, R: (7+8)/2 = 7
+    assert(out.samples.toSeq == Seq[Short](15, -3, 0, 7))
+    intercept[IllegalArgumentException](Multimodal.decimateAudio(audio, 3))
+  }
+
   test("phash: hand-computed average-hash bits") {
     // mean 0.5 -> bits set where feature > 0.5: positions 2 and 4
     val feats = Seq((1L, Seq(0.0f, 1.0f, 0.0f, 1.0f))).toDF("media_id", "features")
