@@ -146,7 +146,10 @@ object SparkEntry {
     "src_warc_parse", "t_warc_strip",
     // round 12d: gz streaming ingest with post-drain compaction under
     // the oracle, and the real audio decimation chain
-    "st_wet_ingest_gz", "mm_resample_wav")
+    "st_wet_ingest_gz", "mm_resample_wav",
+    // round 12e: real animated-GIF demux (full GIF-LZW) + the frame
+    // sampler through the image chain
+    "mm_decode_gif", "mm_frames_real")
 
   // ---- DuckDB oracle twins ----
 

@@ -165,6 +165,257 @@ object Codecs {
     }
   }
 
+  /** Animated GIF89a (8-bit, global color table) — the MULTI-FRAME
+    * container that makes frame demux REAL: full GIF-LZW codec
+    * (variable-width codes 9→12 bits LSB-first, dictionary growth,
+    * clear-code reset at 4096), sub-block framing, extension skipping,
+    * and palette mapping. Interlace and local color tables are out of
+    * scope and rejected loudly. The encoder exists for fixtures and is a
+    * REAL LZW compressor (dictionary + width growth), so decoding a
+    * planted file exercises every growth path, not just literals.
+    */
+  object Gif {
+
+    /** One animation: shared dimensions, 256-entry RGB palette, and each
+      * frame's 8-bit pixel indices (top-down row-major).
+      */
+    final case class Animation(width: Int, height: Int,
+                               palette: Array[Byte], // 256 * 3 RGB
+                               frames: Seq[Array[Byte]]) {
+      /** Frame `f` as a decoded RGB [[Image]] via the palette. */
+      def frame(f: Int): Image = {
+        val idx = frames(f)
+        val rgb = new Array[Byte](idx.length * 3)
+        var i = 0
+        while (i < idx.length) {
+          val p = (idx(i) & 0xFF) * 3
+          rgb(3 * i) = palette(p); rgb(3 * i + 1) = palette(p + 1)
+          rgb(3 * i + 2) = palette(p + 2)
+          i += 1
+        }
+        Image(width, height, rgb)
+      }
+    }
+
+    /** 256-level grayscale palette (r = g = b = index) — the fixture
+      * palette, chosen so oracle pixel sums read straight off indices.
+      */
+    def grayPalette: Array[Byte] = {
+      val p = new Array[Byte](256 * 3)
+      var i = 0
+      while (i < 256) {
+        p(3 * i) = i.toByte; p(3 * i + 1) = i.toByte; p(3 * i + 2) = i.toByte
+        i += 1
+      }
+      p
+    }
+
+    // ---- GIF-LZW (min code size fixed at 8 — 256-color images) ----
+    private val MinCode = 8
+    private val Clear = 1 << MinCode // 256
+    private val End = Clear + 1 // 257
+
+    /** Compress 8-bit indices with real GIF-LZW: dictionary over
+      * (prefix code, next byte), width grows 9→12 as codes are added,
+      * CLEAR emitted when the table fills.
+      */
+    private[multimodal] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length)
+      var bitBuf = 0L
+      var bitCnt = 0
+      var width = MinCode + 1
+      def emit(code: Int): Unit = {
+        bitBuf |= code.toLong << bitCnt
+        bitCnt += width
+        while (bitCnt >= 8) {
+          out.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; bitCnt -= 8
+        }
+      }
+      var dict = new java.util.HashMap[Int, Int]() // (prefix<<8 | byte) -> code
+      var next = End + 1
+      emit(Clear)
+      if (data.nonEmpty) {
+        var cur = data(0) & 0xFF
+        var i = 1
+        while (i < data.length) {
+          val k = data(i) & 0xFF
+          val key = (cur << 8) | k
+          if (dict.containsKey(key)) {
+            cur = dict.get(key)
+          } else {
+            emit(cur)
+            dict.put(key, next); next += 1
+            // width grows when the NEXT code to assign no longer fits —
+            // symmetric with the decoder's post-add check
+            if (next - 1 == (1 << width) && width < 12) width += 1
+            if (next == 4096) { // table full: reset
+              emit(Clear)
+              dict = new java.util.HashMap[Int, Int]()
+              next = End + 1
+              width = MinCode + 1
+            }
+            cur = k
+          }
+          i += 1
+        }
+        emit(cur)
+      }
+      emit(End)
+      if (bitCnt > 0) out.write((bitBuf & 0xFF).toInt)
+      out.toByteArray
+    }
+
+    /** Inverse of [[lzwEncode]] — the real decoder loop incl. the
+      * cur+cur(0) special case for a code equal to the next free slot.
+      */
+    private[multimodal] def lzwDecode(bytes: Array[Byte],
+                                      expected: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(expected)
+      var bitBuf = 0L
+      var bitCnt = 0
+      var pos = 0
+      var width = MinCode + 1
+      def read(): Int = {
+        while (bitCnt < width && pos < bytes.length) {
+          bitBuf |= (bytes(pos) & 0xFFL) << bitCnt; bitCnt += 8; pos += 1
+        }
+        if (bitCnt < width) return End // truncated: treat as end, length-checked below
+        val c = (bitBuf & ((1L << width) - 1)).toInt
+        bitBuf >>>= width; bitCnt -= width
+        c
+      }
+      var dict = new Array[Array[Byte]](4096)
+      var next = 0
+      def reset(): Unit = {
+        dict = new Array[Array[Byte]](4096)
+        var i = 0
+        while (i < Clear) { dict(i) = Array(i.toByte); i += 1 }
+        next = End + 1
+        width = MinCode + 1
+      }
+      reset()
+      var prev: Array[Byte] = null
+      var done = false
+      while (!done) {
+        val code = read()
+        if (code == End) done = true
+        else if (code == Clear) { reset(); prev = null }
+        else {
+          val entry =
+            if (code < next && dict(code) != null) dict(code)
+            else if (code == next && prev != null) prev :+ prev(0)
+            else throw new IllegalArgumentException(
+              s"bad LZW code $code (next=$next)")
+          out.write(entry, 0, entry.length)
+          if (prev != null && next < 4096) {
+            dict(next) = prev :+ entry(0)
+            next += 1
+            if (next - 1 == (1 << width) - 1 && width < 12) width += 1
+          }
+          prev = entry
+        }
+      }
+      require(out.size == expected,
+        s"LZW payload decoded ${out.size} pixels, expected $expected")
+      out.toByteArray
+    }
+
+    /** Encode frames of 8-bit indices as an animated GIF89a with the
+      * given 256-entry palette, one Graphic Control Extension per frame.
+      */
+    def encode(width: Int, height: Int, palette: Array[Byte],
+               frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && height > 0 && frames.nonEmpty,
+        s"bad animation ${width}x$height, ${frames.length} frames")
+      require(palette.length == 768, s"palette must be 256*3 bytes")
+      frames.foreach(f => require(f.length == width * height,
+        s"frame length ${f.length} != ${width * height}"))
+      val out = new java.io.ByteArrayOutputStream(frames.length * width * height)
+      def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      u16(width); u16(height)
+      out.write(0xF7) // GCT present, 8-bit resolution, 256 entries
+      out.write(0) // background color
+      out.write(0) // aspect
+      out.write(palette, 0, 768)
+      frames.foreach { f =>
+        out.write(0x21); out.write(0xF9); out.write(4) // GCE
+        out.write(0); u16(4); out.write(0); out.write(0) // no transparency, 40ms
+        out.write(0x2C) // image descriptor
+        u16(0); u16(0); u16(width); u16(height)
+        out.write(0) // no local table, no interlace
+        out.write(MinCode)
+        val z = lzwEncode(f)
+        var off = 0
+        while (off < z.length) {
+          val n = math.min(255, z.length - off)
+          out.write(n); out.write(z, off, n); off += n
+        }
+        out.write(0) // block terminator
+      }
+      out.write(0x3B) // trailer
+      out.toByteArray
+    }
+
+    /** Parse an animated GIF89a: signature, screen descriptor, global
+      * palette, extension skipping, per-frame LZW decode. Throws
+      * IllegalArgumentException on malformed or unsupported input
+      * (interlace, local color tables, missing GCT, truncation).
+      */
+    def decode(bytes: Array[Byte]): Animation = {
+      require(bytes.length >= 13, s"truncated GIF: ${bytes.length} bytes")
+      val sig = new String(bytes, 0, 6, "US-ASCII")
+      require(sig == "GIF89a" || sig == "GIF87a", s"bad GIF signature '$sig'")
+      def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      val width = u16(6)
+      val height = u16(8)
+      val packed = bytes(10) & 0xFF
+      require((packed & 0x80) != 0, "GIF without a global color table unsupported")
+      val gctSize = 2 << (packed & 7)
+      require(13 + 3 * gctSize <= bytes.length, "truncated global color table")
+      require(gctSize == 256, s"unsupported palette size $gctSize (8-bit only)")
+      val palette = java.util.Arrays.copyOfRange(bytes, 13, 13 + 768)
+      var off = 13 + 768
+      val frames = Seq.newBuilder[Array[Byte]]
+      var done = false
+      while (!done) {
+        require(off < bytes.length, "missing GIF trailer")
+        (bytes(off) & 0xFF) match {
+          case 0x3B => done = true
+          case 0x21 => // extension: label + sub-blocks, skip whole
+            off += 2
+            while ((bytes(off) & 0xFF) != 0) off += 1 + (bytes(off) & 0xFF)
+            off += 1
+          case 0x2C =>
+            val (l, t) = (u16(off + 1), u16(off + 3))
+            val (fw, fh) = (u16(off + 5), u16(off + 7))
+            val ipacked = bytes(off + 9) & 0xFF
+            require((ipacked & 0x80) == 0, "local color tables unsupported")
+            require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+            require(l == 0 && t == 0 && fw == width && fh == height,
+              s"partial-frame GIF unsupported ($l,$t ${fw}x$fh)")
+            val minCode = bytes(off + 10) & 0xFF
+            require(minCode == MinCode, s"unsupported LZW min code $minCode")
+            off += 11
+            val z = new java.io.ByteArrayOutputStream(width * height)
+            while ((bytes(off) & 0xFF) != 0) {
+              val n = bytes(off) & 0xFF
+              require(off + 1 + n <= bytes.length, "truncated image sub-block")
+              z.write(bytes, off + 1, n)
+              off += 1 + n
+            }
+            off += 1
+            frames += lzwDecode(z.toByteArray, width * height)
+          case b => throw new IllegalArgumentException(
+            f"unknown GIF block 0x$b%02X at $off")
+        }
+      }
+      val fs = frames.result()
+      require(fs.nonEmpty, "GIF with no image frames")
+      Animation(width, height, palette, fs)
+    }
+  }
+
   /** A decoded PCM-16 clip: interleaved samples, frame count =
     * samples.length / channels.
     */

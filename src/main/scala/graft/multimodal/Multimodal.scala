@@ -379,6 +379,52 @@ object Multimodal {
     media.mapPartitions(_.map(decodePngResizedFeatures(_, k, dim)))
   }
 
+  /** Per-frame integer stats of a REAL-decoded animated GIF — one row
+    * per frame: dimensions and frame count from the parsed container,
+    * per-channel pixel sums through the palette. One record in → many
+    * rows out (the demuxer flatMap shape), all executor-side.
+    */
+  def gifFrameStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      val anim = Codecs.Gif.decode(rec.content)
+      anim.frames.indices.map { f =>
+        val img = anim.frame(f)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < img.rgb.length) {
+          sr += img.rgb(i) & 0xFF; sg += img.rgb(i + 1) & 0xFF
+          sb += img.rgb(i + 2) & 0xFF
+          i += 3
+        }
+        (rec.media_id, f.toLong, anim.width.toLong, anim.height.toLong,
+          anim.frames.length.toLong, sr, sg, sb)
+      }
+    }).toDF("media_id", "frame_idx", "width", "height", "n_frames",
+      "sum_r", "sum_g", "sum_b")
+  }
+
+  /** The REAL frame sampler replacing [[frameSampleStub]] (the last
+    * stubbed multimodal path): demux an animated GIF with the real
+    * codec, keep every `everyNth` frame, and re-encode each kept frame
+    * as a standalone BMP record — so the existing image chain (decode →
+    * resize → phash) runs on demuxed frames unchanged. Same flatMap
+    * fan-out and `media_id * 100000 + frame` id scheme as the stub.
+    */
+  def sampleFramesGif(media: Dataset[MediaRecord],
+                      everyNth: Int): Dataset[MediaRecord] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      val anim = Codecs.Gif.decode(rec.content)
+      anim.frames.indices.collect { case f if f % everyNth == 0 =>
+        val img = anim.frame(f)
+        MediaRecord(rec.media_id * 100000L + f, "image/bmp",
+          Codecs.Bmp.encode(img.width, img.height, (x, y) => img.pixel(x, y)))
+      }
+    })
+  }
+
   /** Perceptual-hash signature over a decoded feature vector — the
     * classic average-hash construction (each bit = is feature i above
     * the vector's own mean?), the image-dedup fingerprint pHash-family

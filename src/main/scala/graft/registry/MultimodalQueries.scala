@@ -125,6 +125,55 @@ private[graft] object MultimodalQueries {
       graft.multimodal.Multimodal.resampleWavStats(media, k = 4)
     }),
 
+    // REAL animated-GIF demux (Codecs.Gif — the multi-frame container
+    // that retires the frame stub): full GIF-LZW (variable-width codes,
+    // dictionary growth, clear reset) + sub-block framing + extension
+    // skipping; 256 planted animations from closed-form per-frame index
+    // formulas over the gray palette, so the oracle recomputes every
+    // frame's pixel sums analytically — one wrong LZW code width or
+    // palette offset and the hashes split.
+    "mm_decode_gif" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val w = (8 + id % 5).toInt
+        val h = (6 + id % 4).toInt
+        val nf = (2 + id % 3).toInt
+        val frames = Seq.tabulate(nf) { f =>
+          Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            ((x * 7 + y * 13 + f * 29 + id) % 256).toByte
+          }
+        }
+        graft.multimodal.MediaRecord(id, "image/gif",
+          graft.multimodal.Codecs.Gif.encode(w, h,
+            graft.multimodal.Codecs.Gif.grayPalette, frames))
+      }
+      graft.multimodal.Multimodal.gifFrameStats(media)
+    }),
+    // ...and the REAL frame sampler through the downstream image chain:
+    // demux every 2nd frame of each animation, re-encode as standalone
+    // BMPs (the frameSampleStub contract, now with real codecs on both
+    // sides), and run the oracle-verified bmpStats over the output.
+    "mm_frames_real" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val w = (8 + id % 5).toInt
+        val h = (6 + id % 4).toInt
+        val nf = (2 + id % 3).toInt
+        val frames = Seq.tabulate(nf) { f =>
+          Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            ((x * 7 + y * 13 + f * 29 + id) % 256).toByte
+          }
+        }
+        graft.multimodal.MediaRecord(id, "image/gif",
+          graft.multimodal.Codecs.Gif.encode(w, h,
+            graft.multimodal.Codecs.Gif.grayPalette, frames))
+      }
+      graft.multimodal.Multimodal.bmpStats(
+        graft.multimodal.Multimodal.sampleFramesGif(media, everyNth = 2))
+    }),
+
     // Real PNG decode (Codecs.Png — VERDICT r11 #4): 512 RGB8 PNGs from
     // closed-form pixel formulas, zlib-deflated with the scanline filter
     // CYCLING y % 5, so every image exercises all five reconstruction
@@ -284,6 +333,37 @@ private[graft] object MultimodalQueries {
                 CAST(SUM((i * 31 + 7 * id) % 65536 - 32768) AS BIGINT) AS sum_samples
          FROM clips, unnest(range(0, frames * ch)) AS ui(i)
          GROUP BY 1, 2, 3, 4, 5""",
+    // real GIF demux: every frame's gray pixel sums recomputed from the
+    // planted index formulas (palette r = g = b = index)
+    "mm_decode_gif" ->
+      """WITH dims AS (SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h,
+                              2 + id % 3 AS nf
+                       FROM (SELECT unnest(range(0, 256)) AS id))
+         SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(SUM((x * 7 + y * 13 + f * 29 + id) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((x * 7 + y * 13 + f * 29 + id) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((x * 7 + y * 13 + f * 29 + id) % 256) AS BIGINT) AS sum_b
+         FROM dims, unnest(range(0, nf)) AS uf(f),
+              unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+         GROUP BY 1, 2, 3, 4, 5""",
+    // demux -> keep every 2nd frame -> re-encode BMP -> bmpStats: the
+    // kept frames' ids, padded BMP lengths, and pixel sums closed-form
+    "mm_frames_real" ->
+      """WITH dims AS (SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h,
+                              2 + id % 3 AS nf
+                       FROM (SELECT unnest(range(0, 256)) AS id)),
+         kept AS (SELECT id, w, h, f
+                  FROM dims, unnest(range(0, nf)) AS uf(f) WHERE f % 2 = 0)
+         SELECT CAST(id * 100000 + f AS BIGINT) AS media_id,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+                CAST(SUM((x * 7 + y * 13 + f * 29 + id) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((x * 7 + y * 13 + f * 29 + id) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((x * 7 + y * 13 + f * 29 + id) % 256) AS BIGINT) AS sum_b
+         FROM kept, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+         GROUP BY 1, 2, 3, 4""",
     // decode -> exact /4 decimation -> stats: every decimated sample is
     // the truncated mean over 4 frames per channel, recomputed analytically
     "mm_resample_wav" ->

@@ -133,6 +133,54 @@ class CodecsSpec extends AnyFunSuite {
     intercept[Exception](Codecs.Gzip.gunzipAll("not gzip".getBytes("UTF-8")))
   }
 
+  test("GIF-LZW roundtrip on data long enough to force code-width growth") {
+    // > 1<<11 distinct transitions: width walks 9 -> 12 and the 4096
+    // clear-reset path fires; pseudo-random but deterministic
+    val data = Array.tabulate(60000)(i => ((i * 2654435761L >> 7) & 0xFF).toByte)
+    val z = Codecs.Gif.lzwEncode(data)
+    assert(z.length < data.length, "real LZW should compress this stream")
+    assert(Codecs.Gif.lzwDecode(z, data.length).toSeq == data.toSeq)
+    // degenerate all-same stream (maximal dictionary chains, KwKwK case)
+    val flat = Array.fill(5000)(42.toByte)
+    assert(Codecs.Gif.lzwDecode(Codecs.Gif.lzwEncode(flat), 5000).toSeq
+      == flat.toSeq)
+  }
+
+  test("GIF roundtrip is index-exact across frames, palette mapped") {
+    val pal = new Array[Byte](768)
+    for (i <- 0 until 256) {
+      pal(3 * i) = i.toByte; pal(3 * i + 1) = (255 - i).toByte
+      pal(3 * i + 2) = ((i * 3) % 256).toByte
+    }
+    val frames = Seq.tabulate(3)(f =>
+      Array.tabulate(5 * 4)(i => ((i * 11 + f * 29) % 256).toByte))
+    val bytes = Codecs.Gif.encode(5, 4, pal, frames)
+    assert(bytes.startsWith("GIF89a".getBytes("US-ASCII").toSeq))
+    val anim = Codecs.Gif.decode(bytes)
+    assert(anim.width == 5 && anim.height == 4 && anim.frames.length == 3)
+    for (f <- 0 until 3)
+      assert(anim.frames(f).toSeq == frames(f).toSeq, s"frame $f indices")
+    // palette mapping: pixel (0,0) of frame 1 has index 29
+    assert(anim.frame(1).pixel(0, 0) == ((29, 255 - 29, 87)))
+  }
+
+  test("GIF rejects bad signature, interlace, local tables, truncation") {
+    val good = Codecs.Gif.encode(4, 4, Codecs.Gif.grayPalette,
+      Seq(Array.tabulate(16)(_.toByte)))
+    val badSig = good.clone(); badSig(0) = 'X'
+    intercept[IllegalArgumentException](Codecs.Gif.decode(badSig))
+    // image descriptor packed byte sits after 13 + 768 header+palette,
+    // GCE (8 bytes), then 0x2C + 8 → offset of packed byte:
+    val idOff = 13 + 768 + 8
+    assert((good(idOff) & 0xFF) == 0x2C, "fixture layout")
+    val interlaced = good.clone(); interlaced(idOff + 9) = 0x40.toByte
+    intercept[IllegalArgumentException](Codecs.Gif.decode(interlaced))
+    val localTable = good.clone(); localTable(idOff + 9) = 0x80.toByte
+    intercept[IllegalArgumentException](Codecs.Gif.decode(localTable))
+    intercept[IllegalArgumentException](Codecs.Gif.decode(good.take(100)))
+    intercept[IllegalArgumentException](Codecs.Gif.decode(good.dropRight(1)))
+  }
+
   test("real-codec feature extractors produce sane bucketed descriptors") {
     // an all-white image has mean intensity 1.0 in every bucket
     val white = MediaRecord(1L, "image/bmp",

@@ -127,6 +127,20 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decimateAudio(audio, 3))
   }
 
+  test("sampleFramesGif: real demux keeps every Nth frame as a BMP record") {
+    val frames = Seq.tabulate(5)(f =>
+      Array.tabulate(4 * 3)(i => ((i + f * 50) % 256).toByte))
+    val gif = MediaRecord(7L, "image/gif",
+      Codecs.Gif.encode(4, 3, Codecs.Gif.grayPalette, frames))
+    val out = Multimodal.sampleFramesGif(Seq(gif).toDS(), everyNth = 2)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(700000L, 700002L, 700004L))
+    // each kept record is a real BMP whose pixels are the frame's grays
+    val img = Codecs.Bmp.decode(out(1).content) // frame 2
+    assert(img.width == 4 && img.height == 3)
+    assert(img.pixel(1, 0) == ((101, 101, 101))) // index 1 + 2*50
+  }
+
   test("phash: hand-computed average-hash bits") {
     // mean 0.5 -> bits set where feature > 0.5: positions 2 and 4
     val feats = Seq((1L, Seq(0.0f, 1.0f, 0.0f, 1.0f))).toDF("media_id", "features")
