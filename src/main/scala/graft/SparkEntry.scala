@@ -149,7 +149,10 @@ object SparkEntry {
     "st_wet_ingest_gz", "mm_resample_wav",
     // round 12e: real animated-GIF demux (full GIF-LZW) + the frame
     // sampler through the image chain
-    "mm_decode_gif", "mm_frames_real")
+    "mm_decode_gif", "mm_frames_real",
+    // round 12f: WordPiece — the third tokenizer family (greedy
+    // longest-match + [UNK] path)
+    "t_wordpiece_vocab", "t_wordpiece_segment")
 
   // ---- DuckDB oracle twins ----
 

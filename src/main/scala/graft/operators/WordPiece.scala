@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** WordPiece — the THIRD tokenizer family beside BPE and unigram-LM
+  * (Schuster & Nakajima 2012; the BERT tokenizer): segmentation is
+  * greedy LONGEST-MATCH-FIRST against a fixed vocabulary, continuation
+  * pieces carry a `##` prefix, and a word containing any unmatchable
+  * position collapses to the single `[UNK]` token.
+  *
+  * The vocabulary here is the deterministic corpus build (top-K
+  * multi-char substrings by occurrence weight + every single character,
+  * each in start AND continuation form — the [[Unigram.seedVocab]]
+  * counting pass, which the driver oracle already replays verbatim), so
+  * both the build and the greedy walk are integer/string-exact and the
+  * DuckDB twin can follow the same chain position by position.
+  *
+  * Scale shape: the vocabulary is artifact-sized (top-K + alphabet) and
+  * BROADCAST; segmentation runs at DISTINCT-WORD grain (one corpus
+  * explode collapses to the vocabulary — the bpeEncode stance) with the
+  * greedy loop executor-side per word — genuine imperative per-row
+  * logic, the sanctioned mapPartitions tier. No shuffle beyond the one
+  * word-count aggregation.
+  */
+object WordPiece {
+
+  /** The deterministic vocabulary: top-K multi-char substrings (length
+    * 2..maxPieceLen) by corpus weight, ordered (weight DESC, piece) like
+    * the unigram seed, plus every single character — each emitted in
+    * start form (`piece`) and continuation form (`##piece`) with the
+    * same weight.
+    */
+  def vocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 6,
+            topK: Int = 128): DataFrame = {
+    // the counting pass IS Unigram.seedVocab (one definition, one oracle
+    // contract); WordPiece only adds the ##-continuation doubling
+    val base = Unigram.seedVocab(docs, textCol, maxPieceLen, topK)
+    base.unionByName(base.select(
+      concat(lit("##"), col("piece")).as("piece"), col("weight")))
+  }
+
+  /** Greedy longest-match-first segmentation of one word against the
+    * start/continuation piece sets; None ⇒ the word is `[UNK]`.
+    */
+  private[operators] def segmentWord(w: String, starts: Set[String],
+                                     conts: Set[String],
+                                     maxPieceLen: Int): Option[Seq[String]] = {
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < w.length) {
+      val set = if (pos == 0) starts else conts
+      var len = math.min(maxPieceLen, w.length - pos)
+      var hit = -1
+      while (hit < 0 && len >= 1) {
+        if (set.contains(w.substring(pos, pos + len))) hit = len
+        else len -= 1
+      }
+      if (hit < 0) return None
+      out += (if (pos == 0) "" else "##") + w.substring(pos, pos + hit)
+      pos += hit
+    }
+    Some(out.result())
+  }
+
+  /** The corpus vocabulary segmented under a broadcast WordPiece
+    * vocabulary: `(word, n_occurrences, pieces, n_pieces, has_unk)` —
+    * pieces space-joined (`[UNK]` alone when any position fails to
+    * match), continuation pieces `##`-prefixed, longest match taken at
+    * every step.
+    */
+  def segment(docs: DataFrame, textCol: String, vocabulary: Seq[String],
+              maxPieceLen: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val starts = vocabulary.filterNot(_.startsWith("##")).toSet
+    val conts = vocabulary.filter(_.startsWith("##")).map(_.drop(2)).toSet
+    val bc = spark.sparkContext.broadcast((starts, conts))
+    docs.select(explode(Text.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val (st, ct) = bc.value
+        it.map { case (w, wn) =>
+          segmentWord(w, st, ct, maxPieceLen) match {
+            case Some(ps) => (w, wn, ps.mkString(" "), ps.length, false)
+            case None => (w, wn, "[UNK]", 1, true)
+          }
+        }
+      }
+      .toDF("word", "n_occurrences", "pieces", "n_pieces", "has_unk")
+  }
+
+  /** [[vocab]] collected to a driver-side piece list (vocabulary-bounded
+    * metadata — topK + alphabet rows, the kmeans-centroid class).
+    */
+  def vocabList(docs: DataFrame, textCol: String, maxPieceLen: Int = 6,
+                topK: Int = 128): Seq[String] =
+    vocab(docs, textCol, maxPieceLen, topK)
+      .select("piece").collect().map(_.getString(0)).toSeq
+}

@@ -17,6 +17,23 @@ import graft.EntryOracles._
   * SparkEntry merges every slice into the driver-contract maps.
   */
 private[graft] object TextQueries {
+
+  /** WordPiece vocab-build CTEs (the Unigram.seedVocab counting pass at
+    * maxPieceLen 6 / top-128, which WordPiece.vocab delegates to) —
+    * ends in `wp(piece, weight)`, the UNDOUBLED piece set. The ##
+    * doubling makes start and continuation sets identical by
+    * construction, so the segment oracle matches against `wp` at every
+    * position and adds the `##` prefix textually.
+    */
+  private val sqlWordPieceVocabCtes: String =
+    s"""wpw AS (SELECT unnest(${sqlTokens("lower(text)")}) AS word FROM documents),
+       wpc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wpw GROUP BY 1),
+       wps AS (SELECT unnest(flatten([[substring(word, i, L) for i in generate_series(1, len(word) - L + 1)] for L in generate_series(2, 6) if len(word) >= L])) AS piece, cnt FROM wpc),
+       wpm AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS weight FROM wps GROUP BY 1 ORDER BY weight DESC, piece LIMIT 128),
+       wpg AS (SELECT unnest([substring(word, i, 1) for i in generate_series(1, len(word))]) AS piece, cnt FROM wpc),
+       wpsg AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS weight FROM wpg GROUP BY 1),
+       wp AS (SELECT piece, weight FROM wpm UNION ALL SELECT piece, weight FROM wpsg)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -287,6 +304,26 @@ private[graft] object TextQueries {
     // grain, top-k by corpus weight, singles appended unconditionally.
     // Pure integer counting → the oracle replays it verbatim (seedSize
     // 128 so the top-k boundary actually bites on this corpus).
+    // WORDPIECE — the third tokenizer family (BERT's greedy
+    // longest-match-first): vocabulary = the seedVocab counting pass at
+    // (6, 128) doubled into ##-continuation forms. Pure integer counting
+    // + string concat, replayed verbatim.
+    "t_wordpiece_vocab" -> ((s, dir) =>
+      graft.operators.WordPiece.vocab(Tables.documents(s, dir), "text",
+        maxPieceLen = 6, topK = 128)),
+    // Greedy longest-match segmentation under the broadcast vocabulary,
+    // over a corpus enriched with one word carrying a character the
+    // training text never saw ('\u00a4') — that word MUST collapse to
+    // [UNK] (unlike byte-BPE, WordPiece has an OOV path; the oracle
+    // follows the same chain position by position via recursive CTE).
+    "t_wordpiece_segment" -> ((s, dir) => {
+      val pieces = graft.operators.WordPiece.vocabList(
+        Tables.documents(s, dir), "text", maxPieceLen = 6, topK = 128)
+      graft.operators.WordPiece.segment(
+        Tables.documents(s, dir)
+          .select(concat(col("text"), lit(" zebra\u00a4tail")).as("text")),
+        "text", pieces, maxPieceLen = 6)
+    }),
     "t_unigram_seed" -> ((s, dir) =>
       graft.operators.Unigram.seedVocab(Tables.documents(s, dir), "text",
         maxPieceLen = 8, seedSize = 128)),
@@ -1027,6 +1064,44 @@ private[graft] object TextQueries {
     // unigram seed vocab: the substring-explode counting replayed
     // verbatim (generate_series(1, 0) is [] in DuckDB, so the too-short
     // guard is implicit in the comprehension bounds)
+    // WordPiece vocab: the seedVocab replay at (6, 128) + ## doubling
+    "t_wordpiece_vocab" ->
+      s"""WITH $sqlWordPieceVocabCtes
+         SELECT piece, weight FROM wp
+         UNION ALL SELECT '##' || piece AS piece, weight FROM wp""",
+    // WordPiece segmentation: best (longest) piece per (word, pos) as a
+    // window argmax, then the greedy chain followed by recursive CTE;
+    // words whose chain never completes (the planted \u00a4 word) are
+    // [UNK]
+    "t_wordpiece_segment" ->
+      s"""WITH RECURSIVE $sqlWordPieceVocabCtes,
+         ew AS (SELECT unnest(${sqlTokens("lower(text || ' zebra\u00a4tail')")}) AS word FROM documents),
+         ec AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wn FROM ew GROUP BY 1),
+         positions AS (SELECT word, CAST(i AS INTEGER) AS pos
+                       FROM ec, unnest(generate_series(1, len(word))) AS ui(i)),
+         mt AS (SELECT p.word, p.pos, wp.piece, len(wp.piece) AS pl
+                FROM positions p
+                JOIN wp ON substring(p.word, p.pos, len(wp.piece)) = wp.piece),
+         best AS (SELECT word, pos, piece, pl FROM (
+                    SELECT word, pos, piece, pl,
+                           row_number() OVER (PARTITION BY word, pos
+                             ORDER BY pl DESC) AS rn
+                    FROM mt) WHERE rn = 1),
+         chain AS (
+           SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS pieces, 0 AS np
+           FROM ec
+           UNION ALL
+           SELECT c.word, c.pos + b.pl,
+                  c.pieces || CASE WHEN c.pos = 1 THEN '' ELSE ' ##' END || b.piece,
+                  c.np + 1
+           FROM chain c JOIN best b ON b.word = c.word AND b.pos = c.pos
+           WHERE c.pos <= len(c.word)),
+         done AS (SELECT word, pieces, np FROM chain WHERE pos = len(word) + 1)
+         SELECT ec.word, ec.wn AS n_occurrences,
+                COALESCE(d.pieces, '[UNK]') AS pieces,
+                CAST(COALESCE(d.np, 1) AS INTEGER) AS n_pieces,
+                (d.pieces IS NULL) AS has_unk
+         FROM ec LEFT JOIN done d USING (word)""",
     "t_unigram_seed" ->
       s"""WITH w AS (SELECT unnest(${sqlTokens("lower(text)")}) AS word FROM documents),
          wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
