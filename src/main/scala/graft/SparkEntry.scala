@@ -151,8 +151,8 @@ object SparkEntry {
     // sampler through the image chain
     "mm_decode_gif", "mm_frames_real",
     // round 12f: WordPiece — the third tokenizer family (greedy
-    // longest-match + [UNK] path)
-    "t_wordpiece_vocab", "t_wordpiece_segment")
+    // longest-match + [UNK] path) — and the l-diversity release gate
+    "t_wordpiece_vocab", "t_wordpiece_segment", "v_l_diversity")
 
   // ---- DuckDB oracle twins ----
 

@@ -252,4 +252,21 @@ object Profiling {
       .agg(count(lit(1)).as("n"))
       .withColumn("anonymous", col("n") >= k)
   }
+
+  /** l-diversity — [[kAnonymity]]'s stronger sibling (Machanavajjhala et
+    * al. 2007): a quasi-identifier group is publishable only if its
+    * SENSITIVE attribute takes at least `l` distinct values (a k-large
+    * group where everyone shares one sensitive value still leaks it).
+    * Same one-aggregation shape; the exact countDistinct runs at group
+    * grain, so its state is bounded by the sensitive-attribute domain.
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+                 l: Long): DataFrame = {
+    require(quasi.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(l > 0, s"lDiversity needs positive l, got $l")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
 }

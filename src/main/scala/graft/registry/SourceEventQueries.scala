@@ -39,6 +39,12 @@ private[graft] object SourceEventQueries {
     "v_k_anonymity" -> ((s, dir) =>
       graft.operators.Profiling.kAnonymity(
         Tables.documents(s, dir), Seq("lang", "source"), k = 10L)),
+    // l-diversity (Profiling.lDiversity): a k-large group whose rows all
+    // share one sensitive value still leaks it — per lang group, the
+    // population AND the distinct source count, flagged against l = 3.
+    "v_l_diversity" -> ((s, dir) =>
+      graft.operators.Profiling.lDiversity(
+        Tables.documents(s, dir), Seq("lang"), "source", l = 3L)),
     // Sized-output-file write planning (Pack.packSequences under a BYTE
     // budget): bin documents onto ~64 KiB target files in id order —
     // the "write uniformly sized parquet files" layout pass, integer
@@ -644,6 +650,12 @@ private[graft] object SourceEventQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
            (count(*) >= 10) AS anonymous
          FROM documents GROUP BY lang, source""",
+    // l-diversity: the same one-aggregation shape + exact distinct count
+    "v_l_diversity" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+           (count(DISTINCT source) >= 3) AS diverse
+         FROM documents GROUP BY lang""",
     // Byte-budget file bin-packing: one ordered cumsum + integer div
     "s_file_binpack" ->
       """WITH c AS (SELECT doc_id, n_chars,

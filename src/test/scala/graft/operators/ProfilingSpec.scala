@@ -184,4 +184,19 @@ class ProfilingSpec extends SparkSpec {
     assert(out(("en", "s1")) == ((2L, false)))
     assert(out(("fr", "s0")) == ((3L, true)))
   }
+
+  test("lDiversity flags k-large groups with too few sensitive values") {
+    // "en" is populous but every row shares ONE source — k-anonymous yet
+    // NOT diverse, the leak l-diversity exists to catch
+    val df = (Seq.fill(6)(("en", "s0")) ++
+      Seq(("fr", "s0"), ("fr", "s1"), ("fr", "s2"))).toDF("lang", "source")
+    val out = Profiling.lDiversity(df, Seq("lang"), "source", l = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_sensitive"),
+          r.getAs[Boolean]("diverse"))).toMap
+    assert(out("en") == ((6L, 1L, false)))
+    assert(out("fr") == ((3L, 3L, true)))
+    intercept[IllegalArgumentException](
+      Profiling.lDiversity(df, Seq.empty, "source", 2L))
+  }
 }
