@@ -154,14 +154,36 @@ object Codecs {
       * truncated member, CRC mismatch) — the loud-rejection codec stance.
       */
     def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+      val (out, clean) = inflate(bytes)
+      if (!clean) throw new IllegalArgumentException(
+        s"truncated or corrupt gzip stream (${out.length} bytes recovered)")
+      out
+    }
+
+    /** TOLERANT inflate — the production front-door stance for scraped
+      * archives, which routinely ship truncated tails: decode every
+      * complete member plus whatever deflate output the broken tail
+      * yields, and report cleanliness instead of throwing. A record cut
+      * mid-body then surfaces as `len_ok = false` in the WET parse —
+      * classified and observable, never a dead stream.
+      */
+    def gunzipAvailable(bytes: Array[Byte]): (Array[Byte], Boolean) =
+      inflate(bytes)
+
+    private def inflate(bytes: Array[Byte]): (Array[Byte], Boolean) = {
       val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      out.toByteArray
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        (out.toByteArray, true)
+      } catch {
+        case _: java.io.EOFException | _: java.util.zip.ZipException =>
+          (out.toByteArray, false)
+      }
     }
   }
 

@@ -218,13 +218,21 @@ object Crawl {
     */
   def wetParseBytes(blobs: DataFrame, fileCol: String = "file_id",
                     binCol: String = "content",
-                    gz: Boolean = false): DataFrame = {
+                    gz: Boolean = false,
+                    tolerant: Boolean = false): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col(fileCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (fileId, raw) =>
-        val payload = if (gz) graft.multimodal.Codecs.Gzip.gunzipAll(raw) else raw
+        // tolerant (the streaming front-door stance): a truncated or
+        // corrupt archive tail yields every complete member's records
+        // (the cut record flags len_ok = false) instead of an exception
+        // that would kill the whole trigger
+        val payload =
+          if (gz && tolerant) graft.multimodal.Codecs.Gzip.gunzipAvailable(raw)._1
+          else if (gz) graft.multimodal.Codecs.Gzip.gunzipAll(raw)
+          else raw
         parseWetPayload(payload).map { case (uri, docId, declared, body, lenOk) =>
           (fileId, uri, docId, declared, body, lenOk)
         }

@@ -102,14 +102,19 @@ object WetStream {
     * member per record, byte-count Content-Length): each trigger
     * inflates and byte-parses its blobs behind the
     * [[graft.operators.Crawl.wetParseBytes]] codec boundary, then runs
-    * the identical dedup/registry/seen contract.
+    * the identical dedup/registry/seen contract. The inflate is
+    * TOLERANT: a truncated archive tail (routine in scraped crawls)
+    * yields every complete record — the cut one flagged `len_ok =
+    * false` — instead of an exception that would fail the trigger and
+    * wedge the stream on a poison file.
     */
   def writerGz(wetGz: DataFrame, workDir: String,
                checkpointDir: String): DataStreamWriter[Row] =
     wetGz.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(ingestBatch(workDir,
-        Crawl.wetParseBytes(_, "file_id", "content", gz = true)) _)
+        Crawl.wetParseBytes(_, "file_id", "content", gz = true,
+          tolerant = true)) _)
 
   /** Every record ingested so far — one row per distinct URI, the
     * first-seen parse. Live-dir enumeration ([[Compaction.readLive]]):

@@ -89,6 +89,35 @@ class CrawlSpec extends SparkSpec {
     assert((blob(0) & 0xFF) == 0x1F && (blob(1) & 0xFF) == 0x8B)
   }
 
+  test("tolerant gz parse recovers complete members from a truncated archive") {
+    import graft.multimodal.Codecs.Gzip
+    val good = Seq(
+      Crawl.wetRecordBytes("https://example.com/d/1", "first good body"),
+      Crawl.wetRecordBytes("https://example.com/d/2", "second good body"))
+    // incompressible body so a deep cut removes real DEFLATE data (an
+    // all-'x' body compresses so well that even trailer-only cuts leave
+    // the full record recoverable)
+    val noisy = Array.tabulate(500)(i =>
+      ('a' + ((i * 2654435761L >> 9) % 26).toInt).toChar).mkString
+    val cut = Crawl.wetRecordBytes("https://example.com/d/3", noisy)
+    val gzCut = Gzip.gzip(cut)
+    val blob = Gzip.gzip(good(0)) ++ Gzip.gzip(good(1)) ++
+      gzCut.take(gzCut.length - 60)
+    // strict mode throws; tolerant recovers the complete members
+    intercept[IllegalArgumentException](Gzip.gunzipAll(blob))
+    val (payload, clean) = Gzip.gunzipAvailable(blob)
+    assert(!clean)
+    import spark.implicits._
+    val rows = Crawl.wetParseBytes(Seq((0L, blob)).toDF("file_id", "content"),
+        gz = true, tolerant = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("body"), r.getAs[Boolean]("len_ok"))).toMap
+    assert(rows(1L) == (("first good body", true)))
+    assert(rows(2L) == (("second good body", true)))
+    // the cut record is either absent or flagged, never silently whole
+    assert(rows.get(3L).forall(!_._2), s"cut record must not frame clean: $rows")
+  }
+
   test("wetParseBytes resyncs after a corrupt record instead of cascading") {
     val good = Crawl.wetRecordBytes("https://example.com/d/1", "good body")
     val bad = ("WARC/1.0\nWARC-Target-URI: https://example.com/d/7\n" +
