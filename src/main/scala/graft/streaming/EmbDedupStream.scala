@@ -206,7 +206,33 @@ object EmbDedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(verifyAndAppend(workDir, threshold) _)
 
-  /** The surviving (near-dup-free) vectors written so far. */
+  /** [[RegistrySchema]] minus the dir-derived partition column — the
+    * FILE schema, for [[Compaction]] folds and live-dir reads.
+    */
+  private[streaming] val RegistryDataSchema = "vec_id LONG, vec ARRAY<DOUBLE>"
+
+  /** The surviving (near-dup-free) vectors written so far. Live-dir
+    * enumeration ([[Compaction.readLive]]): survivor rows are not
+    * duplicate-tolerant, so dirs an interrupted compaction absorbed stay
+    * excluded by the marker.
+    */
   def survivors(spark: SparkSession, workDir: String): DataFrame =
-    spark.read.parquet(s"$workDir/clean").select("vec_id", "vec")
+    Compaction.readLive(spark, s"$workDir/clean", RegistryDataSchema)
+      .select("vec_id", "vec")
+
+  /** Fold the per-trigger partition dirs of a long-running stream —
+    * registry and clean rows are DISJOINT across live batches (the
+    * anti-join admits each vec_id once), so both are plain union folds
+    * under the [[Compaction]] crash-safety/marker/redelivery contract.
+    * The trigger-side probe reads stay root-glob (duplicate-tolerant:
+    * a crash-window leftover only duplicates candidate pairs, which the
+    * verify's distinct collapses) and keep working against negative blob
+    * ids.
+    */
+  def compact(spark: SparkSession, workDir: String, upToBatch: Long): Unit = {
+    Compaction.compactDir(spark, s"$workDir/registry", RegistryDataSchema,
+      upToBatch)
+    Compaction.compactDir(spark, s"$workDir/clean", RegistryDataSchema,
+      upToBatch)
+  }
 }

@@ -99,4 +99,34 @@ class EmbDedupStreamSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
+
+  test("compact folds registry/clean; survivors and cross-batch dedup unchanged") {
+    val v = Seq(0.3, -0.2, 0.9, 0.1, -0.5, 0.4, 0.2, -0.1)
+    val w = axis(1)
+    val work = tmp("graft_eds_cmp")
+    def batchOf(rows: (Long, Seq[Double], Seq[Long])*) =
+      rows.toSeq.toDF("vec_id", "vec", "partners")
+    EmbDedupStream.verifyAndAppend(work, 0.99)(batchOf((1L, v, Nil)), 0L)
+    EmbDedupStream.verifyAndAppend(work, 0.99)(batchOf((9L, w, Nil)), 1L)
+    val before = EmbDedupStream.survivors(spark, work)
+      .select("vec_id").as[Long].collect().toSet
+    assert(before == Set(1L, 9L))
+    EmbDedupStream.compact(spark, work, upToBatch = 2L)
+    assert(EmbDedupStream.survivors(spark, work)
+      .select("vec_id").as[Long].collect().toSet == before)
+    def dirs(sub: String) =
+      new java.io.File(s"$work/$sub").listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).toSet
+    assert(dirs("registry") == Set("batch=-1") && dirs("clean") == Set("batch=-1"))
+    // the folded registry still guards a later redelivery of vec 1
+    EmbDedupStream.verifyAndAppend(work, 0.99)(batchOf((1L, v, Nil)), 2L)
+    assert(EmbDedupStream.survivors(spark, work)
+      .select("vec_id").as[Long].collect().toSet == before,
+      "redelivered vec must stay deduped by the compacted registry")
+    // a near-dup of a FOLDED registry vector still verifies and drops
+    EmbDedupStream.verifyAndAppend(work, 0.99)(
+      batchOf((5L, v.map(_ * 0.7), Seq(1L))), 3L)
+    assert(EmbDedupStream.survivors(spark, work)
+      .select("vec_id").as[Long].collect().toSet == before)
+  }
 }

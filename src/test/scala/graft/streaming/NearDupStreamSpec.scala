@@ -118,6 +118,35 @@ class NearDupStreamSpec extends SparkSpec {
     assert(rows == Seq(1L, 2L))
   }
 
+  test("compact folds registry/clean; survivors and cross-batch dedup unchanged") {
+    val work = tmp("graft_nds_cmp")
+    def batchOf(rows: (Long, String, Seq[Long])*) =
+      rows.toSeq.toDF("doc_id", "text", "partners")
+    NearDupStream.verifyAndAppend(work, 0.5, 3)(
+      batchOf((1L, uniqueDoc(1), Nil)), 0L)
+    NearDupStream.verifyAndAppend(work, 0.5, 3)(
+      batchOf((2L, uniqueDoc(2), Nil)), 1L)
+    val before = NearDupStream.survivors(spark, work)
+      .select("doc_id").as[Long].collect().toSet
+    assert(before == Set(1L, 2L))
+    NearDupStream.compact(spark, work, upToBatch = 2L)
+    assert(NearDupStream.survivors(spark, work)
+      .select("doc_id").as[Long].collect().toSet == before)
+    def dirs(sub: String) =
+      new java.io.File(s"$work/$sub").listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).toSet
+    assert(dirs("registry") == Set("batch=-1") && dirs("clean") == Set("batch=-1"))
+    // the folded registry still guards a redelivery AND still serves the
+    // pruned verify read for a near-dup of a folded doc
+    NearDupStream.verifyAndAppend(work, 0.5, 3)(
+      batchOf((1L, uniqueDoc(1), Nil)), 2L)
+    NearDupStream.verifyAndAppend(work, 0.5, 3)(
+      batchOf((7L, uniqueDoc(1) + marker, Seq(1L))), 3L)
+    assert(NearDupStream.survivors(spark, work)
+      .select("doc_id").as[Long].collect().toSet == before,
+      "redelivery and folded-registry near-dup must both stay dropped")
+  }
+
   test("survivors equal batch dropNearDuplicates on an ascending-id planted corpus") {
     val originals = (0L until 20L).map(i => i -> uniqueDoc(i))
     val copies = (0L until 10L).map(i => (i + 100L) -> (uniqueDoc(i) + marker))
