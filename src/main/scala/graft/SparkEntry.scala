@@ -152,7 +152,9 @@ object SparkEntry {
     "mm_decode_gif", "mm_frames_real",
     // round 12f: WordPiece — the third tokenizer family (greedy
     // longest-match + [UNK] path) — and the l-diversity release gate
-    "t_wordpiece_vocab", "t_wordpiece_segment", "v_l_diversity")
+    "t_wordpiece_vocab", "t_wordpiece_segment", "v_l_diversity",
+    // round 12g: the robots.txt politeness gate ahead of every fetch
+    "src_robots_gate")
 
   // ---- DuckDB oracle twins ----
 

@@ -318,6 +318,94 @@ object Crawl {
         col("len_ok"))
   }
 
+  /** Deterministic robots.txt corpus — one ruleset per derived domain
+    * (`d0.example.com`..`d7.example.com`), exercising every branch the
+    * gate handles: a blanket `Disallow: /private`, a LONGER `Allow:
+    * /private/ok` carve-out on even domains (longest-match must beat the
+    * blanket), a second disallow on every third domain, an EMPTY
+    * `Disallow:` (the allow-all no-op form), and noise lines
+    * (`User-agent`, `Crawl-delay`, comments) a parser must skip.
+    */
+  def plantRobots(docs: DataFrame, idCol: String): DataFrame = {
+    val d = (col(idCol) % 8).cast("long")
+    docs.select(d.as("__d")).distinct()
+      .select(concat(lit("d"), col("__d"), lit(".example.com")).as("domain"),
+        concat(
+          lit("# planted robots fixture\nUser-agent: *\n"),
+          lit("Disallow: /private\n"),
+          when(col("__d") % 2 === 0, lit("Allow: /private/ok\n"))
+            .otherwise(lit("")),
+          when(col("__d") % 3 === 0,
+            concat(lit("Disallow: /p/"), col("__d"), lit("\n")))
+            .otherwise(lit("")),
+          when(col("__d") % 5 === 4, lit("Disallow:\n")).otherwise(lit("")),
+          lit("Crawl-delay: 2\n")).as("robots_txt"))
+  }
+
+  /** Parse robots.txt blobs into `(domain, directive, path_prefix)`
+    * rules: split lines, keep `Allow:`/`Disallow:` directives with a
+    * NON-EMPTY path (an empty `Disallow:` is the spec's allow-all no-op
+    * — it contributes no rule), skip everything else. One explode + one
+    * regexp per line; the ruleset is artifact-sized per domain.
+    */
+  def robotsParse(robots: DataFrame, domainCol: String = "domain",
+                  txtCol: String = "robots_txt"): DataFrame =
+    robots.select(col(domainCol).as("domain"),
+        explode(split(col(txtCol), "\n")).as("__line"))
+      .select(col("domain"),
+        regexp_extract(col("__line"), "^(Allow|Disallow): (.+)$", 1)
+          .as("directive"),
+        regexp_extract(col("__line"), "^(Allow|Disallow): (.+)$", 2)
+          .as("path_prefix"))
+      .filter(col("directive") =!= "")
+
+  /** The politeness gate a crawler applies before fetching: per URL,
+    * the LONGEST rule whose path prefix matches wins (Google's
+    * longest-match semantics; an Allow beats a Disallow of equal
+    * length), no matching rule means allowed. The rules side is
+    * metadata-grade and BROADCAST; the verdict is one per-URL max-of-
+    * struct aggregation — map-side combinable, no window over the URL
+    * corpus, scale cost = one pass.
+    */
+  def robotsGate(urls: DataFrame, rules: DataFrame,
+                 idCol: String = "doc_id",
+                 urlCol: String = "url"): DataFrame = {
+    val domain = regexp_extract(lower(col(urlCol)), "^https?://([^/:?#]+)", 1)
+    val rawPath = regexp_extract(col(urlCol), "^[a-zA-Z]+://[^/?#]*(/[^?#]*)", 1)
+    val withParts = urls.select(col(idCol), col(urlCol),
+      domain.as("domain"),
+      when(rawPath === "", "/").otherwise(rawPath).as("path"))
+    val matched = withParts
+      .join(broadcast(rules), Seq("domain"))
+      .filter(col("path").startsWith(col("path_prefix")))
+      .groupBy(col(idCol), col(urlCol))
+      .agg(max(struct(length(col("path_prefix")).as("l"),
+        (col("directive") === "Allow").as("a"),
+        col("path_prefix").as("p"))).as("__best"))
+      .select(col(idCol), col(urlCol),
+        col("__best.p").as("matched_prefix"),
+        col("__best.a").as("__allow"))
+    withParts.join(matched, Seq(idCol, urlCol), "left")
+      .select(col(idCol), col(urlCol), col("domain"), col("path"),
+        col("matched_prefix"),
+        coalesce(col("__allow"), lit(true)).as("allowed"))
+  }
+
+  /** Deterministic crawl-frontier URLs against [[plantRobots]]' domains:
+    * paths hitting the Allow carve-out, the blanket disallow, the
+    * per-domain `/p/N` disallow, and unruled public paths.
+    */
+  def plantFrontier(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val path = when(id % 4 === 0, concat(lit("/private/ok/page"), (id % 3).cast("string")))
+      .when(id % 4 === 1, concat(lit("/private/sec"), (id % 5).cast("string")))
+      .when(id % 4 === 2, concat(lit("/p/"), (id % 10).cast("string")))
+      .otherwise(concat(lit("/pub/item"), (id % 7).cast("string")))
+    docs.select(id.cast("long").as("doc_id"),
+      concat(lit("https://d"), (id % 8).cast("string"),
+        lit(".example.com"), path).as("url"))
+  }
+
   /** Deterministic HTML pages planted from any (id, text) corpus: head
     * with title/script/style (the blocks a stripper must DROP whole),
     * entity-encoded punctuation, a comment, block and inline tags, and

@@ -29,6 +29,19 @@ private[graft] object PipelineQueries {
       graft.operators.Crawl.wetParse(
         graft.operators.Crawl.plantWet(
           Tables.documents(s, dir), "doc_id", "text"))),
+    // robots.txt politeness gate — the step a crawler runs BEFORE any
+    // fetch: parse planted per-domain rulesets (Allow/Disallow lines,
+    // noise skipped, the empty-Disallow no-op dropped), then gate a
+    // planted frontier by Google's longest-match semantics (Allow beats
+    // Disallow at equal length; no rule → allowed). Rules broadcast,
+    // verdict one max-of-struct aggregation per URL.
+    "src_robots_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Crawl.robotsGate(
+        graft.operators.Crawl.plantFrontier(docs, "doc_id"),
+        graft.operators.Crawl.robotsParse(
+          graft.operators.Crawl.plantRobots(docs, "doc_id")))
+    }),
     // The BYTE-DOMAIN front door (VERDICT r11 #1): same corpus, framed by
     // UTF-8 byte count and shipped as real multi-member .wet.gz (one
     // deflate member per record, the Common Crawl layout); inflate +
@@ -328,6 +341,43 @@ private[graft] object PipelineQueries {
     // the record split, header extraction, length-delimited body slice,
     // and the framing re-check
     "src_wet_parse" -> wetParseOracle,
+    // robots gate: replant rules + frontier, replay the longest-match
+    // argmax (len DESC, Allow first, prefix DESC — the struct-max order)
+    "src_robots_gate" ->
+      """WITH d AS (SELECT DISTINCT doc_id % 8 AS d FROM documents),
+         rules0 AS (
+           SELECT 'd' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+                  'Disallow' AS directive, '/private' AS path_prefix FROM d
+           UNION ALL
+           SELECT 'd' || CAST(d AS VARCHAR) || '.example.com', 'Allow',
+                  '/private/ok' FROM d WHERE d % 2 = 0
+           UNION ALL
+           SELECT 'd' || CAST(d AS VARCHAR) || '.example.com', 'Disallow',
+                  '/p/' || CAST(d AS VARCHAR) FROM d WHERE d % 3 = 0),
+         urls AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                    THEN '/private/ok/page' || CAST(doc_id % 3 AS VARCHAR)
+                  WHEN doc_id % 4 = 1
+                    THEN '/private/sec' || CAST(doc_id % 5 AS VARCHAR)
+                  WHEN doc_id % 4 = 2
+                    THEN '/p/' || CAST(doc_id % 10 AS VARCHAR)
+                  ELSE '/pub/item' || CAST(doc_id % 7 AS VARCHAR) END AS path,
+             'd' || CAST(doc_id % 8 AS VARCHAR) || '.example.com' AS domain
+           FROM documents),
+         m AS (SELECT u.doc_id, r.directive, r.path_prefix,
+                 row_number() OVER (PARTITION BY u.doc_id
+                   ORDER BY len(r.path_prefix) DESC,
+                            (r.directive = 'Allow') DESC,
+                            r.path_prefix DESC) AS rn
+               FROM urls u JOIN rules0 r ON u.domain = r.domain
+                 AND starts_with(u.path, r.path_prefix))
+         SELECT u.doc_id, 'https://' || u.domain || u.path AS url,
+                u.domain, u.path,
+                b.path_prefix AS matched_prefix,
+                COALESCE(b.directive = 'Allow', true) AS allowed
+         FROM urls u
+         LEFT JOIN (SELECT doc_id, directive, path_prefix FROM m WHERE rn = 1) b
+           USING (doc_id)""",
     // the gz byte-domain parse answers the SAME oracle on the all-ASCII
     // corpus (byte count == char count there) — inflate + byte framing
     // must be invisible to the result

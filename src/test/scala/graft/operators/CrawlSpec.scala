@@ -181,6 +181,43 @@ class CrawlSpec extends SparkSpec {
       == "body says Content-Type: text/html but the header rules")
   }
 
+  test("robotsGate: longest match wins, Allow breaks ties, no rule allows") {
+    val rules = Seq(
+      ("a.com", "Disallow", "/private"),
+      ("a.com", "Allow", "/private/ok"), // longer → wins inside /private/ok
+      ("a.com", "Disallow", "/x"),
+      ("a.com", "Allow", "/x") // equal length → Allow wins
+    ).toDF("domain", "directive", "path_prefix")
+    val urls = Seq(
+      (1L, "https://a.com/private/ok/page"),
+      (2L, "https://a.com/private/secret"),
+      (3L, "https://a.com/x/y"),
+      (4L, "https://a.com/public"),
+      (5L, "https://b.com/private/secret"), // no ruleset for b.com
+      (6L, "https://a.com") // no path → "/"
+    ).toDF("doc_id", "url")
+    val out = Crawl.robotsGate(urls, rules).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[String]("matched_prefix")),
+          r.getAs[Boolean]("allowed"), r.getAs[String]("path"))).toMap
+    assert(out(1L) == ((Some("/private/ok"), true, "/private/ok/page")))
+    assert(out(2L) == ((Some("/private"), false, "/private/secret")))
+    assert(out(3L) == ((Some("/x"), true, "/x/y")))
+    assert(out(4L) == ((None, true, "/public")))
+    assert(out(5L) == ((None, true, "/private/secret")))
+    assert(out(6L) == ((None, true, "/")))
+  }
+
+  test("robotsParse keeps Allow/Disallow rules, drops noise and empty Disallow") {
+    val robots = Seq(("a.com",
+      "# comment\nUser-agent: *\nDisallow: /private\nAllow: /ok\n" +
+        "Disallow:\nCrawl-delay: 2\nSitemap: https://a.com/s.xml\n"))
+      .toDF("domain", "robots_txt")
+    val rules = Crawl.robotsParse(robots).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(rules == Set(("Disallow", "/private"), ("Allow", "/ok")))
+  }
+
   test("htmlStrip drops script/style/comment spans whole") {
     val page = Seq((1L,
       "<html><head><script>var a = '<p>not text</p>';</script>" +
