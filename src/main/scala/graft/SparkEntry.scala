@@ -153,8 +153,9 @@ object SparkEntry {
     // round 12f: WordPiece — the third tokenizer family (greedy
     // longest-match + [UNK] path) — and the l-diversity release gate
     "t_wordpiece_vocab", "t_wordpiece_segment", "v_l_diversity",
-    // round 12g: the robots.txt politeness gate ahead of every fetch
-    "src_robots_gate")
+    // round 12g: the crawl discovery channel — robots politeness gate,
+    // sitemap parse, and their composition
+    "src_robots_gate", "src_sitemap_parse", "pipeline_frontier")
 
   // ---- DuckDB oracle twins ----
 

@@ -406,6 +406,51 @@ object Crawl {
         lit(".example.com"), path).as("url"))
   }
 
+  /** Deterministic sitemap.xml corpus — the OTHER discovery channel
+    * beside the link graph: per [[plantRobots]] domain, an urlset whose
+    * entries hit the Allow carve-out, the blanket disallow, and unruled
+    * paths (so the gate composition has all three outcomes), each with a
+    * deterministic lastmod. Entry ids ride in the path (`…/s{id}`), so
+    * the parse output keys without hashing.
+    */
+  def plantSitemap(docs: DataFrame, idCol: String): DataFrame = {
+    val d = (col(idCol) % 8).cast("long")
+    docs.select(d.as("__d")).distinct()
+      .select(concat(lit("d"), col("__d"), lit(".example.com")).as("domain"),
+        concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"),
+          lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+          array_join(transform(sequence(lit(0L), lit(2L) + col("__d")), k => {
+            val j = col("__d") * 100 + k
+            val path = when(k % 3 === 0, concat(lit("/private/ok/s"), j))
+              .when(k % 3 === 1, concat(lit("/private/s"), j))
+              .otherwise(concat(lit("/s/"), j))
+            concat(lit("  <url><loc>https://d"), col("__d"),
+              lit(".example.com"), path,
+              lit("</loc><lastmod>2026-01-"),
+              lpad(((col("__d") + k) % 28 + 1).cast("string"), 2, "0"),
+              lit("</lastmod></url>"))
+          }), "\n"),
+          lit("\n</urlset>\n")).as("sitemap_xml"))
+  }
+
+  /** Parse sitemap urlsets into `(domain, loc, lastmod)` rows: split on
+    * entry closers, extract the `<loc>`/`<lastmod>` spans — the
+    * deterministic core of a sitemap reader (index files, gzip nesting,
+    * and alternate-language links compose from the same primitives the
+    * WET/WARC front door already has). One explode + two regexps,
+    * shuffle-free.
+    */
+  def sitemapParse(sitemaps: DataFrame, domainCol: String = "domain",
+                   xmlCol: String = "sitemap_xml"): DataFrame =
+    sitemaps.select(col(domainCol).as("domain"),
+        explode(split(col(xmlCol), "</url>")).as("__e"))
+      .select(col("domain"),
+        regexp_extract(col("__e"), "(?s)<loc>(.*?)</loc>", 1).as("loc"),
+        regexp_extract(col("__e"), "(?s)<lastmod>(.*?)</lastmod>", 1)
+          .as("lastmod"))
+      .filter(col("loc") =!= "")
+
   /** Deterministic HTML pages planted from any (id, text) corpus: head
     * with title/script/style (the blocks a stripper must DROP whole),
     * entity-encoded punctuation, a comment, block and inline tags, and
