@@ -155,7 +155,8 @@ object SparkEntry {
     "t_wordpiece_vocab", "t_wordpiece_segment", "v_l_diversity",
     // round 12g: the crawl discovery channel — robots politeness gate,
     // sitemap parse, and their composition
-    "src_robots_gate", "src_sitemap_parse", "pipeline_frontier")
+    "src_robots_gate", "src_sitemap_parse", "pipeline_frontier",
+    "pipeline_fetch_plan")
 
   // ---- DuckDB oracle twins ----
 

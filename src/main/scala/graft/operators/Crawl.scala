@@ -339,7 +339,42 @@ object Crawl {
             concat(lit("Disallow: /p/"), col("__d"), lit("\n")))
             .otherwise(lit("")),
           when(col("__d") % 5 === 4, lit("Disallow:\n")).otherwise(lit("")),
-          lit("Crawl-delay: 2\n")).as("robots_txt"))
+          concat(lit("Crawl-delay: "), (col("__d") % 3 + 1),
+            lit("\n"))).as("robots_txt"))
+  }
+
+  /** Per-domain Crawl-delay (seconds) from robots.txt blobs; domains
+    * that declare none get `default`. One regexp per blob.
+    */
+  def crawlDelays(robots: DataFrame, domainCol: String = "domain",
+                  txtCol: String = "robots_txt",
+                  default: Long = 1L): DataFrame =
+    robots.select(col(domainCol).as("domain"),
+        regexp_extract(col(txtCol), "Crawl-delay: ([0-9]+)", 1).as("__cd"))
+      .select(col("domain"),
+        when(col("__cd") === "", lit(default))
+          .otherwise(col("__cd").cast("long")).as("crawl_delay"))
+
+  /** The POLITENESS FETCH SCHEDULE — what a crawl coordinator hands its
+    * fetchers: per domain, the allowed URLs slotted fresh-first
+    * (`lastmod` DESC, id tiebreak) with each slot `crawl_delay` seconds
+    * after the previous, so no host is hit faster than its robots.txt
+    * asks. The delay table is metadata-grade (broadcast); the slotting
+    * window partitions BY DOMAIN — thousands of parallel partitions at
+    * crawl scale, never a single-partition window.
+    */
+  def fetchPlan(gated: DataFrame, delays: DataFrame,
+                idCol: String = "entry_id", urlCol: String = "loc",
+                lastmodCol: String = "lastmod"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col(lastmodCol).desc, col(idCol))
+    gated.filter(col("allowed"))
+      .join(broadcast(delays), Seq("domain"))
+      .select(col(idCol), col(urlCol), col("domain"), col(lastmodCol),
+        col("crawl_delay"),
+        (row_number().over(w) - 1).cast("long").as("fetch_slot"))
+      .withColumn("fetch_eta_s", col("fetch_slot") * col("crawl_delay"))
   }
 
   /** Parse robots.txt blobs into `(domain, directive, path_prefix)`

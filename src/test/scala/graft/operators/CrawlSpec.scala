@@ -218,6 +218,35 @@ class CrawlSpec extends SparkSpec {
     assert(rules == Set(("Disallow", "/private"), ("Allow", "/ok")))
   }
 
+  test("fetchPlan: per-domain fresh-first slots spaced by each host's delay") {
+    val gated = Seq(
+      (1L, "https://a.com/u1", "a.com", "2026-01-05", true),
+      (2L, "https://a.com/u2", "a.com", "2026-01-09", true), // freshest → slot 0
+      (3L, "https://a.com/u3", "a.com", "2026-01-01", true),
+      (4L, "https://a.com/u4", "a.com", "2026-01-01", false), // gated out
+      (5L, "https://b.com/u5", "b.com", "2026-01-03", true)
+    ).toDF("entry_id", "loc", "domain", "lastmod", "allowed")
+    val delays = Seq(("a.com", 3L), ("b.com", 7L)).toDF("domain", "crawl_delay")
+    val out = Crawl.fetchPlan(gated, delays).collect()
+      .map(r => r.getAs[Long]("entry_id") ->
+        (r.getAs[Long]("fetch_slot"), r.getAs[Long]("fetch_eta_s"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L)) // disallowed never scheduled
+    assert(out(2L) == ((0L, 0L)))
+    assert(out(1L) == ((1L, 3L)))
+    assert(out(3L) == ((2L, 6L)))
+    assert(out(5L) == ((0L, 0L))) // b.com schedules independently
+  }
+
+  test("crawlDelays: declared delay extracted, absent falls back to default") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n"),
+      ("b.com", "User-agent: *\nDisallow: /y\n"))
+      .toDF("domain", "robots_txt")
+    val d = Crawl.crawlDelays(robots, default = 2L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("a.com" -> 5L, "b.com" -> 2L))
+  }
+
   test("htmlStrip drops script/style/comment spans whole") {
     val page = Seq((1L,
       "<html><head><script>var a = '<p>not text</p>';</script>" +
