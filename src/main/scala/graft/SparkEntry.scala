@@ -156,7 +156,9 @@ object SparkEntry {
     // round 12g: the crawl discovery channel — robots politeness gate,
     // sitemap parse, and their composition
     "src_robots_gate", "src_sitemap_parse", "pipeline_frontier",
-    "pipeline_fetch_plan")
+    "pipeline_fetch_plan",
+    // round 12h: block-diagonal attention masks for packed sequences
+    "pipeline_pack_masks")
 
   // ---- DuckDB oracle twins ----
 

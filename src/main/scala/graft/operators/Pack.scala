@@ -92,4 +92,36 @@ object Pack {
       .withColumn("fill_frac",
         round(col("seq_tokens").cast("double") / budget, 6))
   }
+
+  /** Per-sequence ATTENTION-BOUNDARY masks over a [[packSequences]]
+    * layout — the cu_seqlens-style offsets a trainer needs to mask
+    * attention block-diagonally so packed documents cannot attend to
+    * each other: for every training sequence, the sorted offsets where
+    * a document SEGMENT begins (a document starting inside the sequence
+    * begins at its pack offset; a document CONTINUING from the previous
+    * sequence begins a fresh block at 0). Offsets are unique within a
+    * sequence by construction, so the sorted set is the exact mask;
+    * serialized as a flat space-joined string (the bpeSegment exact-
+    * compare convention). One explode over each document's sequence
+    * span — the [[sequenceStats]] grain — then a per-sequence collect
+    * of at most (docs-touching-the-sequence) offsets: bounded by the
+    * budget, never by the corpus.
+    */
+  def attentionMasks(packed: DataFrame, tokensCol: String,
+                     budget: Long): DataFrame = {
+    require(budget > 0, s"attentionMasks needs a positive token budget, got $budget")
+    packed
+      .filter(coalesce(col(tokensCol).cast("long"), lit(0L)) > 0)
+      .select(col("offset_in_seq"), col("seq_first"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .select(col("seq"),
+        when(col("seq") === col("seq_first"), col("offset_in_seq"))
+          .otherwise(lit(0L)).as("__boundary"))
+      .groupBy(col("seq"))
+      .agg(sort_array(collect_set(col("__boundary"))).as("__bs"))
+      .select(col("seq"),
+        size(col("__bs")).as("n_segments"),
+        array_join(transform(col("__bs"), b => b.cast("string")), " ")
+          .as("boundaries"))
+  }
 }

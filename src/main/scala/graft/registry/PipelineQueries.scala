@@ -320,6 +320,18 @@ private[graft] object PipelineQueries {
         "doc_id", "n_tokens", budget = 256, order = Seq(col("doc_id")))
         .select("doc_id", "n_tokens", "start_token", "seq_first",
           "seq_last", "offset_in_seq")),
+    // ... and the block-diagonal ATTENTION MASKS of that layout — the
+    // cu_seqlens offsets a trainer needs so packed documents cannot
+    // attend to each other: per sequence, the sorted segment-start
+    // offsets (pack offset for docs starting here, 0 for a continuation
+    // block). Flat-string serialized, replayed exactly.
+    "pipeline_pack_masks" -> ((s, dir) =>
+      Pack.attentionMasks(
+        Pack.packSequences(
+          Tables.documents(s, dir).select(col("doc_id"),
+            Text.bpeTokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 256, order = Seq(col("doc_id"))),
+        "n_tokens", budget = 256)),
     // ... and the per-sequence roll-up: docs touching / starting in each
     // sequence, exact token fill. seq_tokens must sum to the corpus total
     // and every interior sequence must fill to exactly 256.
@@ -797,6 +809,32 @@ private[graft] object PipelineQueries {
                 ELSE start_token // 256 END AS BIGINT) AS seq_last,
            CAST(start_token % 256 AS BIGINT) AS offset_in_seq
          FROM pos""",
+    // the masks: same layout cumsum, explode each doc's sequence span,
+    // boundary = pack offset in its first sequence / 0 in continuations
+    "pipeline_pack_masks" ->
+      """WITH toks AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         pos AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+           FROM toks),
+         spans AS (SELECT doc_id, n_tokens, start_token,
+             start_token // 256 AS seq_first,
+             (start_token + n_tokens - 1) // 256 AS seq_last,
+             start_token % 256 AS offset_in_seq
+           FROM pos WHERE n_tokens > 0),
+         x AS (SELECT s.seq_first, s.offset_in_seq, u.seq
+               FROM spans s, unnest(generate_series(s.seq_first, s.seq_last)) AS u(seq)),
+         b AS (SELECT seq,
+                 CASE WHEN seq = seq_first THEN offset_in_seq ELSE 0 END AS boundary
+               FROM x),
+         g AS (SELECT seq, list_sort(list(DISTINCT boundary)) AS bs
+               FROM b GROUP BY 1)
+         SELECT CAST(seq AS BIGINT) AS seq,
+                CAST(len(bs) AS INTEGER) AS n_segments,
+                array_to_string(bs, ' ') AS boundaries
+         FROM g""",
     "pipeline_packing_seqs" ->
       """WITH toks AS (SELECT doc_id,
              CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tokens

@@ -77,4 +77,18 @@ class PackSpec extends SparkSpec {
       Pack.packSequences(docs, "doc_id", "n_tokens", 0, Seq(col("doc_id")))
     }
   }
+
+  test("attentionMasks: segment starts per sequence, continuation blocks at 0") {
+    // budget 10: doc1 tok 4 [seq0 @0], doc2 tok 9 [seq0 @4 → spills into
+    // seq1], doc3 tok 3 [seq1 @3], doc4 tok 0 (never a boundary)
+    val d = Seq((1L, 4L), (2L, 9L), (3L, 3L), (4L, 0L)).toDF("doc_id", "n_tokens")
+    val packed = Pack.packSequences(d, "doc_id", "n_tokens", 10L, Seq(col("doc_id")))
+    val masks = Pack.attentionMasks(packed, "n_tokens", 10L)
+      .collect().map(r => r.getAs[Long]("seq") ->
+        (r.getAs[Int]("n_segments"), r.getAs[String]("boundaries"))).toMap
+    assert(masks(0L) == ((2, "0 4")))
+    // seq1: doc2's continuation block at 0, doc3 starting at offset 3
+    assert(masks(1L) == ((2, "0 3")))
+    assert(masks.keySet == Set(0L, 1L))
+  }
 }
