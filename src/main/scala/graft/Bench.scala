@@ -83,13 +83,16 @@ object Bench {
     }
 
   /** Every committed BENCH_r{N}.json in `dir` (the records the driver
-    * leaves in the repo), in ascending round order. Parameterized on the
-    * directory so the spec can exercise selection against a fixture
-    * instead of the live repo (VERDICT r06 #1 — the cwd-coupled assertion
-    * rotted every time a new round's record landed).
+    * leaves in the repo) PLUS any BENCH_LOCAL_r{N}.json (full bench
+    * lines committed from in-round sf0.1 runs — the driver's records
+    * store only a truncated stdout tail since ~r08, which silently
+    * dropped every per-query floor and made 39 long-green queries
+    * re-qualify as debuts in r12), in ascending round order.
+    * Parameterized on the directory so the spec can exercise selection
+    * against a fixture instead of the live repo (VERDICT r06 #1).
     */
   private[graft] def baselineFiles(dir: java.nio.file.Path = Paths.get(".")): Seq[(Int, java.nio.file.Path)] = {
-    val re = "BENCH_r(\\d+)\\.json".r
+    val re = "BENCH(?:_LOCAL)?_r(\\d+)\\.json".r
     val stream = Files.list(dir)
     try {
       val out = Seq.newBuilder[(Int, java.nio.file.Path)]

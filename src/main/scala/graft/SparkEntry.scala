@@ -157,8 +157,9 @@ object SparkEntry {
     // sitemap parse, and their composition
     "src_robots_gate", "src_sitemap_parse", "pipeline_frontier",
     "pipeline_fetch_plan",
-    // round 12h: block-diagonal attention masks for packed sequences
-    "pipeline_pack_masks")
+    // round 12h: block-diagonal attention masks for packed sequences,
+    // and the recrawl freshness decision
+    "pipeline_pack_masks", "pipeline_recrawl")
 
   // ---- DuckDB oracle twins ----
 

@@ -486,6 +486,25 @@ object Crawl {
           .as("lastmod"))
       .filter(col("loc") =!= "")
 
+  /** The FRESHNESS leg of the crawl scheduler: join the discovered
+    * frontier against the fetch log and decide per URL — `unseen` (never
+    * fetched → fetch), `stale` (sitemap lastmod newer than our fetch →
+    * refetch), `fresh` (skip). Zero-padded ISO date strings compare
+    * lexicographically in date order on both engines, so the whole
+    * decision is one left join + two comparisons; the fetch log joins on
+    * the URL column only (columnar projection at any log size).
+    */
+  def recrawlPlan(frontier: DataFrame, fetchLog: DataFrame,
+                  urlCol: String = "loc", lastmodCol: String = "lastmod",
+                  fetchedCol: String = "fetched_at"): DataFrame =
+    frontier.join(fetchLog, Seq(urlCol), "left")
+      .withColumn("refetch",
+        col(fetchedCol).isNull || col(lastmodCol) > col(fetchedCol))
+      .withColumn("reason",
+        when(col(fetchedCol).isNull, "unseen")
+          .when(col(lastmodCol) > col(fetchedCol), "stale")
+          .otherwise("fresh"))
+
   /** Deterministic HTML pages planted from any (id, text) corpus: head
     * with title/script/style (the blocks a stripper must DROP whole),
     * entity-encoded punctuation, a comment, block and inline tags, and

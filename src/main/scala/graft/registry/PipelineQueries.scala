@@ -62,6 +62,28 @@ private[graft] object PipelineQueries {
       graft.operators.Crawl.fetchPlan(gated,
         graft.operators.Crawl.crawlDelays(robots))
     }),
+    // ... and the freshness decision: the allowed frontier against a
+    // planted fetch log (every even entry fetched 2026-01-04) — unseen
+    // entries fetch, lastmod-newer entries refetch, the rest skip.
+    "pipeline_recrawl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val discovered = graft.operators.Crawl.sitemapParse(
+        graft.operators.Crawl.plantSitemap(docs, "doc_id"))
+        .withColumn("entry_id",
+          regexp_extract(col("loc"), "([0-9]+)$", 1).cast("long"))
+      val gated = graft.operators.Crawl.robotsGate(
+        discovered.select(col("entry_id"), col("loc")),
+        graft.operators.Crawl.robotsParse(
+          graft.operators.Crawl.plantRobots(docs, "doc_id")),
+        idCol = "entry_id", urlCol = "loc")
+        .filter(col("allowed"))
+        .join(discovered.select("entry_id", "lastmod"), Seq("entry_id"))
+      graft.operators.Crawl.recrawlPlan(
+        gated.select("entry_id", "loc", "lastmod"),
+        discovered.filter(col("entry_id") % 2 === 0)
+          .select(col("loc"), lit("2026-01-04").as("fetched_at")))
+        .select("entry_id", "loc", "lastmod", "fetched_at", "refetch", "reason")
+    }),
     // sitemap discovery: planted per-domain urlsets parsed to
     // (domain, loc, lastmod) — one explode + two regexps, shuffle-free
     "src_sitemap_parse" -> ((s, dir) =>
@@ -479,6 +501,44 @@ private[graft] object PipelineQueries {
          FROM e
          LEFT JOIN (SELECT entry_id, directive, path_prefix FROM m WHERE rn = 1) b
            USING (entry_id)""",
+    // the freshness decision over the allowed frontier vs the planted
+    // fetch log
+    "pipeline_recrawl" ->
+      """WITH dd AS (SELECT DISTINCT doc_id % 8 AS d FROM documents),
+         rules0 AS (
+           SELECT 'd' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+                  'Disallow' AS directive, '/private' AS path_prefix FROM dd
+           UNION ALL
+           SELECT 'd' || CAST(d AS VARCHAR) || '.example.com', 'Allow',
+                  '/private/ok' FROM dd WHERE d % 2 = 0
+           UNION ALL
+           SELECT 'd' || CAST(d AS VARCHAR) || '.example.com', 'Disallow',
+                  '/p/' || CAST(d AS VARCHAR) FROM dd WHERE d % 3 = 0),
+         e AS (SELECT d, CAST(d * 100 + k AS BIGINT) AS entry_id,
+                 CASE WHEN k % 3 = 0 THEN '/private/ok/s' || CAST(d * 100 + k AS VARCHAR)
+                      WHEN k % 3 = 1 THEN '/private/s' || CAST(d * 100 + k AS VARCHAR)
+                      ELSE '/s/' || CAST(d * 100 + k AS VARCHAR) END AS path,
+                 'd' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+                 '2026-01-' || lpad(CAST((d + k) % 28 + 1 AS VARCHAR), 2, '0') AS lastmod
+               FROM dd, unnest(range(0, 3 + d)) AS uk(k)),
+         m AS (SELECT e.entry_id, r.directive, r.path_prefix,
+                 row_number() OVER (PARTITION BY e.entry_id
+                   ORDER BY len(r.path_prefix) DESC,
+                            (r.directive = 'Allow') DESC,
+                            r.path_prefix DESC) AS rn
+               FROM e JOIN rules0 r ON e.domain = r.domain
+                 AND starts_with(e.path, r.path_prefix)),
+         a AS (SELECT e.* FROM e
+               LEFT JOIN (SELECT entry_id, directive FROM m WHERE rn = 1) b
+                 USING (entry_id)
+               WHERE COALESCE(b.directive = 'Allow', true))
+         SELECT entry_id, 'https://' || domain || path AS loc, lastmod,
+                CASE WHEN entry_id % 2 = 0 THEN '2026-01-04' END AS fetched_at,
+                (entry_id % 2 <> 0 OR lastmod > '2026-01-04') AS refetch,
+                CASE WHEN entry_id % 2 <> 0 THEN 'unseen'
+                     WHEN lastmod > '2026-01-04' THEN 'stale'
+                     ELSE 'fresh' END AS reason
+         FROM a""",
     // the fetch schedule: allowed frontier slotted per domain
     // (lastmod DESC, id), eta = slot x the domain's planted Crawl-delay
     "pipeline_fetch_plan" ->
