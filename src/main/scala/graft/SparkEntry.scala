@@ -159,7 +159,9 @@ object SparkEntry {
     "pipeline_fetch_plan",
     // round 12h: block-diagonal attention masks for packed sequences,
     // and the recrawl freshness decision
-    "pipeline_pack_masks", "pipeline_recrawl")
+    "pipeline_pack_masks", "pipeline_recrawl",
+    // round 12i: sentence segmentation
+    "t_sentences")
 
   // ---- DuckDB oracle twins ----
 

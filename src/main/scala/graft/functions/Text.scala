@@ -533,6 +533,46 @@ object Text {
       .toDF("word", "n_occurrences", "pieces", "n_pieces")
   }
 
+  /** Deterministic PROSE corpus — each document's tokens grouped into
+    * 6-word sentences terminated by a (doc, position)-scheduled `.`/`!`/
+    * `?` — the fixture [[sentenceSplit]] runs the driver oracle on
+    * (the [[graft.operators.LineCuration.plantPages]] recipe at
+    * sentence grain).
+    */
+  def plantProse(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val ts = col("__ts")
+    val sents = transform(
+      sequence(lit(0L), floor((size(ts) + 5) / 6).cast("long") - 1),
+      i => concat(
+        concat_ws(" ", slice(ts, (i * 6 + 1).cast("int"), lit(6))),
+        element_at(array(lit("."), lit("!"), lit("?")),
+          ((id + i) % 3 + 1).cast("int"))))
+    docs.select(id, tokens(lower(col(textCol))).as("__ts"))
+      .filter(size(ts) > 0)
+      .select(id, array_join(sents, " ").as("prose"))
+  }
+
+  /** SENTENCE segmentation — the grain between lines and documents that
+    * sentence-level dedup, citation alignment, and context chunking run
+    * on: mark every run of sentence-ending punctuation followed by
+    * whitespace, split at the marks, index the pieces. The deterministic
+    * core of a sentence splitter (abbreviation and decimal guards are
+    * corpus-tuned lexicon layers ON TOP of this rewrite); RE2-portable
+    * patterns, so the oracle replays every piece verbatim. One
+    * projection + one explode, shuffle-free.
+    */
+  def sentenceSplit(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val marked = regexp_replace(col(textCol), "([.!?]+)\\s+", "$1\u0001")
+    docs.select(col(idCol),
+        posexplode(split(marked, "\u0001")).as(Seq("sent_idx", "sentence")))
+      .filter(length(col("sentence")) > 0)
+      .select(col(idCol), col("sent_idx").cast("long").as("sent_idx"),
+        col("sentence"),
+        size(tokens(col("sentence"))).cast("long").as("n_tokens"))
+  }
+
   /** Tokenizer FERTILITY report — the per-source compression table a
     * tokenizer evaluation publishes (pieces per word, chars per piece):
     * how many whitespace words and BPE-regex pieces each source costs,

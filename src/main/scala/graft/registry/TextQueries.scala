@@ -304,6 +304,15 @@ private[graft] object TextQueries {
     // grain, top-k by corpus weight, singles appended unconditionally.
     // Pure integer counting → the oracle replays it verbatim (seedSize
     // 128 so the top-k boundary actually bites on this corpus).
+    // SENTENCE segmentation (Text.sentenceSplit over planted prose —
+    // 6-word sentences with scheduled ./!/? terminators): mark
+    // punctuation+whitespace boundaries, split, index; the grain
+    // sentence-level dedup and citation alignment run on. Shuffle-free;
+    // every piece replayed verbatim.
+    "t_sentences" -> ((s, dir) =>
+      Text.sentenceSplit(
+        Text.plantProse(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "prose")),
     // WORDPIECE — the third tokenizer family (BERT's greedy
     // longest-match-first): vocabulary = the seedVocab counting pass at
     // (6, 128) doubled into ##-continuation forms. Pure integer counting
@@ -1064,6 +1073,24 @@ private[graft] object TextQueries {
     // unigram seed vocab: the substring-explode counting replayed
     // verbatim (generate_series(1, 0) is [] in DuckDB, so the too-short
     // guard is implicit in the comprehension bounds)
+    // sentence split: replant the prose, replay mark-split-index
+    "t_sentences" ->
+      s"""WITH pr0 AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+         pr1 AS (SELECT doc_id, array_to_string(
+             list_transform(generate_series(0, (len(ts) + 5) // 6 - 1), i ->
+               array_to_string(list_slice(ts, i * 6 + 1, i * 6 + 6), ' ')
+               || ['.', '!', '?'][CAST((doc_id + i) % 3 AS INTEGER) + 1]), ' ') AS prose
+           FROM pr0 WHERE len(ts) > 0),
+         mk AS (SELECT doc_id,
+             regexp_replace(prose, '([.!?]+)\\s+', '\\1' || chr(1), 'g') AS m
+           FROM pr1),
+         sp AS (SELECT doc_id, string_split(m, chr(1)) AS parts FROM mk),
+         ex AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+                  parts[i] AS sentence
+                FROM sp, unnest(generate_series(1, len(parts))) AS u(i))
+         SELECT doc_id, sent_idx, sentence,
+           CAST(len(${sqlTokens("sentence")}) AS BIGINT) AS n_tokens
+         FROM ex WHERE len(sentence) > 0""",
     // WordPiece vocab: the seedVocab replay at (6, 128) + ## doubling
     "t_wordpiece_vocab" ->
       s"""WITH $sqlWordPieceVocabCtes

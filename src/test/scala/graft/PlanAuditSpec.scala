@@ -434,4 +434,26 @@ class PlanAuditSpec extends SparkSpec {
       s"no map-side partial aggregation in:\n$p")
     assert(!p.contains("Join"), s"fertility report plans a join:\n$p")
   }
+
+  test("src_robots_gate: rules broadcast, verdict aggregated — no window, no cartesian") {
+    val p = plan("src_robots_gate")
+    assert(p.contains("BroadcastHashJoin"), s"rules side not broadcast in:\n$p")
+    assertNoCartesian(p, "src_robots_gate")
+    assert(!p.contains("Window"), s"robots gate plans a corpus window:\n$p")
+  }
+
+  test("pipeline_fetch_plan: the slotting window partitions BY DOMAIN, never one partition") {
+    val p = plan("pipeline_fetch_plan")
+    assert(p.contains("Window"), s"no slotting window in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"fetch plan funnels to one partition:\n$p")
+    assertNoCartesian(p, "pipeline_fetch_plan")
+  }
+
+  test("pipeline_pack_masks: boundary collect stays distributed — no single partition") {
+    val p = plan("pipeline_pack_masks")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"mask collect funnels to one partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"mask plan has a cartesian:\n$p")
+  }
 }
