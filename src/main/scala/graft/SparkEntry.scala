@@ -160,8 +160,8 @@ object SparkEntry {
     // round 12h: block-diagonal attention masks for packed sequences,
     // and the recrawl freshness decision
     "pipeline_pack_masks", "pipeline_recrawl",
-    // round 12i: sentence segmentation
-    "t_sentences")
+    // round 12i: sentence segmentation and the streaming frontier
+    "t_sentences", "st_frontier")
 
   // ---- DuckDB oracle twins ----
 

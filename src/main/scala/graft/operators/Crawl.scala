@@ -448,7 +448,9 @@ object Crawl {
     * deterministic lastmod. Entry ids ride in the path (`…/s{id}`), so
     * the parse output keys without hashing.
     */
-  def plantSitemap(docs: DataFrame, idCol: String): DataFrame = {
+  def plantSitemap(docs: DataFrame, idCol: String,
+                   month: Int = 1): DataFrame = {
+    require(month >= 1 && month <= 9, s"fixture month must be 1..9, got $month")
     val d = (col(idCol) % 8).cast("long")
     docs.select(d.as("__d")).distinct()
       .select(concat(lit("d"), col("__d"), lit(".example.com")).as("domain"),
@@ -462,7 +464,7 @@ object Crawl {
               .otherwise(concat(lit("/s/"), j))
             concat(lit("  <url><loc>https://d"), col("__d"),
               lit(".example.com"), path,
-              lit("</loc><lastmod>2026-01-"),
+              lit(s"</loc><lastmod>2026-0$month-"),
               lpad(((col("__d") + k) % 28 + 1).cast("string"), 2, "0"),
               lit("</lastmod></url>"))
           }), "\n"),

@@ -175,6 +175,42 @@ private[graft] object StreamingQueries {
         .select(col("doc_id"), col("uri"), col("file_id"),
           col("declared_len"), col("body"), col("len_ok"), col("n_seen"))
     }),
+    // STREAMING frontier maintenance (FrontierStream): two sitemap
+    // waves — every domain's month-1 urlset, then a RE-PUBLISH with
+    // month-2 lastmods for odd domains — drained exactly-once and
+    // compacted; the frontier read resolves max(lastmod) per URL and
+    // counts distinct lastmods (freshness churn). The oracle states the
+    // closed form: odd domains end fresh at month 2 with n_updates 2.
+    "st_frontier" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir)
+      val wave0 = graft.operators.Crawl.plantSitemap(docs, "doc_id", month = 1)
+      val wave1 = graft.operators.Crawl.plantSitemap(docs, "doc_id", month = 2)
+        .filter(regexp_extract(col("domain"), "^d([0-9])", 1)
+          .cast("int") % 2 === 1)
+      val stage = tmpDir("graft_stfr_in")
+      Seq(wave0, wave1).zipWithIndex.foreach { case (w, i) =>
+        val sub = s"$stage/f$i"
+        w.coalesce(1).write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stfr_work"), tmpDir("graft_stfr_cp"))
+      val schema = s.read.parquet(s"$stage/f0").schema
+      val q = graft.streaming.FrontierStream.writer(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*"),
+          work, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.FrontierStream.compact(s, work, upToBatch = 2L)
+      graft.streaming.FrontierStream.frontier(s, work)
+    }),
 
     // ST3 (batch execution): the same flatMapGroupsWithState operator the
     // streaming layer runs, driven by a batch event Dataset built from the
@@ -688,6 +724,20 @@ private[graft] object StreamingQueries {
            true AS len_ok,
            CAST(CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_seen
          FROM documents""",
+    // streaming frontier: odd domains re-published at month 2 — fresh
+    // lastmod wins, distinct-lastmod churn counted
+    "st_frontier" ->
+      """WITH dd AS (SELECT DISTINCT doc_id % 8 AS d FROM documents),
+         e AS (SELECT d, k FROM dd, unnest(range(0, 3 + d)) AS uk(k))
+         SELECT 'd' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+           'https://d' || CAST(d AS VARCHAR) || '.example.com' ||
+           CASE WHEN k % 3 = 0 THEN '/private/ok/s' || CAST(d * 100 + k AS VARCHAR)
+                WHEN k % 3 = 1 THEN '/private/s' || CAST(d * 100 + k AS VARCHAR)
+                ELSE '/s/' || CAST(d * 100 + k AS VARCHAR) END AS loc,
+           '2026-0' || CAST(CASE WHEN d % 2 = 1 THEN 2 ELSE 1 END AS VARCHAR) ||
+             '-' || lpad(CAST((d + k) % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+           CAST(CASE WHEN d % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_updates
+         FROM e""",
     // gz + post-drain compaction answers the identical closed form
     "st_wet_ingest_gz" ->
       """SELECT doc_id,
