@@ -406,9 +406,16 @@ object Codecs {
           case 0x3B => done = true
           case 0x21 => // extension: label + sub-blocks, skip whole
             off += 2
-            while ((bytes(off) & 0xFF) != 0) off += 1 + (bytes(off) & 0xFF)
+            require(off < bytes.length, "truncated GIF extension")
+            while ((bytes(off) & 0xFF) != 0) {
+              // the new off must stay readable: the loop re-reads bytes(off)
+              require(off + 1 + (bytes(off) & 0xFF) < bytes.length,
+                "truncated extension sub-block")
+              off += 1 + (bytes(off) & 0xFF)
+            }
             off += 1
           case 0x2C =>
+            require(off + 11 <= bytes.length, "truncated image descriptor")
             val (l, t) = (u16(off + 1), u16(off + 3))
             val (fw, fh) = (u16(off + 5), u16(off + 7))
             val ipacked = bytes(off + 9) & 0xFF
@@ -420,9 +427,12 @@ object Codecs {
             require(minCode == MinCode, s"unsupported LZW min code $minCode")
             off += 11
             val z = new java.io.ByteArrayOutputStream(width * height)
+            require(off < bytes.length, "truncated image sub-block")
             while ((bytes(off) & 0xFF) != 0) {
               val n = bytes(off) & 0xFF
-              require(off + 1 + n <= bytes.length, "truncated image sub-block")
+              // strict: the new off itself must stay readable (terminator
+              // or next sub-block length byte)
+              require(off + 1 + n < bytes.length, "truncated image sub-block")
               z.write(bytes, off + 1, n)
               off += 1 + n
             }
@@ -593,7 +603,11 @@ object Codecs {
       var got = 0
       while (got < filtered.length && !inflater.finished()) {
         val n = inflater.inflate(filtered, got, filtered.length - got)
-        require(n > 0 || !inflater.needsInput, "truncated IDAT payload")
+        // n == 0 while not finished is ALWAYS terminal here: exhausted
+        // input (truncated stream) or a preset-dictionary request
+        // (needsDictionary) — either way no further call can progress,
+        // so failing only on needsInput would spin forever
+        require(n > 0, "truncated or unsupported IDAT payload")
         got += n
       }
       inflater.end()

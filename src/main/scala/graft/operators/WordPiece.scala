@@ -66,17 +66,38 @@ object WordPiece {
   }
 
   /** The corpus vocabulary segmented under a broadcast WordPiece
-    * vocabulary: `(word, n_occurrences, pieces, n_pieces, has_unk)` —
-    * pieces space-joined (`[UNK]` alone when any position fails to
-    * match), continuation pieces `##`-prefixed, longest match taken at
-    * every step.
+    * vocabulary given as a `##`-MARKED string list (the BERT vocab-file
+    * convention): entries starting with `##` are continuations, the rest
+    * starts. The marker is a CONVENTION, not content — a start piece
+    * whose text natively begins with `##` is not expressible in this
+    * encoding (it would be misfiled as a continuation; ADVICE r12), so
+    * the only detectable collision (`####…`, a doubled native-`##`
+    * piece) is rejected loudly. Corpus-built vocabularies should use
+    * [[segmentTyped]] + [[vocabSets]], which never round-trip through
+    * the marker.
     */
   def segment(docs: DataFrame, textCol: String, vocabulary: Seq[String],
               maxPieceLen: Int = 6): DataFrame = {
+    require(!vocabulary.exists(_.startsWith("####")),
+      "ambiguous '####…' vocabulary entry: a piece natively starting " +
+        "with '##' cannot be string-encoded — use segmentTyped")
+    segmentTyped(docs, textCol,
+      vocabulary.filterNot(_.startsWith("##")).toSet,
+      vocabulary.filter(_.startsWith("##")).map(_.drop(2)).toSet,
+      maxPieceLen)
+  }
+
+  /** [[segment]] with the start/continuation sets carried EXPLICITLY
+    * (raw piece text, no `##` marker anywhere) — the unambiguous form:
+    * `(word, n_occurrences, pieces, n_pieces, has_unk)`, pieces
+    * space-joined (`[UNK]` alone when any position fails to match),
+    * continuation pieces `##`-prefixed in the OUTPUT display only,
+    * longest match taken at every step.
+    */
+  def segmentTyped(docs: DataFrame, textCol: String, starts: Set[String],
+                   conts: Set[String], maxPieceLen: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val starts = vocabulary.filterNot(_.startsWith("##")).toSet
-    val conts = vocabulary.filter(_.startsWith("##")).map(_.drop(2)).toSet
     val bc = spark.sparkContext.broadcast((starts, conts))
     docs.select(explode(Text.tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wn"))
@@ -100,4 +121,16 @@ object WordPiece {
                 topK: Int = 128): Seq[String] =
     vocab(docs, textCol, maxPieceLen, topK)
       .select("piece").collect().map(_.getString(0)).toSeq
+
+  /** The corpus-built start/continuation sets for [[segmentTyped]],
+    * taken STRAIGHT from the base counting pass (every base piece in
+    * both roles, the [[vocab]] doubling) — no `##` string round-trip,
+    * so a corpus token natively containing `##` stays unambiguous.
+    */
+  def vocabSets(docs: DataFrame, textCol: String, maxPieceLen: Int = 6,
+                topK: Int = 128): (Set[String], Set[String]) = {
+    val base = Unigram.seedVocab(docs, textCol, maxPieceLen, topK)
+      .select("piece").collect().map(_.getString(0)).toSet
+    (base, base)
+  }
 }

@@ -326,12 +326,14 @@ private[graft] object TextQueries {
     // [UNK] (unlike byte-BPE, WordPiece has an OOV path; the oracle
     // follows the same chain position by position via recursive CTE).
     "t_wordpiece_segment" -> ((s, dir) => {
-      val pieces = graft.operators.WordPiece.vocabList(
+      // the typed (starts, conts) path: corpus-built sets carry no '##'
+      // marker round-trip, so '#'-bearing corpus tokens stay unambiguous
+      val (starts, conts) = graft.operators.WordPiece.vocabSets(
         Tables.documents(s, dir), "text", maxPieceLen = 6, topK = 128)
-      graft.operators.WordPiece.segment(
+      graft.operators.WordPiece.segmentTyped(
         Tables.documents(s, dir)
           .select(concat(col("text"), lit(" zebra\u00a4tail")).as("text")),
-        "text", pieces, maxPieceLen = 6)
+        "text", starts, conts, maxPieceLen = 6)
     }),
     "t_unigram_seed" -> ((s, dir) =>
       graft.operators.Unigram.seedVocab(Tables.documents(s, dir), "text",

@@ -127,7 +127,11 @@ object Compaction {
     out.writeBytes(absorbed.sorted.map(id => s"batch=$id")
       .mkString("", "\n", "\n"))
     out.close()
-    fs.rename(tmp, new Path(s"$rootDir/batch=$newId"))
+    // a failed rename (plausible on object-store FileSystems) must ABORT
+    // before the absorbed-dir deletes — otherwise the folded rows would
+    // be deleted without the blob that replaces them ever publishing
+    require(fs.rename(tmp, new Path(s"$rootDir/batch=$newId")),
+      s"compaction publish rename failed: $tmp -> $rootDir/batch=$newId")
     absorbed.foreach(id => fs.delete(new Path(s"$rootDir/batch=$id"), true))
     dead.foreach(n => fs.delete(new Path(root, n), true))
   }

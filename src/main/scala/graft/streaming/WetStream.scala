@@ -36,9 +36,11 @@ object WetStream {
   /** Registry commit schema — pinned on every read (ADVICE r09: a
     * write-path change must fail loudly, and a first-batch crash that
     * leaves only _temporary under the root must read as empty, not fail
-    * inference).
+    * inference). `len_ok` records whether the registered parse was
+    * COMPLETE: a truncated record (tolerant gz ingest, ADVICE r12) must
+    * not permanently block an intact redelivery of the same URI.
     */
-  private[streaming] val RegistrySchema = "uri STRING, batch LONG"
+  private[streaming] val RegistrySchema = "uri STRING, len_ok BOOLEAN, batch LONG"
 
   /** Committed record FILE schema (parse output; the batch id lives in
     * the partition dir name, so [[Compaction.readLive]] reads never see
@@ -65,23 +67,30 @@ object WetStream {
       // sightings BEFORE dedup — redelivery pressure per uri
       parsed.groupBy(col("uri")).agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(s"$workDir/seen/batch=$batchId")
+      // complete parses outrank truncated ones inside a batch; ties by
+      // the suite's canonical min (file_id, doc_id)
       val w = Window.partitionBy(col("uri"))
-        .orderBy(col("file_id"), col("doc_id"))
+        .orderBy(col("len_ok").desc, col("file_id"), col("doc_id"))
       val best = parsed.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1).drop("__rk")
       val regRoot = new Path(s"$workDir/registry")
       val fs = regRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val fresh =
         if (fs.exists(regRoot)) {
-          val seenBefore = spark.read.schema(RegistrySchema)
+          val reg = spark.read.schema(RegistrySchema)
             .option("ignoreMissingFiles", "true")
             .parquet(regRoot.toString)
             .filter(col("batch") =!= batchId) // same-batch replay guard
-            .select("uri")
-          best.join(seenBefore, Seq("uri"), "left_anti")
+          // a COMPLETE registration is final (first-seen-wins); a
+          // TRUNCATED one blocks only other truncated copies, so an
+          // intact redelivery can still supersede it (ADVICE r12)
+          best.filter(col("len_ok"))
+            .join(reg.filter(col("len_ok")).select("uri"), Seq("uri"), "left_anti")
+            .unionByName(best.filter(!col("len_ok"))
+              .join(reg.select("uri"), Seq("uri"), "left_anti"))
         } else best
       fresh.write.mode("overwrite").parquet(s"$workDir/records/batch=$batchId")
-      fresh.select("uri").write.mode("overwrite")
+      fresh.select(col("uri"), col("len_ok")).write.mode("overwrite")
         .parquet(s"$workDir/registry/batch=$batchId")
     } finally parsed.unpersist()
   }
@@ -117,13 +126,21 @@ object WetStream {
           tolerant = true)) _)
 
   /** Every record ingested so far — one row per distinct URI, the
-    * first-seen parse. Live-dir enumeration ([[Compaction.readLive]]):
+    * first-seen COMPLETE parse (a truncated first sighting that a later
+    * intact redelivery superseded resolves to the intact row; the
+    * truncated copy stays on disk for observability but loses the
+    * per-URI pick). Live-dir enumeration ([[Compaction.readLive]]):
     * record rows are NOT duplicate-tolerant, so dirs an interrupted
     * compaction absorbed must stay excluded by the marker.
     */
-  def records(spark: SparkSession, workDir: String): DataFrame =
+  def records(spark: SparkSession, workDir: String): DataFrame = {
+    val w = Window.partitionBy(col("uri"))
+      .orderBy(col("len_ok").desc, col("file_id"), col("doc_id"))
     Compaction.readLive(spark, s"$workDir/records", RecordSchema)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
       .select("file_id", "uri", "doc_id", "declared_len", "body", "len_ok")
+  }
 
   /** Total sightings per URI across all batches (dedup-independent).
     * Sums are additive, hence also not duplicate-tolerant — same
@@ -143,8 +160,8 @@ object WetStream {
     * batch id (exclusive) and run between triggers.
     */
   def compact(spark: SparkSession, workDir: String, upToBatch: Long): Unit = {
-    Compaction.compactDir(spark, s"$workDir/registry", "uri STRING",
-      upToBatch, Compaction.distinctFold(Seq("uri")))
+    Compaction.compactDir(spark, s"$workDir/registry", "uri STRING, len_ok BOOLEAN",
+      upToBatch, Compaction.distinctFold(Seq("uri", "len_ok")))
     Compaction.compactDir(spark, s"$workDir/seen", SeenSchema, upToBatch,
       _.groupBy(col("uri")).agg(sum(col("cnt")).as("cnt")))
     Compaction.compactDir(spark, s"$workDir/records", RecordSchema, upToBatch)

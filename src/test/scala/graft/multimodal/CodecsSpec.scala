@@ -179,6 +179,47 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.Gif.decode(localTable))
     intercept[IllegalArgumentException](Codecs.Gif.decode(good.take(100)))
     intercept[IllegalArgumentException](Codecs.Gif.decode(good.dropRight(1)))
+    // cuts INSIDE the extension and image-descriptor walks must classify
+    // (IllegalArgumentException), not escape as ArrayIndexOutOfBounds
+    val extOff = 13 + 768 // the GCE 0x21 label
+    assert((good(extOff) & 0xFF) == 0x21, "fixture layout")
+    for (cut <- Seq(extOff + 1, extOff + 2, extOff + 3, idOff + 5, idOff + 11,
+        idOff + 12))
+      intercept[IllegalArgumentException](Codecs.Gif.decode(good.take(cut)))
+  }
+
+  test("PNG preset-dictionary zlib stream is rejected, not spun on") {
+    // an FDICT stream makes Inflater return 0 with needsDictionary=true
+    // while needsInput stays false — the decode loop must fail loudly
+    val good = Codecs.Png.encode(4, 4, (x, y) => (x, y, x + y))
+    val deflater = new java.util.zip.Deflater
+    deflater.setDictionary("warmup".getBytes("US-ASCII"))
+    deflater.setInput(new Array[Byte](4 * (1 + 12))); deflater.finish()
+    val buf = new Array[Byte](1024)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val idat = java.util.Arrays.copyOf(buf, n)
+    // rebuild: signature + original IHDR chunk + dict IDAT + IEND
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      out(0) = ((data.length >>> 24) & 0xFF).toByte
+      out(1) = ((data.length >>> 16) & 0xFF).toByte
+      out(2) = ((data.length >>> 8) & 0xFF).toByte
+      out(3) = (data.length & 0xFF).toByte
+      tpe.getBytes("US-ASCII").copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32
+      crc.update(out, 4, 4 + data.length)
+      val cv = crc.getValue.toInt
+      out(8 + data.length) = ((cv >>> 24) & 0xFF).toByte
+      out(9 + data.length) = ((cv >>> 16) & 0xFF).toByte
+      out(10 + data.length) = ((cv >>> 8) & 0xFF).toByte
+      out(11 + data.length) = (cv & 0xFF).toByte
+      out
+    }
+    val bytes = good.take(8 + 25) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException](Codecs.Png.decode(bytes))
   }
 
   test("real-codec feature extractors produce sane bucketed descriptors") {

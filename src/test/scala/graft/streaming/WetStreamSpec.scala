@@ -81,6 +81,45 @@ class WetStreamSpec extends SparkSpec {
     assert(WetStream.sightings(spark, work).head().getAs[Long]("n_seen") == 4L)
   }
 
+  test("ingestBatch: an intact redelivery supersedes a truncated first sighting") {
+    val work = tmp("wetspec_trunc")
+    val parse = Crawl.wetParse(_: org.apache.spark.sql.DataFrame, "file_id", "wet")
+    // batch 0: doc 9 arrives CUT — body shorter than the declared length
+    val cut = Seq((0L, "WARC/1.0\nWARC-Target-URI: https://example.com/d/9\n" +
+      "Content-Length: 100\n\nshort")).toDF("file_id", "wet")
+    WetStream.ingestBatch(work, parse)(cut, 0L)
+    val first = WetStream.records(spark, work).collect()
+    assert(first.length == 1 && !first(0).getAs[Boolean]("len_ok"))
+    // batch 1: the SAME truncated archive redelivered — blocked (a
+    // truncated registration blocks other truncated copies)
+    WetStream.ingestBatch(work, parse)(cut.withColumn("file_id", lit(1L)), 1L)
+    assert(WetStream.records(spark, work).count() == 1L)
+    // batch 2: the INTACT record arrives — it must supersede the cut one
+    val intact = Crawl.plantWet(Seq((9L, "whole body")).toDF("doc_id", "text"),
+      "doc_id", "text", files = 1).select(lit(2L).as("file_id"), col("wet"))
+    WetStream.ingestBatch(work, parse)(intact, 2L)
+    val resolved = WetStream.records(spark, work).collect()
+    assert(resolved.length == 1, "per-uri resolution must pick one row")
+    assert(resolved(0).getAs[Boolean]("len_ok") &&
+      resolved(0).getAs[String]("body") == "whole body" &&
+      resolved(0).getAs[Long]("file_id") == 2L,
+      "the intact redelivery must win over the truncated first sighting")
+    // batch 3: a second intact copy — now first-seen-wins is final
+    WetStream.ingestBatch(work, parse)(
+      intact.withColumn("file_id", lit(3L)), 3L)
+    val after = WetStream.records(spark, work).collect()
+    assert(after.length == 1 && after(0).getAs[Long]("file_id") == 2L)
+    // compaction must preserve the resolution (registry folds keep len_ok)
+    WetStream.compact(spark, work, upToBatch = 4L)
+    val folded = WetStream.records(spark, work).collect()
+    assert(folded.length == 1 && folded(0).getAs[Long]("file_id") == 2L &&
+      folded(0).getAs[Boolean]("len_ok"))
+    WetStream.ingestBatch(work, parse)(
+      intact.withColumn("file_id", lit(4L)), 4L)
+    assert(WetStream.records(spark, work).count() == 1L,
+      "the folded complete registration must still block redeliveries")
+  }
+
   test("ingestBatch: an empty batch commits nothing") {
     val work = tmp("wetspec_empty")
     val empty = Seq.empty[(Long, String)].toDF("file_id", "wet")
