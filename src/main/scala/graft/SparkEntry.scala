@@ -161,7 +161,10 @@ object SparkEntry {
     // and the recrawl freshness decision
     "pipeline_pack_masks", "pipeline_recrawl",
     // round 12i: sentence segmentation and the streaming frontier
-    "t_sentences", "st_frontier")
+    "t_sentences", "st_frontier",
+    // round 13: baseline JPEG decode (the dominant crawled-image format)
+    // + phash on real decoded JPEG pixels
+    "mm_decode_jpeg", "mm_phash_jpeg")
 
   // ---- DuckDB oracle twins ----
 

@@ -379,6 +379,60 @@ object Multimodal {
     media.mapPartitions(_.map(decodePngResizedFeatures(_, k, dim)))
   }
 
+  /** [[pngStats]]'s JPEG twin: dimensions from the parsed SOF0,
+    * per-channel pixel sums from the fully reconstructed (Huffman →
+    * dequant → IDCT → upsample → YCbCr→RGB) payload. On the planted
+    * basis-vector fixtures every decoded sample is a closed-form integer
+    * (Jpeg.scala header), so the lossy container sits under the exact
+    * DuckDB hash compare like the lossless ones.
+    */
+  def jpegStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Jpeg.decode(rec.content)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < img.rgb.length) {
+        sr += img.rgb(i) & 0xFF; sg += img.rgb(i + 1) & 0xFF
+        sb += img.rgb(i + 2) & 0xFF
+        i += 3
+      }
+      (rec.media_id, img.width.toLong, img.height.toLong,
+        img.width.toLong * img.height, sr, sg, sb)
+    }).toDF("media_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** [[decodePngResizedFeatures]]'s JPEG twin: real JPEG decode, then the
+    * bucketed mean-intensity descriptor — the phash dedup chain on
+    * genuinely decoded JPEG pixels (identical payloads decode to
+    * identical pixels, the mm_phash invariant).
+    */
+  def decodeJpegFeatures(rec: MediaRecord, dim: Int): MediaFeatures = {
+    val img = Jpeg.decode(rec.content)
+    val n = img.width * img.height
+    val sums = new Array[Double](dim)
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * dim / n).toInt
+      val o = i * 3
+      sums(b) += ((img.rgb(o) & 0xFF) + (img.rgb(o + 1) & 0xFF) +
+        (img.rgb(o + 2) & 0xFF)) / (3.0 * 255.0)
+      counts(b) += 1
+      i += 1
+    }
+    val feats = Array.tabulate(dim)(j =>
+      if (counts(j) == 0) 0.0f else (sums(j) / counts(j)).toFloat)
+    MediaFeatures(rec.media_id, rec.media_type, rec.content.length, feats)
+  }
+
+  /** [[extractFeatures]] with the REAL JPEG decoder behind the boundary. */
+  def extractFeaturesJpeg(media: Dataset[MediaRecord],
+                          dim: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeJpegFeatures(_, dim)))
+  }
+
   /** Per-frame integer stats of a REAL-decoded animated GIF — one row
     * per frame: dimensions and frame count from the parsed container,
     * per-channel pixel sums through the palette. One record in → many

@@ -236,6 +236,76 @@ private[graft] object MultimodalQueries {
         .select(col("media_id"), coalesce(col("found"), lit(false)).as("found"))
     }),
 
+    // Real baseline JPEG decode (multimodal/Jpeg.scala — VERDICT r12 #1,
+    // the dominant crawled-image format): 256 JPEGs entropy-coded from
+    // CHOSEN quantized coefficients on the exact-rational DCT basis
+    // (u, v ∈ {0, 4} → IDCT contribution exactly ±F/8), q = 8 luma /
+    // DC = 16 chroma, alternating 4:2:0 and 4:4:4 subsampling, restart
+    // markers every 2 MCUs on id % 4 == 0 — so the full pipeline
+    // (Huffman → dequant → dezigzag → IDCT → upsample → YCbCr→RGB) lands
+    // closed-form integer pixels the oracle recomputes analytically.
+    // Interop with a REAL foreign codec is pinned separately by JpegSpec
+    // (the JDK's ImageIO decoder agrees within IDCT rounding both ways).
+    "mm_decode_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val q8 = Array.fill(64)(8)
+        val qc = Array.fill(64)(8); qc(0) = 16
+        val w = (12 + 4 * (id % 5)).toInt
+        val h = (12 + 4 * ((id * 3) % 4)).toInt
+        graft.multimodal.MediaRecord(id, "image/jpeg",
+          graft.multimodal.Jpeg.encodeFromCoefficients(w, h,
+            chroma420 = id % 2 == 0, q8, qc,
+            restartInterval = if (id % 4 == 0) 2 else 0,
+            (comp, bx, by) => {
+              val c = new Array[Int](64)
+              if (comp == 0) {
+                c(0) = ((id + 3 * bx + 5 * by) % 61 - 30).toInt
+                c(4) = ((2 * id + bx + 7 * by) % 21 - 10).toInt
+                c(32) = ((3 * id + 11 * bx + by) % 21 - 10).toInt
+                c(36) = ((5 * id + bx + by) % 9 - 4).toInt
+              } else if (comp == 1)
+                c(0) = ((id + 3 * bx + 5 * by) % 31 - 15).toInt
+              else
+                c(0) = ((2 * id + 7 * bx + by) % 31 - 15).toInt
+              c
+            }))
+      }
+      graft.multimodal.Multimodal.jpegStats(media)
+    }),
+    // mm_phash_real's chain with the JPEG decoder behind the boundary:
+    // coefficient-identical JPEGs decode to identical pixels, so every
+    // planted twin must pair at hamming 0.
+    "mm_phash_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      def img(id: Long, seed: Long) = {
+        val q8 = Array.fill(64)(8)
+        val qc = Array.fill(64)(8); qc(0) = 16
+        graft.multimodal.MediaRecord(id, "image/jpeg",
+          graft.multimodal.Jpeg.encodeFromCoefficients(16, 16,
+            chroma420 = true, q8, qc, 0, (comp, bx, by) => {
+              val c = new Array[Int](64)
+              if (comp == 0) {
+                c(0) = ((seed * 31 + bx + 2 * by) % 41 - 20).toInt
+                c(4) = ((seed * 17 + bx) % 9 - 4).toInt
+              } else c(0) =
+                ((seed * (if (comp == 1) 7 else 11) + bx + by) % 21 - 10).toInt
+              c
+            }))
+      }
+      val media = s.range(100).map(id => img(id, id))
+        .union(s.range(30).map(id => img(id + PlantedOffset, id)))
+      val feats = graft.multimodal.Multimodal
+        .extractFeaturesJpeg(media, dim = 64).toDF()
+      val pairs = graft.multimodal.Multimodal
+        .phashNearDuplicates(feats, maxDist = 0)
+      s.range(30).toDF("media_id")
+        .join(pairs.filter(col("id_b") - col("id_a") === PlantedOffset)
+            .select(col("id_a").as("media_id"), lit(true).as("found")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), coalesce(col("found"), lit(false)).as("found"))
+    }),
+
     // Perceptual-hash media dedup (Multimodal.phash + the shared Hamming
     // banding): planted byte-identical payloads decode (stub) to
     // identical features, hence identical average-hash bits — every
@@ -383,6 +453,44 @@ private[graft] object MultimodalQueries {
                 CAST(out_frames AS BIGINT) AS out_frames,
                 CAST(SUM(v) AS BIGINT) AS sum_samples
          FROM dec GROUP BY 1, 2, 3, 4""",
+    // real-codec JPEG: the planted coefficients live only on the
+    // exact-rational DCT basis, so every decoded sample is
+    // 128 + c00 ± c40 ± c04 ± c44 (signs from the cos((2t+1)π/4)
+    // pattern: + at t%4 ∈ {0,3}, − otherwise), chroma is DC-only
+    // (Cb/Cr = 128 + 2·coef under the DC=16 quant step), and the JFIF
+    // color conversion is replayed with the same double constants and
+    // rounding — the full lossy pipeline under an exact hash compare
+    "mm_decode_jpeg" ->
+      """WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
+                              (id % 2 = 0) AS sub
+                       FROM (SELECT unnest(range(0, 256)) AS id)),
+         px AS (
+           SELECT id, w, h,
+             128 + ((id + 3*(x//8) + 5*(y//8)) % 61 - 30)
+                 + (CASE WHEN (x%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * ((2*id + (x//8) + 7*(y//8)) % 21 - 10)
+                 + (CASE WHEN (y%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * ((3*id + 11*(x//8) + (y//8)) % 21 - 10)
+                 + (CASE WHEN (x%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * (CASE WHEN (y%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * ((5*id + (x//8) + (y//8)) % 9 - 4) AS yv,
+             2 * ((id + 3*(CASE WHEN sub THEN x//16 ELSE x//8 END)
+                      + 5*(CASE WHEN sub THEN y//16 ELSE y//8 END)) % 31 - 15) AS cbv,
+             2 * ((2*id + 7*(CASE WHEN sub THEN x//16 ELSE x//8 END)
+                       + (CASE WHEN sub THEN y//16 ELSE y//8 END)) % 31 - 15) AS crv
+           FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y))
+         SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(SUM(greatest(0, least(255, round(yv + 1.402 * crv)))) AS BIGINT) AS sum_r,
+                CAST(SUM(greatest(0, least(255, round(yv - 0.344136 * cbv - 0.714136 * crv)))) AS BIGINT) AS sum_g,
+                CAST(SUM(greatest(0, least(255, round(yv + 1.772 * cbv)))) AS BIGINT) AS sum_b
+         FROM px GROUP BY 1, 2, 3, 4""",
+    // planted-payload truth through the real JPEG decode: coefficient-
+    // identical JPEGs must pair at hamming 0
+    "mm_phash_jpeg" ->
+      """SELECT id AS media_id, true AS found
+         FROM (SELECT unnest(range(0, 30)) AS id)""",
     // real-codec PNG: dimensions + per-channel pixel sums recomputed
     // analytically — the zlib inflate and all five scanline filters must
     // land every byte (n_pixels replaces n_bytes: deflate length is not

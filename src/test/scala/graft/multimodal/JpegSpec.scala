@@ -1,0 +1,220 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Jpeg: coefficient-exact fixture decode, restart markers, the ImageIO
+  * cross-check (the JDK ships an independent JPEG codec — our decoder
+  * must agree with it within IDCT rounding), and loud rejections.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  private val q8 = Array.fill(64)(8)
+  private def zeros = new Array[Int](64)
+
+  test("zigzag table matches the T.81 scan order landmarks") {
+    val zz = Jpeg.ZigZag
+    assert(zz(0) == 0) // (u=0,v=0)
+    assert(zz(1) == 1) // (1,0) — first step right
+    assert(zz(2) == 8) // (0,1)
+    assert(zz(5) == 2) // (2,0)
+    assert(zz(10) == 32) // (0,4)
+    assert(zz(14) == 4) // (4,0)
+    assert(zz(63) == 63)
+    assert(zz.toSet == (0 until 64).toSet, "must be a permutation")
+  }
+
+  test("DC-only 4:2:0 image decodes to closed-form flat blocks") {
+    // luma DC = 16 (q 8 → F = 128 → sample 128 + 16); chroma zero → gray
+    val bytes = Jpeg.encodeFromCoefficients(16, 16, chroma420 = true,
+      q8, q8, 0, (comp, _, _) => {
+        val c = zeros
+        if (comp == 0) c(0) = 16
+        c
+      })
+    val img = Jpeg.decode(bytes)
+    assert(img.width == 16 && img.height == 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(img.pixel(x, y) == ((144, 144, 144)), s"pixel ($x,$y)")
+  }
+
+  test("basis coefficient (4,0) produces the exact ±F/8 sign pattern") {
+    // F(u=4,v=0) = 8 * 8 = 64 → contribution ±8 with sign +,-,-,+ per x%4
+    val bytes = Jpeg.encodeFromCoefficients(8, 8, chroma420 = false,
+      q8, q8, 0, (comp, _, _) => {
+        val c = zeros
+        if (comp == 0) { c(0) = 16; c(4) = 8 }
+        c
+      })
+    val img = Jpeg.decode(bytes)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val sx = if (x % 4 == 0 || x % 4 == 3) 1 else -1
+      assert(img.pixel(x, y)._1 == 144 + sx * 8, s"pixel ($x,$y)")
+    }
+  }
+
+  test("chroma DC shifts colors through the exact JFIF conversion") {
+    // Y = 128, Cb = 128 + 10, Cr = 128 - 6 (chroma q 8, DC coef ±)
+    val bytes = Jpeg.encodeFromCoefficients(16, 16, chroma420 = true,
+      q8, q8, 0, (comp, _, _) => {
+        val c = zeros
+        if (comp == 1) c(0) = 10
+        if (comp == 2) c(0) = -6
+        c
+      })
+    val img = Jpeg.decode(bytes)
+    val r = math.round(128 + 1.402 * -6).toInt
+    val g = math.round(128 - 0.344136 * 10 - 0.714136 * -6).toInt
+    val b = math.round(128 + 1.772 * 10).toInt
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(img.pixel(x, y) == ((r, g, b)), s"pixel ($x,$y)")
+  }
+
+  test("restart markers with DC-predictor resets decode identically") {
+    def coef(comp: Int, bx: Int, by: Int): Array[Int] = {
+      val c = zeros
+      c(0) = comp + 2 * bx - 3 * by
+      if (comp == 0) c(4) = (bx + by) % 5 - 2
+      c
+    }
+    // 4:4:4 → many 8×8 MCUs; DRI 2 exercises several RSTn values
+    val plain = Jpeg.decode(Jpeg.encodeFromCoefficients(32, 24,
+      chroma420 = false, q8, q8, 0, coef))
+    val rst = Jpeg.decode(Jpeg.encodeFromCoefficients(32, 24,
+      chroma420 = false, q8, q8, 2, coef))
+    assert(plain.rgb.toSeq == rst.rgb.toSeq)
+  }
+
+  test("MCU padding crops away: non-multiple-of-8 dimensions") {
+    val bytes = Jpeg.encodeFromCoefficients(12, 20, chroma420 = true,
+      q8, q8, 0, (comp, bx, by) => {
+        val c = zeros
+        c(0) = comp * 4 + bx + by
+        c
+      })
+    val img = Jpeg.decode(bytes)
+    assert(img.width == 12 && img.height == 20)
+    assert(img.rgb.length == 12 * 20 * 3)
+  }
+
+  test("ImageIO agrees with our decoder on 4:4:4 within IDCT rounding") {
+    val rnd = new scala.util.Random(42)
+    val bytes = Jpeg.encodeFromCoefficients(24, 16, chroma420 = false,
+      q8, q8, 0, (_, _, _) => {
+        val c = zeros
+        c(0) = rnd.nextInt(21) - 10
+        // a few small ACs at random natural positions
+        for (_ <- 0 until 4) c(1 + rnd.nextInt(63)) = rnd.nextInt(7) - 3
+        c
+      })
+    val ours = Jpeg.decode(bytes)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null, "ImageIO must parse our encoder's output")
+    assert(ref.getWidth == 24 && ref.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val p = ref.getRGB(x, y)
+      val (r, g, b) = ours.pixel(x, y)
+      assert(math.abs(((p >> 16) & 0xFF) - r) <= 2 &&
+        math.abs(((p >> 8) & 0xFF) - g) <= 2 &&
+        math.abs((p & 0xFF) - b) <= 2,
+        s"pixel ($x,$y): imageio ${(p >> 16) & 0xFF},${(p >> 8) & 0xFF},${p & 0xFF} vs ours $r,$g,$b")
+    }
+  }
+
+  test("our decoder reads a foreign (ImageIO-encoded) grayscale JPEG") {
+    val w = 40
+    val h = 24
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    // smooth non-wrapping ramp: a sharp wrap edge would compare their
+    // integer IDCT against our exact-double IDCT at its worst case
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = 40 + 3 * x + 2 * y
+      src.getRaster.setSample(x, y, 0, g)
+    }
+    val baos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(src, "jpg", baos))
+    val bytes = baos.toByteArray
+    val ours = Jpeg.decode(bytes)
+    assert(ours.width == w && ours.height == h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = ref.getRaster.getSample(x, y, 0)
+      val (r, g, b) = ours.pixel(x, y)
+      assert(r == g && g == b, "grayscale must replicate channels")
+      assert(math.abs(want - r) <= 2, s"pixel ($x,$y): imageio $want vs ours $r")
+    }
+  }
+
+  test("our decoder reads a foreign color 4:2:0 JPEG (constant chroma)") {
+    // gray-in-RGB content keeps chroma constant, so their fancy chroma
+    // interpolation and our box replication agree; what's exercised is
+    // the foreign 3-component 4:2:0 MCU layout + their quant/DHT tables
+    val w = 32
+    val h = 16
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = 60 + 3 * x + 4 * y
+      src.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(src, "jpg", baos))
+    val bytes = baos.toByteArray
+    val ours = Jpeg.decode(bytes)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ours.width == w && ours.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ref.getRGB(x, y)
+      val (r, g, b) = ours.pixel(x, y)
+      assert(math.abs(((p >> 16) & 0xFF) - r) <= 3 &&
+        math.abs(((p >> 8) & 0xFF) - g) <= 3 &&
+        math.abs((p & 0xFF) - b) <= 3,
+        s"pixel ($x,$y): imageio ${(p >> 16) & 0xFF},${(p >> 8) & 0xFF},${p & 0xFF} vs ours $r,$g,$b")
+    }
+  }
+
+  test("rejects progressive, truncation, garbage, and stray markers") {
+    val good = Jpeg.encodeFromCoefficients(16, 16, chroma420 = true,
+      q8, q8, 0, (_, _, _) => zeros)
+    intercept[IllegalArgumentException](
+      Jpeg.decode("not a jpeg".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](Jpeg.decode(good.take(20)))
+    intercept[IllegalArgumentException](Jpeg.decode(good.dropRight(6)))
+    // flip SOF0 (FFC0) to SOF2 (FFC2, progressive) — must classify
+    val idx = good.indices.dropRight(1).find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC0).get
+    val prog = good.clone(); prog(idx + 1) = 0xC2.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    assert(e.getMessage.contains("SOF"), e.getMessage)
+    // a stray RST marker outside the entropy stream
+    val stray = good.take(2) ++ Array(0xFF.toByte, 0xD3.toByte) ++ good.drop(2)
+    intercept[IllegalArgumentException](Jpeg.decode(stray))
+  }
+
+  test("byte stuffing roundtrips: a coefficient pattern forcing 0xFF bytes") {
+    // many high-entropy blocks make 0xFF bytes near-certain in the stream;
+    // correctness = decode still lands the closed-form values
+    val bytes = Jpeg.encodeFromCoefficients(64, 64, chroma420 = false,
+      q8, q8, 0, (comp, bx, by) => {
+        val c = zeros
+        if (comp == 0) {
+          c(0) = ((bx * 7 + by * 3) % 31) - 15
+          c(4) = ((bx + by) % 11) - 5
+          c(32) = ((bx * 3 + by) % 11) - 5
+        }
+        c
+      })
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0x00),
+      "fixture must actually exercise byte stuffing")
+    val img = Jpeg.decode(bytes)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val (bx, by) = (x / 8, y / 8)
+      val sx = if (x % 8 % 4 == 0 || x % 8 % 4 == 3) 1 else -1
+      val sy = if (y % 8 % 4 == 0 || y % 8 % 4 == 3) 1 else -1
+      val want = 128 + (((bx * 7 + by * 3) % 31) - 15) +
+        sx * (((bx + by) % 11) - 5) + sy * (((bx * 3 + by) % 11) - 5)
+      assert(img.pixel(x, y) == ((want, want, want)), s"pixel ($x,$y)")
+    }
+  }
+}
