@@ -163,8 +163,9 @@ object SparkEntry {
     // round 12i: sentence segmentation and the streaming frontier
     "t_sentences", "st_frontier",
     // round 13: baseline JPEG decode (the dominant crawled-image format)
-    // + phash on real decoded JPEG pixels
-    "mm_decode_jpeg", "mm_phash_jpeg")
+    // + phash on real decoded JPEG pixels, and the rational 44.1→16 kHz
+    // audio resampler
+    "mm_decode_jpeg", "mm_phash_jpeg", "mm_resample_rational")
 
   // ---- DuckDB oracle twins ----
 

@@ -125,6 +125,25 @@ private[graft] object MultimodalQueries {
       graft.multimodal.Multimodal.resampleWavStats(media, k = 4)
     }),
 
+    // The FRACTIONAL audio chain (VERDICT r12 #3): PCM-16 at 44.1 kHz →
+    // rational 160/441 resample → 16 kHz, every output sample the
+    // integer-exact linear interpolation (s[i]·(L−r) + s[i+1]·r) // L at
+    // i = (t·441)//160, r = (t·441) % 160 — recomputed sample by sample
+    // in the oracle. This closes the integer-only gap in decimateAudio:
+    // 44100 → 16000 has no integer factor.
+    "mm_resample_rational" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val channels = (1 + id % 2).toInt
+        val nFrames = (200 + id % 50).toInt
+        val samples = Array.tabulate(nFrames * channels)(i =>
+          (((i * 31 + 7 * id) % 65536) - 32768).toShort)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode(44100, channels, samples))
+      }
+      graft.multimodal.Multimodal.resampleRationalWavStats(media, l = 160, m = 441)
+    }),
+
     // REAL animated-GIF demux (Codecs.Gif — the multi-frame container
     // that retires the frame stub): full GIF-LZW (variable-width codes,
     // dictionary growth, clear reset) + sub-block framing + extension
@@ -453,6 +472,30 @@ private[graft] object MultimodalQueries {
                 CAST(out_frames AS BIGINT) AS out_frames,
                 CAST(SUM(v) AS BIGINT) AS sum_samples
          FROM dec GROUP BY 1, 2, 3, 4""",
+    // decode → rational 160/441 resample → stats: every output sample is
+    // the truncating linear interpolation between its two input frames,
+    // recomputed analytically (i = (t·441)//160, r = (t·441) % 160)
+    "mm_resample_rational" ->
+      """WITH clips AS (SELECT id, 1 + id % 2 AS ch, 200 + id % 50 AS frames
+                        FROM (SELECT unnest(range(0, 256)) AS id)),
+         outs AS (SELECT id, ch, frames,
+                         ((frames - 1) * 160) // 441 + 1 AS outf FROM clips),
+         samp AS (SELECT id, ch, outf, t, c,
+                         (t * 441) // 160 AS i, (t * 441) % 160 AS r
+                  FROM outs, unnest(range(0, outf)) AS ut(t),
+                       unnest(range(0, ch)) AS uc(c)),
+         vals AS (SELECT id, ch, outf, t, c,
+             CASE WHEN r = 0
+               THEN ((i * ch + c) * 31 + 7 * id) % 65536 - 32768
+               ELSE ((((i * ch + c) * 31 + 7 * id) % 65536 - 32768) * (160 - r)
+                   + ((((i + 1) * ch + c) * 31 + 7 * id) % 65536 - 32768) * r) // 160
+             END AS v
+           FROM samp)
+         SELECT id AS media_id, CAST(16000 AS BIGINT) AS out_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(outf AS BIGINT) AS out_frames,
+                CAST(SUM(v) AS BIGINT) AS sum_samples
+         FROM vals GROUP BY 1, 2, 3, 4""",
     // real-codec JPEG: the planted coefficients live only on the
     // exact-rational DCT basis, so every decoded sample is
     // 128 + c00 ± c40 ± c04 ± c44 (signs from the cos((2t+1)π/4)

@@ -127,6 +127,49 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decimateAudio(audio, 3))
   }
 
+  test("resampleRational: hand-computed linear interpolation at L/M = 2/3") {
+    // mono ramp [0,6,12,18,24] at 48 kHz → 32 kHz: out frames
+    // (4·2)//3 + 1 = 3; t=1 sits at p=1.5 → (6+12)/2 = 9
+    val audio = Codecs.Audio(48000, 1, Array[Short](0, 6, 12, 18, 24))
+    val out = Multimodal.resampleRational(audio, 2, 3)
+    assert(out.sampleRate == 32000 && out.channels == 1 && out.frames == 3)
+    assert(out.samples.toSeq == Seq[Short](0, 9, 18))
+  }
+
+  test("resampleRational: constant signals survive exactly, incl. negative") {
+    val audio = Codecs.Audio(44100, 2, Array.fill[Short](441 * 2)(-7))
+    val out = Multimodal.resampleRational(audio, 160, 441)
+    assert(out.sampleRate == 16000 && out.frames == (440 * 160) / 441 + 1)
+    assert(out.samples.forall(_ == -7), "interpolating a constant is exact")
+    // non-integral output rate rejected loudly
+    intercept[IllegalArgumentException](
+      Multimodal.resampleRational(Codecs.Audio(8000, 1, Array[Short](1, 2)), 1, 3))
+  }
+
+  test("resampleRational: 44.1 kHz stereo → 16 kHz matches brute replay") {
+    val samples = Array.tabulate[Short](100 * 2)(i => ((i * 37) % 200 - 100).toShort)
+    val audio = Codecs.Audio(44100, 2, samples)
+    val out = Multimodal.resampleRational(audio, 160, 441)
+    assert(out.sampleRate == 16000)
+    for (t <- 0 until out.frames; c <- 0 until 2) {
+      val num = t * 441
+      val i = num / 160
+      val r = num % 160
+      val want =
+        if (r == 0) samples(i * 2 + c).toInt
+        else (samples(i * 2 + c) * (160 - r) + samples((i + 1) * 2 + c) * r) / 160
+      assert(out.samples(t * 2 + c) == want, s"frame $t channel $c")
+    }
+  }
+
+  test("decimateAudio delegates non-tiling frame counts to sample picking") {
+    // 5 frames, k=2: no exact-mean tiling → rational 1/2 picks s0,s2,s4
+    val audio = Codecs.Audio(8000, 1, Array[Short](10, 20, 30, 40, 50))
+    val out = Multimodal.decimateAudio(audio, 2)
+    assert(out.sampleRate == 4000 && out.frames == 3)
+    assert(out.samples.toSeq == Seq[Short](10, 30, 50))
+  }
+
   test("sampleFramesGif: real demux keeps every Nth frame as a BMP record") {
     val frames = Seq.tabulate(5)(f =>
       Array.tabulate(4 * 3)(i => ((i + f * 50) % 256).toByte))
