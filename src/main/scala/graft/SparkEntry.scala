@@ -165,7 +165,10 @@ object SparkEntry {
     // round 13: baseline JPEG decode (the dominant crawled-image format)
     // + phash on real decoded JPEG pixels, and the rational 44.1→16 kHz
     // audio resampler
-    "mm_decode_jpeg", "mm_phash_jpeg", "mm_resample_rational")
+    "mm_decode_jpeg", "mm_phash_jpeg", "mm_resample_rational",
+    // round 13b: likelihood-scored WordPiece training (the published
+    // merge loop, replacing the frequency seed as the trained artifact)
+    "t_wordpiece_train")
 
   // ---- DuckDB oracle twins ----
 

@@ -34,6 +34,40 @@ private[graft] object TextQueries {
        wpsg AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS weight FROM wpg GROUP BY 1),
        wp AS (SELECT piece, weight FROM wpm UNION ALL SELECT piece, weight FROM wpsg)"""
 
+  /** Likelihood-scored WordPiece TRAINING oracle CTEs (the t_bpe_train
+    * unrolled-decision pattern): three merge rounds, each pinning the
+    * argmax of score = cnt / (freq_l · freq_r) — the same IEEE double
+    * division Spark orders by — over role-marked symbols (first char
+    * plain, rest ##-prefixed), then the leftmost-non-overlapping fold
+    * with the merged symbol l || r-without-##.
+    */
+  private val sqlWordPieceTrainCtes: String = {
+    def pairCtes(i: Int) =
+      s"""f$i AS (SELECT s AS sym, CAST(SUM(wn) AS BIGINT) AS f
+           FROM w$i, unnest(syms) AS u(s) GROUP BY 1),
+         p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(wn) AS BIGINT) AS cnt
+           FROM w$i, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+         b$i AS (SELECT p$i.l, p$i.r, p$i.cnt, fl.f AS fl, fr.f AS fr
+           FROM p$i JOIN f$i fl ON fl.sym = p$i.l JOIN f$i fr ON fr.sym = p$i.r
+           ORDER BY CAST(p$i.cnt AS DOUBLE) / (fl.f * fr.f) DESC, p$i.l, p$i.r
+           LIMIT 1)"""
+    def mergeCte(i: Int) =
+      s"""w${i + 1} AS (SELECT w, wn,
+           list_reduce(list_concat([[b$i.l, b$i.r]], list_transform(syms, s -> [s])), (acc, x) ->
+             CASE WHEN len(acc) > 2 AND acc[len(acc)] = acc[1] AND x[1] = acc[2]
+                  THEN list_append(acc[1:len(acc) - 1], acc[1] || substr(acc[2], 3))
+                  ELSE list_concat(acc, x) END)[3:] AS syms
+         FROM w$i CROSS JOIN b$i)"""
+    s"""WITH toks AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+       v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM toks GROUP BY 1),
+       w0 AS (SELECT w, wn, list_transform(generate_series(1, len(w)),
+           i -> CASE WHEN i = 1 THEN substr(w, CAST(i AS INTEGER), 1)
+                ELSE '##' || substr(w, CAST(i AS INTEGER), 1) END) AS syms FROM v),
+       ${pairCtes(0)}, ${mergeCte(0)},
+       ${pairCtes(1)}, ${mergeCte(1)},
+       ${pairCtes(2)}"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -335,6 +369,14 @@ private[graft] object TextQueries {
           .select(concat(col("text"), lit(" zebra\u00a4tail")).as("text")),
         "text", starts, conts, maxPieceLen = 6)
     }),
+    // Likelihood-scored WordPiece TRAINING (operators/WordPiece.train —
+    // VERDICT r12 #4, the published algorithm): three greedy merges
+    // maximizing freq(pair)/(freq(l)·freq(r)) over role-marked symbols,
+    // each decision's integer evidence (pair count + both symbol
+    // frequencies) pinned by the unrolled DuckDB replay.
+    "t_wordpiece_train" -> ((s, dir) =>
+      graft.operators.WordPiece.train(Tables.documents(s, dir), "text",
+        nMerges = 3)),
     "t_unigram_seed" -> ((s, dir) =>
       graft.operators.Unigram.seedVocab(Tables.documents(s, dir), "text",
         maxPieceLen = 8, seedSize = 128)),
@@ -1093,6 +1135,15 @@ private[graft] object TextQueries {
          SELECT doc_id, sent_idx, sentence,
            CAST(len(${sqlTokens("sentence")}) AS BIGINT) AS n_tokens
          FROM ex WHERE len(sentence) > 0""",
+    // likelihood-scored WordPiece training: every merge decision
+    // replayed (argmax of cnt/(fl·fr) per round, the same IEEE double
+    // both engines divide), integer evidence columns only
+    "t_wordpiece_train" ->
+      s"""$sqlWordPieceTrainCtes
+         SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count,
+                fl AS freq_l, fr AS freq_r FROM b0
+         UNION ALL SELECT 2, l, r, cnt, fl, fr FROM b1
+         UNION ALL SELECT 3, l, r, cnt, fl, fr FROM b2""",
     // WordPiece vocab: the seedVocab replay at (6, 128) + ## doubling
     "t_wordpiece_vocab" ->
       s"""WITH $sqlWordPieceVocabCtes

@@ -33,6 +33,42 @@ class WordPieceSpec extends SparkSpec {
       == v.keySet.filterNot(_.startsWith("##")))
   }
 
+  test("train: likelihood argmax with exact tie-break, hand-computed") {
+    // corpus: aa ×2, ab ×1 → syms aa:[a,##a], ab:[a,##b]
+    // freqs a:3 ##a:2 ##b:1; pairs (a,##a):2 score 2/6, (a,##b):1 score
+    // 1/3 — EXACTLY tied doubles → lexicographic pick (a,##a)
+    val docs = Seq("aa aa ab").toDF("text")
+    val m = WordPiece.train(docs, "text", nMerges = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(m(1) == (("a", "##a", 2L, 3L, 2L)))
+    // gen1: aa:[aa], ab:[a,##b] → only pair (a,##b) cnt 1, freqs 1/1
+    assert(m(2) == (("a", "##b", 1L, 1L, 1L)))
+  }
+
+  test("train: likelihood scoring beats raw frequency (the BPE divergence)") {
+    // xy ×5 → pair (x,##y) cnt 5, score 5/(5·5) = 0.2
+    // qz ×2 → pair (q,##z) cnt 2, score 2/(2·2) = 0.5
+    // raw-count BPE would merge (x,##y); WordPiece must merge (q,##z)
+    val docs = Seq(Array.fill(5)("xy").mkString(" ") + " qz qz").toDF("text")
+    val first = WordPiece.train(docs, "text", nMerges = 1).collect().head
+    assert(first.getString(1) == "q" && first.getString(2) == "##z")
+    assert(first.getLong(3) == 2L && first.getLong(4) == 2L && first.getLong(5) == 2L)
+  }
+
+  test("train: merged continuations keep their ## role across rounds") {
+    // "abc" ×4: merges inside the continuation tail must produce
+    // ##-marked merged symbols (##b + ##c → ##bc), never plain ones
+    val docs = Seq(Array.fill(4)("abc").mkString(" ") + " b c bb").toDF("text")
+    val rows = WordPiece.train(docs, "text", nMerges = 3).collect()
+    rows.foreach { r =>
+      assert(r.getString(2).startsWith("##"), s"rhs role: ${r.getString(2)}")
+    }
+    // exhaustion: a corpus of single chars runs dry without error
+    val dry = WordPiece.train(Seq("a b c a").toDF("text"), "text", nMerges = 3)
+    assert(dry.count() == 0L)
+  }
+
   test("segment: corpus grain, counts, pieces, and the planted UNK") {
     val docs = Seq("the cat", "the cathode").toDF("text")
     val pieces = WordPiece.vocabList(docs, "text", maxPieceLen = 6, topK = 16)
