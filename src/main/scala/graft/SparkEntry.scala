@@ -168,7 +168,9 @@ object SparkEntry {
     "mm_decode_jpeg", "mm_phash_jpeg", "mm_resample_rational",
     // round 13b: likelihood-scored WordPiece training (the published
     // merge loop, replacing the frequency seed as the trained artifact)
-    "t_wordpiece_train")
+    "t_wordpiece_train",
+    // round 13c: authority-weighted fetch planning (rank × staleness)
+    "pipeline_fetch_priority")
 
   // ---- DuckDB oracle twins ----
 

@@ -237,6 +237,26 @@ class CrawlSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L))) // b.com schedules independently
   }
 
+  test("fetchPlanPrioritized: high-authority stale URL outranks fresh low-authority") {
+    val gated = Seq(
+      (1L, "https://a.com/hub", "a.com", "2026-01-01", true), // stale, ranked
+      (2L, "https://a.com/new", "a.com", "2026-01-30", true), // fresh, unranked
+      (3L, "https://a.com/x", "a.com", "2026-01-30", false) // gated out
+    ).toDF("entry_id", "loc", "domain", "lastmod", "allowed")
+    val delays = Seq(("a.com", 2L)).toDF("domain", "crawl_delay")
+    val ranks = Seq((1L, 900000L)).toDF("node", "rank") // 2 → default 150000
+    val out = Crawl.fetchPlanPrioritized(gated, delays, ranks, asOf = "2026-02-01")
+      .collect().map(r => r.getAs[Long]("entry_id") ->
+        (r.getAs[Long]("fetch_slot"), r.getAs[Long]("priority"),
+          r.getAs[Long]("fetch_eta_s"))).toMap
+    // staleness: 1 → 32 days, 2 → 3 days; under fresh-first 2 would lead
+    assert(out(1L) == ((0L, 900000L * 32, 0L)),
+      "authority × staleness must outrank freshness alone")
+    assert(out(2L) == ((1L, 150000L * 3, 2L)),
+      "the fresh low-authority URL waits one crawl-delay slot")
+    assert(!out.contains(3L), "disallowed URLs never scheduled")
+  }
+
   test("crawlDelays: declared delay extracted, absent falls back to default") {
     val robots = Seq(
       ("a.com", "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n"),
