@@ -91,6 +91,78 @@ object Dedup {
         (1 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"m$i")): _*)
   }
 
+  /** Engine-PORTABLE MinHash signatures (VERDICT r12 #7): the same plan
+    * shape as [[minhashSignatures]] — explode → hash → one HashAggregate
+    * of k mins — but the hash family is md5-derived so a SQL oracle
+    * replays every signature bit-for-bit. ONE digest per shingle yields
+    * two 60-bit halves (hex chars 1–15 and 16–30), and the k functions
+    * are the Kirsch–Mitzenmacher double-hash family
+    * `h_i = h1 + i · (h2 mod 2^55)` — overflow-free under ANSI
+    * arithmetic (h1 < 2^60, i·h2m < 2^59) and the standard construction
+    * for sketch families needing many hashes from one digest.
+    * [[minhashSignatures]] (xxhash64) stays the raw-throughput default;
+    * this family costs one md5 instead of k+1 xxhash64s per shingle —
+    * the same cost class — and is what the fully-oracled dedup_near
+    * query runs.
+    */
+  def minhashSignaturesPortable(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int,
+                                shingleN: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(Text.shinglesFromTokens(col("__toks"), shingleN)).as("shingle"))
+      .select(col(idCol), md5(col("shingle")).as("__hex"))
+      .select(col(idCol),
+        conv(substring(col("__hex"), 1, 15), 16, 10).cast("long").as("__h1"),
+        conv(substring(col("__hex"), 16, 15), 16, 10).cast("long")
+          .bitwiseAND(lit((1L << 55) - 1)).as("__h2"))
+    sh.groupBy(col(idCol))
+      .agg(min(col("__h1")).as("m0"),
+        (1 until k).map(i =>
+          min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"m$i")): _*)
+  }
+
+  /** [[bandSignatures]]'s portable twin: the band signature is the PLAIN
+    * `:`-joined minhash string — no hash at all, so the oracle's join key
+    * is trivially identical. Slightly wider shuffle keys than a 64-bit
+    * sig; the capped self-join shape is unchanged.
+    */
+  def bandSignaturesPortable(sigs: DataFrame, idCol: String, k: Int,
+                             bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (b * r until (b + 1) * r).map(i => col(s"m$i")): _*).as("sig"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** [[nearDuplicates]] on the PORTABLE hash family — byte-for-byte
+    * DuckDB-replayable end to end (signatures, banding, bucket caps,
+    * candidate join, jaccard verify), closing the last rows-only gap on
+    * the minhash path. Same caching and plan shape as [[nearDuplicates]].
+    */
+  def nearDuplicatesPortable(docs: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.8, k: Int = 16,
+                             bands: Int = 4, shingleN: Int = 3,
+                             maxBucket: Int = 10000,
+                             cacheSignatures: Boolean = true): DataFrame = {
+    val banded0 = bandSignaturesPortable(
+      minhashSignaturesPortable(docs, idCol, textCol, k, shingleN),
+      idCol, k, bands)
+    val banded =
+      if (cacheSignatures)
+        graft.util.Caches.retain(
+          banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else banded0
+    jaccardVerify(lshCandidates(banded, idCol, maxBucket), docs, idCol,
+      textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Per-row MinHash — the SAME k values as [[minhashSignatures]] computed
     * as one array expression over a materialized token-array column, with
     * no aggregation anywhere: `m_i = array_min(transform(hashes,
@@ -485,6 +557,44 @@ object Dedup {
       when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** [[simhash]]'s engine-PORTABLE twin (VERDICT r12 #7): a 60-bit
+    * SimHash whose token hash is the md5-derived 60-bit value (first 15
+    * hex chars), so the oracle replays every vote. Bits 60–63 stay zero;
+    * [[hammingBandPairs]]' 4×16-bit banding still applies (the top band
+    * just carries 12 live bits).
+    */
+  def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = docs.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("t"))
+      .select(col(idCol),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = th.groupBy(col(idCol)).agg(
+      sum(when(col("h").bitwiseAND(lit(1L)) =!= 0L, 1).otherwise(-1)).as("b0"),
+      (1 until 60).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) =!= 0L, 1)
+          .otherwise(-1)).as(s"b$j")): _*)
+    val sig = (0 until 60).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** [[simhashNearDuplicates]] on the portable 60-bit family — fully
+    * DuckDB-replayable (votes, banding, caps, Hamming verify).
+    */
+  def simhashNearDuplicatesPortable(docs: DataFrame, idCol: String,
+                                    textCol: String, maxDist: Int = 3,
+                                    maxBucket: Int = 10000,
+                                    cacheSignatures: Boolean = true): DataFrame = {
+    val sigs0 = simhashPortable(docs, idCol, textCol)
+    val sigs =
+      if (cacheSignatures)
+        graft.util.Caches.retain(
+          sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else sigs0
+    hammingBandPairs(sigs, idCol, "simhash", maxDist, maxBucket)
   }
 
   /** SimHash near-dup candidates: band the 64 bits into 4×16-bit keys

@@ -55,11 +55,17 @@ private[graft] object DedupQueries {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
       Dedup.jaccardVerify(pairs, docs, "doc_id", "text")
     }),
-    "dedup_near" -> ((s, dir) =>          // rows-only: xxhash64 minhash
-      Dedup.nearDuplicates(docsWithPlantedDups(s, dir), "doc_id", "text",
-        threshold = 0.5)),
-    "dedup_simhash" -> ((s, dir) =>       // rows-only: xxhash64 simhash
-      Dedup.simhashNearDuplicates(docsWithPlantedDups(s, dir), "doc_id", "text")),
+    // FULLY-ORACLED near-dup pairs (VERDICT r12 #7 — formerly rows-only):
+    // the portable md5 double-hash MinHash family, so signatures, string
+    // band keys, bucket caps, the candidate join, and the jaccard verify
+    // all replay verbatim in DuckDB. The xxhash64 production operators
+    // stay pinned by the _valid/_recall twins below.
+    "dedup_near" -> ((s, dir) =>
+      Dedup.nearDuplicatesPortable(docsWithPlantedDups(s, dir), "doc_id",
+        "text", threshold = 0.5)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDuplicatesPortable(docsWithPlantedDups(s, dir),
+        "doc_id", "text")),
     // SOURCE-PRIORITY exact dedup (Dedup.keepCanonicalBy): every doc < 100
     // gets a planted exact copy at +PlantedOffset under source "zz-mirror"
     // — the lexicographically LAST source, so priority (source ASC,
@@ -376,6 +382,79 @@ private[graft] object DedupQueries {
                       / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
          FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0""",
 
+    // full verbatim replay of the PORTABLE minhash near-dup pass: one md5
+    // per shingle → (h1, h2) halves → 16 double-hash mins → 4 string band
+    // keys → ≤10000 bucket cap → candidate self-join → jaccard ≥ 0.5
+    "dedup_near" -> {
+      val mins = (0 until 16).map(i => s"MIN(h1 + $i * h2) AS m$i").mkString(", ")
+      val bandSel = (0 until 4).map { b =>
+        val key = (b * 4 until b * 4 + 4)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
+        s"SELECT doc_id, $b AS band, $key AS sig FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' graft dup marker' FROM documents),
+         toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM corpus),
+         sh AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS shingle
+                FROM toks),
+         hs AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+                  CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT)
+                    & 36028797018963967 AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
+         bs AS ($bandSel),
+         ok AS (SELECT band, sig FROM bs GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+         capped AS (SELECT bs.* FROM bs JOIN ok USING (band, sig)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM capped a JOIN capped b USING (band, sig)
+                  WHERE a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                      i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS st
+                  FROM toks),
+         j AS (SELECT c.id_a, c.id_b,
+                 round(CAST(len(list_distinct(list_intersect(a.st, b.st))) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
+               FROM cand c JOIN sets a ON a.doc_id = c.id_a
+                 JOIN sets b ON b.doc_id = c.id_b)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""
+    },
+    // full verbatim replay of the PORTABLE 60-bit simhash pass: one md5
+    // per token → 60 bit votes → sign bits → 4×16-bit banding → cap →
+    // Hamming ≤ 3 verify
+    "dedup_simhash" -> {
+      val votes = (0 until 60)
+        .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(", ")
+      val sig = (0 until 60)
+        .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      val bandSel = (0 until 4)
+        .map(b => s"SELECT doc_id, s, $b AS band, (s >> ${b * 16}) & 65535 AS sig FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' graft dup marker' FROM documents),
+         toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM corpus),
+         th AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+                FROM (SELECT doc_id, unnest(ts) AS t FROM toks)),
+         v AS (SELECT doc_id, $votes FROM th GROUP BY 1),
+         sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS s FROM v),
+         bs AS ($bandSel),
+         ok AS (SELECT band, sig FROM bs GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+         capped AS (SELECT bs.* FROM bs JOIN ok USING (band, sig))
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+         FROM capped a JOIN capped b USING (band, sig)
+         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3"""
+    },
     // planted-truth recall oracles: ground truth by construction (see the
     // matching queries' scaladoc) — a missed planted pair changes the row
     // set and fails the driver's rows/hash compare
