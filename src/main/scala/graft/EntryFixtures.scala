@@ -190,6 +190,69 @@ private[graft] object EntryFixtures {
         org.apache.spark.storage.StorageLevel.NONE) prev
       else curationRun(s, dir))
 
+  /** The crawl-to-corpus FRONT HALF as one lineage (VERDICT r12 #2):
+    * planted HTML pages behind the documents' URI scheme → robots
+    * longest-match gate (inline example.com ruleset: Disallow /d/1 with
+    * an Allow /d/13 carve-back — prefix semantics knock out the 1xx id
+    * family) → real multi-member .wet.gz planting → byte-domain parse —
+    * ending in the WET record frame the ingest store holds.
+    */
+  private[graft] def crawlRecords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fetched = crawlFetchedPages(s, dir)
+    graft.operators.Crawl.wetParseBytes(
+      graft.operators.Crawl.plantWetBytes(fetched, "doc_id", "html",
+        gzipRecords = true), gz = true)
+  }
+
+  /** The robots-allowed planted pages `(doc_id, html)`. */
+  private[graft] def crawlFetchedPages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val pages = graft.operators.Crawl.plantHtml(docs, "doc_id", "text")
+    val rules = graft.operators.Crawl.robotsParse(
+      Seq(("example.com",
+        "User-agent: *\nDisallow: /d/1\nAllow: /d/13\nCrawl-delay: 2\n"))
+        .toDF("domain", "robots_txt"))
+    val allowed = graft.operators.Crawl.robotsGate(
+        pages.select(col("doc_id"),
+          concat(lit("https://example.com/d/"), col("doc_id")).as("url")),
+        rules, idCol = "doc_id", urlCol = "url")
+      .filter(col("allowed")).select("doc_id")
+    pages.join(allowed, Seq("doc_id"))
+  }
+
+  /** The crawl corpus BACK HALF shared by the batch lineage and the
+    * streaming twin: WET records → five-stage htmlStrip → source join →
+    * content mirrors (every 5th page duplicated at +PlantedOffset — the
+    * different-URL-same-content mirror case exact dedup must catch).
+    */
+  private[graft] def crawlCorpusFromRecords(s: SparkSession, dir: String,
+                                            recs: DataFrame): DataFrame = {
+    val stripped = graft.operators.Crawl.htmlStrip(
+      recs.select(col("doc_id"), col("body")), "doc_id", "body")
+    val withSource = stripped
+      .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("strip_text").as("text"))
+    withSource.unionByName(withSource.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + PlantedOffset).as("doc_id"), col("source"),
+        col("text")))
+  }
+
+  /** The whole crawl-to-corpus DAG curated and packed — the
+    * pipeline_curate parameters over the crawl-derived corpus.
+    */
+  private[graft] def crawlCurationRun(s: SparkSession, dir: String,
+                                      recs: DataFrame): graft.pipeline.CurationResult =
+    graft.pipeline.Pipeline.curate(crawlCorpusFromRecords(s, dir, recs),
+      "doc_id", "text", "source",
+      // the crawl strip text scores ~2x the raw documents' perplexity
+      // (title lines + entity tail tokens); 61.5 sits at its median, so
+      // the gate drops a real tail at every SF instead of everything
+      langKeep = Seq("en"), pplCutoff = 61.5, budget = 3000L,
+      weights = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+      seqBudget = 256L)
+
   private[graft] def curationRun(s: SparkSession, dir: String): graft.pipeline.CurationResult = {
     val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
     val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)

@@ -203,11 +203,21 @@ private[graft] object EntryOracles {
     * pipeline_mixture window, and the pipeline_packing arithmetic, all
     * chained on one corpus with a planted dup family.
     */
-  private[graft] lazy val sqlCurateCtes: String =
-    s"""WITH corpus AS (
+  private[graft] lazy val sqlCurateCtes: String = sqlCurateCtesFor(
+    """corpus AS (
          SELECT doc_id, source, text FROM documents
          UNION ALL
-         SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 5 = 0),
+         SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 5 = 0)""")
+
+  /** [[sqlCurateCtes]] over ANY corpus: `corpusCtes` is one or more CTE
+    * definitions ending in `corpus(doc_id, source, text)` — the
+    * documents+dups instantiation above is the pipeline_curate fixture;
+    * pipeline_crawl_corpus passes the whole crawl front half (planted
+    * pages → robots gate → strip → mirror union) instead.
+    */
+  private[graft] def sqlCurateCtesFor(corpusCtes: String,
+                                      pplCutoff: String = "30.5"): String =
+    s"""WITH $corpusCtes,
        keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)),
        ded AS (SELECT c.doc_id, c.source, c.text FROM corpus c JOIN keep USING (doc_id)),
        t0 AS (SELECT doc_id, source, text, ${sqlTokens("text")} AS ts,
@@ -254,7 +264,7 @@ private[graft] object EntryOracles {
                     (a, b) -> a + b) AS lsum
                 FROM lmlp GROUP BY 1),
        pk AS (SELECT l.* FROM l JOIN lmpd USING (doc_id)
-              WHERE round(exp(-(lmpd.lsum / lmpd.lm_n)), 6) <= 30.5),
+              WHERE round(exp(-(lmpd.lsum / lmpd.lm_n)), 6) <= $pplCutoff),
        quo(source, quota) AS (VALUES ('src0', 1200), ('src1', 900), ('src2', 600), ('src3', 300)),
        cum AS (SELECT doc_id, source, bpe_tokens,
            CAST(SUM(greatest(0, bpe_tokens)) OVER (PARTITION BY source
@@ -269,7 +279,11 @@ private[graft] object EntryOracles {
     * the two engines must answer the identical replay.
     */
   private[graft] lazy val sqlCuratePackedOracle: String =
-    s"""$sqlCurateCtes,
+    sqlCuratePackedSql(sqlCurateCtes)
+
+  /** The packed-layout tail over any [[sqlCurateCtesFor]] instantiation. */
+  private[graft] def sqlCuratePackedSql(curateCtes: String): String =
+    s"""$curateCtes,
        pos AS (SELECT doc_id, bpe_tokens AS n_tokens,
            CAST(COALESCE(SUM(greatest(0, bpe_tokens)) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
@@ -280,6 +294,63 @@ private[graft] object EntryOracles {
               ELSE start_token // 256 END AS BIGINT) AS seq_last,
          CAST(start_token % 256 AS BIGINT) AS offset_in_seq
        FROM pos"""
+
+  /** The crawl-to-corpus FRONT HALF as corpus CTEs for
+    * [[sqlCurateCtesFor]] (VERDICT r12 #2 — docs/CRAWL.md proved as ONE
+    * lineage): planted HTML pages behind the documents' URI scheme →
+    * robots longest-match gate over the inline example.com ruleset
+    * (Disallow /d/1, Allow /d/13 carve-back) → the WET gz ingest is
+    * byte-lossless so the fetched body IS the page → the five-stage
+    * htmlStrip replay → a content-mirror union (every 5th allowed page
+    * duplicated at +1000000, the different-URL-same-content case exact
+    * dedup must catch).
+    */
+  private[graft] lazy val sqlCrawlCorpusCtes: String =
+    """pg AS (SELECT doc_id, source,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+           '<script type="text/javascript">if (x &lt; 1) { x = 2; }</script>' ||
+           '<style>p { color: red }</style></head><body>' ||
+           '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+           '<p class="lead">' || substring(text, 1, 120) ||
+           ' &amp; more &lt;tags&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end.</p>' ||
+           (CASE WHEN doc_id % 3 = 0 THEN
+              '<!-- hidden --><div><p>Extra ' || CAST(doc_id AS VARCHAR) || '</p></div>'
+            ELSE '' END) ||
+           '</body></html>' AS html
+         FROM documents),
+       crl(directive, path_prefix) AS (VALUES ('Disallow', '/d/1'), ('Allow', '/d/13')),
+       cmt AS (SELECT pg.doc_id, r.directive,
+                row_number() OVER (PARTITION BY pg.doc_id
+                  ORDER BY len(r.path_prefix) DESC,
+                           (r.directive = 'Allow') DESC,
+                           r.path_prefix DESC) AS rn
+              FROM pg JOIN crl r
+                ON starts_with('/d/' || CAST(pg.doc_id AS VARCHAR), r.path_prefix)),
+       cg AS (SELECT pg.* FROM pg
+             LEFT JOIN (SELECT doc_id, directive FROM cmt WHERE rn = 1) b
+               USING (doc_id)
+             WHERE COALESCE(b.directive = 'Allow', true)),
+       cs1 AS (SELECT doc_id, source, regexp_replace(html,
+           '(?s)<script[^>]*>.*?</script>|(?s)<style[^>]*>.*?</style>|(?s)<!--.*?-->',
+           '', 'g') AS t FROM cg),
+       cs2 AS (SELECT doc_id, source, regexp_replace(t,
+           '</p>|</div>|</h[1-6]>|</li>|</title>|<br */?>', chr(10), 'g') AS t
+         FROM cs1),
+       cs3 AS (SELECT doc_id, source,
+           regexp_replace(t, '<[^>]+>', '', 'g') AS t FROM cs2),
+       cs4 AS (SELECT doc_id, source,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+             '&nbsp;', ' '), '&amp;', '&') AS t FROM cs3),
+       cs5 AS (SELECT doc_id, source, regexp_replace(regexp_replace(t,
+           '[ \t]+', ' ', 'g'), ' *\n *', chr(10), 'g') AS t FROM cs4),
+       cs6 AS (SELECT doc_id, source, array_to_string(
+           list_filter(string_split(t, chr(10)), x -> x <> ''), chr(10))
+           AS strip_text FROM cs5),
+       corpus AS (SELECT doc_id, source, strip_text AS text FROM cs6
+                  UNION ALL
+                  SELECT doc_id + 1000000, source, strip_text FROM cs6
+                  WHERE doc_id % 5 = 0)"""
 
   /** The curation DAG's per-stage funnel report — shared by
     * pipeline_curate_report and st_curate_report.

@@ -170,7 +170,12 @@ object SparkEntry {
     // merge loop, replacing the frequency seed as the trained artifact)
     "t_wordpiece_train",
     // round 13c: authority-weighted fetch planning (rank × staleness)
-    "pipeline_fetch_priority")
+    "pipeline_fetch_priority",
+    // round 13d: the crawl-to-corpus DAG as ONE lineage (batch) and with
+    // the streamed exactly-once front door (9-trigger gz drain + fold)
+    "pipeline_crawl_corpus", "st_crawl_corpus",
+    // round 13e: fully-oracled portable-hash near-dup pairs
+    "dedup_near_valid")
 
   // ---- DuckDB oracle twins ----
 

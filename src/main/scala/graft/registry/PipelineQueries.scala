@@ -312,6 +312,19 @@ private[graft] object PipelineQueries {
       curationOf(s, dir).packed
         .select("doc_id", "n_tokens", "start_token", "seq_first",
           "seq_last", "offset_in_seq")),
+    // The WHOLE crawl-to-corpus DAG as ONE lineage (VERDICT r12 #2 —
+    // docs/CRAWL.md proved the way pipeline_select_and_shard proved the
+    // shipping tail): planted HTML pages → robots longest-match gate →
+    // real multi-member .wet.gz planting → byte-domain parse → five-stage
+    // htmlStrip → content mirrors → exact dedup → quality gate → language
+    // filter → self-trained perplexity gate → mixture quotas → 256-token
+    // packing. Every stage is the already-oracled operator, composed; the
+    // oracle replays the chain stage by stage (sqlCrawlCorpusCtes feeding
+    // the sqlCurateCtesFor machinery).
+    "pipeline_crawl_corpus" -> ((s, dir) =>
+      crawlCurationRun(s, dir, crawlRecords(s, dir)).packed
+        .select("doc_id", "n_tokens", "start_token", "seq_first",
+          "seq_last", "offset_in_seq")),
     "pipeline_curate_report" -> ((s, dir) => curationOf(s, dir).report),
     // Sequence packing (operators/Pack.scala): the concatenate-and-chunk
     // layout onto 256-token training sequences, doc_id total order. All
@@ -909,6 +922,10 @@ private[graft] object PipelineQueries {
     // st_curate answers the SAME replay — the streaming DAG's published
     // artifact must be indistinguishable from the batch DAG's output.
     "pipeline_curate" -> sqlCuratePackedOracle,
+    // the crawl-to-corpus DAG: the crawl front half (pages → robots gate
+    // → strip → mirrors) feeding the same stage-by-stage curate replay
+    "pipeline_crawl_corpus" ->
+      sqlCuratePackedSql(sqlCurateCtesFor(sqlCrawlCorpusCtes, pplCutoff = "61.5")),
     // ... and the per-stage funnel report (batch + streaming twins)
     "pipeline_curate_report" -> sqlCurateReportOracle,
    

@@ -175,6 +175,51 @@ private[graft] object StreamingQueries {
         .select(col("doc_id"), col("uri"), col("file_id"),
           col("declared_len"), col("body"), col("len_ok"), col("n_seen"))
     }),
+    // The crawl-to-corpus DAG with a STREAMED front door (VERDICT r12
+    // #2's second half): the same robots-gated planted pages as
+    // pipeline_crawl_corpus, shipped as multi-member .wet.gz archives
+    // across 9 file triggers (8 archive files + a 9th refetch file
+    // redelivering every doc_id%8==0 record), drained through
+    // WetStream.writerGz with a full post-drain compaction, then the
+    // identical strip→mirror→curate→pack back half over the ingested
+    // store. First-seen-wins drops the refetch, so the multi-trigger
+    // replay answers pipeline_crawl_corpus's oracle VERBATIM.
+    "st_crawl_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val fetched = crawlFetchedPages(s, dir)
+      val blobs = graft.operators.Crawl
+        .plantWetBytes(fetched, "doc_id", "html", gzipRecords = true)
+        .unionByName(graft.operators.Crawl
+          .plantWetBytes(fetched.filter(col("doc_id") % 8 === 0), "doc_id",
+            "html", files = 1, gzipRecords = true)
+          .select(lit(8L).as("file_id"), col("content")))
+      val stage = tmpDir("graft_stcrawl_in")
+      (0L to 8L).foreach { i =>
+        val sub = s"$stage/f$i"
+        blobs.filter(col("file_id") === i).coalesce(1)
+          .write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stcrawl_work"), tmpDir("graft_stcrawl_cp"))
+      val schema = s.read.parquet(s"$stage/f0").schema
+      val q = graft.streaming.WetStream.writerGz(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*"),
+          work, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.WetStream.compact(s, work, upToBatch = 9L)
+      crawlCurationRun(s, dir, graft.streaming.WetStream.records(s, work))
+        .packed
+        .select("doc_id", "n_tokens", "start_token", "seq_first",
+          "seq_last", "offset_in_seq")
+    }),
     // STREAMING frontier maintenance (FrontierStream): two sitemap
     // waves — every domain's month-1 urlset, then a RE-PUBLISH with
     // month-2 lastmods for odd domains — drained exactly-once and
@@ -748,6 +793,12 @@ private[graft] object StreamingQueries {
            true AS len_ok,
            CAST(CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_seen
          FROM documents""",
+    // the streamed crawl front door answers the batch crawl-to-corpus
+    // lineage VERBATIM: first-seen-wins drops the trigger-9 refetch and
+    // the compaction fold is answer-preserving, so the oracle is
+    // pipeline_crawl_corpus's stage-by-stage replay unchanged
+    "st_crawl_corpus" ->
+      sqlCuratePackedSql(sqlCurateCtesFor(sqlCrawlCorpusCtes, pplCutoff = "61.5")),
     // the streaming drain must answer the batch query verbatim
     "st_term_stats" ->
       s"""$sqlTermStatsCtes
