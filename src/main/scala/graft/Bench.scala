@@ -176,6 +176,23 @@ object Bench {
     (now, regressions(baseline, now, tol, floorSec))
   }
 
+  /** The sf1 sublinearity gate (VERDICT r12 #8): a query is flagged
+    * SUPERLINEAR when its 10×-data time exceeds `factor` × its base time
+    * AND the excess clears `floorSec` (sub-second blips on centisecond
+    * queries are noise, not scale defects). Flag-only — the scale record
+    * is evidence, not a hard gate; plans get fixed, rounds don't fail on
+    * co-tenant noise at the bigger SF.
+    */
+  private[graft] def superlinear(base: Map[String, Double],
+                                 scaled: Map[String, Double],
+                                 factor: Double = 10.0,
+                                 floorSec: Double = 1.0): Seq[(String, Double, Double)] =
+    scaled.toSeq.sorted.flatMap { case (name, t) =>
+      base.get(name)
+        .filter(b => t > b * factor && t - b * factor > floorSec)
+        .map(b => (name, b, t))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] per the target environment (single JVM, 32 executor
@@ -395,10 +412,63 @@ object Bench {
     val debutJson = debuts.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     val debutFailJson =
       debutRerunFailed.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
+    // ---- standing whole-suite sf1 scale pass (VERDICT r12 #8): inflate
+    // the benched SF 10× (tools.ScaleUp key-shifted copies — measurement
+    // only, never a correctness input), run EVERY timed query once on it,
+    // and record the per-query times plus the sublinearity flags
+    // (> 10× time on 10× data). Auto-enabled only for the driver's sf0.1
+    // run; SPARK_GRAFT_BENCH_SF1=off skips, =force runs at any SF.
+    // Supplementary like the stream metrics — flags never fail the run.
+    val sf1Json = {
+      val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "auto")
+      val enabled = mode match {
+        case "off" => false
+        case "force" => true
+        case _ => sfDir.stripSuffix("/").endsWith("sf0.1")
+      }
+      if (!enabled) """"sf1":null"""
+      else try {
+        val dest = Files.createTempDirectory("graft_sf1").toString
+        graft.tools.ScaleUp.build(spark, sfDir, dest, copies = 10)
+        graft.util.Caches.clear()
+        spark.catalog.clearCache()
+        System.gc()
+        waitForLoad()
+        val scaledResults = SparkEntry.headline
+          .filter(name => only.forall(_.contains(name)))
+          .map { name =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            val r =
+              try { SparkEntry.queries(name)(spark, dest).count()
+                Right((System.nanoTime() - t0) / 1e9) }
+              catch { case e: Throwable =>
+                Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+            System.gc()
+            (name, r)
+          }
+        val scaledTimes = scaledResults.collect { case (n, Right(v)) => n -> v }.toMap
+        val flags = superlinear(nowTimes, scaledTimes)
+        flags.foreach { case (name, b, t) =>
+          System.err.println(f"bench sf1 SUPERLINEAR: $name ${t}%.2fs > 10x base ${b}%.2fs")
+        }
+        val sq = scaledResults.map {
+          case (k, Right(v)) => s""""${esc(k)}":$v"""
+          case (k, Left(e))  => s""""${esc(k)}":{"err":"${esc(e)}"}"""
+        }.mkString("{", ",", "}")
+        val fj = flags.map { case (n, b, t) =>
+          s""""${esc(n)}":{"base":$b,"sf1":$t}"""
+        }.mkString("{", ",", "}")
+        s""""sf1":{"queries":$sq,"superlinear":$fj,""" +
+          s""""total":${scaledTimes.values.sum},"copies":10}"""
+      } catch { case e: Throwable =>
+        s""""sf1":{"err":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}"}"""
+      }
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""flagship_total":$flagship,$streamJson,$corpusJson,$curateJson,""" +
-        s"""$freshJson,""" +
+        s"""$freshJson,$sf1Json,""" +
         s""""regressions":$regJson,"debut_qualified":$debutJson,""" +
         s""""debut_rerun_failed":$debutFailJson,""" +
         s""""cpus":$cpus,"timed_runs":$timedRuns,"sf":"$sfDir"}"""

@@ -32,17 +32,13 @@ object ScaleUp {
 
   private val passThrough = Seq("region", "nation")
 
-  def main(args: Array[String]): Unit = {
-    val Array(src, dest, copiesStr) = args
-    val copies = copiesStr.toInt
-    val cpus = Runtime.getRuntime.availableProcessors().toString
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Materialize the inflated copy under `dest` using an existing
+    * session — callable from [[graft.Bench]]'s standing sf1 leg as well
+    * as this tool's main.
+    */
+  def build(spark: SparkSession, src: String, dest: String,
+            copies: Int): Unit = {
+    require(copies >= 1, s"copies must be >= 1, got $copies")
     new java.io.File(dest).mkdirs()
     def shifted(df: DataFrame, keys: Seq[String], i: Int): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(Off * i)))
@@ -57,6 +53,19 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$dest/$t.parquet")
       System.err.println(s"[scaleup] $t x$copies done")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dest, copiesStr) = args
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, dest, copiesStr.toInt)
     spark.stop()
   }
 }

@@ -126,4 +126,18 @@ class BenchGateSpec extends AnyFunSuite {
     })
     assert(regs2 == Seq(("real", 1.0, 2.6)))
   }
+
+  test("the sf1 sublinearity gate flags >10x-on-10x-data above the floor") {
+    val base = Map("linear" -> 2.0, "super" -> 1.0, "tiny" -> 0.05,
+      "flat" -> 3.0)
+    val scaled = Map("linear" -> 19.0, // 9.5x: sublinear enough
+      "super" -> 12.0, // 12x and 2s over the 10x line: flagged
+      "tiny" -> 0.9, // 18x but only 0.4s over the line: noise, not flagged
+      "flat" -> 3.1, // fixture-driven query, data-independent
+      "debut" -> 50.0) // no base entry: nothing to compare
+    assert(Bench.superlinear(base, scaled) == Seq(("super", 1.0, 12.0)))
+    // the floor is parameterizable: at 0 the tiny blip flags too
+    assert(Bench.superlinear(base, scaled, floorSec = 0.0).map(_._1)
+      == Seq("super", "tiny"))
+  }
 }
