@@ -175,7 +175,10 @@ object SparkEntry {
     // the streamed exactly-once front door (9-trigger gz drain + fold)
     "pipeline_crawl_corpus", "st_crawl_corpus",
     // round 13e: fully-oracled portable-hash near-dup pairs
-    "dedup_near_valid")
+    "dedup_near_valid",
+    // round 13f: streaming ANN index maintenance (refit cadence + frozen
+    // assignment, served by the batch ivfTopK)
+    "st_ann_topk")
 
   // ---- DuckDB oracle twins ----
 

@@ -493,6 +493,48 @@ private[graft] object StreamingQueries {
     // survive — structural, independent of how crude the 8-bit blocking
     // is. (At threshold 0.99 the random corpus holds no cross pairs; a
     // planted pair is the only ≥-threshold edge per bucket.)
+    // STREAMING ANN index maintenance (streaming/AnnStream.scala —
+    // VERDICT r12 #9): the corpus arrives across 5 file triggers (4
+    // quarter files + a 5th redelivering every vec_id%4==0 vector);
+    // refits fire on the refitEvery=2 cadence (batches 0, 2, 4), frozen
+    // assignment covers the others, the redelivery is dropped by the id
+    // anti-join. Serving is the batch ivfTopK over the published store —
+    // fp-sensitive k-means training, so the query output is the
+    // ann_ivf_valid structural contract (rank contiguity, score
+    // monotonicity, neighbor uniqueness, corpus provenance) against
+    // literal truth.
+    "st_ann_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = embDouble(s, dir).select(col("vec_id"), col("emb_d").as("embedding"))
+      val stage = tmpDir("graft_stann_in")
+      (0L to 4L).foreach { i =>
+        val sub = s"$stage/f$i"
+        val part = if (i < 4) e.filter(col("vec_id") % 4 === i)
+          else e.filter(col("vec_id") % 4 === 0) // redelivery wave
+        part.coalesce(1).write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stann_work"), tmpDir("graft_stann_cp"))
+      val schema = s.read.parquet(s"$stage/f0").schema
+      val q = graft.streaming.AnnStream.writer(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*"),
+          work, cp, k = 8, iters = 2, refitEvery = 2)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val queries = embDouble(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec"))
+      topkValid(graft.streaming.AnnStream.topK(s, work, queries,
+          k = 10, nprobe = 2),
+        "q_id", "vec_id", "sim", ascending = false, k = 10,
+        embDouble(s, dir).select("vec_id"))
+    }),
     "st_emb_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val e = embDouble(s, dir).select(col("vec_id"), col("emb_d"))
@@ -711,6 +753,13 @@ private[graft] object StreamingQueries {
     // streaming embedding dedup: planted vector copies dropped, originals kept
     "st_emb_dedup" ->
       "SELECT vec_id, true AS original_kept, true AS copy_dropped FROM embeddings WHERE vec_id < 50",
+    // the streamed IVF index must serve structurally-valid top-k — the
+    // ann_ivf_valid literal truth, now after a multi-trigger drain with
+    // refits, frozen assignments, and a dropped redelivery
+    "st_ann_topk" ->
+      """SELECT vec_id AS q_id, true AS ranks_ok, true AS scores_sorted,
+                true AS neighbors_distinct, true AS neighbors_in_corpus
+         FROM embeddings WHERE vec_id < 5""",
     // the jointly-committed pair answers the BATCH KPI oracles verbatim
     // (exact state, same math — a1/a2's SQL)
     "st_joint_category" ->
