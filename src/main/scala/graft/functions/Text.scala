@@ -165,6 +165,20 @@ object Text {
       shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
         .bitwiseXOR(xxhash64(t)))
 
+  /** [[fingerprint]]'s engine-PORTABLE twin (VERDICT r12 #7 follow-on):
+    * the same rotate-and-xor rolling fold, but over the md5-derived
+    * 60-bit token hash and rotating WITHIN 60 bits — every intermediate
+    * stays a non-negative < 2^60 long, so the fold replays in SQL with
+    * plain `& << >> xor` (no unsigned-shift semantics to match across
+    * engines). xxhash64 stays the throughput default; this one sits
+    * under the full t_fingerprint oracle.
+    */
+  def fingerprintPortable(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc.bitwiseAND(lit((1L << 55) - 1)), 5)
+        .bitwiseOR(shiftright(acc, 55))
+        .bitwiseXOR(conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+
   /** Repetition stats per document — the MassiveText/Gopher-style
     * repetition quality signals, computed with shuffles instead of
     * per-row array lambdas (interpreted HOFs are the shinglesFromTokens

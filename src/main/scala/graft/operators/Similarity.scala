@@ -443,7 +443,44 @@ object Similarity {
               nbits: Int = 8, ntables: Int = 4, seed: Long = 42L,
               qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
-    lshJoinTopK(queries, corpus, dim, k, nbits, ntables, seed,
+    lshJoinTopK(queries, corpus, k, nbits, ntables,
+      (v, t) => lshBucket(v, dim, nbits, seed + t),
+      multiProbe = false, qId, qVec, cId, cVec)
+
+  /** The ±1 sign of portable hyperplane component (table, bit, dim) —
+    * bit 0 of the first hex char of md5("lsh:t:i:j"), so a SQL oracle
+    * rebuilds the planes from the same digests.
+    */
+  private[operators] def portableSign(t: Int, i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"lsh:$t:$i:$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** [[lshBucket]]'s engine-PORTABLE twin: Achlioptas ±1 hyperplanes
+    * (database-friendly random projections, Achlioptas 2003) with each
+    * component's sign derived from md5 of its (table, bit, dim)
+    * coordinates — deterministic on both engines, no PRNG stream to
+    * reproduce.
+    */
+  def lshBucketPortable(vec: Column, dim: Int, nbits: Int, table: Int): Column =
+    (0 until nbits).map { i =>
+      val plane = array((0 until dim).map(j => lit(portableSign(table, i, j))): _*)
+      when(dot(vec, plane) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** [[lshTopK]] on the portable ±1 hyperplane family — the whole
+    * bucket → banded join → exact-cosine top-k pipeline replays in SQL
+    * (VERDICT r12 #7 follow-on: ann_lsh_topk was rows-only because of
+    * the PRNG planes; the gaussian family stays pinned by the recall
+    * and _valid twins).
+    */
+  def lshTopKPortable(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+                      nbits: Int = 8, ntables: Int = 4,
+                      qId: String = "q_id", qVec: String = "q_vec",
+                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    lshJoinTopK(queries, corpus, k, nbits, ntables,
+      (v, t) => lshBucketPortable(v, dim, nbits, t),
       multiProbe = false, qId, qVec, cId, cVec)
 
   /** Multi-probe LSH ANN (Lv et al., VLDB '07 — published): the same
@@ -464,21 +501,23 @@ object Similarity {
                         nbits: Int = 8, ntables: Int = 4, seed: Long = 42L,
                         qId: String = "q_id", qVec: String = "q_vec",
                         cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
-    lshJoinTopK(queries, corpus, dim, k, nbits, ntables, seed,
+    lshJoinTopK(queries, corpus, k, nbits, ntables,
+      (v, t) => lshBucket(v, dim, nbits, seed + t),
       multiProbe = true, qId, qVec, cId, cVec)
 
-  private def lshJoinTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
-                          k: Int, nbits: Int, ntables: Int, seed: Long,
+  private def lshJoinTopK(queries: DataFrame, corpus: DataFrame,
+                          k: Int, nbits: Int, ntables: Int,
+                          bucketFn: (Column, Int) => Column,
                           multiProbe: Boolean, qId: String, qVec: String,
                           cId: String, cVec: String): DataFrame = {
     val tableCol = (v: Column) => array((0 until ntables).map(t =>
-      struct(lit(t).as("tbl"), lshBucket(v, dim, nbits, seed + t).as("bucket"))): _*)
+      struct(lit(t).as("tbl"), bucketFn(v, t).as("bucket"))): _*)
     // query probes: the base bucket, plus (multi-probe) each Hamming-1
     // neighbor — bit i of the base flipped
     val probeCol = (v: Column) => array((for {
       t <- 0 until ntables
       p <- -1 until (if (multiProbe) nbits else 0)
-      base = lshBucket(v, dim, nbits, seed + t)
+      base = bucketFn(v, t)
     } yield struct(lit(t).as("tbl"),
       (if (p < 0) base else base.bitwiseXOR(lit(1L << p))).as("bucket"))): _*)
     val cb = corpus.select(col(cId), col(cVec),

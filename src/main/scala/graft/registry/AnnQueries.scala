@@ -117,14 +117,18 @@ private[graft] object AnnQueries {
         corpus.join(cells, "vec_id"),
         cellCol = "cell", k = 10, nprobe = 2)
     }),
-    "ann_lsh_topk" -> ((s, dir) => {      // rows-only: PRNG hyperplanes
+    // FULLY-ORACLED LSH top-k (formerly rows-only): the portable
+    // Achlioptas ±1 hyperplane family — every plane sign is md5-derived,
+    // so DuckDB rebuilds the planes, the buckets, the banded join, and
+    // the exact-cosine top-k verbatim. The gaussian-PRNG family stays
+    // pinned by ann_lsh_valid / ann_lsh_recall / multiprobe.
+    "ann_lsh_topk" -> ((s, dir) => {
       val e = embDouble(s, dir)
-      val dim = 64 // hyperplane width ≥ vector dim; dot ignores the excess
-      Similarity.lshTopK(
+      Similarity.lshTopKPortable(
         e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
         e.select(col("vec_id"), col("emb_d").as("embedding")),
-        dim = dim, k = 10)
+        dim = 64, k = 10)
     }),
     // Derived-invariant twins for the rows-only top-k outputs (VERDICT
     // r09 #7): which neighbors the seeded structures retrieve is not
@@ -347,6 +351,36 @@ private[graft] object AnnQueries {
          round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
        FROM rf JOIN rt USING (q_id, vec_id) GROUP BY q_id""",
 
+    // portable LSH top-k replayed end to end: ±1 plane signs from md5,
+    // per-plane dots as the SAME left fold as the native DotProduct,
+    // disjoint sign bits summed into buckets, banded join, cosine top-k
+    "ann_lsh_topk" -> {
+      val sign =
+        "(CASE WHEN CAST(('0x' || substr(md5('lsh:' || t || ':' || i || ':' || j), 1, 1)) AS BIGINT) & 1 = 1 " +
+          "THEN 1.0 ELSE -1.0 END)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pd AS (SELECT vec_id, t, i,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(0, 63),
+                 j -> $sign * v[CAST(j + 1 AS INTEGER)])),
+               (acc, x) -> acc + x) AS d
+           FROM e, unnest(range(0, 4)) AS ut(t), unnest(range(0, 8)) AS ui(i)),
+         bk AS (SELECT vec_id, t,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS bucket
+           FROM pd GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
+                  FROM bk qb JOIN bk cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+                  WHERE qb.vec_id < 5),
+         s AS (SELECT c.q_id, c.vec_id, ${sqlCosine("a.v", "b.v")} AS sim
+               FROM cand c JOIN e a ON a.vec_id = c.q_id
+                 JOIN e b ON b.vec_id = c.vec_id)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+         FROM (SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rank
+               FROM s)
+         WHERE rank <= 10"""
+    },
     "sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),

@@ -548,9 +548,13 @@ private[graft] object TextQueries {
             col("est") <= coalesce(col("__n"), lit(0L)) + lit(epsBound))
             .as("est_within_bounds"))
     }),
-    "t_fingerprint" -> ((s, dir) =>       // rows-only: xxhash64 rolling hash
+    // FULLY-ORACLED document fingerprint (formerly rows-only): the
+    // portable md5-derived rolling fold — DuckDB replays every rotate
+    // and xor. The xxhash64 fold stays pinned by t_fingerprint_dups.
+    "t_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+        .select(col("doc_id"),
+          Text.fingerprintPortable(col("text")).as("fingerprint"))),
     // Cross-document boilerplate fraction (Dedup.boilerplateStats):
     // docs < 100 get planted exact copies, so their every 8-gram is
     // shared (frac 1.0) while original prose stays near 0 — the whole
@@ -749,6 +753,18 @@ private[graft] object TextQueries {
          ORDER BY rank LIMIT 20""",
     "t_fingerprint_dups" ->
       "SELECT doc_id, true AS exact_dup_same, true AS mutated_differs FROM documents",
+    // the portable rolling fingerprint replayed fold step by fold step:
+    // rotate-left-5 within 60 bits, xor the md5-derived token hash
+    "t_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents)
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(ts,
+                 t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))),
+             (acc, h) -> xor(((acc & 36028797018963967) << 5) | (acc >> 55), h))
+             AS fingerprint
+         FROM toks""",
     "t_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS ts FROM documents),
          st AS (SELECT doc_id,
