@@ -448,7 +448,13 @@ object Bench {
             (name, r)
           }
         val scaledTimes = scaledResults.collect { case (n, Right(v)) => n -> v }.toMap
-        val flags = superlinear(nowTimes, scaledTimes)
+        // memoized queries' base numbers measure a memo READ (centiseconds)
+        // while the fresh sf1 dir pays the full drain — comparing the two
+        // flags a false superlinearity (r13: st_curate 0.09s memo read vs a
+        // 14s sf1 drain whose honest fresh-vs-fresh ratio was 1.16×); their
+        // scale story lives in fresh_cost_s, so they are excluded here
+        val flags = superlinear(nowTimes -- SparkEntry.memoizedHeadline,
+          scaledTimes)
         flags.foreach { case (name, b, t) =>
           System.err.println(f"bench sf1 SUPERLINEAR: $name ${t}%.2fs > 10x base ${b}%.2fs")
         }

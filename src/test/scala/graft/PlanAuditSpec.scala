@@ -456,4 +456,32 @@ class PlanAuditSpec extends SparkSpec {
       s"mask collect funnels to one partition:\n$p")
     assert(!p.contains("CartesianProduct"), s"mask plan has a cartesian:\n$p")
   }
+
+  test("pipeline_fetch_priority: rank join + domain window — no cartesian, no single partition") {
+    val p = plan("pipeline_fetch_priority")
+    assert(p.contains("BroadcastHashJoin"), s"delays/probes not broadcast in:\n$p")
+    assert(p.contains("Window"), s"no priority window in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"priority plan funnels to one partition:\n$p")
+    assertNoCartesian(p, "pipeline_fetch_priority")
+  }
+
+  test("ann_lsh_topk (portable): bucket equi-join only — no cartesian") {
+    val p = plan("ann_lsh_topk")
+    assertNoCartesian(p, "ann_lsh_topk")
+  }
+
+  test("t_fingerprint (portable): zero exchanges — pure map over the scan") {
+    val p = plan("t_fingerprint")
+    assert(!p.contains("Exchange"), s"fingerprint plans a shuffle:\n$p")
+    assert(!p.contains("Join"), s"fingerprint plans a join:\n$p")
+  }
+
+  test("crawl corpus front half: rules broadcast, no cartesian anywhere") {
+    val recs = EntryFixtures.crawlRecords(spark, dir)
+    val p = EntryFixtures.crawlCorpusFromRecords(spark, dir, recs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"robots rules not broadcast in:\n$p")
+    assertNoCartesian(p, "crawl corpus front half")
+  }
 }
