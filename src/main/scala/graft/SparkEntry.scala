@@ -178,7 +178,9 @@ object SparkEntry {
     "dedup_near_valid",
     // round 13f: streaming ANN index maintenance (refit cadence + frozen
     // assignment, served by the batch ivfTopK)
-    "st_ann_topk")
+    "st_ann_topk",
+    // round 13g: classic DCT pHash and the anti-aliased audio chain
+    "mm_phash_dct", "mm_resample_filtered")
 
   // ---- DuckDB oracle twins ----
 

@@ -538,6 +538,128 @@ object Multimodal {
     })
   }
 
+  /** The CLASSIC DCT perceptual hash (pHash proper — the average-hash
+    * family's [[phash]] stays for feature vectors): grayscale the
+    * decoded image, exact box-resize to 32×32, 2-D DCT, keep the 8×8
+    * lowest-frequency block, threshold each coefficient at the block's
+    * median (DC excluded from the median — it is pure brightness), pack
+    * 64 bits. Identical pixels hash identically (the planted-truth
+    * invariant); near-identical images land within small Hamming
+    * distance, which [[graft.operators.Dedup.hammingBandPairs]] banding
+    * then finds without an all-pairs join.
+    */
+  def dctPhash64(img: Codecs.Image): Long = {
+    require(img.width == img.height && img.width >= 32 && img.width % 32 == 0,
+      s"dctPhash needs a square 32k-sided image, got ${img.width}x${img.height}")
+    val small = boxResize(img, img.width / 32)
+    val g = new Array[Double](32 * 32)
+    var i = 0
+    while (i < 32 * 32) {
+      g(i) = ((small.rgb(3 * i) & 0xFF) + (small.rgb(3 * i + 1) & 0xFF) +
+        (small.rgb(3 * i + 2) & 0xFF)) / 3.0
+      i += 1
+    }
+    // separable 32-point DCT-II of the top-left 8 frequencies only
+    def cos32(x: Int, u: Int): Double = math.cos((2 * x + 1) * u * math.Pi / 64.0)
+    val tmp = new Array[Double](8 * 32) // tmp(u)(y) = Σ_x g(y, x) cos(x, u)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += g(y * 32 + x) * cos32(x, u); x += 1 }
+        tmp(u * 32 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 32) { s += tmp(u * 32 + y) * cos32(y, v); y += 1 }
+        coef(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = coef.zipWithIndex.filter(_._2 != 0).map(_._1).sorted
+    val median = (ac(30) + ac(31)) / 2.0 // 63 AC values: mid-pair average
+    var sig = 0L
+    i = 0
+    while (i < 64) {
+      if (i != 0 && coef(i) > median) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** [[dctPhash64]] over PNG payloads as a per-partition decode pass —
+    * `(media_id, phash)`, ready for the shared Hamming banding.
+    */
+  def dctPhashPng(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(rec =>
+      (rec.media_id, dctPhash64(Codecs.Png.decode(rec.content)))))
+      .toDF("media_id", "phash")
+  }
+
+  /** Integer-exact FIR filter over PCM frames — the anti-aliasing step a
+    * production resampler runs before decimation, reduced to its
+    * closed-form core: per channel,
+    * `y[t] = (Σ_i kernel(i) · x[clamp(t + i − center)]) / Σ kernel`
+    * with an integer kernel (e.g. [1, 2, 1] — the binomial low-pass),
+    * replicate padding at the edges, truncating division (DuckDB's `//`).
+    * Composing [[firFilter]] → [[decimateAudio]] gives anti-aliased
+    * integer decimation, every sample SQL-replayable.
+    */
+  def firFilter(audio: Codecs.Audio, kernel: Array[Int]): Codecs.Audio = {
+    require(kernel.nonEmpty && kernel.sum > 0, "kernel must have positive mass")
+    val ch = audio.channels
+    val n = audio.frames
+    val c = kernel.length / 2
+    val ksum = kernel.sum
+    val out = new Array[Short](n * ch)
+    var t = 0
+    while (t < n) {
+      var cc = 0
+      while (cc < ch) {
+        var s = 0L
+        var i = 0
+        while (i < kernel.length) {
+          val src = math.min(n - 1, math.max(0, t + i - c))
+          s += kernel(i).toLong * audio.samples(src * ch + cc)
+          i += 1
+        }
+        out(t * ch + cc) = (s / ksum).toShort
+        cc += 1
+      }
+      t += 1
+    }
+    Codecs.Audio(audio.sampleRate, ch, out)
+  }
+
+  /** The anti-aliased audio chain — WAV decode → [[firFilter]] (binomial
+    * [1,2,1]) → exact [[decimateAudio]] → integer stats, every stage
+    * closed-form for the oracle.
+    */
+  def filteredResampleWavStats(media: Dataset[MediaRecord], k: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { rec =>
+      val audio = decimateAudio(
+        firFilter(Codecs.Wav.decode(rec.content), Array(1, 2, 1)), k)
+      var s = 0L
+      var i = 0
+      while (i < audio.samples.length) { s += audio.samples(i); i += 1 }
+      (rec.media_id, audio.sampleRate.toLong, audio.channels.toLong,
+        audio.frames.toLong, s)
+    }).toDF("media_id", "out_rate", "channels", "out_frames", "sum_samples")
+  }
+
   /** Perceptual-hash signature over a decoded feature vector — the
     * classic average-hash construction (each bit = is feature i above
     * the vector's own mean?), the image-dedup fingerprint pHash-family

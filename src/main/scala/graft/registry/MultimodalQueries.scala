@@ -144,6 +144,46 @@ private[graft] object MultimodalQueries {
       graft.multimodal.Multimodal.resampleRationalWavStats(media, l = 160, m = 441)
     }),
 
+    // The ANTI-ALIASED audio chain: WAV decode → integer FIR low-pass
+    // (binomial [1,2,1], replicate edges, truncating division) → exact
+    // ÷4 decimation → stats; every filtered and decimated sample
+    // recomputed analytically in the oracle.
+    "mm_resample_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nFrames = (4 * (16 + id % 9)).toInt
+        val samples = Array.tabulate(nFrames * channels)(i =>
+          (((i * 31 + 7 * id) % 65536) - 32768).toShort)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.filteredResampleWavStats(media, k = 4)
+    }),
+    // CLASSIC DCT pHash (the published perceptual hash, not the
+    // average-hash stub family): PNG decode → box-resize to 32×32 →
+    // 2-D DCT → 8×8 low block thresholded at the AC median → 64 bits →
+    // the shared Hamming banding. Pixel-identical twins MUST pair at 0.
+    "mm_phash_dct" -> ((s, dir) => {
+      import s.implicits._
+      def img(id: Long, seed: Long) = graft.multimodal.MediaRecord(id,
+        "image/png", graft.multimodal.Codecs.Png.encode(64, 64, (x, y) => (
+          ((x * 7 + y * 13 + seed * 31) % 256).toInt,
+          ((x * 5 + y * 11 + seed * 17) % 256).toInt,
+          ((x * 3 + y * 17 + seed * 7) % 256).toInt)))
+      val media = s.range(100).map(id => img(id, id))
+        .union(s.range(30).map(id => img(id + PlantedOffset, id)))
+      val sigs = graft.multimodal.Multimodal.dctPhashPng(media)
+      val pairs = graft.operators.Dedup.hammingBandPairs(sigs, "media_id",
+        "phash", maxDist = 0)
+      s.range(30).toDF("media_id")
+        .join(pairs.filter(col("id_b") - col("id_a") === PlantedOffset)
+            .select(col("id_a").as("media_id"), lit(true).as("found")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), coalesce(col("found"), lit(false)).as("found"))
+    }),
+
     // REAL animated-GIF demux (Codecs.Gif — the multi-frame container
     // that retires the frame stub): full GIF-LZW (variable-width codes,
     // dictionary growth, clear reset) + sub-block framing + extension
@@ -496,6 +536,35 @@ private[graft] object MultimodalQueries {
                 CAST(outf AS BIGINT) AS out_frames,
                 CAST(SUM(v) AS BIGINT) AS sum_samples
          FROM vals GROUP BY 1, 2, 3, 4""",
+    // decode → binomial FIR (replicate edges, // 4) → ÷4 decimation →
+    // stats: the filtered samples then the decimated means, all replayed
+    "mm_resample_filtered" -> {
+      def x(frame: String) =
+        s"((($frame * ch + c) * 31 + 7 * id) % 65536 - 32768)"
+      s"""WITH clips AS (SELECT id, 1 + id % 2 AS ch,
+                                8000 + (id % 3) * 4000 AS rate,
+                                4 * (16 + id % 9) AS frames
+                         FROM (SELECT unnest(range(0, 256)) AS id)),
+         fir AS (SELECT id, ch, rate, frames, t, c,
+             (${x("greatest(t - 1, 0)")}
+              + 2 * ${x("t")}
+              + ${x("least(t + 1, frames - 1)")}) // 4 AS y
+           FROM clips, unnest(range(0, frames)) AS ut(t),
+                unnest(range(0, ch)) AS uc(c)),
+         dec AS (SELECT id, ch, rate, frames // 4 AS outf, t // 4 AS sq, c,
+                        SUM(y) // 4 AS z
+                 FROM fir GROUP BY 1, 2, 3, 4, 5, 6)
+         SELECT id AS media_id, CAST(rate // 4 AS BIGINT) AS out_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(outf AS BIGINT) AS out_frames,
+                CAST(SUM(z) AS BIGINT) AS sum_samples
+         FROM dec GROUP BY 1, 2, 3, 4"""
+    },
+    // planted-payload truth through the classic DCT pHash: identical
+    // pixels hash identically, so every twin pairs at hamming 0
+    "mm_phash_dct" ->
+      """SELECT id AS media_id, true AS found
+         FROM (SELECT unnest(range(0, 30)) AS id)""",
     // real-codec JPEG: the planted coefficients live only on the
     // exact-rational DCT basis, so every decoded sample is
     // 128 + c00 ± c40 ± c04 ± c44 (signs from the cos((2t+1)π/4)

@@ -170,6 +170,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out.samples.toSeq == Seq[Short](10, 30, 50))
   }
 
+  test("firFilter: hand-computed binomial smoothing with replicate edges") {
+    val audio = Codecs.Audio(8000, 1, Array[Short](0, 100, -100, 3))
+    val out = Multimodal.firFilter(audio, Array(1, 2, 1))
+    // y0 = (0+0+100)/4 = 25 (left edge replicates x0)
+    // y1 = (0+200-100)/4 = 25; y2 = (100-200+3)/4 = -24 (toward zero)
+    // y3 = (-100+6+3)/4 = -22 (right edge replicates x3)
+    assert(out.samples.toSeq == Seq[Short](25, 25, -24, -22))
+    assert(out.sampleRate == 8000 && out.channels == 1)
+    // stereo: channels filter independently
+    val st = Multimodal.firFilter(
+      Codecs.Audio(8000, 2, Array[Short](0, 8, 100, -8, 0, 8)), Array(1, 2, 1))
+    // R channel [8,-8,8]: y0 = (8+16-8)/4 = 4, y1 = (8-16+8)/4 = 0,
+    // y2 = (-8+16+8)/4 = 4
+    assert(st.samples.toSeq == Seq[Short](25, 4, 50, 0, 25, 4))
+  }
+
+  test("dctPhash64: identical pixels equal, brightness shift invariant") {
+    def img(shift: Int, noise: Boolean) = Codecs.Png.decode(
+      Codecs.Png.encode(64, 64, (x, y) => {
+        val n = if (noise && x == 40 && y == 40) 120 else 0
+        def c(v: Int) = math.min(255, math.max(0, v))
+        (c((x * 7 + y * 13) % 200 + shift + n),
+          c((x * 5 + y * 11) % 200 + shift + n),
+          c((x * 3 + y * 17) % 200 + shift + n))
+      }))
+    val base = Multimodal.dctPhash64(img(0, noise = false))
+    assert(Multimodal.dctPhash64(img(0, noise = false)) == base,
+      "identical pixels must hash identically")
+    // +20 brightness moves only the DC coefficient — the AC block and
+    // its median shift by nothing, so the classic pHash is invariant
+    assert(Multimodal.dctPhash64(img(20, noise = false)) == base,
+      "pHash must be brightness-invariant")
+    // one perturbed pixel flips at most a few low-frequency bits
+    val noisy = Multimodal.dctPhash64(img(0, noise = true))
+    assert(java.lang.Long.bitCount(base ^ noisy) <= 8,
+      "a single-pixel change must stay within a few bits")
+    intercept[IllegalArgumentException](
+      Multimodal.dctPhash64(Codecs.Image(16, 16, new Array[Byte](16 * 16 * 3))))
+  }
+
   test("sampleFramesGif: real demux keeps every Nth frame as a BMP record") {
     val frames = Seq.tabulate(5)(f =>
       Array.tabulate(4 * 3)(i => ((i + f * 50) % 256).toByte))
