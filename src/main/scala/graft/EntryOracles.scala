@@ -295,6 +295,79 @@ private[graft] object EntryOracles {
          CAST(start_token % 256 AS BIGINT) AS offset_in_seq
        FROM pos"""
 
+
+  /** The authority-weighted fetch-plan replay over the planted sitemap
+    * frontier: rank iteration unrolled (the g_pagerank pattern) over the
+    * hub-and-spoke graph, then the priority = rank × staleness window
+    * per domain. `lastmodExpr` is the per-entry lastmod in terms of
+    * (d, k) — month-1 for the batch query, the latest-wins two-wave form
+    * for the streamed frontier; `asOf` the plan date.
+    */
+  private[graft] def sqlFetchPrioritySql(lastmodExpr: String, asOf: String): String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT n.node,
+            CAST(150000 + (85 * COALESCE(SUM(r.rank // od.d), 0)) // 100 AS BIGINT) AS rank
+          FROM nodes n
+          LEFT JOIN ed ON ed.dst = n.node
+          LEFT JOIN $prev r ON r.node = ed.src
+          LEFT JOIN od ON od.src = ed.src
+          GROUP BY n.node)"""
+    s"""WITH dd AS (SELECT DISTINCT doc_id % 8 AS d FROM documents),
+       rules0 AS (
+         SELECT 'd' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+                'Disallow' AS directive, '/private' AS path_prefix FROM dd
+         UNION ALL
+         SELECT 'd' || CAST(d AS VARCHAR) || '.example.com', 'Allow',
+                '/private/ok' FROM dd WHERE d % 2 = 0
+         UNION ALL
+         SELECT 'd' || CAST(d AS VARCHAR) || '.example.com', 'Disallow',
+                '/p/' || CAST(d AS VARCHAR) FROM dd WHERE d % 3 = 0),
+       e AS (SELECT d, CAST(d * 100 + k AS BIGINT) AS entry_id,
+               CASE WHEN k % 3 = 0 THEN '/private/ok/s' || CAST(d * 100 + k AS VARCHAR)
+                    WHEN k % 3 = 1 THEN '/private/s' || CAST(d * 100 + k AS VARCHAR)
+                    ELSE '/s/' || CAST(d * 100 + k AS VARCHAR) END AS path,
+               'd' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+               $lastmodExpr AS lastmod
+             FROM dd, unnest(range(0, 3 + d)) AS uk(k)),
+       m AS (SELECT e.entry_id, r.directive, r.path_prefix,
+               row_number() OVER (PARTITION BY e.entry_id
+                 ORDER BY len(r.path_prefix) DESC,
+                          (r.directive = 'Allow') DESC,
+                          r.path_prefix DESC) AS rn
+             FROM e JOIN rules0 r ON e.domain = r.domain
+               AND starts_with(e.path, r.path_prefix)),
+       a AS (SELECT e.* FROM e
+             LEFT JOIN (SELECT entry_id, directive FROM m WHERE rn = 1) b
+               USING (entry_id)
+             WHERE COALESCE(b.directive = 'Allow', true)),
+       sp AS (SELECT entry_id AS src, (entry_id // 100) * 100 AS dst
+              FROM e WHERE entry_id % 100 <> 0),
+       ed AS (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp),
+       nodes AS (SELECT DISTINCT src AS node FROM ed),
+       od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1),
+       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       ${iter("r0", "r1")},
+       ${iter("r1", "r2")},
+       ${iter("r2", "r3")},
+       pr AS (SELECT a.entry_id, 'https://' || a.domain || a.path AS loc,
+                a.domain, a.lastmod,
+                COALESCE(r3.rank, 150000) AS rank,
+                CAST(date_diff('day', CAST(a.lastmod AS DATE),
+                  DATE '$asOf') + 1 AS BIGINT) AS staleness_days,
+                CAST(a.d % 3 + 1 AS BIGINT) AS crawl_delay
+              FROM a LEFT JOIN r3 ON r3.node = a.entry_id),
+       sl AS (SELECT *, CAST(rank * staleness_days AS BIGINT) AS priority
+              FROM pr)
+       SELECT entry_id, loc, domain, lastmod, rank, staleness_days,
+              crawl_delay, priority,
+              CAST(row_number() OVER (PARTITION BY domain
+                ORDER BY priority DESC, entry_id) - 1 AS BIGINT) AS fetch_slot,
+              CAST((row_number() OVER (PARTITION BY domain
+                ORDER BY priority DESC, entry_id) - 1) * crawl_delay AS BIGINT)
+                AS fetch_eta_s
+       FROM sl"""
+  }
+
   /** The crawl-to-corpus FRONT HALF as corpus CTEs for
     * [[sqlCurateCtesFor]] (VERDICT r12 #2 — docs/CRAWL.md proved as ONE
     * lineage): planted HTML pages behind the documents' URI scheme →

@@ -180,7 +180,10 @@ object SparkEntry {
     // assignment, served by the batch ivfTopK)
     "st_ann_topk",
     // round 13g: classic DCT pHash and the anti-aliased audio chain
-    "mm_phash_dct", "mm_resample_filtered")
+    "mm_phash_dct", "mm_resample_filtered",
+    // round 13h: the streamed frontier composed into the authority
+    // scheduler
+    "st_fetch_priority")
 
   // ---- DuckDB oracle twins ----
 

@@ -257,6 +257,62 @@ private[graft] object StreamingQueries {
       graft.streaming.FrontierStream.frontier(s, work)
     }),
 
+    // ...and the streamed frontier COMPOSED into the authority-weighted
+    // scheduler: the same two-wave drain, then latest-wins frontier →
+    // robots gate → hub-graph PageRank → priority = rank × staleness
+    // slots (asOf past both waves, so odd domains' month-2 refreshes
+    // carry LOWER staleness and sink within their domain unless rank
+    // compensates — the composition the batch pipeline_fetch_priority
+    // proves, now fed by the exactly-once stream).
+    "st_fetch_priority" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir)
+      val wave0 = graft.operators.Crawl.plantSitemap(docs, "doc_id", month = 1)
+      val wave1 = graft.operators.Crawl.plantSitemap(docs, "doc_id", month = 2)
+        .filter(regexp_extract(col("domain"), "^d([0-9])", 1)
+          .cast("int") % 2 === 1)
+      val stage = tmpDir("graft_stfp_in")
+      Seq(wave0, wave1).zipWithIndex.foreach { case (w, i) =>
+        val sub = s"$stage/f$i"
+        w.coalesce(1).write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stfp_work"), tmpDir("graft_stfp_cp"))
+      val schema = s.read.parquet(s"$stage/f0").schema
+      val q = graft.streaming.FrontierStream.writer(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*"),
+          work, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.FrontierStream.compact(s, work, upToBatch = 2L)
+      val frontier = graft.streaming.FrontierStream.frontier(s, work)
+        .withColumn("entry_id",
+          regexp_extract(col("loc"), "([0-9]+)$", 1).cast("long"))
+      val robots = graft.operators.Crawl.plantRobots(docs, "doc_id")
+      val gated = graft.operators.Crawl.robotsGate(
+          frontier.select(col("entry_id"), col("loc")),
+          graft.operators.Crawl.robotsParse(robots),
+          idCol = "entry_id", urlCol = "loc")
+        .join(frontier.select("entry_id", "lastmod"), Seq("entry_id"))
+      val spokes = frontier
+        .select(col("entry_id").as("src"),
+          (col("entry_id") - col("entry_id") % 100).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = spokes.unionByName(
+        spokes.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Crawl.fetchPlanPrioritized(gated,
+        graft.operators.Crawl.crawlDelays(robots),
+        graft.operators.Graph.pageRankFixed(edges, "src", "dst", iters = 3),
+        asOf = "2026-03-01")
+    }),
+
     // ST3 (batch execution): the same flatMapGroupsWithState operator the
     // streaming layer runs, driven by a batch event Dataset built from the
     // tables — orders as header arrivals, lineitem as item arrivals, and
@@ -842,6 +898,13 @@ private[graft] object StreamingQueries {
            true AS len_ok,
            CAST(CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_seen
          FROM documents""",
+    // the streamed frontier into the authority scheduler: the same
+    // fetch-priority replay with the latest-wins lastmod (odd domains
+    // refreshed to month 2) and a plan date past both waves
+    "st_fetch_priority" -> sqlFetchPrioritySql(
+      "'2026-0' || CAST(CASE WHEN d % 2 = 1 THEN 2 ELSE 1 END AS VARCHAR)" +
+        " || '-' || lpad(CAST((d + k) % 28 + 1 AS VARCHAR), 2, '0')",
+      "2026-03-01"),
     // the streamed crawl front door answers the batch crawl-to-corpus
     // lineage VERBATIM: first-seen-wins drops the trigger-9 refetch and
     // the compaction fold is answer-preserving, so the oracle is
