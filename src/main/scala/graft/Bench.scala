@@ -193,6 +193,28 @@ object Bench {
         .map(b => (name, b, t))
     }
 
+  /** The sf1 flag re-adjudication (VERDICT r13 #1b): the base gate
+    * requalifies apparent regressions after a load-guard wait, but the sf1
+    * section committed first-pass numbers unchallenged — r13's driver
+    * record flagged dedup_near at 35× where a settled re-run measured
+    * 7.9×. Same protocol as [[adjudicate]]: each flagged query gets ONE
+    * re-run on the scaled dir via `rerun` (which in main waits for the
+    * load guard first), the better time stands, and only queries that
+    * STAY superlinear flag in the record.
+    */
+  private[graft] def adjudicateSf1(base: Map[String, Double],
+                                   scaled: Map[String, Double],
+                                   rerun: String => Option[Double],
+                                   factor: Double = 10.0,
+                                   floorSec: Double = 1.0)
+      : (Map[String, Double], Seq[(String, Double, Double)]) = {
+    var now = scaled
+    superlinear(base, now, factor, floorSec).foreach { case (name, _, firstT) =>
+      rerun(name).foreach(again => now = now.updated(name, math.min(firstT, again)))
+    }
+    (now, superlinear(base, now, factor, floorSec))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] per the target environment (single JVM, 32 executor
@@ -427,48 +449,77 @@ object Bench {
         case _ => sfDir.stripSuffix("/").endsWith("sf0.1")
       }
       if (!enabled) """"sf1":null"""
-      else try {
-        val dest = Files.createTempDirectory("graft_sf1").toString
-        graft.tools.ScaleUp.build(spark, sfDir, dest, copies = 10)
-        graft.util.Caches.clear()
-        spark.catalog.clearCache()
-        System.gc()
-        waitForLoad()
-        val scaledResults = SparkEntry.headline
-          .filter(name => only.forall(_.contains(name)))
-          .map { name =>
+      else {
+        val destPath = Files.createTempDirectory("graft_sf1")
+        val dest = destPath.toString
+        try {
+          graft.tools.ScaleUp.build(spark, sfDir, dest, copies = 10)
+          graft.util.Caches.clear()
+          spark.catalog.clearCache()
+          System.gc()
+          waitForLoad()
+          val scaledResults = SparkEntry.headline
+            .filter(name => only.forall(_.contains(name)))
+            .map { name =>
+              spark.catalog.clearCache()
+              val t0 = System.nanoTime()
+              val r =
+                try { SparkEntry.queries(name)(spark, dest).count()
+                  Right((System.nanoTime() - t0) / 1e9) }
+                catch { case e: Throwable =>
+                  Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+              System.gc()
+              (name, r)
+            }
+          val scaledTimes = scaledResults.collect { case (n, Right(v)) => n -> v }.toMap
+          // flagged queries get the base gate's load-guard re-adjudication
+          // (VERDICT r13 #1b) before anything lands in the record
+          var sf1Waited = false
+          def rerunScaled(name: String): Option[Double] = {
+            if (!sf1Waited) {
+              System.err.println("bench sf1: apparent superlinearity — re-running after load guard")
+              waitForLoad(); sf1Waited = true
+            }
             spark.catalog.clearCache()
-            val t0 = System.nanoTime()
-            val r =
-              try { SparkEntry.queries(name)(spark, dest).count()
-                Right((System.nanoTime() - t0) / 1e9) }
-              catch { case e: Throwable =>
-                Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
             System.gc()
-            (name, r)
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(name)(spark, dest).count()
+              val again = (System.nanoTime() - t0) / 1e9
+              System.err.println(f"bench sf1: $name re-run $again%.2fs (first ${scaledTimes(name)}%.2fs)")
+              Some(again)
+            } catch { case _: Throwable => None }
           }
-        val scaledTimes = scaledResults.collect { case (n, Right(v)) => n -> v }.toMap
-        // memoized queries' base numbers measure a memo READ (centiseconds)
-        // while the fresh sf1 dir pays the full drain — comparing the two
-        // flags a false superlinearity (r13: st_curate 0.09s memo read vs a
-        // 14s sf1 drain whose honest fresh-vs-fresh ratio was 1.16×); their
-        // scale story lives in fresh_cost_s, so they are excluded here
-        val flags = superlinear(nowTimes -- SparkEntry.memoizedHeadline,
-          scaledTimes)
-        flags.foreach { case (name, b, t) =>
-          System.err.println(f"bench sf1 SUPERLINEAR: $name ${t}%.2fs > 10x base ${b}%.2fs")
+          // memoized queries' base numbers measure a memo READ (centiseconds)
+          // while the fresh sf1 dir pays the full drain — comparing the two
+          // flags a false superlinearity (r13: st_curate 0.09s memo read vs a
+          // 14s sf1 drain whose honest fresh-vs-fresh ratio was 1.16×); their
+          // scale story lives in fresh_cost_s, so they are excluded here
+          val (scaledAdj, flags) = adjudicateSf1(
+            nowTimes -- SparkEntry.memoizedHeadline, scaledTimes, rerunScaled)
+          flags.foreach { case (name, b, t) =>
+            System.err.println(f"bench sf1 SUPERLINEAR: $name ${t}%.2fs > 10x base ${b}%.2fs")
+          }
+          val sq = scaledResults.map {
+            case (k, Right(_)) => s""""${esc(k)}":${scaledAdj(k)}"""
+            case (k, Left(e))  => s""""${esc(k)}":{"err":"${esc(e)}"}"""
+          }.mkString("{", ",", "}")
+          val fj = flags.map { case (n, b, t) =>
+            s""""${esc(n)}":{"base":$b,"sf1":$t}"""
+          }.mkString("{", ",", "}")
+          s""""sf1":{"queries":$sq,"superlinear":$fj,""" +
+            s""""total":${scaledAdj.values.sum},"copies":10}"""
+        } catch { case e: Throwable =>
+          s""""sf1":{"err":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}"}"""
+        } finally {
+          // the 10×-scale copy is measurement scratch — leaking it exhausts
+          // the bench host's temp filesystem across repeated runs (ADVICE r13)
+          try {
+            Files.walk(destPath)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => Files.deleteIfExists(p))
+          } catch { case _: Throwable => () }
         }
-        val sq = scaledResults.map {
-          case (k, Right(v)) => s""""${esc(k)}":$v"""
-          case (k, Left(e))  => s""""${esc(k)}":{"err":"${esc(e)}"}"""
-        }.mkString("{", ",", "}")
-        val fj = flags.map { case (n, b, t) =>
-          s""""${esc(n)}":{"base":$b,"sf1":$t}"""
-        }.mkString("{", ",", "}")
-        s""""sf1":{"queries":$sq,"superlinear":$fj,""" +
-          s""""total":${scaledTimes.values.sum},"copies":10}"""
-      } catch { case e: Throwable =>
-        s""""sf1":{"err":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}"}"""
       }
     }
     val line =

@@ -447,6 +447,11 @@ object Jpeg {
                 val tq = bytes(p) & 0x0F
                 require(pq <= 1, s"bad DQT precision $pq")
                 require(tq < 4, s"bad DQT id $tq")
+                // bound every fixed-size read by the DECLARED segment end —
+                // a corrupt length must fail loudly, not consume the next
+                // segment's bytes as table values (ADVICE r13)
+                require(p + 1 + (if (pq == 0) 64 else 128) <= end,
+                  "truncated DQT table")
                 p += 1
                 val t = new Array[Int](64)
                 var k = 0
@@ -464,6 +469,7 @@ object Jpeg {
                 val tc = (bytes(p) & 0xFF) >> 4
                 val th = bytes(p) & 0x0F
                 require(tc <= 1 && th < 4, s"bad DHT class/id $tc/$th")
+                require(p + 17 <= end, "truncated DHT header")
                 p += 1
                 val bits = Array.tabulate(16)(i => bytes(p + i) & 0xFF)
                 p += 16
@@ -476,12 +482,14 @@ object Jpeg {
               }
             case 0xC0 => // SOF0 baseline
               require(comps == null, "multiple SOF segments")
+              require(p + 6 <= end, "truncated SOF header")
               require((bytes(p) & 0xFF) == 8,
                 s"unsupported sample precision ${bytes(p) & 0xFF}")
               height = u16be(p + 1); width = u16be(p + 3)
               require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
               val nc = bytes(p + 5) & 0xFF
               require(nc == 1 || nc == 3, s"unsupported component count $nc")
+              require(p + 6 + 3 * nc == end, "SOF length/component mismatch")
               comps = Array.tabulate(nc) { i =>
                 val o = p + 6 + 3 * i
                 val c = Component(bytes(o) & 0xFF, (bytes(o + 1) & 0xFF) >> 4,
@@ -497,11 +505,14 @@ object Jpeg {
               throw new IllegalArgumentException(
                 f"unsupported SOF type 0x$m%02X (baseline sequential only)")
             case 0xDD =>
+              require(end == p + 2, "DRI segment must be exactly 4 bytes")
               restartInterval = u16be(p)
             case 0xDA => // SOS
               require(comps != null, "SOS before SOF")
+              require(p + 1 <= end, "truncated SOS header")
               val ns = bytes(p) & 0xFF
               require(ns == comps.length, s"scan components $ns != frame ${comps.length}")
+              require(p + 4 + 2 * ns == end, "SOS length/component mismatch")
               scanComps = new Array[(Int, Int)](ns)
               var i = 0
               while (i < ns) {

@@ -260,31 +260,30 @@ object Multimodal {
     * output frame is the per-channel integer mean of `k` consecutive
     * input frames (truncating division, matching DuckDB's `//`, which
     * rounds toward zero on negative sums), and
-    * the sample rate divides by `k`. Requiring `k | frames` and
-    * `k | sampleRate` keeps every window full and the arithmetic
-    * closed-form. (A production resampler adds fractional-rate
-    * interpolation and an anti-aliasing filter; the exact decimation
-    * core is what the correctness gate can pin.)
+    * the sample rate divides by `k` (`k | sampleRate` required). A
+    * non-tiling frame count keeps the SAME filter: the final window is
+    * the mean over however many frames remain — one algorithm for every
+    * clip length, never a silent switch to sample picking (ADVICE r13).
+    * (A production resampler adds fractional-rate interpolation and an
+    * anti-aliasing filter; the exact decimation core is what the
+    * correctness gate can pin.)
     */
   def decimateAudio(audio: Codecs.Audio, k: Int): Codecs.Audio = {
     require(k >= 1, s"decimation needs k >= 1, got $k")
     require(audio.sampleRate % k == 0,
       s"k=$k must divide rate=${audio.sampleRate}")
-    // non-tiling frame counts delegate to the rational resampler at
-    // L/M = 1/k (sample picking — no partial mean window to define);
-    // the exact-mean path below stays the oracle-pinned core
-    if (audio.frames % k != 0) return resampleRational(audio, 1, k)
     val ch = audio.channels
-    val outFrames = audio.frames / k
+    val outFrames = (audio.frames + k - 1) / k
     val out = new Array[Short](outFrames * ch)
     var t = 0
     while (t < outFrames) {
+      val win = math.min(k, audio.frames - t * k) // final window may be short
       var c = 0
       while (c < ch) {
         var s = 0L
         var j = 0
-        while (j < k) { s += audio.samples((t * k + j) * ch + c); j += 1 }
-        out(t * ch + c) = (s / k).toShort
+        while (j < win) { s += audio.samples((t * k + j) * ch + c); j += 1 }
+        out(t * ch + c) = (s / win).toShort
         c += 1
       }
       t += 1
@@ -588,7 +587,7 @@ object Multimodal {
       v += 1
     }
     val ac = coef.zipWithIndex.filter(_._2 != 0).map(_._1).sorted
-    val median = (ac(30) + ac(31)) / 2.0 // 63 AC values: mid-pair average
+    val median = ac(31) // the true median of the 63 AC values (ADVICE r13)
     var sig = 0L
     i = 0
     while (i < 64) {

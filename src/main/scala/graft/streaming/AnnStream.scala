@@ -66,7 +66,13 @@ object AnnStream {
     val freshP = fresh.persist()
     try {
       freshP.write.mode("overwrite").parquet(s"$workDir/vectors/batch=$batchId")
-      if (batchId % refitEvery == 0) {
+      // A frozen assignment needs a published fit to assign against: if no
+      // centroid table exists yet (e.g. the cadence's batch 0 was empty and
+      // skipped above), refit now regardless of cadence.
+      val centRoot = new Path(s"$workDir/centroids")
+      val hasFit = fs.exists(centRoot) &&
+        fs.listStatus(centRoot).exists(_.getPath.getName.startsWith("batch="))
+      if (batchId % refitEvery == 0 || !hasFit) {
         // REFIT: k-means over the whole store (the just-written batch
         // included), full reassignment snapshot + fresh centroid table
         val all = vectors(spark, workDir)

@@ -140,4 +140,24 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.superlinear(base, scaled, floorSec = 0.0).map(_._1)
       == Seq("super", "tiny"))
   }
+
+  test("sf1 flags get a load-guard re-adjudication before committing") {
+    // r13: a loaded box recorded dedup_near at 35x where a settled rerun
+    // measured 7.9x — a flag must survive ONE settled re-run to commit
+    val base = Map("blip" -> 1.0, "real" -> 1.0)
+    val scaled = Map("blip" -> 35.0, "real" -> 30.0)
+    var reruns = List.empty[String]
+    val (adj, flags) = Bench.adjudicateSf1(base, scaled, { name =>
+      reruns ::= name
+      if (name == "blip") Some(7.9) else Some(28.0)
+    })
+    assert(reruns.toSet == Set("blip", "real"), "every flag re-runs once")
+    assert(adj("blip") == 7.9 && adj("real") == 28.0,
+      "the better of first-pass and re-run stands")
+    assert(flags == Seq(("real", 1.0, 28.0)),
+      "only a query that STAYS superlinear flags")
+    // a failed re-run keeps the first-pass number (and the flag)
+    val (adj2, flags2) = Bench.adjudicateSf1(base, scaled, _ => None)
+    assert(adj2 == scaled && flags2.map(_._1) == Seq("blip", "real"))
+  }
 }

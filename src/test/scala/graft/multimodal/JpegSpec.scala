@@ -191,6 +191,25 @@ class JpegSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Jpeg.decode(stray))
   }
 
+  test("corrupt segment lengths fail as classified errors, not escapes") {
+    // every walker must bound its reads by the DECLARED segment end
+    // (ADVICE r13): shrinking a length field must raise the package's
+    // IllegalArgumentException, never ArrayIndexOutOfBounds or a silent
+    // read into the next segment
+    val good = Jpeg.encodeFromCoefficients(16, 16, chroma420 = true,
+      q8, q8, 0, (_, _, _) => zeros)
+    def markerAt(m: Int): Int = good.indices.dropRight(1).find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == m).get
+    for (m <- Seq(0xDB, 0xC4, 0xC0, 0xDA)) {
+      val idx = markerAt(m)
+      val bad = good.clone()
+      // truncate the declared length to cut the segment's payload short
+      bad(idx + 2) = 0; bad(idx + 3) = 5
+      val e = intercept[IllegalArgumentException](Jpeg.decode(bad))
+      assert(e.getMessage != null, f"marker 0x$m%02X")
+    }
+  }
+
   test("byte stuffing roundtrips: a coefficient pattern forcing 0xFF bytes") {
     // many high-entropy blocks make 0xFF bytes near-certain in the stream;
     // correctness = decode still lands the closed-form values

@@ -162,12 +162,13 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decimateAudio delegates non-tiling frame counts to sample picking") {
-    // 5 frames, k=2: no exact-mean tiling → rational 1/2 picks s0,s2,s4
+  test("decimateAudio: non-tiling frame counts mean the final short window") {
+    // 5 frames, k=2: two full windows + a 1-frame tail, SAME mean filter
+    // throughout (ADVICE r13 — never a silent switch to sample picking)
     val audio = Codecs.Audio(8000, 1, Array[Short](10, 20, 30, 40, 50))
     val out = Multimodal.decimateAudio(audio, 2)
     assert(out.sampleRate == 4000 && out.frames == 3)
-    assert(out.samples.toSeq == Seq[Short](10, 30, 50))
+    assert(out.samples.toSeq == Seq[Short](15, 35, 50))
   }
 
   test("firFilter: hand-computed binomial smoothing with replicate edges") {

@@ -49,6 +49,29 @@ class AnnStreamSpec extends SparkSpec {
     assert(AnnStream.index(spark, work).count() == 7)
   }
 
+  test("first data on a non-refit batch id refits instead of reading a " +
+    "missing centroid table") {
+    val work = tmp("annspec_latefirst")
+    val ingest = AnnStream.ingestBatch(work, k = 2, iters = 2, refitEvery = 2) _
+    // batch 0 empty → skipped, no fit ever published; batch 1 is off-cadence
+    ingest(batchOf(), 0L)
+    ingest(batchOf(0L -> vec(0, 0), 1L -> vec(0, 1), 10L -> vec(1, 0),
+      11L -> vec(1, 1)), 1L)
+    val idx = AnnStream.index(spark, work).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(idx.size == 4)
+    assert(idx(0L) == idx(1L) && idx(10L) == idx(11L) && idx(0L) != idx(10L),
+      "the forced first refit must separate the planted clusters")
+    def dirs(sub: String) =
+      new java.io.File(s"$work/$sub").listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).toSet
+    assert(dirs("centroids") == Set("batch=1"),
+      "the forced refit publishes a centroid snapshot under its own batch id")
+    // batch 2 is back on cadence and refits normally over the whole store
+    ingest(batchOf(2L -> vec(0, 2)), 2L)
+    assert(AnnStream.index(spark, work).count() == 5)
+  }
+
   test("redelivered vectors are dropped; same-batch replay is idempotent") {
     val work = tmp("annspec_redeliver")
     val ingest = AnnStream.ingestBatch(work, k = 2, iters = 1, refitEvery = 2) _
