@@ -141,26 +141,107 @@ object Dedup {
   }
 
   /** [[nearDuplicates]] on the PORTABLE hash family — byte-for-byte
-    * DuckDB-replayable end to end (signatures, banding, bucket caps,
-    * candidate join, jaccard verify), closing the last rows-only gap on
-    * the minhash path. Same caching and plan shape as [[nearDuplicates]].
+    * DuckDB-replayable end to end (exact-duplicate collapse, signatures,
+    * banding, bucket caps, candidate join, jaccard verify, pair
+    * expansion), closing the last rows-only gap on the minhash path.
+    * Same caching, collapse, and plan shape as [[nearDuplicates]].
     */
   def nearDuplicatesPortable(docs: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.8, k: Int = 16,
                              bands: Int = 4, shingleN: Int = 3,
                              maxBucket: Int = 10000,
-                             cacheSignatures: Boolean = true): DataFrame = {
+                             cacheSignatures: Boolean = true,
+                             collapseExact: Boolean = true): DataFrame = {
+    val (input, membersOpt) =
+      if (collapseExact) {
+        val (r, m) = exactGroups(docs, idCol, textCol, cacheSignatures)
+        (r, Some(m))
+      }
+      else (docs, None)
     val banded0 = bandSignaturesPortable(
-      minhashSignaturesPortable(docs, idCol, textCol, k, shingleN),
+      minhashSignaturesPortable(input, idCol, textCol, k, shingleN),
       idCol, k, bands)
     val banded =
       if (cacheSignatures)
         graft.util.Caches.retain(
           banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else banded0
-    jaccardVerify(lshCandidates(banded, idCol, maxBucket), docs, idCol,
-      textCol, shingleN)
+    val repPairs = jaccardVerify(lshCandidates(banded, idCol, maxBucket),
+      input, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
+    membersOpt.fold(repPairs)(m =>
+      expandRepPairs(repPairs, m, idCol, "jaccard", lit(1.0)))
+  }
+
+  /** Exact-duplicate COLLAPSE for the near-dup family (VERDICT r13 #1a):
+    * real crawl corpora are 30–50% verbatim copies, and every copy
+    * multiplies LSH bucket occupancy — candidate pairs then grow with the
+    * SQUARE of the copy count while exact dedup handles those documents
+    * in one linear digest aggregation. Running MinHash at representative
+    * grain makes the expensive stages (shingle explode, k-min signatures,
+    * jaccard verify) pay per DISTINCT text, not per copy; results expand
+    * back losslessly because identical texts have identical shingle sets
+    * (same signatures, same jaccard against anything).
+    *
+    * Returns `(reps, members)`: `reps` is one row per distinct text with
+    * the group-minimum id (the suite's canonical convention), `members`
+    * maps every input id to its representative (`__rep`, idCol). The
+    * reps aggregation shuffles at most one body per distinct digest per
+    * map partition (partial agg collapses same-partition copies); the
+    * members window prunes to (digest, id) — bodies never shuffle for it.
+    * When `cache` is set, reps persist (MEMORY_AND_DISK, the
+    * [[graft.util.Caches]] session protocol): the signature pipeline AND
+    * the verify's shingle sets both consume reps, and recomputing the
+    * digest aggregation per consumer is the one avoidable extra corpus
+    * scan the collapse would otherwise add.
+    */
+  private[graft] def exactGroups(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 cache: Boolean = true): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    // first() is order-dependent in general, but every text in a sha2
+    // group is identical, so any member is the canonical body
+    val reps0 = docs
+      .select(col(idCol), col(textCol), sha2(col(textCol), 256).as("__dig"))
+      .groupBy(col("__dig"))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+      .select(col(idCol), col(textCol))
+    val reps =
+      if (cache)
+        graft.util.Caches.retain(
+          reps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else reps0
+    val members = docs
+      .select(col(idCol), sha2(col(textCol), 256).as("__dig"))
+      .withColumn("__rep",
+        min(col(idCol)).over(Window.partitionBy(col("__dig"))))
+      .select(col("__rep"), col(idCol))
+    (reps, members)
+  }
+
+  /** Expand representative-grain pairs back to member grain: a rep pair
+    * (ra, rb, score) yields every cross-group member pair (identical
+    * texts score identically), and every group of 2+ exact copies yields
+    * its within-group pairs at `withinScore` (jaccard 1.0 / hamming 0 by
+    * construction — no verify needed). Both joins key on fixed-width rep
+    * ids; the output volume is exactly the true duplicate-pair count, so
+    * the expansion is output-bounded, never a hidden blow-up.
+    */
+  private def expandRepPairs(repPairs: DataFrame, members: DataFrame,
+                             idCol: String, scoreCol: String,
+                             withinScore: Column): DataFrame = {
+    val ma = members.select(col("__rep").as("__ra"), col(idCol).as("__ma"))
+    val mb = members.select(col("__rep").as("__rb"), col(idCol).as("__mb"))
+    val cross = repPairs
+      .join(ma, col("id_a") === col("__ra"))
+      .join(mb, col("id_b") === col("__rb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col(scoreCol))
+    val within = ma.join(mb,
+        col("__ra") === col("__rb") && col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        withinScore.as(scoreCol))
+    cross.unionByName(within)
   }
 
   /** Per-row MinHash — the SAME k values as [[minhashSignatures]] computed
@@ -401,25 +482,38 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** Near-duplicate pairs: MinHash-LSH candidates verified by exact n-gram
-    * Jaccard ≥ threshold. End-to-end: 2 aggregations + 1 banded self-join +
-    * 2 AQE-strategized joins back to the shingle sets. No cartesian
-    * anywhere (check the plan!).
+  /** Near-duplicate pairs: exact-duplicate collapse (see [[exactGroups]] —
+    * verbatim copies multiply LSH bucket occupancy quadratically, exact
+    * dedup handles them linearly), then MinHash-LSH candidates at
+    * representative grain verified by exact n-gram Jaccard ≥ threshold,
+    * expanded back to member pairs. End-to-end: 3 aggregations + 1 banded
+    * self-join + 2 AQE-strategized joins back to the shingle sets + the
+    * output-bounded expansion joins. No cartesian anywhere (check the
+    * plan!).
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
                      shingleN: Int = 3, maxBucket: Int = 10000,
-                     cacheSignatures: Boolean = true): DataFrame = {
+                     cacheSignatures: Boolean = true,
+                     collapseExact: Boolean = true): DataFrame = {
+    val (input, membersOpt) =
+      if (collapseExact) {
+        val (r, m) = exactGroups(docs, idCol, textCol, cacheSignatures)
+        (r, Some(m))
+      }
+      else (docs, None)
     // Band signatures persist inside bandedCandidates: the bucket-size
     // count and both sides of the self-join would otherwise each recompute
     // the whole explode→minhash pipeline (plan audit r3: 4× scan+agg).
     // Banded sigs are (id, band, sig) — tiny at any scale. The cache backs
     // the returned lazy plan, so it lives until [[clearCaches]] / session
     // cleanup; callers preferring recompute pass cacheSignatures = false.
-    val cands = bandedCandidates(docs, idCol, textCol, k, bands, shingleN,
+    val cands = bandedCandidates(input, idCol, textCol, k, bands, shingleN,
       maxBucket, cacheSignatures)
-    jaccardVerify(cands, docs, idCol, textCol, shingleN)
+    val repPairs = jaccardVerify(cands, input, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
+    membersOpt.fold(repPairs)(m =>
+      expandRepPairs(repPairs, m, idCol, "jaccard", lit(1.0)))
   }
 
   /** Embedding-cosine near-duplicates: pairs of vectors with cosine ≥
@@ -582,39 +676,63 @@ object Dedup {
   }
 
   /** [[simhashNearDuplicates]] on the portable 60-bit family — fully
-    * DuckDB-replayable (votes, banding, caps, Hamming verify).
+    * DuckDB-replayable (collapse, votes, banding, caps, Hamming verify,
+    * expansion).
     */
   def simhashNearDuplicatesPortable(docs: DataFrame, idCol: String,
                                     textCol: String, maxDist: Int = 3,
                                     maxBucket: Int = 10000,
-                                    cacheSignatures: Boolean = true): DataFrame = {
-    val sigs0 = simhashPortable(docs, idCol, textCol)
+                                    cacheSignatures: Boolean = true,
+                                    collapseExact: Boolean = true): DataFrame = {
+    val (input, membersOpt) =
+      if (collapseExact) {
+        val (r, m) = exactGroups(docs, idCol, textCol, cacheSignatures)
+        (r, Some(m))
+      }
+      else (docs, None)
+    val sigs0 = simhashPortable(input, idCol, textCol)
     val sigs =
       if (cacheSignatures)
         graft.util.Caches.retain(
           sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else sigs0
-    hammingBandPairs(sigs, idCol, "simhash", maxDist, maxBucket)
+    val repPairs = hammingBandPairs(sigs, idCol, "simhash", maxDist, maxBucket)
+    membersOpt.fold(repPairs)(m =>
+      expandRepPairs(repPairs, m, idCol, "hamming", lit(0)))
   }
 
-  /** SimHash near-dup candidates: band the 64 bits into 4×16-bit keys
-    * (a pair within Hamming distance 3 shares at least one full band by
-    * pigeonhole) → banded self-join → exact Hamming ≤ maxDist filter.
+  /** SimHash near-dup candidates: exact-duplicate collapse (the
+    * [[exactGroups]] rationale — verbatim copies densify buckets
+    * quadratically), band the 64 bits into 4×16-bit keys (a pair within
+    * Hamming distance 3 shares at least one full band by pigeonhole) →
+    * banded self-join → exact Hamming ≤ maxDist filter → member-grain
+    * expansion (within-group pairs are Hamming 0 by construction; this
+    * also pairs exact copies of ZERO-TOKEN documents, which the
+    * uncollapsed pipeline missed — they never got a signature).
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxDist: Int = 3, maxBucket: Int = 10000,
-                            cacheSignatures: Boolean = true): DataFrame = {
+                            cacheSignatures: Boolean = true,
+                            collapseExact: Boolean = true): DataFrame = {
+    val (input, membersOpt) =
+      if (collapseExact) {
+        val (r, m) = exactGroups(docs, idCol, textCol, cacheSignatures)
+        (r, Some(m))
+      }
+      else (docs, None)
     // Persist the per-doc signatures for the same reason as nearDuplicates:
     // the banding explode feeds a bucket count plus both self-join sides,
     // and simhash's 64-vote aggregation is the expensive part. One long per
     // doc — negligible cache footprint (session-lived; see nearDuplicates).
-    val sigs0 = simhash(docs, idCol, textCol)
+    val sigs0 = simhash(input, idCol, textCol)
     val sigs =
       if (cacheSignatures)
         graft.util.Caches.retain(
           sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else sigs0
-    hammingBandPairs(sigs, idCol, "simhash", maxDist, maxBucket)
+    val repPairs = hammingBandPairs(sigs, idCol, "simhash", maxDist, maxBucket)
+    membersOpt.fold(repPairs)(m =>
+      expandRepPairs(repPairs, m, idCol, "hamming", lit(0)))
   }
 
   /** Hamming-banded candidate pairs over ANY 64-bit signature column —

@@ -382,9 +382,13 @@ private[graft] object DedupQueries {
                       / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
          FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0""",
 
-    // full verbatim replay of the PORTABLE minhash near-dup pass: one md5
-    // per shingle → (h1, h2) halves → 16 double-hash mins → 4 string band
-    // keys → ≤10000 bucket cap → candidate self-join → jaccard ≥ 0.5
+    // full verbatim replay of the PORTABLE minhash near-dup pass with the
+    // exact-duplicate collapse (VERDICT r13 #1a): group verbatim copies by
+    // digest and run the pipeline at representative grain — one md5 per
+    // shingle → (h1, h2) halves → 16 double-hash mins → 4 string band
+    // keys → ≤10000 bucket cap → candidate self-join → jaccard ≥ 0.5 —
+    // then expand rep pairs to member pairs (within-group pairs are
+    // jaccard 1.0 by construction)
     "dedup_near" -> {
       val mins = (0 until 16).map(i => s"MIN(h1 + $i * h2) AS m$i").mkString(", ")
       val bandSel = (0 until 4).map { b =>
@@ -396,7 +400,12 @@ private[graft] object DedupQueries {
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 1000000, text || ' graft dup marker' FROM documents),
-         toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM corpus),
+         grp AS (SELECT doc_id, text,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                 FROM corpus),
+         members AS (SELECT rep, doc_id FROM grp),
+         reps AS (SELECT doc_id, text FROM grp WHERE doc_id = rep),
+         toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM reps),
          sh AS (SELECT doc_id,
                   unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
                     i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS shingle
@@ -421,8 +430,17 @@ private[graft] object DedupQueries {
                  round(CAST(len(list_distinct(list_intersect(a.st, b.st))) AS DOUBLE)
                        / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
                FROM cand c JOIN sets a ON a.doc_id = c.id_a
-                 JOIN sets b ON b.doc_id = c.id_b)
-         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""
+                 JOIN sets b ON b.doc_id = c.id_b),
+         jf AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5)
+         SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                greatest(ma.doc_id, mb.doc_id) AS id_b, jf.jaccard
+         FROM jf JOIN members ma ON jf.id_a = ma.rep
+                 JOIN members mb ON jf.id_b = mb.rep
+         UNION ALL
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(1.0 AS DOUBLE) AS jaccard
+         FROM members a JOIN members b
+           ON a.rep = b.rep AND a.doc_id < b.doc_id"""
     },
     // full verbatim replay of the PORTABLE 60-bit simhash pass: one md5
     // per token → 60 bit votes → sign bits → 4×16-bit banding → cap →
@@ -441,7 +459,12 @@ private[graft] object DedupQueries {
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 1000000, text || ' graft dup marker' FROM documents),
-         toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM corpus),
+         grp AS (SELECT doc_id, text,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                 FROM corpus),
+         members AS (SELECT rep, doc_id FROM grp),
+         reps AS (SELECT doc_id, text FROM grp WHERE doc_id = rep),
+         toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM reps),
          th AS (SELECT doc_id,
                   CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
                 FROM (SELECT doc_id, unnest(ts) AS t FROM toks)),
@@ -449,11 +472,20 @@ private[graft] object DedupQueries {
          sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS s FROM v),
          bs AS ($bandSel),
          ok AS (SELECT band, sig FROM bs GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
-         capped AS (SELECT bs.* FROM bs JOIN ok USING (band, sig))
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
-         FROM capped a JOIN capped b USING (band, sig)
-         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3"""
+         capped AS (SELECT bs.* FROM bs JOIN ok USING (band, sig)),
+         rp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+                FROM capped a JOIN capped b USING (band, sig)
+                WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3)
+         SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                greatest(ma.doc_id, mb.doc_id) AS id_b, rp.hamming
+         FROM rp JOIN members ma ON rp.id_a = ma.rep
+                 JOIN members mb ON rp.id_b = mb.rep
+         UNION ALL
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(0 AS INTEGER) AS hamming
+         FROM members a JOIN members b
+           ON a.rep = b.rep AND a.doc_id < b.doc_id"""
     },
     // planted-truth recall oracles: ground truth by construction (see the
     // matching queries' scaladoc) — a missed planted pair changes the row
