@@ -38,8 +38,10 @@ private[graft] object AnnQueries {
           g("dst") === base("vec_id") && g("rank") === 1, "left_semi")
         .select(col("vec_id"), lit(true).as("found"))
     }),
-    // rows-only general form (kmeans cells aren't SQL-replicable; the
-    // recall twin above is the oracled leg)
+    // FULLY-ORACLED general form (formerly rows-only, VERDICT r13 #3):
+    // knnGraph clusters with kmeansCellsFixed, so the cells, the capped
+    // per-cell cosine pairs, and the ranks all replay verbatim in DuckDB;
+    // the recall/valid twins keep pinning the structural invariants.
     "knn_graph" -> ((s, dir) =>
       graft.operators.Similarity.knnGraph(
         embDouble(s, dir).select(col("vec_id"), col("emb_d")),
@@ -107,10 +109,16 @@ private[graft] object AnnQueries {
         e.select(col("vec_id"), col("label"), col("emb_d").as("embedding")),
         cellCol = "label", k = 10, nprobe = 2)
     }),
-    "ann_ivf_kmeans" -> ((s, dir) => {    // rows-only: fp-sensitive training
+    // FULLY-ORACLED IVF-over-k-means (formerly rows-only, VERDICT r13
+    // #3): training is Similarity.kmeansCellsFixed — scaled-long
+    // coordinates, integer argmin assignment, integral-div means — so
+    // DuckDB replays both Lloyd's iterations verbatim, then the probe and
+    // cosine top-k ride the established ann_ivf_topk replay. The float
+    // trainer stays pinned by ann_ivf_valid / ann_ivf_kmeans_quality.
+    "ann_ivf_kmeans" -> ((s, dir) => {
       val e = embDouble(s, dir)
       val corpus = e.select(col("vec_id"), col("emb_d").as("embedding"))
-      val cells = Similarity.kmeansCells(corpus, k = 8, iters = 2)
+      val cells = Similarity.kmeansCellsFixed(corpus, k = 8, iters = 2)
       Similarity.ivfTopK(
         e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
@@ -185,9 +193,14 @@ private[graft] object AnnQueries {
         lit(true)).as("no_self_loops"))
       folded.crossJoin(noSelf)
     }),
-    "ann_pq_topk" -> ((s, dir) => {       // rows-only: fp-sensitive training
+    // FULLY-ORACLED PQ top-k (formerly rows-only, VERDICT r13 #3): the
+    // fixed-point PQ family — scaled-long subvectors, integer-trained
+    // codebooks, integer ADC tables — replays training, encoding, and
+    // scoring verbatim in DuckDB. The float PQ stays pinned by
+    // ann_pq_valid / ann_pq_recall.
+    "ann_pq_topk" -> ((s, dir) => {
       val e = embDouble(s, dir)
-      Similarity.pqTopK(
+      Similarity.pqTopKFixed(
         e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
         e.select(col("vec_id"), col("emb_d")),
@@ -260,6 +273,37 @@ private[graft] object AnnQueries {
           (col("__selfok") === 1).as("self_rank1_all"),
           (col("__hm") >= col("__hs")).as("recall_dominates"))
     }),
+    // IVF multi-probe recall dominance (VERDICT r13 #6, the
+    // ann_lsh_multiprobe_recall stance): a query's top-4 probe cells are
+    // a SUPERSET of its top-2 (same csim ordering, same tie-break), and
+    // ranking a superset by the same score can only displace a true
+    // top-k member with another true top-k member — so recall@10 vs the
+    // exact brute-force top-10 cannot drop as nprobe grows. Both recalls
+    // are computed distributively (semi-join counts); only the invariant
+    // booleans reach the output row.
+    "ann_ivf_multiprobe_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val queries = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec"))
+      val corpus = e.select(col("vec_id"), col("emb_d").as("embedding"))
+      val cells = Similarity.kmeansCellsFixed(corpus, k = 8, iters = 2)
+      val indexed = corpus.join(cells, "vec_id")
+      val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
+        .select(col("q_id"), col("vec_id"))
+      def hits(ann: DataFrame): DataFrame = ann
+        .select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("__hits"))
+      val p2 = Similarity.ivfTopK(queries, indexed, cellCol = "cell",
+        k = 10, nprobe = 2)
+      val p4 = Similarity.ivfTopK(queries, indexed, cellCol = "cell",
+        k = 10, nprobe = 4)
+      val nq = p4.filter(col("rank") === 1).agg(count(lit(1)).as("__nq"))
+      nq.crossJoin(hits(p2).select(col("__hits").as("__h2")))
+        .crossJoin(hits(p4).select(col("__hits").as("__h4")))
+        .select(col("__nq").cast("int").as("n_queries"),
+          (col("__h4") >= col("__h2")).as("recall_dominates"))
+    }),
     // k-means assignment-quality invariants (VERDICT r03 #1): every vector
     // assigned exactly once, every cell id in [0, k), and a planted
     // near-identical copy (tiny scale perturbation — cosine is
@@ -292,10 +336,145 @@ private[graft] object AnnQueries {
         .drop("__j")
     }))
 
+  /** CTE chain replaying [[graft.operators.Similarity.kmeansCellsFixed]]
+    * verbatim: scale-to-long coordinates, `iters` unrolled rounds of
+    * integer argmin assignment (ties to the lower cell) and integral-div
+    * centroid means. Expects an `e(vec_id, v DOUBLE[])` CTE in scope;
+    * ends with a `cells(vec_id, cell)` CTE. Scale is 2^20 — floor of an
+    * exact power-of-two multiply, so Spark and DuckDB see identical
+    * longs.
+    */
+  private def sqlKmeansFixedCells(k: Int, iters: Int, dim: Int): String = {
+    val d2 = s"list_sum(list_transform(generate_series(1, $dim), " +
+      "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+    val scaled =
+      s"""scaled AS (SELECT vec_id,
+           list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS sv
+         FROM e),
+       c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, sv AS cv
+              FROM (SELECT vec_id, sv FROM scaled ORDER BY vec_id LIMIT $k))"""
+    val rounds = (1 to iters).map { t =>
+      val assign =
+        s"""a$t AS (SELECT vec_id, sv, cell FROM (
+             SELECT s.vec_id, s.sv, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY $d2, c.cell) AS rn
+             FROM ${if (t == 1) "scaled" else s"a${t - 1}"} s
+               CROSS JOIN c${t - 1} c) WHERE rn = 1)"""
+      val refit = if (t == iters) "" else
+        s""",
+         c$t AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
+             SELECT cell, i AS pos, SUM(sv[i]) // COUNT(*) AS m
+             FROM a$t, generate_series(1, $dim) AS g(i)
+             GROUP BY cell, i) GROUP BY cell)"""
+      assign + refit
+    }.mkString(",\n       ")
+    s"""$scaled,
+       $rounds,
+       cells AS (SELECT vec_id, cell FROM a$iters)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "knn_graph_recall" ->
       "SELECT vec_id, true AS found FROM embeddings WHERE vec_id < 50",
+    // full verbatim replay of the fixed-point cluster-then-neighbor
+    // graph: 3 unrolled integer k-means rounds (16 cells), the ≤10000
+    // cell cap, per-cell cosine, rank ≤ 5
+    "knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ${sqlKmeansFixedCells(k = 16, iters = 3, dim = 64)},
+       kept AS (SELECT cell FROM cells GROUP BY cell HAVING COUNT(*) <= 10000),
+       b AS (SELECT c.vec_id, c.cell, e.v
+             FROM cells c JOIN e USING (vec_id) JOIN kept USING (cell)),
+       p AS (SELECT a.vec_id AS src, b2.vec_id AS dst,
+               ${sqlCosine("a.v", "b2.v")} AS sim
+             FROM b a JOIN b b2 USING (cell)
+             WHERE a.vec_id != b2.vec_id)
+       SELECT src, dst, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+       FROM (SELECT src, dst, sim,
+               row_number() OVER (PARTITION BY src
+                 ORDER BY sim DESC, dst) AS rank FROM p)
+       WHERE rank <= 5""",
+    // full verbatim replay of IVF over the fixed-point k-means: 2
+    // unrolled integer training rounds (8 cells), then the established
+    // ann_ivf_topk probe replay over the trained cells
+    "ann_ivf_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ${sqlKmeansFixedCells(k = 8, iters = 2, dim = 64)},
+       q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+       ec AS (SELECT e.vec_id, cells.cell, e.v FROM e JOIN cells USING (vec_id)),
+       ex AS (SELECT cell, unnest(v) AS x,
+                unnest(generate_series(1, len(v))) AS pos FROM ec),
+       cpos AS (SELECT cell, pos,
+                CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(x) AS m
+                FROM ex GROUP BY 1, 2),
+       cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cpos GROUP BY 1),
+       cs AS (SELECT q_id, q_vec, cell, ${sqlCosine("q_vec", "centroid")} AS csim
+              FROM q CROSS JOIN cent),
+       probes AS (SELECT q_id, q_vec, cell FROM
+                   (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, cell) AS pr FROM cs)
+                  WHERE pr <= 2),
+       sc AS (SELECT p.q_id, ec.vec_id, ${sqlCosine("p.q_vec", "ec.v")} AS sim
+              FROM ec JOIN probes p ON ec.cell = p.cell)
+       SELECT q_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+       FROM (SELECT q_id, vec_id, sim,
+                    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+             FROM sc)
+       WHERE rank <= 10""",
+    // full verbatim replay of the fixed-point PQ: scaled 16-dim
+    // subvectors, 2 unrolled integer training rounds per subspace (16
+    // cells), contiguous re-indexing, integer argmin encoding, integer
+    // ADC tables, ascending top-10
+    "ann_pq_topk" -> {
+      val d2sub = "list_sum(list_transform(generate_series(1, 16), " +
+        "i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i])))"
+      def assign(src: String, cb: String, out: String) =
+        s"""$out AS (SELECT vec_id, subspace, sub, cell FROM (
+             SELECT s.vec_id, s.subspace, s.sub, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                 ORDER BY $d2sub, c.cell) AS rn
+             FROM $src s JOIN $cb c USING (subspace)) WHERE rn = 1)"""
+      def refit(src: String, out: String) =
+        s"""$out AS (SELECT subspace, cell, list(m ORDER BY pos) AS cv FROM (
+             SELECT subspace, cell, i AS pos, SUM(sub[i]) // COUNT(*) AS m
+             FROM $src, generate_series(1, 16) AS g(i)
+             GROUP BY subspace, cell, i) GROUP BY subspace, cell)"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       subs AS (SELECT vec_id, j AS subspace,
+                  list_transform(generate_series(j * 16 + 1, j * 16 + 16),
+                    i -> CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS sub
+                FROM e, unnest(range(0, 4)) AS uj(j)),
+       sd AS (SELECT subspace,
+                row_number() OVER (PARTITION BY subspace ORDER BY vec_id) - 1 AS cell,
+                sub AS cv
+              FROM subs
+              WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+       ${assign("subs", "sd", "pa1")},
+       ${refit("pa1", "pc1")},
+       ${assign("subs", "pc1", "pa2")},
+       ${refit("pa2", "pc2")},
+       cbf AS (SELECT subspace,
+                 row_number() OVER (PARTITION BY subspace ORDER BY cell) - 1 AS cell,
+                 cv
+               FROM pc2),
+       ${assign("subs", "cbf", "enc")},
+       q AS (SELECT vec_id AS q_id, subspace, sub FROM subs WHERE vec_id < 5),
+       qd AS (SELECT q.q_id, c.subspace, c.cell,
+                list_sum(list_transform(generate_series(1, 16),
+                  i -> (q.sub[i] - c.cv[i]) * (q.sub[i] - c.cv[i]))) AS pd2
+              FROM q JOIN cbf c USING (subspace)),
+       adc AS (SELECT qd.q_id, enc.vec_id,
+                 CAST(SUM(qd.pd2) AS BIGINT) AS adc_dist
+               FROM enc JOIN qd
+                 ON qd.subspace = enc.subspace AND qd.cell = enc.cell
+               GROUP BY 1, 2)
+       SELECT q_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+       FROM (SELECT q_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_dist, vec_id) AS rank FROM adc)
+       WHERE rank <= 10"""
+    },
     // JL projection: the identical plane literals (same PRNG, same seed)
     // folded in the identical ascending order from 0.0 — term-by-term
     // IEEE parity, no tolerance needed
@@ -320,6 +499,10 @@ private[graft] object AnnQueries {
     "ann_lsh_multiprobe_recall" ->
       """SELECT CAST(50 AS INTEGER) AS n_queries, true AS self_rank1_all,
                 true AS recall_dominates""",
+    // probed cells are nonempty by construction, so every query ranks at
+    // least one candidate; dominance is the superset argument above
+    "ann_ivf_multiprobe_recall" ->
+      "SELECT CAST(50 AS INTEGER) AS n_queries, true AS recall_dominates",
     "ann_pq_recall" ->
       "SELECT vec_id AS q_id, true AS found FROM embeddings WHERE vec_id < 50",
     "ann_ivf_kmeans_quality" ->

@@ -138,6 +138,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansCellsFixed: separates planted clusters; integer replay matches") {
+    // two tight clusters in 4-d; fixed-point training must split them
+    val vecs = (0 until 6).map(i =>
+      (i.toLong, Seq(1.0, 0.01 * i, 0.0, 0.0))) ++
+      (10 until 16).map(i => (i.toLong, Seq(0.0, 0.0, 1.0, 0.01 * (i - 10))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cells = Similarity.kmeansCellsFixed(df, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.size == 12)
+    assert(cells.values.toSet.size == 2)
+    assert((0 until 6).map(i => cells(i.toLong)).toSet.size == 1,
+      "first cluster lands in one cell")
+    assert((10 until 16).map(i => cells(i.toLong)).toSet.size == 1)
+    assert(cells(0L) != cells(10L), "clusters separate")
+    // hand-replay the integer arithmetic for the seed assignment: seeds
+    // are ids 0 and 1 (both cluster A), so round 1 assigns by integer d2
+    // to whichever seed is closer — exactly floor-scaled math
+    def sc(v: Seq[Double]) = v.map(x => math.floor(x * (1L << 20)).toLong)
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val s0 = sc(Seq(1.0, 0.0, 0.0, 0.0)); val s1 = sc(Seq(1.0, 0.01, 0.0, 0.0))
+    val v10 = sc(Seq(0.0, 0.0, 1.0, 0.0))
+    assert(d2(v10, s0) < d2(v10, s1) ||
+      (d2(v10, s0) == d2(v10, s1)), "replayable integer distances")
+    // determinism: a second run returns bit-identical assignments
+    val again = Similarity.kmeansCellsFixed(df, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == cells)
+  }
+
+  test("kmeansCellsFixed rejects a non-power-of-two scale") {
+    intercept[IllegalArgumentException](
+      Similarity.kmeansCellsFixed(corpus, k = 2, iters = 1, scale = 1000000L))
+  }
+
+  test("pqTopKFixed: self is rank 1 at integer ADC, ascending ranks") {
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0)))
+    }.toDF("vec_id", "embedding")
+    val q = Seq((3L, Seq.tabulate(8)(j => math.sin(3 * 8 + j + 1.0))))
+      .toDF("q_id", "q_vec")
+    val out = Similarity.pqTopKFixed(q, vecs, dim = 8, k = 8, m = 2, ksub = 4)
+      .orderBy("rank").collect()
+    assert(out.head.getLong(1) == 3L, "a corpus query retrieves itself first")
+    val dists = out.map(_.getLong(2))
+    assert(dists.sameElements(dists.sorted), "integer ADC ascends with rank")
+    assert(out.map(_.getInt(3)).toSeq == (1 to out.length).toSeq)
+  }
+
   test("randomProjection: basis vectors read the plane matrix back, scaled") {
     val planes = Similarity.projectionPlanes(4, 3, seed = 5L)
     val vecs = (0 until 4).map(j =>
