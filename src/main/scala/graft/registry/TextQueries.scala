@@ -146,6 +146,30 @@ private[graft] object TextQueries {
     "t_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    // TRAINED language ID (VERDICT r13 #7, operators/LangId.scala):
+    // multinomial Naive Bayes over hashed char trigrams, integer-count
+    // training, scaled-long log-weights, integer scoring. Planted: every
+    // doc gets its language's stopword sentence appended 3× (lang by
+    // doc_id % 4) over its REAL text — the shared base text contributes
+    // near-equally to every class (labels stripe the same corpus), so
+    // the marker grams decide with a wide margin and the converged model
+    // must reproduce the planted labels exactly (the t_quality_train
+    // stance). The heuristic t_lang_id stays as the fallback surface.
+    "t_lang_id_trained" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr")
+      val markers = langs.map(l =>
+        (Text.stopwords(l).mkString(" ") + " ") * 3)
+      val markerCol = element_at(
+        array(markers.map(lit): _*), (col("doc_id") % 4).cast("int") + 1)
+      val langCol = element_at(
+        array(langs.map(lit): _*), (col("doc_id") % 4).cast("int") + 1)
+      val labeled = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "), markerCol).as("text"),
+        langCol.as("lang"))
+      val model = graft.operators.LangId.train(labeled, "doc_id", "text",
+        "lang", dim = 1 << 12, n = 3)
+      graft.operators.LangId.predict(labeled, "doc_id", "text", model)
+    }),
     // Corpus-ingest text normalization (functions/Normalize.scala): the
     // native NFC Catalyst expression + the codegen'd cleanup chain. Mess is
     // planted on doc_id%7 (decomposed accent, NBSP/em-space, CRLF, BEL,
@@ -1395,6 +1419,12 @@ private[graft] object TextQueries {
                 round(CAST(SUM(pieces) AS DOUBLE) / SUM(words), 6) AS pieces_per_word,
                 round(CAST(SUM(chars) AS DOUBLE) / SUM(pieces), 6) AS chars_per_piece
          FROM d GROUP BY source""",
+    // the planted truth the converged NB model must reproduce exactly
+    // (the t_quality_train stance)
+    "t_lang_id_trained" ->
+      """SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr'
+         END AS lang_pred FROM documents""",
     "t_lang_id" ->
       s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("lower(text)")} AS ts FROM documents),
          h AS (SELECT doc_id, text,
