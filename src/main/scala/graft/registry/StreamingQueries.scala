@@ -313,6 +313,51 @@ private[graft] object StreamingQueries {
         asOf = "2026-03-01")
     }),
 
+    // The MULTI-EPOCH CRAWL LOOP (VERDICT r13 #8): three sitemap waves
+    // drain one per trigger — month-1 everywhere, month-2 refreshes on
+    // odd domains, month-3 refreshes on d%4==1 domains — and each epoch's
+    // recrawl decisions (unseen fetch / stale refetch / fresh skip) are
+    // made against the fetch log the EARLIER epochs wrote, then feed the
+    // log for the next wave (FrontierStream.loopBatch). Closed form: an
+    // entry is fetched once per frontier update (epoch-1 unseen, then
+    // stale exactly when its wave refreshed it), so n_fetches = n_updates
+    // = 1 + [d odd] + [d%4==1] and last_fetched_at is the deciding
+    // epoch's planted stamp.
+    "st_recrawl_loop" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir)
+      def digit(c: org.apache.spark.sql.Column) =
+        regexp_extract(c, "^d([0-9])", 1).cast("int")
+      val waves = Seq(
+        graft.operators.Crawl.plantSitemap(docs, "doc_id", month = 1),
+        graft.operators.Crawl.plantSitemap(docs, "doc_id", month = 2)
+          .filter(digit(col("domain")) % 2 === 1),
+        graft.operators.Crawl.plantSitemap(docs, "doc_id", month = 3)
+          .filter(digit(col("domain")) % 4 === 1))
+      val stage = tmpDir("graft_strl_in")
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val sub = s"$stage/f$i"
+        w.coalesce(1).write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_strl_work"), tmpDir("graft_strl_cp"))
+      val schema = s.read.parquet(s"$stage/f0").schema
+      val dates = Seq("2026-01-31", "2026-02-28", "2026-03-31")
+      val q = graft.streaming.FrontierStream.loopWriter(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*"),
+          work, cp, b => dates(b.toInt))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.FrontierStream.loopReport(s, work)
+    }),
+
     // ST3 (batch execution): the same flatMapGroupsWithState operator the
     // streaming layer runs, driven by a batch event Dataset built from the
     // tables — orders as header arrivals, lineitem as item arrivals, and
@@ -905,6 +950,27 @@ private[graft] object StreamingQueries {
       "'2026-0' || CAST(CASE WHEN d % 2 = 1 THEN 2 ELSE 1 END AS VARCHAR)" +
         " || '-' || lpad(CAST((d + k) % 28 + 1 AS VARCHAR), 2, '0')",
       "2026-03-01"),
+    // the crawl-loop closed form: final month fm doubles as the
+    // update/fetch count (each refresh is exactly one later refetch),
+    // and the last fetch is the deciding epoch's planted stamp
+    "st_recrawl_loop" ->
+      """WITH dd AS (SELECT DISTINCT doc_id % 8 AS d FROM documents),
+         e AS (SELECT d, k FROM dd, unnest(range(0, 3 + d)) AS uk(k)),
+         f AS (SELECT d, k,
+                 CASE WHEN d % 4 = 1 THEN 3 WHEN d % 2 = 1 THEN 2 ELSE 1 END AS fm
+               FROM e)
+         SELECT 'd' || CAST(d AS VARCHAR) || '.example.com' AS domain,
+           'https://d' || CAST(d AS VARCHAR) || '.example.com' ||
+           CASE WHEN k % 3 = 0 THEN '/private/ok/s' || CAST(d * 100 + k AS VARCHAR)
+                WHEN k % 3 = 1 THEN '/private/s' || CAST(d * 100 + k AS VARCHAR)
+                ELSE '/s/' || CAST(d * 100 + k AS VARCHAR) END AS loc,
+           '2026-0' || CAST(fm AS VARCHAR) || '-' ||
+             lpad(CAST((d + k) % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+           CAST(fm AS BIGINT) AS n_updates,
+           CAST(fm AS BIGINT) AS n_fetches,
+           CASE fm WHEN 3 THEN '2026-03-31' WHEN 2 THEN '2026-02-28'
+             ELSE '2026-01-31' END AS last_fetched_at
+         FROM f""",
     // the streamed crawl front door answers the batch crawl-to-corpus
     // lineage VERBATIM: first-seen-wins drops the trigger-9 refetch and
     // the compaction fold is answer-preserving, so the oracle is

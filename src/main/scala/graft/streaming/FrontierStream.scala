@@ -86,4 +86,80 @@ object FrontierStream {
   def compact(spark: SparkSession, workDir: String, upToBatch: Long): Unit =
     Compaction.compactDir(spark, s"$workDir/frontier", EntrySchema, upToBatch,
       Compaction.distinctFold(Seq("domain", "loc", "lastmod")))
+
+  private[streaming] val LogSchema = "loc STRING, fetched_at STRING"
+
+  /** The CRAWL-LOOP CLOSURE (VERDICT r13 #8): each micro-batch is one
+    * crawl EPOCH — the arriving sitemap wave updates the frontier, the
+    * epoch's refetch queue is decided against the fetch log accumulated
+    * by the PREVIOUS epochs ([[graft.operators.Crawl.recrawlPlan]]:
+    * unseen fetch, stale refetch, fresh skip), and the decided fetches
+    * append to the log under this epoch's `fetchDates(batchId)` stamp —
+    * so the NEXT wave's staleness is measured against what this one
+    * fetched. Multi-epoch recrawl is thereby a fixpoint loop over two
+    * stores, not a one-shot plan.
+    *
+    * Exactly-once: the decision reads frontier dirs ≤ batchId and log
+    * dirs < batchId only, and writes its own `fetchlog/batch=N`
+    * overwrite-by-batch-id — a replayed epoch sees the identical store
+    * state and rewrites the identical decisions; a crash between the
+    * two writes leaves a frontier batch whose decisions regenerate on
+    * replay. Per-epoch cost is O(frontier) for the recrawl join (the
+    * refetch decision is a latest-wins aggregation + one left join),
+    * O(batch) for the parse.
+    */
+  private[streaming] def loopBatch(workDir: String,
+                                   fetchDates: Long => String)
+                                  (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    ingestBatch(workDir)(batch, batchId)
+    val front = spark.read.schema(s"$EntrySchema, batch LONG")
+      .option("ignoreMissingFiles", "true")
+      .parquet(s"$workDir/frontier")
+      .filter(col("batch") <= batchId) // crash-replay: ignore later dirs
+      .groupBy(col("domain"), col("loc"))
+      .agg(max(col("lastmod")).as("lastmod"))
+    val logRoot = new org.apache.hadoop.fs.Path(s"$workDir/fetchlog")
+    val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fetched =
+      if (fs.exists(logRoot))
+        spark.read.schema(s"$LogSchema, batch LONG")
+          .option("ignoreMissingFiles", "true")
+          .parquet(logRoot.toString)
+          .filter(col("batch") < batchId) // this epoch decides fresh
+          .groupBy(col("loc")).agg(max(col("fetched_at")).as("fetched_at"))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(LogSchema))
+    Crawl.recrawlPlan(front.select("loc", "lastmod"), fetched)
+      .filter(col("refetch"))
+      .select(col("loc"), lit(fetchDates(batchId)).as("fetched_at"))
+      .write.mode("overwrite").parquet(s"$workDir/fetchlog/batch=$batchId")
+  }
+
+  /** The crawl-loop streaming leg; the caller picks the trigger. */
+  def loopWriter(sitemaps: DataFrame, workDir: String, checkpointDir: String,
+                 fetchDates: Long => String): DataStreamWriter[Row] =
+    sitemaps.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(loopBatch(workDir, fetchDates) _)
+
+  /** The drained loop's report: per URL, the frontier's freshest view
+    * (lastmod, distinct-lastmod churn) joined to the fetch history
+    * (how many epochs fetched it, and when last). On the planted waves
+    * every frontier update is exactly one later refetch, so
+    * `n_updates = n_fetches` — the closed form st_recrawl_loop pins.
+    */
+  def loopReport(spark: SparkSession, workDir: String): DataFrame = {
+    val log = spark.read.schema(s"$LogSchema, batch LONG")
+      .option("ignoreMissingFiles", "true")
+      .parquet(s"$workDir/fetchlog")
+      .groupBy(col("loc"))
+      .agg(count(lit(1)).as("n_fetches"),
+        max(col("fetched_at")).as("last_fetched_at"))
+    frontier(spark, workDir).join(log, Seq("loc"))
+      .select(col("domain"), col("loc"), col("lastmod"), col("n_updates"),
+        col("n_fetches"), col("last_fetched_at"))
+  }
 }

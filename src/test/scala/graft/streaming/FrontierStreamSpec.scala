@@ -45,6 +45,31 @@ class FrontierStreamSpec extends SparkSpec {
       .getAs[String]("lastmod") == "2026-02-01")
   }
 
+  test("crawl loop: decisions feed the next epoch; replay is idempotent") {
+    val work = tmp("graft_fr_loop")
+    val dates = Map(0L -> "2026-01-31", 1L -> "2026-02-28")
+    val loop = FrontierStream.loopBatch(work, dates) _
+    // epoch 0: both URLs unseen → both fetch at the epoch-0 stamp
+    loop(batchOf(sitemap("a.com",
+      ("https://a.com/1", "2026-01-05"), ("https://a.com/2", "2026-01-07"))), 0L)
+    // epoch 1: /1 refreshed past the epoch-0 fetch → stale refetch; /2
+    // re-states its old lastmod → fresh, skipped
+    loop(batchOf(sitemap("a.com",
+      ("https://a.com/1", "2026-02-10"), ("https://a.com/2", "2026-01-07"))), 1L)
+    def report = FrontierStream.loopReport(spark, work).collect()
+      .map(r => r.getAs[String]("loc") ->
+        ((r.getAs[Long]("n_fetches"), r.getAs[String]("last_fetched_at")))).toMap
+    val r1 = report
+    assert(r1("https://a.com/1") == ((2L, "2026-02-28")),
+      "refreshed URL refetches in the next epoch")
+    assert(r1("https://a.com/2") == ((1L, "2026-01-31")),
+      "unrefreshed URL keeps its first fetch only")
+    // crash-replay of epoch 1: identical store state → identical decisions
+    loop(batchOf(sitemap("a.com",
+      ("https://a.com/1", "2026-02-10"), ("https://a.com/2", "2026-01-07"))), 1L)
+    assert(report == r1, "a replayed epoch rewrites, never doubles")
+  }
+
   test("compaction preserves frontier answers and folds the dirs") {
     val work = tmp("graft_fr_cmp")
     FrontierStream.ingestBatch(work)(batchOf(
