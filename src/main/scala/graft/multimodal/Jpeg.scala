@@ -1,15 +1,25 @@
 package graft.multimodal
 
-/** Baseline sequential JPEG (JFIF), pure JVM — the dominant crawled-image
-  * format and the one codec gap after BMP/PNG/GIF/WAV (VERDICT r12 #1).
+/** Baseline sequential + PROGRESSIVE JPEG (JFIF), pure JVM — the dominant
+  * crawled-image format and the one codec gap after BMP/PNG/GIF/WAV
+  * (VERDICT r12 #1; progressive is r13 #4 — the majority of large web
+  * JPEGs are SOF2).
   *
-  * Decoder scope: baseline DCT (SOF0), 8-bit samples, 1 or 3 components,
-  * interleaved single scan, arbitrary Huffman/quantization tables read
-  * from DHT/DQT (8- and 16-bit precision), restart markers (DRI/RSTn),
-  * 0xFF00 byte unstuffing, any sampling factors up to 4 (4:4:4 / 4:2:2 /
-  * 4:2:0 tested), box-replication chroma upsampling, JFIF YCbCr→RGB with
-  * round-half-up + clamp. Progressive (SOF2), arithmetic coding,
-  * 12-bit precision, and hierarchical modes are REJECTED loudly — the
+  * Decoder scope: baseline DCT (SOF0) and progressive DCT (SOF2) — for
+  * progressive, full T.81 Annex G.2 entropy decoding: spectral selection
+  * (per-band AC scans, single-component, EOB runs), successive
+  * approximation (DC and AC initial + refinement scans, point
+  * transforms), interleaved DC scans, DHT/DQT redefinition between
+  * scans, and restart markers resetting both DC predictors and the EOB
+  * run. Both modes share one coefficient-buffer architecture: every scan
+  * accumulates zigzag-ordered quantized coefficients per component
+  * (baseline is the one-scan special case), then a single dequant + IDCT
+  * pass assembles the planes. Also: 8-bit samples, 1 or 3 components,
+  * arbitrary Huffman/quantization tables read from DHT/DQT (8- and
+  * 16-bit precision), 0xFF00 byte unstuffing, any sampling factors up to
+  * 4 (4:4:4 / 4:2:2 / 4:2:0 tested), box-replication chroma upsampling,
+  * JFIF YCbCr→RGB with round-half-up + clamp. Arithmetic coding, 12-bit
+  * precision, and hierarchical modes are REJECTED loudly — the
   * classifiable-decode-error stance every codec in this package takes.
   *
   * Encoder scope: the fixture generator — entropy-codes CHOSEN quantized
@@ -394,13 +404,273 @@ object Jpeg {
     out.toByteArray
   }
 
+  // Universal two-length Huffman table for the progressive fixture
+  // encoder: codes 0..127 at length 8, 128..255 at length 9 — every
+  // (run, size) symbol codable (progressive needs EOBn symbols r<<4 that
+  // Annex K's AC tables lack), never the all-ones code, trivially
+  // canonical. Fixture efficiency is irrelevant; decode correctness
+  // against arbitrary DHT tables is what the interop test pins.
+  private val UniBits = Array(0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0)
+  private val UniVals = (0 until 256).toArray
+
+  /** Encode a PROGRESSIVE (SOF2) JFIF JPEG from the SAME chosen quantized
+    * coefficients as [[encodeFromCoefficients]] — the fixture generator
+    * for the progressive decoder (VERDICT r13 #4). The scan script
+    * exercises every T.81 G.2 scan type: an interleaved DC first pass at
+    * Al=1 (arithmetic-shift point transform), a DC refinement
+    * (Ah=1→Al=0, one raw bit per block), then per component the spectral
+    * bands 1–5 and 6–63, each as an Al=1 AC first pass (EOB runs, ZRL,
+    * magnitude-shifted coefficients) followed by its Ah=1→Al=0 AC
+    * refinement (newly-nonzero ±1 emissions with correction bits for
+    * already-nonzero coefficients, including inside EOB runs). Decoding
+    * this stream must land the EXACT planted coefficients — successive
+    * approximation reconstructs integers losslessly once Al reaches 0 —
+    * so the analytic basis-vector oracle carries over unchanged from the
+    * baseline fixture.
+    */
+  def encodeProgressiveFromCoefficients(width: Int, height: Int,
+                                        chroma420: Boolean,
+                                        lumaQ: Array[Int], chromaQ: Array[Int],
+                                        coef: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF,
+      s"bad dimensions ${width}x$height")
+    require(lumaQ.length == 64 && chromaQ.length == 64, "quant tables must be 64 entries")
+    require((lumaQ ++ chromaQ).forall(q => q >= 1 && q <= 255),
+      "8-bit quant values required")
+    val out = new java.io.ByteArrayOutputStream(4096)
+    out.write(0xFF); out.write(0xD8) // SOI
+    seg(out, 0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqt(tq: Int, nat: Array[Int]): Unit = {
+      val p = new Array[Byte](65)
+      p(0) = tq.toByte
+      var k = 0
+      while (k < 64) { p(1 + k) = nat(ZigZag(k)).toByte; k += 1 }
+      seg(out, 0xDB, p)
+    }
+    dqt(0, lumaQ); dqt(1, chromaQ)
+    val lumaHV = if (chroma420) 0x22 else 0x11
+    seg(out, 0xC2, Array[Byte](8, // SOF2
+      ((height >> 8) & 0xFF).toByte, (height & 0xFF).toByte,
+      ((width >> 8) & 0xFF).toByte, (width & 0xFF).toByte,
+      3, 1, lumaHV.toByte, 0, 2, 0x11, 1, 3, 0x11, 1))
+    // ONE universal table serves every scan (DC id 0, AC id 0)
+    seg(out, 0xC4, (Array(0x00) ++ UniBits ++ UniVals).map(_.toByte))
+    seg(out, 0xC4, (Array(0x10) ++ UniBits ++ UniVals).map(_.toByte))
+    val uni = new HuffEnc(UniBits, UniVals)
+    val (lh, lv) = if (chroma420) (2, 2) else (1, 1)
+    val hv = Array((lh, lv), (1, 1), (1, 1))
+    val mcuCols = (width + 8 * lh - 1) / (8 * lh)
+    val mcuRows = (height + 8 * lv - 1) / (8 * lv)
+    def zzOf(comp: Int, bx: Int, by: Int): Array[Int] = {
+      val natB = coef(comp, bx, by)
+      val zz = new Array[Int](64)
+      var k = 0
+      while (k < 64) { zz(k) = natB(ZigZag(k)); k += 1 }
+      zz
+    }
+    def sos(compIds: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
+      seg(out, 0xDA,
+        (Array(compIds.length) ++
+          compIds.flatMap(c => Array(c + 1, 0x00)) ++
+          Array(ss, se, (ah << 4) | al)).map(_.toByte))
+    def floorLog2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+    // ---- scan 1: DC first pass, interleaved, Al=1 (arithmetic shift)
+    sos(Seq(0, 1, 2), 0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter(out)
+      val preds = new Array[Int](3)
+      var my = 0
+      while (my < mcuRows) {
+        var mx = 0
+        while (mx < mcuCols) {
+          var comp = 0
+          while (comp < 3) {
+            val (h, v) = hv(comp)
+            var vv = 0
+            while (vv < v) {
+              var hh = 0
+              while (hh < h) {
+                val dc = zzOf(comp, mx * h + hh, my * v + vv)(0) >> 1
+                val diff = dc - preds(comp)
+                preds(comp) = dc
+                val dsz = bitSize(diff)
+                bw.write(uni.code(dsz), uni.len(dsz))
+                if (dsz > 0)
+                  bw.write(if (diff < 0) diff + (1 << dsz) - 1 else diff, dsz)
+                hh += 1
+              }
+              vv += 1
+            }
+            comp += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+    // ---- scan 2: DC refinement, Ah=1, Al=0 — one raw bit per block
+    sos(Seq(0, 1, 2), 0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter(out)
+      var my = 0
+      while (my < mcuRows) {
+        var mx = 0
+        while (mx < mcuCols) {
+          var comp = 0
+          while (comp < 3) {
+            val (h, v) = hv(comp)
+            var vv = 0
+            while (vv < v) {
+              var hh = 0
+              while (hh < h) {
+                bw.write(zzOf(comp, mx * h + hh, my * v + vv)(0) & 1, 1)
+                hh += 1
+              }
+              vv += 1
+            }
+            comp += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+    // non-interleaved block grids (T.81: ceil(compDim/8), NOT MCU-padded)
+    def grid(comp: Int): (Int, Int) = {
+      val (h, v) = hv(comp)
+      (((width * h + lh - 1) / lh + 7) / 8,
+        ((height * v + lv - 1) / lv + 7) / 8)
+    }
+    // ---- per-component AC band scans
+    def acFirst(comp: Int, b0: Int, b1: Int): Unit = { // Ah=0, Al=1
+      sos(Seq(comp), b0, b1, 0, 1)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val nb = floorLog2(eobrun)
+        bw.write(uni.code(nb << 4), uni.len(nb << 4))
+        if (nb > 0) bw.write(eobrun - (1 << nb), nb)
+        eobrun = 0
+      }
+      val (bwd, bhd) = grid(comp)
+      var by = 0
+      while (by < bhd) {
+        var bx = 0
+        while (bx < bwd) {
+          val zz = zzOf(comp, bx, by)
+          def pt(v: Int): Int = if (v < 0) -((-v) >> 1) else v >> 1
+          var lastNz = b0 - 1
+          var k = b0
+          while (k <= b1) { if (pt(zz(k)) != 0) lastNz = k; k += 1 }
+          if (lastNz < b0) {
+            eobrun += 1
+            if (eobrun == 0x7FFF) flushEob()
+          } else {
+            flushEob()
+            var run = 0
+            k = b0
+            while (k <= lastNz) {
+              val v = pt(zz(k))
+              if (v == 0) run += 1
+              else {
+                while (run > 15) {
+                  bw.write(uni.code(0xF0), uni.len(0xF0)); run -= 16
+                }
+                val sz = bitSize(v)
+                bw.write(uni.code((run << 4) | sz), uni.len((run << 4) | sz))
+                bw.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
+                run = 0
+              }
+              k += 1
+            }
+            if (lastNz < b1) eobrun += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+    def acRefineScan(comp: Int, b0: Int, b1: Int): Unit = { // Ah=1, Al=0
+      sos(Seq(comp), b0, b1, 1, 0)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      val be = scala.collection.mutable.ArrayBuffer.empty[Int] // EOB-pending bits
+      def flushEob(): Unit = if (eobrun > 0) {
+        val nb = floorLog2(eobrun)
+        bw.write(uni.code(nb << 4), uni.len(nb << 4))
+        if (nb > 0) bw.write(eobrun - (1 << nb), nb)
+        eobrun = 0
+        be.foreach(b => bw.write(b, 1)); be.clear()
+      }
+      val (bwd, bhd) = grid(comp)
+      var by = 0
+      while (by < bhd) {
+        var bx = 0
+        while (bx < bwd) {
+          val zz = zzOf(comp, bx, by)
+          // Al=0: |v| == 1 is newly nonzero this scan, |v| > 1 already was
+          var eobK = b0 - 1
+          var k = b0
+          while (k <= b1) { if (math.abs(zz(k)) == 1) eobK = k; k += 1 }
+          var r = 0
+          val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+          k = b0
+          while (k <= b1) {
+            val v = zz(k)
+            val t = math.abs(v)
+            if (t == 0) r += 1
+            else {
+              // ZRLs only when they cannot fold into the EOB run
+              while (r > 15 && k <= eobK) {
+                flushEob()
+                bw.write(uni.code(0xF0), uni.len(0xF0)); r -= 16
+                brBits.foreach(b => bw.write(b, 1)); brBits.clear()
+              }
+              if (t > 1) brBits += (t & 1) // correction bit only
+              else {
+                flushEob()
+                bw.write(uni.code((r << 4) | 1), uni.len((r << 4) | 1))
+                bw.write(if (v < 0) 0 else 1, 1)
+                brBits.foreach(b => bw.write(b, 1)); brBits.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || brBits.nonEmpty) {
+            eobrun += 1
+            be ++= brBits
+            if (eobrun == 0x7FFF || be.length > 900) flushEob()
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+    var comp = 0
+    while (comp < 3) { acFirst(comp, 1, 5); acFirst(comp, 6, 63); comp += 1 }
+    comp = 0
+    while (comp < 3) {
+      acRefineScan(comp, 1, 5); acRefineScan(comp, 6, 63); comp += 1
+    }
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // Decoder
   // ------------------------------------------------------------------
 
-  /** Parse a baseline JFIF JPEG to top-down RGB (grayscale replicates the
-    * luma channel). Throws IllegalArgumentException on malformed or
-    * unsupported input.
+  /** Parse a baseline or progressive JFIF JPEG to top-down RGB
+    * (grayscale replicates the luma channel). Throws
+    * IllegalArgumentException on malformed or unsupported input.
     */
   def decode(bytes: Array[Byte]): Codecs.Image = {
     require(bytes.length >= 4, s"truncated JPEG: ${bytes.length} bytes")
@@ -414,23 +684,35 @@ object Jpeg {
     var width = -1
     var height = -1
     var restartInterval = 0
-    var scanComps: Array[(Int, Int)] = null // (dcTab, acTab) per component
-    var sawSos = false
+    var progressive = false
+    var sawScan = false
+    var eoi = false
+    // per-component zigzag-ordered quantized coefficient stores on the
+    // MCU-padded block grid; scans accumulate here, dequant+IDCT runs once
+    var coefs: Array[Array[Int]] = null
+    var blocksW: Array[Int] = null
+    var blocksH: Array[Int] = null
+    var hMax = 1
+    var vMax = 1
+    var mcuCols = 0
+    var mcuRows = 0
 
     def u16be(off: Int): Int = {
       require(off + 2 <= bytes.length, s"truncated segment at $off")
       ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
     }
 
-    while (!sawSos) {
-      require(pos + 2 <= bytes.length, "truncated JPEG: missing SOS")
+    while (!eoi) {
+      require(pos + 2 <= bytes.length, "truncated JPEG: missing EOI")
       require((bytes(pos) & 0xFF) == 0xFF,
         f"expected marker at $pos, got 0x${bytes(pos) & 0xFF}%02X")
       val marker = bytes(pos + 1) & 0xFF
       pos += 2
       marker match {
         case 0xD8 => throw new IllegalArgumentException("unexpected second SOI")
-        case 0xD9 => throw new IllegalArgumentException("EOI before any scan")
+        case 0xD9 =>
+          if (!sawScan) throw new IllegalArgumentException("EOI before any scan")
+          eoi = true
         case 0x01 => throw new IllegalArgumentException("stray TEM marker")
         case m if m >= 0xD0 && m <= 0xD7 =>
           throw new IllegalArgumentException(f"stray RST marker 0x$m%02X")
@@ -480,7 +762,8 @@ object Jpeg {
                 val tab = new HuffDec(bits, vals)
                 if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               }
-            case 0xC0 => // SOF0 baseline
+            case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+              progressive = marker == 0xC2
               require(comps == null, "multiple SOF segments")
               require(p + 6 <= end, "truncated SOF header")
               require((bytes(p) & 0xFF) == 8,
@@ -499,132 +782,131 @@ object Jpeg {
                 require(c.qt < 4, s"bad quant table id ${c.qt}")
                 c
               }
-            case m if m == 0xC1 || m == 0xC2 || m == 0xC3 ||
+              hMax = comps.map(_.h).max
+              vMax = comps.map(_.v).max
+              mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
+              mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
+              blocksW = comps.map(c => mcuCols * c.h)
+              blocksH = comps.map(c => mcuRows * c.v)
+              coefs = comps.indices.toArray.map(i =>
+                new Array[Int](blocksW(i) * blocksH(i) * 64))
+            case m if m == 0xC1 || m == 0xC3 ||
                 (m >= 0xC5 && m <= 0xC7) || (m >= 0xC9 && m <= 0xCB) ||
                 (m >= 0xCD && m <= 0xCF) =>
               throw new IllegalArgumentException(
-                f"unsupported SOF type 0x$m%02X (baseline sequential only)")
+                f"unsupported SOF type 0x$m%02X (baseline + progressive only)")
             case 0xDD =>
               require(end == p + 2, "DRI segment must be exactly 4 bytes")
               restartInterval = u16be(p)
-            case 0xDA => // SOS
+            case 0xDA => // SOS: parse the header, then decode the scan
               require(comps != null, "SOS before SOF")
               require(p + 1 <= end, "truncated SOS header")
               val ns = bytes(p) & 0xFF
-              require(ns == comps.length, s"scan components $ns != frame ${comps.length}")
               require(p + 4 + 2 * ns == end, "SOS length/component mismatch")
-              scanComps = new Array[(Int, Int)](ns)
+              if (!progressive)
+                require(ns == comps.length,
+                  s"scan components $ns != frame ${comps.length}")
+              else require(ns >= 1 && ns <= comps.length,
+                s"bad scan component count $ns")
+              val scanCis = new Array[Int](ns)
+              val dcSel = new Array[Int](ns)
+              val acSel = new Array[Int](ns)
               var i = 0
+              var prevTi = -1
               while (i < ns) {
                 val cid = bytes(p + 1 + 2 * i) & 0xFF
                 val ti = comps.indexWhere(_.id == cid)
                 require(ti >= 0, s"scan references unknown component $cid")
-                require(ti == i, "non-frame-order interleaved scan unsupported")
+                require(ti > prevTi, "non-frame-order interleaved scan unsupported")
+                prevTi = ti
                 val tt = bytes(p + 2 + 2 * i) & 0xFF
-                scanComps(i) = ((tt >> 4, tt & 0x0F))
+                scanCis(i) = ti
+                dcSel(i) = tt >> 4
+                acSel(i) = tt & 0x0F
                 i += 1
               }
               val ss = bytes(p + 1 + 2 * ns) & 0xFF
               val se = bytes(p + 2 + 2 * ns) & 0xFF
               val ahal = bytes(p + 3 + 2 * ns) & 0xFF
-              require(ss == 0 && se == 63 && ahal == 0,
-                s"non-baseline scan parameters $ss/$se/$ahal")
-              sawSos = true
+              val ah = ahal >> 4
+              val al = ahal & 0x0F
+              if (!progressive)
+                require(ss == 0 && se == 63 && ahal == 0,
+                  s"non-baseline scan parameters $ss/$se/$ahal")
+              else {
+                if (ss == 0) require(se == 0,
+                  s"progressive DC scan must have Se=0, got $se")
+                else {
+                  require(ns == 1, "progressive AC scan must be single-component")
+                  require(se >= ss && se <= 63, s"bad spectral band $ss..$se")
+                }
+                require(ah == 0 || ah == al + 1,
+                  s"bad successive approximation $ah/$al")
+                require(al <= 13, s"bad point transform $al")
+              }
+              // table existence for exactly what this scan consumes: the
+              // DC table only on a first DC pass (refinement reads raw
+              // bits), the AC table on any scan touching an AC band
+              i = 0
+              while (i < ns) {
+                if (ss == 0 && ah == 0)
+                  require(dcTabs(dcSel(i)) != null,
+                    s"missing DC Huffman table ${dcSel(i)}")
+                if (se > 0)
+                  require(acTabs(acSel(i)) != null,
+                    s"missing AC Huffman table ${acSel(i)}")
+                i += 1
+              }
+              pos = decodeScan(bytes, end, comps, coefs, blocksW,
+                scanCis, dcSel.map(dcTabs), acSel.map(acTabs),
+                ss, se, ah, al, restartInterval,
+                mcuCols, mcuRows, hMax, vMax, width, height)
+              sawScan = true
             case _ => // APPn / COM / other: skip
           }
-          pos = end
+          if (marker != 0xDA) pos = end
       }
     }
 
-    // entropy-coded scan
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
-    val mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
-    val planeW = comps.map(c => mcuCols * c.h * 8)
-    val planes = comps.zipWithIndex.map { case (c, i) =>
-      new Array[Int](planeW(i) * mcuRows * c.v * 8)
-    }
-    comps.zipWithIndex.foreach { case (c, i) =>
-      require(quant(c.qt) != null, s"component $i references missing DQT ${c.qt}")
-      require(dcTabs(scanComps(i)._1) != null, s"missing DC Huffman table ${scanComps(i)._1}")
-      require(acTabs(scanComps(i)._2) != null, s"missing AC Huffman table ${scanComps(i)._2}")
-    }
-    val br = new BitReader(bytes, pos)
-    val preds = new Array[Int](comps.length)
-    val coefZ = new Array[Int](64)
+    // dequant + IDCT every block into the MCU-padded planes
+    val planeW = comps.indices.map(i => blocksW(i) * 8).toArray
+    val planes = comps.indices.map(i =>
+      new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
     val nat = new Array[Int](64)
-    var mcu = 0
-    var my = 0
-    while (my < mcuRows) {
-      var mx = 0
-      while (mx < mcuCols) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.expectRst((mcu / restartInterval - 1) % 8)
-          java.util.Arrays.fill(preds, 0)
-        }
-        var ci = 0
-        while (ci < comps.length) {
-          val c = comps(ci)
-          val qt = quant(c.qt)
-          val dc = dcTabs(scanComps(ci)._1)
-          val ac = acTabs(scanComps(ci)._2)
-          var vv = 0
-          while (vv < c.v) {
-            var hh = 0
-            while (hh < c.h) {
-              java.util.Arrays.fill(coefZ, 0)
-              val dsz = dc.decode(br)
-              require(dsz <= 15, s"bad DC size $dsz")
-              preds(ci) += extend(br.receive(dsz), dsz)
-              coefZ(0) = preds(ci)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = ac.decode(br)
-                val r = rs >> 4
-                val sz = rs & 0x0F
-                if (sz == 0) {
-                  if (r == 15) k += 16 // ZRL
-                  else eob = true
-                } else {
-                  k += r
-                  require(k < 64, "AC coefficient index overflow")
-                  coefZ(k) = extend(br.receive(sz), sz)
-                  k += 1
-                }
-              }
-              // qt is natural-order: index it through the SAME dezigzag
-              // as the coefficient placement (a uniform fixture table
-              // cannot see this; a real libjpeg table can)
-              var j = 0
-              while (j < 64) {
-                val n = ZigZag(j)
-                nat(n) = coefZ(j) * qt(n)
-                j += 1
-              }
-              val px = idct(nat)
-              val bx = (mx * c.h + hh) * 8
-              val by = (my * c.v + vv) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  planes(ci)((by + y) * planeW(ci) + bx + x) = px(y * 8 + x)
-                  x += 1
-                }
-                y += 1
-              }
-              hh += 1
-            }
-            vv += 1
+    var ci = 0
+    while (ci < comps.length) {
+      val qt = quant(comps(ci).qt)
+      require(qt != null, s"component $ci references missing DQT ${comps(ci).qt}")
+      val cz = coefs(ci)
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          val off = (by * blocksW(ci) + bx) * 64
+          // qt is natural-order: index it through the SAME dezigzag as
+          // the coefficient placement (a uniform fixture table cannot
+          // see this; a real libjpeg table can)
+          var j = 0
+          while (j < 64) {
+            val n = ZigZag(j)
+            nat(n) = cz(off + j) * qt(n)
+            j += 1
           }
-          ci += 1
+          val px = idct(nat)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              planes(ci)((by * 8 + y) * planeW(ci) + bx * 8 + x) = px(y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
         }
-        mcu += 1
-        mx += 1
+        by += 1
       }
-      my += 1
+      ci += 1
     }
 
     // upsample (box replication) + color convert, cropping MCU padding
@@ -650,5 +932,182 @@ object Jpeg {
       y += 1
     }
     Codecs.Image(width, height, rgb)
+  }
+
+  /** Decode ONE entropy-coded scan into the zigzag coefficient stores
+    * and return the byte position just past its entropy data. Covers
+    * the baseline full scan (Ss=0, Se=63, Ah=Al=0, interleaved) and
+    * every progressive scan type of T.81 G.2: DC initial (the point
+    * transform is an arithmetic shift) and DC refinement (one raw bit
+    * per block), AC initial with EOB runs, and AC refinement (the
+    * correction-bit walk — each already-nonzero coefficient in the band
+    * consumes one bit even inside an EOB run). A scan with one
+    * component is non-interleaved (its own ceil(dim/8) block grid, the
+    * T.81 rule — baseline grayscale included); restart markers reset
+    * the DC predictors AND the EOB run.
+    */
+  private def decodeScan(bytes: Array[Byte], startPos: Int,
+                         comps: Array[Component], coefs: Array[Array[Int]],
+                         blocksW: Array[Int], scanCis: Array[Int],
+                         dcSel: Array[HuffDec], acSel: Array[HuffDec],
+                         ss: Int, se: Int, ah: Int, al: Int,
+                         restartInterval: Int, mcuCols: Int, mcuRows: Int,
+                         hMax: Int, vMax: Int, width: Int, height: Int): Int = {
+    val br = new BitReader(bytes, startPos)
+    val preds = new Array[Int](scanCis.length)
+    var eobrun = 0
+    val k0 = math.max(ss, 1) // AC band start (baseline: 1, DC-only: none)
+
+    def dcInitial(cz: Array[Int], off: Int, sci: Int): Unit = {
+      val dsz = dcSel(sci).decode(br)
+      require(dsz <= 15, s"bad DC size $dsz")
+      preds(sci) += extend(br.receive(dsz), dsz)
+      cz(off) = preds(sci) << al
+    }
+
+    def acInitial(cz: Array[Int], off: Int, sci: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val ac = acSel(sci)
+      var k = k0
+      while (k <= se) {
+        val rs = ac.decode(br)
+        val r = rs >> 4
+        val sz = rs & 0x0F
+        if (sz == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+            k = 64
+          }
+        } else {
+          k += r
+          require(k <= se, "AC coefficient index overflow")
+          cz(off + k) = extend(br.receive(sz), sz) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(cz: Array[Int], off: Int, sci: Int): Unit = {
+      val ac = acSel(sci)
+      val p1 = 1 << al
+      val m1 = -(1 << al)
+      var k = k0
+      if (eobrun == 0) {
+        var inBand = true
+        while (k <= se && inBand) {
+          val rs = ac.decode(br)
+          var r = rs >> 4
+          val sz = rs & 0x0F
+          var newval = 0
+          if (sz == 0) {
+            if (r != 15) {
+              eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+              inBand = false // EOB: tail-refine below, eobrun covers it
+            }
+            // r == 15: ZRL — pass 16 zero-history positions below
+          } else {
+            require(sz == 1, s"bad refinement magnitude size $sz")
+            newval = if (br.bit() == 1) p1 else m1
+          }
+          if (inBand) {
+            var placed = false
+            while (k <= se && !placed) {
+              val c = cz(off + k)
+              if (c != 0) {
+                // one correction bit per already-nonzero coefficient
+                if (br.bit() == 1 && (c & p1) == 0)
+                  cz(off + k) = c + (if (c >= 0) p1 else m1)
+                k += 1
+              } else if (r == 0) placed = true
+              else { r -= 1; k += 1 }
+            }
+            if (sz != 0) {
+              require(k <= se, "refinement position overflow")
+              cz(off + k) = newval
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // the rest of the band still carries one correction bit per
+        // already-nonzero coefficient, EOB run or not
+        while (k <= se) {
+          val c = cz(off + k)
+          if (c != 0) {
+            if (br.bit() == 1 && (c & p1) == 0)
+              cz(off + k) = c + (if (c >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def decodeBlock(sci: Int, bx: Int, by: Int): Unit = {
+      val ci = scanCis(sci)
+      val cz = coefs(ci)
+      val off = (by * blocksW(ci) + bx) * 64
+      if (ss == 0) {
+        if (ah == 0) dcInitial(cz, off, sci)
+        else cz(off) |= br.bit() << al // DC refinement: one raw bit
+      }
+      if (se >= k0 && se > 0) {
+        if (ah == 0) acInitial(cz, off, sci)
+        else acRefine(cz, off, sci)
+      }
+    }
+
+    var unit = 0 // MCUs (interleaved) or blocks (single-component)
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.expectRst((unit / restartInterval - 1) % 8)
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
+      }
+
+    if (scanCis.length > 1) { // interleaved MCU order
+      var my = 0
+      while (my < mcuRows) {
+        var mx = 0
+        while (mx < mcuCols) {
+          maybeRestart()
+          var sci = 0
+          while (sci < scanCis.length) {
+            val c = comps(scanCis(sci))
+            var vv = 0
+            while (vv < c.v) {
+              var hh = 0
+              while (hh < c.h) {
+                decodeBlock(sci, mx * c.h + hh, my * c.v + vv)
+                hh += 1
+              }
+              vv += 1
+            }
+            sci += 1
+          }
+          unit += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else { // non-interleaved: the component's own ceil(dim/8) grid
+      val c = comps(scanCis(0))
+      val bw = ((width * c.h + hMax - 1) / hMax + 7) / 8
+      val bh = ((height * c.v + vMax - 1) / vMax + 7) / 8
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          maybeRestart()
+          decodeBlock(0, bx, by)
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    br.pos
   }
 }

@@ -17,6 +17,25 @@ import graft.EntryOracles._
   * SparkEntry merges every slice into the driver-contract maps.
   */
 private[graft] object MultimodalQueries {
+
+  /** The planted JPEG coefficient field mm_decode_jpeg / mm_decode_jpeg_prog
+    * share — basis vectors u, v ∈ {0, 4} only, so the decoded samples are
+    * the closed-form integers the shared SQL oracle recomputes.
+    */
+  private def jpegFixtureCoef(id: Long)(comp: Int, bx: Int, by: Int): Array[Int] = {
+    val c = new Array[Int](64)
+    if (comp == 0) {
+      c(0) = ((id + 3 * bx + 5 * by) % 61 - 30).toInt
+      c(4) = ((2 * id + bx + 7 * by) % 21 - 10).toInt
+      c(32) = ((3 * id + 11 * bx + by) % 21 - 10).toInt
+      c(36) = ((5 * id + bx + by) % 9 - 4).toInt
+    } else if (comp == 1)
+      c(0) = ((id + 3 * bx + 5 * by) % 31 - 15).toInt
+    else
+      c(0) = ((2 * id + 7 * bx + by) % 31 - 15).toInt
+    c
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -316,19 +335,27 @@ private[graft] object MultimodalQueries {
           graft.multimodal.Jpeg.encodeFromCoefficients(w, h,
             chroma420 = id % 2 == 0, q8, qc,
             restartInterval = if (id % 4 == 0) 2 else 0,
-            (comp, bx, by) => {
-              val c = new Array[Int](64)
-              if (comp == 0) {
-                c(0) = ((id + 3 * bx + 5 * by) % 61 - 30).toInt
-                c(4) = ((2 * id + bx + 7 * by) % 21 - 10).toInt
-                c(32) = ((3 * id + 11 * bx + by) % 21 - 10).toInt
-                c(36) = ((5 * id + bx + by) % 9 - 4).toInt
-              } else if (comp == 1)
-                c(0) = ((id + 3 * bx + 5 * by) % 31 - 15).toInt
-              else
-                c(0) = ((2 * id + 7 * bx + by) % 31 - 15).toInt
-              c
-            }))
+            jpegFixtureCoef(id)))
+      }
+      graft.multimodal.Multimodal.jpegStats(media)
+    }),
+    // The PROGRESSIVE twin (VERDICT r13 #4): the SAME planted coefficient
+    // field encoded as SOF2 — interleaved DC first pass + refinement,
+    // per-component spectral bands 1–5 / 6–63 each with an Al=1 first
+    // pass and an Ah=1 refinement (EOB runs, ZRLs, correction bits).
+    // Successive approximation reconstructs the integers losslessly once
+    // Al reaches 0, so the decoded pixels — and the analytic oracle —
+    // are byte-identical to the baseline query's.
+    "mm_decode_jpeg_prog" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val q8 = Array.fill(64)(8)
+        val qc = Array.fill(64)(8); qc(0) = 16
+        val w = (12 + 4 * (id % 5)).toInt
+        val h = (12 + 4 * ((id * 3) % 4)).toInt
+        graft.multimodal.MediaRecord(id, "image/jpeg",
+          graft.multimodal.Jpeg.encodeProgressiveFromCoefficients(w, h,
+            chroma420 = id % 2 == 0, q8, qc, jpegFixtureCoef(id)))
       }
       graft.multimodal.Multimodal.jpegStats(media)
     }),
@@ -405,6 +432,37 @@ private[graft] object MultimodalQueries {
         .select(col("media_id").as("frame_id"),
           length(col("content")).as("n_bytes"))
     }))
+
+  /** The shared mm_decode_jpeg / mm_decode_jpeg_prog replay: the
+    * planted basis-vector coefficients reconstruct losslessly in both
+    * modes, so one analytic pixel statement answers both queries.
+    */
+  private val sqlDecodeJpeg: String =
+"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
+                              (id % 2 = 0) AS sub
+                       FROM (SELECT unnest(range(0, 256)) AS id)),
+         px AS (
+           SELECT id, w, h,
+             128 + ((id + 3*(x//8) + 5*(y//8)) % 61 - 30)
+                 + (CASE WHEN (x%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * ((2*id + (x//8) + 7*(y//8)) % 21 - 10)
+                 + (CASE WHEN (y%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * ((3*id + 11*(x//8) + (y//8)) % 21 - 10)
+                 + (CASE WHEN (x%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * (CASE WHEN (y%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * ((5*id + (x//8) + (y//8)) % 9 - 4) AS yv,
+             2 * ((id + 3*(CASE WHEN sub THEN x//16 ELSE x//8 END)
+                      + 5*(CASE WHEN sub THEN y//16 ELSE y//8 END)) % 31 - 15) AS cbv,
+             2 * ((2*id + 7*(CASE WHEN sub THEN x//16 ELSE x//8 END)
+                       + (CASE WHEN sub THEN y//16 ELSE y//8 END)) % 31 - 15) AS crv
+           FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y))
+         SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(SUM(greatest(0, least(255, round(yv + 1.402 * crv)))) AS BIGINT) AS sum_r,
+                CAST(SUM(greatest(0, least(255, round(yv - 0.344136 * cbv - 0.714136 * crv)))) AS BIGINT) AS sum_g,
+                CAST(SUM(greatest(0, least(255, round(yv + 1.772 * cbv)))) AS BIGINT) AS sum_b
+         FROM px GROUP BY 1, 2, 3, 4"""
 
   val oracleSql: Map[String, String] = Map(
 
@@ -572,32 +630,10 @@ private[graft] object MultimodalQueries {
     // (Cb/Cr = 128 + 2·coef under the DC=16 quant step), and the JFIF
     // color conversion is replayed with the same double constants and
     // rounding — the full lossy pipeline under an exact hash compare
-    "mm_decode_jpeg" ->
-      """WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
-                              (id % 2 = 0) AS sub
-                       FROM (SELECT unnest(range(0, 256)) AS id)),
-         px AS (
-           SELECT id, w, h,
-             128 + ((id + 3*(x//8) + 5*(y//8)) % 61 - 30)
-                 + (CASE WHEN (x%8)%4 IN (0,3) THEN 1 ELSE -1 END)
-                   * ((2*id + (x//8) + 7*(y//8)) % 21 - 10)
-                 + (CASE WHEN (y%8)%4 IN (0,3) THEN 1 ELSE -1 END)
-                   * ((3*id + 11*(x//8) + (y//8)) % 21 - 10)
-                 + (CASE WHEN (x%8)%4 IN (0,3) THEN 1 ELSE -1 END)
-                   * (CASE WHEN (y%8)%4 IN (0,3) THEN 1 ELSE -1 END)
-                   * ((5*id + (x//8) + (y//8)) % 9 - 4) AS yv,
-             2 * ((id + 3*(CASE WHEN sub THEN x//16 ELSE x//8 END)
-                      + 5*(CASE WHEN sub THEN y//16 ELSE y//8 END)) % 31 - 15) AS cbv,
-             2 * ((2*id + 7*(CASE WHEN sub THEN x//16 ELSE x//8 END)
-                       + (CASE WHEN sub THEN y//16 ELSE y//8 END)) % 31 - 15) AS crv
-           FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y))
-         SELECT id AS media_id, CAST(w AS BIGINT) AS width,
-                CAST(h AS BIGINT) AS height,
-                CAST(w * h AS BIGINT) AS n_pixels,
-                CAST(SUM(greatest(0, least(255, round(yv + 1.402 * crv)))) AS BIGINT) AS sum_r,
-                CAST(SUM(greatest(0, least(255, round(yv - 0.344136 * cbv - 0.714136 * crv)))) AS BIGINT) AS sum_g,
-                CAST(SUM(greatest(0, least(255, round(yv + 1.772 * cbv)))) AS BIGINT) AS sum_b
-         FROM px GROUP BY 1, 2, 3, 4""",
+    "mm_decode_jpeg" -> sqlDecodeJpeg,
+    // progressive decode of the identical coefficients → the identical
+    // analytic pixels (successive approximation is lossless at Al=0)
+    "mm_decode_jpeg_prog" -> sqlDecodeJpeg,
     // planted-payload truth through the real JPEG decode: coefficient-
     // identical JPEGs must pair at hamming 0
     "mm_phash_jpeg" ->

@@ -173,22 +173,105 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
-  test("rejects progressive, truncation, garbage, and stray markers") {
+  test("rejects unsupported SOFs, truncation, garbage, and stray markers") {
     val good = Jpeg.encodeFromCoefficients(16, 16, chroma420 = true,
       q8, q8, 0, (_, _, _) => zeros)
     intercept[IllegalArgumentException](
       Jpeg.decode("not a jpeg".getBytes("US-ASCII")))
     intercept[IllegalArgumentException](Jpeg.decode(good.take(20)))
     intercept[IllegalArgumentException](Jpeg.decode(good.dropRight(6)))
-    // flip SOF0 (FFC0) to SOF2 (FFC2, progressive) — must classify
     val idx = good.indices.dropRight(1).find(i =>
       (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC0).get
-    val prog = good.clone(); prog(idx + 1) = 0xC2.toByte
-    val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    // flip SOF0 to SOF9 (arithmetic) — must classify as unsupported
+    val arith = good.clone(); arith(idx + 1) = 0xC9.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(arith))
     assert(e.getMessage.contains("SOF"), e.getMessage)
+    // flip SOF0 to SOF2: a baseline full scan (Ss=0..63) is NOT a legal
+    // progressive scan — classified, not an index escape
+    val prog = good.clone(); prog(idx + 1) = 0xC2.toByte
+    val e2 = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    assert(e2.getMessage.contains("progressive"), e2.getMessage)
     // a stray RST marker outside the entropy stream
     val stray = good.take(2) ++ Array(0xFF.toByte, 0xD3.toByte) ++ good.drop(2)
     intercept[IllegalArgumentException](Jpeg.decode(stray))
+  }
+
+  test("progressive roundtrip: SOF2 scans reconstruct the exact baseline pixels") {
+    // the same planted coefficient field encoded both ways must decode
+    // byte-identical: successive approximation is lossless at Al=0
+    for (chroma420 <- Seq(false, true); (w, h) <- Seq((16, 16), (28, 20))) {
+      val coef = (comp: Int, bx: Int, by: Int) => {
+        val c = zeros
+        if (comp == 0) {
+          c(0) = (3 * bx + 5 * by) % 41 - 20
+          c(4) = (bx + 7 * by) % 21 - 10
+          c(32) = (11 * bx + by) % 15 - 7
+          c(36) = (bx + by) % 9 - 4
+        } else c(0) = ((if (comp == 1) 3 else 7) * bx + 5 * by) % 31 - 15
+        c
+      }
+      val base = Jpeg.decode(
+        Jpeg.encodeFromCoefficients(w, h, chroma420, q8, q8, 0, coef))
+      val prog = Jpeg.decode(
+        Jpeg.encodeProgressiveFromCoefficients(w, h, chroma420, q8, q8, coef))
+      assert(prog.width == base.width && prog.height == base.height)
+      assert(java.util.Arrays.equals(prog.rgb, base.rgb),
+        s"progressive decode must equal baseline (chroma420=$chroma420, ${w}x$h)")
+    }
+  }
+
+  test("progressive: wide coefficients exercise ZRL and long EOB runs") {
+    // sparse large-k coefficients force ZRLs inside refinement scans and
+    // EOB runs spanning many blocks in the 6..63 band
+    val coef = (comp: Int, bx: Int, by: Int) => {
+      val c = zeros
+      if (comp == 0) {
+        c(0) = (bx + by) % 11 - 5
+        if ((bx + by) % 3 == 0) c(36) = (bx % 7) - 3 // most blocks EOB early
+        if ((bx * by) % 5 == 0) c(4) = 1 // newly-nonzero in refinement
+      }
+      c
+    }
+    val base = Jpeg.decode(
+      Jpeg.encodeFromCoefficients(48, 48, chroma420 = false, q8, q8, 0, coef))
+    val prog = Jpeg.decode(
+      Jpeg.encodeProgressiveFromCoefficients(48, 48, chroma420 = false,
+        q8, q8, coef))
+    assert(java.util.Arrays.equals(prog.rgb, base.rgb))
+  }
+
+  test("our decoder reads a foreign PROGRESSIVE (ImageIO-encoded) JPEG") {
+    val w = 40
+    val h = 24
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // gray-in-RGB ramp: constant chroma sidesteps upsampling-filter
+    // differences; the progressive scan script is libjpeg's real one
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = 40 + 3 * x + 2 * y
+      src.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    // confirm the fixture really is progressive (SOF2 present)
+    assert(bytes.indices.dropRight(1).exists(i =>
+      (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2),
+      "ImageIO progressive output must carry SOF2")
+    val ours = Jpeg.decode(bytes)
+    assert(ours.width == w && ours.height == h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = (ref.getRGB(x, y) >> 8) & 0xFF
+      val (_, g, _) = ours.pixel(x, y)
+      assert(math.abs(want - g) <= 2, s"pixel ($x,$y): imageio $want vs ours $g")
+    }
   }
 
   test("corrupt segment lengths fail as classified errors, not escapes") {
