@@ -183,7 +183,15 @@ object SparkEntry {
     "mm_phash_dct", "mm_resample_filtered",
     // round 13h: the streamed frontier composed into the authority
     // scheduler
-    "st_fetch_priority")
+    "st_fetch_priority",
+    // round 14: fixed-point ANN training (oracled IVF k-means + PQ +
+    // kNN graph), IVF multi-probe dominance, trained NB language ID,
+    // and the multi-epoch crawl loop
+    "ann_ivf_kmeans", "ann_pq_topk", "ann_ivf_multiprobe_recall",
+    "t_lang_id_trained", "st_recrawl_loop",
+    // round 14b: progressive JPEG decode (SOF2 — the dominant web
+    // encoding of the dominant crawled-image format)
+    "mm_decode_jpeg_prog")
 
   // ---- DuckDB oracle twins ----
 

@@ -78,12 +78,22 @@ object Graph {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    var cur = und.persist(mem)
+    // Each peeling generation REBASES on its materialized RDD
+    // (localCheckpoint(eager=false), the Text.bpeLoop idiom): a
+    // persist-chained loop keeps the full join lineage, so round N
+    // re-analyzes an N-deep plan — measured as the r13 g_kcore drift.
+    // Checkpoint-backed generations keep the per-round plan
+    // constant-depth; the count that drives the loop materializes each
+    // generation before its parent's blocks drop.
+    var cur = und.localCheckpoint(false)
     var nNodes = cur.select(col("src")).distinct().count()
     var done = nNodes == 0
     while (!done) {
@@ -93,13 +103,16 @@ object Graph {
         .join(keep, Seq("src"), "left_semi")
         .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .persist(mem)
+        .localCheckpoint(false)
       val m = next.select(col("src")).distinct().count()
+      backingRdd(cur).foreach(_.unpersist(false)) // superseded generation
       done = m == nNodes || m == 0 // nothing peeled, or nothing left
-      cur.unpersist()
       cur = next
       nNodes = m
     }
+    // checkpoint-backed: retain is a no-op and the ContextCleaner drops
+    // the final generation's blocks once the returned frame is
+    // unreferenced (the bpeSegment stance)
     graft.util.Caches.retain(cur)
     cur.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))

@@ -80,6 +80,19 @@ class PlanAuditSpec extends SparkSpec {
     assertNoCartesian(plan("dedup_near"), "dedup_near")
   }
 
+  test("g_kcore: the survivor frame is checkpoint-backed (constant per-round plan)") {
+    // the peeling loop must rebase each generation on its materialized
+    // RDD (localCheckpoint) — a persist-chained loop re-analyzes an
+    // N-deep join tree on round N (the r13 g_kcore drift); the final
+    // frame reading a LogicalRDD proves the rebase happened
+    val df = SparkEntry.queries("g_kcore")(spark, dir)
+    val hasRdd = df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
+    }.isDefined
+    assert(hasRdd, "kCore generations must rebase on checkpointed RDDs")
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("semantic + incremental dedup: cell/band equi-joins only — no cartesian") {
     // semantic's k-means assignment is the sanctioned vector×centroid
     // broadcast cross (k rows broadcast, like ivf's probe); the pair
