@@ -191,7 +191,10 @@ object SparkEntry {
     "t_lang_id_trained", "st_recrawl_loop",
     // round 14b: progressive JPEG decode (SOF2 — the dominant web
     // encoding of the dominant crawled-image format)
-    "mm_decode_jpeg_prog")
+    "mm_decode_jpeg_prog",
+    // round 14c: hybrid retrieval — BM25 + vector legs fused by
+    // reciprocal-rank fusion
+    "t_hybrid_rrf")
 
   // ---- DuckDB oracle twins ----
 

@@ -169,4 +169,37 @@ object Retrieval {
           p => concat(p.getField("__id").cast("string"), lit(":"),
             p.getField("__tf").cast("string"))), ",").as("postings"))
   }
+
+  /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher) — the standard
+    * hybrid-search merge of a lexical and a vector retrieval leg:
+    * `rrf = Σ_legs 1/(kRrf + rank)`, a missing leg contributing 0.
+    * Rank-based, so the legs' incomparable score scales (BM25 vs cosine)
+    * never meet. Inputs are `(idCol, rank)` frames (any leg the suite
+    * retrieves: [[bm25TopK]], [[tfidfTopK]],
+    * [[graft.operators.Similarity.bruteForceTopK]]/ivfTopK); output is
+    * the fused top-`k` as `(rank, idCol, rrf_score, rank_a, rank_b)`.
+    *
+    * Determinism: each reciprocal is ONE IEEE division, the two-term sum
+    * is fixed-order (leg A then leg B), ranking orders by the 6-rounded
+    * score with id tiebreak. Scale shape: both legs are top-k-bounded by
+    * their retrievers, so the full-outer join and the final window are
+    * metadata-grade regardless of corpus size.
+    */
+  def rrfFuse(legA: DataFrame, legB: DataFrame, idCol: String, k: Int,
+              kRrf: Int = 60): DataFrame = {
+    require(k > 0 && kRrf > 0, s"need positive k/kRrf: $k/$kRrf")
+    val a = legA.select(col(idCol), col("rank").as("rank_a"))
+    val b = legB.select(col(idCol), col("rank").as("rank_b"))
+    val fused = a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)),
+          6).as("rrf_score"))
+    fused.orderBy(col("rrf_score").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("rrf_score"),
+        col("rank_a"), col("rank_b"))
+  }
 }

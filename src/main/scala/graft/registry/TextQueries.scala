@@ -111,6 +111,26 @@ private[graft] object TextQueries {
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir),
         "doc_id", "text", Seq("spark", "scan"), k = 20)),
 
+    // HYBRID retrieval (Retrieval.rrfFuse): the standard production
+    // search stack — a lexical BM25 leg and a vector cosine leg fused by
+    // reciprocal-rank fusion, score = 1/(60+rank_lex) + 1/(60+rank_vec),
+    // missing legs 0. Both legs are their own oracled retrievers; the
+    // fusion is two IEEE divisions and a fixed-order sum, replayed
+    // verbatim. Vector leg: the corpus embedding of doc 0 as the query
+    // (vec_id and doc_id share the id space at every SF).
+    "t_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir),
+        "doc_id", "text", Seq("spark", "scan"), k = 20)
+      val e = embDouble(s, dir)
+      val vec = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d").as("embedding")), k = 20)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(
+        lex.select(col("doc_id"), col("rank")), vec, "doc_id", k = 10)
+    }),
+
     // TF-IDF cosine retrieval — the vector-space scorer beside BM25,
     // normalized by the FULL document vector norm (term-sorted left fold,
     // the LM-score determinism contract); the oracle replays idf, fold,
@@ -738,6 +758,44 @@ private[graft] object TextQueries {
                 doc_id, round(s, 6) AS score
          FROM piv WHERE round(s, 6) > 0
          ORDER BY rank LIMIT 20""",
+    // both retrieval legs replayed by their own oracled constructions,
+    // then the rank-based fusion: two exact reciprocals, fixed-order sum
+    "t_hybrid_rrf" ->
+      s"""WITH base AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS toks FROM documents),
+         lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+                WHERE term IN ('spark', 'scan') GROUP BY 1, 2),
+         stats AS (SELECT COUNT(*) AS n, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+         dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         parts AS (SELECT tf.doc_id, tf.term,
+             ln((n - df + 0.5) / (df + 0.5) + 1)
+               * (tf * (1.2 + 1))
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)) AS part
+           FROM tf JOIN dft USING (term) JOIN lens ON tf.doc_id = lens.doc_id
+           CROSS JOIN stats),
+         piv AS (SELECT doc_id,
+             COALESCE(MAX(CASE WHEN term = 'spark' THEN part END), 0.0)
+               + COALESCE(MAX(CASE WHEN term = 'scan' THEN part END), 0.0) AS s
+           FROM parts GROUP BY 1),
+         la AS (SELECT CAST(row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS INT) AS rank_a,
+                       doc_id
+                FROM piv WHERE round(s, 6) > 0
+                ORDER BY rank_a LIMIT 20),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS q_vec FROM e WHERE vec_id = 0),
+         sc AS (SELECT e.vec_id, ${sqlCosine("q_vec", "v")} AS sim FROM e CROSS JOIN q),
+         lb AS (SELECT CAST(rank_b AS INT) AS rank_b, vec_id AS doc_id FROM
+                 (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank_b FROM sc)
+                WHERE rank_b <= 20),
+         f AS (SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+                 la.rank_a, lb.rank_b,
+                 round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + la.rank_a), CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + lb.rank_b), CAST(0.0 AS DOUBLE)), 6) AS rrf_score
+               FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id)
+         SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+                doc_id, rrf_score, rank_a, rank_b
+         FROM f ORDER BY rank LIMIT 10""",
     // idf = ln(N/df); per-doc norm as the term-ORDERED fold of squared
     // weights; dot in fixed query-term order; one division of the rounded
     // report — the Spark expression tree transcribed operator-for-operator

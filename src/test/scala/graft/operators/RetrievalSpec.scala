@@ -49,6 +49,31 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq == Seq(1L))
   }
 
+  test("rrfFuse: overlap ranks first, missing legs contribute zero, id ties") {
+    val legA = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val legB = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(legA, legB, "doc_id", k = 4)
+      .orderBy("rank").collect()
+    def r(x: Int) = 1.0 / (60 + x)
+    def round6(x: Double) = // Spark round() is HALF_UP BigDecimal
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 20: ranks (2,1) -> r2+r1; 10: (1,3) -> r1+r3; 40: r2 beats 30: r3
+    assert(out.map(_.getLong(1)).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(out(0).getDouble(2) == round6(r(2) + r(1)))
+    assert(out(1).getDouble(2) == round6(r(1) + r(3)))
+    assert(out(2).getDouble(2) == round6(r(2)), "single-leg doc scores one reciprocal")
+    assert(out(2).get(3) == null, "missing leg rank stays null in the report")
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    // equal scores tie-break by id: two docs each only rank-1 in one leg
+    val tie = Retrieval.rrfFuse(
+      Seq((7L, 1)).toDF("doc_id", "rank"),
+      Seq((3L, 1)).toDF("doc_id", "rank"), "doc_id", k = 2)
+      .orderBy("rank").collect()
+    assert(tie.map(_.getLong(1)).toSeq == Seq(3L, 7L))
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(legA, legB, "doc_id", k = 0))
+  }
+
   test("argument guards reject empty/duplicate terms and bad k") {
     intercept[IllegalArgumentException](
       Retrieval.bm25TopK(docs, "doc_id", "text", Seq.empty, 5))
