@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * (doc, feat, count) rows — O(total chars) like every shingle pass —
   * and the model is bounded by `dim × |langs|` rows, NEVER by the
   * corpus. Training is one aggregation + one dim-bounded collect;
-  * scoring is one broadcast join + two doc-grain aggregations. Nothing
-  * data-proportional touches the driver.
+  * scoring is one gram pass — broadcast delta join, one doc-grain hash
+  * aggregation, a per-row argmax. Nothing data-proportional touches the
+  * driver.
   */
 object LangId {
 
@@ -38,18 +39,7 @@ object LangId {
   case class NbModel(langs: Seq[String], priors: Map[String, Long],
                      defaults: Map[String, Long],
                      deltas: Seq[(Long, String, Long)],
-                     dim: Int, n: Int, scale: Long) {
-    def langTable(spark: SparkSession): DataFrame = {
-      import spark.implicits._
-      langs.zipWithIndex.map { case (l, i) =>
-        (l, i, priors(l), defaults(l))
-      }.toDF("__lang", "__idx", "__prior", "__default")
-    }
-    def deltaTable(spark: SparkSession): DataFrame = {
-      import spark.implicits._
-      deltas.toDF("feat", "__lang", "__dw")
-    }
-  }
+                     dim: Int, n: Int, scale: Long)
 
   /** Hashed char-n-gram counts: one row per (doc, feature) with the
     * exact integer count. Grams slide over the lowercased text; a text
@@ -59,15 +49,32 @@ object LangId {
   def features(docs: DataFrame, idCol: String, textCol: String,
                dim: Int, n: Int): DataFrame = {
     require(dim > 0 && n > 0, s"need positive dim/n: $dim/$n")
-    val t = lower(col(textCol))
-    val grams = transform(
-      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-      i => t.substr(i, lit(n)))
-    docs
-      .select(col(idCol), explode(grams).as("__g"))
-      .select(col(idCol), pmod(xxhash64(col("__g")), lit(dim.toLong)).as("feat"))
+    gramRows(docs, idCol, textCol, dim, n)
       .groupBy(col(idCol), col("feat"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One row per gram INSTANCE: `(idCol, feat)` — the shared front half
+    * of training and scoring, which both aggregate straight from it
+    * (their single shuffle) instead of through a per-(doc, feat) count.
+    */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+                       dim: Int, n: Int): DataFrame = {
+    // Two lessons live here (both measured on the sf0.1 corpus, 24 s →
+    // ~2 s): (1) the Text.shinglesFromTokens contract — the char array
+    // must be a BOUND attribute before the gram lambda reads it, or
+    // CollapseProject inlines the split once per gram position; (2) no
+    // positional substr on strings — UTF8String.substring walks bytes to
+    // the start offset, so sliding substr(i, n) is O(len²) PER DOCUMENT.
+    // Splitting to a char array once makes each gram an O(n) slice, the
+    // token-shingle shape exactly.
+    val grams = transform(
+      sequence(lit(1), greatest(size(col("__cs")) - (n - 1), lit(1))),
+      i => concat_ws("", slice(col("__cs"), i, lit(n))))
+    docs
+      .select(col(idCol), split(lower(col(textCol)), "").as("__cs"))
+      .select(col(idCol), explode(grams).as("__g"))
+      .select(col(idCol), pmod(xxhash64(col("__g")), lit(dim.toLong)).as("feat"))
   }
 
   /** Train multinomial NB with Laplace smoothing on documents labeled
@@ -80,11 +87,13 @@ object LangId {
             scale: Long = 1L << 20): LangId.NbModel = {
     require(scale > 0, s"scale must be positive, got $scale")
     val labels = docs.select(col(idCol), col(labelCol).as("__lang"))
-    // per-(lang, feat) integer gram counts — bounded by dim × |langs|
-    val counts = features(docs, idCol, textCol, dim, n)
+    // per-(lang, feat) integer gram counts — bounded by dim × |langs|;
+    // ONE shuffle: gram instances join the (broadcastable-or-not) label
+    // map and aggregate straight to (lang, feat) grain
+    val counts = gramRows(docs, idCol, textCol, dim, n)
       .join(labels, idCol)
       .groupBy(col("__lang"), col("feat"))
-      .agg(sum(col("cnt")).as("c"))
+      .agg(count(lit(1)).as("c"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val docCounts = labels.groupBy(col("__lang"))
@@ -105,27 +114,42 @@ object LangId {
   }
 
   /** Predict each document's language: `(idCol, lang_pred)`. Integer
-    * scoring end to end — one broadcast model join, two doc-grain
-    * aggregations; ties break to the lower language index.
+    * scoring end to end in ONE gram pass: instances join the broadcast
+    * per-feat delta table (ONE row per feature with a per-language
+    * array — no per-language row blow-up), a single doc-grain hash
+    * aggregation sums each language's delta column plus the gram total,
+    * and the priors/defaults — driver-held model constants — fold in as
+    * literals. The argmax is a per-row array_max over |langs| structs
+    * (ties to the lower language index), so nothing shuffles at language
+    * grain and nothing aggregates twice.
     */
   def predict(docs: DataFrame, idCol: String, textCol: String,
               model: NbModel): DataFrame = {
     val spark = docs.sparkSession
-    val fs = features(docs, idCol, textCol, model.dim, model.n)
-    val totals = fs.groupBy(col(idCol)).agg(sum(col("cnt")).as("__tot"))
-    // |langs|-row broadcast against the doc-grain totals (the
-    // scalar-stats crossJoin pattern, just |langs| rows instead of 1)
-    val base = totals.crossJoin(broadcast(model.langTable(spark)))
-      .select(col(idCol), col("__lang"), col("__idx"),
-        (col("__prior") + col("__tot") * col("__default")).as("__base"))
-    val sparse = fs.join(broadcast(model.deltaTable(spark)), Seq("feat"))
-      .groupBy(col(idCol), col("__lang"))
-      .agg(sum(col("cnt") * col("__dw")).as("__sp"))
-    base.join(sparse, Seq(idCol, "__lang"), "left")
-      .select(col(idCol), col("__lang"), col("__idx"),
-        (col("__base") + coalesce(col("__sp"), lit(0L))).as("__score"))
+    import spark.implicits._
+    val nL = model.langs.size
+    val langIdx = model.langs.zipWithIndex.toMap
+    val wide = model.deltas.groupBy(_._1).map { case (f, rows) =>
+      val arr = new Array[Long](nL)
+      rows.foreach { case (_, l, dw) => arr(langIdx(l)) = dw }
+      (f, arr.toSeq)
+    }.toSeq.toDF("feat", "__dw")
+    val sumCols = (0 until nL).map(i => sum(col("cnt") *
+      coalesce(element_at(col("__dw"), i + 1), lit(0L))).as(s"__s$i")) :+
+      sum(col("cnt")).as("__tot")
+    val sums = gramRows(docs, idCol, textCol, model.dim, model.n)
+      .withColumn("cnt", lit(1L))
+      .join(broadcast(wide), Seq("feat"), "left")
       .groupBy(col(idCol))
-      .agg(max_by(col("__lang"), struct(col("__score"), -col("__idx")))
-        .as("lang_pred"))
+      .agg(sumCols.head, sumCols.tail: _*)
+    val cands = array(model.langs.zipWithIndex.map { case (l, i) =>
+      struct(
+        (lit(model.priors(l)) + col("__tot") * lit(model.defaults(l)) +
+          col(s"__s$i")).as("score"),
+        lit(-i).as("negidx"), lit(l).as("lang"))
+    }: _*)
+    // array_max on structs orders by (score, negidx, lang): max score,
+    // ties to the LOWER language index — the Text.langId convention
+    sums.select(col(idCol), array_max(cands).getField("lang").as("lang_pred"))
   }
 }
