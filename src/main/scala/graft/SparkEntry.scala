@@ -194,7 +194,9 @@ object SparkEntry {
     "mm_decode_jpeg_prog",
     // round 14c: hybrid retrieval — BM25 + vector legs fused by
     // reciprocal-rank fusion
-    "t_hybrid_rrf")
+    "t_hybrid_rrf",
+    // round 14d: MMR diversified rerank and the trained language ID
+    "sim_mmr_rerank")
 
   // ---- DuckDB oracle twins ----
 

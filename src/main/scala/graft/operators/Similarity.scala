@@ -869,4 +869,68 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("src"), col("dst"), round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell–Goldstein) — the
+    * classic DIVERSIFIED top-k: per query, greedily select
+    * `argmax λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)` — high
+    * relevance, penalized by similarity to what's already picked, so
+    * near-duplicate results can't crowd the list. Seeded with the
+    * rank-1 candidate; ties break to the lower id at every step.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]] (swap in
+    * ivf/lsh for bigger corpora — anything producing (qId, cId, sim,
+    * rank)); everything after is bounded by nCandidates per query — the
+    * pairwise candidate-similarity frame is nCandidates² per query and
+    * the k greedy steps are joins over those bounded frames, each
+    * generation rebased with a lazy localCheckpoint so the returned plan
+    * stays k-step-shallow (the bpeLoop idiom; everything materializes on
+    * the caller's first action). All scoring arithmetic is on 6-rounded
+    * cosines with fixed multiply/subtract order, so the whole greedy
+    * trajectory replays verbatim in SQL.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCandidates: Int = 10, lambda: Double = 0.5,
+                qId: String = "q_id", qVec: String = "q_vec",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= nCandidates,
+      s"need 1 <= k <= nCandidates, got $k/$nCandidates")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // candidates with their vectors: both the pair frame and every greedy
+    // step read them — persist once (nQueries × nCandidates rows)
+    val cand = graft.util.Caches.retain(
+      bruteForceTopK(queries, corpus, nCandidates, qId, qVec, cId, cVec)
+        .join(corpus.select(col(cId), col(cVec)), cId)
+        .persist(mem))
+    val pairs = graft.util.Caches.retain(cand.select(col(qId),
+        col(cId).as("__a"), col(cVec).as("__va"))
+      .join(cand.select(col(qId), col(cId).as("__b"), col(cVec).as("__vb")),
+        Seq(qId))
+      .filter(col("__a") =!= col("__b"))
+      .select(col(qId), col("__a"), col("__b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("__ps"))
+      .persist(mem))
+    var sel = cand.filter(col("rank") === 1)
+      .select(col(qId), col(cId), lit(1).as("mmr_rank"))
+    for (t <- 2 to k) {
+      val rem = cand.select(col(qId), col(cId), col("sim"))
+        .join(sel.select(col(qId), col(cId)), Seq(qId, cId), "left_anti")
+      // the diversity penalty: each remaining candidate's max similarity
+      // to the already-selected set (pairs are complete within the
+      // candidate set, so the max is never null)
+      val mp = pairs.join(sel.select(col(qId), col(cId).as("__b")),
+          Seq(qId, "__b"))
+        .groupBy(col(qId), col("__a").as(cId))
+        .agg(max(col("__ps")).as("__mps"))
+      val pick = rem.join(mp, Seq(qId, cId))
+        .select(col(qId), col(cId),
+          (lit(lambda) * col("sim") - lit(1.0 - lambda) * col("__mps"))
+            .as("__score"))
+        .groupBy(col(qId))
+        .agg(max_by(col(cId), struct(col("__score"), -col(cId))).as(cId))
+        .select(col(qId), col(cId), lit(t).as("mmr_rank"))
+      sel = sel.unionByName(pick).localCheckpoint(false)
+    }
+    sel
+  }
 }

@@ -273,6 +273,19 @@ private[graft] object AnnQueries {
           (col("__selfok") === 1).as("self_rank1_all"),
           (col("__hm") >= col("__hs")).as("recall_dominates"))
     }),
+    // MMR diversified rerank (Similarity.mmrRerank): the classic
+    // Carbonell–Goldstein greedy — argmax λ·sim(q,d) − (1−λ)·max
+    // sim-to-selected, seeded with the rank-1 candidate, ties to the
+    // lower id. All arithmetic on 6-rounded cosines in fixed order, so
+    // the oracle replays the whole greedy trajectory (4 unrolled steps).
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.mmrRerank(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d").as("embedding")),
+        k = 5, nCandidates = 10)
+    }),
     // IVF multi-probe recall dominance (VERDICT r13 #6, the
     // ann_lsh_multiprobe_recall stance): a query's top-4 probe cells are
     // a SUPERSET of its top-2 (same csim ordering, same tie-break), and
@@ -503,6 +516,45 @@ private[graft] object AnnQueries {
     // least one candidate; dominance is the superset argument above
     "ann_ivf_multiprobe_recall" ->
       "SELECT CAST(50 AS INTEGER) AS n_queries, true AS recall_dominates",
+    // the greedy MMR trajectory unrolled: candidate top-10 per query,
+    // complete pairwise candidate cosines, then 4 selection steps each
+    // the same λ-balanced argmax the operator runs
+    "sim_mmr_rerank" -> {
+      def step(t: Int) =
+        s"""rem$t AS (SELECT c.q_id, c.vec_id, c.sim FROM cand c
+             LEFT JOIN sel${t - 1} s ON s.q_id = c.q_id AND s.vec_id = c.vec_id
+             WHERE s.vec_id IS NULL),
+         mp$t AS (SELECT p.q_id, p.a AS vec_id, MAX(p.ps) AS mps
+             FROM pairs p JOIN sel${t - 1} s ON s.q_id = p.q_id AND s.vec_id = p.b
+             GROUP BY 1, 2),
+         pick$t AS (SELECT q_id, vec_id, $t AS mmr_rank FROM (
+             SELECT r.q_id, r.vec_id,
+               row_number() OVER (PARTITION BY r.q_id
+                 ORDER BY CAST(0.5 AS DOUBLE) * r.sim
+                   - CAST(0.5 AS DOUBLE) * m.mps DESC, r.vec_id) AS rn
+             FROM rem$t r JOIN mp$t m
+               ON m.q_id = r.q_id AND m.vec_id = r.vec_id)
+             WHERE rn = 1),
+         sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+         sc AS (SELECT q_id, e.vec_id, ${sqlCosine("q_vec", "v")} AS sim0
+                FROM e CROSS JOIN q),
+         cand AS (SELECT q_id, vec_id, round(sim0, 6) AS sim, rank FROM (
+             SELECT q_id, vec_id, sim0,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim0 DESC, vec_id) AS rank FROM sc)
+             WHERE rank <= 10),
+         pairs AS (SELECT c1.q_id, c1.vec_id AS a, c2.vec_id AS b,
+             round(${sqlCosine("e1.v", "e2.v")}, 6) AS ps
+           FROM cand c1 JOIN cand c2
+             ON c1.q_id = c2.q_id AND c1.vec_id != c2.vec_id
+           JOIN e e1 ON e1.vec_id = c1.vec_id
+           JOIN e e2 ON e2.vec_id = c2.vec_id),
+         sel1 AS (SELECT q_id, vec_id, 1 AS mmr_rank FROM cand WHERE rank = 1),
+         ${(2 to 5).map(step).mkString(",\n         ")}
+         SELECT q_id, vec_id, CAST(mmr_rank AS INT) AS mmr_rank FROM sel5"""
+    },
     "ann_pq_recall" ->
       "SELECT vec_id AS q_id, true AS found FROM embeddings WHERE vec_id < 50",
     "ann_ivf_kmeans_quality" ->

@@ -187,6 +187,58 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq == (1 to out.length).toSeq)
   }
 
+  test("mmrRerank: a near-duplicate of the seed is demoted below a diverse hit") {
+    // q aligned with x-axis; 1 and 2 are near-identical high-relevance
+    // vectors, 3 is moderately relevant but orthogonal-ish to them
+    val c = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.01, 0.0)), // near-duplicate of 1
+      (3L, Seq(0.6, 0.0, 0.8))   // diverse: cos(q,3) = 0.6, cos(1,3) = 0.6
+    ).toDF("vec_id", "embedding")
+    val q = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("q_id", "q_vec")
+    val out = Similarity.mmrRerank(q, c, k = 3, nCandidates = 3)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    // seed = rank-1 (id 1); then 3 beats 2: 0.5*0.6 - 0.5*0.6 = 0 vs
+    // 0.5*0.99995 - 0.5*0.99995 ≈ 0 ... compute: sim(q,2) ≈ 0.99995,
+    // pair(2,1) ≈ 0.99995 → score ≈ 0; sim(q,3)=0.6, pair(3,1)=0.6 →
+    // score = 0. Tie would go to id 2 — so use the EXACT values: the
+    // rounded cosines make 2's penalty marginally exceed its relevance
+    // (pair(2,1) == sim(q,2)), same for 3 — both scores are exactly 0,
+    // tie to the lower id... assert the seed and that ALL of 1..3 appear
+    // with distinct ranks, then pin the diversity case on a sharper
+    // geometry below.
+    assert(out.head == ((1L, 1)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    // sharper: 2 is a near-duplicate of 1 AND less relevant than 3
+    val c2 = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.05, 0.0)),
+      (3L, Seq(0.8, 0.0, 0.6))
+    ).toDF("vec_id", "embedding")
+    val out2 = Similarity.mmrRerank(q, c2, k = 3, nCandidates = 3)
+      .orderBy("mmr_rank").collect().map(_.getLong(1))
+    // sim(q,2)≈0.99875, pair(2,1)≈0.99875 → score≈0.0000;
+    // sim(q,3)=0.8, pair(3,1)=0.8 → score 0. Hmm — equal again by
+    // construction when q == vector 1. Use a query NOT in the corpus:
+    assert(out2.head == 1L)
+    val q3 = Seq((9L, Seq(1.0, 0.1, 0.0))).toDF("q_id", "q_vec")
+    val out3 = Similarity.mmrRerank(q3, c2, k = 3, nCandidates = 3)
+      .orderBy("mmr_rank").collect().map(_.getLong(1))
+    // seed = 2 (closest to q3); then 3's low pair-sim to 2 must beat 1's
+    // near-1.0 pair-sim to 2 despite 1's higher relevance
+    assert(out3.head == 2L)
+    assert(out3(1) == 3L, s"diversity must demote the near-duplicate: $out3")
+    assert(out3(2) == 1L)
+  }
+
+  test("mmrRerank guards: k bounds and lambda range") {
+    val q = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("q_id", "q_vec")
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(q, corpus, k = 5, nCandidates = 3))
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(q, corpus, k = 2, nCandidates = 3, lambda = 1.5))
+  }
+
   test("randomProjection: basis vectors read the plane matrix back, scaled") {
     val planes = Similarity.projectionPlanes(4, 3, seed = 5L)
     val vecs = (0 until 4).map(j =>
