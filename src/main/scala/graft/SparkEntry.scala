@@ -196,7 +196,9 @@ object SparkEntry {
     // reciprocal-rank fusion
     "t_hybrid_rrf",
     // round 14d: MMR diversified rerank and the trained language ID
-    "sim_mmr_rerank")
+    "sim_mmr_rerank",
+    // round 14e: near-dup leakage-safe split and streamed NB serving
+    "pipeline_split_neardup", "st_lang_id")
 
   // ---- DuckDB oracle twins ----
 

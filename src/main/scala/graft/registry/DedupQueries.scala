@@ -345,6 +345,65 @@ private[graft] object DedupQueries {
       graft.operators.Bloom.registryDups(registry, fresh, "doc_id", "text")
     }))
 
+  /** The portable near-dup PAIR construction as a reusable CTE chain
+    * (collapse → signatures → banding → cap → candidates → jaccard →
+    * expansion), parameterized by the corpus SELECT; ends with an
+    * `ndpairs(id_a, id_b, jaccard)` CTE. dedup_near consumes it
+    * directly; pipeline_split_neardup chains connected components and
+    * the hash split on top.
+    */
+  private[registry] def sqlNearDupPairCtes(corpusSelect: String): String = {
+    val mins = (0 until 16).map(i => s"MIN(h1 + $i * h2) AS m$i").mkString(", ")
+    val bandSel = (0 until 4).map { b =>
+      val key = (b * 4 until b * 4 + 4)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $key AS sig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""corpus AS ($corpusSelect),
+         grp AS (SELECT doc_id, text,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                 FROM corpus),
+         members AS (SELECT rep, doc_id FROM grp),
+         reps AS (SELECT doc_id, text FROM grp WHERE doc_id = rep),
+         toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM reps),
+         sh AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS shingle
+                FROM toks),
+         hs AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+                  CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT)
+                    & 36028797018963967 AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
+         bs AS ($bandSel),
+         ok AS (SELECT band, sig FROM bs GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+         capped AS (SELECT bs.* FROM bs JOIN ok USING (band, sig)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM capped a JOIN capped b USING (band, sig)
+                  WHERE a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                      i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS st
+                  FROM toks),
+         j AS (SELECT c.id_a, c.id_b,
+                 round(CAST(len(list_distinct(list_intersect(a.st, b.st))) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
+               FROM cand c JOIN sets a ON a.doc_id = c.id_a
+                 JOIN sets b ON b.doc_id = c.id_b),
+         jf AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5),
+         ndpairs AS (
+           SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                  greatest(ma.doc_id, mb.doc_id) AS id_b, jf.jaccard
+           FROM jf JOIN members ma ON jf.id_a = ma.rep
+                   JOIN members mb ON jf.id_b = mb.rep
+           UNION ALL
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(1.0 AS DOUBLE) AS jaccard
+           FROM members a JOIN members b
+             ON a.rep = b.rep AND a.doc_id < b.doc_id)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "er_entities" ->
@@ -389,59 +448,12 @@ private[graft] object DedupQueries {
     // keys → ≤10000 bucket cap → candidate self-join → jaccard ≥ 0.5 —
     // then expand rep pairs to member pairs (within-group pairs are
     // jaccard 1.0 by construction)
-    "dedup_near" -> {
-      val mins = (0 until 16).map(i => s"MIN(h1 + $i * h2) AS m$i").mkString(", ")
-      val bandSel = (0 until 4).map { b =>
-        val key = (b * 4 until b * 4 + 4)
-          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
-        s"SELECT doc_id, $b AS band, $key AS sig FROM sigs"
-      }.mkString(" UNION ALL ")
-      s"""WITH corpus AS (
-           SELECT doc_id, text FROM documents
+    "dedup_near" ->
+      s"""WITH ${sqlNearDupPairCtes(
+           """SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 1000000, text || ' graft dup marker' FROM documents),
-         grp AS (SELECT doc_id, text,
-                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
-                 FROM corpus),
-         members AS (SELECT rep, doc_id FROM grp),
-         reps AS (SELECT doc_id, text FROM grp WHERE doc_id = rep),
-         toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM reps),
-         sh AS (SELECT doc_id,
-                  unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
-                    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS shingle
-                FROM toks),
-         hs AS (SELECT doc_id,
-                  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
-                  CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT)
-                    & 36028797018963967 AS h2
-                FROM sh),
-         sigs AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
-         bs AS ($bandSel),
-         ok AS (SELECT band, sig FROM bs GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
-         capped AS (SELECT bs.* FROM bs JOIN ok USING (band, sig)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM capped a JOIN capped b USING (band, sig)
-                  WHERE a.doc_id < b.doc_id),
-         sets AS (SELECT doc_id,
-                    list_distinct(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
-                      i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS st
-                  FROM toks),
-         j AS (SELECT c.id_a, c.id_b,
-                 round(CAST(len(list_distinct(list_intersect(a.st, b.st))) AS DOUBLE)
-                       / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
-               FROM cand c JOIN sets a ON a.doc_id = c.id_a
-                 JOIN sets b ON b.doc_id = c.id_b),
-         jf AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5)
-         SELECT least(ma.doc_id, mb.doc_id) AS id_a,
-                greatest(ma.doc_id, mb.doc_id) AS id_b, jf.jaccard
-         FROM jf JOIN members ma ON jf.id_a = ma.rep
-                 JOIN members mb ON jf.id_b = mb.rep
-         UNION ALL
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                CAST(1.0 AS DOUBLE) AS jaccard
-         FROM members a JOIN members b
-           ON a.rep = b.rep AND a.doc_id < b.doc_id"""
-    },
+           SELECT doc_id + 1000000, text || ' graft dup marker' FROM documents""")}
+         SELECT id_a, id_b, jaccard FROM ndpairs""",
     // full verbatim replay of the PORTABLE 60-bit simhash pass: one md5
     // per token → 60 bit votes → sign bits → 4×16-bit banding → cap →
     // Hamming ≤ 3 verify

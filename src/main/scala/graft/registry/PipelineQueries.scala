@@ -444,6 +444,30 @@ private[graft] object PipelineQueries {
         "content_sha",
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
+    // NEAR-DUP leakage-safe split: content-hash splitting stops exact
+    // copies from straddling the train/eval boundary, but a paraphrase
+    // or marker-suffixed near-copy still leaks — the classic eval
+    // contamination. Group docs by their NEAR-dup cluster first
+    // (portable MinHash pairs → connected components, singletons their
+    // own group), then hash-split on the GROUP id: every member of a
+    // near-dup cluster lands on the same side. The oracle replays
+    // pairs, a recursive min-closure, and the split CASE verbatim.
+    "pipeline_split_neardup" -> ((s, dir) => {
+      val docs = docsWithPlantedDups(s, dir).select("doc_id", "text")
+      val pairs = Dedup.nearDuplicatesPortable(docs, "doc_id", "text",
+        threshold = 0.5)
+      val cc = Grouping.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        "src", "dst")
+      val grouped = docs.select(col("doc_id"))
+        .join(cc.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("group_id"))
+      Sampling.hashSplit(grouped, "group_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "group_id", "split")
+    }),
     // ... and the per-split size report (docs + chars, integer-exact).
     "pipeline_split_report" -> ((s, dir) =>
       Sampling.hashSplit(
@@ -1002,6 +1026,30 @@ private[graft] object PipelineQueries {
            CAST(MAX(quota) AS BIGINT) AS quota,
            round(CAST(SUM(n_tokens) AS DOUBLE) / MAX(quota), 6) AS fill_frac
          FROM kept GROUP BY 1""",
+    // the portable pair construction, a recursive min-closure (the
+    // er_entities pattern), then the hash-split CASE on the group id
+    "pipeline_split_neardup" ->
+      s"""WITH RECURSIVE ${DedupQueries.sqlNearDupPairCtes(
+           """SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' graft dup marker' FROM documents""")},
+         ed AS (SELECT id_a AS src, id_b AS dst FROM ndpairs
+                UNION SELECT id_b, id_a FROM ndpairs),
+         r(node, m) AS (
+           SELECT src, src FROM (SELECT DISTINCT src FROM ed)
+           UNION
+           SELECT r.node, ed.dst FROM r JOIN ed ON r.m = ed.src),
+         comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY 1),
+         g AS (SELECT c0.doc_id, COALESCE(comp.component, c0.doc_id) AS group_id
+               FROM corpus c0 LEFT JOIN comp ON comp.node = c0.doc_id),
+         hs8 AS (SELECT doc_id, group_id,
+                 substr(md5(CAST(group_id AS VARCHAR)), 1, 8) AS h8 FROM g)
+         SELECT doc_id, group_id,
+                CASE WHEN h8 IS NULL THEN 'train'
+                     WHEN h8 < 'cccccccc' THEN 'train'
+                     WHEN h8 < 'e6666666' THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM hs8""",
     // 0xcccccccc = floor(0.8 * 2^32), 0xe6666666 = floor(0.9 * 2^32) —
     // the same literals hashSplit embeds
     "pipeline_split" ->

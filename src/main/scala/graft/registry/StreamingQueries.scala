@@ -51,6 +51,46 @@ private[graft] object StreamingQueries {
         .select("doc_id", "predicted")
     }),
 
+    // STREAMING language-ID serving (the st_quality_score stance for the
+    // trained NB model): train once batch-side, then the planted
+    // multilingual corpus replays as a multi-batch file stream and every
+    // micro-batch scores through LangId.predict — one broadcast delta
+    // join, pure integer arithmetic — into the snapshot-isolated upsert
+    // store. Streaming inference must agree with batch inference (and
+    // the planted truth) exactly.
+    "st_lang_id" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val langs = Seq("de", "en", "es", "fr")
+      val markers = langs.map(l =>
+        (graft.functions.Text.stopwords(l).mkString(" ") + " ") * 3)
+      val markerCol = element_at(
+        array(markers.map(lit): _*), (col("doc_id") % 4).cast("int") + 1)
+      val langCol = element_at(
+        array(langs.map(lit): _*), (col("doc_id") % 4).cast("int") + 1)
+      val labeled = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "), markerCol).as("text"),
+        langCol.as("lang"))
+      val model = graft.operators.LangId.train(labeled, "doc_id", "text",
+        "lang", dim = 1 << 12, n = 3)
+      val stage = tmpDir("graft_stlid_in")
+      labeled.select("doc_id", "text").write.mode("overwrite").parquet(stage)
+      val (out, cp) = (tmpDir("graft_stlid_out"), tmpDir("graft_stlid_cp"))
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 8).parquet(stage)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val scored = graft.operators.LangId
+            .predict(batch, "doc_id", "text", model)
+          graft.streaming.StreamingPipeline
+            .upsertBatchSnapshot(out, Seq("doc_id"))(scored, id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamingPipeline.readSnapshot(s, out)
+        .select("doc_id", "lang_pred")
+    }),
+
     // STREAMING exact-substring dedup (streaming/PassageStream.scala):
     // the three ingest days replay as one-file-per-trigger micro-batches
     // (staged with ascending mtimes so file→batch order is
@@ -841,6 +881,11 @@ private[graft] object StreamingQueries {
     // streaming inference must agree with batch inference exactly
     "st_quality_score" ->
       "SELECT doc_id, doc_id % 2 = 1 AS predicted FROM documents",
+    // the drained NB serving answers the planted truth verbatim
+    "st_lang_id" ->
+      """SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr'
+         END AS lang_pred FROM documents""",
     // the streaming leg's batches ARE the three days (one staged file per
     // trigger, mtime-ordered), so it answers the identical replay
     "st_passage_clean" -> sqlPassageIncrementalOracle,
