@@ -198,7 +198,9 @@ object SparkEntry {
     // round 14d: MMR diversified rerank and the trained language ID
     "sim_mmr_rerank",
     // round 14e: near-dup leakage-safe split and streamed NB serving
-    "pipeline_split_neardup", "st_lang_id")
+    "pipeline_split_neardup", "st_lang_id",
+    // round 14f: Adam7 interlaced PNG decode
+    "mm_decode_png_adam7")
 
   // ---- DuckDB oracle twins ----
 

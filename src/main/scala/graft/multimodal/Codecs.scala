@@ -496,26 +496,21 @@ object Codecs {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
-    /** Encode top-down RGB pixels as an RGB8 PNG, filter = y % 5. */
-    def encode(width: Int, height: Int,
-               pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
-      require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) per pass. */
+    private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** Filter raw top-down RGB scanlines, filter type = y % 5 (every
+      * decode exercises every predictor) — shared by the sequential and
+      * Adam7 fixture encoders; each Adam7 pass filters independently
+      * (the spec: the previous row is the previous row OF THE PASS).
+      */
+    private def filterScanlines(raw: Array[Byte], width: Int,
+                                height: Int): Array[Byte] = {
       val stride = width * 3
-      val raw = new Array[Byte](height * stride) // unfiltered scanlines
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          val (r, g, b) = pixel(x, y)
-          raw(y * stride + 3 * x) = r.toByte
-          raw(y * stride + 3 * x + 1) = g.toByte
-          raw(y * stride + 3 * x + 2) = b.toByte
-          x += 1
-        }
-        y += 1
-      }
       val filtered = new Array[Byte](height * (1 + stride))
-      y = 0
+      var y = 0
       while (y < height) {
         val f = y % 5
         filtered(y * (1 + stride)) = f.toByte
@@ -537,26 +532,125 @@ object Codecs {
         }
         y += 1
       }
+      filtered
+    }
+
+    /** Reconstruct `height` filtered scanlines of `width` RGB pixels
+      * starting at `off` in the inflated stream — the five-predictor
+      * walk shared by the sequential image and each Adam7 pass.
+      */
+    private def unfilterScanlines(filtered: Array[Byte], off: Int,
+                                  width: Int, height: Int): Array[Byte] = {
+      val stride = width * 3
+      val rgb = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        val f = filtered(off + y * (1 + stride)) & 0xFF
+        require(f <= 4, s"bad filter type $f on row $y")
+        var i = 0
+        while (i < stride) {
+          val v = filtered(off + y * (1 + stride) + 1 + i) & 0xFF
+          val left = if (i >= 3) rgb(y * stride + i - 3) & 0xFF else 0
+          val up = if (y > 0) rgb((y - 1) * stride + i) & 0xFF else 0
+          val ul = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xFF else 0
+          val raw = f match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case 4 => v + paeth(left, up, ul)
+          }
+          rgb(y * stride + i) = (raw & 0xFF).toByte
+          i += 1
+        }
+        y += 1
+      }
+      rgb
+    }
+
+    private def deflate(data: Array[Byte]): Array[Byte] = {
       val deflater = new java.util.zip.Deflater
-      deflater.setInput(filtered); deflater.finish()
-      val zbuf = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+      deflater.setInput(data); deflater.finish()
+      val zbuf = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
       val tmp = new Array[Byte](64 * 1024)
       while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
       deflater.end()
+      zbuf.toByteArray
+    }
+
+    /** Encode top-down RGB pixels as an ADAM7-INTERLACED RGB8 PNG — the
+      * fixture generator for the interlaced decode path: the seven
+      * reduced images extract on the spec grid, each pass filters
+      * independently (y-within-pass % 5), empty passes contribute no
+      * scanlines, and the concatenated passes deflate as one zlib
+      * stream under IHDR interlace = 1.
+      */
+    def encodeAdam7(width: Int, height: Int,
+                    pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+      val parts = Adam7.map { case (x0, y0, dx, dy) =>
+        val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+        val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+        if (pw == 0 || ph == 0) Array.emptyByteArray
+        else {
+          val raw = new Array[Byte](ph * pw * 3)
+          var j = 0
+          while (j < ph) {
+            var i = 0
+            while (i < pw) {
+              val (r, g, b) = pixel(x0 + i * dx, y0 + j * dy)
+              raw((j * pw + i) * 3) = r.toByte
+              raw((j * pw + i) * 3 + 1) = g.toByte
+              raw((j * pw + i) * 3 + 2) = b.toByte
+              i += 1
+            }
+            j += 1
+          }
+          filterScanlines(raw, pw, ph)
+        }
+      }
+      val ihdr = new Array[Byte](13)
+      putBeI32(ihdr, 0, width); putBeI32(ihdr, 4, height)
+      ihdr(8) = 8; ihdr(9) = 2; ihdr(12) = 1 // interlace: Adam7
+      Signature ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", deflate(parts.flatten)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Encode top-down RGB pixels as an RGB8 PNG, filter = y % 5. */
+    def encode(width: Int, height: Int,
+               pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+      val stride = width * 3
+      val raw = new Array[Byte](height * stride) // unfiltered scanlines
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixel(x, y)
+          raw(y * stride + 3 * x) = r.toByte
+          raw(y * stride + 3 * x + 1) = g.toByte
+          raw(y * stride + 3 * x + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
       val ihdr = new Array[Byte](13)
       putBeI32(ihdr, 0, width); putBeI32(ihdr, 4, height)
       ihdr(8) = 8 // bit depth
       ihdr(9) = 2 // color type: truecolor RGB
       // compression 0, filter 0, interlace 0 already zeroed
-      Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+      Signature ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", deflate(filterScanlines(raw, width, height))) ++
         chunk("IEND", Array.emptyByteArray)
     }
 
-    /** Parse an RGB8 non-interlaced PNG: chunk walk with CRC
-      * verification, multi-IDAT zlib inflate, and full five-filter
-      * scanline reconstruction. Output is top-down RGB (PNG's native
-      * order). Throws IllegalArgumentException on malformed or
-      * unsupported input.
+    /** Parse an RGB8 PNG — sequential OR Adam7-interlaced: chunk walk
+      * with CRC verification, multi-IDAT zlib inflate, full five-filter
+      * scanline reconstruction (per pass for Adam7, whose reduced
+      * images filter independently), and the spec scatter back onto the
+      * full grid. Output is top-down RGB (PNG's native order). Throws
+      * IllegalArgumentException on malformed or unsupported input.
       */
     def decode(bytes: Array[Byte]): Image = {
       require(bytes.length >= 8 + 25 + 12, s"truncated PNG: ${bytes.length} bytes")
@@ -565,6 +659,7 @@ object Codecs {
       var off = 8
       var width = -1
       var height = -1
+      var interlaced = false
       val idat = new java.io.ByteArrayOutputStream(bytes.length)
       var sawEnd = false
       while (off + 12 <= bytes.length && !sawEnd) {
@@ -585,7 +680,9 @@ object Codecs {
             require(bytes(off + 17) == 2, s"unsupported color type ${bytes(off + 17)}")
             require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
               "unsupported compression/filter method")
-            require(bytes(off + 20) == 0, "interlaced PNG unsupported")
+            require(bytes(off + 20) == 0 || bytes(off + 20) == 1,
+              s"unsupported interlace method ${bytes(off + 20)}")
+            interlaced = bytes(off + 20) == 1
             require(width.toLong * height.toLong * 3L <= Int.MaxValue,
               s"unreasonable PNG dimensions ${width}x$height")
           case "IDAT" => idat.write(bytes, off + 8, len)
@@ -596,8 +693,18 @@ object Codecs {
       }
       require(width > 0, "missing IHDR chunk")
       require(sawEnd, "missing IEND chunk")
-      val stride = width * 3
-      val filtered = new Array[Byte](height * (1 + stride))
+      // per-pass geometry: the sequential image is the one-pass case
+      val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+        if (!interlaced) Seq((0, 0, 1, 1, width, height))
+        else Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+          val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+          val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+          (x0, y0, dx, dy, pw, ph)
+        }.filter(p => p._5 > 0 && p._6 > 0)
+      val total = passes.map { case (_, _, _, _, pw, ph) =>
+        ph * (1 + pw * 3)
+      }.sum
+      val filtered = new Array[Byte](total)
       val inflater = new java.util.zip.Inflater
       inflater.setInput(idat.toByteArray)
       var got = 0
@@ -613,28 +720,25 @@ object Codecs {
       inflater.end()
       require(got == filtered.length,
         s"short IDAT payload: got $got, need ${filtered.length}")
+      val stride = width * 3
       val rgb = new Array[Byte](height * stride)
-      var y = 0
-      while (y < height) {
-        val f = filtered(y * (1 + stride)) & 0xFF
-        require(f <= 4, s"bad filter type $f on row $y")
-        var i = 0
-        while (i < stride) {
-          val v = filtered(y * (1 + stride) + 1 + i) & 0xFF
-          val left = if (i >= 3) rgb(y * stride + i - 3) & 0xFF else 0
-          val up = if (y > 0) rgb((y - 1) * stride + i) & 0xFF else 0
-          val ul = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xFF else 0
-          val raw = f match {
-            case 0 => v
-            case 1 => v + left
-            case 2 => v + up
-            case 3 => v + (left + up) / 2
-            case 4 => v + paeth(left, up, ul)
+      var passOff = 0
+      passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+        val sub = unfilterScanlines(filtered, passOff, pw, ph)
+        passOff += ph * (1 + pw * 3)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            val src = (j * pw + i) * 3
+            val dst = (y0 + j * dy) * stride + (x0 + i * dx) * 3
+            rgb(dst) = sub(src)
+            rgb(dst + 1) = sub(src + 1)
+            rgb(dst + 2) = sub(src + 2)
+            i += 1
           }
-          rgb(y * stride + i) = (raw & 0xFF).toByte
-          i += 1
+          j += 1
         }
-        y += 1
       }
       Image(width, height, rgb)
     }

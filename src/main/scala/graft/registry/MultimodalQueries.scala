@@ -272,6 +272,23 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.pngStats(media)
     }),
+    // The ADAM7-INTERLACED twin: the same gradient pixels through
+    // Codecs.Png.encodeAdam7 (seven independently filtered reduced
+    // images, spec scatter) — interlacing is lossless, so the decoded
+    // pixels and the analytic oracle are identical to mm_decode_png's.
+    "mm_decode_png_adam7" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 7).toInt
+        graft.multimodal.MediaRecord(id, "image/png",
+          graft.multimodal.Codecs.Png.encodeAdam7(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.pngStats(media)
+    }),
     // The real image chain end to end (VERDICT r11 #4: resizeStub
     // replaced): PNG decode → EXACT 2×2 integer box resize → stats.
     // Every output pixel is floor(Σ block / 4), closed-form integer, so
@@ -464,6 +481,21 @@ private[graft] object MultimodalQueries {
                 CAST(SUM(greatest(0, least(255, round(yv + 1.772 * cbv)))) AS BIGINT) AS sum_b
          FROM px GROUP BY 1, 2, 3, 4"""
 
+  /** The shared mm_decode_png / mm_decode_png_adam7 replay —
+    * interlacing is lossless, one analytic statement answers both.
+    */
+  private val sqlDecodePng: String =
+    """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h
+                       FROM (SELECT unnest(range(0, 512)) AS id))
+         SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(SUM((x * 7 + y * 13 + id) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((x * 5 + y * 11 + 2 * id) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((x * 3 + y * 17 + 3 * id) % 256) AS BIGINT) AS sum_b
+         FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+         GROUP BY 1, 2, 3, 4"""
+
   val oracleSql: Map[String, String] = Map(
 
     "mm_describe" ->
@@ -643,17 +675,8 @@ private[graft] object MultimodalQueries {
     // analytically — the zlib inflate and all five scanline filters must
     // land every byte (n_pixels replaces n_bytes: deflate length is not
     // closed-form)
-    "mm_decode_png" ->
-      """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h
-                       FROM (SELECT unnest(range(0, 512)) AS id))
-         SELECT id AS media_id, CAST(w AS BIGINT) AS width,
-                CAST(h AS BIGINT) AS height,
-                CAST(w * h AS BIGINT) AS n_pixels,
-                CAST(SUM((x * 7 + y * 13 + id) % 256) AS BIGINT) AS sum_r,
-                CAST(SUM((x * 5 + y * 11 + 2 * id) % 256) AS BIGINT) AS sum_g,
-                CAST(SUM((x * 3 + y * 17 + 3 * id) % 256) AS BIGINT) AS sum_b
-         FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
-         GROUP BY 1, 2, 3, 4""",
+    "mm_decode_png" -> sqlDecodePng,
+    "mm_decode_png_adam7" -> sqlDecodePng,
     // decode → exact 2×2 box resize → stats: every output pixel is
     // floor(block sum / 4), recomputed block by block
     "mm_resize_real" ->

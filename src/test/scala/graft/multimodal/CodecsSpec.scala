@@ -100,6 +100,35 @@ class CodecsSpec extends AnyFunSuite {
       assert(img.pixel(x, y) == px(x, y), s"pixel ($x,$y)")
   }
 
+  test("Adam7 PNG decodes pixel-identical to the sequential encoding") {
+    val px = (x: Int, y: Int) => ((x * 37 + y * 91) % 256,
+      (255 - x * 13 + y * 7) % 256, (x * x + y * 3) % 256)
+    // sizes straddling the 8x8 pass grid: tiny (several passes empty),
+    // non-multiples, and > one macro-tile
+    for ((w, h) <- Seq((1, 1), (3, 2), (5, 7), (8, 8), (13, 11), (20, 17))) {
+      val seqImg = Codecs.Png.decode(Codecs.Png.encode(w, h, px))
+      val adam = Codecs.Png.decode(Codecs.Png.encodeAdam7(w, h, px))
+      assert(adam.width == w && adam.height == h)
+      assert(java.util.Arrays.equals(adam.rgb, seqImg.rgb), s"${w}x$h")
+    }
+  }
+
+  test("a foreign decoder (ImageIO) reads our Adam7 PNG pixel-exactly") {
+    // PNG is lossless, so interop here is EXACT — a wrong pass geometry
+    // or per-pass filter reset shows up as hard pixel mismatches
+    val px = (x: Int, y: Int) =>
+      ((x * 7 + y * 13) % 256, (x * 5 + y * 11) % 256, (x * 3 + y * 17) % 256)
+    val bytes = Codecs.Png.encodeAdam7(19, 13, px)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null && ref.getWidth == 19 && ref.getHeight == 13)
+    for (y <- 0 until 13; x <- 0 until 19) {
+      val p = ref.getRGB(x, y)
+      val want = px(x, y)
+      assert(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) == want,
+        s"pixel ($x,$y)")
+    }
+  }
+
   test("PNG rejects bad signature, CRC corruption, unsupported shape, truncation") {
     val good = Codecs.Png.encode(4, 4, (x, y) => (x, y, x + y))
     val badSig = good.clone(); badSig(0) = 'X'
