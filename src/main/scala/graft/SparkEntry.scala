@@ -200,7 +200,9 @@ object SparkEntry {
     // round 14e: near-dup leakage-safe split and streamed NB serving
     "pipeline_split_neardup", "st_lang_id",
     // round 14f: Adam7 interlaced PNG decode
-    "mm_decode_png_adam7")
+    "mm_decode_png_adam7",
+    // round 14g: sentence-budget context chunking (the RAG packer)
+    "t_chunks_sentences")
 
   // ---- DuckDB oracle twins ----
 

@@ -587,6 +587,64 @@ object Text {
         size(tokens(col("sentence"))).cast("long").as("n_tokens"))
   }
 
+  /** SENTENCE-BUDGET context chunking — the RAG-ingestion packer one
+    * grain above [[sentenceSplit]]: sentences pack greedily in document
+    * order into chunks of at most `budget` tokens; a sentence that would
+    * overflow starts the next chunk, and a single over-budget sentence
+    * still gets its own chunk (never split mid-sentence — the whole
+    * point over char-window chunking is that retrieval units stay
+    * well-formed). Returns one row per chunk:
+    * `(idCol, chunk_id, n_sentences, n_tokens, chunk_text)`.
+    *
+    * The greedy reset is a SEQUENTIAL fold, not a cumsum, so it runs as
+    * one higher-order `aggregate` over each document's ordered
+    * token-count array (per-document arrays — curated-document grain,
+    * the t_chunks stance) with a struct accumulator; the oracle replays
+    * the identical fold as a recursive CTE. One doc-partitioned window
+    * (contiguous sequence numbers), one per-doc aggregation, one chunk
+    * aggregation — no corpus-wide window anywhere.
+    */
+  def chunkBySentences(docs: DataFrame, idCol: String, textCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 1, s"chunk budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val sents = sentenceSplit(docs, idCol, textCol)
+      .withColumn("__seq", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("sent_idx"))))
+    val perDoc = sents.groupBy(col(idCol)).agg(
+      array_sort(collect_list(struct(col("__seq"), col("sentence"),
+        col("n_tokens")))).as("__ss"))
+    val cnts = transform(col("__ss"), s => s.getField("n_tokens"))
+    // greedy fold: (chunk ids so far, tokens in the open chunk, chunk id)
+    val ids = aggregate(
+      cnts,
+      struct(lit(Array.empty[Int]).as("ids"), lit(0L).as("cur"),
+        lit(0).as("cid")),
+      (acc, c) => {
+        val over = acc.getField("cur") + c > budget &&
+          acc.getField("cur") > lit(0L)
+        struct(
+          concat(acc.getField("ids"), array(
+            when(over, acc.getField("cid") + 1)
+              .otherwise(acc.getField("cid")))).as("ids"),
+          when(over, c).otherwise(acc.getField("cur") + c).as("cur"),
+          when(over, acc.getField("cid") + 1)
+            .otherwise(acc.getField("cid")).as("cid"))
+      },
+      acc => acc.getField("ids"))
+    perDoc
+      .select(col(idCol), explode(zip_with(col("__ss"), ids,
+        (s, cid) => struct(cid.as("chunk_id"), s.getField("__seq").as("seq"),
+          s.getField("sentence").as("sentence"),
+          s.getField("n_tokens").as("n_tokens")))).as("z"))
+      .groupBy(col(idCol), col("z.chunk_id").as("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("z.n_tokens")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("z.seq"), col("z.sentence")))),
+          p => p.getField("sentence")), " ").as("chunk_text"))
+  }
+
   /** Tokenizer FERTILITY report — the per-source compression table a
     * tokenizer evaluation publishes (pieces per word, chars per piece):
     * how many whitespace words and BPE-regex pieces each source costs,

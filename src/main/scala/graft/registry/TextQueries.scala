@@ -391,6 +391,15 @@ private[graft] object TextQueries {
       Text.sentenceSplit(
         Text.plantProse(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id", "prose")),
+    // Sentence-budget context chunking (Text.chunkBySentences): the RAG
+    // ingestion packer — sentences pack greedily into ≤20-token chunks,
+    // overflow starts the next chunk, never split mid-sentence. The
+    // greedy reset is a sequential fold (one HOF aggregate per doc);
+    // the oracle replays it as a recursive CTE.
+    "t_chunks_sentences" -> ((s, dir) =>
+      Text.chunkBySentences(
+        Text.plantProse(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "prose", budget = 20)),
     // WORDPIECE — the third tokenizer family (BERT's greedy
     // longest-match-first): vocabulary = the seedVocab counting pass at
     // (6, 128) doubled into ##-continuation forms. Pure integer counting
@@ -1233,6 +1242,41 @@ private[graft] object TextQueries {
          SELECT doc_id, sent_idx, sentence,
            CAST(len(${sqlTokens("sentence")}) AS BIGINT) AS n_tokens
          FROM ex WHERE len(sentence) > 0""",
+    // the same sentence base, then the greedy budget fold as a recursive
+    // CTE (state = open-chunk tokens + chunk id, stepping seq by seq)
+    "t_chunks_sentences" ->
+      s"""WITH RECURSIVE pr0 AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+         pr1 AS (SELECT doc_id, array_to_string(
+             list_transform(generate_series(0, (len(ts) + 5) // 6 - 1), i ->
+               array_to_string(list_slice(ts, i * 6 + 1, i * 6 + 6), ' ')
+               || ['.', '!', '?'][CAST((doc_id + i) % 3 AS INTEGER) + 1]), ' ') AS prose
+           FROM pr0 WHERE len(ts) > 0),
+         mk AS (SELECT doc_id,
+             regexp_replace(prose, '([.!?]+)\\s+', '\\1' || chr(1), 'g') AS m
+           FROM pr1),
+         sp AS (SELECT doc_id, string_split(m, chr(1)) AS parts FROM mk),
+         ex AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+                  parts[i] AS sentence
+                FROM sp, unnest(generate_series(1, len(parts))) AS u(i)),
+         sn AS (SELECT doc_id, sentence,
+                  CAST(len(${sqlTokens("sentence")}) AS BIGINT) AS n_tokens,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx) AS seq
+                FROM ex WHERE len(sentence) > 0),
+         st(doc_id, seq, cur, cid) AS (
+           SELECT doc_id, seq, n_tokens, 0 FROM sn WHERE seq = 1
+           UNION ALL
+           SELECT s.doc_id, s.seq,
+             CASE WHEN st.cur + s.n_tokens > 20 AND st.cur > 0
+                  THEN s.n_tokens ELSE st.cur + s.n_tokens END,
+             CASE WHEN st.cur + s.n_tokens > 20 AND st.cur > 0
+                  THEN st.cid + 1 ELSE st.cid END
+           FROM st JOIN sn s ON s.doc_id = st.doc_id AND s.seq = st.seq + 1)
+         SELECT sn.doc_id, CAST(st.cid AS INT) AS chunk_id,
+                CAST(COUNT(*) AS BIGINT) AS n_sentences,
+                CAST(SUM(sn.n_tokens) AS BIGINT) AS n_tokens,
+                string_agg(sn.sentence, ' ' ORDER BY sn.seq) AS chunk_text
+         FROM sn JOIN st ON st.doc_id = sn.doc_id AND st.seq = sn.seq
+         GROUP BY 1, 2""",
     // likelihood-scored WordPiece training: every merge decision
     // replayed (argmax of cnt/(fl·fr) per round, the same IEEE double
     // both engines divide), integer evidence columns only
