@@ -202,7 +202,9 @@ object SparkEntry {
     // round 14f: Adam7 interlaced PNG decode
     "mm_decode_png_adam7",
     // round 14g: sentence-budget context chunking (the RAG packer)
-    "t_chunks_sentences")
+    "t_chunks_sentences",
+    // round 14h: deterministic image augmentation through the real codec
+    "mm_augment")
 
   // ---- DuckDB oracle twins ----
 

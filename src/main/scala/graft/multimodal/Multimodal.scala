@@ -199,6 +199,104 @@ object Multimodal {
     }).toDF("media_id", "width", "height", "n_bytes", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Horizontal mirror — `out(x, y) = in(w−1−x, y)`. Integer-exact pixel
+    * permutation, the standard train-time augmentation.
+    */
+  def flipH(img: Codecs.Image): Codecs.Image = {
+    val out = new Array[Byte](img.rgb.length)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val src = (y * img.width + (img.width - 1 - x)) * 3
+        val dst = (y * img.width + x) * 3
+        out(dst) = img.rgb(src); out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.Image(img.width, img.height, out)
+  }
+
+  /** Clockwise 90° rotation — output is height×width,
+    * `out(x, y) = in(y, h−1−x)`.
+    */
+  def rotate90(img: Codecs.Image): Codecs.Image = {
+    val (w2, h2) = (img.height, img.width)
+    val out = new Array[Byte](img.rgb.length)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = ((img.height - 1 - x) * img.width + y) * 3
+        val dst = (y * w2 + x) * 3
+        out(dst) = img.rgb(src); out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.Image(w2, h2, out)
+  }
+
+  /** Center crop to `cw × ch` — offsets floor((dim − crop) / 2), the
+    * deterministic eval-time crop (train-time random crops are this with
+    * a seeded offset).
+    */
+  def cropCenter(img: Codecs.Image, cw: Int, ch: Int): Codecs.Image = {
+    require(cw >= 1 && ch >= 1 && cw <= img.width && ch <= img.height,
+      s"crop ${cw}x$ch exceeds ${img.width}x${img.height}")
+    val ox = (img.width - cw) / 2
+    val oy = (img.height - ch) / 2
+    val out = new Array[Byte](cw * ch * 3)
+    var y = 0
+    while (y < ch) {
+      var x = 0
+      while (x < cw) {
+        val src = ((y + oy) * img.width + x + ox) * 3
+        val dst = (y * cw + x) * 3
+        out(dst) = img.rgb(src); out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.Image(cw, ch, out)
+  }
+
+  /** Deterministic augmentation stats over BMP payloads: per record, op =
+    * media_id % 3 (0 flip, 1 rotate90, 2 center-crop by 2 px each side),
+    * reporting dimensions and POSITION-WEIGHTED channel sums
+    * `Σ v(x,y) · (y·W' + x + 1)` — plain sums are permutation-invariant
+    * and would pass a flip that did nothing; the weighted sums pin every
+    * pixel to its destination coordinate, so the oracle catches any
+    * misplacement.
+    */
+  def augmentStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img0 = Codecs.Bmp.decode(rec.content)
+      val op = (rec.media_id % 3).toInt
+      val img = op match {
+        case 0 => flipH(img0)
+        case 1 => rotate90(img0)
+        case _ => cropCenter(img0, img0.width - 2, img0.height - 2)
+      }
+      var (wr, wg, wb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < img.width * img.height) {
+        val w = (i + 1).toLong
+        wr += (img.rgb(3 * i) & 0xFF) * w
+        wg += (img.rgb(3 * i + 1) & 0xFF) * w
+        wb += (img.rgb(3 * i + 2) & 0xFF) * w
+        i += 1
+      }
+      (rec.media_id, op.toLong, img.width.toLong, img.height.toLong,
+        wr, wg, wb)
+    }).toDF("media_id", "op", "width", "height", "wsum_r", "wsum_g", "wsum_b")
+  }
+
   /** [[bmpStats]]'s audio twin: header fields + the exact sample sum of
     * the decoded PCM payload.
     */

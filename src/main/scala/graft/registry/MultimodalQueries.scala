@@ -110,6 +110,23 @@ private[graft] object MultimodalQueries {
           Seq("media_id"), "left")
         .select(col("media_id"), coalesce(col("found"), lit(false)).as("found"))
     }),
+    // Deterministic AUGMENTATION through the real codec (flip /
+    // rotate90 / center-crop by media_id % 3): position-WEIGHTED channel
+    // sums pin every pixel to its destination coordinate — a plain sum
+    // is permutation-invariant and would pass a no-op flip.
+    "mm_augment" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 7).toInt
+        graft.multimodal.MediaRecord(id, "image/bmp",
+          graft.multimodal.Codecs.Bmp.encode(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.augmentStats(media)
+    }),
     // ... and the audio twin: PCM-16 WAVs through the RIFF chunk walk,
     // with the exact interleaved-sample sum replayed by the oracle.
     "mm_decode_wav" -> ((s, dir) => {
@@ -677,6 +694,36 @@ private[graft] object MultimodalQueries {
     // closed-form)
     "mm_decode_png" -> sqlDecodePng,
     "mm_decode_png_adam7" -> sqlDecodePng,
+    // augmentation: the transformed pixel formula recomputed at every
+    // OUTPUT coordinate with its position weight (flip reads w−1−x,
+    // rotate90 reads (y, h−1−x) into an h×w frame, crop shifts by +1)
+    "mm_augment" ->
+      """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h
+                       FROM (SELECT unnest(range(0, 512)) AS id)),
+         f AS (SELECT id, 0 AS op, w AS ow, h AS oh,
+             SUM((((w-1-x) * 7 + y * 13 + id) % 256) * (y * w + x + 1)) AS wr,
+             SUM((((w-1-x) * 5 + y * 11 + 2*id) % 256) * (y * w + x + 1)) AS wg,
+             SUM((((w-1-x) * 3 + y * 17 + 3*id) % 256) * (y * w + x + 1)) AS wb
+           FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+           WHERE id % 3 = 0 GROUP BY 1, 2, 3, 4),
+         r AS (SELECT id, 1 AS op, h AS ow, w AS oh,
+             SUM(((y * 7 + (h-1-x) * 13 + id) % 256) * (y * h + x + 1)) AS wr,
+             SUM(((y * 5 + (h-1-x) * 11 + 2*id) % 256) * (y * h + x + 1)) AS wg,
+             SUM(((y * 3 + (h-1-x) * 17 + 3*id) % 256) * (y * h + x + 1)) AS wb
+           FROM dims, unnest(range(0, h)) AS ux(x), unnest(range(0, w)) AS uy(y)
+           WHERE id % 3 = 1 GROUP BY 1, 2, 3, 4),
+         c AS (SELECT id, 2 AS op, w - 2 AS ow, h - 2 AS oh,
+             SUM((((x+1) * 7 + (y+1) * 13 + id) % 256) * (y * (w-2) + x + 1)) AS wr,
+             SUM((((x+1) * 5 + (y+1) * 11 + 2*id) % 256) * (y * (w-2) + x + 1)) AS wg,
+             SUM((((x+1) * 3 + (y+1) * 17 + 3*id) % 256) * (y * (w-2) + x + 1)) AS wb
+           FROM dims, unnest(range(0, w - 2)) AS ux(x), unnest(range(0, h - 2)) AS uy(y)
+           WHERE id % 3 = 2 GROUP BY 1, 2, 3, 4)
+         SELECT id AS media_id, CAST(op AS BIGINT) AS op,
+                CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height,
+                CAST(wr AS BIGINT) AS wsum_r, CAST(wg AS BIGINT) AS wsum_g,
+                CAST(wb AS BIGINT) AS wsum_b
+         FROM (SELECT * FROM f UNION ALL SELECT * FROM r
+               UNION ALL SELECT * FROM c)""",
     // decode → exact 2×2 box resize → stats: every output pixel is
     // floor(block sum / 4), recomputed block by block
     "mm_resize_real" ->

@@ -115,6 +115,25 @@ class MultimodalSpec extends SparkSpec {
     for (i <- 0 until 5) assert(pairs.contains((i.toLong, i + 1000L)), s"twin $i")
   }
 
+  test("augmentations: hand-checked flip, clockwise rotate90, center crop") {
+    // 2x1: [A B] — flip swaps; CW rotate stacks A over B in a 1x2 frame
+    val ab = Codecs.Image(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    assert(Multimodal.flipH(ab).rgb.toSeq == Seq[Byte](4, 5, 6, 1, 2, 3))
+    val rot = Multimodal.rotate90(ab)
+    assert(rot.width == 1 && rot.height == 2)
+    assert(rot.rgb.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6),
+      "clockwise: the left pixel of a horizontal pair ends on top")
+    // 3x3 center crop to 1x1 keeps exactly the middle pixel
+    val nine = Codecs.Image(3, 3, Array.tabulate[Byte](27)(i => i.toByte))
+    val mid = Multimodal.cropCenter(nine, 1, 1)
+    assert(mid.pixel(0, 0) == nine.pixel(1, 1))
+    // double flip and 4x rotate are identity
+    assert(Multimodal.flipH(Multimodal.flipH(nine)).rgb.toSeq == nine.rgb.toSeq)
+    val r4 = (1 to 4).foldLeft(nine)((i, _) => Multimodal.rotate90(i))
+    assert(r4.rgb.toSeq == nine.rgb.toSeq)
+    intercept[IllegalArgumentException](Multimodal.cropCenter(nine, 4, 1))
+  }
+
   test("decimateAudio: exact per-channel truncated means, incl. negative sums") {
     // stereo, 4 frames, k=2 → 2 frames; interleaved [L0,R0,L1,R1,...]
     val audio = Codecs.Audio(8000, 2,
