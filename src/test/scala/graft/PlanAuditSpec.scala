@@ -80,6 +80,23 @@ class PlanAuditSpec extends SparkSpec {
     assertNoCartesian(plan("dedup_near"), "dedup_near")
   }
 
+  test("round-14 retrieval/split/chunking ops: no cartesian, no nested loop") {
+    // the split's expansion and closure, the chunker, the NB scorer, and
+    // the codec pass are pure equi-join/aggregation plans
+    for (q <- Seq("pipeline_split_neardup", "t_chunks_sentences",
+        "t_lang_id_trained", "mm_augment")) {
+      assertNoCartesian(plan(q), q)
+    }
+    // the retrieval pair carry the SANCTIONED broadcast nested-loop
+    // crosses (BM25's 1-row scalar stats; the broadcast query side of
+    // the brute-force leg) — a data-path CartesianProduct is still
+    // forbidden, and mmr's pairwise-candidate join must key on q_id
+    for (q <- Seq("t_hybrid_rrf", "sim_mmr_rerank")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("g_kcore: the survivor frame is checkpoint-backed (constant per-round plan)") {
     // the peeling loop must rebase each generation on its materialized
     // RDD (localCheckpoint) — a persist-chained loop re-analyzes an
