@@ -204,7 +204,9 @@ object SparkEntry {
     // round 14g: sentence-budget context chunking (the RAG packer)
     "t_chunks_sentences",
     // round 14h: deterministic image augmentation through the real codec
-    "mm_augment")
+    "mm_augment",
+    // round 14i: 8-bit PCM WAV decode (the archival-audio format)
+    "mm_decode_wav8")
 
   // ---- DuckDB oracle twins ----
 

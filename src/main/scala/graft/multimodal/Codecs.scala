@@ -776,10 +776,43 @@ object Codecs {
       out
     }
 
-    /** Parse a PCM-16 WAV by WALKING the RIFF chunk list (fmt and data
-      * may be separated by extension chunks in the wild — LIST, fact,
-      * cue). Throws IllegalArgumentException on malformed/unsupported
-      * input.
+    /** Encode interleaved UNSIGNED 8-bit PCM samples (0..255, the WAV
+      * convention for 8-bit) — the fixture generator for the 8-bit
+      * decode path common in older/archival corpora.
+      */
+    def encode8(sampleRate: Int, channels: Int,
+                samples: Array[Int]): Array[Byte] = {
+      require(channels > 0 && samples.length % channels == 0,
+        s"${samples.length} samples not divisible by $channels channels")
+      require(samples.forall(v => v >= 0 && v <= 255),
+        "8-bit PCM samples must be unsigned bytes")
+      val dataLen = samples.length
+      val out = new Array[Byte](44 + dataLen + (dataLen & 1))
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putI32(out, 4, 36 + dataLen + (dataLen & 1))
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putI32(out, 16, 16)
+      putU16(out, 20, 1) // PCM
+      putU16(out, 22, channels)
+      putI32(out, 24, sampleRate)
+      putI32(out, 28, sampleRate * channels) // byte rate
+      putU16(out, 32, channels) // block align
+      putU16(out, 34, 8) // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      putI32(out, 40, dataLen)
+      var i = 0
+      while (i < samples.length) { out(44 + i) = samples(i).toByte; i += 1 }
+      out
+    }
+
+    /** Parse a PCM WAV (16-bit signed or 8-bit unsigned) by WALKING the
+      * RIFF chunk list (fmt and data may be separated by extension
+      * chunks in the wild — LIST, fact, cue; fmt may even FOLLOW data,
+      * so sample conversion defers until both are seen). 8-bit samples
+      * widen to the 16-bit lattice as (v − 128) · 256 — exact, so the
+      * oracle replays them closed-form. Throws IllegalArgumentException
+      * on malformed/unsupported input.
       */
     def decode(bytes: Array[Byte]): Audio = {
       require(bytes.length >= 44, s"truncated WAV: ${bytes.length} bytes")
@@ -789,7 +822,9 @@ object Codecs {
       var off = 12
       var sampleRate = -1
       var channels = -1
-      var data: Array[Short] = null
+      var bits = -1
+      var dataOff = -1
+      var dataLen = -1
       while (off + 8 <= bytes.length) {
         val id = new String(bytes, off, 4, "US-ASCII")
         val len = i32(bytes, off + 4)
@@ -804,21 +839,35 @@ object Codecs {
             s"unsupported audio format ${u16(bytes, off + 8)} (PCM only)")
           channels = u16(bytes, off + 10)
           sampleRate = i32(bytes, off + 12)
-          require(u16(bytes, off + 22) == 16,
-            s"unsupported bit depth ${u16(bytes, off + 22)}")
+          bits = u16(bytes, off + 22)
+          require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
         } else if (id == "data") {
-          require(len % 2 == 0, s"odd PCM-16 data length $len")
-          data = new Array[Short](len / 2)
-          var i = 0
-          while (i < data.length) {
-            data(i) = u16(bytes, off + 8 + 2 * i).toShort
-            i += 1
-          }
+          dataOff = off + 8
+          dataLen = len
         }
         off += 8 + len + (len & 1) // RIFF chunks are word-aligned
       }
       require(sampleRate > 0 && channels > 0, "missing fmt chunk")
-      require(data != null, "missing data chunk")
+      require(dataOff >= 0, "missing data chunk")
+      val data =
+        if (bits == 16) {
+          require(dataLen % 2 == 0, s"odd PCM-16 data length $dataLen")
+          val d = new Array[Short](dataLen / 2)
+          var i = 0
+          while (i < d.length) {
+            d(i) = u16(bytes, dataOff + 2 * i).toShort
+            i += 1
+          }
+          d
+        } else { // 8-bit PCM is unsigned; widen exactly onto the 16-bit lattice
+          val d = new Array[Short](dataLen)
+          var i = 0
+          while (i < d.length) {
+            d(i) = (((bytes(dataOff + i) & 0xFF) - 128) * 256).toShort
+            i += 1
+          }
+          d
+        }
       require(data.length % channels == 0,
         s"${data.length} samples not divisible by $channels channels")
       Audio(sampleRate, channels, data)

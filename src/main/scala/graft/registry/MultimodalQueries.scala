@@ -142,6 +142,22 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.wavStats(media)
     }),
+    // 8-bit PCM WAVs (the archival-corpus format): unsigned bytes widen
+    // exactly onto the 16-bit lattice as (v − 128)·256 — the oracle
+    // recomputes every widened sample from the planted byte formula.
+    "mm_decode_wav8" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nSamples = (64 + id % 33).toInt * channels
+        val samples = Array.tabulate(nSamples)(i =>
+          ((i * 31 + 7 * id) % 256).toInt)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode8(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.wavStats(media)
+    }),
     // The real AUDIO chain — WAV decode → exact ÷4 decimation
     // (per-channel truncated mean of 4 consecutive frames, matching
     // DuckDB's //) → stats of the RESAMPLED clip. Closed-form
@@ -567,6 +583,20 @@ private[graft] object MultimodalQueries {
                 CAST(frames AS BIGINT) AS n_frames,
                 CAST(44 + frames * ch * 2 AS BIGINT) AS n_bytes,
                 CAST(SUM((i * 31 + 7 * id) % 65536 - 32768) AS BIGINT) AS sum_samples
+         FROM clips, unnest(range(0, frames * ch)) AS ui(i)
+         GROUP BY 1, 2, 3, 4, 5""",
+    // 8-bit PCM: unsigned planted bytes widened (v − 128)·256, the
+    // word-aligned RIFF padding in the byte count
+    "mm_decode_wav8" ->
+      """WITH clips AS (SELECT id, 1 + id % 2 AS ch,
+                               8000 + (id % 3) * 4000 AS rate,
+                               64 + id % 33 AS frames
+                        FROM (SELECT unnest(range(0, 512)) AS id))
+         SELECT id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(frames AS BIGINT) AS n_frames,
+                CAST(44 + frames * ch + (frames * ch) % 2 AS BIGINT) AS n_bytes,
+                CAST(SUM(((i * 31 + 7 * id) % 256 - 128) * 256) AS BIGINT) AS sum_samples
          FROM clips, unnest(range(0, frames * ch)) AS ui(i)
          GROUP BY 1, 2, 3, 4, 5""",
     // real GIF demux: every frame's gray pixel sums recomputed from the

@@ -57,6 +57,19 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV 8-bit PCM widens exactly onto the 16-bit lattice") {
+    // odd sample count exercises the RIFF word-alignment pad byte
+    val samples = Array(0, 1, 127, 128, 129, 255, 64)
+    val bytes = Codecs.Wav.encode8(8000, 1, samples)
+    assert(bytes.length == 44 + 7 + 1, "odd data length pads to word align")
+    val audio = Codecs.Wav.decode(bytes)
+    assert(audio.sampleRate == 8000 && audio.channels == 1 && audio.frames == 7)
+    assert(audio.samples.toSeq == samples.map(v => ((v - 128) * 256).toShort).toSeq)
+    assert(audio.samples(0) == -32768 && audio.samples(3) == 0 &&
+      audio.samples(5) == 32512)
+    intercept[IllegalArgumentException](Codecs.Wav.encode8(8000, 1, Array(256)))
+  }
+
   test("WAV chunk walk skips extension chunks between fmt and data") {
     val samples = Array.tabulate(8)(i => (i * 100).toShort)
     val canonical = Codecs.Wav.encode(8000, 1, samples)
@@ -80,8 +93,8 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.Wav.decode(badMagic))
     val float = good.clone(); float(20) = 3 // IEEE float format
     intercept[IllegalArgumentException](Codecs.Wav.decode(float))
-    val depth8 = good.clone(); depth8(34) = 8
-    intercept[IllegalArgumentException](Codecs.Wav.decode(depth8))
+    val depth24 = good.clone(); depth24(34) = 24 // 8/16 supported, 24 not
+    intercept[IllegalArgumentException](Codecs.Wav.decode(depth24))
     intercept[IllegalArgumentException](Codecs.Wav.decode(good.take(30)))
     intercept[IllegalArgumentException](Codecs.Wav.decode(good.take(46)))
   }
