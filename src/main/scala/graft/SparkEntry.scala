@@ -206,7 +206,24 @@ object SparkEntry {
     // round 14h: deterministic image augmentation through the real codec
     "mm_augment",
     // round 14i: 8-bit PCM WAV decode (the archival-audio format)
-    "mm_decode_wav8")
+    "mm_decode_wav8",
+    // round 14j: G.711 companded telephony audio (µ-law and A-law WAVs)
+    "mm_decode_mulaw", "mm_decode_alaw",
+    // round 14k: the video modality — MJPEG/AVI demux through the real
+    // JPEG decoder, and the every-kth frame sampler
+    "mm_decode_avi", "mm_video_sample",
+    // round 14l: SQ8 scalar-quantized ANN — the fully-oracled
+    // compressed-vector index (closed-form bounds, unlike trained PQ)
+    "ann_sq8_topk", "ann_sq8_recall",
+    // round 14m: content-defined chunking — offset-immune chunk
+    // boundaries (pure map) and cross-doc shared-chunk dedup
+    "dedup_cdc_chunks", "dedup_cdc_shared",
+    // round 14n: exact-substring dedup coverage (the ExactSubstr filter,
+    // L-gram formulation with a window interval merge)
+    "dedup_substring_spans",
+    // round 14o: integer-exact audio autocorrelation (the periodicity
+    // feature), lag 0 = energy
+    "mm_audio_autocorr")
 
   // ---- DuckDB oracle twins ----
 

@@ -806,11 +806,72 @@ object Codecs {
       out
     }
 
-    /** Parse a PCM WAV (16-bit signed or 8-bit unsigned) by WALKING the
+    /** The G.711 µ-law expansion (ITU-T G.711 §4.2, the classic Sun
+      * `ulaw2linear` form): complement the code byte, rebuild the
+      * 4-bit mantissa under the 3-bit exponent with the 0x84 bias, and
+      * sign from the top bit — a pure integer function of the byte, so
+      * a SQL oracle replays every expanded sample closed-form. Output
+      * spans ±32124 on the 16-bit lattice.
+      */
+    def mulawExpand(b: Byte): Short = {
+      val u = ~b & 0xFF
+      val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+      (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+    }
+
+    /** The G.711 A-law expansion (ITU-T G.711 §4.1): XOR the code byte
+      * with 0x55, then segment 0 is linear (16·mantissa + 8), segment 1
+      * adds the 0x108 bias, and segments 2–7 shift the biased mantissa
+      * up — again pure integer math, SQL-replayable. Output spans
+      * ±32256. Note A-law's sign convention is INVERTED relative to
+      * µ-law: a set top bit means positive.
+      */
+    def alawExpand(b: Byte): Short = {
+      val a = (b ^ 0x55) & 0xFF
+      val seg = (a & 0x70) >> 4
+      val t = seg match {
+        case 0 => ((a & 0x0F) << 4) + 8
+        case 1 => ((a & 0x0F) << 4) + 0x108
+        case _ => (((a & 0x0F) << 4) + 0x108) << (seg - 1)
+      }
+      (if ((a & 0x80) != 0) t else -t).toShort
+    }
+
+    /** Encode raw G.711 code bytes (µ-law fmt 7 / A-law fmt 6) as a
+      * RIFF/WAVE file — the fixture generator for the telephony/archival
+      * decode paths. Code bytes pass through verbatim; expansion happens
+      * at decode.
+      */
+    def encodeG711(sampleRate: Int, channels: Int, mulaw: Boolean,
+                   codes: Array[Byte]): Array[Byte] = {
+      require(channels > 0 && codes.length % channels == 0,
+        s"${codes.length} samples not divisible by $channels channels")
+      val dataLen = codes.length
+      val out = new Array[Byte](44 + dataLen + (dataLen & 1))
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putI32(out, 4, 36 + dataLen + (dataLen & 1))
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putI32(out, 16, 16)
+      putU16(out, 20, if (mulaw) 7 else 6) // WAVE_FORMAT_MULAW / _ALAW
+      putU16(out, 22, channels)
+      putI32(out, 24, sampleRate)
+      putI32(out, 28, sampleRate * channels) // byte rate (1 byte/sample)
+      putU16(out, 32, channels) // block align
+      putU16(out, 34, 8) // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      putI32(out, 40, dataLen)
+      System.arraycopy(codes, 0, out, 44, dataLen)
+      out
+    }
+
+    /** Parse a PCM WAV (16-bit signed or 8-bit unsigned) or a G.711
+      * companded WAV (µ-law fmt 7 / A-law fmt 6) by WALKING the
       * RIFF chunk list (fmt and data may be separated by extension
       * chunks in the wild — LIST, fact, cue; fmt may even FOLLOW data,
       * so sample conversion defers until both are seen). 8-bit samples
-      * widen to the 16-bit lattice as (v − 128) · 256 — exact, so the
+      * widen to the 16-bit lattice as (v − 128) · 256; G.711 bytes
+      * expand through [[mulawExpand]]/[[alawExpand]] — all exact, so the
       * oracle replays them closed-form. Throws IllegalArgumentException
       * on malformed/unsupported input.
       */
@@ -823,6 +884,7 @@ object Codecs {
       var sampleRate = -1
       var channels = -1
       var bits = -1
+      var fmtCode = -1
       var dataOff = -1
       var dataLen = -1
       while (off + 8 <= bytes.length) {
@@ -835,12 +897,16 @@ object Codecs {
           s"truncated chunk '$id' at $off: declared $len")
         if (id == "fmt ") {
           require(len >= 16, s"short fmt chunk: $len")
-          require(u16(bytes, off + 8) == 1,
-            s"unsupported audio format ${u16(bytes, off + 8)} (PCM only)")
+          fmtCode = u16(bytes, off + 8)
+          require(fmtCode == 1 || fmtCode == 6 || fmtCode == 7,
+            s"unsupported audio format $fmtCode (PCM/A-law/µ-law only)")
           channels = u16(bytes, off + 10)
           sampleRate = i32(bytes, off + 12)
           bits = u16(bytes, off + 22)
-          require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+          if (fmtCode == 1)
+            require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+          else
+            require(bits == 8, s"G.711 requires 8-bit codes, got $bits")
         } else if (id == "data") {
           dataOff = off + 8
           dataLen = len
@@ -850,7 +916,7 @@ object Codecs {
       require(sampleRate > 0 && channels > 0, "missing fmt chunk")
       require(dataOff >= 0, "missing data chunk")
       val data =
-        if (bits == 16) {
+        if (fmtCode == 1 && bits == 16) {
           require(dataLen % 2 == 0, s"odd PCM-16 data length $dataLen")
           val d = new Array[Short](dataLen / 2)
           var i = 0
@@ -859,7 +925,7 @@ object Codecs {
             i += 1
           }
           d
-        } else { // 8-bit PCM is unsigned; widen exactly onto the 16-bit lattice
+        } else if (fmtCode == 1) { // 8-bit PCM is unsigned; widen exactly onto the 16-bit lattice
           val d = new Array[Short](dataLen)
           var i = 0
           while (i < d.length) {
@@ -867,10 +933,206 @@ object Codecs {
             i += 1
           }
           d
+        } else { // G.711 companded byte → 16-bit linear expansion
+          val expand: Byte => Short =
+            if (fmtCode == 7) mulawExpand else alawExpand
+          val d = new Array[Short](dataLen)
+          var i = 0
+          while (i < d.length) {
+            d(i) = expand(bytes(dataOff + i))
+            i += 1
+          }
+          d
         }
       require(data.length % channels == 0,
         s"${data.length} samples not divisible by $channels channels")
       Audio(sampleRate, channels, data)
+    }
+  }
+
+  /** A demuxed MJPEG video: container metadata plus each frame's raw
+    * JPEG payload (MJPEG frames ARE standalone baseline JPEGs, so the
+    * downstream image chain decodes them with [[Jpeg.decode]] verbatim).
+    */
+  final case class Video(width: Int, height: Int, usPerFrame: Int,
+                         frames: IndexedSeq[Array[Byte]])
+
+  /** Motion-JPEG in the RIFF/AVI container — the classic crawled-video
+    * wrapper where every frame is an independent baseline JPEG. Pure JVM
+    * byte walking in the [[Wav]] RIFF stance: the decoder WALKS the
+    * chunk tree (hdrl → avih + strl/strh/strf for the metadata, movi for
+    * the `00dc`/`00db` frame payloads), skips unknown chunks (JUNK,
+    * idx1, INFO lists) by their declared lengths, validates every length
+    * in long arithmetic before trusting it, and rejects anything that is
+    * not single-stream `vids`/`MJPG` loudly. The encoder exists for
+    * fixtures and writes the canonical layout (hdrl, movi, idx1).
+    */
+  object Avi {
+    private def fourCC(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    private def putCC(out: java.io.ByteArrayOutputStream, cc: String): Unit = {
+      require(cc.length == 4, s"fourCC must be 4 chars: '$cc'")
+      var i = 0
+      while (i < 4) { out.write(cc.charAt(i)); i += 1 }
+    }
+
+    private def putLe32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+
+    private def putLe16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    }
+
+    /** Encode MJPEG frames as a canonical RIFF/AVI: LIST hdrl (avih +
+      * LIST strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)), LIST movi
+      * of word-aligned `00dc` chunks, and a keyframe idx1 (every MJPEG
+      * frame is a keyframe).
+      */
+    def encode(width: Int, height: Int, usPerFrame: Int,
+               frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+      require(usPerFrame > 0, s"bad frame interval $usPerFrame")
+      require(frames.nonEmpty, "AVI needs at least one frame")
+      val body = new java.io.ByteArrayOutputStream(4096)
+      putCC(body, "AVI ")
+      // LIST hdrl
+      val hdrl = new java.io.ByteArrayOutputStream(256)
+      putCC(hdrl, "hdrl")
+      // avih: 56-byte main header
+      putCC(hdrl, "avih"); putLe32(hdrl, 56)
+      putLe32(hdrl, usPerFrame) // dwMicroSecPerFrame
+      putLe32(hdrl, 0) // dwMaxBytesPerSec
+      putLe32(hdrl, 0) // dwPaddingGranularity
+      putLe32(hdrl, 0x10) // dwFlags: AVIF_HASINDEX
+      putLe32(hdrl, frames.length) // dwTotalFrames
+      putLe32(hdrl, 0) // dwInitialFrames
+      putLe32(hdrl, 1) // dwStreams
+      putLe32(hdrl, 0) // dwSuggestedBufferSize
+      putLe32(hdrl, width); putLe32(hdrl, height)
+      (0 until 4).foreach(_ => putLe32(hdrl, 0)) // dwReserved
+      // LIST strl: strh + strf
+      val strl = new java.io.ByteArrayOutputStream(160)
+      putCC(strl, "strl")
+      putCC(strl, "strh"); putLe32(strl, 56)
+      putCC(strl, "vids"); putCC(strl, "MJPG")
+      putLe32(strl, 0) // dwFlags
+      putLe16(strl, 0); putLe16(strl, 0) // wPriority, wLanguage
+      putLe32(strl, 0) // dwInitialFrames
+      putLe32(strl, usPerFrame) // dwScale
+      putLe32(strl, 1000000) // dwRate: fps = rate/scale
+      putLe32(strl, 0) // dwStart
+      putLe32(strl, frames.length) // dwLength
+      putLe32(strl, 0) // dwSuggestedBufferSize
+      putLe32(strl, -1) // dwQuality (default)
+      putLe32(strl, 0) // dwSampleSize
+      putLe16(strl, 0); putLe16(strl, 0) // rcFrame left, top
+      putLe16(strl, width); putLe16(strl, height)
+      putCC(strl, "strf"); putLe32(strl, 40)
+      putLe32(strl, 40) // biSize
+      putLe32(strl, width); putLe32(strl, height)
+      putLe16(strl, 1); putLe16(strl, 24) // biPlanes, biBitCount
+      putCC(strl, "MJPG") // biCompression
+      (0 until 5).foreach(_ => putLe32(strl, 0)) // sizeImage .. clrImportant
+      val strlBytes = strl.toByteArray
+      putCC(hdrl, "LIST"); putLe32(hdrl, strlBytes.length)
+      hdrl.write(strlBytes, 0, strlBytes.length)
+      val hdrlBytes = hdrl.toByteArray
+      putCC(body, "LIST"); putLe32(body, hdrlBytes.length)
+      body.write(hdrlBytes, 0, hdrlBytes.length)
+      // LIST movi + idx1 offsets (relative to the movi LIST 'movi' tag)
+      val movi = new java.io.ByteArrayOutputStream(4096)
+      putCC(movi, "movi")
+      val offsets = new Array[Int](frames.length)
+      var f = 0
+      while (f < frames.length) {
+        offsets(f) = movi.size() // offset of the '00dc' tag within movi data
+        putCC(movi, "00dc"); putLe32(movi, frames(f).length)
+        movi.write(frames(f), 0, frames(f).length)
+        if ((frames(f).length & 1) == 1) movi.write(0) // word align
+        f += 1
+      }
+      val moviBytes = movi.toByteArray
+      putCC(body, "LIST"); putLe32(body, moviBytes.length)
+      body.write(moviBytes, 0, moviBytes.length)
+      putCC(body, "idx1"); putLe32(body, 16 * frames.length)
+      f = 0
+      while (f < frames.length) {
+        putCC(body, "00dc")
+        putLe32(body, 0x10) // AVIIF_KEYFRAME
+        putLe32(body, offsets(f))
+        putLe32(body, frames(f).length)
+        f += 1
+      }
+      val bodyBytes = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream(bodyBytes.length + 8)
+      putCC(out, "RIFF"); putLe32(out, bodyBytes.length)
+      out.write(bodyBytes, 0, bodyBytes.length)
+      out.toByteArray
+    }
+
+    /** Demux a single-stream MJPG AVI: returns the container metadata
+      * and every frame's raw JPEG payload in stream order. Throws
+      * IllegalArgumentException on malformed/unsupported input.
+      */
+    def decode(bytes: Array[Byte]): Video = {
+      require(bytes.length >= 12, s"truncated AVI: ${bytes.length} bytes")
+      require(fourCC(bytes, 0) == "RIFF" && fourCC(bytes, 8) == "AVI ",
+        "bad RIFF/AVI magic")
+      val riffLen = i32(bytes, 4)
+      require(riffLen >= 4 && 8L + riffLen <= bytes.length,
+        s"truncated RIFF body: declared $riffLen of ${bytes.length}")
+      var width = -1
+      var height = -1
+      var usPerFrame = -1
+      var totalFrames = -1
+      var sawVids = false
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = fourCC(bytes, off)
+          val len = i32(bytes, off + 4)
+          require(len >= 0 && off.toLong + 8L + len <= to,
+            s"truncated chunk '$id' at $off: declared $len")
+          if (id == "LIST") {
+            require(len >= 4, s"short LIST at $off")
+            val kind = fourCC(bytes, off + 8)
+            // recurse into the structural lists; INFO etc. skip as opaque
+            if (kind == "hdrl" || kind == "strl" || kind == "movi" ||
+                kind == "rec ")
+              walk(off + 12, off + 8 + len, inMovi || kind == "movi")
+          } else if (id == "avih") {
+            require(len >= 40, s"short avih: $len")
+            usPerFrame = i32(bytes, off + 8)
+            totalFrames = i32(bytes, off + 24)
+            width = i32(bytes, off + 40)
+            height = i32(bytes, off + 44)
+          } else if (id == "strh") {
+            require(len >= 8, s"short strh: $len")
+            val fccType = fourCC(bytes, off + 8)
+            if (fccType == "vids") {
+              require(fourCC(bytes, off + 12) == "MJPG",
+                s"unsupported codec ${fourCC(bytes, off + 12)} (MJPG only)")
+              sawVids = true
+            }
+          } else if (inMovi && (id == "00dc" || id == "00db")) {
+            frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+          }
+          off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, 8 + riffLen, inMovi = false)
+      require(width > 0 && height > 0 && usPerFrame > 0, "missing avih header")
+      require(sawVids, "no vids stream header")
+      val fs = frames.result()
+      require(fs.nonEmpty, "AVI with no frame chunks")
+      require(totalFrames == fs.length,
+        s"avih declares $totalFrames frames, movi carries ${fs.length}")
+      Video(width, height, usPerFrame, fs)
     }
   }
 }

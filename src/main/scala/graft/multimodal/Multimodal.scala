@@ -635,6 +635,88 @@ object Multimodal {
     })
   }
 
+  /** Per-frame integer stats of a REAL-demuxed MJPEG/AVI video — one row
+    * per frame: container metadata (dimensions, frame count, frame
+    * interval) from the parsed RIFF headers, per-channel pixel sums from
+    * the full JPEG decode of each frame payload. The [[gifFrameStats]]
+    * flatMap shape with the video container in front and the real JPEG
+    * codec behind.
+    */
+  def aviFrameStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      val video = Codecs.Avi.decode(rec.content)
+      video.frames.indices.map { f =>
+        val img = Jpeg.decode(video.frames(f))
+        require(img.width == video.width && img.height == video.height,
+          s"frame $f is ${img.width}x${img.height}, container says " +
+            s"${video.width}x${video.height}")
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < img.rgb.length) {
+          sr += img.rgb(i) & 0xFF; sg += img.rgb(i + 1) & 0xFF
+          sb += img.rgb(i + 2) & 0xFF
+          i += 3
+        }
+        (rec.media_id, f.toLong, video.width.toLong, video.height.toLong,
+          video.frames.length.toLong, video.usPerFrame.toLong, sr, sg, sb)
+      }
+    }).toDF("media_id", "frame_idx", "width", "height", "n_frames",
+      "us_per_frame", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** The video-frame sampler ([[sampleFramesGif]]'s MJPEG twin): demux
+    * an AVI, keep every `everyNth` frame, and re-emit each kept frame's
+    * raw payload as a standalone JPEG record — MJPEG frames ARE baseline
+    * JPEGs, so this is a pure byte slice, no transcode. Same
+    * `media_id * 100000 + frame` id scheme as the GIF sampler.
+    */
+  def sampleFramesAvi(media: Dataset[MediaRecord],
+                      everyNth: Int): Dataset[MediaRecord] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { rec =>
+      val video = Codecs.Avi.decode(rec.content)
+      video.frames.indices.collect { case f if f % everyNth == 0 =>
+        MediaRecord(rec.media_id * 100000L + f, "image/jpeg", video.frames(f))
+      }
+    })
+  }
+
+  /** Integer-exact audio autocorrelation — the periodicity/pitch feature
+    * under every classic voiced-speech detector: per clip and lag ℓ,
+    * R(ℓ) = Σ_c Σ_t s[t,c]·s[t+ℓ,c] over the decoded PCM frames (lag 0
+    * is the signal energy). Products of 16-bit samples summed in 64-bit
+    * are EXACT and order-free, so — unlike any float spectral feature —
+    * the whole feature table replays closed-form in SQL. One row per
+    * (clip, lag), flatMap fan-out like the frame demuxers.
+    */
+  def audioAutocorrStats(media: Dataset[MediaRecord],
+                         lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 0), s"bad lags $lags")
+    import media.sparkSession.implicits._
+    val lagArr = lags.toArray
+    media.mapPartitions(_.flatMap { rec =>
+      val audio = Codecs.Wav.decode(rec.content)
+      val ch = audio.channels
+      val frames = audio.frames
+      lagArr.iterator.map { lag =>
+        var r = 0L
+        var c = 0
+        while (c < ch) {
+          var t = 0
+          while (t + lag < frames) {
+            r += audio.samples(t * ch + c).toLong *
+              audio.samples((t + lag) * ch + c)
+            t += 1
+          }
+          c += 1
+        }
+        (rec.media_id, lag.toLong, frames.toLong, ch.toLong, r)
+      }
+    }).toDF("media_id", "lag", "n_frames", "channels", "autocorr")
+  }
+
   /** The CLASSIC DCT perceptual hash (pHash proper — the average-hash
     * family's [[phash]] stays for feature vectors): grayscale the
     * decoded image, exact box-resize to 32×32, 2-D DCT, keep the 8×8

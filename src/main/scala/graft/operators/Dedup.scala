@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -987,5 +988,149 @@ object Dedup {
       .select(col("ia").as("id_a"), col("ib").as("id_b"),
         lit(0).cast("integer").as("edit_distance"))
     cross.unionByName(intra).select("id_a", "id_b", "edit_distance")
+  }
+
+  /** Content-defined chunking (the storage-dedup staple — LBFS/Gear
+    * family): a rolling window hash over the character stream cuts a
+    * chunk wherever `h(i) % mask == 0`, so identical passages chunk
+    * identically REGARDLESS of their byte offset — insert one word at
+    * the top of a document and every chunk after the next boundary
+    * still matches, which positional/fixed-size chunking never does.
+    *
+    * The hash is a W-term windowed polynomial, deliberately chosen over
+    * the classic gear-shift recurrence so it is REPLAYABLE in plain SQL
+    * (no recursion): h(i) = Σ_{j<W} gear(c_{i−j}) · 31^j  (mod 2³¹),
+    * with gear(c) = (c·2654435761) mod 2²⁴ + 1 — every quantity stays
+    * under 2⁵⁹ in 64-bit arithmetic, and the boundary test h % 64 only
+    * needs Σ % 64 since 64 | 2³¹. A boundary also closes at end-of-doc.
+    * (Production CDC adds min/max chunk bounds, which re-serialize the
+    * walk; the unconstrained cut is what the correctness gate can pin.)
+    *
+    * Scale shape: chunking is a PURE MAP — one pass per document inside
+    * mapPartitions (the sanctioned byte-walk tier), zero shuffles; only
+    * the fixed-width (doc_id, idx, start, len, md5) chunk rows leave the
+    * executor, never reassembled text. Cross-doc chunk dedup then
+    * shuffles 32-hex digests, the [[exact]] stance.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 16, mask: Int = 64): DataFrame = {
+    require(window >= 2 && mask >= 2, s"bad CDC params w=$window mask=$mask")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = window
+    val m = mask
+    val chunks = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val pow = new Array[Long](w) // 31^j mod 2^31
+        pow(0) = 1L
+        var j = 1
+        while (j < w) { pow(j) = (pow(j - 1) * 31L) % 2147483648L; j += 1 }
+        it.flatMap { case (docId, text) =>
+          val n = text.length
+          val gear = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            gear(i) = (text.charAt(i).toLong * 2654435761L) % 16777216L + 1L
+            i += 1
+          }
+          val out = Seq.newBuilder[(Long, Long, Long, Long, String)]
+          var start = 0
+          var idx = 0L
+          i = 0
+          while (i < n) {
+            var cut = i == n - 1
+            if (!cut && i >= w - 1) {
+              var s = 0L
+              var k = 0
+              while (k < w) { s += gear(i - k) * pow(k); k += 1 }
+              cut = s % m == 0
+            }
+            if (cut) {
+              out += ((docId, idx, start.toLong, (i - start + 1).toLong,
+                text.substring(start, i + 1)))
+              idx += 1; start = i + 1
+            }
+            i += 1
+          }
+          out.result()
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "start_pos", "chunk_len", "__chunk")
+    chunks.select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+      col("chunk_len"), md5(col("__chunk")).as("chunk_md5"))
+  }
+
+  /** Cross-document CDC chunk dedup: which content-defined chunks appear
+    * in more than one document (shared passages at storage grain). The
+    * 32-hex digest is the shuffle key — bodies never move.
+    */
+  def cdcSharedChunks(docs: DataFrame, idCol: String, textCol: String,
+                      window: Int = 16, mask: Int = 64): DataFrame =
+    cdcChunks(docs, idCol, textCol, window, mask)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** Maximal duplicated-substring spans — the exact-substring dedup of
+    * Lee et al. ("Deduplicating Training Data Makes Language Models
+    * Better", ACL '22), re-expressed distributively. The published
+    * method builds one suffix array over the corpus; a suffix array is
+    * inherently a single sorted structure, so the Spark-native shape is
+    * the equivalent L-gram formulation: a position lies inside SOME
+    * duplicated substring of length ≥ L iff it lies inside a duplicated
+    * L-gram (⊇: a dup substring's own L-grams cover it; ⊆: a dup L-gram
+    * IS such a substring) — so the removal coverage, which is what the
+    * paper's filter actually consumes, is exactly the union of
+    * duplicated-L-gram intervals:
+    *
+    *  1. hash every L-gram of every document (explode positions — the
+    *     same volume the suffix array would index),
+    *  2. group by digest, keep digests occurring ≥ 2 times corpus-wide
+    *     (a left-semi back onto the positions — digests shuffle, text
+    *     never does),
+    *  3. per document, merge surviving gram starts whose coverage
+    *     intervals [p, p+L−1] overlap into maximal spans — a cumulative
+    *     running-max window per doc (start a new span when p jumps past
+    *     every previous gram's end), NOT a driver loop.
+    *
+    * Everything is deterministic md5 / integer arithmetic → the whole
+    * operator replays verbatim in SQL. At 100 TB the shuffle carries
+    * (digest, doc, pos) triples — fixed width, like every dedup here;
+    * partial aggregation collapses each digest's count map-side.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      gramLen: Int = 50): DataFrame = {
+    require(gramLen >= 2, s"gram length must be >= 2, got $gramLen")
+    val grams = docs
+      .filter(length(col(textCol)) >= gramLen)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(0), length(col(textCol)) - gramLen)).as("pi"),
+        col(textCol))
+      .select(col("doc_id"), col("pi").cast("long").as("p"),
+        md5(expr(s"substring($textCol, pi + 1, $gramLen)")).as("g"))
+    val dupDigests = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select("g")
+    val dupPos = grams.join(dupDigests, Seq("g"), "left_semi")
+    // interval-merge per doc: a gram at p starts a NEW span iff p lies
+    // past the running max end of every earlier gram in the doc
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val prevEnd = max(col("p") + gramLen - 1)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dupPos
+      .withColumn("new_span",
+        when(col("p") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + gramLen - 1).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_grams"))
   }
 }

@@ -483,6 +483,80 @@ object Similarity {
         col("rank"))
   }
 
+  /** Per-dimension scalar-quantization bounds — SQ8's entire "codebook":
+    * the exact coordinate-wise float extrema over the corpus. One
+    * posexplode aggregation whose output is `dim` rows, collected
+    * driver-side (the dim-bounded-weights stance, like Classify's model)
+    * and re-broadcast as literal arrays, so quantization itself is a
+    * SHUFFLE-FREE projection. min/max are order-independent, so the
+    * bounds — unlike a trained float k-means — are engine-replayable.
+    */
+  def sq8Bounds(corpus: DataFrame, dim: Int,
+                cVec: String = "embedding"): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(cVec)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect() // dim rows — bounded by the embedding width, not the data
+    require(rows.length == dim, s"expected $dim dims, saw ${rows.length}")
+    val mn = new Array[Double](dim)
+    val mx = new Array[Double](dim)
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      mn(p) = r.getDouble(1); mx(p) = r.getDouble(2)
+    }
+    (mn, mx)
+  }
+
+  /** SQ8 encode: each coordinate to its 8-bit code
+    * `round((v − mn_i) · 255 / (mx_i − mn_i))` against the broadcast
+    * literal bounds — 8× smaller than float64 at serving time, computed
+    * in one shuffle-free whole-stage-codegen projection. A constant
+    * dimension (mx = mn) codes to 0.
+    */
+  def sq8Codes(corpus: DataFrame, mn: Array[Double], mx: Array[Double],
+               cId: String = "vec_id",
+               cVec: String = "embedding"): DataFrame = {
+    val mnC = typedLit(mn.toSeq)
+    val mxC = typedLit(mx.toSeq)
+    corpus.select(col(cId),
+      transform(col(cVec), (x, i) => {
+        val lo = element_at(mnC, i.cast("int") + 1)
+        val hi = element_at(mxC, i.cast("int") + 1)
+        when(hi > lo,
+          round((x.cast("double") - lo) * 255d / (hi - lo), 0).cast("int"))
+          .otherwise(lit(0))
+      }).as("codes"))
+  }
+
+  /** SQ8 ANN top-k: quantize the corpus to 8-bit codes, dequantize each
+    * code back to its lattice point `mn_i + q · (mx_i − mn_i) / 255`,
+    * and run the asymmetric score — EXACT query vector against the
+    * dequantized corpus — through the same broadcast + two-stage top-k
+    * as [[bruteForceTopK]]. Every step (extrema, rounding, lattice
+    * reconstruction, cosine) is closed-form, so the whole index — unlike
+    * trained-PQ — replays verbatim in SQL. 100 TB shape: the corpus scan
+    * carries 64 bytes/vector instead of 512, the bounds are 2·dim
+    * literals, and nothing shuffles before the ≤ k·partitions survivor
+    * exchange.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val (mn, mx) = sq8Bounds(corpus, dim, cVec)
+    val mnC = typedLit(mn.toSeq)
+    val mxC = typedLit(mx.toSeq)
+    val deq = sq8Codes(corpus, mn, mx, cId, cVec)
+      .select(col(cId),
+        transform(col("codes"), (q, i) => {
+          val lo = element_at(mnC, i.cast("int") + 1)
+          val hi = element_at(mxC, i.cast("int") + 1)
+          lo + q.cast("double") * (hi - lo) / 255d
+        }).as("embedding"))
+    bruteForceTopK(queries, deq, k, qId, qVec, cId, "embedding")
+  }
+
   /** Random-hyperplane LSH bucket key: `nbits` sign bits of dot(v, h_i),
     * hyperplanes generated deterministically from `seed` (driver-side PRNG,
     * broadcast as literals — nbits × dim doubles, trivially small).

@@ -78,6 +78,36 @@ private[graft] object AnnQueries {
           round(col("overlap").cast("double") / 10.0, 6).as("recall_at_10"))
     }),
 
+    // SQ8 scalar-quantized ANN (Similarity.sq8TopK): per-dimension
+    // min/max bounds → 8-bit codes → dequantized-lattice asymmetric
+    // cosine through the brute-force two-stage top-k. Every step is
+    // closed-form (extrema are order-free, unlike trained float
+    // k-means), so the WHOLE index replays verbatim in DuckDB — the
+    // only compressed-vector index in the suite with a full oracle.
+    "ann_sq8_topk" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.sq8TopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d").as("embedding")),
+        dim = 64, k = 10)
+    }),
+    // ...and its recall twin vs the exact ranking (the ann_dim_ablation
+    // shape): overlap@10 per query, BOTH rankings replayed in SQL.
+    "ann_sq8_recall" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec"))
+      val corpus = e.select(col("vec_id"), col("emb_d").as("embedding"))
+      val exact = Similarity.bruteForceTopK(q, corpus, k = 10)
+      val sq8 = Similarity.sq8TopK(q, corpus, dim = 64, k = 10)
+      exact.select("q_id", "vec_id")
+        .join(sq8.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("overlap"))
+        .select(col("q_id"), col("overlap"),
+          round(col("overlap").cast("double") / 10.0, 6).as("recall_at_10"))
+    }),
+
     // ---- similarity / ANN (§7.5) ----
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = embDouble(s, dir)
@@ -387,6 +417,26 @@ private[graft] object AnnQueries {
        cells AS (SELECT vec_id, cell FROM a$iters)"""
   }
 
+  /** The shared SQ8 corpus reconstruction: per-dimension extrema →
+    * 8-bit code → dequantized lattice point, mirroring
+    * Similarity.sq8Codes/sq8TopK operation for operation (same IEEE
+    * order: (v−mn)·255 ÷ span, then mn + q·span ÷ 255).
+    */
+  private val sqlSq8Dequant: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT i, MIN(v[i+1]) AS mn, MAX(v[i+1]) AS mx
+               FROM e, unnest(range(0, 64)) AS ui(i) GROUP BY i),
+         ba AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+                FROM b),
+         dq AS (SELECT vec_id,
+                  [CASE WHEN ba.mx[i+1] > ba.mn[i+1]
+                        THEN ba.mn[i+1]
+                             + round((v[i+1] - ba.mn[i+1]) * 255 / (ba.mx[i+1] - ba.mn[i+1]))
+                               * (ba.mx[i+1] - ba.mn[i+1]) / 255
+                        ELSE ba.mn[i+1] END
+                   FOR i IN range(0, 64)] AS vh
+                FROM e, ba)"""
+
   val oracleSql: Map[String, String] = Map(
 
     "knn_graph_recall" ->
@@ -625,6 +675,39 @@ private[graft] object AnnQueries {
                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
                FROM s)
          WHERE rank <= 10""",
+    // SQ8: bounds → codes → dequantized lattice → asymmetric cosine,
+    // every arithmetic step replayed (round matches Spark's HALF_UP on
+    // the identical IEEE intermediates; q ∈ [0,255] by construction)
+    "ann_sq8_topk" ->
+      s"""$sqlSq8Dequant,
+         q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, dq.vec_id, ${sqlCosine("q_vec", "vh")} AS sim
+               FROM dq CROSS JOIN q)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+         FROM (SELECT q_id, vec_id, sim,
+                      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+               FROM s)
+         WHERE rank <= 10""",
+    // both rankings replayed, overlap joined (the ann_dim_ablation shape)
+    "ann_sq8_recall" ->
+      s"""$sqlSq8Dequant,
+         q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+         sx AS (SELECT q_id, e.vec_id, ${sqlCosine("q_vec", "v")} AS sim
+                FROM e CROSS JOIN q),
+         rx AS (SELECT q_id, vec_id FROM
+                (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rank FROM sx)
+                WHERE rank <= 10),
+         sq AS (SELECT q_id, dq.vec_id, ${sqlCosine("q_vec", "vh")} AS sim
+                FROM dq CROSS JOIN q),
+         rq AS (SELECT q_id, vec_id FROM
+                (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rank FROM sq)
+                WHERE rank <= 10)
+         SELECT rx.q_id, CAST(COUNT(*) AS BIGINT) AS overlap,
+                round(COUNT(*) / 10.0, 6) AS recall_at_10
+         FROM rx JOIN rq ON rx.q_id = rq.q_id AND rx.vec_id = rq.vec_id
+         GROUP BY 1""",
     "sim_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec FROM e WHERE vec_id < 5),

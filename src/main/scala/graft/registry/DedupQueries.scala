@@ -17,6 +17,14 @@ import graft.EntryOracles._
   * SparkEntry merges every slice into the driver-contract maps.
   */
 private[graft] object DedupQueries {
+
+  /** 31^j mod 2^31 for j = 0..15 — the CDC window-polynomial weights,
+    * shared by the dedup_cdc_* oracles (Dedup.cdcChunks computes the
+    * same table executor-side).
+    */
+  private val SqlCdcPows: String =
+    "[" + Iterator.iterate(1L)(p => (p * 31L) % 2147483648L)
+      .take(16).mkString(",") + "]"
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Entity resolution end-to-end (the record-linkage composition of
@@ -49,6 +57,33 @@ private[graft] object DedupQueries {
     // ---- dedup suite (§7.5) ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+    // Content-defined chunking (Dedup.cdcChunks): the windowed-polynomial
+    // Gear cut — offset-shift-immune chunk boundaries, a pure map pass.
+    // The W-term non-recursive hash makes every boundary, chunk extent,
+    // and md5 digest replayable verbatim in SQL.
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text")),
+    // ...and cross-doc shared chunks over planted verbatim twins
+    // (doc_id < 50 duplicated at +PlantedOffset): every twin chunk MUST
+    // appear in ≥ 2 docs; digests are the only shuffle key.
+    "dedup_cdc_shared" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + PlantedOffset).as("doc_id"), col("text")))
+      Dedup.cdcSharedChunks(planted, "doc_id", "text")
+    }),
+    // Exact-substring dedup coverage (Dedup.duplicatedSpans — the Lee
+    // et al. ACL '22 ExactSubstr filter, L-gram formulation): maximal
+    // per-doc spans covered by corpus-duplicated 50-grams, over planted
+    // verbatim twins. Every twin doc ≥ 50 chars must surface one span
+    // covering the whole doc; md5 digests and the interval merge replay
+    // verbatim in SQL.
+    "dedup_substring_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + PlantedOffset).as("doc_id"), col("text")))
+      Dedup.duplicatedSpans(planted, "doc_id", "text", gramLen = 50)
+    }),
     "dedup_jaccard_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = docs.filter(col("doc_id") % 2 === 0)
@@ -429,6 +464,85 @@ private[graft] object DedupQueries {
       """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id,
                 CAST(COUNT(*) AS BIGINT) AS dup_count
          FROM documents GROUP BY 1""",
+    // the windowed-polynomial Gear hash, boundary test, chunk extents,
+    // and md5 digests replayed without recursion (16-term self-join)
+    "dedup_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+         g AS (SELECT doc_id, n, i,
+                 (ascii(substr(text, CAST(i+1 AS INTEGER), 1)) * 2654435761) % 16777216 + 1 AS gv
+               FROM d, unnest(range(0, n)) AS ui(i)),
+         h AS (SELECT a.doc_id, a.n, a.i,
+                 SUM(b.gv * ($SqlCdcPows)[a.i - b.i + 1]) AS hv
+               FROM g a JOIN g b ON a.doc_id = b.doc_id
+                 AND b.i BETWEEN a.i - 15 AND a.i
+               WHERE a.i >= 15 GROUP BY 1, 2, 3),
+         bset AS (SELECT DISTINCT doc_id, i FROM (
+                    SELECT doc_id, i FROM h WHERE hv % 64 = 0 AND i < n - 1
+                    UNION ALL SELECT doc_id, n - 1 AS i FROM d WHERE n > 0)),
+         ch AS (SELECT doc_id, i AS endpos,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx,
+                  COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 0) AS startpos
+                FROM bset)
+         SELECT ch.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(startpos AS BIGINT) AS start_pos,
+                CAST(endpos - startpos + 1 AS BIGINT) AS chunk_len,
+                md5(substr(d.text, CAST(startpos + 1 AS INTEGER),
+                           CAST(endpos - startpos + 1 AS INTEGER))) AS chunk_md5
+         FROM ch JOIN d ON ch.doc_id = d.doc_id""",
+    // the L-gram coverage and the cumulative-running-max interval merge
+    // replayed verbatim (50-char md5 grams, window per doc)
+    "dedup_substring_spans" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             WHERE doc_id < 50),
+         grams AS (SELECT doc_id, i AS p,
+                     md5(substr(text, CAST(i+1 AS INTEGER), 50)) AS g
+                   FROM corpus, unnest(range(0, len(text) - 50 + 1)) AS ui(i)
+                   WHERE len(text) >= 50),
+         dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         dp AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
+         fl AS (SELECT doc_id, p,
+                  CASE WHEN p > COALESCE(MAX(p + 49) OVER (PARTITION BY doc_id
+                    ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+                FROM dp),
+         sp AS (SELECT doc_id, p,
+                  SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+                FROM fl)
+         SELECT doc_id, MIN(p) AS span_start, MAX(p) + 49 AS span_end,
+                MAX(p) + 49 - MIN(p) + 1 AS span_len,
+                CAST(COUNT(*) AS BIGINT) AS n_grams
+         FROM sp GROUP BY doc_id, span_id""",
+    // the same chunk walk over the planted-twin corpus, regrouped by digest
+    "dedup_cdc_shared" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id < 50),
+         d AS (SELECT doc_id, text, len(text) AS n FROM corpus),
+         g AS (SELECT doc_id, n, i,
+                 (ascii(substr(text, CAST(i+1 AS INTEGER), 1)) * 2654435761) % 16777216 + 1 AS gv
+               FROM d, unnest(range(0, n)) AS ui(i)),
+         h AS (SELECT a.doc_id, a.n, a.i,
+                 SUM(b.gv * ($SqlCdcPows)[a.i - b.i + 1]) AS hv
+               FROM g a JOIN g b ON a.doc_id = b.doc_id
+                 AND b.i BETWEEN a.i - 15 AND a.i
+               WHERE a.i >= 15 GROUP BY 1, 2, 3),
+         bset AS (SELECT DISTINCT doc_id, i FROM (
+                    SELECT doc_id, i FROM h WHERE hv % 64 = 0 AND i < n - 1
+                    UNION ALL SELECT doc_id, n - 1 AS i FROM d WHERE n > 0)),
+         ch AS (SELECT doc_id, i AS endpos,
+                  COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 0) AS startpos
+                FROM bset),
+         chunks AS (SELECT ch.doc_id,
+                      md5(substr(d.text, CAST(startpos + 1 AS INTEGER),
+                                 CAST(endpos - startpos + 1 AS INTEGER))) AS chunk_md5
+                    FROM ch JOIN d ON ch.doc_id = d.doc_id)
+         SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                MIN(doc_id) AS first_doc
+         FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2""",
     "dedup_jaccard_pairs" ->
       s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents),
          sh AS (SELECT doc_id,

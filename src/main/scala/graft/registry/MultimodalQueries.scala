@@ -158,6 +158,57 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.wavStats(media)
     }),
+    // G.711 µ-LAW WAVs (the telephony/call-center corpus format, WAVE
+    // fmt 7): each code byte expands through the ITU-T §4.2 integer
+    // formula — complement, biased mantissa-shift, sign — so the oracle
+    // recomputes every expanded 16-bit sample from the planted byte.
+    "mm_decode_mulaw" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nSamples = (64 + id % 33).toInt * channels
+        val codes = Array.tabulate(nSamples)(i =>
+          ((i * 31 + 7 * id) % 256).toByte)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encodeG711(rate, channels,
+            mulaw = true, codes))
+      }
+      graft.multimodal.Multimodal.wavStats(media)
+    }),
+    // ...and the A-LAW twin (fmt 6, the E1-world convention): XOR 0x55,
+    // segment-0 linear / biased-shift expansion, INVERTED sign bit.
+    "mm_decode_alaw" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nSamples = (64 + id % 33).toInt * channels
+        val codes = Array.tabulate(nSamples)(i =>
+          ((i * 31 + 7 * id) % 256).toByte)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encodeG711(rate, channels,
+            mulaw = false, codes))
+      }
+      graft.multimodal.Multimodal.wavStats(media)
+    }),
+    // Integer-exact audio autocorrelation (Multimodal.audioAutocorrStats):
+    // per clip and lag, Σ s[t,c]·s[t+ℓ,c] — the voiced-speech periodicity
+    // feature, 64-bit exact and order-free, so the SQL oracle recomputes
+    // every product from the planted sample formula (lag 0 = energy).
+    "mm_audio_autocorr" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nFrames = (64 + id % 33).toInt
+        val samples = Array.tabulate(nFrames * channels)(i =>
+          (((i * 31 + 7 * id) % 65536) - 32768).toShort)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.audioAutocorrStats(media, Seq(0, 1, 2, 4))
+    }),
     // The real AUDIO chain — WAV decode → exact ÷4 decimation
     // (per-channel truncated mean of 4 consecutive frames, matching
     // DuckDB's //) → stats of the RESAMPLED clip. Closed-form
@@ -409,6 +460,56 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.jpegStats(media)
     }),
+    // REAL VIDEO demux (Codecs.Avi — MJPEG in the RIFF/AVI container):
+    // 128 planted clips, every frame an independent baseline JPEG from
+    // the shared coefficient field at effective id 5·id + 29·f; the full
+    // chain — RIFF chunk-tree walk → avih/strh/strf validation → 00dc
+    // payload slice → Jpeg.decode — lands on the same analytic pixel
+    // oracle as mm_decode_jpeg, extended per frame. One wrong chunk
+    // offset, frame order, or header field and the hashes split.
+    "mm_decode_avi" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(128).map { id =>
+        val q8 = Array.fill(64)(8)
+        val qc = Array.fill(64)(8); qc(0) = 16
+        val w = (12 + 4 * (id % 5)).toInt
+        val h = (12 + 4 * ((id * 3) % 4)).toInt
+        val nf = (2 + id % 3).toInt
+        val frames = Seq.tabulate(nf) { f =>
+          graft.multimodal.Jpeg.encodeFromCoefficients(w, h,
+            chroma420 = id % 2 == 0, q8, qc, restartInterval = 0,
+            jpegFixtureCoef(5 * id + 29 * f))
+        }
+        graft.multimodal.MediaRecord(id, "video/avi",
+          graft.multimodal.Codecs.Avi.encode(w, h,
+            usPerFrame = (33333 + (id % 2) * 6667).toInt, frames))
+      }
+      graft.multimodal.Multimodal.aviFrameStats(media)
+    }),
+    // ...and the VIDEO frame sampler (the training-data op: sample every
+    // k-th frame of each clip into standalone images): demux → keep
+    // f % 2 = 0 → the payloads ARE baseline JPEGs, so jpegStats runs on
+    // them verbatim — no transcode between container and image chain.
+    "mm_video_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(128).map { id =>
+        val q8 = Array.fill(64)(8)
+        val qc = Array.fill(64)(8); qc(0) = 16
+        val w = (12 + 4 * (id % 5)).toInt
+        val h = (12 + 4 * ((id * 3) % 4)).toInt
+        val nf = (2 + id % 3).toInt
+        val frames = Seq.tabulate(nf) { f =>
+          graft.multimodal.Jpeg.encodeFromCoefficients(w, h,
+            chroma420 = id % 2 == 0, q8, qc, restartInterval = 0,
+            jpegFixtureCoef(5 * id + 29 * f))
+        }
+        graft.multimodal.MediaRecord(id, "video/avi",
+          graft.multimodal.Codecs.Avi.encode(w, h,
+            usPerFrame = (33333 + (id % 2) * 6667).toInt, frames))
+      }
+      graft.multimodal.Multimodal.jpegStats(
+        graft.multimodal.Multimodal.sampleFramesAvi(media, everyNth = 2))
+    }),
     // mm_phash_real's chain with the JPEG decoder behind the boundary:
     // coefficient-identical JPEGs decode to identical pixels, so every
     // planted twin must pair at hamming 0.
@@ -514,6 +615,35 @@ private[graft] object MultimodalQueries {
                 CAST(SUM(greatest(0, least(255, round(yv + 1.772 * cbv)))) AS BIGINT) AS sum_b
          FROM px GROUP BY 1, 2, 3, 4"""
 
+  /** The shared per-frame pixel CTEs for the AVI queries: the
+    * mm_decode_jpeg analytic reconstruction at effective id e = 5·id +
+    * 29·f, one frame dimension deeper. `frameFilter` restricts which
+    * frames survive (the sampler keeps f % 2 = 0).
+    */
+  private def sqlAviPixels(frameFilter: String): String =
+s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
+                              2 + id % 3 AS nf, (id % 2 = 0) AS sub,
+                              33333 + (id % 2) * 6667 AS uspf
+                       FROM (SELECT unnest(range(0, 128)) AS id)),
+         fr AS (SELECT id, w, h, nf, sub, uspf, f, 5*id + 29*f AS e
+                FROM dims, unnest(range(0, nf)) AS uf(f)
+                WHERE $frameFilter),
+         px AS (
+           SELECT id, f, w, h, nf, uspf,
+             128 + ((e + 3*(x//8) + 5*(y//8)) % 61 - 30)
+                 + (CASE WHEN (x%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * ((2*e + (x//8) + 7*(y//8)) % 21 - 10)
+                 + (CASE WHEN (y%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * ((3*e + 11*(x//8) + (y//8)) % 21 - 10)
+                 + (CASE WHEN (x%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * (CASE WHEN (y%8)%4 IN (0,3) THEN 1 ELSE -1 END)
+                   * ((5*e + (x//8) + (y//8)) % 9 - 4) AS yv,
+             2 * ((e + 3*(CASE WHEN sub THEN x//16 ELSE x//8 END)
+                      + 5*(CASE WHEN sub THEN y//16 ELSE y//8 END)) % 31 - 15) AS cbv,
+             2 * ((2*e + 7*(CASE WHEN sub THEN x//16 ELSE x//8 END)
+                       + (CASE WHEN sub THEN y//16 ELSE y//8 END)) % 31 - 15) AS crv
+           FROM fr, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y))"""
+
   /** The shared mm_decode_png / mm_decode_png_adam7 replay —
     * interlacing is lossless, one analytic statement answers both.
     */
@@ -599,6 +729,68 @@ private[graft] object MultimodalQueries {
                 CAST(SUM(((i * 31 + 7 * id) % 256 - 128) * 256) AS BIGINT) AS sum_samples
          FROM clips, unnest(range(0, frames * ch)) AS ui(i)
          GROUP BY 1, 2, 3, 4, 5""",
+    // every lag's product sum recomputed from the planted sample formula
+    "mm_audio_autocorr" ->
+      """WITH clips AS (SELECT id, 1 + id % 2 AS ch, 64 + id % 33 AS frames
+                        FROM (SELECT unnest(range(0, 256)) AS id)),
+         lg AS (SELECT id, ch, frames, lag
+                FROM clips, unnest([0, 1, 2, 4]) AS ul(lag)),
+         pr AS (SELECT id, ch, frames, lag,
+                  ((t * ch + c) * 31 + 7 * id) % 65536 - 32768 AS a,
+                  (((t + lag) * ch + c) * 31 + 7 * id) % 65536 - 32768 AS b
+                FROM lg, unnest(range(0, frames)) AS ut(t),
+                     unnest(range(0, ch)) AS uc(c)
+                WHERE t + lag < frames)
+         SELECT id AS media_id, CAST(lag AS BIGINT) AS lag,
+                CAST(frames AS BIGINT) AS n_frames,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(SUM(a * b) AS BIGINT) AS autocorr
+         FROM pr GROUP BY 1, 2, 3, 4""",
+    // G.711 µ-law: the ITU expansion replayed on the planted code byte —
+    // u = ~b, t = (8·mant + 132) << exp, sample = ±(t − 132)
+    "mm_decode_mulaw" ->
+      """WITH clips AS (SELECT id, 1 + id % 2 AS ch,
+                               8000 + (id % 3) * 4000 AS rate,
+                               64 + id % 33 AS frames
+                        FROM (SELECT unnest(range(0, 512)) AS id)),
+         ex AS (SELECT id, ch, rate, frames,
+                  255 - ((i * 31 + 7 * id) % 256) AS u
+                FROM clips, unnest(range(0, frames * ch)) AS ui(i)),
+         sm AS (SELECT id, ch, rate, frames,
+                  CASE WHEN u >= 128
+                       THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+                       ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+                  END AS v
+                FROM ex)
+         SELECT id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(frames AS BIGINT) AS n_frames,
+                CAST(44 + frames * ch + (frames * ch) % 2 AS BIGINT) AS n_bytes,
+                CAST(SUM(v) AS BIGINT) AS sum_samples
+         FROM sm GROUP BY 1, 2, 3, 4, 5""",
+    // G.711 A-law: n = b XOR 0x55; seg 0 linear, seg 1 biased, seg ≥ 2
+    // shifted; set top bit = POSITIVE (inverted vs µ-law)
+    "mm_decode_alaw" ->
+      """WITH clips AS (SELECT id, 1 + id % 2 AS ch,
+                               8000 + (id % 3) * 4000 AS rate,
+                               64 + id % 33 AS frames
+                        FROM (SELECT unnest(range(0, 512)) AS id)),
+         ex AS (SELECT id, ch, rate, frames,
+                  xor((i * 31 + 7 * id) % 256, 85) AS a
+                FROM clips, unnest(range(0, frames * ch)) AS ui(i)),
+         mg AS (SELECT id, ch, rate, frames, a,
+                  CASE (a // 16) % 8
+                    WHEN 0 THEN (a % 16) * 16 + 8
+                    WHEN 1 THEN (a % 16) * 16 + 264
+                    ELSE ((a % 16) * 16 + 264) << ((a // 16) % 8 - 1)
+                  END AS t
+                FROM ex)
+         SELECT id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(frames AS BIGINT) AS n_frames,
+                CAST(44 + frames * ch + (frames * ch) % 2 AS BIGINT) AS n_bytes,
+                CAST(SUM(CASE WHEN a >= 128 THEN t ELSE -t END) AS BIGINT) AS sum_samples
+         FROM mg GROUP BY 1, 2, 3, 4, 5""",
     // real GIF demux: every frame's gray pixel sums recomputed from the
     // planted index formulas (palette r = g = b = index)
     "mm_decode_gif" ->
@@ -713,6 +905,29 @@ private[graft] object MultimodalQueries {
     // progressive decode of the identical coefficients → the identical
     // analytic pixels (successive approximation is lossless at Al=0)
     "mm_decode_jpeg_prog" -> sqlDecodeJpeg,
+    // AVI demux: container metadata + every frame's analytic pixel sums
+    // at effective id 5·id + 29·f
+    "mm_decode_avi" ->
+      s"""${sqlAviPixels("true")}
+         SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(uspf AS BIGINT) AS us_per_frame,
+                CAST(SUM(greatest(0, least(255, round(yv + 1.402 * crv)))) AS BIGINT) AS sum_r,
+                CAST(SUM(greatest(0, least(255, round(yv - 0.344136 * cbv - 0.714136 * crv)))) AS BIGINT) AS sum_g,
+                CAST(SUM(greatest(0, least(255, round(yv + 1.772 * cbv)))) AS BIGINT) AS sum_b
+         FROM px GROUP BY 1, 2, 3, 4, 5, 6""",
+    // demux → keep every 2nd frame → jpegStats on the raw payloads: the
+    // kept frames' ids and pixel sums, closed-form
+    "mm_video_sample" ->
+      s"""${sqlAviPixels("f % 2 = 0")}
+         SELECT CAST(id * 100000 + f AS BIGINT) AS media_id,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(SUM(greatest(0, least(255, round(yv + 1.402 * crv)))) AS BIGINT) AS sum_r,
+                CAST(SUM(greatest(0, least(255, round(yv - 0.344136 * cbv - 0.714136 * crv)))) AS BIGINT) AS sum_g,
+                CAST(SUM(greatest(0, least(255, round(yv + 1.772 * cbv)))) AS BIGINT) AS sum_b
+         FROM px GROUP BY 1, 2, 3, 4""",
     // planted-payload truth through the real JPEG decode: coefficient-
     // identical JPEGs must pair at hamming 0
     "mm_phash_jpeg" ->

@@ -514,4 +514,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"robots rules not broadcast in:\n$p")
     assertNoCartesian(p, "crawl corpus front half")
   }
+
+  test("ann_sq8_topk: query side broadcast, two-stage top-k, no cartesian") {
+    val p = plan("ann_sq8_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"queries not broadcast in:\n$p") // tiny query side rides a broadcast
+    assert(!p.contains("CartesianProduct"), s"sq8 plans a cartesian:\n$p")
+    // the two-stage top-k: a per-partition window precedes the global one
+    assert("Window".r.findAllIn(p).length >= 2, s"missing two-stage top-k in:\n$p")
+  }
+
+  test("dedup_cdc_shared: chunking is a pure map — the digest agg is the only data exchange") {
+    val p = plan("dedup_cdc_shared")
+    assertNoCartesian(p, "dedup_cdc_shared")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"cdc funnels to one partition:\n$p")
+    // no window, no join: map (chunk) → hash-agg on digests
+    assert(!p.contains("SortMergeJoin"), s"unexpected join in:\n$p")
+  }
+
+  test("dedup_substring_spans: digest semi-join + per-doc window — no cartesian, no single partition") {
+    val p = plan("dedup_substring_spans")
+    assertNoCartesian(p, "dedup_substring_spans")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"span merge funnels to one partition:\n$p")
+    assert(p.contains("LeftSemi"), s"dup-digest filter is not a semi-join:\n$p")
+    assert(p.contains("Window"), s"no interval-merge window in:\n$p")
+  }
+
+  test("mm_decode_avi / mm_audio_autocorr: zero data exchanges — pure demux/decode maps") {
+    Seq("mm_decode_avi", "mm_audio_autocorr").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q plans a data shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+    }
+  }
 }

@@ -70,6 +70,40 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.Wav.encode8(8000, 1, Array(256)))
   }
 
+  test("G.711 µ-law expansion matches the ITU landmark values") {
+    // the classic table anchors: 0xFF -> 0, 0x7F -> -? (sign bit clear ->
+    // negative in µ-law), 0x00 -> the most negative code
+    assert(Codecs.Wav.mulawExpand(0xFF.toByte) == 0)
+    assert(Codecs.Wav.mulawExpand(0x7F.toByte) == 0)
+    assert(Codecs.Wav.mulawExpand(0x80.toByte) == 32124)
+    assert(Codecs.Wav.mulawExpand(0x00.toByte) == -32124)
+    // monotone within the negative half: greater code -> smaller magnitude
+    assert(Codecs.Wav.mulawExpand(0x01.toByte) > Codecs.Wav.mulawExpand(0x00.toByte))
+    val codes = Array.tabulate(16)(i => (i * 17).toByte)
+    val audio = Codecs.Wav.decode(Codecs.Wav.encodeG711(8000, 2, mulaw = true, codes))
+    assert(audio.sampleRate == 8000 && audio.channels == 2 && audio.frames == 8)
+    assert(audio.samples.toSeq == codes.map(Codecs.Wav.mulawExpand).toSeq)
+  }
+
+  test("G.711 A-law expansion: XOR 0x55, inverted sign, segment shifts") {
+    // landmark values from the G.711 tables: 0xD5 -> +8, 0x55 -> -8,
+    // 0xAA (xor 0x55 = 0xFF) -> +32256, 0x2A -> -32256
+    assert(Codecs.Wav.alawExpand(0xD5.toByte) == 8)
+    assert(Codecs.Wav.alawExpand(0x55.toByte) == -8)
+    assert(Codecs.Wav.alawExpand(0xAA.toByte) == 32256)
+    assert(Codecs.Wav.alawExpand(0x2A.toByte) == -32256)
+    // odd code count exercises the word-alignment pad
+    val codes = Array.tabulate(7)(i => (i * 37 + 3).toByte)
+    val bytes = Codecs.Wav.encodeG711(16000, 1, mulaw = false, codes)
+    assert(bytes.length == 44 + 7 + 1, "odd data length pads to word align")
+    val audio = Codecs.Wav.decode(bytes)
+    assert(audio.sampleRate == 16000 && audio.channels == 1 && audio.frames == 7)
+    assert(audio.samples.toSeq == codes.map(Codecs.Wav.alawExpand).toSeq)
+    // G.711 with a 16-bit depth field is malformed
+    val bad = bytes.clone(); bad(34) = 16
+    intercept[IllegalArgumentException](Codecs.Wav.decode(bad))
+  }
+
   test("WAV chunk walk skips extension chunks between fmt and data") {
     val samples = Array.tabulate(8)(i => (i * 100).toShort)
     val canonical = Codecs.Wav.encode(8000, 1, samples)
@@ -85,6 +119,38 @@ class CodecsSpec extends AnyFunSuite {
     spliced(7) = ((riffLen >> 24) & 0xFF).toByte
     val audio = Codecs.Wav.decode(spliced)
     assert(audio.samples.toSeq == samples.toSeq)
+  }
+
+  test("AVI roundtrip preserves frame payloads, order, and metadata") {
+    // odd-length frames exercise the movi word-alignment pad
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7),
+      Array.tabulate(33)(i => (i * 7).toByte))
+    val bytes = Codecs.Avi.encode(320, 240, 33333, frames)
+    val video = Codecs.Avi.decode(bytes)
+    assert(video.width == 320 && video.height == 240 &&
+      video.usPerFrame == 33333)
+    assert(video.frames.length == 3)
+    video.frames.zip(frames).foreach { case (got, want) =>
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("AVI rejects bad magic, non-MJPG codecs, frame-count mismatch") {
+    val good = Codecs.Avi.encode(16, 16, 40000, Seq(Array[Byte](9, 9)))
+    val badMagic = good.clone(); badMagic(9) = 'X'
+    intercept[IllegalArgumentException](Codecs.Avi.decode(badMagic))
+    // swap the strh fccHandler 'MJPG' -> 'XVID'
+    val xvid = good.clone()
+    val h = new String(xvid, "ISO-8859-1").indexOf("vids")
+    assert(h > 0, "strh fccType not found")
+    xvid(h + 4) = 'X'; xvid(h + 5) = 'V'; xvid(h + 6) = 'I'; xvid(h + 7) = 'D'
+    intercept[IllegalArgumentException](Codecs.Avi.decode(xvid))
+    intercept[IllegalArgumentException](Codecs.Avi.decode(good.take(40)))
+    // declare 2 frames in avih while movi carries 1
+    val mismatch = good.clone()
+    val avih = new String(mismatch, "ISO-8859-1").indexOf("avih")
+    mismatch(avih + 24) = 2
+    intercept[IllegalArgumentException](Codecs.Avi.decode(mismatch))
   }
 
   test("WAV rejects bad magic, non-PCM, wrong depth, truncation") {

@@ -337,6 +337,43 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (c, _, _) => c <= 20L })
   }
 
+  test("cdcChunks reassembles the document and is offset-shift immune") {
+    import spark.implicits._
+    val base = (0 until 40).map(j => s"token$j word${j % 7}").mkString(" ")
+    val docs = Seq((1L, base), (2L, "PREFIX INSERTED AHEAD " + base))
+      .toDF("doc_id", "text")
+    val rows = Dedup.cdcChunks(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // chunks of each doc tile it exactly: starts/lengths are a partition
+    Seq(1L, 2L).foreach { id =>
+      val cs = rows.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 0L, "first chunk starts at 0")
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"gap after $a")
+        case _ =>
+      }
+      val doclen = docs.filter(col("doc_id") === id)
+        .select("text").as[String].head().length
+      assert(cs.map(_._4).sum == doclen, "chunk lengths tile the doc")
+    }
+    // the defining CDC property: after the prefix-shifted doc re-syncs at
+    // its first shared boundary, the digest STREAMS coincide — most of
+    // doc 1's chunk digests appear verbatim in doc 2
+    val d1 = rows.filter(_._1 == 1L).map(_._5).toSet
+    val d2 = rows.filter(_._1 == 2L).map(_._5).toSet
+    val shared = d1.intersect(d2).size
+    assert(shared >= d1.size - 2,
+      s"offset immunity lost: only $shared of ${d1.size} digests survive a prefix")
+    // fixed-size chunking (same width, same count) shares ~nothing — the
+    // contrast that motivates CDC
+    val width = 55
+    def fixed(t: String) = t.grouped(width).toSet
+    val f1 = fixed(base); val f2 = fixed("PREFIX INSERTED AHEAD " + base)
+    assert(f1.intersect(f2).size <= 1, "fixed-size would also be immune?!")
+  }
+
   test("fuzzyPairs never emits self-pairs, even for duplicate input ids") {
     import spark.implicits._
     // id 1 appears under two keys at distance 1: the key-pair expansion
