@@ -223,7 +223,14 @@ object SparkEntry {
     "dedup_substring_spans",
     // round 14o: integer-exact audio autocorrelation (the periodicity
     // feature), lag 0 = energy
-    "mm_audio_autocorr")
+    "mm_audio_autocorr",
+    // round 14p: completing the codec matrix — interlaced GIF (the
+    // 4-pass schedule), indexed-color PNG (PLTE, bpp-1 filters), and
+    // IEEE-float32 WAV (fmt 3)
+    "mm_decode_gif_interlaced", "mm_decode_png_palette", "mm_decode_wavf",
+    // round 14q: video near-dup end to end (demux → frame sample →
+    // decode → phash → banding; the re-upload detection chain)
+    "mm_video_phash_dups")
 
   // ---- DuckDB oracle twins ----
 

@@ -345,8 +345,22 @@ object Codecs {
     /** Encode frames of 8-bit indices as an animated GIF89a with the
       * given 256-entry palette, one Graphic Control Extension per frame.
       */
+    /** The GIF87a 4-pass interlace row schedule: rows appear on the wire
+      * in pass order — every 8th from 0, every 8th from 4, every 4th
+      * from 2, every 2nd from 1. Returns wire position → screen row.
+      */
+    private[multimodal] def interlaceRows(height: Int): Array[Int] = {
+      val order = Array.newBuilder[Int]
+      Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+        var y = start
+        while (y < height) { order += y; y += step }
+      }
+      order.result()
+    }
+
     def encode(width: Int, height: Int, palette: Array[Byte],
-               frames: Seq[Array[Byte]]): Array[Byte] = {
+               frames: Seq[Array[Byte]],
+               interlaced: Boolean = false): Array[Byte] = {
       require(width > 0 && height > 0 && frames.nonEmpty,
         s"bad animation ${width}x$height, ${frames.length} frames")
       require(palette.length == 768, s"palette must be 256*3 bytes")
@@ -365,9 +379,22 @@ object Codecs {
         out.write(0); u16(4); out.write(0); out.write(0) // no transparency, 40ms
         out.write(0x2C) // image descriptor
         u16(0); u16(0); u16(width); u16(height)
-        out.write(0) // no local table, no interlace
+        out.write(if (interlaced) 0x40 else 0) // no local table; interlace flag
         out.write(MinCode)
-        val z = lzwEncode(f)
+        val wire =
+          if (!interlaced) f
+          else {
+            // emit rows in pass order
+            val rows = interlaceRows(height)
+            val w = new Array[Byte](f.length)
+            var p = 0
+            while (p < rows.length) {
+              System.arraycopy(f, rows(p) * width, w, p * width, width)
+              p += 1
+            }
+            w
+          }
+        val z = lzwEncode(wire)
         var off = 0
         while (off < z.length) {
           val n = math.min(255, z.length - off)
@@ -379,10 +406,12 @@ object Codecs {
       out.toByteArray
     }
 
-    /** Parse an animated GIF89a: signature, screen descriptor, global
-      * palette, extension skipping, per-frame LZW decode. Throws
+    /** Parse an animated GIF87a/89a: signature, screen descriptor, global
+      * palette, extension skipping, per-frame LZW decode, and the 4-pass
+      * interlace scatter when the image descriptor sets the flag
+      * (lossless row reorder — the Adam7 stance). Throws
       * IllegalArgumentException on malformed or unsupported input
-      * (interlace, local color tables, missing GCT, truncation).
+      * (local color tables, missing GCT, truncation).
       */
     def decode(bytes: Array[Byte]): Animation = {
       require(bytes.length >= 13, s"truncated GIF: ${bytes.length} bytes")
@@ -420,7 +449,7 @@ object Codecs {
             val (fw, fh) = (u16(off + 5), u16(off + 7))
             val ipacked = bytes(off + 9) & 0xFF
             require((ipacked & 0x80) == 0, "local color tables unsupported")
-            require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+            val interlaced = (ipacked & 0x40) != 0
             require(l == 0 && t == 0 && fw == width && fh == height,
               s"partial-frame GIF unsupported ($l,$t ${fw}x$fh)")
             val minCode = bytes(off + 10) & 0xFF
@@ -437,7 +466,20 @@ object Codecs {
               off += 1 + n
             }
             off += 1
-            frames += lzwDecode(z.toByteArray, width * height)
+            val idx = lzwDecode(z.toByteArray, width * height)
+            frames +=
+              (if (!interlaced) idx
+               else {
+                 // scatter the pass-ordered wire rows back onto the screen
+                 val rows = interlaceRows(height)
+                 val f = new Array[Byte](idx.length)
+                 var p = 0
+                 while (p < rows.length) {
+                   System.arraycopy(idx, p * width, f, rows(p) * width, width)
+                   p += 1
+                 }
+                 f
+               })
           case b => throw new IllegalArgumentException(
             f"unknown GIF block 0x$b%02X at $off")
         }
@@ -507,8 +549,8 @@ object Codecs {
       * (the spec: the previous row is the previous row OF THE PASS).
       */
     private def filterScanlines(raw: Array[Byte], width: Int,
-                                height: Int): Array[Byte] = {
-      val stride = width * 3
+                                height: Int, bpp: Int = 3): Array[Byte] = {
+      val stride = width * bpp
       val filtered = new Array[Byte](height * (1 + stride))
       var y = 0
       while (y < height) {
@@ -517,9 +559,9 @@ object Codecs {
         var i = 0
         while (i < stride) {
           val cur = raw(y * stride + i) & 0xFF
-          val left = if (i >= 3) raw(y * stride + i - 3) & 0xFF else 0
+          val left = if (i >= bpp) raw(y * stride + i - bpp) & 0xFF else 0
           val up = if (y > 0) raw((y - 1) * stride + i) & 0xFF else 0
-          val ul = if (y > 0 && i >= 3) raw((y - 1) * stride + i - 3) & 0xFF else 0
+          val ul = if (y > 0 && i >= bpp) raw((y - 1) * stride + i - bpp) & 0xFF else 0
           val v = f match {
             case 0 => cur
             case 1 => cur - left
@@ -540,8 +582,9 @@ object Codecs {
       * walk shared by the sequential image and each Adam7 pass.
       */
     private def unfilterScanlines(filtered: Array[Byte], off: Int,
-                                  width: Int, height: Int): Array[Byte] = {
-      val stride = width * 3
+                                  width: Int, height: Int,
+                                  bpp: Int = 3): Array[Byte] = {
+      val stride = width * bpp
       val rgb = new Array[Byte](height * stride)
       var y = 0
       while (y < height) {
@@ -550,9 +593,9 @@ object Codecs {
         var i = 0
         while (i < stride) {
           val v = filtered(off + y * (1 + stride) + 1 + i) & 0xFF
-          val left = if (i >= 3) rgb(y * stride + i - 3) & 0xFF else 0
+          val left = if (i >= bpp) rgb(y * stride + i - bpp) & 0xFF else 0
           val up = if (y > 0) rgb((y - 1) * stride + i) & 0xFF else 0
-          val ul = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xFF else 0
+          val ul = if (y > 0 && i >= bpp) rgb((y - 1) * stride + i - bpp) & 0xFF else 0
           val raw = f match {
             case 0 => v
             case 1 => v + left
@@ -617,6 +660,34 @@ object Codecs {
         chunk("IEND", Array.emptyByteArray)
     }
 
+    /** Encode 8-bit palette indices as an INDEXED-COLOR PNG (color type
+      * 3, PLTE chunk) — the fixture generator for the palette decode
+      * path common in web graphics. Scanlines carry 1-byte indices, so
+      * the five filters run at bpp = 1 (filter = y % 5, as everywhere).
+      */
+    def encodePalette(width: Int, height: Int, palette: Array[Byte],
+                      index: (Int, Int) => Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+      require(palette.length == 768, "palette must be 256*3 bytes")
+      val raw = new Array[Byte](height * width)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raw(y * width + x) = index(x, y).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val ihdr = new Array[Byte](13)
+      putBeI32(ihdr, 0, width); putBeI32(ihdr, 4, height)
+      ihdr(8) = 8 // bit depth
+      ihdr(9) = 3 // color type: indexed
+      Signature ++ chunk("IHDR", ihdr) ++ chunk("PLTE", palette) ++
+        chunk("IDAT", deflate(filterScanlines(raw, width, height, bpp = 1))) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
     /** Encode top-down RGB pixels as an RGB8 PNG, filter = y % 5. */
     def encode(width: Int, height: Int,
                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
@@ -645,7 +716,8 @@ object Codecs {
         chunk("IEND", Array.emptyByteArray)
     }
 
-    /** Parse an RGB8 PNG — sequential OR Adam7-interlaced: chunk walk
+    /** Parse an RGB8 or indexed-color PNG — sequential OR
+      * Adam7-interlaced: chunk walk
       * with CRC verification, multi-IDAT zlib inflate, full five-filter
       * scanline reconstruction (per pass for Adam7, whose reduced
       * images filter independently), and the spec scatter back onto the
@@ -660,6 +732,8 @@ object Codecs {
       var width = -1
       var height = -1
       var interlaced = false
+      var colorType = -1
+      var plte: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream(bytes.length)
       var sawEnd = false
       while (off + 12 <= bytes.length && !sawEnd) {
@@ -677,7 +751,9 @@ object Codecs {
             width = beI32(bytes, off + 8); height = beI32(bytes, off + 12)
             require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
             require(bytes(off + 16) == 8, s"unsupported bit depth ${bytes(off + 16)}")
-            require(bytes(off + 17) == 2, s"unsupported color type ${bytes(off + 17)}")
+            colorType = bytes(off + 17) & 0xFF
+            require(colorType == 2 || colorType == 3,
+              s"unsupported color type $colorType (truecolor/palette only)")
             require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
               "unsupported compression/filter method")
             require(bytes(off + 20) == 0 || bytes(off + 20) == 1,
@@ -685,6 +761,9 @@ object Codecs {
             interlaced = bytes(off + 20) == 1
             require(width.toLong * height.toLong * 3L <= Int.MaxValue,
               s"unreasonable PNG dimensions ${width}x$height")
+          case "PLTE" =>
+            require(len > 0 && len % 3 == 0 && len <= 768, s"bad PLTE length $len")
+            plte = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
           case "IDAT" => idat.write(bytes, off + 8, len)
           case "IEND" => sawEnd = true
           case _ => // ancillary chunk: skip
@@ -701,8 +780,10 @@ object Codecs {
           val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
           (x0, y0, dx, dy, pw, ph)
         }.filter(p => p._5 > 0 && p._6 > 0)
+      require(colorType == 2 || plte != null, "palette PNG without PLTE")
+      val bpp = if (colorType == 2) 3 else 1
       val total = passes.map { case (_, _, _, _, pw, ph) =>
-        ph * (1 + pw * 3)
+        ph * (1 + pw * bpp)
       }.sum
       val filtered = new Array[Byte](total)
       val inflater = new java.util.zip.Inflater
@@ -724,17 +805,26 @@ object Codecs {
       val rgb = new Array[Byte](height * stride)
       var passOff = 0
       passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
-        val sub = unfilterScanlines(filtered, passOff, pw, ph)
-        passOff += ph * (1 + pw * 3)
+        val sub = unfilterScanlines(filtered, passOff, pw, ph, bpp)
+        passOff += ph * (1 + pw * bpp)
         var j = 0
         while (j < ph) {
           var i = 0
           while (i < pw) {
-            val src = (j * pw + i) * 3
             val dst = (y0 + j * dy) * stride + (x0 + i * dx) * 3
-            rgb(dst) = sub(src)
-            rgb(dst + 1) = sub(src + 1)
-            rgb(dst + 2) = sub(src + 2)
+            if (colorType == 2) {
+              val src = (j * pw + i) * 3
+              rgb(dst) = sub(src)
+              rgb(dst + 1) = sub(src + 1)
+              rgb(dst + 2) = sub(src + 2)
+            } else {
+              val pi = (sub(j * pw + i) & 0xFF) * 3
+              require(pi + 2 < plte.length,
+                s"palette index ${pi / 3} outside ${plte.length / 3}-entry PLTE")
+              rgb(dst) = plte(pi)
+              rgb(dst + 1) = plte(pi + 1)
+              rgb(dst + 2) = plte(pi + 2)
+            }
             i += 1
           }
           j += 1
@@ -865,8 +955,44 @@ object Codecs {
       out
     }
 
-    /** Parse a PCM WAV (16-bit signed or 8-bit unsigned) or a G.711
-      * companded WAV (µ-law fmt 7 / A-law fmt 6) by WALKING the
+    /** Encode interleaved IEEE-float32 samples (nominal full scale
+      * [-1, 1]) as a WAVE_FORMAT_IEEE_FLOAT (fmt 3) file with the
+      * conventional `fact` chunk — the DAW/export float format. The
+      * fixture generator for the float decode path.
+      */
+    def encodeFloat(sampleRate: Int, channels: Int,
+                    samples: Array[Float]): Array[Byte] = {
+      require(channels > 0 && samples.length % channels == 0,
+        s"${samples.length} samples not divisible by $channels channels")
+      val dataLen = samples.length * 4
+      val out = new Array[Byte](44 + 12 + dataLen) // header + fact + data
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putI32(out, 4, 36 + 12 + dataLen)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putI32(out, 16, 16)
+      putU16(out, 20, 3) // WAVE_FORMAT_IEEE_FLOAT
+      putU16(out, 22, channels)
+      putI32(out, 24, sampleRate)
+      putI32(out, 28, sampleRate * channels * 4)
+      putU16(out, 32, channels * 4)
+      putU16(out, 34, 32)
+      out(36) = 'f'; out(37) = 'a'; out(38) = 'c'; out(39) = 't'
+      putI32(out, 40, 4)
+      putI32(out, 44, samples.length / channels)
+      out(48) = 'd'; out(49) = 'a'; out(50) = 't'; out(51) = 'a'
+      putI32(out, 52, dataLen)
+      var i = 0
+      while (i < samples.length) {
+        putI32(out, 56 + 4 * i, java.lang.Float.floatToIntBits(samples(i)))
+        i += 1
+      }
+      out
+    }
+
+    /** Parse a PCM WAV (16-bit signed or 8-bit unsigned), an IEEE-float32
+      * WAV (fmt 3, converted round(v·32767) onto the 16-bit lattice), or
+      * a G.711 companded WAV (µ-law fmt 7 / A-law fmt 6) by WALKING the
       * RIFF chunk list (fmt and data may be separated by extension
       * chunks in the wild — LIST, fact, cue; fmt may even FOLLOW data,
       * so sample conversion defers until both are seen). 8-bit samples
@@ -898,13 +1024,15 @@ object Codecs {
         if (id == "fmt ") {
           require(len >= 16, s"short fmt chunk: $len")
           fmtCode = u16(bytes, off + 8)
-          require(fmtCode == 1 || fmtCode == 6 || fmtCode == 7,
-            s"unsupported audio format $fmtCode (PCM/A-law/µ-law only)")
+          require(fmtCode == 1 || fmtCode == 3 || fmtCode == 6 || fmtCode == 7,
+            s"unsupported audio format $fmtCode (PCM/float/A-law/µ-law only)")
           channels = u16(bytes, off + 10)
           sampleRate = i32(bytes, off + 12)
           bits = u16(bytes, off + 22)
           if (fmtCode == 1)
             require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+          else if (fmtCode == 3)
+            require(bits == 32, s"IEEE-float WAV requires 32-bit, got $bits")
           else
             require(bits == 8, s"G.711 requires 8-bit codes, got $bits")
         } else if (id == "data") {
@@ -930,6 +1058,17 @@ object Codecs {
           var i = 0
           while (i < d.length) {
             d(i) = (((bytes(dataOff + i) & 0xFF) - 128) * 256).toShort
+            i += 1
+          }
+          d
+        } else if (fmtCode == 3) { // float32 → round onto the 16-bit lattice
+          require(dataLen % 4 == 0, s"odd float32 data length $dataLen")
+          val d = new Array[Short](dataLen / 4)
+          var i = 0
+          while (i < d.length) {
+            val v = java.lang.Float.intBitsToFloat(i32(bytes, dataOff + 4 * i))
+            val q = math.round(v.toDouble * 32767d)
+            d(i) = math.max(-32768L, math.min(32767L, q)).toShort
             i += 1
           }
           d

@@ -192,6 +192,23 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.wavStats(media)
     }),
+    // IEEE-FLOAT32 WAVs (fmt 3 — the DAW/export format): planted dyadic
+    // floats k/32768 (exactly representable) convert round(v·32767)
+    // back to exactly k on the 16-bit lattice, so the decode chain —
+    // fact-chunk skip included — replays closed-form.
+    "mm_decode_wavf" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nSamples = (64 + id % 33).toInt * channels
+        val samples = Array.tabulate(nSamples)(i =>
+          (((i * 31 + 7 * id) % 32001 - 16000).toFloat / 32768f))
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encodeFloat(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.wavStats(media)
+    }),
     // Integer-exact audio autocorrelation (Multimodal.audioAutocorrStats):
     // per clip and lag, Σ s[t,c]·s[t+ℓ,c] — the voiced-speech periodicity
     // feature, 64-bit exact and order-free, so the SQL oracle recomputes
@@ -510,6 +527,95 @@ private[graft] object MultimodalQueries {
       graft.multimodal.Multimodal.jpegStats(
         graft.multimodal.Multimodal.sampleFramesAvi(media, everyNth = 2))
     }),
+    // INTERLACED GIF (the 4-pass row schedule — GIF's Adam7): the same
+    // planted animations as mm_decode_gif encoded with the interlace
+    // flag; the reorder is lossless, so the decoded frames — and the
+    // analytic oracle — are identical to the sequential query's.
+    "mm_decode_gif_interlaced" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val w = (8 + id % 5).toInt
+        val h = (6 + id % 4).toInt
+        val nf = (2 + id % 3).toInt
+        val frames = Seq.tabulate(nf) { f =>
+          Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            ((x * 7 + y * 13 + f * 29 + id) % 256).toByte
+          }
+        }
+        graft.multimodal.MediaRecord(id, "image/gif",
+          graft.multimodal.Codecs.Gif.encode(w, h,
+            graft.multimodal.Codecs.Gif.grayPalette, frames,
+            interlaced = true))
+      }
+      graft.multimodal.Multimodal.gifFrameStats(media)
+    }),
+    // INDEXED-COLOR PNG (color type 3 + PLTE — the web-graphics format):
+    // closed-form palette entries looked up by closed-form indices, the
+    // scanline filters running at bpp = 1; the oracle composes the two
+    // formulas analytically per pixel.
+    "mm_decode_png_palette" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 7).toInt
+        val pal = new Array[Byte](768)
+        var i = 0
+        while (i < 256) {
+          pal(3 * i) = ((i * 3 + 7) % 256).toByte
+          pal(3 * i + 1) = ((i * 5 + 11) % 256).toByte
+          pal(3 * i + 2) = ((i * 7 + 13) % 256).toByte
+          i += 1
+        }
+        graft.multimodal.MediaRecord(id, "image/png",
+          graft.multimodal.Codecs.Png.encodePalette(w, h, pal,
+            (x, y) => ((x * 7 + y * 13 + id) % 256).toInt))
+      }
+      graft.multimodal.Multimodal.pngStats(media)
+    }),
+    // VIDEO near-dup, end to end: 60 planted clips (3 frames each), ids
+    // < 20 duplicated at +PlantedOffset with coefficient-identical
+    // frames; AVI demux → frame sample → JPEG decode → bucketed
+    // features → average-hash → Hamming banding. Identical payloads
+    // hash identically, so all 60 planted FRAME pairs (clip twin ×
+    // frame) must pair at distance 0 — the re-upload/mirror detection
+    // chain with the video container in front.
+    "mm_video_phash_dups" -> ((s, dir) => {
+      import s.implicits._
+      def clip(id: Long, seed: Long) = {
+        val q8 = Array.fill(64)(8)
+        val qc = Array.fill(64)(8); qc(0) = 16
+        val frames = Seq.tabulate(3) { f =>
+          graft.multimodal.Jpeg.encodeFromCoefficients(16, 16,
+            chroma420 = true, q8, qc, 0, (comp, bx, by) => {
+              val c = new Array[Int](64)
+              val sf = seed * 5 + f * 13
+              if (comp == 0) {
+                c(0) = ((sf * 31 + bx + 2 * by) % 41 - 20).toInt
+                c(4) = ((sf * 17 + bx) % 9 - 4).toInt
+              } else c(0) =
+                ((sf * (if (comp == 1) 7 else 11) + bx + by) % 21 - 10).toInt
+              c
+            })
+        }
+        graft.multimodal.MediaRecord(id, "video/avi",
+          graft.multimodal.Codecs.Avi.encode(16, 16, 40000, frames))
+      }
+      val media = s.range(60).map(id => clip(id, id))
+        .union(s.range(20).map(id => clip(id + PlantedOffset, id)))
+      val frames = graft.multimodal.Multimodal.sampleFramesAvi(media, everyNth = 1)
+      val feats = graft.multimodal.Multimodal
+        .extractFeaturesJpeg(frames, dim = 64).toDF()
+      val pairs = graft.multimodal.Multimodal.phashNearDuplicates(feats, maxDist = 0)
+      val expected = s.range(20).toDF("clip")
+        .select(col("clip"), explode(array(lit(0L), lit(1L), lit(2L))).as("f"))
+        .select((col("clip") * 100000 + col("f")).as("frame_id"))
+      expected
+        .join(pairs.filter(col("id_b") - col("id_a") === PlantedOffset * 100000L)
+            .select(col("id_a").as("frame_id"), lit(true).as("found")),
+          Seq("frame_id"), "left")
+        .select(col("frame_id"), coalesce(col("found"), lit(false)).as("found"))
+    }),
     // mm_phash_real's chain with the JPEG decoder behind the boundary:
     // coefficient-identical JPEGs decode to identical pixels, so every
     // planted twin must pair at hamming 0.
@@ -729,6 +835,20 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
                 CAST(SUM(((i * 31 + 7 * id) % 256 - 128) * 256) AS BIGINT) AS sum_samples
          FROM clips, unnest(range(0, frames * ch)) AS ui(i)
          GROUP BY 1, 2, 3, 4, 5""",
+    // dyadic floats k/32768 round back to exactly k; fact chunk + 4-byte
+    // samples in the byte count
+    "mm_decode_wavf" ->
+      """WITH clips AS (SELECT id, 1 + id % 2 AS ch,
+                               8000 + (id % 3) * 4000 AS rate,
+                               64 + id % 33 AS frames
+                        FROM (SELECT unnest(range(0, 512)) AS id))
+         SELECT id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(frames AS BIGINT) AS n_frames,
+                CAST(44 + 12 + frames * ch * 4 AS BIGINT) AS n_bytes,
+                CAST(SUM((i * 31 + 7 * id) % 32001 - 16000) AS BIGINT) AS sum_samples
+         FROM clips, unnest(range(0, frames * ch)) AS ui(i)
+         GROUP BY 1, 2, 3, 4, 5""",
     // every lag's product sum recomputed from the planted sample formula
     "mm_audio_autocorr" ->
       """WITH clips AS (SELECT id, 1 + id % 2 AS ch, 64 + id % 33 AS frames
@@ -794,6 +914,20 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
     // real GIF demux: every frame's gray pixel sums recomputed from the
     // planted index formulas (palette r = g = b = index)
     "mm_decode_gif" ->
+      """WITH dims AS (SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h,
+                              2 + id % 3 AS nf
+                       FROM (SELECT unnest(range(0, 256)) AS id))
+         SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(SUM((x * 7 + y * 13 + f * 29 + id) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((x * 7 + y * 13 + f * 29 + id) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((x * 7 + y * 13 + f * 29 + id) % 256) AS BIGINT) AS sum_b
+         FROM dims, unnest(range(0, nf)) AS uf(f),
+              unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+         GROUP BY 1, 2, 3, 4, 5""",
+    // lossless 4-pass row reorder: identical frames, identical oracle
+    "mm_decode_gif_interlaced" ->
       """WITH dims AS (SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h,
                               2 + id % 3 AS nf
                        FROM (SELECT unnest(range(0, 256)) AS id))
@@ -933,12 +1067,32 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
     "mm_phash_jpeg" ->
       """SELECT id AS media_id, true AS found
          FROM (SELECT unnest(range(0, 30)) AS id)""",
+    // planted-payload truth through the whole video chain: every twin
+    // clip's every frame must pair at hamming 0
+    "mm_video_phash_dups" ->
+      """SELECT clip * 100000 + f AS frame_id, true AS found
+         FROM (SELECT unnest(range(0, 20)) AS clip),
+              (SELECT unnest(range(0, 3)) AS f)""",
     // real-codec PNG: dimensions + per-channel pixel sums recomputed
     // analytically — the zlib inflate and all five scanline filters must
     // land every byte (n_pixels replaces n_bytes: deflate length is not
     // closed-form)
     "mm_decode_png" -> sqlDecodePng,
     "mm_decode_png_adam7" -> sqlDecodePng,
+    // palette lookup composed with the index formula, per channel
+    "mm_decode_png_palette" ->
+      """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h
+                       FROM (SELECT unnest(range(0, 512)) AS id)),
+         px AS (SELECT id, w, h, (x * 7 + y * 13 + id) % 256 AS pi
+                FROM dims, unnest(range(0, w)) AS ux(x),
+                     unnest(range(0, h)) AS uy(y))
+         SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(SUM((pi * 3 + 7) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((pi * 5 + 11) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((pi * 7 + 13) % 256) AS BIGINT) AS sum_b
+         FROM px GROUP BY 1, 2, 3, 4""",
     // augmentation: the transformed pixel formula recomputed at every
     // OUTPUT coordinate with its position weight (flip reads w−1−x,
     // rotate90 reads (y, h−1−x) into an h×w frame, crop shifts by +1)

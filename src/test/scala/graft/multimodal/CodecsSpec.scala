@@ -121,6 +121,62 @@ class CodecsSpec extends AnyFunSuite {
     assert(audio.samples.toSeq == samples.toSeq)
   }
 
+  test("interlaced GIF decodes index-identical to the sequential encoding") {
+    // heights straddling the pass starts (1..10) exercise empty passes
+    for (h <- Seq(1, 2, 3, 5, 8, 10)) {
+      val w = 7
+      val frames = Seq.tabulate(2)(f =>
+        Array.tabulate(w * h)(i => ((i * 11 + f * 29) % 256).toByte))
+      val seqBytes = Codecs.Gif.encode(w, h, Codecs.Gif.grayPalette, frames)
+      val intBytes = Codecs.Gif.encode(w, h, Codecs.Gif.grayPalette, frames,
+        interlaced = true)
+      val a = Codecs.Gif.decode(seqBytes)
+      val b = Codecs.Gif.decode(intBytes)
+      (a.frames, b.frames).zipped.foreach { (x, y) =>
+        assert(x.toSeq == y.toSeq, s"interlace mismatch at h=$h")
+      }
+    }
+  }
+
+  test("palette PNG decodes through PLTE; missing PLTE rejected") {
+    val pal = new Array[Byte](768)
+    (0 until 256).foreach { i =>
+      pal(3 * i) = (255 - i).toByte; pal(3 * i + 1) = i.toByte
+      pal(3 * i + 2) = ((i * 2) % 256).toByte
+    }
+    val idx = (x: Int, y: Int) => (x * 31 + y * 17) % 256
+    val bytes = Codecs.Png.encodePalette(9, 7, pal, idx)
+    val img = Codecs.Png.decode(bytes)
+    assert(img.width == 9 && img.height == 7)
+    for (x <- 0 until 9; y <- 0 until 7) {
+      val i = idx(x, y)
+      assert(img.pixel(x, y) == ((255 - i, i, (i * 2) % 256)), s"pixel $x,$y")
+    }
+    // ImageIO cross-check: a foreign decoder reads the same pixels
+    val jimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (x <- 0 until 9; y <- 0 until 7) {
+      val rgb = jimg.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF) ==
+        img.pixel(x, y), s"ImageIO disagrees at $x,$y")
+    }
+  }
+
+  test("float32 WAV converts round(v*32767), clamps, and skips the fact chunk") {
+    val samples = Array(0f, 0.5f, -0.5f, 1f, -1f, 2f, -2f,
+      16000f / 32768f, -16000f / 32768f)
+    // channels=3 divides 9
+    val bytes = Codecs.Wav.encodeFloat(48000, 3, samples)
+    val audio = Codecs.Wav.decode(bytes)
+    assert(audio.sampleRate == 48000 && audio.channels == 3 && audio.frames == 3)
+    // Math.round is half-toward-+inf: -16383.5 -> -16383; and the dyadic
+    // k/32768 lands back on exactly k (16000 - 0.488 rounds up to 16000)
+    assert(audio.samples.toSeq == Seq[Short](0, 16384, -16383, 32767, -32767,
+      32767, -32768, 16000, -16000))
+    // 16-bit depth under fmt 3 is malformed
+    val bad = bytes.clone(); bad(34) = 16
+    intercept[IllegalArgumentException](Codecs.Wav.decode(bad))
+  }
+
   test("AVI roundtrip preserves frame payloads, order, and metadata") {
     // odd-length frames exercise the movi word-alignment pad
     val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7),
@@ -272,7 +328,7 @@ class CodecsSpec extends AnyFunSuite {
     assert(anim.frame(1).pixel(0, 0) == ((29, 255 - 29, 87)))
   }
 
-  test("GIF rejects bad signature, interlace, local tables, truncation") {
+  test("GIF rejects bad signature, local tables, truncation") {
     val good = Codecs.Gif.encode(4, 4, Codecs.Gif.grayPalette,
       Seq(Array.tabulate(16)(_.toByte)))
     val badSig = good.clone(); badSig(0) = 'X'
@@ -281,8 +337,11 @@ class CodecsSpec extends AnyFunSuite {
     // GCE (8 bytes), then 0x2C + 8 → offset of packed byte:
     val idOff = 13 + 768 + 8
     assert((good(idOff) & 0xFF) == 0x2C, "fixture layout")
+    // the interlace flag is ACCEPTED since round 14 — flipping it on a
+    // sequential stream just scrambles rows, it must not throw
     val interlaced = good.clone(); interlaced(idOff + 9) = 0x40.toByte
-    intercept[IllegalArgumentException](Codecs.Gif.decode(interlaced))
+    assert(Codecs.Gif.decode(interlaced).frames.head.toSet ==
+      Codecs.Gif.decode(good).frames.head.toSet, "same indices, reordered")
     val localTable = good.clone(); localTable(idOff + 9) = 0x80.toByte
     intercept[IllegalArgumentException](Codecs.Gif.decode(localTable))
     intercept[IllegalArgumentException](Codecs.Gif.decode(good.take(100)))
