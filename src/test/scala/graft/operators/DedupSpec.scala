@@ -374,6 +374,40 @@ class DedupSpec extends SparkSpec {
     assert(f1.intersect(f2).size <= 1, "fixed-size would also be immune?!")
   }
 
+  test("duplicatedSpans: coverage union of duplicated L-grams, overlaps merged") {
+    import spark.implicits._
+    // doc 1 and doc 2 share a 30-char passage embedded at DIFFERENT
+    // offsets; everything else is unique. L = 20 → the shared passage's
+    // 11 grams are duplicated, nothing else.
+    // NOTE: the chars ADJACENT to the shared passage differ per doc (q/r
+    // vs s/t) — a common separator would itself extend the duplicated
+    // region by one gram on each side
+    val shared = "abcdefghijklmnopqrstuvwxyz0123" // 30 chars
+    val d1 = "AAAAq" + shared + "rBBBBBBBBBBBBBBBBB"
+    val d2 = "CCCCCCCCCCCCs" + shared + "tDDDD"
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", gramLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // exactly one maximal span per doc, covering the shared 30 chars
+    assert(spans.length == 2, s"expected 2 spans: ${spans.toSeq}")
+    val s1 = spans.find(_._1 == 1L).get
+    val s2 = spans.find(_._1 == 2L).get
+    assert(s1._2 == d1.indexOf(shared) && s1._3 == d1.indexOf(shared) + 29,
+      s"doc1 span $s1")
+    assert(s2._2 == d2.indexOf(shared) && s2._3 == d2.indexOf(shared) + 29,
+      s"doc2 span $s2")
+    assert(s1._4 == 30 && s2._4 == 30, "span_len covers the passage exactly")
+    assert(s1._5 == 11, "30-char passage has 11 duplicated 20-grams")
+    // an intra-doc repeat is also a duplication: one doc repeating its
+    // own 20-gram twice reports both occurrences (possibly merged)
+    val rep = "X" * 5 + "yyyyyyyyyyyyyyyyyyyy" + "Z" * 5 +
+      "yyyyyyyyyyyyyyyyyyyy" + "W" * 5
+    val intra = Dedup.duplicatedSpans(Seq((9L, rep)).toDF("doc_id", "text"),
+      "doc_id", "text", gramLen = 20).collect()
+    assert(intra.nonEmpty, "intra-doc repeats must surface")
+  }
+
   test("fuzzyPairs never emits self-pairs, even for duplicate input ids") {
     import spark.implicits._
     // id 1 appears under two keys at distance 1: the key-pair expansion
