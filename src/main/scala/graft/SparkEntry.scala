@@ -230,7 +230,13 @@ object SparkEntry {
     "mm_decode_gif_interlaced", "mm_decode_png_palette", "mm_decode_wavf",
     // round 14q: video near-dup end to end (demux → frame sample →
     // decode → phash → banding; the re-upload detection chain)
-    "mm_video_phash_dups")
+    "mm_video_phash_dups",
+    // round 14r: the removal step of exact-substring dedup, the UTF-8
+    // crawl-hygiene audit, and integer histogram equalization
+    "dedup_substring_clean", "src_utf8_audit", "mm_histogram_eq",
+    // round 14s: streaming CDC-chunk registry (ingest-side dedup
+    // accounting against the md5 registry of every prior batch)
+    "st_cdc_dedup")
 
   // ---- DuckDB oracle twins ----
 

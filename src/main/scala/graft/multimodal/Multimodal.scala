@@ -683,6 +683,51 @@ object Multimodal {
     })
   }
 
+  /** Grayscale histogram equalization — the classic integer contrast
+    * normalization ahead of visual feature extraction: gray =
+    * (r + g + b) / 3 truncated, 256-bin histogram, cumulative cdf, and
+    * the textbook remap floor((cdf(v) − cdfMin) · 255 / (n − cdfMin))
+    * where cdfMin is the first nonzero cdf value (a flat image maps to
+    * 0). Every step is integer arithmetic on decoded pixels, so the
+    * whole normalization — histogram, cdf, remap, output sum — replays
+    * in SQL. One decode + one 256-int array per image, executor-side.
+    */
+  def histogramEqualizeStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = Codecs.Png.decode(rec.content)
+      val n = img.width * img.height
+      val hist = new Array[Long](256)
+      var i = 0
+      while (i < n) {
+        val o = i * 3
+        hist(((img.rgb(o) & 0xFF) + (img.rgb(o + 1) & 0xFF) +
+          (img.rgb(o + 2) & 0xFF)) / 3) += 1
+        i += 1
+      }
+      var cdfMin = 0L
+      var seen = false
+      val map = new Array[Long](256)
+      var cdf = 0L
+      var levels = 0L
+      var v = 0
+      while (v < 256) {
+        if (hist(v) > 0) {
+          levels += 1
+          cdf += hist(v)
+          if (!seen) { cdfMin = cdf; seen = true }
+          map(v) =
+            if (n > cdfMin) (cdf - cdfMin) * 255L / (n - cdfMin) else 0L
+        }
+        v += 1
+      }
+      var sumEq = 0L
+      v = 0
+      while (v < 256) { sumEq += hist(v) * map(v); v += 1 }
+      (rec.media_id, n.toLong, levels, sumEq)
+    }).toDF("media_id", "n_pixels", "n_levels", "sum_eq")
+  }
+
   /** Integer-exact audio autocorrelation — the periodicity/pitch feature
     * under every classic voiced-speech detector: per clip and lag ℓ,
     * R(ℓ) = Σ_c Σ_t s[t,c]·s[t+ℓ,c] over the decoded PCM frames (lag 0

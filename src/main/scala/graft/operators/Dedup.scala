@@ -1133,4 +1133,44 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_len"),
         col("n_grams"))
   }
+
+  /** The REMOVAL step of exact-substring dedup — what the Lee et al.
+    * filter actually ships: cut every [[duplicatedSpans]] interval out
+    * of each document and keep the rest. Spans are merged (disjoint,
+    * sorted), so the cleaned text is the ordered concatenation of the
+    * gaps between them — ONE higher-order `aggregate` fold over the
+    * per-doc span array (collected by doc: spans per doc are bounded by
+    * doc length, never corpus size), no explode back to characters.
+    * Documents with no duplicated span pass through verbatim.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            gramLen: Int = 50): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, gramLen)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end"))))
+          .as("__spans"),
+        sum(col("span_len")).as("__removed"))
+    val joined = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(perDoc, Seq("doc_id"), "left")
+    val folded = aggregate(
+      col("__spans"),
+      struct(lit(0L).as("pos"), lit("").as("acc")),
+      (acc, sp) => struct(
+        (sp.getField("span_end") + 1L).as("pos"),
+        concat(acc.getField("acc"),
+          col("__text").substr((acc.getField("pos") + 1L).cast("int"),
+            (sp.getField("span_start") - acc.getField("pos")).cast("int")))
+          .as("acc")),
+      acc => concat(acc.getField("acc"),
+        col("__text").substr((acc.getField("pos") + 1L).cast("int"),
+          (length(col("__text")) - acc.getField("pos")).cast("int"))))
+    joined.select(col("doc_id"),
+      length(col("__text")).cast("long").as("n_chars"),
+      coalesce(col("__removed"), lit(0L)).as("n_removed"),
+      when(col("__spans").isNull, col("__text")).otherwise(folded)
+        .as("__clean"))
+      .select(col("doc_id"), col("n_chars"), col("n_removed"),
+        (col("n_chars") - col("n_removed")).as("n_kept"),
+        md5(col("__clean")).as("clean_md5"))
+  }
 }

@@ -84,6 +84,15 @@ private[graft] object DedupQueries {
         .select((col("doc_id") + PlantedOffset).as("doc_id"), col("text")))
       Dedup.duplicatedSpans(planted, "doc_id", "text", gramLen = 50)
     }),
+    // ...and the REMOVAL step the paper actually ships: cut every merged
+    // span out, keep the gaps (one HOF fold over the per-doc span array,
+    // no char explode). Twin docs ≥ 50 chars clean to the empty string.
+    "dedup_substring_clean" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + PlantedOffset).as("doc_id"), col("text")))
+      Dedup.removeDuplicatedSpans(planted, "doc_id", "text", gramLen = 50)
+    }),
     "dedup_jaccard_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = docs.filter(col("doc_id") % 2 === 0)
@@ -514,6 +523,52 @@ private[graft] object DedupQueries {
                 MAX(p) + 49 - MIN(p) + 1 AS span_len,
                 CAST(COUNT(*) AS BIGINT) AS n_grams
          FROM sp GROUP BY doc_id, span_id""",
+    // the spans chain extended with the gap reconstruction: lag window
+    // builds the inter-span segments, string_agg stitches them in order
+    "dedup_substring_clean" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             WHERE doc_id < 50),
+         grams AS (SELECT doc_id, i AS p,
+                     md5(substr(text, CAST(i+1 AS INTEGER), 50)) AS g
+                   FROM corpus, unnest(range(0, len(text) - 50 + 1)) AS ui(i)
+                   WHERE len(text) >= 50),
+         dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         dp AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
+         fl AS (SELECT doc_id, p,
+                  CASE WHEN p > COALESCE(MAX(p + 49) OVER (PARTITION BY doc_id
+                    ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+                FROM dp),
+         sp AS (SELECT doc_id, p,
+                  SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+                FROM fl),
+         spans AS (SELECT doc_id, MIN(p) AS a, MAX(p) + 49 AS b
+                   FROM sp GROUP BY doc_id, span_id),
+         segs AS (
+           SELECT doc_id,
+             COALESCE(lag(b) OVER (PARTITION BY doc_id ORDER BY a) + 1, 0) AS ga,
+             a - 1 AS gb
+           FROM spans
+           UNION ALL
+           SELECT s.doc_id, MAX(s.b) + 1 AS ga, MAX(len(c.text)) - 1 AS gb
+           FROM spans s JOIN corpus c ON s.doc_id = c.doc_id GROUP BY s.doc_id),
+         kept AS (SELECT s.doc_id,
+                    string_agg(CASE WHEN gb >= ga
+                      THEN substr(c.text, CAST(ga + 1 AS INTEGER),
+                                  CAST(gb - ga + 1 AS INTEGER))
+                      ELSE '' END, '' ORDER BY ga) AS clean
+                  FROM segs s JOIN corpus c ON s.doc_id = c.doc_id
+                  GROUP BY s.doc_id),
+         rem AS (SELECT doc_id, SUM(b - a + 1) AS n_removed
+                 FROM spans GROUP BY doc_id)
+         SELECT c.doc_id, CAST(len(c.text) AS BIGINT) AS n_chars,
+                CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+                CAST(len(c.text) - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept,
+                md5(COALESCE(k.clean, c.text)) AS clean_md5
+         FROM corpus c LEFT JOIN rem r ON c.doc_id = r.doc_id
+         LEFT JOIN kept k ON c.doc_id = k.doc_id""",
     // the same chunk walk over the planted-twin corpus, regrouped by digest
     "dedup_cdc_shared" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents

@@ -192,6 +192,23 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.wavStats(media)
     }),
+    // Histogram EQUALIZATION on real-decoded PNG pixels: 256-bin gray
+    // histogram → cdf → the textbook integer remap; the oracle rebuilds
+    // the histogram, cdf, and remap from the planted pixel formulas and
+    // must match the equalized sum bit-for-bit.
+    "mm_histogram_eq" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 7).toInt
+        graft.multimodal.MediaRecord(id, "image/png",
+          graft.multimodal.Codecs.Png.encode(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.histogramEqualizeStats(media)
+    }),
     // IEEE-FLOAT32 WAVs (fmt 3 — the DAW/export format): planted dyadic
     // floats k/32768 (exactly representable) convert round(v·32767)
     // back to exactly k on the 16-bit lattice, so the decode chain —
@@ -835,6 +852,29 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
                 CAST(SUM(((i * 31 + 7 * id) % 256 - 128) * 256) AS BIGINT) AS sum_samples
          FROM clips, unnest(range(0, frames * ch)) AS ui(i)
          GROUP BY 1, 2, 3, 4, 5""",
+    // histogram, cdf, and the integer remap rebuilt from the planted
+    // pixel formulas
+    "mm_histogram_eq" ->
+      """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h
+                FROM (SELECT unnest(range(0, 512)) AS id)),
+         px AS (SELECT id, w, h,
+                  ((x*7+y*13+id)%256 + (x*5+y*11+2*id)%256
+                   + (x*3+y*17+3*id)%256) // 3 AS gray
+                FROM dims, unnest(range(0, w)) AS ux(x),
+                     unnest(range(0, h)) AS uy(y)),
+         hist AS (SELECT id, w, h, gray, COUNT(*) AS c FROM px GROUP BY 1,2,3,4),
+         cdf AS (SELECT id, w, h, gray, c,
+                   SUM(c) OVER (PARTITION BY id ORDER BY gray) AS cdf FROM hist),
+         st AS (SELECT id, MIN(cdf) AS cdfmin, MAX(cdf) AS n FROM cdf GROUP BY id),
+         eq AS (SELECT c.id, c.w, c.h, c.c,
+                  CASE WHEN s.n > s.cdfmin
+                       THEN (c.cdf - s.cdfmin) * 255 // (s.n - s.cdfmin)
+                       ELSE 0 END AS v
+                FROM cdf c JOIN st s ON c.id = s.id)
+         SELECT id AS media_id, CAST(w*h AS BIGINT) AS n_pixels,
+                CAST(COUNT(*) AS BIGINT) AS n_levels,
+                CAST(SUM(c * v) AS BIGINT) AS sum_eq
+         FROM eq GROUP BY 1, 2""",
     // dyadic floats k/32768 round back to exactly k; fact chunk + 4-byte
     // samples in the byte count
     "mm_decode_wavf" ->

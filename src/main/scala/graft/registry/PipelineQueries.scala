@@ -25,6 +25,30 @@ private[graft] object PipelineQueries {
     // + substring projections only, no join/agg. The oracle rebuilds the
     // identical blobs with ordered string_agg and replays the parse,
     // including the `len_ok` framing re-check.
+    // UTF-8 audit (Crawl.utf8Audit — the byte-hygiene pass ahead of any
+    // text column): 512 planted byte records mixing ASCII runs, valid
+    // 2-/3-byte sequences, lone continuations, an overlong 0xC0 0xAF
+    // pair, and a truncated trailing lead — every count closed-form by
+    // construction, so one wrong RFC 3629 branch shifts a column.
+    "src_utf8_audit" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = s.range(512).map { id =>
+        val a = (20 + id % 13).toInt
+        val buf = Array.newBuilder[Byte]
+        (0 until a).foreach(i => buf += ('A' + i % 26).toByte)
+        (0 until (id % 3).toInt).foreach { _ =>
+          buf += 0xC3.toByte; buf += 0xA9.toByte // é
+        }
+        (0 until (id % 2).toInt).foreach { _ =>
+          buf += 0xE2.toByte; buf += 0x82.toByte; buf += 0xAC.toByte // €
+        }
+        (0 until (id % 4).toInt).foreach(_ => buf += 0x80.toByte) // lone cont
+        if (id % 5 == 0) { buf += 0xC0.toByte; buf += 0xAF.toByte } // overlong
+        if (id % 7 == 0) buf += 0xC3.toByte // truncated lead at EOF
+        (id, buf.result())
+      }.toDF("doc_id", "content")
+      graft.operators.Crawl.utf8Audit(blobs)
+    }),
     "src_wet_parse" -> ((s, dir) =>
       graft.operators.Crawl.wetParse(
         graft.operators.Crawl.plantWet(
@@ -485,6 +509,17 @@ private[graft] object PipelineQueries {
     // WET front door: rebuild the blobs with ordered string_agg, replay
     // the record split, header extraction, length-delimited body slice,
     // and the framing re-check
+    // every count replayed from the construction formula
+    "src_utf8_audit" ->
+      """SELECT id AS doc_id,
+                CAST(20 + id%13 + 2*(id%3) + 3*(id%2) + (id%4)
+                     + CASE WHEN id%5=0 THEN 2 ELSE 0 END
+                     + CASE WHEN id%7=0 THEN 1 ELSE 0 END AS BIGINT) AS n_bytes,
+                CAST(20 + id%13 + (id%3) + (id%2) AS BIGINT) AS n_codepoints,
+                CAST((id%3) + (id%2) AS BIGINT) AS n_multibyte,
+                CAST((id%4) + CASE WHEN id%5=0 THEN 2 ELSE 0 END
+                     + CASE WHEN id%7=0 THEN 1 ELSE 0 END AS BIGINT) AS n_replacements
+         FROM (SELECT unnest(range(0, 512)) AS id)""",
     "src_wet_parse" -> wetParseOracle,
     // robots gate: replant rules + frontier, replay the longest-match
     // argmax (len DESC, Allow first, prefix DESC — the struct-max order)

@@ -91,6 +91,45 @@ private[graft] object StreamingQueries {
         .select("doc_id", "lang_pred")
     }),
 
+    // STREAMING content-defined-chunk dedup (streaming/CdcStream.scala):
+    // three ingest days as one-file-per-trigger micro-batches; each
+    // batch chunks through the SAME Dedup.cdcChunks the batch query
+    // runs, probes the prior-batch md5 registry, and commits a per-doc
+    // (n_chunks, n_dup) report. Day-2 verbatim twins of day-0 docs must
+    // report every chunk dup; the oracle replays chunking + first-seen
+    // day in SQL.
+    "st_cdc_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val days = Seq(
+        docs.filter(col("doc_id") < 200),
+        docs.filter(col("doc_id") >= 200),
+        docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + PlantedOffset).as("doc_id"), col("text")))
+      val stage = tmpDir("graft_stcdc_in")
+      days.zipWithIndex.foreach { case (d, i) =>
+        val sub = s"$stage/d$i"
+        d.coalesce(1).write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stcdc_work"), tmpDir("graft_stcdc_cp"))
+      val schema = s.read.parquet(s"$stage/d0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/d*")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch(graft.streaming.CdcStream.chunkAndRegister(work) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.CdcStream.readReport(s, work)
+    }),
+
     // STREAMING exact-substring dedup (streaming/PassageStream.scala):
     // the three ingest days replay as one-file-per-trigger micro-batches
     // (staged with ascending mtimes so file→batch order is
@@ -889,6 +928,41 @@ private[graft] object StreamingQueries {
     // the streaming leg's batches ARE the three days (one staged file per
     // trigger, mtime-ordered), so it answers the identical replay
     "st_passage_clean" -> sqlPassageIncrementalOracle,
+    // the CDC chunk walk over the 3-day corpus + first-seen-day dup rule
+    // (intra-batch repeats are NEW — the registry excludes the current
+    // batch), replayed entirely in SQL
+    "st_cdc_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text,
+             CASE WHEN doc_id < 200 THEN 0
+                  WHEN doc_id < 1000000 THEN 1 ELSE 2 END AS day
+           FROM (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                 WHERE doc_id < 50)),
+         d AS (SELECT doc_id, day, text, len(text) AS n FROM corpus),
+         g AS (SELECT doc_id, n, i,
+                 (ascii(substr(text, CAST(i+1 AS INTEGER), 1)) * 2654435761) % 16777216 + 1 AS gv
+               FROM d, unnest(range(0, n)) AS ui(i)),
+         h AS (SELECT a.doc_id, a.n, a.i,
+                 SUM(b.gv * ([1,31,961,29791,923521,28629151,887503681,1742810335,340029185,1950970143,350532289,129082719,1854080641,1641925023,1507551809,1636949471])[a.i - b.i + 1]) AS hv
+               FROM g a JOIN g b ON a.doc_id = b.doc_id
+                 AND b.i BETWEEN a.i - 15 AND a.i
+               WHERE a.i >= 15 GROUP BY 1, 2, 3),
+         bset AS (SELECT DISTINCT doc_id, i FROM (
+                    SELECT doc_id, i FROM h WHERE hv % 64 = 0 AND i < n - 1
+                    UNION ALL SELECT doc_id, n - 1 AS i FROM d WHERE n > 0)),
+         ch AS (SELECT doc_id, i AS endpos,
+                  COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 0) AS startpos
+                FROM bset),
+         chunks AS (SELECT ch.doc_id, d.day,
+                      md5(substr(d.text, CAST(startpos + 1 AS INTEGER),
+                                 CAST(endpos - startpos + 1 AS INTEGER))) AS g5
+                    FROM ch JOIN d ON ch.doc_id = d.doc_id),
+         fd AS (SELECT g5, MIN(day) AS fd FROM chunks GROUP BY 1)
+         SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                CAST(SUM(CASE WHEN f.fd < c.day THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         FROM chunks c JOIN fd f ON c.g5 = f.g5 GROUP BY 1""",
     // streaming near-dup: every planted copy dropped by the drained
     // stream, and stream survivors equal to the batch operator's
     "st_neardup" ->
