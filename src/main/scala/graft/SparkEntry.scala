@@ -236,7 +236,10 @@ object SparkEntry {
     "dedup_substring_clean", "src_utf8_audit", "mm_histogram_eq",
     // round 14s: streaming CDC-chunk registry (ingest-side dedup
     // accounting against the md5 registry of every prior batch)
-    "st_cdc_dedup")
+    "st_cdc_dedup",
+    // round 14t: HTTP chunked transfer decoding (the other crawl body
+    // framing) and integer bilinear ×2 upscale
+    "src_http_dechunk", "mm_resize_up2")
 
   // ---- DuckDB oracle twins ----
 

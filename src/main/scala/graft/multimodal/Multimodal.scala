@@ -683,6 +683,63 @@ object Multimodal {
     })
   }
 
+  /** Integer bilinear ×2 UPSCALE with edge clamp — the augmentation-side
+    * complement of [[boxResize]]'s exact downscale: even output pixels
+    * copy their source, odd columns/rows take the truncated 2-tap mean
+    * of the clamped horizontal/vertical neighbors, and the odd/odd
+    * corner takes the truncated 4-tap mean. Pure integer arithmetic →
+    * every output pixel is closed-form in the source formulas.
+    */
+  def upscale2(img: Codecs.Image): Codecs.Image = {
+    val (w, h) = (img.width, img.height)
+    val out = new Array[Byte](4 * w * h * 3)
+    def src(x: Int, y: Int, c: Int): Int =
+      img.rgb((y * w + x) * 3 + c) & 0xFF
+    var yy = 0
+    while (yy < 2 * h) {
+      val y = yy / 2
+      val y2 = math.min(y + 1, h - 1)
+      var xx = 0
+      while (xx < 2 * w) {
+        val x = xx / 2
+        val x2 = math.min(x + 1, w - 1)
+        val o = (yy * 2 * w + xx) * 3
+        var c = 0
+        while (c < 3) {
+          out(o + c) = (
+            if (xx % 2 == 0 && yy % 2 == 0) src(x, y, c)
+            else if (yy % 2 == 0) (src(x, y, c) + src(x2, y, c)) / 2
+            else if (xx % 2 == 0) (src(x, y, c) + src(x, y2, c)) / 2
+            else (src(x, y, c) + src(x2, y, c) +
+              src(x, y2, c) + src(x2, y2, c)) / 4).toByte
+          c += 1
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    Codecs.Image(2 * w, 2 * h, out)
+  }
+
+  /** [[upscale2]] through the real PNG decode, reported as dimensions +
+    * per-channel output sums (the bmpStats convention — averaging makes
+    * sums tap-placement-sensitive, unlike pure permutations).
+    */
+  def upscale2Stats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { rec =>
+      val img = upscale2(Codecs.Png.decode(rec.content))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < img.rgb.length) {
+        sr += img.rgb(i) & 0xFF; sg += img.rgb(i + 1) & 0xFF
+        sb += img.rgb(i + 2) & 0xFF
+        i += 3
+      }
+      (rec.media_id, img.width.toLong, img.height.toLong, sr, sg, sb)
+    }).toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Grayscale histogram equalization — the classic integer contrast
     * normalization ahead of visual feature extraction: gray =
     * (r + g + b) / 3 truncated, 256-bin histogram, cumulative cdf, and

@@ -662,4 +662,103 @@ object Crawl {
       })
       .toDF(idCol, "n_bytes", "n_codepoints", "n_multibyte", "n_replacements")
   }
+  /** HTTP/1.1 chunked Transfer-Encoding decoding — the OTHER body
+    * framing crawled responses arrive in (WARC stores the raw capture;
+    * a `Transfer-Encoding: chunked` body must be de-chunked before any
+    * byte of it is usable): hex size line (optionally followed by a
+    * `;ext` chunk extension, which is parsed and discarded per RFC
+    * 9112 §7.1.1), CRLF, `size` payload bytes, CRLF — repeated until
+    * the `0` terminator chunk and its final CRLF. One imperative byte
+    * walk per record (the WARC-reader tier); malformed framing (bad hex,
+    * missing CRLF, truncation) rejects loudly. Returns per record the
+    * wire chunk count, the reassembled body, and its length.
+    */
+  def dechunkHttp(blobs: DataFrame, idCol: String = "doc_id",
+                  binCol: String = "content"): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        var i = 0
+        def crlf(): Unit = {
+          require(i + 1 < raw.length && raw(i) == '\r' && raw(i + 1) == '\n',
+            s"missing CRLF at $i")
+          i += 2
+        }
+        val out = new java.io.ByteArrayOutputStream(raw.length)
+        var nChunks = 0L
+        var done = false
+        while (!done) {
+          // hex size, then optional ;extension up to CRLF
+          var size = 0L
+          var digits = 0
+          while (i < raw.length && isHex(raw(i))) {
+            size = size * 16 + hexVal(raw(i)); digits += 1; i += 1
+            require(size <= Int.MaxValue, "unreasonable chunk size")
+          }
+          require(digits > 0, s"missing chunk size at $i")
+          if (i < raw.length && raw(i) == ';') // extension: skip to CRLF
+            while (i < raw.length && raw(i) != '\r') i += 1
+          crlf()
+          if (size == 0L) { crlf(); done = true }
+          else {
+            require(i + size <= raw.length, s"truncated chunk body at $i")
+            out.write(raw, i, size.toInt)
+            i += size.toInt
+            crlf()
+            nChunks += 1
+          }
+        }
+        val bodyBytes = out.toByteArray
+        (id, nChunks, bodyBytes.length.toLong,
+          new String(bodyBytes, "UTF-8"))
+      })
+      .toDF(idCol, "n_chunks", "body_len", "__body")
+      .select(col(idCol), col("n_chunks"), col("body_len"),
+        md5(col("__body")).as("body_md5"))
+  }
+
+  /** The chunked-encoding FIXTURE: wrap `textCol` into `k`-byte chunks
+    * with the canonical hex-size/CRLF framing, a `;planted` extension on
+    * the first chunk when `ext` is set, and the 0-terminator.
+    */
+  def chunkHttp(docs: DataFrame, idCol: String, textCol: String,
+                kCol: Column, extCol: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"),
+        kCol.cast("int").as("__k"), extCol.cast("boolean").as("__e"))
+      .as[(Long, String, Int, Boolean)]
+      .mapPartitions(_.map { case (id, text, k, ext) =>
+        require(k > 0, s"chunk size must be positive, got $k")
+        val bytes = text.getBytes("UTF-8")
+        val out = new java.io.ByteArrayOutputStream(bytes.length + 64)
+        var off = 0
+        var first = true
+        while (off < bytes.length) {
+          val n = math.min(k, bytes.length - off)
+          val sizeLine = java.lang.Long.toHexString(n.toLong) +
+            (if (first && ext) ";planted=1" else "")
+          out.write(sizeLine.getBytes("US-ASCII"))
+          out.write('\r'); out.write('\n')
+          out.write(bytes, off, n)
+          out.write('\r'); out.write('\n')
+          off += n
+          first = false
+        }
+        out.write('0'); out.write('\r'); out.write('\n')
+        out.write('\r'); out.write('\n')
+        (id, out.toByteArray)
+      })
+      .toDF(idCol, "content")
+  }
+
+  private def isHex(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'a' && b <= 'f') || (b >= 'A' && b <= 'F')
+
+  private def hexVal(b: Byte): Int =
+    if (b <= '9') b - '0'
+    else if (b >= 'a') b - 'a' + 10
+    else b - 'A' + 10
 }

@@ -192,6 +192,22 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.wavStats(media)
     }),
+    // Integer bilinear ×2 UPSCALE on real-decoded PNG pixels: even taps
+    // copy, odd taps truncated 2-/4-means with edge clamp; the oracle
+    // recomputes every output pixel from the planted source formulas.
+    "mm_resize_up2" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 7).toInt
+        graft.multimodal.MediaRecord(id, "image/png",
+          graft.multimodal.Codecs.Png.encode(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.upscale2Stats(media)
+    }),
     // Histogram EQUALIZATION on real-decoded PNG pixels: 256-bin gray
     // histogram → cdf → the textbook integer remap; the oracle rebuilds
     // the histogram, cdf, and remap from the planted pixel formulas and
@@ -852,6 +868,28 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
                 CAST(SUM(((i * 31 + 7 * id) % 256 - 128) * 256) AS BIGINT) AS sum_samples
          FROM clips, unnest(range(0, frames * ch)) AS ui(i)
          GROUP BY 1, 2, 3, 4, 5""",
+    // every upscaled tap (copy / 2-mean / 4-mean, edge-clamped)
+    // recomputed from the planted source formulas
+    "mm_resize_up2" ->
+      """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h
+                         FROM (SELECT unnest(range(0, 512)) AS id)),
+          o AS (SELECT id, w, h, xx, yy, xx//2 AS sx, yy//2 AS sy,
+                   LEAST(xx//2 + 1, w - 1) AS sx2, LEAST(yy//2 + 1, h - 1) AS sy2
+                FROM dims, unnest(range(0, 2*w)) AS ux(xx), unnest(range(0, 2*h)) AS uy(yy))
+          SELECT id AS media_id, CAST(2*w AS BIGINT) AS width, CAST(2*h AS BIGINT) AS height,
+                 CAST(SUM(CASE WHEN xx%2=0 AND yy%2=0 THEN ((sx)*7+(sy)*13+id)%256
+                WHEN yy%2=0 THEN (((sx)*7+(sy)*13+id)%256 + ((sx2)*7+(sy)*13+id)%256)//2
+                WHEN xx%2=0 THEN (((sx)*7+(sy)*13+id)%256 + ((sx)*7+(sy2)*13+id)%256)//2
+                ELSE (((sx)*7+(sy)*13+id)%256 + ((sx2)*7+(sy)*13+id)%256 + ((sx)*7+(sy2)*13+id)%256 + ((sx2)*7+(sy2)*13+id)%256)//4 END) AS BIGINT) AS sum_r,
+                 CAST(SUM(CASE WHEN xx%2=0 AND yy%2=0 THEN ((sx)*5+(sy)*11+2*id)%256
+                WHEN yy%2=0 THEN (((sx)*5+(sy)*11+2*id)%256 + ((sx2)*5+(sy)*11+2*id)%256)//2
+                WHEN xx%2=0 THEN (((sx)*5+(sy)*11+2*id)%256 + ((sx)*5+(sy2)*11+2*id)%256)//2
+                ELSE (((sx)*5+(sy)*11+2*id)%256 + ((sx2)*5+(sy)*11+2*id)%256 + ((sx)*5+(sy2)*11+2*id)%256 + ((sx2)*5+(sy2)*11+2*id)%256)//4 END) AS BIGINT) AS sum_g,
+                 CAST(SUM(CASE WHEN xx%2=0 AND yy%2=0 THEN ((sx)*3+(sy)*17+3*id)%256
+                WHEN yy%2=0 THEN (((sx)*3+(sy)*17+3*id)%256 + ((sx2)*3+(sy)*17+3*id)%256)//2
+                WHEN xx%2=0 THEN (((sx)*3+(sy)*17+3*id)%256 + ((sx)*3+(sy2)*17+3*id)%256)//2
+                ELSE (((sx)*3+(sy)*17+3*id)%256 + ((sx2)*3+(sy)*17+3*id)%256 + ((sx)*3+(sy2)*17+3*id)%256 + ((sx2)*3+(sy2)*17+3*id)%256)//4 END) AS BIGINT) AS sum_b
+          FROM o GROUP BY 1, 2, 3""",
     // histogram, cdf, and the integer remap rebuilt from the planted
     // pixel formulas
     "mm_histogram_eq" ->

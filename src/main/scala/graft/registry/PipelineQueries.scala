@@ -49,6 +49,17 @@ private[graft] object PipelineQueries {
       }.toDF("doc_id", "content")
       graft.operators.Crawl.utf8Audit(blobs)
     }),
+    // HTTP chunked Transfer-Encoding (Crawl.dechunkHttp): documents
+    // wire-framed at 3..9-byte chunk sizes with a planted `;ext` on
+    // every 3rd record, then de-chunked by the RFC 9112 walk; chunk
+    // counts, body lengths, and body md5 all closed-form (ASCII corpus:
+    // bytes == chars).
+    "src_http_dechunk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val wire = graft.operators.Crawl.chunkHttp(docs, "doc_id", "text",
+        kCol = lit(3) + col("doc_id") % 7, extCol = col("doc_id") % 3 === 0)
+      graft.operators.Crawl.dechunkHttp(wire)
+    }),
     "src_wet_parse" -> ((s, dir) =>
       graft.operators.Crawl.wetParse(
         graft.operators.Crawl.plantWet(
@@ -520,6 +531,14 @@ private[graft] object PipelineQueries {
                 CAST((id%4) + CASE WHEN id%5=0 THEN 2 ELSE 0 END
                      + CASE WHEN id%7=0 THEN 1 ELSE 0 END AS BIGINT) AS n_replacements
          FROM (SELECT unnest(range(0, 512)) AS id)""",
+    // de-chunking is lossless: ceil-division chunk count, full length,
+    // and the body digest straight off the source text
+    "src_http_dechunk" ->
+      """SELECT doc_id,
+                CAST((len(text) + 3 + doc_id % 7 - 1) // (3 + doc_id % 7) AS BIGINT) AS n_chunks,
+                CAST(len(text) AS BIGINT) AS body_len,
+                md5(text) AS body_md5
+         FROM documents""",
     "src_wet_parse" -> wetParseOracle,
     // robots gate: replant rules + frontier, replay the longest-match
     // argmax (len DESC, Allow first, prefix DESC — the struct-max order)
