@@ -193,14 +193,18 @@ object Bench {
         .map(b => (name, b, t))
     }
 
-  /** The sf1 flag re-adjudication (VERDICT r13 #1b): the base gate
-    * requalifies apparent regressions after a load-guard wait, but the sf1
-    * section committed first-pass numbers unchallenged — r13's driver
-    * record flagged dedup_near at 35× where a settled re-run measured
-    * 7.9×. Same protocol as [[adjudicate]]: each flagged query gets ONE
-    * re-run on the scaled dir via `rerun` (which in main waits for the
-    * load guard first), the better time stands, and only queries that
-    * STAY superlinear flag in the record.
+  /** The sf1 flag re-adjudication (VERDICT r13 #1b, hardened r15): the
+    * base gate requalifies apparent regressions after a load-guard wait,
+    * but the sf1 section committed first-pass numbers unchallenged —
+    * r13's driver record flagged dedup_near at 35× where a settled
+    * re-run measured 7.9×. Same protocol as [[adjudicate]] with a second
+    * chance (VERDICT r14 #2c — r14's g_kcore measured 18× in the driver
+    * after its single rerun where a settled local run said 7×, so one
+    * rerun demonstrably doesn't settle a loaded box): each flagged query
+    * re-runs once via `rerun` (which in main waits for the load guard
+    * first); a query that STAYS superlinear after that gets exactly one
+    * more settled re-run. The best of all observed times stands, and only
+    * queries superlinear on their best-of-three flag in the record.
     */
   private[graft] def adjudicateSf1(base: Map[String, Double],
                                    scaled: Map[String, Double],
@@ -209,8 +213,10 @@ object Bench {
                                    floorSec: Double = 1.0)
       : (Map[String, Double], Seq[(String, Double, Double)]) = {
     var now = scaled
-    superlinear(base, now, factor, floorSec).foreach { case (name, _, firstT) =>
-      rerun(name).foreach(again => now = now.updated(name, math.min(firstT, again)))
+    for (_ <- 1 to 2) {
+      superlinear(base, now, factor, floorSec).foreach { case (name, _, bestT) =>
+        rerun(name).foreach(again => now = now.updated(name, math.min(bestT, again)))
+      }
     }
     (now, superlinear(base, now, factor, floorSec))
   }

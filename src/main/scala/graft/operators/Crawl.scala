@@ -668,10 +668,18 @@ object Crawl {
     * byte of it is usable): hex size line (optionally followed by a
     * `;ext` chunk extension, which is parsed and discarded per RFC
     * 9112 §7.1.1), CRLF, `size` payload bytes, CRLF — repeated until
-    * the `0` terminator chunk and its final CRLF. One imperative byte
-    * walk per record (the WARC-reader tier); malformed framing (bad hex,
-    * missing CRLF, truncation) rejects loudly. Returns per record the
-    * wire chunk count, the reassembled body, and its length.
+    * the `0` terminator chunk, an OPTIONAL trailer section (field lines
+    * up to an empty line, RFC 9112 §7.1.2 — parsed and discarded), and
+    * the final CRLF, after which the record must END (leftover bytes
+    * reject loudly, the same stance as every other malformation). One
+    * imperative byte walk per record (the WARC-reader tier); malformed
+    * framing (bad hex, missing CRLF, truncation, trailing garbage)
+    * rejects loudly. Returns per record the wire chunk count, the
+    * reassembled body length, and the body md5 — computed over the RAW
+    * REASSEMBLED BYTES (ADVICE r14: a UTF-8 String round-trip replaces
+    * invalid sequences with U+FFFD before hashing, so gzip/image/latin-1
+    * bodies — the exact content this operator is pitched at — would
+    * hash by their mojibake, letting distinct bodies collide).
     */
   def dechunkHttp(blobs: DataFrame, idCol: String = "doc_id",
                   binCol: String = "content"): DataFrame = {
@@ -681,9 +689,10 @@ object Crawl {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, raw) =>
         var i = 0
+        def atCrlf: Boolean =
+          i + 1 < raw.length && raw(i) == '\r' && raw(i + 1) == '\n'
         def crlf(): Unit = {
-          require(i + 1 < raw.length && raw(i) == '\r' && raw(i + 1) == '\n',
-            s"missing CRLF at $i")
+          require(atCrlf, s"missing CRLF at $i")
           i += 2
         }
         val out = new java.io.ByteArrayOutputStream(raw.length)
@@ -701,7 +710,17 @@ object Crawl {
           if (i < raw.length && raw(i) == ';') // extension: skip to CRLF
             while (i < raw.length && raw(i) != '\r') i += 1
           crlf()
-          if (size == 0L) { crlf(); done = true }
+          if (size == 0L) {
+            // optional trailer fields: lines up to the empty CRLF
+            while (!atCrlf) {
+              require(i < raw.length, s"truncated trailer section at $i")
+              while (i < raw.length && raw(i) != '\r') i += 1
+              crlf()
+            }
+            crlf() // the terminating empty line
+            require(i == raw.length, s"trailing garbage after terminal chunk at $i")
+            done = true
+          }
           else {
             require(i + size <= raw.length, s"truncated chunk body at $i")
             out.write(raw, i, size.toInt)
@@ -711,8 +730,7 @@ object Crawl {
           }
         }
         val bodyBytes = out.toByteArray
-        (id, nChunks, bodyBytes.length.toLong,
-          new String(bodyBytes, "UTF-8"))
+        (id, nChunks, bodyBytes.length.toLong, bodyBytes)
       })
       .toDF(idCol, "n_chunks", "body_len", "__body")
       .select(col(idCol), col("n_chunks"), col("body_len"),

@@ -20,11 +20,39 @@ private[graft] object DedupQueries {
 
   /** 31^j mod 2^31 for j = 0..15 — the CDC window-polynomial weights,
     * shared by the dedup_cdc_* oracles (Dedup.cdcChunks computes the
-    * same table executor-side).
+    * same table executor-side). `private[registry]` (ADVICE r14): the
+    * streaming st_cdc_dedup oracle replays the same walk and previously
+    * inlined this table as a hardcoded literal — a future change to the
+    * CDC window or base would have silently desynchronized it.
     */
-  private val SqlCdcPows: String =
+  private[registry] val SqlCdcPows: String =
     "[" + Iterator.iterate(1L)(p => (p * 31L) % 2147483648L)
       .take(16).mkString(",") + "]"
+
+  /** The shared CDC chunk-walk CTE fragment: Gear hash per position,
+    * 16-char windowed polynomial, boundary set, chunk extents. Expects a
+    * prior CTE `d(doc_id, text, n)` (extra columns ride along — callers
+    * re-join `ch` back to `d` for them) and defines `g`, `h`, `bset`,
+    * `ch(doc_id, endpos, chunk_idx, startpos)`. One definition for the
+    * batch (dedup_cdc_*) and streaming (st_cdc_dedup) oracles so the
+    * walk can never drift between them (ADVICE r14 #5).
+    */
+  private[registry] val SqlCdcWalk: String =
+    s"""g AS (SELECT doc_id, n, i,
+                 (ascii(substr(text, CAST(i+1 AS INTEGER), 1)) * 2654435761) % 16777216 + 1 AS gv
+               FROM d, unnest(range(0, n)) AS ui(i)),
+         h AS (SELECT a.doc_id, a.n, a.i,
+                 SUM(b.gv * ($SqlCdcPows)[a.i - b.i + 1]) AS hv
+               FROM g a JOIN g b ON a.doc_id = b.doc_id
+                 AND b.i BETWEEN a.i - 15 AND a.i
+               WHERE a.i >= 15 GROUP BY 1, 2, 3),
+         bset AS (SELECT DISTINCT doc_id, i FROM (
+                    SELECT doc_id, i FROM h WHERE hv % 64 = 0 AND i < n - 1
+                    UNION ALL SELECT doc_id, n - 1 AS i FROM d WHERE n > 0)),
+         ch AS (SELECT doc_id, i AS endpos,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx,
+                  COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 0) AS startpos
+                FROM bset)"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Entity resolution end-to-end (the record-linkage composition of
@@ -477,21 +505,7 @@ private[graft] object DedupQueries {
     // and md5 digests replayed without recursion (16-term self-join)
     "dedup_cdc_chunks" ->
       s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
-         g AS (SELECT doc_id, n, i,
-                 (ascii(substr(text, CAST(i+1 AS INTEGER), 1)) * 2654435761) % 16777216 + 1 AS gv
-               FROM d, unnest(range(0, n)) AS ui(i)),
-         h AS (SELECT a.doc_id, a.n, a.i,
-                 SUM(b.gv * ($SqlCdcPows)[a.i - b.i + 1]) AS hv
-               FROM g a JOIN g b ON a.doc_id = b.doc_id
-                 AND b.i BETWEEN a.i - 15 AND a.i
-               WHERE a.i >= 15 GROUP BY 1, 2, 3),
-         bset AS (SELECT DISTINCT doc_id, i FROM (
-                    SELECT doc_id, i FROM h WHERE hv % 64 = 0 AND i < n - 1
-                    UNION ALL SELECT doc_id, n - 1 AS i FROM d WHERE n > 0)),
-         ch AS (SELECT doc_id, i AS endpos,
-                  row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx,
-                  COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 0) AS startpos
-                FROM bset)
+         $SqlCdcWalk
          SELECT ch.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
                 CAST(startpos AS BIGINT) AS start_pos,
                 CAST(endpos - startpos + 1 AS BIGINT) AS chunk_len,
@@ -513,7 +527,7 @@ private[graft] object DedupQueries {
          dp AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
          fl AS (SELECT doc_id, p,
                   CASE WHEN p > COALESCE(MAX(p + 49) OVER (PARTITION BY doc_id
-                    ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
                   THEN 1 ELSE 0 END AS new_span
                 FROM dp),
          sp AS (SELECT doc_id, p,
@@ -538,7 +552,7 @@ private[graft] object DedupQueries {
          dp AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
          fl AS (SELECT doc_id, p,
                   CASE WHEN p > COALESCE(MAX(p + 49) OVER (PARTITION BY doc_id
-                    ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
                   THEN 1 ELSE 0 END AS new_span
                 FROM dp),
          sp AS (SELECT doc_id, p,
@@ -576,20 +590,7 @@ private[graft] object DedupQueries {
                 SELECT doc_id + 1000000 AS doc_id, text FROM documents
                 WHERE doc_id < 50),
          d AS (SELECT doc_id, text, len(text) AS n FROM corpus),
-         g AS (SELECT doc_id, n, i,
-                 (ascii(substr(text, CAST(i+1 AS INTEGER), 1)) * 2654435761) % 16777216 + 1 AS gv
-               FROM d, unnest(range(0, n)) AS ui(i)),
-         h AS (SELECT a.doc_id, a.n, a.i,
-                 SUM(b.gv * ($SqlCdcPows)[a.i - b.i + 1]) AS hv
-               FROM g a JOIN g b ON a.doc_id = b.doc_id
-                 AND b.i BETWEEN a.i - 15 AND a.i
-               WHERE a.i >= 15 GROUP BY 1, 2, 3),
-         bset AS (SELECT DISTINCT doc_id, i FROM (
-                    SELECT doc_id, i FROM h WHERE hv % 64 = 0 AND i < n - 1
-                    UNION ALL SELECT doc_id, n - 1 AS i FROM d WHERE n > 0)),
-         ch AS (SELECT doc_id, i AS endpos,
-                  COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 0) AS startpos
-                FROM bset),
+         $SqlCdcWalk,
          chunks AS (SELECT ch.doc_id,
                       md5(substr(d.text, CAST(startpos + 1 AS INTEGER),
                                  CAST(endpos - startpos + 1 AS INTEGER))) AS chunk_md5

@@ -127,6 +127,10 @@ private[graft] object StreamingQueries {
         .foreachBatch(graft.streaming.CdcStream.chunkAndRegister(work) _)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // all 3 day-batches checkpoint-committed after the drain — fold the
+      // chunk registry (the st_wet_ingest_gz stance: the answer must be
+      // identical over the compacted store)
+      graft.streaming.CdcStream.compact(s, work, upToBatch = 3L)
       graft.streaming.CdcStream.readReport(s, work)
     }),
 
@@ -932,7 +936,7 @@ private[graft] object StreamingQueries {
     // (intra-batch repeats are NEW — the registry excludes the current
     // batch), replayed entirely in SQL
     "st_cdc_dedup" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
            SELECT doc_id, text,
              CASE WHEN doc_id < 200 THEN 0
                   WHEN doc_id < 1000000 THEN 1 ELSE 2 END AS day
@@ -941,20 +945,7 @@ private[graft] object StreamingQueries {
                  SELECT doc_id + 1000000 AS doc_id, text FROM documents
                  WHERE doc_id < 50)),
          d AS (SELECT doc_id, day, text, len(text) AS n FROM corpus),
-         g AS (SELECT doc_id, n, i,
-                 (ascii(substr(text, CAST(i+1 AS INTEGER), 1)) * 2654435761) % 16777216 + 1 AS gv
-               FROM d, unnest(range(0, n)) AS ui(i)),
-         h AS (SELECT a.doc_id, a.n, a.i,
-                 SUM(b.gv * ([1,31,961,29791,923521,28629151,887503681,1742810335,340029185,1950970143,350532289,129082719,1854080641,1641925023,1507551809,1636949471])[a.i - b.i + 1]) AS hv
-               FROM g a JOIN g b ON a.doc_id = b.doc_id
-                 AND b.i BETWEEN a.i - 15 AND a.i
-               WHERE a.i >= 15 GROUP BY 1, 2, 3),
-         bset AS (SELECT DISTINCT doc_id, i FROM (
-                    SELECT doc_id, i FROM h WHERE hv % 64 = 0 AND i < n - 1
-                    UNION ALL SELECT doc_id, n - 1 AS i FROM d WHERE n > 0)),
-         ch AS (SELECT doc_id, i AS endpos,
-                  COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 0) AS startpos
-                FROM bset),
+         ${DedupQueries.SqlCdcWalk},
          chunks AS (SELECT ch.doc_id, d.day,
                       md5(substr(d.text, CAST(startpos + 1 AS INTEGER),
                                  CAST(endpos - startpos + 1 AS INTEGER))) AS g5

@@ -80,4 +80,20 @@ object CdcStream {
   def readReport(spark: SparkSession, workDir: String): DataFrame =
     spark.read.parquet(s"$workDir/report")
       .select(col("doc_id"), col("n_chunks"), col("n_dup"))
+
+  /** Fold the chunk registry's per-trigger partition dirs into one blob
+    * (VERDICT r14 #4 — the shared crash-safe [[Compaction.compactDir]]
+    * protocol the other five streams already run; previously this stream
+    * only documented it). Distinct on `chunk_md5` is the correct fold: a
+    * digest re-stated across batches is the same fact, and the probe in
+    * [[chunkAndRegister]] distincts anyway — so dedup decisions are
+    * invariant under the fold, and the blob's negative batch id can never
+    * collide with a live trigger's current-batch exclusion filter. Run
+    * between triggers with `upToBatch` = the checkpoint-committed
+    * boundary (a redelivered uncommitted batch must still find its own
+    * partition excluded, not absorbed).
+    */
+  def compact(spark: SparkSession, workDir: String, upToBatch: Long): Unit =
+    Compaction.compactDir(spark, s"$workDir/registry", "chunk_md5 STRING",
+      upToBatch, Compaction.distinctFold(Seq("chunk_md5")))
 }

@@ -151,9 +151,12 @@ class BenchGateSpec extends AnyFunSuite {
       reruns ::= name
       if (name == "blip") Some(7.9) else Some(28.0)
     })
-    assert(reruns.toSet == Set("blip", "real"), "every flag re-runs once")
+    assert(reruns.reverse == List("blip", "real", "real"),
+      "every flag re-runs once; one that STAYS flagged gets a second " +
+        "settled re-run (r14: g_kcore's 18x-driver-vs-7x-local gap showed " +
+        "a single rerun doesn't settle a loaded box) — a settled one doesn't")
     assert(adj("blip") == 7.9 && adj("real") == 28.0,
-      "the better of first-pass and re-run stands")
+      "the best of first-pass and re-runs stands")
     assert(flags == Seq(("real", 1.0, 28.0)),
       "only a query that STAYS superlinear flags")
     // a failed re-run keeps the first-pass number (and the flag)

@@ -138,6 +138,27 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("a foreign decoder (ImageIO) reads our interlaced GIF pixel-exactly " +
+    "(ADVICE r14: pins the on-wire pass order, not round-trip self-consistency)") {
+    // encode and decode share interlaceRows, so a wrong pass schedule
+    // would survive every round-trip gate — only a decoder that did NOT
+    // read our schedule can pin the wire layout. Odd dimensions exercise
+    // all four passes; a distinct index per pixel makes any row
+    // misplacement a hard mismatch.
+    val (w, h) = (13, 11)
+    val frame = Array.tabulate(w * h)(i => i.toByte) // 143 < 256: all distinct
+    val bytes = Codecs.Gif.encode(w, h, Codecs.Gif.grayPalette, Seq(frame),
+      interlaced = true)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null && ref.getWidth == w && ref.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = frame(y * w + x) & 0xFF // grayPalette: r = g = b = index
+      val got = ref.getRGB(x, y)
+      assert(((got >> 16) & 0xFF, (got >> 8) & 0xFF, got & 0xFF) ==
+        ((want, want, want)), s"ImageIO disagrees at ($x,$y)")
+    }
+  }
+
   test("palette PNG decodes through PLTE; missing PLTE rejected") {
     val pal = new Array[Byte](768)
     (0 until 256).foreach { i =>

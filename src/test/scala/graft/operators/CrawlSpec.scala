@@ -311,4 +311,53 @@ class CrawlSpec extends SparkSpec {
     assert(r.getAs[Long]("n_tags") == 21L)
     assert(r.getAs[String]("strip_text").contains("plain single line body"))
   }
+
+  private def hexMd5(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  test("dechunkHttp: body_md5 hashes the RAW reassembled bytes — invalid-UTF-8 " +
+    "bodies stay distinct (ADVICE r14)") {
+    // two one-chunk bodies that a lossy UTF-8 round-trip would BOTH decode
+    // to U+FFFD (a lone 0x80 vs a lone 0xFF continuation-less byte)
+    def wire(payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(java.lang.Long.toHexString(payload.length.toLong).getBytes("US-ASCII"))
+      out.write('\r'); out.write('\n')
+      out.write(payload); out.write('\r'); out.write('\n')
+      out.write("0\r\n\r\n".getBytes("US-ASCII"))
+      out.toByteArray
+    }
+    val a = Array[Byte](0x80.toByte)
+    val b = Array[Byte](0xFF.toByte)
+    val got = Crawl.dechunkHttp(
+        Seq((1L, wire(a)), (2L, wire(b))).toDF("doc_id", "content"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(1L) == hexMd5(a) && got(2L) == hexMd5(b),
+      s"md5 must be over raw bytes: $got")
+    assert(got(1L) != got(2L), "distinct binary bodies must not collide")
+  }
+
+  test("dechunkHttp: RFC 9112 trailer section accepted, trailing garbage rejected") {
+    val body = "hello trailer world".getBytes("US-ASCII")
+    def wire(tail: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(java.lang.Long.toHexString(body.length.toLong).getBytes("US-ASCII"))
+      out.write('\r'); out.write('\n')
+      out.write(body); out.write('\r'); out.write('\n')
+      out.write(("0\r\n" + tail).getBytes("US-ASCII"))
+      out.toByteArray
+    }
+    // two trailer field lines before the terminating empty line
+    val withTrailers = wire("Expires: later\r\nX-Check: abc\r\n\r\n")
+    val r = Crawl.dechunkHttp(Seq((5L, withTrailers)).toDF("doc_id", "content")).head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == body.length.toLong &&
+      r.getString(3) == hexMd5(body),
+      "a valid trailer section must decode like a trailer-free body")
+    // bytes after the final CRLF must reject loudly (previously accepted)
+    val garbage = wire("\r\nleftover")
+    intercept[org.apache.spark.SparkException] {
+      Crawl.dechunkHttp(Seq((6L, garbage)).toDF("doc_id", "content")).collect()
+    }
+  }
 }

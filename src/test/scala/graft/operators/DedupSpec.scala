@@ -57,6 +57,27 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("exactGroups count-first short-circuit: clean corpus skips the collapse, " +
+    "dup corpus collapses, pair results identical either way (VERDICT r14 #1)") {
+    // corpus has an exact dup (1,2) → the probe must take the collapse path
+    assert(Dedup.exactGroups(corpus, "doc_id", "text", cache = false)._2.isDefined,
+      "a corpus WITH exact dups must return a member map")
+    // no exact dups → short-circuit: (docs, None), zero collapse machinery
+    val clean = corpus.filter(col("doc_id") =!= 2L)
+    val (reps, members) = Dedup.exactGroups(clean, "doc_id", "text", cache = false)
+    assert(members.isEmpty, "a dup-free corpus must short-circuit to None")
+    assert(reps eq clean, "the short-circuit must return the input frame untouched")
+    // and the short-circuited pipeline answers exactly like a forced collapse
+    // pass would: representative grain IS document grain on a clean corpus
+    val viaShort = Dedup.nearDuplicates(clean, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaNone = Dedup.nearDuplicates(clean, "doc_id", "text", threshold = 0.5,
+      collapseExact = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaShort == viaNone)
+    Dedup.clearCaches()
+  }
+
   test("jaccardVerify computes exact shingle-set Jaccard") {
     // doc 1: tokens a b c d → 3-shingles {abc, bcd}; doc 2: a b c e → {abc, bce}
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
@@ -406,6 +427,27 @@ class DedupSpec extends SparkSpec {
     val intra = Dedup.duplicatedSpans(Seq((9L, rep)).toDF("doc_id", "text"),
       "doc_id", "text", gramLen = 20).collect()
     assert(intra.nonEmpty, "intra-doc repeats must surface")
+  }
+
+  test("duplicatedSpans: exactly-touching duplicated intervals merge into one " +
+    "contiguous span (ADVICE r14)") {
+    import spark.implicits._
+    // doc 1 = X ++ Y (two 20-char blocks, adjacent); X recurs alone in
+    // doc 2, Y alone in doc 3 — so in doc 1 only the grams at p=0 (X)
+    // and p=20 (Y) are duplicated: intervals [0,19] and [20,39] touch
+    // exactly and their union is one contiguous duplicated region
+    val x = "abcdefghijklmnopqrst"
+    val y = "0123456789!@#$%^&*()"
+    val docs = Seq(
+      (1L, x + y),
+      (2L, "ppppppp" + x + "qqqqqqq"),
+      (3L, "rrrrrrr" + y + "sssssss")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", gramLen = 20)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq == Seq((0L, 39L, 40L, 2L)),
+      s"touching intervals must report ONE maximal span: ${spans.toSeq}")
   }
 
   test("fuzzyPairs never emits self-pairs, even for duplicate input ids") {

@@ -54,4 +54,32 @@ class CdcStreamSpec extends SparkSpec {
     val after = report(dirW)
     assert(after(7L)._2 == after(7L)._1, s"later copy must be all-dup: $after")
   }
+
+  test("registry compaction: fold is idempotent and post-fold dedup unchanged " +
+    "(VERDICT r14 #4)") {
+    val dirW = work()
+    val b0 = Seq((1L, body), (2L, "totally different " + body.reverse))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "yet another corpus of words " * 10)).toDF("doc_id", "text")
+    CdcStream.chunkAndRegister(dirW)(b0, 0L)
+    CdcStream.chunkAndRegister(dirW)(b1, 1L)
+    val live = Compaction.readLive(spark, s"$dirW/registry", "chunk_md5 STRING")
+      .select("chunk_md5").as[String].collect().toSet
+    // both committed → fold both; re-fold must be a no-op on content
+    CdcStream.compact(spark, dirW, upToBatch = 2L)
+    val folded = Compaction.readLive(spark, s"$dirW/registry", "chunk_md5 STRING")
+      .select("chunk_md5").as[String].collect().toSet
+    assert(folded == live, "fold must preserve the distinct digest set")
+    CdcStream.compact(spark, dirW, upToBatch = 2L)
+    assert(Compaction.readLive(spark, s"$dirW/registry", "chunk_md5 STRING")
+      .select("chunk_md5").as[String].collect().toSet == live,
+      "re-fold must be idempotent")
+    // a batch arriving AFTER the fold still dedups against the blob: a
+    // verbatim copy of doc 1 reports every chunk as prior art
+    CdcStream.chunkAndRegister(dirW)(Seq((9L, body)).toDF("doc_id", "text"), 2L)
+    val r = report(dirW)
+    assert(r(9L)._1 > 1L && r(9L)._2 == r(9L)._1,
+      s"post-fold copy must be all-dup: ${r(9L)}")
+    assert(r(1L)._2 == 0L && r(2L)._2 == 0L, "pre-fold reports unchanged")
+  }
 }
