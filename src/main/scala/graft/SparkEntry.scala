@@ -239,7 +239,11 @@ object SparkEntry {
     "st_cdc_dedup",
     // round 14t: HTTP chunked transfer decoding (the other crawl body
     // framing) and integer bilinear ×2 upscale
-    "src_http_dechunk", "mm_resize_up2")
+    "src_http_dechunk", "mm_resize_up2",
+    // round 15: the C4 banned-phrase page gate (token-grain broadcast
+    // n-gram match, no regex scan over pages), JPEG APP1/EXIF metadata
+    // (the no-decode curation signal), and density-adaptive LSH banding
+    "t_c4_blocklist", "mm_exif", "dedup_near_adaptive", "mm_exif_rotate")
 
   // ---- DuckDB oracle twins ----
 

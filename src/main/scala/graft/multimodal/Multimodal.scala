@@ -265,6 +265,72 @@ object Multimodal {
     Codecs.Image(cw, ch, out)
   }
 
+  /** Apply an EXIF orientation (1–8) — the DISPLAY transform the
+    * [[Exif]] metadata demands before any pixel-consuming stage sees the
+    * image (a model trained on un-rotated portrait crawls learns sideways
+    * faces): one integer coordinate remap per destination pixel, the
+    * inverse maps of the EXIF 2.3 orientation table. 1 identity,
+    * 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose, 6 rotate 90 CW,
+    * 7 transverse, 8 rotate 270 CW. Orientations 5–8 swap dimensions.
+    */
+  def exifRotate(img: Codecs.Image, orientation: Int): Codecs.Image = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation must be 1..8, got $orientation")
+    if (orientation == 1) return img
+    val (ww, hh) = (img.width, img.height)
+    val swap = orientation >= 5
+    val (w2, h2) = if (swap) (hh, ww) else (ww, hh)
+    val out = new Array[Byte](img.rgb.length)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val (sx, sy) = orientation match {
+          case 2 => (ww - 1 - x, y)
+          case 3 => (ww - 1 - x, hh - 1 - y)
+          case 4 => (x, hh - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, hh - 1 - x)
+          case 7 => (ww - 1 - y, hh - 1 - x)
+          case _ => (ww - 1 - y, x) // 8
+        }
+        val src = (sy * ww + sx) * 3
+        val dst = (y * w2 + x) * 3
+        out(dst) = img.rgb(src); out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.Image(w2, h2, out)
+  }
+
+  /** [[exifRotate]] over a media dataset with the orientation taken from
+    * the record id schedule `media_id % 8 + 1` (all eight transforms
+    * exercised), reporting the [[augmentStats]] position-weighted channel
+    * sums — plain sums are permutation-invariant and would pass a rotate
+    * that did nothing; the weights pin every pixel to its destination.
+    */
+  def exifRotateStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { rec =>
+      val orientation = (rec.media_id % 8 + 1).toInt
+      val img = exifRotate(Codecs.Bmp.decode(rec.content), orientation)
+      var (wr, wg, wb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < img.width * img.height) {
+        val w = (i + 1).toLong
+        wr += (img.rgb(3 * i) & 0xFF) * w
+        wg += (img.rgb(3 * i + 1) & 0xFF) * w
+        wb += (img.rgb(3 * i + 2) & 0xFF) * w
+        i += 1
+      }
+      (rec.media_id, orientation.toLong, img.width.toLong, img.height.toLong,
+        wr, wg, wb)
+    }).toDF("media_id", "orientation", "width", "height",
+      "wsum_r", "wsum_g", "wsum_b")
+  }
+
   /** Deterministic augmentation stats over BMP payloads: per record, op =
     * media_id % 3 (0 flip, 1 rotate90, 2 center-crop by 2 px each side),
     * reporting dimensions and POSITION-WEIGHTED channel sums

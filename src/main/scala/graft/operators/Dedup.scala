@@ -156,6 +156,18 @@ object Dedup {
     val (input, membersOpt) =
       if (collapseExact) exactGroups(docs, idCol, textCol, cacheSignatures)
       else (docs, None)
+    portablePairs(input, membersOpt, idCol, textCol, threshold, k, bands,
+      shingleN, maxBucket, cacheSignatures)
+  }
+
+  /** The shared tail of the portable near-dup family: signatures →
+    * banding → cap → candidate join → jaccard verify → member expansion,
+    * over an already-collapsed `(input, membersOpt)` pair.
+    */
+  private def portablePairs(input: DataFrame, membersOpt: Option[DataFrame],
+                            idCol: String, textCol: String, threshold: Double,
+                            k: Int, bands: Int, shingleN: Int, maxBucket: Int,
+                            cacheSignatures: Boolean): DataFrame = {
     val banded0 = bandSignaturesPortable(
       minhashSignaturesPortable(input, idCol, textCol, k, shingleN),
       idCol, k, bands)
@@ -169,6 +181,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     membersOpt.fold(repPairs)(m =>
       expandRepPairs(repPairs, m, idCol, "jaccard", lit(1.0)))
+  }
+
+  /** DENSITY-ADAPTIVE rows-per-band (VERDICT r14 #7 — the other half of
+    * r13's bucket-occupancy work): fixed 4×4 banding is tuned for
+    * organically-sparse corpora, but a corpus whose documents share
+    * heavy boilerplate densifies every 4-minhash band key — bucket
+    * occupancy (and the capped self-join's output) grows with the
+    * SQUARE of family size while [[exactGroups]] can only collapse
+    * VERBATIM copies. The corpus-measured signal is the shingle
+    * duplication factor — total shingle occurrences over distinct
+    * shingles, integer division, the same shingle stream the signatures
+    * hash — and the (bands, rows) ladder tightens band keys as it grows:
+    * df ≤ 1 → 4×4 (the default trade), df ≤ 3 → 2×8, denser → 1×16.
+    * Longer band keys collide only on longer minhash agreement, so
+    * occupancy stays bounded as corpora densify; the integer rule
+    * replays verbatim in the oracle. One aggregation job at
+    * plan-construction time (the [[exactGroups]] probe stance).
+    */
+  private[graft] def adaptiveBandRows(input: DataFrame, textCol: String,
+                                      shingleN: Int = 3): Int = {
+    val row = input
+      .select(Text.tokens(col(textCol)).as("__toks"))
+      .select(explode(Text.shinglesFromTokens(col("__toks"), shingleN)).as("__sh"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("__sh")).as("d"))
+      .head()
+    val (n, d) = (row.getLong(0), row.getLong(1))
+    val df = if (d == 0L) 1L else n / d
+    if (df <= 1L) 4 else if (df <= 3L) 8 else 16
+  }
+
+  /** [[nearDuplicatesPortable]] with the banding chosen by
+    * [[adaptiveBandRows]] from the post-collapse corpus (collapse first:
+    * verbatim copies are exactGroups' job; the adaptive ladder exists
+    * for the ORGANIC density the collapse cannot remove). Fully
+    * DuckDB-replayable end to end, parameter choice included.
+    */
+  def nearDuplicatesAdaptive(docs: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.8, k: Int = 16,
+                             shingleN: Int = 3, maxBucket: Int = 10000,
+                             cacheSignatures: Boolean = true): DataFrame = {
+    val (input, membersOpt) = exactGroups(docs, idCol, textCol, cacheSignatures)
+    val r = adaptiveBandRows(input, textCol, shingleN)
+    require(k % r == 0, s"k=$k must divide by adaptive rows=$r")
+    portablePairs(input, membersOpt, idCol, textCol, threshold, k, k / r,
+      shingleN, maxBucket, cacheSignatures)
   }
 
   /** Exact-duplicate COLLAPSE for the near-dup family (VERDICT r13 #1a):

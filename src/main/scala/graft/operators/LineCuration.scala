@@ -53,6 +53,59 @@ object LineCuration {
           !col("__page").contains("{")).as("doc_kept"))
   }
 
+  /** C4-style PHRASE-BLOCKLIST page gate (VERDICT r14 #5 — the other half
+    * of the published C4 recipe next to [[c4Clean]]'s structural gates:
+    * Raffel et al. 2020 drop any page containing a word from a banned-
+    * words list): a page is `blocked` iff the token sequence of ANY
+    * blocklist phrase appears CONTIGUOUSLY in the page's lowercased
+    * whitespace token stream. Token grain, not a regex scan over full
+    * pages — "classic" never matches a blocklist "ass", multi-word
+    * phrases match exactly as phrases, and the page body is touched once
+    * by the tokenizer rather than once per phrase.
+    *
+    * Mechanics (the t_contamination broadcast n-gram recipe): the phrase
+    * list is tokenized DRIVER-side (it is curation config, dozens to
+    * thousands of entries, never data-scale); pages explode to one row
+    * per (position × distinct phrase length) with the window gram
+    * re-joined by `concat_ws` over a `slice`, and a broadcast equi-join
+    * on (length, gram) marks hits. Shuffle carries only the per-doc hit
+    * counts — gram strings die at the broadcast join, bodies never move.
+    * A window shorter than its phrase length (end of document) joins
+    * fewer tokens and can never equal an n-token phrase, so no boundary
+    * filter is needed.
+    *
+    * Emits every page with `n_hits` (occurrences over all phrases,
+    * overlaps counted per position) and `blocked` — callers filter on
+    * `!blocked` (the v_rules queryable-report convention).
+    */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+                    phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val normed = phrases.map(_.trim.toLowerCase.split("\\s+").toSeq)
+      .filter(_.exists(_.nonEmpty))
+    require(normed.nonEmpty, "blocklist must contain at least one phrase")
+    val lens = normed.map(_.length).distinct.sorted
+    val phraseDf = broadcast(
+      normed.map(ts => (ts.length, ts.mkString(" "))).distinct
+        .toDF("__pn", "__pg"))
+    val toks = docs.select(col(idCol),
+      Text.tokens(lower(col(textCol))).as("__t"))
+    val gramCols = lens.map(n => struct(lit(n).as("n"),
+      concat_ws(" ", slice(col("__t"), col("__i"), lit(n))).as("g")))
+    val hits = toks
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), greatest(size(col("__t")), lit(1)))).as("__i"))
+      .select(col(idCol), explode(array(gramCols: _*)).as("__s"))
+      .join(phraseDf, col("__s.n") === col("__pn") && col("__s.g") === col("__pg"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("blocked"))
+  }
+
   /** Order-preserving intra-document line dedup (the MassiveText
     * preprocessing step): a line is kept iff it is the FIRST occurrence of
     * its content in the document. The indexed-filter form

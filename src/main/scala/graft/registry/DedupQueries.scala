@@ -135,6 +135,26 @@ private[graft] object DedupQueries {
     "dedup_near" -> ((s, dir) =>
       Dedup.nearDuplicatesPortable(docsWithPlantedDups(s, dir), "doc_id",
         "text", threshold = 0.5)),
+    // DENSITY-ADAPTIVE banding (VERDICT r14 #7): a 400-member planted
+    // boilerplate family (58 shared shingles, ~4 unique per member)
+    // pushes the corpus shingle duplication factor past the ladder's
+    // last rung, so the engine must pick 1×16 banding — and the oracle
+    // replays the measurement, the CASE ladder, AND the dynamically-
+    // sliced band keys, so a drifted parameter choice hash-mismatches.
+    // Exact copies of doc_id < 10 ride along so the collapse + within-
+    // group expansion paths stay exercised under the adaptive banding.
+    "dedup_near_adaptive" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val family = s.range(400).select(
+        (col("id") + DenseFamilyOffset).as("doc_id"),
+        concat(lit(AdaptiveBoiler), lit(" tail "), col("id").cast("string"),
+          lit(" suffix")).as("text"))
+      val corpus = docs.filter(col("doc_id") < 20)
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + PlantedOffset).as("doc_id"), col("text")))
+        .unionByName(family)
+      Dedup.nearDuplicatesAdaptive(corpus, "doc_id", "text", threshold = 0.5)
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicatesPortable(docsWithPlantedDups(s, dir),
         "doc_id", "text")),
@@ -417,6 +437,18 @@ private[graft] object DedupQueries {
       graft.operators.Bloom.registryDups(registry, fresh, "doc_id", "text")
     }))
 
+  /** The planted boilerplate block for dedup_near_adaptive — 60 distinct
+    * tokens shared verbatim by every family member (suffix-mutated, so
+    * exactGroups cannot collapse the family and the adaptive ladder must
+    * handle the density). One Scala constant interpolated into BOTH the
+    * Spark fixture and the SQL oracle, so they cannot drift.
+    */
+  private[registry] val AdaptiveBoiler: String =
+    (1 to 60).map(i => "ab" + i).mkString(" ")
+
+  /** The adaptive family's id block (clear of PlantedOffset's copies). */
+  private[registry] val DenseFamilyOffset = 2000000L
+
   /** The portable near-dup PAIR construction as a reusable CTE chain
     * (collapse → signatures → banding → cap → candidates → jaccard →
     * expansion), parameterized by the corpus SELECT; ends with an
@@ -624,6 +656,70 @@ private[graft] object DedupQueries {
            UNION ALL
            SELECT doc_id + 1000000, text || ' graft dup marker' FROM documents""")}
          SELECT id_a, id_b, jaccard FROM ndpairs""",
+    // the adaptive twin: the shingle-density measurement, the CASE
+    // ladder, and band keys sliced by the CHOSEN rows-per-band all
+    // replay — the band CTE slices the 16-minhash list dynamically, so
+    // a drifted parameter choice changes every join key
+    "dedup_near_adaptive" -> {
+      val mins = (0 until 16).map(i => s"MIN(h1 + $i * h2) AS m$i").mkString(", ")
+      val mhList = (0 until 16).map(i => s"m$i").mkString("[", ", ", "]")
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 20
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
+           UNION ALL
+           SELECT id + $DenseFamilyOffset AS doc_id,
+                  '$AdaptiveBoiler tail ' || CAST(id AS VARCHAR) || ' suffix' AS text
+           FROM range(400) t(id)),
+         grp AS (SELECT doc_id, text,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                 FROM corpus),
+         members AS (SELECT rep, doc_id FROM grp),
+         reps AS (SELECT doc_id, text FROM grp WHERE doc_id = rep),
+         toks AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM reps),
+         sh AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS shingle
+                FROM toks),
+         params AS (SELECT CASE WHEN COUNT(*) // COUNT(DISTINCT shingle) <= 1 THEN 4
+                                WHEN COUNT(*) // COUNT(DISTINCT shingle) <= 3 THEN 8
+                                ELSE 16 END AS r FROM sh),
+         hs AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+                  CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT)
+                    & 36028797018963967 AS h2
+                FROM sh),
+         sigs AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
+         mh AS (SELECT doc_id, $mhList AS ml FROM sigs),
+         bs AS (SELECT doc_id, b AS band,
+                  array_to_string(ml[CAST(b * r + 1 AS INTEGER) : CAST((b + 1) * r AS INTEGER)], ':') AS sig
+                FROM mh, params, unnest(range(0, 16 // r)) AS ub(b)),
+         ok AS (SELECT band, sig FROM bs GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+         capped AS (SELECT bs.* FROM bs JOIN ok USING (band, sig)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM capped a JOIN capped b USING (band, sig)
+                  WHERE a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                      i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS st
+                  FROM toks),
+         j AS (SELECT c.id_a, c.id_b,
+                 round(CAST(len(list_distinct(list_intersect(a.st, b.st))) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.st, b.st))), 6) AS jaccard
+               FROM cand c JOIN sets a ON a.doc_id = c.id_a
+                 JOIN sets b ON b.doc_id = c.id_b),
+         jf AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5),
+         ndpairs AS (
+           SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                  greatest(ma.doc_id, mb.doc_id) AS id_b, jf.jaccard
+           FROM jf JOIN members ma ON jf.id_a = ma.rep
+                   JOIN members mb ON jf.id_b = mb.rep
+           UNION ALL
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(1.0 AS DOUBLE) AS jaccard
+           FROM members a JOIN members b
+             ON a.rep = b.rep AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM ndpairs""" },
     // full verbatim replay of the PORTABLE 60-bit simhash pass: one md5
     // per token → 60 bit votes → sign bits → 4×16-bit banding → cap →
     // Hamming ≤ 3 verify

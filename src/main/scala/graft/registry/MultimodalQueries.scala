@@ -127,6 +127,22 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.augmentStats(media)
     }),
+    // EXIF orientation APPLIED (the display transform mm_exif's metadata
+    // demands): all eight orientations over the id schedule, position-
+    // weighted sums so a misplaced pixel hash-mismatches.
+    "mm_exif_rotate" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(512).map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 7).toInt
+        graft.multimodal.MediaRecord(id, "image/bmp",
+          graft.multimodal.Codecs.Bmp.encode(w, h, (x, y) => (
+            ((x * 7 + y * 13 + id) % 256).toInt,
+            ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+            ((x * 3 + y * 17 + 3 * id) % 256).toInt)))
+      }
+      graft.multimodal.Multimodal.exifRotateStats(media)
+    }),
     // ... and the audio twin: PCM-16 WAVs through the RIFF chunk walk,
     // with the exact interleaved-sample sum replayed by the oracle.
     "mm_decode_wav" -> ((s, dir) => {
@@ -489,6 +505,34 @@ private[graft] object MultimodalQueries {
             jpegFixtureCoef(id)))
       }
       graft.multimodal.Multimodal.jpegStats(media)
+    }),
+    // APP1/EXIF metadata walk (VERDICT r14 #6): JPEGs with a PLANTED TIFF
+    // IFD spliced after SOI — both byte orders (even ids II, odd MM), a
+    // modulo orientation schedule, every 5th image DECLARING a wrong
+    // width (the re-encode tell the mismatch flag exists for), every 7th
+    // carrying no EXIF at all. No pixel decode anywhere — the closed-form
+    // oracle replays the plant schedule.
+    "mm_exif" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val q8 = Array.fill(64)(8)
+        val qc = Array.fill(64)(8); qc(0) = 16
+        val w = (12 + 4 * (id % 5)).toInt
+        val h = (12 + 4 * ((id * 3) % 4)).toInt
+        val base = graft.multimodal.Jpeg.encodeFromCoefficients(w, h,
+          chroma420 = id % 2 == 0, q8, qc, restartInterval = 0,
+          jpegFixtureCoef(id))
+        val content =
+          if (id % 7 == 0) base
+          else graft.multimodal.Exif.spliceApp1(base,
+            graft.multimodal.Exif.encodeApp1(
+              littleEndian = id % 2 == 0,
+              orientation = (id % 8 + 1).toInt,
+              pixelX = if (id % 5 == 0) w + 1L else w.toLong,
+              pixelY = h.toLong))
+        graft.multimodal.MediaRecord(id, "image/jpeg", content)
+      }
+      graft.multimodal.Exif.exifMeta(media)
     }),
     // The PROGRESSIVE twin (VERDICT r13 #4): the SAME planted coefficient
     // field encoded as SOF2 — interleaved DC first pass + refinement,
@@ -1114,6 +1158,45 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
     // color conversion is replayed with the same double constants and
     // rounding — the full lossy pipeline under an exact hash compare
     "mm_decode_jpeg" -> sqlDecodeJpeg,
+    // all eight inverse coordinate maps replayed over the planted pixel
+    // formulas at destination grain
+    "mm_exif_rotate" ->
+      """WITH dims AS (SELECT id, 8 + id % 9 AS w, 8 + (id * 3) % 7 AS h,
+                  id % 8 + 1 AS o
+                FROM (SELECT unnest(range(0, 512)) AS id)),
+         d2 AS (SELECT id, w, h, o,
+                  CASE WHEN o >= 5 THEN h ELSE w END AS w2,
+                  CASE WHEN o >= 5 THEN w ELSE h END AS h2 FROM dims),
+         px AS (SELECT id, w, h, o, w2, h2, p, p % w2 AS x, p // w2 AS y
+                FROM d2, unnest(range(0, w2 * h2)) AS up(p)),
+         src AS (SELECT id, o, w2, h2, p,
+                   CASE o WHEN 1 THEN x WHEN 2 THEN w-1-x WHEN 3 THEN w-1-x
+                          WHEN 4 THEN x WHEN 5 THEN y WHEN 6 THEN y
+                          WHEN 7 THEN w-1-y ELSE w-1-y END AS sx,
+                   CASE o WHEN 1 THEN y WHEN 2 THEN y WHEN 3 THEN h-1-y
+                          WHEN 4 THEN h-1-y WHEN 5 THEN x WHEN 6 THEN h-1-x
+                          WHEN 7 THEN h-1-x ELSE x END AS sy
+                 FROM px)
+         SELECT id AS media_id, CAST(o AS BIGINT) AS orientation,
+                CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height,
+                CAST(SUM(((sx * 7 + sy * 13 + id) % 256) * (p + 1)) AS BIGINT) AS wsum_r,
+                CAST(SUM(((sx * 5 + sy * 11 + 2 * id) % 256) * (p + 1)) AS BIGINT) AS wsum_g,
+                CAST(SUM(((sx * 3 + sy * 17 + 3 * id) % 256) * (p + 1)) AS BIGINT) AS wsum_b
+         FROM src GROUP BY 1, 2, 3, 4""",
+    // the plant schedule replayed closed-form (no-EXIF beats wrong-dims
+    // when both fire: %7 docs never get an APP1)
+    "mm_exif" ->
+      """SELECT id AS media_id,
+           (id % 7 != 0) AS has_exif,
+           CAST(CASE WHEN id % 7 = 0 THEN 0 ELSE id % 8 + 1 END AS BIGINT) AS orientation,
+           CAST(CASE WHEN id % 7 = 0 THEN 0
+                     WHEN id % 5 = 0 THEN 12 + 4 * (id % 5) + 1
+                     ELSE 12 + 4 * (id % 5) END AS BIGINT) AS exif_width,
+           CAST(CASE WHEN id % 7 = 0 THEN 0 ELSE 12 + 4 * ((id * 3) % 4) END AS BIGINT) AS exif_height,
+           CAST(12 + 4 * (id % 5) AS BIGINT) AS width,
+           CAST(12 + 4 * ((id * 3) % 4) AS BIGINT) AS height,
+           (id % 7 != 0 AND id % 5 = 0) AS dims_mismatch
+         FROM range(256) t(id)""",
     // progressive decode of the identical coefficients → the identical
     // analytic pixels (successive approximation is lossless at Al=0)
     "mm_decode_jpeg_prog" -> sqlDecodeJpeg,

@@ -216,6 +216,24 @@ private[graft] object TextQueries {
       graft.operators.LineCuration.c4Clean(
         graft.operators.LineCuration.plantPages(
           Tables.documents(s, dir), "doc_id", "text"), "doc_id", "page")),
+    // C4 banned-phrase page gate (VERDICT r14 #5): poison phrases planted
+    // into a modulo schedule of pages — a multi-word phrase appended to
+    // %7 docs, a single word wrapped around %11 docs (both sides, so
+    // multi-hit counting is exercised), case mixed so the lowercase
+    // normalization is pinned. Token-grain contiguous match via the
+    // broadcast n-gram join; the oracle replays the same tokenize +
+    // window walk, so natural corpus hits (if any) agree by construction.
+    "t_c4_blocklist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val pages = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" buy cheap pills now")))
+          .when(col("doc_id") % 11 === 0,
+            concat(lit("GAMBLINGSPAM "), col("text"), lit(" gamblingspam")))
+          .otherwise(col("text")).as("page"))
+      graft.operators.LineCuration.blocklistGate(pages, "doc_id", "page",
+        Seq("Buy Cheap Pills", "gamblingspam"))
+    }),
     // Order-preserving intra-document line dedup on the same planted pages
     // (even ids re-append their first two lines, so the removal count is
     // provably exercised).
@@ -887,6 +905,21 @@ private[graft] object TextQueries {
          SELECT doc_id, norm_text, (norm_text != raw) AS changed,
            CAST(len(raw) AS BIGINT) AS n_chars_raw,
            CAST(len(norm_text) AS BIGINT) AS n_chars_norm FROM n""",
+    // the same tokenize + per-position window walk, per phrase length
+    "t_c4_blocklist" ->
+      s"""WITH pages AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' buy cheap pills now'
+                WHEN doc_id % 11 = 0 THEN 'GAMBLINGSPAM ' || text || ' gamblingspam'
+                ELSE text END AS page FROM documents),
+         toks AS (SELECT doc_id, ${sqlTokens("lower(page)")} AS ts FROM pages),
+         ph(pg, pn) AS (SELECT * FROM (VALUES ('buy cheap pills', 3), ('gamblingspam', 1))),
+         pos AS (SELECT doc_id, ts, i FROM toks, unnest(range(1, len(ts) + 1)) AS ui(i)),
+         hits AS (SELECT doc_id, COUNT(*) AS n
+                  FROM pos JOIN ph ON array_to_string(ts[CAST(i AS INTEGER) : CAST(i + pn - 1 AS INTEGER)], ' ') = pg
+                  GROUP BY 1)
+         SELECT p.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+                COALESCE(h.n, 0) > 0 AS blocked
+         FROM pages p LEFT JOIN hits h USING (doc_id)""",
     "t_c4_lines" ->
       s"""WITH $sqlPagedCtes,
          l AS (SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM pages),

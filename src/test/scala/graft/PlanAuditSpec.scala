@@ -97,6 +97,16 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Dedup.clearCaches()
   }
 
+  test("round-15 ops: no cartesian, no nested loop") {
+    // the blocklist gate's phrase join is a broadcast equi-join on
+    // (length, gram); the EXIF walk is a pure map; the adaptive near-dup
+    // keeps the banded equi-join shape at every ladder rung
+    for (q <- Seq("t_c4_blocklist", "mm_exif", "dedup_near_adaptive")) {
+      assertNoCartesian(plan(q), q)
+    }
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("g_kcore: the survivor frame is checkpoint-backed (constant per-round plan)") {
     // the peeling loop must rebase each generation on its materialized
     // RDD (localCheckpoint) — a persist-chained loop re-analyzes an

@@ -319,4 +319,62 @@ class JpegSpec extends AnyFunSuite {
       assert(img.pixel(x, y) == ((want, want, want)), s"pixel ($x,$y)")
     }
   }
+
+  private def plainJpeg(w: Int = 16, h: Int = 16): Array[Byte] =
+    Jpeg.encodeFromCoefficients(w, h, chroma420 = false, q8, q8,
+      restartInterval = 0, (_, _, _) => zeros)
+
+  test("EXIF round-trips in both byte orders; no-EXIF and mismatch flags work") {
+    for (le <- Seq(true, false)) {
+      val bytes = Exif.spliceApp1(plainJpeg(),
+        Exif.encodeApp1(le, orientation = 6, pixelX = 16L, pixelY = 16L))
+      val info = Exif.parse(bytes)
+      assert(info.hasExif && info.orientation == 6 &&
+        info.exifWidth == 16L && info.exifHeight == 16L &&
+        info.width == 16 && info.height == 16 && !info.dimsMismatch,
+        s"le=$le: $info")
+      // the APP1-bearing stream must still pixel-decode
+      assert(Jpeg.decode(bytes).width == 16)
+    }
+    val bare = Exif.parse(plainJpeg())
+    assert(!bare.hasExif && bare.orientation == 0 && !bare.dimsMismatch)
+    val lying = Exif.parse(Exif.spliceApp1(plainJpeg(),
+      Exif.encodeApp1(littleEndian = true, 1, pixelX = 640L, pixelY = 480L)))
+    assert(lying.dimsMismatch && lying.exifWidth == 640L && lying.width == 16)
+  }
+
+  test("EXIF: a hand-assembled big-endian TIFF wire layout parses exactly " +
+    "(ADVICE-r14 stance: pin the wire, not the encoder's own assumptions)") {
+    // Exif\0\0 + MM TIFF: IFD0 {Orientation=8 SHORT, ExifIFD->0x26},
+    // ExifIFD {PixelX=300 SHORT (allowed type), PixelY=200 LONG}
+    val tiff = Array[Int](
+      'E', 'x', 'i', 'f', 0, 0,
+      'M', 'M', 0, 42, 0, 0, 0, 8, // header, IFD0 at 8
+      0, 2, // IFD0: 2 entries
+      0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, 8, 0, 0, // Orientation SHORT 8
+      0x87, 0x69, 0, 4, 0, 0, 0, 1, 0, 0, 0, 0x26, // ExifIFD at 0x26=38
+      0, 0, 0, 0, // no IFD1
+      0, 2, // ExifIFD: 2 entries
+      0xA0, 0x02, 0, 3, 0, 0, 0, 1, 0x01, 0x2C, 0, 0, // PixelX SHORT 300
+      0xA0, 0x03, 0, 4, 0, 0, 0, 1, 0, 0, 0, 0xC8, // PixelY LONG 200
+      0, 0, 0, 0).map(_.toByte)
+    val info = Exif.parse(Exif.spliceApp1(plainJpeg(), tiff.drop(0)))
+    assert(info.hasExif && info.orientation == 8 &&
+      info.exifWidth == 300L && info.exifHeight == 200L, s"$info")
+    assert(info.dimsMismatch)
+  }
+
+  test("EXIF interop: ImageIO decodes our APP1-bearing JPEG; malformed TIFF rejects") {
+    val bytes = Exif.spliceApp1(plainJpeg(24, 16),
+      Exif.encodeApp1(littleEndian = false, 3, 24L, 16L))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null && ref.getWidth == 24 && ref.getHeight == 16,
+      "a foreign decoder must tolerate the spliced APP1")
+    // truncated TIFF body inside APP1 must reject loudly, not mis-read
+    val app1 = Exif.encodeApp1(littleEndian = true, 1, 24L, 16L)
+    intercept[IllegalArgumentException] {
+      Exif.parse(Exif.spliceApp1(plainJpeg(24, 16), app1.take(20)))
+    }
+    intercept[IllegalArgumentException](Exif.parse(Array[Byte](1, 2, 3)))
+  }
 }

@@ -134,6 +134,37 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.cropCenter(nine, 4, 1))
   }
 
+  test("exifRotate: all eight orientations place every pixel exactly; " +
+    "inverses compose to identity") {
+    // 2x1 [A B]: each orientation has a hand-checkable layout
+    val ab = Codecs.Image(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    def px(img: Codecs.Image): Seq[Seq[Byte]] =
+      img.rgb.toSeq.grouped(3).toSeq
+    val (a, b) = (Seq[Byte](1, 2, 3), Seq[Byte](4, 5, 6))
+    assert(px(Multimodal.exifRotate(ab, 1)) == Seq(a, b))
+    assert(px(Multimodal.exifRotate(ab, 2)) == Seq(b, a), "mirror-H")
+    assert(px(Multimodal.exifRotate(ab, 3)) == Seq(b, a), "rot180 of a row")
+    assert(px(Multimodal.exifRotate(ab, 4)) == Seq(a, b), "mirror-V of a row")
+    for (o <- 5 to 8) {
+      val r = Multimodal.exifRotate(ab, o)
+      assert(r.width == 1 && r.height == 2, s"o=$o must swap dims")
+    }
+    assert(px(Multimodal.exifRotate(ab, 5)) == Seq(a, b), "transpose")
+    assert(px(Multimodal.exifRotate(ab, 6)) == Seq(a, b), "rot90 CW: left on top")
+    assert(px(Multimodal.exifRotate(ab, 7)) == Seq(b, a), "transverse")
+    assert(px(Multimodal.exifRotate(ab, 8)) == Seq(b, a), "rot270 CW: right on top")
+    // orientation 6 agrees with the existing rotate90; 3 with double flip
+    val nine = Codecs.Image(3, 2, Array.tabulate[Byte](18)(i => i.toByte))
+    assert(Multimodal.exifRotate(nine, 6).rgb.toSeq ==
+      Multimodal.rotate90(nine).rgb.toSeq)
+    // inverse pairs: 6 then 8, 5 then 5, 2 then 2, 3 then 3 — identity
+    for ((o, inv) <- Seq(6 -> 8, 8 -> 6, 5 -> 5, 7 -> 7, 2 -> 2, 3 -> 3, 4 -> 4))
+      assert(Multimodal.exifRotate(Multimodal.exifRotate(nine, o), inv)
+        .rgb.toSeq == nine.rgb.toSeq, s"$o then $inv must be identity")
+    intercept[IllegalArgumentException](Multimodal.exifRotate(nine, 0))
+    intercept[IllegalArgumentException](Multimodal.exifRotate(nine, 9))
+  }
+
   test("decimateAudio: exact per-channel truncated means, incl. negative sums") {
     // stereo, 4 frames, k=2 → 2 frames; interleaved [L0,R0,L1,R1,...]
     val audio = Codecs.Audio(8000, 2,

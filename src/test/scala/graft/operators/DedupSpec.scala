@@ -78,6 +78,46 @@ class DedupSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("adaptive banding: boilerplate density tightens band keys so bucket " +
+    "occupancy stays bounded where fixed 4x4 degenerates (VERDICT r14 #7)") {
+    // 40 suffix-mutated members sharing a 60-token block (8 unique
+    // tokens each): exactGroups cannot collapse them (no verbatim
+    // copies), and under fixed 4x4 banding nearly every member shares
+    // some band key with every other — the quadratic candidate set the
+    // ladder exists to prevent
+    val boiler = (1 to 60).map(i => "qq" + i).mkString(" ")
+    val dense = (1 to 40).map(i =>
+      (i.toLong, s"$boiler " + (1 to 8).map(j => s"t${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.adaptiveBandRows(dense, "text") == 16,
+      "a dup-factor > 3 corpus must pick the 1x16 rung")
+    // organically-sparse prose keeps the default trade
+    val sparse = (1 to 40).map(i =>
+      (i.toLong, (1 to 30).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.adaptiveBandRows(sparse, "text") == 4)
+    // measured cost on the dense corpus, production (index-independent
+    // xxhash64) family: fixed 4x4 pairs most of the family through some
+    // shared band; the ladder's 1x16 key bounds both occupancy and the
+    // candidate join (deterministic hashes — these numbers are stable)
+    val sigs = Dedup.minhashSignatures(dense, "doc_id", "text", 16)
+    def stats(bands: Int): (Long, Long) = {
+      val banded = Dedup.bandSignatures(sigs, "doc_id", 16, bands)
+      (banded.groupBy("band", "sig").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0),
+        Dedup.lshCandidates(banded, "doc_id").count())
+    }
+    val (fixedMax, fixedCands) = stats(4)
+    val (adMax, adCands) = stats(1)
+    assert(fixedCands >= 700L,
+      s"fixed banding should near-saturate the 780 possible pairs: $fixedCands")
+    assert(adCands * 4 <= fixedCands,
+      s"adaptive keys must bound the candidate join: $adCands vs $fixedCands")
+    assert(adMax * 2 <= fixedMax,
+      s"adaptive keys must bound occupancy: $adMax vs $fixedMax")
+    Dedup.clearCaches()
+  }
+
   test("jaccardVerify computes exact shingle-set Jaccard") {
     // doc 1: tokens a b c d → 3-shingles {abc, bcd}; doc 2: a b c e → {abc, bce}
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")

@@ -155,4 +155,28 @@ class LineCurationSpec extends SparkSpec {
       .filter(col("stage") === "after").head()
     assert(afterRow.isNullAt(afterRow.fieldIndex("removal_frac")))
   }
+
+  test("blocklistGate: token-grain contiguous match — substrings don't hit, " +
+    "phrases must be contiguous, case folds, every occurrence counts") {
+    val docs = Seq(
+      (1L, "a perfectly classic document about glass"), // substring 'ass' ≠ token
+      (2L, "this page says BAD WORD twice: bad word"), // case + 2 occurrences
+      (3L, "bad content here and a word there"), // phrase tokens present, not adjacent
+      (4L, "badword fused is a different token"), // no token-boundary match
+      (5L, "spam"), // single-token phrase, whole page
+      (6L, "") // empty page
+    ).toDF("doc_id", "text")
+    val out = LineCuration.blocklistGate(docs, "doc_id", "text",
+        Seq("Bad Word", "ass", "spam"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((0L, false)), s"substring must not match: ${out(1L)}")
+    assert(out(2L) == ((2L, true)), s"case-folded phrase twice: ${out(2L)}")
+    assert(out(3L) == ((0L, false)), s"non-contiguous tokens must not match: ${out(3L)}")
+    assert(out(4L) == ((0L, false)), s"fused token must not match: ${out(4L)}")
+    assert(out(5L) == ((1L, true)))
+    assert(out(6L) == ((0L, false)))
+    intercept[IllegalArgumentException] {
+      LineCuration.blocklistGate(docs, "doc_id", "text", Seq("  "))
+    }
+  }
 }
