@@ -243,7 +243,10 @@ object SparkEntry {
     // round 15: the C4 banned-phrase page gate (token-grain broadcast
     // n-gram match, no regex scan over pages), JPEG APP1/EXIF metadata
     // (the no-decode curation signal), and density-adaptive LSH banding
-    "t_c4_blocklist", "mm_exif", "dedup_near_adaptive", "mm_exif_rotate")
+    "t_c4_blocklist", "mm_exif", "dedup_near_adaptive", "mm_exif_rotate",
+    // round 15b: the IVF-PQ composite index (residual quantization) and
+    // sign-bit binary quantization with exact rescore
+    "ann_ivfpq_topk", "ann_binary_topk")
 
   // ---- DuckDB oracle twins ----
 

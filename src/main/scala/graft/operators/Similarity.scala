@@ -120,6 +120,58 @@ object Similarity {
     twoStageTopK(scored, k, qId, cId)
   }
 
+  /** Binary (sign-bit) embedding quantization with exact rescore — the
+    * modern vector-store first pass (e.g. the "binary quantization" tier
+    * production vector DBs ship): each vector compresses to ONE long of
+    * sign bits (32×+ smaller than float32, 64× smaller than doubles), the
+    * scan ranks by Hamming distance (a register XOR + popcount per
+    * candidate — no float math touches the corpus pass), and only the
+    * top `rescore · k` Hamming survivors pay an exact cosine against the
+    * full vectors. Sign-bit Hamming is a monotone proxy for angular
+    * distance in expectation, so the standard recipe is a generous
+    * rescore window rather than a tight one.
+    *
+    * Deterministic end to end (sign of a double, integer popcount, the
+    * suite's tie conventions) — the ann_binary_topk oracle replays
+    * packing, Hamming ranking, and the cosine rescore verbatim. Scale
+    * shape: the Hamming scan is the [[bruteForceTopK]] broadcast cross
+    * over 8-byte codes (two-stage top-R, no global funnel); the rescore
+    * join touches `nq · rescore · k` full vectors only.
+    */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+                 rescore: Int = 4,
+                 qId: String = "q_id", qVec: String = "q_vec",
+                 cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(dim >= 1 && dim <= 64, s"sign bits pack into one long: dim=$dim")
+    require(k >= 1 && rescore >= 1, s"bad k=$k/rescore=$rescore")
+    def pack(vec: Column): Column = (0 until dim).map(i =>
+      when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val r = k * rescore
+    val qcodes = queries.select(col(qId), col(qVec), pack(col(qVec)).as("__qc"))
+    val ham = corpus.select(col(cId), pack(col(cVec)).as("__cc"))
+      .join(broadcast(qcodes))
+      .select(col(qId), col(cId),
+        bit_count(col("__cc").bitwiseXOR(col("__qc"))).as("hamming"),
+        spark_partition_id().as("__part"))
+    val localW = Window.partitionBy(col(qId), col("__part"))
+      .orderBy(col("hamming"), col(cId))
+    val globalW = Window.partitionBy(col(qId)).orderBy(col("hamming"), col(cId))
+    val cands = ham
+      .withColumn("__lr", row_number().over(localW)).filter(col("__lr") <= r)
+      .withColumn("__hr", row_number().over(globalW)).filter(col("__hr") <= r)
+      .select(col(qId), col(cId), col("hamming"))
+    val rescored = cands
+      .join(corpus.select(col(cId), col(cVec)), Seq(cId))
+      .join(broadcast(queries.select(col(qId), col(qVec))), Seq(qId))
+      .select(col(qId), col(cId), col("hamming"),
+        cosine(col(qVec), col(cVec)).as("sim"))
+    val finW = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
+    rescored.withColumn("rank", row_number().over(finW)).filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("hamming"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** IVF "training": one centroid per coarse cell — here the mean vector per
     * existing cluster column (e.g. a pretrained label), computed with
     * posexplode → (cell, pos) average → re-assembled. One aggregation pass.
@@ -922,6 +974,159 @@ object Similarity {
           zip_with(col("codes"), col("tbl"),
             (c, row) => element_at(row, c.cast("int") + 1)),
           lit(0L), (acc, v) => acc + v).as("adc_dist"))
+  }
+
+  /** IVF-PQ composite index, fixed-point (the FAISS `IVFx,PQy` structure
+    * — THE production layout for billion-vector search: the coarse
+    * quantizer prunes the scan to nprobe/nlist of the corpus, and PQ
+    * codes over the RESIDUAL vector (v − coarse centroid) compress what
+    * remains; residuals concentrate near zero, so a given codebook
+    * budget quantizes them far better than raw vectors — the reason the
+    * composite beats flat PQ at equal bytes):
+    *
+    *  1. coarse cells: [[kmeansCellsFixed]] (integer Lloyd's);
+    *  2. coarse centroids: integral-div means over the FINAL assignment
+    *     — still scaled longs, so residual subtraction is exact;
+    *  3. PQ codebook trained per subspace on the residuals (the same
+    *     integer trainer as [[pqCodebookFixed]], seeds = the ksub
+    *     lowest-id vectors' residuals);
+    *  4. query: probe the `nprobe` nearest coarse cells by integer d²,
+    *     build ONE ADC table per (query, probed cell) from the
+    *     PER-CELL query residual — the asymmetric-distance detail that
+    *     distinguishes real IVF-PQ from flat-PQ-after-IVF;
+    *  5. score only candidates in probed cells; top-k by (adc_dist, id).
+    *
+    * All-integer end to end, so training, encoding, probing, and scoring
+    * replay bit-for-bit in SQL (the ann_ivfpq_topk oracle). Scale shape:
+    * training is the two bounded Lloyd's loops; query-side cost is the
+    * pruned candidate join — tables are (nq × nprobe × m × ksub) longs,
+    * broadcast; candidate rows carry m byte-sized codes, never vectors.
+    */
+  def ivfPqTopKFixed(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+                     nCells: Int = 8, nprobe: Int = 2, m: Int = 4,
+                     ksub: Int = 16, itersIvf: Int = 2, itersPq: Int = 2,
+                     scale: Long = 1L << 20,
+                     qId: String = "q_id", qVec: String = "q_vec",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    require(nprobe >= 1 && nCells >= nprobe, s"bad nprobe=$nprobe/nCells=$nCells")
+    val cells = kmeansCellsFixed(corpus, nCells, itersIvf, scale, cId, cVec)
+    val scaled = corpus.select(col(cId),
+        transform(col(cVec), x => floor(x * scale).cast("long")).as("__sv"))
+      .join(cells, cId)
+    // final coarse centroids at the trained assignment — integral-div
+    // means keep everything on the integer lattice
+    val cc0 = scaled
+      .select(col("cell"), posexplode(col("__sv")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(expr("sum(v) div count(v)").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("__cc"))
+    val cc = graft.util.Caches.retain(
+      cc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cc.count()
+    // residuals: exact long subtraction; persisted — the PQ trainer makes
+    // itersPq passes and the encoder one more
+    val resid = graft.util.Caches.retain(
+      scaled.join(broadcast(cc), Seq("cell"))
+        .select(col(cId), col("cell"),
+          zip_with(col("__sv"), col("__cc"), (a, b) => a - b).as("__rv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rsubs = resid
+      .select(col(cId).as("__id"), explode(subvecs(col("__rv"), dim, m)).as("sv"))
+      .select(col("__id"), col("sv.subspace").as("subspace"), col("sv.sub").as("sub"))
+    // per-subspace integer Lloyd's over residual subvectors — the
+    // trainPqCodebookFixed protocol verbatim: seeds = ksub lowest-id
+    // residuals, itersPq assign+refit rounds, contiguous reindex, then
+    // ONE encode pass against the final codebook
+    var cb = rsubs.join(broadcast(
+        resid.orderBy(col(cId)).limit(ksub).select(col(cId).as("__id"))),
+        Seq("__id"))
+      .withColumn("code", row_number().over(
+        Window.partitionBy(col("subspace")).orderBy(col("__id"))) - 1)
+      .select(col("subspace"), col("code"), col("sub").as("centroid"))
+    def assignTo(book: DataFrame): DataFrame =
+      rsubs.join(broadcast(book), Seq("subspace"))
+        .select(col("__id"), col("subspace"), col("sub"), col("code"),
+          d2Fixed(col("sub"), col("centroid")).as("d2"))
+        .groupBy(col("__id"), col("subspace"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+          first(col("sub")).as("sub"))
+    for (_ <- 1 to itersPq) {
+      val next = assignTo(cb)
+        .select(col("subspace"), col("code"),
+          posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("subspace", "code", "pos")
+        .agg(expr("sum(v) div count(v)").as("mv"))
+        .groupBy("subspace", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("subspace"), col("code"),
+          transform(col("pm"), p => p.getField("mv")).as("centroid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (cb.storageLevel.useMemory) cb.unpersist()
+      cb = next
+    }
+    val cbf = graft.util.Caches.retain(cb
+      .withColumn("code", row_number().over(
+        Window.partitionBy(col("subspace")).orderBy(col("code"))) - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cbf.count()
+    cb.unpersist()
+    val codes = assignTo(cbf)
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("sc"))
+      .select(col("__id").as(cId),
+        transform(col("sc"), s => s.getField("code")).as("codes"))
+    ivfPqScore(queries, codes, cells, cc, cbf, dim, k, nprobe, m,
+      scale, qId, qVec, cId)
+  }
+
+  /** The query side of [[ivfPqTopKFixed]]: integer probe, per-(query,
+    * cell) residual ADC tables, pruned candidate scoring, top-k.
+    */
+  private def ivfPqScore(queries: DataFrame, codes: DataFrame,
+                         cells: DataFrame, cc: DataFrame, cb: DataFrame,
+                         dim: Int, k: Int, nprobe: Int, m: Int, scale: Long,
+                         qId: String, qVec: String, cId: String): DataFrame = {
+    val qscaled = queries.select(col(qId),
+      transform(col(qVec), x => floor(x * scale).cast("long")).as("__qv"))
+    val probeW = Window.partitionBy(col(qId)).orderBy(col("__d2"), col("cell"))
+    val probes = qscaled.join(broadcast(cc))
+      .select(col(qId), col("__qv"), col("cell"), col("__cc"),
+        d2Fixed(col("__qv"), col("__cc")).as("__d2"))
+      .withColumn("__r", row_number().over(probeW)).filter(col("__r") <= nprobe)
+      .select(col(qId), col("cell"),
+        zip_with(col("__qv"), col("__cc"), (a, b) => a - b).as("__qr"))
+    val tbl = probes
+      .select(col(qId), col("cell"), explode(subvecs(col("__qr"), dim, m)).as("sv"))
+      .select(col(qId), col("cell"), col("sv.subspace").as("subspace"),
+        col("sv.sub").as("qsub"))
+      .join(broadcast(cb), Seq("subspace"))
+      .select(col(qId), col("cell"), col("subspace"), col("code"),
+        d2Fixed(col("qsub"), col("centroid")).as("pd2"))
+      .groupBy(col(qId), col("cell"), col("subspace"))
+      .agg(array_sort(collect_list(struct(col("code"), col("pd2")))).as("cp"))
+      .select(col(qId), col("cell"), col("subspace"),
+        transform(col("cp"), c => c.getField("pd2")).as("row"))
+      .groupBy(col(qId), col("cell"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("row")))).as("sr"))
+      .select(col(qId), col("cell"),
+        transform(col("sr"), s => s.getField("row")).as("tbl"))
+    val scored = codes.join(cells, cId).join(broadcast(tbl), Seq("cell"))
+      .select(col(qId), col(cId),
+        aggregate(
+          zip_with(col("codes"), col("tbl"),
+            (c, row) => element_at(row, c.cast("int") + 1)),
+          lit(0L), (acc, v) => acc + v).as("adc_dist"))
+      .withColumn("__part", spark_partition_id())
+    val localW = Window.partitionBy(col(qId), col("__part"))
+      .orderBy(col("adc_dist"), col(cId))
+    val globalW = Window.partitionBy(col(qId)).orderBy(col("adc_dist"), col(cId))
+    scored
+      .withColumn("__lr", row_number().over(localW)).filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("adc_dist"), col("rank"))
   }
 
   def knnGraph(vectors: DataFrame, k: Int, nCells: Int = 16,

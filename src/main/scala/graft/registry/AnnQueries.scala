@@ -155,6 +155,31 @@ private[graft] object AnnQueries {
         corpus.join(cells, "vec_id"),
         cellCol = "cell", k = 10, nprobe = 2)
     }),
+    // IVF-PQ composite (the FAISS IVFx,PQy production layout): coarse
+    // integer k-means prunes, PQ codes over per-cell RESIDUALS compress,
+    // per-(query, probed-cell) residual ADC tables score — all
+    // fixed-point, so coarse training, residual codebooks, encoding,
+    // probing, and scoring replay verbatim in DuckDB.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.ivfPqTopKFixed(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d")),
+        dim = 64, k = 10, cVec = "emb_d")
+    }),
+    // Binary (sign-bit) quantization + Hamming scan + exact rescore (the
+    // vector-store "binary quantization" tier): codes are one long per
+    // vector, the scan is XOR+popcount, only rescore·k survivors pay a
+    // cosine. Deterministic sign bits → fully oracled.
+    "ann_binary_topk" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Similarity.binaryTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        e.select(col("vec_id"), col("emb_d")),
+        dim = 64, k = 10, cVec = "emb_d")
+    }),
     // FULLY-ORACLED LSH top-k (formerly rows-only): the portable
     // Achlioptas ±1 hyperplane family — every plane sign is md5-derived,
     // so DuckDB rebuilds the planes, the buckets, the banded join, and
@@ -536,6 +561,101 @@ private[graft] object AnnQueries {
        FROM (SELECT q_id, vec_id, adc_dist,
                row_number() OVER (PARTITION BY q_id
                  ORDER BY adc_dist, vec_id) AS rank FROM adc)
+       WHERE rank <= 10"""
+    },
+    // sign-bit Hamming needs no packed form in SQL: the distance is the
+    // count of dimensions whose signs differ (provably bit_count(xor) of
+    // the packed codes); the rescore replays the exact cosine
+    "ann_binary_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ham AS (SELECT q.vec_id AS q_id, c.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> CASE WHEN (q.v[i] > 0) != (c.v[i] > 0) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+               FROM e q CROSS JOIN e c WHERE q.vec_id < 5),
+       cand AS (SELECT q_id, vec_id, hamming FROM
+                 (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY hamming, vec_id) AS hr FROM ham)
+                WHERE hr <= 40),
+       res AS (SELECT cand.q_id, cand.vec_id, cand.hamming,
+                 ${sqlCosine("qv.v", "cv.v")} AS sim
+               FROM cand JOIN e qv ON qv.vec_id = cand.q_id
+                 JOIN e cv ON cv.vec_id = cand.vec_id)
+       SELECT q_id, vec_id, hamming, round(sim, 6) AS sim,
+              CAST(rank AS INTEGER) AS rank
+       FROM (SELECT q_id, vec_id, hamming, sim,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, vec_id) AS rank FROM res)
+       WHERE rank <= 10""",
+    // full verbatim replay of the IVF-PQ composite: the ann_ivf_kmeans
+    // coarse-training unroll, integral-div coarse centroids at the final
+    // assignment, exact long residuals, the ann_pq_topk residual-PQ
+    // unroll, integer probe, and per-(query, probed-cell) residual ADC
+    "ann_ivfpq_topk" -> {
+      val d2sub = "list_sum(list_transform(generate_series(1, 16), " +
+        "i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i])))"
+      def assign(src: String, cb: String, out: String) =
+        s"""$out AS (SELECT vec_id, subspace, sub, cell FROM (
+             SELECT s.vec_id, s.subspace, s.sub, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                 ORDER BY $d2sub, c.cell) AS rn
+             FROM $src s JOIN $cb c USING (subspace)) WHERE rn = 1)"""
+      def refit(src: String, out: String) =
+        s"""$out AS (SELECT subspace, cell, list(m ORDER BY pos) AS cv FROM (
+             SELECT subspace, cell, i AS pos, SUM(sub[i]) // COUNT(*) AS m
+             FROM $src, generate_series(1, 16) AS g(i)
+             GROUP BY subspace, cell, i) GROUP BY subspace, cell)"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ${sqlKmeansFixedCells(k = 8, iters = 2, dim = 64)},
+       ccent AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
+           SELECT cell, i AS pos, SUM(sv[i]) // COUNT(*) AS m
+           FROM a2, generate_series(1, 64) AS g(i)
+           GROUP BY cell, i) GROUP BY cell),
+       res AS (SELECT a.vec_id, a.cell,
+                 list_transform(generate_series(1, 64), i -> a.sv[i] - c.cv[i]) AS rv
+               FROM a2 a JOIN ccent c USING (cell)),
+       rsubs AS (SELECT vec_id, j AS subspace,
+                   list_transform(generate_series(j * 16 + 1, j * 16 + 16), i -> rv[i]) AS sub
+                 FROM res, unnest(range(0, 4)) AS uj(j)),
+       sd AS (SELECT subspace,
+                row_number() OVER (PARTITION BY subspace ORDER BY vec_id) - 1 AS cell,
+                sub AS cv
+              FROM rsubs
+              WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+       ${assign("rsubs", "sd", "pa1")},
+       ${refit("pa1", "pc1")},
+       ${assign("rsubs", "pc1", "pa2")},
+       ${refit("pa2", "pc2")},
+       cbf AS (SELECT subspace,
+                 row_number() OVER (PARTITION BY subspace ORDER BY cell) - 1 AS cell,
+                 cv FROM pc2),
+       ${assign("rsubs", "cbf", "enc")},
+       qd AS (SELECT s.vec_id AS q_id, s.sv AS qv, c.cell, c.cv,
+                list_sum(list_transform(generate_series(1, 64),
+                  i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+              FROM scaled s CROSS JOIN ccent c WHERE s.vec_id < 5),
+       probes AS (SELECT q_id, cell,
+                    list_transform(generate_series(1, 64), i -> qv[i] - cv[i]) AS qr
+                  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY d2, cell) AS pr FROM qd)
+                  WHERE pr <= 2),
+       qsubs AS (SELECT q_id, cell, j AS subspace,
+                   list_transform(generate_series(j * 16 + 1, j * 16 + 16), i -> qr[i]) AS qsub
+                 FROM probes, unnest(range(0, 4)) AS uj(j)),
+       qadc AS (SELECT qs.q_id, qs.cell, c.subspace, c.cell AS code,
+                  list_sum(list_transform(generate_series(1, 16),
+                    i -> (qs.qsub[i] - c.cv[i]) * (qs.qsub[i] - c.cv[i]))) AS pd2
+                FROM qsubs qs JOIN cbf c USING (subspace)),
+       adc AS (SELECT p.q_id, en.vec_id, CAST(SUM(qa.pd2) AS BIGINT) AS adc_dist
+               FROM enc en
+               JOIN res r ON r.vec_id = en.vec_id
+               JOIN probes p ON p.cell = r.cell
+               JOIN qadc qa ON qa.q_id = p.q_id AND qa.cell = r.cell
+                 AND qa.subspace = en.subspace AND qa.code = en.cell
+               GROUP BY 1, 2)
+       SELECT q_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+       FROM (SELECT q_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+             FROM adc)
        WHERE rank <= 10"""
     },
     // JL projection: the identical plane literals (same PRNG, same seed)

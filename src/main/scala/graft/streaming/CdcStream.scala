@@ -76,9 +76,20 @@ object CdcStream {
     } finally batch.unpersist()
   }
 
-  /** The per-doc dedup report across all drained batches. */
+  /** The committed report schema (data columns only — the batch id
+    * lives in the dir name, like the registry).
+    */
+  private[streaming] val ReportSchema =
+    "doc_id LONG, n_chunks LONG, n_dup LONG"
+
+  /** The per-doc dedup report across all drained batches — marker-aware
+    * ([[Compaction.readLive]]): report rows are NOT duplicate-tolerant
+    * (a crash between a fold's publish and its deletes would double
+    * every absorbed row under a plain root glob), so the read excludes
+    * absorbed dirs by the blob's marker.
+    */
   def readReport(spark: SparkSession, workDir: String): DataFrame =
-    spark.read.parquet(s"$workDir/report")
+    Compaction.readLive(spark, s"$workDir/report", ReportSchema)
       .select(col("doc_id"), col("n_chunks"), col("n_dup"))
 
   /** Fold the chunk registry's per-trigger partition dirs into one blob
@@ -93,7 +104,12 @@ object CdcStream {
     * boundary (a redelivered uncommitted batch must still find its own
     * partition excluded, not absorbed).
     */
-  def compact(spark: SparkSession, workDir: String, upToBatch: Long): Unit =
+  def compact(spark: SparkSession, workDir: String, upToBatch: Long): Unit = {
     Compaction.compactDir(spark, s"$workDir/registry", "chunk_md5 STRING",
       upToBatch, Compaction.distinctFold(Seq("chunk_md5")))
+    // report rows are per (doc, batch) facts — the identity fold (a plain
+    // union) is the correct collapse; readReport's marker-aware read
+    // keeps a crashed fold from double-counting
+    Compaction.compactDir(spark, s"$workDir/report", ReportSchema, upToBatch)
+  }
 }

@@ -104,6 +104,12 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("t_c4_blocklist", "mm_exif", "dedup_near_adaptive")) {
       assertNoCartesian(plan(q), q)
     }
+    // the ANN pair carry the SANCTIONED broadcast nested-loop crosses
+    // (IVF-PQ's nlist-row centroid probe; binary's broadcast query
+    // codes) — a data-path CartesianProduct is still forbidden
+    for (q <- Seq("ann_ivfpq_topk", "ann_binary_topk")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
     graft.operators.Dedup.clearCaches()
   }
 

@@ -187,6 +187,79 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getInt(3)).toSeq == (1 to out.length).toSeq)
   }
 
+  test("ivfPqTopKFixed: exactly-representable corpus retrieves self at ADC 0; " +
+    "ranks ascend; candidates come from probed cells only") {
+    // 16 distinct vectors in two well-separated blobs, each duplicated —
+    // per subspace there are <= 16 distinct residual subvectors, the 16
+    // lowest-id seeds cover them all, and Lloyd's fixes each centroid at
+    // its members' mean (identical members → itself), so encoding is
+    // EXACT and a corpus query's ADC distance to itself is 0
+    // parity blobs so the two lowest-id coarse seeds (ids 0, 1) start
+    // one in each blob — Lloyd's separates deterministically in round 1
+    val base = (0 until 16).map { i =>
+      val blob = if (i % 2 == 0) 0.0 else 4.0
+      (i.toLong, Seq.tabulate(8)(j => blob + math.sin(i * 8 + j + 1.0) * 0.3))
+    }
+    val vecs = (base ++ base.map { case (id, v) => (id + 16L, v) })
+      .toDF("vec_id", "embedding")
+    val q = Seq((5L, base(5)._2), (12L, base(12)._2)).toDF("q_id", "q_vec")
+    val out = Similarity.ivfPqTopKFixed(q, vecs, dim = 8, k = 6,
+      nCells = 2, nprobe = 1, m = 2, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    for (qid <- Seq(5L, 12L)) {
+      val rows = out.filter(_._1 == qid).sortBy(_._4)
+      assert(rows.nonEmpty, s"query $qid returned nothing")
+      assert(rows.head._2 == qid && rows.head._3 == 0L,
+        s"exact-codebook self must score ADC 0 at rank 1: ${rows.head}")
+      // its duplicate shares the exact codes → also ADC 0, rank 2 by id
+      assert(rows(1)._2 == qid + 16L && rows(1)._3 == 0L, s"${rows(1)}")
+      val dists = rows.map(_._3)
+      assert(dists.sameElements(dists.sorted), "integer ADC ascends with rank")
+      assert(rows.map(_._4).toSeq == (1 to rows.length), "contiguous ranks")
+      // nprobe=1 on two separated blobs: only same-blob neighbors appear
+      val sameBlob = (id: Long) => id % 2 == qid % 2
+      assert(rows.forall(r => sameBlob(r._2)),
+        s"nprobe=1 must prune to the query's own cell: ${rows.toSeq}")
+    }
+    graft.operators.Dedup.clearCaches()
+  }
+
+  test("binaryTopK: hand-computed sign-bit Hamming; exact rescore reorders " +
+    "within the window; self at rank 1") {
+    val c = Seq(
+      (1L, Seq(1.0, 1.0, 1.0, 1.0)),    // the query itself: hamming 0
+      (2L, Seq(0.9, 0.9, 0.9, -0.1)),   // one sign flip: hamming 1
+      (3L, Seq(5.0, 0.1, 0.1, 0.1)),    // hamming 0 but low cosine to q
+      (4L, Seq(-1.0, -1.0, -1.0, -1.0)) // all flipped: hamming 4
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, Seq(1.0, 1.0, 1.0, 1.0))).toDF("q_id", "q_vec")
+    val out = Similarity.binaryTopK(q, c, dim = 4, k = 4, rescore = 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    assert(out.head == ((1L, 0, 1.0, 1)), s"self first: ${out.head}")
+    val byId = out.map(o => o._1 -> o._2).toMap
+    assert(byId(2L) == 1 && byId(3L) == 0 && byId(4L) == 4,
+      s"hand-computed hamming: $byId")
+    // rescore: id 3 (hamming 0, cosine ~0.52) ranks BELOW id 2
+    // (hamming 1, cosine ~0.83) — the exact pass reorders the proxy
+    val ranks = out.map(o => o._1 -> o._4).toMap
+    assert(ranks(2L) < ranks(3L), s"cosine must outrank the Hamming proxy: $ranks")
+    assert(ranks(4L) == 4, "the anti-parallel vector ranks last")
+    // a tight rescore window prunes BY hamming: rescore=1, k=2 keeps the
+    // two hamming-smallest (ids 1, 3) regardless of cosine
+    val tight = Similarity.binaryTopK(q, c, dim = 4, k = 2, rescore = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(tight == Set(1L, 3L), s"hamming prunes the rescore window: $tight")
+    intercept[IllegalArgumentException](
+      Similarity.binaryTopK(q, c, dim = 65, k = 1))
+  }
+
+  test("ivfPqTopKFixed guards: dim must split into m") {
+    val vecs = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopKFixed(vecs.toDF("q_id", "q_vec"), vecs, dim = 3, k = 1, m = 2))
+  }
+
   test("mmrRerank: a near-duplicate of the seed is demoted below a diverse hit") {
     // q aligned with x-axis; 1 and 2 are near-identical high-relevance
     // vectors, 3 is moderately relevant but orthogonal-ish to them

@@ -74,6 +74,10 @@ class CdcStreamSpec extends SparkSpec {
     assert(Compaction.readLive(spark, s"$dirW/registry", "chunk_md5 STRING")
       .select("chunk_md5").as[String].collect().toSet == live,
       "re-fold must be idempotent")
+    // the report dirs folded too (identity union): the read answers
+    // identically over the blob
+    val preFold = report(dirW)
+    assert(preFold.keySet == Set(1L, 2L, 3L), s"report survived the fold: $preFold")
     // a batch arriving AFTER the fold still dedups against the blob: a
     // verbatim copy of doc 1 reports every chunk as prior art
     CdcStream.chunkAndRegister(dirW)(Seq((9L, body)).toDF("doc_id", "text"), 2L)
