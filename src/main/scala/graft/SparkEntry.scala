@@ -246,7 +246,9 @@ object SparkEntry {
     "t_c4_blocklist", "mm_exif", "dedup_near_adaptive", "mm_exif_rotate",
     // round 15b: the IVF-PQ composite index (residual quantization) and
     // sign-bit binary quantization with exact rescore
-    "ann_ivfpq_topk", "ann_binary_topk")
+    "ann_ivfpq_topk", "ann_binary_topk",
+    // round 15c: margin-based bitext mining (the parallel-corpus miner)
+    "emb_bitext_mine")
 
   // ---- DuckDB oracle twins ----
 

@@ -248,22 +248,24 @@ object Dedup {
     * [[graft.util.Caches]] session protocol): the signature pipeline AND
     * the verify's shingle sets both consume reps.
     *
-    * SPARSE COLLAPSE + COUNT-FIRST SHORT-CIRCUIT (VERDICT r14 #1): one
-    * digest aggregation over (sha2, id) — bodies never shuffle — finds
-    * the digests with 2+ members. None → `(docs, None)`: representative
-    * grain IS document grain, nothing else runs. Some → the dup ids
-    * join back (AQE broadcasts the usually-tiny dup-digest set), a
-    * window over JUST those rows picks canonical ids, and reps is the
-    * input minus the non-canonical copies — one anti-join against the
-    * drop list instead of r14's full groupBy(digest) body shuffle +
-    * corpus-wide member window (the dedup_near_valid 2× breach: on a
-    * 99.8%-distinct corpus that machinery was all identity work). On a
-    * copy-heavy crawl the dup slice is large, the joins degrade to
-    * hash-partitioned (id, digest) shuffles — still no body shuffle —
-    * and the quadratic bucket protection is unchanged. The probe is an
-    * EAGER job at plan-construction time — the same runtime-statistics
-    * stance as AQE, traded consciously: the branch it picks cannot be
-    * expressed as one static plan. Grouping hashes with sha2-256, not
+    * SPARSE LAZY COLLAPSE (VERDICT r14 #1): one digest aggregation over
+    * (sha2, id) — bodies never shuffle — finds the digests with 2+
+    * members; the dup ids join back (AQE broadcasts the usually-tiny
+    * dup-digest set), a window over JUST those rows picks canonical
+    * ids, and reps is the input minus the non-canonical copies — one
+    * anti-join against the drop list instead of r14's full
+    * groupBy(digest) body shuffle + corpus-wide member window (the
+    * dedup_near_valid 2× breach: on a 99.8%-distinct corpus that
+    * machinery was all identity work). On a dup-FREE corpus every stage
+    * of the chain is empty past the digest aggregation, so the whole
+    * collapse degenerates to one cheap scan inside the main DAG — no
+    * eager probe job, no driver-side branch (an earlier cut of this fix
+    * probed count-first and branched; the sparse form made the branch
+    * pointless, and staying lazy both saves the probe job and keeps the
+    * operator composable as a plain plan). On a copy-heavy crawl the
+    * dup slice is large, the joins degrade to hash-partitioned
+    * (id, digest) shuffles — still no body shuffle — and the quadratic
+    * bucket protection is unchanged. Grouping hashes with sha2-256, not
     * xxhash64: at 100 TB corpus scale a 64-bit birthday collision is a
     * real (if small) probability, and a collision here would MERGE two
     * distinct texts.
@@ -277,11 +279,18 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1L)
       .select(col("__dig"))
-    if (dupDigs.isEmpty) return (docs, None)
-    val members = dug.join(dupDigs, Seq("__dig"))
+    val members0 = dug.join(dupDigs, Seq("__dig"))
       .withColumn("__rep",
         min(col(idCol)).over(Window.partitionBy(col("__dig"))))
       .select(col("__rep"), col(idCol))
+    // members is tiny (the dup slice) but referenced by four subtrees
+    // (both expansion sides, the within self-join, and the drop list) —
+    // persist so the digest aggregation runs once, not per reference
+    val members =
+      if (cache)
+        graft.util.Caches.retain(
+          members0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else members0
     val drop = members.filter(col(idCol) =!= col("__rep")).select(col(idCol))
     val reps0 = docs.join(drop, Seq(idCol), "left_anti")
     val reps =

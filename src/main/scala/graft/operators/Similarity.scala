@@ -120,6 +120,62 @@ object Similarity {
     twoStageTopK(scored, k, qId, cId)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix parallel-corpus miner behind the public translation
+    * training sets): a candidate pair (x, y) scores
+    * `margin = cos(x,y) / ((avgTopK(x→tgt) + avgTopK(y→src)) / 2)` —
+    * absolute cosine is NOT comparable across embedding neighborhoods
+    * (hubness), so the score normalizes by each side's top-k
+    * neighborhood density; a pair survives iff it is the MUTUAL
+    * margin-argmax of both its members and clears `threshold`.
+    *
+    * Deterministic end to end: the two top-k legs are
+    * [[bruteForceTopK]] (round-6 sims), neighborhood averages sum the
+    * ROUNDED sims through an exact decimal accumulator (the suite rule:
+    * never sum raw doubles under an oracle), and margins round to 6
+    * before the argmax windows (ties to the lower id) — so the mined
+    * set replays verbatim in SQL. Scale shape: both legs are the
+    * broadcast-query brute-force pass (fine for the query-sized side;
+    * for two web-scale sides feed ANN candidates — [[ivfTopK]] /
+    * [[binaryTopK]] — through the same margin + mutual filter), the
+    * margin join touches top-k candidate pairs only, and the argmax
+    * windows partition on ids.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                 threshold: Double = 1.0,
+                 sId: String = "src_id", sVec: String = "src_vec",
+                 tId: String = "tgt_id", tVec: String = "tgt_vec"): DataFrame = {
+    require(k >= 1, s"neighborhood size must be positive, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(16, 6)
+    val fwd = bruteForceTopK(src, tgt, k, qId = sId, qVec = sVec,
+      cId = tId, cVec = tVec)
+    val bwd = bruteForceTopK(tgt, src, k, qId = tId, qVec = tVec,
+      cId = sId, cVec = sVec)
+    def nbAvg(leg: DataFrame, id: String, out: String): DataFrame =
+      leg.groupBy(col(id))
+        .agg((sum(col("sim").cast(dec)).cast("double") / count(lit(1))).as(out))
+    val cands = fwd.select(col(sId), col(tId))
+      .unionByName(bwd.select(col(sId), col(tId)))
+      .distinct()
+    val scored = cands
+      .join(src.select(col(sId), col(sVec)), Seq(sId))
+      .join(tgt.select(col(tId), col(tVec)), Seq(tId))
+      .select(col(sId), col(tId),
+        round(cosine(col(sVec), col(tVec)), 6).as("sim"))
+      .join(nbAvg(fwd, sId, "__af"), Seq(sId))
+      .join(nbAvg(bwd, tId, "__ab"), Seq(tId))
+      .select(col(sId), col(tId), col("sim"),
+        round(col("sim") / ((col("__af") + col("__ab")) / 2.0), 6).as("margin"))
+    val sW = Window.partitionBy(col(sId)).orderBy(col("margin").desc, col(tId))
+    val tW = Window.partitionBy(col(tId)).orderBy(col("margin").desc, col(sId))
+    scored
+      .withColumn("__rs", row_number().over(sW))
+      .withColumn("__rt", row_number().over(tW))
+      .filter(col("__rs") === 1 && col("__rt") === 1 &&
+        col("margin") >= threshold)
+      .select(col(sId), col(tId), col("sim"), col("margin"))
+  }
+
   /** Binary (sign-bit) embedding quantization with exact rescore — the
     * modern vector-store first pass (e.g. the "binary quantization" tier
     * production vector DBs ship): each vector compresses to ONE long of

@@ -168,6 +168,20 @@ private[graft] object AnnQueries {
         e.select(col("vec_id"), col("emb_d")),
         dim = 64, k = 10, cVec = "emb_d")
     }),
+    // Margin-based bitext mining (the LASER/CCMatrix parallel-corpus
+    // miner): src = vec_id < 40, tgt = exact twins of vec_id < 20 (the
+    // planted parallel pairs) + 40 decoys. Margins, neighborhood
+    // averages, and the mutual argmax all replay verbatim; every planted
+    // pair must be mined (its cosine-1 twin maximizes both argmaxes).
+    "emb_bitext_mine" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val src = e.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("src_id"), col("emb_d").as("src_vec"))
+      val tgt = e.filter(col("vec_id") < 20)
+        .unionByName(e.filter(col("vec_id") >= 40 && col("vec_id") < 80))
+        .select((col("vec_id") + 1000L).as("tgt_id"), col("emb_d").as("tgt_vec"))
+      Similarity.bitextMine(src, tgt, k = 4, threshold = 1.2)
+    }),
     // Binary (sign-bit) quantization + Hamming scan + exact rescore (the
     // vector-store "binary quantization" tier): codes are one long per
     // vector, the scan is XOR+popcount, only rescore·k survivors pay a
@@ -563,6 +577,42 @@ private[graft] object AnnQueries {
                  ORDER BY adc_dist, vec_id) AS rank FROM adc)
        WHERE rank <= 10"""
     },
+    // the full miner replayed: raw-cosine top-4 legs, decimal-exact
+    // neighborhood averages over the rounded sims, margin ratio, mutual
+    // argmax with id tie-breaks, threshold
+    "emb_bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       s AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id < 40),
+       t AS (SELECT vec_id + 1000 AS tgt_id, v FROM e WHERE vec_id < 20
+             UNION ALL
+             SELECT vec_id + 1000 AS tgt_id, v FROM e WHERE vec_id >= 40 AND vec_id < 80),
+       cs AS (SELECT s.src_id, t.tgt_id, ${sqlCosine("s.v", "t.v")} AS c
+              FROM s CROSS JOIN t),
+       f AS (SELECT src_id, tgt_id, round(c, 6) AS sim FROM (
+               SELECT src_id, tgt_id, c, row_number() OVER (
+                 PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rn FROM cs)
+             WHERE rn <= 4),
+       b AS (SELECT src_id, tgt_id, round(c, 6) AS sim FROM (
+               SELECT src_id, tgt_id, c, row_number() OVER (
+                 PARTITION BY tgt_id ORDER BY c DESC, src_id) AS rn FROM cs)
+             WHERE rn <= 4),
+       af AS (SELECT src_id, CAST(SUM(CAST(sim AS DECIMAL(16,6))) AS DOUBLE)
+                / COUNT(*) AS av FROM f GROUP BY 1),
+       ab AS (SELECT tgt_id, CAST(SUM(CAST(sim AS DECIMAL(16,6))) AS DOUBLE)
+                / COUNT(*) AS av FROM b GROUP BY 1),
+       cand AS (SELECT src_id, tgt_id FROM f UNION SELECT src_id, tgt_id FROM b),
+       m AS (SELECT c.src_id, c.tgt_id, round(cs.c, 6) AS sim,
+               round(round(cs.c, 6) / ((af.av + ab.av) / 2.0), 6) AS margin
+             FROM cand c
+             JOIN cs ON cs.src_id = c.src_id AND cs.tgt_id = c.tgt_id
+             JOIN af ON af.src_id = c.src_id
+             JOIN ab ON ab.tgt_id = c.tgt_id),
+       r AS (SELECT *,
+               row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rs,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rt
+             FROM m)
+       SELECT src_id, tgt_id, sim, margin FROM r
+       WHERE rs = 1 AND rt = 1 AND margin >= 1.2""",
     // sign-bit Hamming needs no packed form in SQL: the distance is the
     // count of dimensions whose signs differ (provably bit_count(xor) of
     // the packed codes); the rescore replays the exact cosine

@@ -57,24 +57,28 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
-  test("exactGroups count-first short-circuit: clean corpus skips the collapse, " +
-    "dup corpus collapses, pair results identical either way (VERDICT r14 #1)") {
-    // corpus has an exact dup (1,2) → the probe must take the collapse path
-    assert(Dedup.exactGroups(corpus, "doc_id", "text", cache = false)._2.isDefined,
-      "a corpus WITH exact dups must return a member map")
-    // no exact dups → short-circuit: (docs, None), zero collapse machinery
+  test("exactGroups sparse lazy collapse: member map covers dup groups only, " +
+    "clean corpus degenerates to identity, pair results unchanged (VERDICT r14 #1)") {
+    // corpus has ONE exact dup pair (1,2): the member map holds exactly
+    // that group — singletons stay implicit
+    val (reps, mem) = Dedup.exactGroups(corpus, "doc_id", "text", cache = false)
+    val m = mem.get.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((1L, 1L), (1L, 2L)), s"sparse member map: $m")
+    assert(reps.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L, 5L), "reps drop only the non-canonical copy")
+    // a dup-free corpus: empty member map, reps = input rows
     val clean = corpus.filter(col("doc_id") =!= 2L)
-    val (reps, members) = Dedup.exactGroups(clean, "doc_id", "text", cache = false)
-    assert(members.isEmpty, "a dup-free corpus must short-circuit to None")
-    assert(reps eq clean, "the short-circuit must return the input frame untouched")
-    // and the short-circuited pipeline answers exactly like a forced collapse
-    // pass would: representative grain IS document grain on a clean corpus
-    val viaShort = Dedup.nearDuplicates(clean, "doc_id", "text", threshold = 0.5)
+    val (reps2, mem2) = Dedup.exactGroups(clean, "doc_id", "text", cache = false)
+    assert(mem2.get.isEmpty, "a dup-free corpus has an empty member map")
+    assert(reps2.count() == clean.count())
+    // and the collapsed pipeline answers exactly like the uncollapsed one
+    // on a clean corpus: representative grain IS document grain
+    val viaSparse = Dedup.nearDuplicates(clean, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val viaNone = Dedup.nearDuplicates(clean, "doc_id", "text", threshold = 0.5,
       collapseExact = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(viaShort == viaNone)
+    assert(viaSparse == viaNone)
     Dedup.clearCaches()
   }
 

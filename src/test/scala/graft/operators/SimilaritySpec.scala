@@ -224,6 +224,30 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.Dedup.clearCaches()
   }
 
+  test("bitextMine: planted parallel pairs are mutual margin-argmaxes; a hub " +
+    "between two sources is normalized away; orphans fall below threshold") {
+    val src = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)) // no parallel counterpart anywhere
+    ).toDF("src_id", "src_vec")
+    val tgt = Seq(
+      (101L, Seq(1.0, 0.0, 0.0)), // copy of 1
+      (102L, Seq(0.0, 1.0, 0.0)), // copy of 2
+      (109L, Seq(0.7, 0.7, 0.0))  // a hub equally close to 1 AND 2
+    ).toDF("tgt_id", "tgt_vec")
+    val out = Similarity.bitextMine(src, tgt, k = 2, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // the two true pairs survive; the hub pairs with nobody (its margin
+    // argmax src prefers its own exact twin), src 3 scores margin 0
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 101L), (2L, 102L)),
+      s"mined: ${out.toSeq}")
+    assert(out.forall(p => p._3 == 1.0 && p._4 > 1.4),
+      s"exact pairs mine at cosine 1 with a strong margin: ${out.toSeq}")
+    intercept[IllegalArgumentException](
+      Similarity.bitextMine(src, tgt, k = 0))
+  }
+
   test("binaryTopK: hand-computed sign-bit Hamming; exact rescore reorders " +
     "within the window; self at rank 1") {
     val c = Seq(
