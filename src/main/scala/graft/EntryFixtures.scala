@@ -450,8 +450,15 @@ private[graft] object EntryFixtures {
     * Robust to an empty pair set (vacuous truth) — the recall twins are
     * what pin non-emptiness.
     */
-  private[graft] def pairsValid(pairs: DataFrame, scoreCol: String, lo: Double,
+  private[graft] def pairsValid(pairs0: DataFrame, scoreCol: String, lo: Double,
                          hi: Double, corpusIds: DataFrame): DataFrame = {
+    // two legs (the flag aggregation and the stray-id anti-join) consume
+    // the pair frame — un-persisted, the ENTIRE upstream near-dup DAG
+    // (signatures, banding, candidate join, verify, expansion) executes
+    // twice (measured ~1s of the dedup_near_valid bench time, r15).
+    // Pairs are output-bounded and tiny; session-lived via Caches.
+    val pairs = graft.util.Caches.retain(
+      pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val flags = pairs.agg(
       coalesce(min(when(col("id_a") < col("id_b"), 1).otherwise(0)) === 1,
         lit(true)).as("pairs_ordered"),
