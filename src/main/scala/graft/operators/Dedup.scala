@@ -296,14 +296,22 @@ object Dedup {
     // the driver. The collect is an eager plan-time action — the
     // AQE-stance runtime-statistics trade, as before.
     val drop = members.filter(col(idCol) =!= col("__rep")).select(col(idCol))
-    val dropIds = drop.limit(1000001).collect().map(_.get(0))
+    // the InSet literal list rides inside EVERY consumer stage's task
+    // binary — beyond a few thousand ids the plan itself becomes the
+    // cost (measured: ~90k ids → 10 MiB task broadcasts per stage and a
+    // 10× slowdown on the bench's sf1 leg), so the filter form is gated
+    // to genuinely small drop lists and everything else anti-joins
+    val dropIds = drop.limit(InSetDropCap + 1).collect().map(_.get(0))
     val reps =
       if (dropIds.isEmpty) docs
-      else if (dropIds.length <= 1000000)
+      else if (dropIds.length <= InSetDropCap)
         docs.filter(!col(idCol).isInCollection(dropIds.toSeq))
       else docs.join(drop, Seq(idCol), "left_anti")
     (reps, Some(members))
   }
+
+  /** Max collected drop-list size for [[exactGroups]]' scan-filter form. */
+  private val InSetDropCap = 4096
 
   /** Expand representative-grain pairs back to member grain: a rep pair
     * (ra, rb, score) yields every cross-group member pair (identical
