@@ -156,12 +156,17 @@ object Bench {
   }
 
   /** The breach re-adjudication protocol (VERDICT r06 #2a, codifying the
-    * judge's manual r6 procedure): each apparent regression gets ONE
-    * re-run via `rerun` (which in main waits for the load guard first);
-    * the better of first-pass and re-run stands, and only queries that
-    * STILL breach after requalification fail the gate. Factored out of
-    * main so the spec can inject a load blip (re-run fast) next to a real
-    * regression (re-run still slow) and pin both outcomes.
+    * judge's manual r6 procedure; best-of-THREE since r16 — VERDICT r15
+    * #1b: the r15 driver record carried 8 flags of which 7 were load
+    * artifacts at 1.07–1.68× of their quiet-run floors, all surviving the
+    * single rerun, so one rerun demonstrably doesn't settle a loaded box —
+    * the same evidence that hardened [[adjudicateSf1]] in r15): each
+    * apparent regression re-runs once via `rerun` (which in main waits for
+    * the load guard first); a query that STAYS breached gets exactly one
+    * more settled re-run. The best of all observed times stands, and only
+    * queries breached on their best-of-three fail the gate. Factored out
+    * of main so the spec can inject a load blip (re-run fast) next to a
+    * real regression (re-run still slow) and pin both outcomes.
     */
   private[graft] def adjudicate(baseline: Map[String, Double],
                                 first: Map[String, Double],
@@ -170,8 +175,10 @@ object Bench {
                                 floorSec: Double = 0.2)
       : (Map[String, Double], Seq[(String, Double, Double)]) = {
     var now = first
-    regressions(baseline, now, tol, floorSec).foreach { case (name, _, firstT) =>
-      rerun(name).foreach(again => now = now.updated(name, math.min(firstT, again)))
+    for (_ <- 1 to 2) {
+      regressions(baseline, now, tol, floorSec).foreach { case (name, _, bestT) =>
+        rerun(name).foreach(again => now = now.updated(name, math.min(bestT, again)))
+      }
     }
     (now, regressions(baseline, now, tol, floorSec))
   }
@@ -349,7 +356,7 @@ object Bench {
     // ---- per-query regression gate (VERDICT r05 #6, r06 #2): baseline is
     // the per-query MIN across ALL committed BENCH_r*.json (a single
     // load-corrupted round must not set the yardstick); a breach
-    // re-adjudicates once after a fresh load-guard wait, and only a query
+    // re-adjudicates best-of-three after a fresh load-guard wait, and only a query
     // that stays >2× the all-rounds MIN fails the run, loudly, with the
     // breaches recorded in the JSON line.
     val firstTimes = results.collect { case (n, Right(v)) => n -> v }.toMap

@@ -17,9 +17,15 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // BENCH_PROTOCOL=1 mirrors Bench's timed-run hygiene: clear only the
+    // catalog cache between runs (session memos — collapse, centroids,
+    // fixtures — survive, as they do across Bench's timed runs); default
+    // clears graft.util.Caches too for a fully-cold per-run floor.
+    val benchProto = sys.env.get("SPARK_GRAFT_QTIME_BENCH").contains("1")
     names.foreach { n =>
       (1 to 2).foreach { i =>
-        spark.catalog.clearCache(); graft.util.Caches.clear()
+        spark.catalog.clearCache()
+        if (!benchProto) graft.util.Caches.clear()
         val t0 = System.nanoTime()
         val c = SparkEntry.queries(n)(spark, sfDir).count()
         println(f"[qtime] $n run$i ${(System.nanoTime() - t0) / 1e9}%8.3f s rows=$c")

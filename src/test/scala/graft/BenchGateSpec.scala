@@ -113,8 +113,11 @@ class BenchGateSpec extends AnyFunSuite {
       reran += name
       if (name == "blip") Some(0.9) else Some(2.7)
     })
-    assert(reran.toSet == Set("blip", "real"), "only breached queries re-run")
-    assert(now("blip") == 0.9, "the better of first-pass and re-run stands")
+    assert(reran.toList == List("blip", "real", "real"),
+      "every breach re-runs once; one that STAYS breached gets a second " +
+        "settled re-run (r15: seven false flags survived the single-rerun " +
+        "base gate on a loaded driver box) — a settled one doesn't")
+    assert(now("blip") == 0.9, "the best of first-pass and re-runs stands")
     assert(now("real") == 2.6)
     assert(now("fine") == 1.1, "non-breached queries untouched")
     assert(regs == Seq(("real", 1.0, 2.6)),
