@@ -248,7 +248,10 @@ object SparkEntry {
     // sign-bit binary quantization with exact rescore
     "ann_ivfpq_topk", "ann_binary_topk",
     // round 15c: margin-based bitext mining (the parallel-corpus miner)
-    "emb_bitext_mine")
+    "emb_bitext_mine",
+    // round 16: the crash-tolerant EXIF pass (per-record malformed flag
+    // over a corpus with planted corrupt + fill-byte-padded records)
+    "mm_exif_tolerant")
 
   // ---- DuckDB oracle twins ----
 

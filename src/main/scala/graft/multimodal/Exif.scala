@@ -56,6 +56,11 @@ object Exif {
       require(pos + 2 <= bytes.length, "truncated JPEG: no SOS/EOI")
       require((bytes(pos) & 0xFF) == 0xFF,
         f"expected marker at $pos, got 0x${bytes(pos) & 0xFF}%02X")
+      // T.81 §B.1.1.2: a marker may be preceded by any number of 0xFF
+      // fill bytes — real encoders pad with them, so the walk skips to
+      // the LAST 0xFF before the marker code (ADVICE r15: rejecting
+      // legal fill bytes aborted whole-corpus passes)
+      while (pos + 2 < bytes.length && (bytes(pos + 1) & 0xFF) == 0xFF) pos += 1
       val marker = bytes(pos + 1) & 0xFF
       pos += 2
       marker match {
@@ -230,5 +235,30 @@ object Exif {
         info.width.toLong, info.height.toLong, info.dimsMismatch)
     }).toDF("media_id", "has_exif", "orientation", "exif_width",
       "exif_height", "width", "height", "dims_mismatch")
+  }
+
+  /** [[exifMeta]] for real-world crawls (ADVICE r15): a single malformed
+    * record — truncation, a stray RSTn, a nonstandard tag layout — must
+    * not abort a 100 TB metadata pass, so each record's parse failure
+    * becomes `malformed = true` with zeroed fields instead of a task
+    * failure. The strict thrower above stays the oracle-fixture surface
+    * (and is what the mm_exif oracle replays); this is the front-door
+    * production variant, same pure-map no-shuffle shape plus the flag
+    * column.
+    */
+  def exifMetaTolerant(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { rec =>
+      try {
+        val info = parse(rec.content)
+        (rec.media_id, info.hasExif, info.orientation.toLong,
+          info.exifWidth, info.exifHeight,
+          info.width.toLong, info.height.toLong, info.dimsMismatch, false)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          (rec.media_id, false, 0L, 0L, 0L, 0L, 0L, false, true)
+      }
+    }).toDF("media_id", "has_exif", "orientation", "exif_width",
+      "exif_height", "width", "height", "dims_mismatch", "malformed")
   }
 }

@@ -123,12 +123,23 @@ object Graph {
       if (nRemoved == 0L) done = true
       else {
         // frontier size is known driver-side: broadcast the removed set
-        // when it is driver-safe (ids only, ≤ ~32 MB at 4M longs) so the
+        // when it fits the SESSION's broadcast budget (ADVICE r15 — a
+        // hard 4M-id cap ignored autoBroadcastJoinThreshold and could
+        // OOM memory-constrained executors: the hashed relation built
+        // from the id payload runs ~4× the raw bytes, hence the 32 B/id
+        // estimate against the configured threshold) so the
         // incident-edge semi-join never shuffles the edge list; a
-        // mass-extinction first round on a sparse graph falls back to a
-        // shuffled semi-join rather than OOMing the driver
+        // mass-extinction first round on a sparse graph — or a session
+        // that disabled broadcasting (threshold −1) — falls back to a
+        // shuffled semi-join rather than OOMing driver or executors.
+        // The 4M-id ceiling stays as the driver-safety bound even under
+        // a huge configured threshold.
+        val bcBudget = org.apache.spark.sql.GraftBridge
+          .autoBroadcastJoinThreshold(edges.sparkSession)
         val remSide =
-          if (nRemoved <= 4000000L) broadcast(removed) else removed
+          if (bcBudget > 0 && nRemoved <= math.min(bcBudget / 32L, 4000000L))
+            broadcast(removed)
+          else removed
         val lost = und
           .join(remSide.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .groupBy(col("src").as("node")).agg(count(lit(1)).as("__lost"))

@@ -36,6 +36,30 @@ private[graft] object MultimodalQueries {
     c
   }
 
+  /** The mm_exif planted fixture: a decodable JPEG with an APP1/TIFF IFD
+    * spliced after SOI per the modulo schedule (both byte orders, every
+    * 5th declaring a wrong width, every 7th with no EXIF). Shared with
+    * the tolerant twin so the two corpora cannot drift.
+    */
+  private def exifFixture(id: Long): graft.multimodal.MediaRecord = {
+    val q8 = Array.fill(64)(8)
+    val qc = Array.fill(64)(8); qc(0) = 16
+    val w = (12 + 4 * (id % 5)).toInt
+    val h = (12 + 4 * ((id * 3) % 4)).toInt
+    val base = graft.multimodal.Jpeg.encodeFromCoefficients(w, h,
+      chroma420 = id % 2 == 0, q8, qc, restartInterval = 0,
+      jpegFixtureCoef(id))
+    val content =
+      if (id % 7 == 0) base
+      else graft.multimodal.Exif.spliceApp1(base,
+        graft.multimodal.Exif.encodeApp1(
+          littleEndian = id % 2 == 0,
+          orientation = (id % 8 + 1).toInt,
+          pixelX = if (id % 5 == 0) w + 1L else w.toLong,
+          pixelY = h.toLong))
+    graft.multimodal.MediaRecord(id, "image/jpeg", content)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -514,25 +538,27 @@ private[graft] object MultimodalQueries {
     // oracle replays the plant schedule.
     "mm_exif" -> ((s, dir) => {
       import s.implicits._
+      graft.multimodal.Exif.exifMeta(s.range(256).map(id => exifFixture(id)))
+    }),
+    // The TOLERANT twin (ADVICE r15): the same planted corpus with every
+    // 11th-mod-3 record truncated mid-header (a real crawl's corrupt
+    // bytes) and every 11th-mod-5 record carrying a T.81 fill byte
+    // before its first marker (legal padding real encoders emit). The
+    // pass must complete, flag exactly the truncated records malformed
+    // with zeroed fields, and parse the fill-padded ones identically —
+    // all replayed by the closed-form plant schedule.
+    "mm_exif_tolerant" -> ((s, dir) => {
+      import s.implicits._
       val media = s.range(256).map { id =>
-        val q8 = Array.fill(64)(8)
-        val qc = Array.fill(64)(8); qc(0) = 16
-        val w = (12 + 4 * (id % 5)).toInt
-        val h = (12 + 4 * ((id * 3) % 4)).toInt
-        val base = graft.multimodal.Jpeg.encodeFromCoefficients(w, h,
-          chroma420 = id % 2 == 0, q8, qc, restartInterval = 0,
-          jpegFixtureCoef(id))
-        val content =
-          if (id % 7 == 0) base
-          else graft.multimodal.Exif.spliceApp1(base,
-            graft.multimodal.Exif.encodeApp1(
-              littleEndian = id % 2 == 0,
-              orientation = (id % 8 + 1).toInt,
-              pixelX = if (id % 5 == 0) w + 1L else w.toLong,
-              pixelY = h.toLong))
-        graft.multimodal.MediaRecord(id, "image/jpeg", content)
+        val rec = exifFixture(id)
+        if (id % 11 == 3)
+          graft.multimodal.MediaRecord(id, "image/jpeg", rec.content.take(8))
+        else if (id % 11 == 5)
+          graft.multimodal.MediaRecord(id, "image/jpeg",
+            rec.content.take(2) ++ Array(0xFF.toByte) ++ rec.content.drop(2))
+        else rec
       }
-      graft.multimodal.Exif.exifMeta(media)
+      graft.multimodal.Exif.exifMetaTolerant(media)
     }),
     // The PROGRESSIVE twin (VERDICT r13 #4): the SAME planted coefficient
     // field encoded as SOF2 — interleaved DC first pass + refinement,
@@ -1196,6 +1222,26 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
            CAST(12 + 4 * (id % 5) AS BIGINT) AS width,
            CAST(12 + 4 * ((id * 3) % 4) AS BIGINT) AS height,
            (id % 7 != 0 AND id % 5 = 0) AS dims_mismatch
+         FROM range(256) t(id)""",
+    // the tolerant twin: truncated records (id % 11 = 3) flag malformed
+    // with zeroed fields, fill-byte-padded ones (id % 11 = 5) parse
+    // exactly like their clean originals
+    "mm_exif_tolerant" ->
+      """SELECT id AS media_id,
+           (id % 11 != 3 AND id % 7 != 0) AS has_exif,
+           CAST(CASE WHEN id % 11 = 3 OR id % 7 = 0 THEN 0
+                     ELSE id % 8 + 1 END AS BIGINT) AS orientation,
+           CAST(CASE WHEN id % 11 = 3 OR id % 7 = 0 THEN 0
+                     WHEN id % 5 = 0 THEN 12 + 4 * (id % 5) + 1
+                     ELSE 12 + 4 * (id % 5) END AS BIGINT) AS exif_width,
+           CAST(CASE WHEN id % 11 = 3 OR id % 7 = 0 THEN 0
+                     ELSE 12 + 4 * ((id * 3) % 4) END AS BIGINT) AS exif_height,
+           CAST(CASE WHEN id % 11 = 3 THEN 0
+                     ELSE 12 + 4 * (id % 5) END AS BIGINT) AS width,
+           CAST(CASE WHEN id % 11 = 3 THEN 0
+                     ELSE 12 + 4 * ((id * 3) % 4) END AS BIGINT) AS height,
+           (id % 11 != 3 AND id % 7 != 0 AND id % 5 = 0) AS dims_mismatch,
+           (id % 11 = 3) AS malformed
          FROM range(256) t(id)""",
     // progressive decode of the identical coefficients → the identical
     // analytic pixels (successive approximation is lossless at Al=0)

@@ -24,6 +24,17 @@ object GraftBridge {
                           dir: Option[String]): Unit =
     sc.checkpointDir = dir
 
+  /** The session's auto-broadcast budget in bytes (−1 = broadcast
+    * disabled), read through the typed `private[sql]` conf accessor so
+    * callers don't re-parse the public string form's size units.
+    * Operators that force `broadcast()` on a runtime-sized frame (kCore's
+    * removal frontier) size their cutoff from THIS, not a constant, so a
+    * memory-constrained deployment's threshold is honored (ADVICE r15).
+    */
+  def autoBroadcastJoinThreshold(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf
+      .autoBroadcastJoinThreshold
+
   /** Convert a Column composition into a REAL catalyst expression tree
     * (UnresolvedFunction nodes and all), not the opaque lazy
     * ColumnNodeExpression leaf `expression` yields. Required when the

@@ -364,6 +364,18 @@ class JpegSpec extends AnyFunSuite {
     assert(info.dimsMismatch)
   }
 
+  test("EXIF: T.81 fill bytes before markers parse identically (ADVICE r15)") {
+    val clean = Exif.spliceApp1(plainJpeg(),
+      Exif.encodeApp1(littleEndian = true, orientation = 5, 16L, 16L))
+    // one fill byte after SOI, two more before the next marker down-stream
+    val filled = (clean.take(2) :+ 0xFF.toByte) ++ clean.drop(2)
+    assert(Exif.parse(filled) == Exif.parse(clean),
+      "a legal fill byte must not change the parse")
+    val doubleFilled = (clean.take(2) ++ Array(0xFF.toByte, 0xFF.toByte)) ++
+      clean.drop(2)
+    assert(Exif.parse(doubleFilled) == Exif.parse(clean))
+  }
+
   test("EXIF interop: ImageIO decodes our APP1-bearing JPEG; malformed TIFF rejects") {
     val bytes = Exif.spliceApp1(plainJpeg(24, 16),
       Exif.encodeApp1(littleEndian = false, 3, 24L, 16L))

@@ -298,4 +298,34 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("exifMetaTolerant: malformed records flag instead of aborting the " +
+    "pass; clean records answer exactly like the strict walk (ADVICE r15)") {
+    val q8 = Array.fill(64)(8)
+    val good = Jpeg.encodeFromCoefficients(16, 16, chroma420 = false, q8, q8,
+      restartInterval = 0, (_, _, _) => new Array[Int](64))
+    val withExif = Exif.spliceApp1(good,
+      Exif.encodeApp1(littleEndian = false, orientation = 6, 16L, 16L))
+    val corpus = Seq(
+      MediaRecord(1L, "image/jpeg", withExif),
+      MediaRecord(2L, "image/jpeg", withExif.take(8)),       // truncated
+      MediaRecord(3L, "image/jpeg", Array[Byte](1, 2, 3)),   // not a JPEG
+      MediaRecord(4L, "image/jpeg", good)                    // clean, no EXIF
+    ).toDS()
+    // the strict pass aborts on the corrupt records…
+    intercept[org.apache.spark.SparkException] {
+      Exif.exifMeta(corpus).collect()
+    }
+    // …the tolerant pass completes and flags exactly them
+    val out = Exif.exifMetaTolerant(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getBoolean(8) && out(3L).getBoolean(8), "malformed flagged")
+    assert(out(2L).getLong(2) == 0L && !out(2L).getBoolean(1),
+      "malformed rows carry zeroed fields")
+    assert(!out(1L).getBoolean(8) && out(1L).getBoolean(1) &&
+      out(1L).getLong(2) == 6L && !out(1L).getBoolean(7),
+      "clean EXIF record parses exactly")
+    assert(!out(4L).getBoolean(8) && !out(4L).getBoolean(1) &&
+      out(4L).getLong(5) == 16L, "clean bare record parses exactly")
+  }
 }
