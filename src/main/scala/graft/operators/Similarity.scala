@@ -1064,8 +1064,22 @@ object Similarity {
                      scale: Long = 1L << 20,
                      qId: String = "q_id", qVec: String = "q_vec",
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     require(nprobe >= 1 && nCells >= nprobe, s"bad nprobe=$nprobe/nCells=$nCells")
+    val (cells, cc, cbf, codes) =
+      ivfPqIndex(corpus, dim, nCells, m, ksub, itersIvf, itersPq, scale, cId, cVec)
+    ivfPqScore(queries, codes, cells, cc, cbf, dim, k, nprobe, m,
+      scale, qId, qVec, cId)
+  }
+
+  /** The train/encode half of [[ivfPqTopKFixed]]: coarse cells, final
+    * coarse centroids, residual PQ codebook, and the encoded corpus —
+    * the four artifacts a serving tier stores.
+    */
+  private def ivfPqIndex(corpus: DataFrame, dim: Int, nCells: Int, m: Int,
+                         ksub: Int, itersIvf: Int, itersPq: Int, scale: Long,
+                         cId: String, cVec: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val cells = kmeansCellsFixed(corpus, nCells, itersIvf, scale, cId, cVec)
     val scaled = corpus.select(col(cId),
         transform(col(cVec), x => floor(x * scale).cast("long")).as("__sv"))
@@ -1134,8 +1148,56 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("sc"))
       .select(col("__id").as(cId),
         transform(col("sc"), s => s.getField("code")).as("codes"))
-    ivfPqScore(queries, codes, cells, cc, cbf, dim, k, nprobe, m,
-      scale, qId, qVec, cId)
+    (cells, cc, cbf, codes)
+  }
+
+  /** Train the IVF-PQ index ONCE and commit its four artifacts — cell
+    * assignments, coarse centroids, residual PQ codebook, PQ codes — to
+    * a [[graft.state.SnapshotStore]] root (VERDICT r15 #3, the
+    * st_quality_score batch-artifact stance): a real deployment trains
+    * per corpus refresh and serves MANY query batches from the stored
+    * index, instead of paying the two Lloyd's loops inside every query.
+    * The multi-table commit is atomic (one pointer rename), so a serving
+    * tier never observes a half-written index; re-commits under a higher
+    * `batchId` version the index and [[ivfPqServe]]'s `versionAsOf` can
+    * pin retained history.
+    */
+  def ivfPqCommit(corpus: DataFrame, root: String, dim: Int,
+                  nCells: Int = 8, m: Int = 4, ksub: Int = 16,
+                  itersIvf: Int = 2, itersPq: Int = 2,
+                  scale: Long = 1L << 20,
+                  cId: String = "vec_id", cVec: String = "embedding",
+                  batchId: Long = 0L): Unit = {
+    val (cells, cc, cbf, codes) =
+      ivfPqIndex(corpus, dim, nCells, m, ksub, itersIvf, itersPq, scale, cId, cVec)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    graft.state.SnapshotStore.commit(fs, rootPath, batchId, Map(
+      "cells" -> cells, "centroids" -> cc,
+      "codebook" -> cbf, "codes" -> codes))
+  }
+
+  /** Serve top-k from a STORED IVF-PQ index (the other half of
+    * [[ivfPqCommit]]): snapshot-isolated reads of the committed
+    * artifacts feed ONLY the query-side DAG — integer probe,
+    * per-(query, probed-cell) residual ADC tables, pruned candidate
+    * scoring. Plan construction runs no jobs beyond the stored tables'
+    * parquet metadata reads — no training ever re-executes
+    * (SimilaritySpec pins both via a job-callsite audit); `dim`, `m`,
+    * and `scale` must match the committed index — they are baked into
+    * the stored codebook/codes geometry.
+    */
+  def ivfPqServe(queries: DataFrame, root: String, dim: Int, k: Int,
+                 nprobe: Int = 2, m: Int = 4, scale: Long = 1L << 20,
+                 qId: String = "q_id", qVec: String = "q_vec",
+                 cId: String = "vec_id",
+                 versionAsOf: Option[Long] = None): DataFrame = {
+    val s = queries.sparkSession
+    def table(name: String): DataFrame =
+      graft.state.SnapshotStore.read(s, root, name, versionAsOf)
+    ivfPqScore(queries, table("codes"), table("cells"), table("centroids"),
+      table("codebook"), dim, k, nprobe, m, scale, qId, qVec, cId)
   }
 
   /** The query side of [[ivfPqTopKFixed]]: integer probe, per-(query,

@@ -17,6 +17,18 @@ import graft.EntryOracles._
   * SparkEntry merges every slice into the driver-contract maps.
   */
 private[graft] object AnnQueries {
+
+  /** Stored-index root memo for ann_ivfpq_served (the curateStreamRoots
+    * recipe): the index trains + commits ONCE per (session, sf dir) and
+    * every later call serves from the stored artifacts. The memoized
+    * value is a scratch path — no persisted frames, so no liveness check
+    * — and entries drop with Caches.clear so a fresh-cost measurement
+    * re-trains instead of serving a deleted scratch dir.
+    */
+  private[graft] val ivfPqIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.util.Caches.onClear(() => ivfPqIndexRoots.clear())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -167,6 +179,24 @@ private[graft] object AnnQueries {
           .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
         e.select(col("vec_id"), col("emb_d")),
         dim = 64, k = 10, cVec = "emb_d")
+    }),
+    // PERSIST-AND-SERVE (VERDICT r15 #3): the SAME index trained ONCE,
+    // committed to a SnapshotStore root (atomic multi-table pointer
+    // swap), then served — snapshot-isolated reads feeding only the
+    // probe/ADC/score DAG. Answers the ann_ivfpq_topk oracle VERBATIM: a
+    // stored index must be indistinguishable from a freshly-trained one.
+    "ann_ivfpq_served" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val root = ivfPqIndexRoots.computeIfAbsent((s, dir), { _ =>
+        val r = graft.util.Scratch.dir("graft_ivfpq_index")
+        Similarity.ivfPqCommit(e.select(col("vec_id"), col("emb_d")), r,
+          dim = 64, cVec = "emb_d")
+        r
+      })
+      Similarity.ivfPqServe(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb_d").as("q_vec")),
+        root, dim = 64, k = 10, cId = "vec_id")
     }),
     // Margin-based bitext mining (the LASER/CCMatrix parallel-corpus
     // miner): src = vec_id < 40, tgt = exact twins of vec_id < 20 (the
@@ -476,6 +506,83 @@ private[graft] object AnnQueries {
                    FOR i IN range(0, 64)] AS vh
                 FROM e, ba)"""
 
+  /** Full verbatim DuckDB replay of the IVF-PQ composite — the
+    * ann_ivf_kmeans coarse-training unroll, integral-div coarse
+    * centroids at the final assignment, exact long residuals, the
+    * ann_pq_topk residual-PQ unroll, integer probe, and per-(query,
+    * probed-cell) residual ADC. Shared VERBATIM by ann_ivfpq_topk
+    * (train-in-query) and ann_ivfpq_served (stored index): the two
+    * surfaces must be indistinguishable.
+    */
+  private lazy val ivfPqOracleSql: String = {
+    val d2sub = "list_sum(list_transform(generate_series(1, 16), " +
+      "i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i])))"
+    def assign(src: String, cb: String, out: String) =
+        s"""$out AS (SELECT vec_id, subspace, sub, cell FROM (
+             SELECT s.vec_id, s.subspace, s.sub, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                 ORDER BY $d2sub, c.cell) AS rn
+             FROM $src s JOIN $cb c USING (subspace)) WHERE rn = 1)"""
+      def refit(src: String, out: String) =
+        s"""$out AS (SELECT subspace, cell, list(m ORDER BY pos) AS cv FROM (
+             SELECT subspace, cell, i AS pos, SUM(sub[i]) // COUNT(*) AS m
+             FROM $src, generate_series(1, 16) AS g(i)
+             GROUP BY subspace, cell, i) GROUP BY subspace, cell)"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ${sqlKmeansFixedCells(k = 8, iters = 2, dim = 64)},
+       ccent AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
+           SELECT cell, i AS pos, SUM(sv[i]) // COUNT(*) AS m
+           FROM a2, generate_series(1, 64) AS g(i)
+           GROUP BY cell, i) GROUP BY cell),
+       res AS (SELECT a.vec_id, a.cell,
+                 list_transform(generate_series(1, 64), i -> a.sv[i] - c.cv[i]) AS rv
+               FROM a2 a JOIN ccent c USING (cell)),
+       rsubs AS (SELECT vec_id, j AS subspace,
+                   list_transform(generate_series(j * 16 + 1, j * 16 + 16), i -> rv[i]) AS sub
+                 FROM res, unnest(range(0, 4)) AS uj(j)),
+       sd AS (SELECT subspace,
+                row_number() OVER (PARTITION BY subspace ORDER BY vec_id) - 1 AS cell,
+                sub AS cv
+              FROM rsubs
+              WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+       ${assign("rsubs", "sd", "pa1")},
+       ${refit("pa1", "pc1")},
+       ${assign("rsubs", "pc1", "pa2")},
+       ${refit("pa2", "pc2")},
+       cbf AS (SELECT subspace,
+                 row_number() OVER (PARTITION BY subspace ORDER BY cell) - 1 AS cell,
+                 cv FROM pc2),
+       ${assign("rsubs", "cbf", "enc")},
+       qd AS (SELECT s.vec_id AS q_id, s.sv AS qv, c.cell, c.cv,
+                list_sum(list_transform(generate_series(1, 64),
+                  i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+              FROM scaled s CROSS JOIN ccent c WHERE s.vec_id < 5),
+       probes AS (SELECT q_id, cell,
+                    list_transform(generate_series(1, 64), i -> qv[i] - cv[i]) AS qr
+                  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY d2, cell) AS pr FROM qd)
+                  WHERE pr <= 2),
+       qsubs AS (SELECT q_id, cell, j AS subspace,
+                   list_transform(generate_series(j * 16 + 1, j * 16 + 16), i -> qr[i]) AS qsub
+                 FROM probes, unnest(range(0, 4)) AS uj(j)),
+       qadc AS (SELECT qs.q_id, qs.cell, c.subspace, c.cell AS code,
+                  list_sum(list_transform(generate_series(1, 16),
+                    i -> (qs.qsub[i] - c.cv[i]) * (qs.qsub[i] - c.cv[i]))) AS pd2
+                FROM qsubs qs JOIN cbf c USING (subspace)),
+       adc AS (SELECT p.q_id, en.vec_id, CAST(SUM(qa.pd2) AS BIGINT) AS adc_dist
+               FROM enc en
+               JOIN res r ON r.vec_id = en.vec_id
+               JOIN probes p ON p.cell = r.cell
+               JOIN qadc qa ON qa.q_id = p.q_id AND qa.cell = r.cell
+                 AND qa.subspace = en.subspace AND qa.code = en.cell
+               GROUP BY 1, 2)
+       SELECT q_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+       FROM (SELECT q_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+             FROM adc)
+       WHERE rank <= 10"""
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "knn_graph_recall" ->
@@ -640,74 +747,10 @@ private[graft] object AnnQueries {
     // coarse-training unroll, integral-div coarse centroids at the final
     // assignment, exact long residuals, the ann_pq_topk residual-PQ
     // unroll, integer probe, and per-(query, probed-cell) residual ADC
-    "ann_ivfpq_topk" -> {
-      val d2sub = "list_sum(list_transform(generate_series(1, 16), " +
-        "i -> (s.sub[i] - c.cv[i]) * (s.sub[i] - c.cv[i])))"
-      def assign(src: String, cb: String, out: String) =
-        s"""$out AS (SELECT vec_id, subspace, sub, cell FROM (
-             SELECT s.vec_id, s.subspace, s.sub, c.cell,
-               row_number() OVER (PARTITION BY s.vec_id, s.subspace
-                 ORDER BY $d2sub, c.cell) AS rn
-             FROM $src s JOIN $cb c USING (subspace)) WHERE rn = 1)"""
-      def refit(src: String, out: String) =
-        s"""$out AS (SELECT subspace, cell, list(m ORDER BY pos) AS cv FROM (
-             SELECT subspace, cell, i AS pos, SUM(sub[i]) // COUNT(*) AS m
-             FROM $src, generate_series(1, 16) AS g(i)
-             GROUP BY subspace, cell, i) GROUP BY subspace, cell)"""
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       ${sqlKmeansFixedCells(k = 8, iters = 2, dim = 64)},
-       ccent AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
-           SELECT cell, i AS pos, SUM(sv[i]) // COUNT(*) AS m
-           FROM a2, generate_series(1, 64) AS g(i)
-           GROUP BY cell, i) GROUP BY cell),
-       res AS (SELECT a.vec_id, a.cell,
-                 list_transform(generate_series(1, 64), i -> a.sv[i] - c.cv[i]) AS rv
-               FROM a2 a JOIN ccent c USING (cell)),
-       rsubs AS (SELECT vec_id, j AS subspace,
-                   list_transform(generate_series(j * 16 + 1, j * 16 + 16), i -> rv[i]) AS sub
-                 FROM res, unnest(range(0, 4)) AS uj(j)),
-       sd AS (SELECT subspace,
-                row_number() OVER (PARTITION BY subspace ORDER BY vec_id) - 1 AS cell,
-                sub AS cv
-              FROM rsubs
-              WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
-       ${assign("rsubs", "sd", "pa1")},
-       ${refit("pa1", "pc1")},
-       ${assign("rsubs", "pc1", "pa2")},
-       ${refit("pa2", "pc2")},
-       cbf AS (SELECT subspace,
-                 row_number() OVER (PARTITION BY subspace ORDER BY cell) - 1 AS cell,
-                 cv FROM pc2),
-       ${assign("rsubs", "cbf", "enc")},
-       qd AS (SELECT s.vec_id AS q_id, s.sv AS qv, c.cell, c.cv,
-                list_sum(list_transform(generate_series(1, 64),
-                  i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
-              FROM scaled s CROSS JOIN ccent c WHERE s.vec_id < 5),
-       probes AS (SELECT q_id, cell,
-                    list_transform(generate_series(1, 64), i -> qv[i] - cv[i]) AS qr
-                  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-                          ORDER BY d2, cell) AS pr FROM qd)
-                  WHERE pr <= 2),
-       qsubs AS (SELECT q_id, cell, j AS subspace,
-                   list_transform(generate_series(j * 16 + 1, j * 16 + 16), i -> qr[i]) AS qsub
-                 FROM probes, unnest(range(0, 4)) AS uj(j)),
-       qadc AS (SELECT qs.q_id, qs.cell, c.subspace, c.cell AS code,
-                  list_sum(list_transform(generate_series(1, 16),
-                    i -> (qs.qsub[i] - c.cv[i]) * (qs.qsub[i] - c.cv[i]))) AS pd2
-                FROM qsubs qs JOIN cbf c USING (subspace)),
-       adc AS (SELECT p.q_id, en.vec_id, CAST(SUM(qa.pd2) AS BIGINT) AS adc_dist
-               FROM enc en
-               JOIN res r ON r.vec_id = en.vec_id
-               JOIN probes p ON p.cell = r.cell
-               JOIN qadc qa ON qa.q_id = p.q_id AND qa.cell = r.cell
-                 AND qa.subspace = en.subspace AND qa.code = en.cell
-               GROUP BY 1, 2)
-       SELECT q_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
-       FROM (SELECT q_id, vec_id, adc_dist,
-               row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
-             FROM adc)
-       WHERE rank <= 10"""
-    },
+    "ann_ivfpq_topk" -> ivfPqOracleSql,
+    // the served twin answers the SAME oracle — a stored index must be
+    // indistinguishable from a freshly-trained one
+    "ann_ivfpq_served" -> ivfPqOracleSql,
     // JL projection: the identical plane literals (same PRNG, same seed)
     // folded in the identical ascending order from 0.0 — term-by-term
     // IEEE parity, no tolerance needed

@@ -224,6 +224,61 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.Dedup.clearCaches()
   }
 
+  test("ivfPq commit + serve: the stored index answers exactly like a fresh " +
+    "train, and building the serve plan runs ZERO jobs (VERDICT r15 #3)") {
+    val base = (0 until 16).map { i =>
+      val blob = if (i % 2 == 0) 0.0 else 4.0
+      (i.toLong, Seq.tabulate(8)(j => blob + math.sin(i * 8 + j + 1.0) * 0.3))
+    }
+    val vecs = (base ++ base.map { case (id, v) => (id + 16L, v) })
+      .toDF("vec_id", "embedding")
+    val q = Seq((5L, base(5)._2), (12L, base(12)._2)).toDF("q_id", "q_vec")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+    val fresh = Similarity.ivfPqTopKFixed(q, vecs, dim = 8, k = 6,
+      nCells = 2, nprobe = 1, m = 2, ksub = 16).collect().map(key).toSet
+    val root = graft.util.Scratch.dir("graft_ivfpq_spec")
+    Similarity.ivfPqCommit(vecs, root, dim = 8, nCells = 2, m = 2, ksub = 16)
+    // job audit: training is eager driver-loop work (Lloyd's count()s at
+    // Similarity.scala call sites), so a serve that re-trained would
+    // necessarily launch jobs DURING plan construction. The only jobs
+    // allowed are the stored tables' parquet METADATA reads (call site
+    // inside SnapshotStore.read) — zero training jobs.
+    val marker = new java.util.concurrent.atomic.AtomicInteger
+    val offending = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        // stage names carry the call site ("parquet at SnapshotStore…")
+        val sites = e.stageInfos.map(_.name).mkString("; ")
+        if (grp.contains("ivfpq_serve_marker")) marker.incrementAndGet()
+        else if (!sites.contains("SnapshotStore")) offending.add(sites)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val served =
+      try {
+        val df = Similarity.ivfPqServe(q, root, dim = 8, k = 6,
+          nprobe = 1, m = 2)
+        // listener delivery is async but ordered: once the marker job's
+        // start event lands, every earlier event has been delivered
+        spark.sparkContext.setJobGroup("ivfpq_serve_marker", "sync")
+        spark.range(1).count()
+        spark.sparkContext.clearJobGroup()
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+        while (marker.get < 1 && System.nanoTime < deadline) Thread.sleep(10)
+        assert(marker.get >= 1, "listener sync marker never arrived")
+        assert(offending.isEmpty,
+          s"serve plan construction ran non-metadata jobs: $offending")
+        df
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(served.collect().map(key).toSet == fresh,
+      "a stored index must be indistinguishable from a fresh train")
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("bitextMine: planted parallel pairs are mutual margin-argmaxes; a hub " +
     "between two sources is normalized away; orphans fall below threshold") {
     val src = Seq(
