@@ -256,7 +256,10 @@ object SparkEntry {
     // over a corpus with planted corrupt + fill-byte-padded records) and
     // the stored-index IVF-PQ serving tier (train-once-commit, serve
     // from SnapshotStore artifacts)
-    "mm_exif_tolerant", "ann_ivfpq_served")
+    "mm_exif_tolerant", "ann_ivfpq_served",
+    // round 16b: the fixed-point spectrogram (integer Chebyshev twiddles,
+    // per-frame scaled-long DFT energy — the ASR-prep spectral signal)
+    "mm_audio_spectral")
 
   // ---- DuckDB oracle twins ----
 

@@ -299,6 +299,25 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.audioAutocorrStats(media, Seq(0, 1, 2, 4))
     }),
+    // Fixed-point SPECTROGRAM (VERDICT r15 #5 — the ASR-prep spectral
+    // signal): per (channel, 32-sample frame, bin) energy against
+    // scaled-long DFT twiddles built by the integer Chebyshev recurrence
+    // from one floor(cos·2^20) seed per bin. The oracle interpolates the
+    // SAME seeds and replays the recurrence (recursive CTE), the framing,
+    // and every bin's (xr//S)² + (xi//S)² — closed form end to end.
+    "mm_audio_spectral" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nFrames = (64 + id % 33).toInt
+        val samples = Array.tabulate(nFrames * channels)(i =>
+          (((i * 31 + 7 * id) % 65536) - 32768).toShort)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.audioSpectrogramFixed(media)
+    }),
     // The real AUDIO chain — WAV decode → exact ÷4 decimation
     // (per-channel truncated mean of 4 consecutive frames, matching
     // DuckDB's //) → stats of the RESAMPLED clip. Closed-form
@@ -998,6 +1017,49 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
          FROM clips, unnest(range(0, frames * ch)) AS ui(i)
          GROUP BY 1, 2, 3, 4, 5""",
     // every lag's product sum recomputed from the planted sample formula
+    // the spectrogram: the engine's twiddle SEEDS interpolated verbatim,
+    // the Chebyshev recurrence replayed by a recursive CTE (Scala / ≡
+    // DuckDB // — both truncate toward zero on integers), then framing,
+    // per-bin sums, and the squared scaled magnitudes
+    "mm_audio_spectral" -> {
+      val scale = 1L << 20
+      val seeds = (0 until 17).map { k =>
+        val (c1, s1) = graft.multimodal.Multimodal.spectralSeed(32, k, scale)
+        s"($k, $c1, $s1)"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         seeds AS (SELECT k, CAST(c1 AS BIGINT) AS c1, CAST(s1 AS BIGINT) AS s1
+                   FROM (VALUES $seeds) v(k, c1, s1)),
+         tw(k, j, cc, cp, sc, sp) AS (
+           SELECT k, 1, c1, CAST($scale AS BIGINT), s1, CAST(0 AS BIGINT)
+           FROM seeds
+           UNION ALL
+           SELECT t.k, t.j + 1,
+                  (2 * s.c1 * t.cc) // $scale - t.cp, t.cc,
+                  (2 * s.c1 * t.sc) // $scale - t.sp, t.sc
+           FROM tw t JOIN seeds s ON s.k = t.k WHERE t.j < 31),
+         tww AS (SELECT k, 0 AS j, CAST($scale AS BIGINT) AS c,
+                        CAST(0 AS BIGINT) AS s FROM seeds
+                 UNION ALL SELECT k, j, cc, sc FROM tw),
+         clips AS (SELECT id, 1 + id % 2 AS ch, (64 + id % 33) // 32 AS nf
+                   FROM range(256) t(id)),
+         px AS (SELECT cl.id, c, f, n,
+                  (((f * 32 + n) * cl.ch + c) * 31 + 7 * cl.id) % 65536
+                    - 32768 AS sv
+                FROM clips cl,
+                     unnest(range(0, cl.ch)) AS uc(c),
+                     unnest(range(0, cl.nf)) AS uf(f),
+                     unnest(range(0, 32)) AS un(n)),
+         xb AS (SELECT p.id, p.c, p.f, w.k,
+                  SUM(p.sv * w.c) AS xr, SUM(p.sv * w.s) AS xi
+                FROM px p JOIN tww w ON w.j = p.n
+                GROUP BY 1, 2, 3, 4)
+         SELECT id AS media_id, CAST(c AS BIGINT) AS channel,
+                CAST(f AS BIGINT) AS frame_idx, CAST(k AS BIGINT) AS bin,
+                CAST((xr // $scale) * (xr // $scale)
+                   + (xi // $scale) * (xi // $scale) AS BIGINT) AS power
+         FROM xb"""
+    },
     "mm_audio_autocorr" ->
       """WITH clips AS (SELECT id, 1 + id % 2 AS ch, 64 + id % 33 AS frames
                         FROM (SELECT unnest(range(0, 256)) AS id)),

@@ -299,6 +299,55 @@ class MultimodalSpec extends SparkSpec {
     assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("audioSpectrogramFixed: hand-computed impulse and DC cases, stereo " +
+    "channel separation, tail-frame drop (VERDICT r15 #5)") {
+    val scale = 1L << 20
+    // twiddle table sanity: bin 0 is all-scale (cos 0 = 1 exactly), j=0
+    // column is scale for every bin, magnitudes stay near the lattice
+    val (cosT, sinT) = Multimodal.spectralTwiddle(32, 17, scale)
+    assert(cosT(0).forall(_ == scale) && sinT(0).forall(_ == 0L))
+    assert((0 until 17).forall(k => cosT(k)(0) == scale && sinT(k)(0) == 0L))
+    assert(cosT.flatten.forall(v => math.abs(v) <= scale + 256) &&
+      sinT.flatten.forall(v => math.abs(v) <= scale + 256),
+      "recurrence drift must stay within a couple hundred ulps of the " +
+        "2^20 lattice (measured max ~140 over a 32-sample frame)")
+    // impulse at n = 0: X_k = A·cos_k(0) = A·scale for EVERY bin, so
+    // power = A² everywhere — by hand
+    val impulse = Array.tabulate(32)(n => if (n == 0) 100 else 0).map(_.toShort)
+    val mono = Seq(MediaRecord(1L, "audio/wav",
+      Codecs.Wav.encode(8000, 1, impulse))).toDS()
+    val impOut = Multimodal.audioSpectrogramFixed(mono).collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(impOut.length == 17 && impOut.forall(_._2 == 10000L),
+      s"impulse power must be A² in every bin: ${impOut.toSeq}")
+    // constant 7: bin 0 is (32·7)² = 50176 by hand; AC bins ~ 0 (full-
+    // period cosine sums cancel up to recurrence drift)
+    val const = Array.fill(32)(7.toShort)
+    val dcOut = Multimodal.audioSpectrogramFixed(
+      Seq(MediaRecord(2L, "audio/wav", Codecs.Wav.encode(8000, 1, const))).toDS())
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toMap
+    assert(dcOut(0L) == 50176L, s"DC bin: ${dcOut(0L)}")
+    assert((1 until 17).forall(k => dcOut(k.toLong) < 100L),
+      s"AC bins of a constant signal must be ~0: $dcOut")
+    // stereo: interleaved impulses of different amplitude stay separated
+    val stereo = new Array[Short](64)
+    stereo(0) = 3 // channel 0, n = 0
+    stereo(1) = 5 // channel 1, n = 0
+    val stOut = Multimodal.audioSpectrogramFixed(
+      Seq(MediaRecord(3L, "audio/wav", Codecs.Wav.encode(8000, 2, stereo))).toDS())
+      .collect().map(r => ((r.getLong(1), r.getLong(3)), r.getLong(4))).toMap
+    assert((0 until 17).forall(k => stOut((0L, k.toLong)) == 9L &&
+      stOut((1L, k.toLong)) == 25L), s"per-channel powers: $stOut")
+    // 40 mono samples = one full frame + a dropped tail
+    val tail = Multimodal.audioSpectrogramFixed(
+      Seq(MediaRecord(4L, "audio/wav",
+        Codecs.Wav.encode(8000, 1, new Array[Short](40)))).toDS()).collect()
+    assert(tail.map(_.getLong(2)).distinct.toSeq == Seq(0L),
+      "the incomplete tail frame must drop")
+    intercept[IllegalArgumentException](
+      Multimodal.audioSpectrogramFixed(mono, bins = 18))
+  }
+
   test("exifMetaTolerant: malformed records flag instead of aborting the " +
     "pass; clean records answer exactly like the strict walk (ADVICE r15)") {
     val q8 = Array.fill(64)(8)
