@@ -259,7 +259,8 @@ object SparkEntry {
     "mm_exif_tolerant", "ann_ivfpq_served",
     // round 16b: the fixed-point spectrogram (integer Chebyshev twiddles,
     // per-frame scaled-long DFT energy — the ASR-prep spectral signal)
-    "mm_audio_spectral")
+    // and the triangular filterbank pooled over its bins
+    "mm_audio_spectral", "mm_audio_filterbank")
 
   // ---- DuckDB oracle twins ----
 

@@ -976,6 +976,44 @@ object Multimodal {
     }).toDF("media_id", "channel", "frame_idx", "bin", "power")
   }
 
+  /** Integer triangular FILTERBANK over [[audioSpectrogramFixed]] bins —
+    * the mel-filterbank shape ASR pipelines pool spectra with: given
+    * `centers` (warped-frequency band centers, geometric-ish by
+    * default), band b spans (centers(b−1), centers(b), centers(b+1))
+    * with the classic triangle weights, here on the integer lattice:
+    * `w(k) = (k−l)·weightScale / (c−l)` rising and
+    * `(r−k)·weightScale / (r−c)` falling (truncating division — the
+    * [[spectralTwiddle]] arithmetic stance), so band energies
+    * `Σ_k w(k)·power(k)` replay bit-exact in SQL. Pure relational plan:
+    * one broadcast join against the ≤ |bins|·|bands| literal weight
+    * table + one hash aggregation — no per-row lambdas, no shuffle of
+    * anything body-sized. Zero-weight band endpoints are dropped from
+    * the table so the join fans out only to contributing bins.
+    */
+  def audioFilterbankFixed(spectro: DataFrame,
+                           centers: Seq[Int] = Seq(0, 1, 2, 4, 7, 11, 16),
+                           weightScale: Long = 1024L): DataFrame = {
+    require(centers.size >= 3, s"need >= 3 centers, got ${centers.size}")
+    require(centers == centers.sorted && centers.distinct.size == centers.size,
+      s"centers must be strictly ascending: $centers")
+    require(weightScale > 0, s"bad weightScale $weightScale")
+    val spark = spectro.sparkSession
+    import spark.implicits._
+    val weights = (1 until centers.size - 1).flatMap { b =>
+      val (l, c, r) = (centers(b - 1), centers(b), centers(b + 1))
+      (l to r).map { k =>
+        val w =
+          if (k <= c) (k - l).toLong * weightScale / (c - l)
+          else (r - k).toLong * weightScale / (r - c)
+        ((b - 1).toLong, k.toLong, w)
+      }
+    }.filter(_._3 > 0L)
+    val wdf = weights.toDF("band", "bin", "w")
+    spectro.join(broadcast(wdf), "bin")
+      .groupBy(col("media_id"), col("channel"), col("frame_idx"), col("band"))
+      .agg(sum(col("power") * col("w")).as("energy"))
+  }
+
   /** The CLASSIC DCT perceptual hash (pHash proper — the average-hash
     * family's [[phash]] stays for feature vectors): grayscale the
     * decoded image, exact box-resize to 32×32, 2-D DCT, keep the 8×8

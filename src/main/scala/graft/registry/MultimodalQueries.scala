@@ -318,6 +318,24 @@ private[graft] object MultimodalQueries {
       }
       graft.multimodal.Multimodal.audioSpectrogramFixed(media)
     }),
+    // ...and the triangular FILTERBANK pooled over those bins (the
+    // mel-filterbank shape): integer triangle weights from the default
+    // geometric-ish centers, one broadcast weight join + one hash agg —
+    // band energies replay bit-exact from the same spectral CTE chain.
+    "mm_audio_filterbank" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nFrames = (64 + id % 33).toInt
+        val samples = Array.tabulate(nFrames * channels)(i =>
+          (((i * 31 + 7 * id) % 65536) - 32768).toShort)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.audioFilterbankFixed(
+        graft.multimodal.Multimodal.audioSpectrogramFixed(media))
+    }),
     // The real AUDIO chain — WAV decode → exact ÷4 decimation
     // (per-channel truncated mean of 4 consecutive frames, matching
     // DuckDB's //) → stats of the RESAMPLED clip. Closed-form
@@ -887,6 +905,53 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
          FROM dims, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
          GROUP BY 1, 2, 3, 4"""
 
+  /** The shared spectral CTE chain for mm_audio_spectral and
+    * mm_audio_filterbank: the engine's twiddle SEEDS interpolated
+    * verbatim, the Chebyshev recurrence replayed by a recursive CTE
+    * (Scala / ≡ DuckDB // — both truncate toward zero on integers),
+    * framing over the planted sample formula, per-bin complex sums, and
+    * the squared scaled magnitudes as `pw(id, c, f, k, power)`.
+    */
+  private lazy val sqlSpectralPower: String = {
+    val scale = 1L << 20
+    val seeds = (0 until 17).map { k =>
+      val (c1, s1) = graft.multimodal.Multimodal.spectralSeed(32, k, scale)
+      s"($k, $c1, $s1)"
+    }.mkString(", ")
+    s"""WITH RECURSIVE
+       seeds AS (SELECT k, CAST(c1 AS BIGINT) AS c1, CAST(s1 AS BIGINT) AS s1
+                 FROM (VALUES $seeds) v(k, c1, s1)),
+       tw(k, j, cc, cp, sc, sp) AS (
+         SELECT k, 1, c1, CAST($scale AS BIGINT), s1, CAST(0 AS BIGINT)
+         FROM seeds
+         UNION ALL
+         SELECT t.k, t.j + 1,
+                (2 * s.c1 * t.cc) // $scale - t.cp, t.cc,
+                (2 * s.c1 * t.sc) // $scale - t.sp, t.sc
+         FROM tw t JOIN seeds s ON s.k = t.k WHERE t.j < 31),
+       tww AS (SELECT k, 0 AS j, CAST($scale AS BIGINT) AS c,
+                      CAST(0 AS BIGINT) AS s FROM seeds
+               UNION ALL SELECT k, j, cc, sc FROM tw),
+       clips AS (SELECT id, 1 + id % 2 AS ch, (64 + id % 33) // 32 AS nf
+                 FROM range(256) t(id)),
+       px AS (SELECT cl.id, c, f, n,
+                (((f * 32 + n) * cl.ch + c) * 31 + 7 * cl.id) % 65536
+                  - 32768 AS sv
+              FROM clips cl,
+                   unnest(range(0, cl.ch)) AS uc(c),
+                   unnest(range(0, cl.nf)) AS uf(f),
+                   unnest(range(0, 32)) AS un(n)),
+       xb AS (SELECT p.id, p.c, p.f, w.k,
+                SUM(p.sv * w.c) AS xr, SUM(p.sv * w.s) AS xi
+              FROM px p JOIN tww w ON w.j = p.n
+              GROUP BY 1, 2, 3, 4),
+       pw AS (SELECT id, c, f, k,
+                (xr // $scale) * (xr // $scale)
+                  + (xi // $scale) * (xi // $scale) AS power
+              FROM xb)"""
+  }
+
+
   val oracleSql: Map[String, String] = Map(
 
     "mm_describe" ->
@@ -1021,44 +1086,36 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
     // the Chebyshev recurrence replayed by a recursive CTE (Scala / ≡
     // DuckDB // — both truncate toward zero on integers), then framing,
     // per-bin sums, and the squared scaled magnitudes
-    "mm_audio_spectral" -> {
-      val scale = 1L << 20
-      val seeds = (0 until 17).map { k =>
-        val (c1, s1) = graft.multimodal.Multimodal.spectralSeed(32, k, scale)
-        s"($k, $c1, $s1)"
-      }.mkString(", ")
-      s"""WITH RECURSIVE
-         seeds AS (SELECT k, CAST(c1 AS BIGINT) AS c1, CAST(s1 AS BIGINT) AS s1
-                   FROM (VALUES $seeds) v(k, c1, s1)),
-         tw(k, j, cc, cp, sc, sp) AS (
-           SELECT k, 1, c1, CAST($scale AS BIGINT), s1, CAST(0 AS BIGINT)
-           FROM seeds
-           UNION ALL
-           SELECT t.k, t.j + 1,
-                  (2 * s.c1 * t.cc) // $scale - t.cp, t.cc,
-                  (2 * s.c1 * t.sc) // $scale - t.sp, t.sc
-           FROM tw t JOIN seeds s ON s.k = t.k WHERE t.j < 31),
-         tww AS (SELECT k, 0 AS j, CAST($scale AS BIGINT) AS c,
-                        CAST(0 AS BIGINT) AS s FROM seeds
-                 UNION ALL SELECT k, j, cc, sc FROM tw),
-         clips AS (SELECT id, 1 + id % 2 AS ch, (64 + id % 33) // 32 AS nf
-                   FROM range(256) t(id)),
-         px AS (SELECT cl.id, c, f, n,
-                  (((f * 32 + n) * cl.ch + c) * 31 + 7 * cl.id) % 65536
-                    - 32768 AS sv
-                FROM clips cl,
-                     unnest(range(0, cl.ch)) AS uc(c),
-                     unnest(range(0, cl.nf)) AS uf(f),
-                     unnest(range(0, 32)) AS un(n)),
-         xb AS (SELECT p.id, p.c, p.f, w.k,
-                  SUM(p.sv * w.c) AS xr, SUM(p.sv * w.s) AS xi
-                FROM px p JOIN tww w ON w.j = p.n
-                GROUP BY 1, 2, 3, 4)
+    "mm_audio_spectral" ->
+      s"""$sqlSpectralPower
          SELECT id AS media_id, CAST(c AS BIGINT) AS channel,
                 CAST(f AS BIGINT) AS frame_idx, CAST(k AS BIGINT) AS bin,
-                CAST((xr // $scale) * (xr // $scale)
-                   + (xi // $scale) * (xi // $scale) AS BIGINT) AS power
-         FROM xb"""
+                CAST(power AS BIGINT) AS power
+         FROM pw""",
+    // the filterbank: band triples interpolated from the engine's center
+    // sequence, the integer triangle weights replayed with truncating //,
+    // zero-weight endpoints dropped, then the weighted band sums
+    "mm_audio_filterbank" -> {
+      val centers = Seq(0, 1, 2, 4, 7, 11, 16)
+      val triples = (1 until centers.size - 1).map(b =>
+        s"(${b - 1}, ${centers(b - 1)}, ${centers(b)}, ${centers(b + 1)})")
+        .mkString(", ")
+      s"""$sqlSpectralPower,
+         bands AS (SELECT band, CAST(l AS BIGINT) AS l, CAST(c AS BIGINT) AS c,
+                          CAST(r AS BIGINT) AS r
+                   FROM (VALUES $triples) v(band, l, c, r)),
+         wts AS (SELECT band, k AS bin,
+                   CASE WHEN k <= c THEN ((k - l) * 1024) // (c - l)
+                        ELSE ((r - k) * 1024) // (r - c) END AS w
+                 FROM bands, unnest(range(l, r + 1)) AS uk(k)),
+         fb AS (SELECT p.id, p.c AS channel, p.f, w.band,
+                  SUM(p.power * w.w) AS energy
+                FROM pw p JOIN wts w ON w.bin = p.k AND w.w > 0
+                GROUP BY 1, 2, 3, 4)
+         SELECT id AS media_id, CAST(channel AS BIGINT) AS channel,
+                CAST(f AS BIGINT) AS frame_idx, CAST(band AS BIGINT) AS band,
+                CAST(energy AS BIGINT) AS energy
+         FROM fb"""
     },
     "mm_audio_autocorr" ->
       """WITH clips AS (SELECT id, 1 + id % 2 AS ch, 64 + id % 33 AS frames

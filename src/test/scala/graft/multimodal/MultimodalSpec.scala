@@ -348,6 +348,37 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioSpectrogramFixed(mono, bins = 18))
   }
 
+  test("audioFilterbankFixed: hand-computed triangle weights pool the " +
+    "impulse spectrum; guards reject bad centers") {
+    // impulse A=100 → power = 10000 in EVERY bin, so each band energy is
+    // 10000·Σw(b,k). Default centers (0,1,2,4,7,11,16), weightScale 1024:
+    //   band 0 (0,1,2):  w(1)=1024                       → Σ = 1024
+    //   band 1 (1,2,4):  w(2)=1024, w(3)=(4-3)·1024/2=512 → Σ = 1536
+    // (both fully by hand; the remaining bands replay the same formula)
+    val impulse = Array.tabulate(32)(n => if (n == 0) 100 else 0).map(_.toShort)
+    val spectro = Multimodal.audioSpectrogramFixed(
+      Seq(MediaRecord(1L, "audio/wav",
+        Codecs.Wav.encode(8000, 1, impulse))).toDS())
+    val out = Multimodal.audioFilterbankFixed(spectro).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) == 10000L * 1024L, s"band 0: ${out(0L)}")
+    assert(out(1L) == 10000L * 1536L, s"band 1: ${out(1L)}")
+    val expected = {
+      val centers = Seq(0, 1, 2, 4, 7, 11, 16)
+      (1 until centers.size - 1).map { b =>
+        val (l, c, r) = (centers(b - 1), centers(b), centers(b + 1))
+        (l to r).map(k => if (k <= c) (k - l).toLong * 1024 / (c - l)
+                          else (r - k).toLong * 1024 / (r - c)).sum * 10000L
+      }
+    }
+    assert((0 until 5).forall(b => out(b.toLong) == expected(b)),
+      s"every band pools the flat impulse spectrum: $out vs $expected")
+    intercept[IllegalArgumentException](
+      Multimodal.audioFilterbankFixed(spectro, centers = Seq(3, 1, 2)))
+    intercept[IllegalArgumentException](
+      Multimodal.audioFilterbankFixed(spectro, centers = Seq(1, 2)))
+  }
+
   test("exifMetaTolerant: malformed records flag instead of aborting the " +
     "pass; clean records answer exactly like the strict walk (ADVICE r15)") {
     val q8 = Array.fill(64)(8)
