@@ -260,7 +260,10 @@ object SparkEntry {
     // round 16b: the fixed-point spectrogram (integer Chebyshev twiddles,
     // per-frame scaled-long DFT energy — the ASR-prep spectral signal)
     // and the triangular filterbank pooled over its bins
-    "mm_audio_spectral", "mm_audio_filterbank")
+    "mm_audio_spectral", "mm_audio_filterbank",
+    // round 16c: .warc.zst ingest through the from-scratch RFC 8878
+    // zstd decoder (FSE + Huffman + sequences + XXH64)
+    "src_warc_parse_zst")
 
   // ---- DuckDB oracle twins ----
 

@@ -318,6 +318,48 @@ object Crawl {
         col("len_ok"))
   }
 
+  /** [[plantWarc]] with each file shipped as ONE zstd frame — the
+    * `.warc.zst` layout (Common Crawl's other shipping format beside
+    * `.warc.gz`). Fixture compression uses the FOREIGN zstd-jni encoder
+    * from the Spark classpath, so the engine-side decode
+    * ([[graft.multimodal.Zstd]], from-scratch RFC 8878) is never tested
+    * against its own assumptions. Level 9 forces FSE-compressed sequence
+    * tables and multi-mode literals on these blob sizes.
+    */
+  def plantWarcZst(docs: DataFrame, idCol: String, textCol: String,
+                   files: Int = 8, level: Int = 9): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    plantWarc(docs, idCol, textCol, files).as[(Long, String)]
+      .map { case (f, w) =>
+        (f, com.github.luben.zstd.Zstd.compress(w.getBytes("UTF-8"), level))
+      }
+      .toDF("file_id", "content")
+  }
+
+  /** Parse zstd-framed WARC archive files: each file's frames decode
+    * through the from-scratch RFC 8878 decoder
+    * ([[graft.multimodal.Zstd]] — skippable frames skipped, checksums
+    * verified, dictionaries rejected loudly), then the payload parses
+    * EXACTLY like the uncompressed path, so the zst ingest answers
+    * [[warcParse]]'s oracle verbatim — a framing, FSE, Huffman, or
+    * sequence-execution bug anywhere splits the hashes. Per-file decode
+    * is a pure executor-side map (the wetParseBytes shape): no shuffle,
+    * no driver involvement, scales with the file count.
+    */
+  def warcParseZst(blobs: DataFrame, fileCol: String = "file_id",
+                   binCol: String = "content"): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val decoded = blobs.select(col(fileCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (f, raw) =>
+        (f, new String(graft.multimodal.Zstd.decompress(raw), "UTF-8"))
+      }
+      .toDF(fileCol, "warc")
+    warcParse(decoded, fileCol, "warc")
+  }
+
   /** Deterministic robots.txt corpus — one ruleset per derived domain
     * (`d0.example.com`..`d7.example.com`), exercising every branch the
     * gate handles: a blanket `Disallow: /private`, a LONGER `Allow:

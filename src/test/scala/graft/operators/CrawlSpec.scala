@@ -168,6 +168,24 @@ class CrawlSpec extends SparkSpec {
     assert(!parsed(35L).getAs[Boolean]("is_html"))
   }
 
+  test("warcParseZst: the zstd-framed archive parses exactly like the " +
+    "uncompressed one (foreign-encoder fixtures, from-scratch decode)") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"document $i body text with some shared vocabulary " * 8))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("file_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("http_status"), r.getAs[String]("content_type"),
+        r.getAs[Boolean]("is_html"), r.getAs[String]("body"),
+        r.getAs[Boolean]("len_ok"))).toSet
+    val plain = rows(Crawl.warcParse(Crawl.plantWarc(docs, "doc_id", "text")))
+    for (level <- Seq(1, 9, 19)) {
+      val zst = rows(Crawl.warcParseZst(
+        Crawl.plantWarcZst(docs, "doc_id", "text", level = level)))
+      assert(zst == plain, s"level $level must be indistinguishable")
+    }
+  }
+
   test("warcParse: a body mentioning Content-Type cannot spoof the gate") {
     val http = "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n" +
       "body says Content-Type: text/html but the header rules"
