@@ -262,8 +262,9 @@ object SparkEntry {
     // and the triangular filterbank pooled over its bins
     "mm_audio_spectral", "mm_audio_filterbank",
     // round 16c: .warc.zst ingest through the from-scratch RFC 8878
-    // zstd decoder (FSE + Huffman + sequences + XXH64)
-    "src_warc_parse_zst")
+    // zstd decoder (FSE + Huffman + sequences + XXH64), plus its
+    // streaming .wet.zst twin with frame-grain truncation tolerance
+    "src_warc_parse_zst", "st_wet_ingest_zst")
 
   // ---- DuckDB oracle twins ----
 

@@ -413,9 +413,32 @@ object Zstd {
 
   /** Decompress every zstd frame in `bytes` (skippable frames skipped)
     * and return the concatenated content. Verifies the XXH64 content
-    * checksum when present. External dictionaries are rejected.
+    * checksum when present. External dictionaries are rejected. Throws
+    * on ANY malformation — the loud-rejection codec stance.
     */
   def decompress(bytes: Array[Byte]): Array[Byte] = {
+    val (out, clean) = inflate(bytes)
+    if (!clean) throw new IllegalArgumentException(
+      s"zstd: truncated or corrupt stream (${out.length} bytes recovered)")
+    out
+  }
+
+  /** TOLERANT decompress — the production front-door stance for scraped
+    * archives ([[Codecs.Gzip.gunzipAvailable]]'s zstd twin): decode
+    * every COMPLETE frame, stop at the first malformed or truncated one,
+    * and report cleanliness instead of throwing. In the per-record-frame
+    * archive layout ([[graft.operators.Crawl]]'s zst writers) a cut
+    * archive tail then costs exactly the cut records — classified and
+    * observable, never a dead stream. Frame-grain recovery: a frame
+    * failing mid-decode contributes NOTHING (its declared content size
+    * and checksum are unverifiable), unlike gzip's partial-member
+    * recovery — zstd's backward bitstreams make a half-decoded block
+    * unattributable.
+    */
+  def decompressAvailable(bytes: Array[Byte]): (Array[Byte], Boolean) =
+    inflate(bytes)
+
+  private def inflate(bytes: Array[Byte]): (Array[Byte], Boolean) = {
     val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
     var pos = 0
     def u32le(p: Int): Int = {
@@ -423,18 +446,24 @@ object Zstd {
       (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8) |
         ((bytes(p + 2) & 0xFF) << 16) | ((bytes(p + 3) & 0xFF) << 24)
     }
-    while (pos < bytes.length) {
-      val magic = u32le(pos)
-      pos += 4
-      if (magic >= SkippableMagicMin && magic <= SkippableMagicMax) {
-        val size = u32le(pos); pos += 4
-        if (size < 0 || pos + size > bytes.length) fail("truncated skippable frame")
-        pos += size
-      } else if (magic == FrameMagic) {
-        pos = decodeFrame(bytes, pos, out)
-      } else fail(f"bad frame magic 0x$magic%08X at ${pos - 4}")
+    try {
+      while (pos < bytes.length) {
+        val magic = u32le(pos)
+        pos += 4
+        if (magic >= SkippableMagicMin && magic <= SkippableMagicMax) {
+          val size = u32le(pos); pos += 4
+          if (size < 0 || pos + size > bytes.length) fail("truncated skippable frame")
+          pos += size
+        } else if (magic == FrameMagic) {
+          pos = decodeFrame(bytes, pos, out)
+        } else fail(f"bad frame magic 0x$magic%08X at ${pos - 4}")
+      }
+      (out.toByteArray, true)
+    } catch {
+      // decodeFrame publishes a frame's content only AFTER its checksum
+      // verifies, so everything accumulated is complete-frame output
+      case _: IllegalArgumentException => (out.toByteArray, false)
     }
-    out.toByteArray
   }
 
   private def decodeFrame(bytes: Array[Byte], start: Int,

@@ -135,7 +135,9 @@ object Crawl {
     * build the blob, exactly like [[plantWet]]'s collect_list.
     */
   def plantWetBytes(docs: DataFrame, idCol: String, textCol: String,
-                    files: Int = 8, gzipRecords: Boolean = false): DataFrame = {
+                    files: Int = 8, gzipRecords: Boolean = false,
+                    zstRecords: Boolean = false): DataFrame = {
+    require(!(gzipRecords && zstRecords), "pick ONE record compression")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select((col(idCol) % files).cast("long").as("file_id"),
@@ -145,7 +147,12 @@ object Crawl {
       .mapGroups { (fileId, it) =>
         val recs = it.toArray.sortBy(_._2).map { case (_, id, text) =>
           val rec = wetRecordBytes(s"https://example.com/d/$id", text)
-          if (gzipRecords) graft.multimodal.Codecs.Gzip.gzip(rec) else rec
+          if (gzipRecords) graft.multimodal.Codecs.Gzip.gzip(rec)
+          // one zstd FRAME per record (FOREIGN zstd-jni encoder) — the
+          // .wet.zst twin of the multi-member gz layout, so frame-grain
+          // truncation tolerance is record-grain, like gz members
+          else if (zstRecords) com.github.luben.zstd.Zstd.compress(rec, 3)
+          else rec
         }
         val out = new Array[Byte](recs.map(_.length).sum)
         recs.foldLeft(0) { (off, r) => r.copyToArray(out, off); off + r.length }
@@ -219,18 +226,22 @@ object Crawl {
   def wetParseBytes(blobs: DataFrame, fileCol: String = "file_id",
                     binCol: String = "content",
                     gz: Boolean = false,
-                    tolerant: Boolean = false): DataFrame = {
+                    tolerant: Boolean = false,
+                    zst: Boolean = false): DataFrame = {
+    require(!(gz && zst), "pick ONE archive compression")
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col(fileCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (fileId, raw) =>
         // tolerant (the streaming front-door stance): a truncated or
-        // corrupt archive tail yields every complete member's records
-        // (the cut record flags len_ok = false) instead of an exception
-        // that would kill the whole trigger
+        // corrupt archive tail yields every complete member's/frame's
+        // records (the cut record flags len_ok = false) instead of an
+        // exception that would kill the whole trigger
         val payload =
-          if (gz && tolerant) graft.multimodal.Codecs.Gzip.gunzipAvailable(raw)._1
+          if (zst && tolerant) graft.multimodal.Zstd.decompressAvailable(raw)._1
+          else if (zst) graft.multimodal.Zstd.decompress(raw)
+          else if (gz && tolerant) graft.multimodal.Codecs.Gzip.gunzipAvailable(raw)._1
           else if (gz) graft.multimodal.Codecs.Gzip.gunzipAll(raw)
           else raw
         parseWetPayload(payload).map { case (uri, docId, declared, body, lenOk) =>

@@ -258,6 +258,46 @@ private[graft] object StreamingQueries {
         .select(col("doc_id"), col("uri"), col("file_id"),
           col("declared_len"), col("body"), col("len_ok"), col("n_seen"))
     }),
+    // ...and the .wet.zst twin (the from-scratch RFC 8878 decoder on the
+    // STREAMING path, per-record frames, tolerant codec boundary): the
+    // same 9 triggers, the same compaction fold, the same closed form.
+"st_wet_ingest_zst" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val blobs = graft.operators.Crawl
+        .plantWetBytes(docs, "doc_id", "text", zstRecords = true)
+        .unionByName(graft.operators.Crawl
+          .plantWetBytes(docs.filter(col("doc_id") % 8 === 0), "doc_id",
+            "text", files = 1, zstRecords = true)
+          .select(lit(8L).as("file_id"), col("content")))
+      val stage = tmpDir("graft_stwetzst_in")
+      (0L to 8L).foreach { i =>
+        val sub = s"$stage/f$i"
+        blobs.filter(col("file_id") === i).coalesce(1)
+          .write.mode("overwrite").parquet(sub)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+      val (work, cp) = (tmpDir("graft_stwetzst_work"), tmpDir("graft_stwetzst_cp"))
+      val schema = s.read.parquet(s"$stage/f0").schema
+      val q = graft.streaming.WetStream.writerZst(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$stage/f*"),
+          work, cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // all 9 batches checkpoint-committed after the drain — fold them
+      graft.streaming.WetStream.compact(s, work, upToBatch = 9L)
+      graft.streaming.WetStream.records(s, work)
+        .join(graft.streaming.WetStream.sightings(s, work), Seq("uri"))
+        .select(col("doc_id"), col("uri"), col("file_id"),
+          col("declared_len"), col("body"), col("len_ok"), col("n_seen"))
+    }),
     // The crawl-to-corpus DAG with a STREAMED front door (VERDICT r12
     // #2's second half): the same robots-gated planted pages as
     // pipeline_crawl_corpus, shipped as multi-member .wet.gz archives
@@ -919,6 +959,21 @@ private[graft] object StreamingQueries {
           split(col("payload"), "\\|").getItem(1).as("l_linestatus"))
     }))
 
+
+  /** The wet-ingest closed form (9 triggers + compaction fold + the
+    * doc_id%8==0 redelivery) — shared VERBATIM by the gz and zst ingests:
+    * archive compression must be invisible to the answer.
+    */
+  private val sqlWetIngest: String =
+    """SELECT doc_id,
+           'https://example.com/d/' || CAST(doc_id AS VARCHAR) AS uri,
+           doc_id % 8 AS file_id,
+           CAST(len(text) AS BIGINT) AS declared_len,
+           text AS body,
+           true AS len_ok,
+           CAST(CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_seen
+         FROM documents"""
+
   val oracleSql: Map[String, String] = Map(
 
     // streaming inference must agree with batch inference exactly
@@ -1044,15 +1099,9 @@ private[graft] object StreamingQueries {
            CAST(CASE WHEN d % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_updates
          FROM e""",
     // gz + post-drain compaction answers the identical closed form
-    "st_wet_ingest_gz" ->
-      """SELECT doc_id,
-           'https://example.com/d/' || CAST(doc_id AS VARCHAR) AS uri,
-           doc_id % 8 AS file_id,
-           CAST(len(text) AS BIGINT) AS declared_len,
-           text AS body,
-           true AS len_ok,
-           CAST(CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_seen
-         FROM documents""",
+    "st_wet_ingest_gz" -> sqlWetIngest,
+    // ...as does the zstd-framed ingest: compression must be invisible
+    "st_wet_ingest_zst" -> sqlWetIngest,
     // the streamed frontier into the authority scheduler: the same
     // fetch-priority replay with the latest-wins lastmod (odd domains
     // refreshed to month 2) and a plan date past both waves

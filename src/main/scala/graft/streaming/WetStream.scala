@@ -125,6 +125,20 @@ object WetStream {
         Crawl.wetParseBytes(_, "file_id", "content", gz = true,
           tolerant = true)) _)
 
+  /** [[writerGz]]'s `.wet.zst` twin — Common Crawl's other shipping
+    * format: per-record zstd frames decoded by the from-scratch RFC 8878
+    * decoder ([[graft.multimodal.Zstd]]) behind the same tolerant codec
+    * boundary (a truncated final FRAME costs exactly the cut records),
+    * then the identical dedup/registry/seen contract.
+    */
+  def writerZst(wetZst: DataFrame, workDir: String,
+                checkpointDir: String): DataStreamWriter[Row] =
+    wetZst.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(ingestBatch(workDir,
+        Crawl.wetParseBytes(_, "file_id", "content", zst = true,
+          tolerant = true)) _)
+
   /** Every record ingested so far — one row per distinct URI, the
     * first-seen COMPLETE parse (a truncated first sighting that a later
     * intact redelivery superseded resolves to the intact row; the
