@@ -91,33 +91,40 @@ object Zstd {
     /** bit cursor: number of readable bits below it */
     private var bitPos = (to - 1 - from) * 8 + highestBit(lastByte)
     def remaining: Int = bitPos
-    private def bitAt(b: Int): Int =
-      if (b < 0) 0
-      else (buf(from + (b >> 3)) >> (b & 7)) & 1
-    def read(n: Int): Long = {
-      var v = 0L
-      var i = n - 1
-      bitPos -= n
-      var b = bitPos + n - 1
-      while (i >= 0) {
-        v = (v << 1) | bitAt(b)
-        b -= 1
-        i -= 1
+    /** The MSB-first value of bits [lo, lo+n) is exactly the n-bit
+      * LSB-first bitfield at `lo` — extracted from one bounds-checked
+      * 64-bit little-endian window load (n ≤ 31 everywhere in zstd, so
+      * a single window always covers the field; bits below the stream
+      * start zero-fill). Word extraction instead of a per-bit loop: the
+      * Huffman literal path runs this once per SYMBOL, which at
+      * crawl-archive scale is the whole decoder's hot loop.
+      */
+    private def field(lo: Int, n: Int): Long = {
+      if (n == 0) return 0L
+      val mask = (1L << n) - 1
+      if (lo >= 0) {
+        val byteOff = from + (lo >> 3)
+        var w = 0L
+        var i = 0
+        val lim = math.min(8, to - byteOff)
+        while (i < lim) { w |= (buf(byteOff + i) & 0xFFL) << (8 * i); i += 1 }
+        (w >>> (lo & 7)) & mask
+      } else if (lo <= -64) 0L // fully below the start (corrupt stream spins)
+      else {
+        // straddles the logical start: low −lo bits zero-fill
+        var w = 0L
+        var i = 0
+        val lim = math.min(8, to - from)
+        while (i < lim) { w |= (buf(from + i) & 0xFFL) << (8 * i); i += 1 }
+        (w << (-lo)) & mask
       }
-      v
+    }
+    def read(n: Int): Long = {
+      bitPos -= n
+      field(bitPos, n)
     }
     def readInt(n: Int): Int = read(n).toInt
-    def peek(n: Int): Int = {
-      var v = 0
-      var i = 0
-      var b = bitPos - 1
-      while (i < n) {
-        v = (v << 1) | bitAt(b)
-        b -= 1
-        i += 1
-      }
-      v
-    }
+    def peek(n: Int): Int = field(bitPos - n, n).toInt
     def skip(n: Int): Unit = bitPos -= n
   }
 
