@@ -113,6 +113,30 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Dedup.clearCaches()
   }
 
+  test("round-16 ops: no cartesian; the filterbank pools through ONE " +
+    "broadcast weight join; zst ingest stays a pure per-file map") {
+    // mm_audio_filterbank: spectral rows join the literal weight table
+    // broadcast (≤ bins·bands rows), then one hash aggregation — the
+    // only exchange below the agg is the broadcast, never a shuffle of
+    // spectral rows by bin
+    val fb = plan("mm_audio_filterbank")
+    assertNoCartesian(fb, "mm_audio_filterbank")
+    assert(fb.contains("BroadcastHashJoin") || fb.contains("BroadcastExchange"),
+      s"the weight table must broadcast:\n$fb")
+    // the zst archive parse: decode + record split are per-file maps —
+    // no join anywhere (the only exchange is the fixture's groupBy)
+    val zst = plan("src_warc_parse_zst")
+    assertNoCartesian(zst, "src_warc_parse_zst")
+    assert(!zst.contains("SortMergeJoin") && !zst.contains("BroadcastHashJoin"),
+      s"archive parsing must not join:\n$zst")
+    // the served ANN index keeps the sanctioned broadcast-only crosses
+    assert(!plan("ann_ivfpq_served").contains("CartesianProduct"),
+      "ann_ivfpq_served plans a CartesianProduct")
+    for (q <- Seq("mm_exif_tolerant", "mm_audio_spectral"))
+      assertNoCartesian(plan(q), q)
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("g_kcore: the survivor frame is checkpoint-backed (constant per-round plan)") {
     // the peeling loop must rebase each generation on its materialized
     // RDD (localCheckpoint) — a persist-chained loop re-analyzes an
