@@ -264,7 +264,7 @@ object SparkEntry {
     // round 16c: .warc.zst ingest through the from-scratch RFC 8878
     // zstd decoder (FSE + Huffman + sequences + XXH64), plus its
     // streaming .wet.zst twin with frame-grain truncation tolerance
-    "src_warc_parse_zst", "st_wet_ingest_zst")
+    "src_warc_parse_zst", "st_wet_ingest_zst", "src_warc_parse_zstdict")
 
   // ---- DuckDB oracle twins ----
 

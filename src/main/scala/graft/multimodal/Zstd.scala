@@ -4,12 +4,12 @@ package graft.multimodal
   * shipping format beside `.warc.gz` (VERDICT r15 missing #5): frame
   * parsing, raw/RLE/compressed blocks, Huffman-coded literals (direct and
   * FSE-compressed weight descriptions, 1- and 4-stream variants, treeless
-  * repeats), and the three interleaved FSE sequence streams
-  * (predefined/RLE/FSE/repeat modes, full repeat-offset history), plus
-  * XXH64 content-checksum verification — everything a `.warc.zst` ingest
-  * needs short of external dictionaries, which reject loudly (Common
-  * Crawl's dictionary frames are a named non-goal, like GIF local color
-  * tables).
+  * repeats), the three interleaved FSE sequence streams
+  * (predefined/RLE/FSE/repeat modes, full repeat-offset history), XXH64
+  * content-checksum verification, and EXTERNAL DICTIONARIES (§5 —
+  * structured entropy-table dictionaries and raw-content prefixes,
+  * including Common Crawl's embedded-dictionary skippable-frame file
+  * layout) — the complete `.warc.zst` ingest surface.
   *
   * Decoding only: fixtures are compressed with the zstd-jni encoder that
   * ships on the Spark classpath — a FOREIGN implementation, so round-trip
@@ -423,8 +423,106 @@ object Zstd {
     * checksum when present. External dictionaries are rejected. Throws
     * on ANY malformation — the loud-rejection codec stance.
     */
-  def decompress(bytes: Array[Byte]): Array[Byte] = {
-    val (out, clean) = inflate(bytes)
+  /** A parsed external dictionary (RFC 8878 §5): either the STRUCTURED
+    * form (magic 0xEC30A437 → dictionary id, pre-trained entropy tables
+    * in block format — Huffman weights, then OF/ML/LL FSE — three
+    * starting repeat offsets, then the content prefix) or a RAW-content
+    * dictionary (any blob without the magic: pure window prefix, id 0,
+    * no tables). Parse once, reuse across thousands of frames — the
+    * Common Crawl shared-dictionary deployment shape.
+    */
+  final class Dict private[Zstd] (
+      private[Zstd] val id: Long,
+      private[Zstd] val huffman: HufTable,
+      private[Zstd] val ofTable: FseTable,
+      private[Zstd] val mlTable: FseTable,
+      private[Zstd] val llTable: FseTable,
+      private[Zstd] val repOffsets: Array[Int],
+      private[Zstd] val content: Array[Byte]) {
+    /** The dictionary id frames must declare (0 for raw-content). */
+    def dictId: Long = id
+    /** Window-prefix bytes frames may match into. */
+    def contentLength: Int = content.length
+  }
+
+  private val DictMagic = 0xEC30A437
+
+  /** Parse a dictionary blob ([[Dict]]). Malformed STRUCTURED
+    * dictionaries reject loudly; anything not starting with the
+    * dictionary magic is a raw-content dictionary by definition.
+    */
+  def dictionary(bytes: Array[Byte]): Dict = {
+    def u32le(p: Int): Long =
+      (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+        ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+    if (bytes.length < 8 || u32le(0) != (DictMagic & 0xFFFFFFFFL))
+      return new Dict(0L, null, null, null, null, Array(1, 4, 8), bytes)
+    val id = u32le(4)
+    var pos = 8
+    val (huf, hufUsed) = readHuffmanTree(bytes, pos, bytes.length)
+    pos += hufUsed
+    // entropy tables follow in OF, ML, LL order (ZSTD_loadEntropy)
+    val (ofT, ofUsed) = readFseTable(bytes, pos, bytes.length, 31, 8)
+    pos += ofUsed
+    val (mlT, mlUsed) = readFseTable(bytes, pos, bytes.length, 52, 9)
+    pos += mlUsed
+    val (llT, llUsed) = readFseTable(bytes, pos, bytes.length, 35, 9)
+    pos += llUsed
+    if (pos + 12 > bytes.length) fail("truncated dictionary repeat offsets")
+    val reps = Array.tabulate(3) { i =>
+      val r = u32le(pos + 4 * i)
+      if (r <= 0 || r > Int.MaxValue) fail(s"bad dictionary repeat offset $r")
+      r.toInt
+    }
+    pos += 12
+    val content = java.util.Arrays.copyOfRange(bytes, pos, bytes.length)
+    // the starting offsets must be usable: each must fit the content
+    if (reps.exists(_ > content.length))
+      fail("dictionary repeat offset exceeds its content")
+    new Dict(id, huf, ofT, mlT, llT, reps, content)
+  }
+
+  /** Decode the Common Crawl `.warc.zst` FILE layout: when the file
+    * opens with a SKIPPABLE frame, its payload is the shared dictionary
+    * for every record frame that follows (the payload may itself be a
+    * zstd frame — both shipping conventions exist — in which case it
+    * decompresses first); a file opening with a plain frame decodes
+    * dictionary-free. One dictionary parse serves thousands of record
+    * frames.
+    */
+  def decompressWithEmbeddedDict(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length >= 8) {
+      val magic = (bytes(0) & 0xFF) | ((bytes(1) & 0xFF) << 8) |
+        ((bytes(2) & 0xFF) << 16) | ((bytes(3) & 0xFF) << 24)
+      if (magic >= SkippableMagicMin && magic <= SkippableMagicMax) {
+        val size = (bytes(4) & 0xFF) | ((bytes(5) & 0xFF) << 8) |
+          ((bytes(6) & 0xFF) << 16) | ((bytes(7) & 0xFF) << 24)
+        if (size < 0 || 8 + size > bytes.length) fail("truncated dictionary frame")
+        val payload = java.util.Arrays.copyOfRange(bytes, 8, 8 + size)
+        val dictBytes =
+          if (payload.length >= 4 &&
+            ((payload(0) & 0xFF) | ((payload(1) & 0xFF) << 8) |
+              ((payload(2) & 0xFF) << 16) | ((payload(3) & 0xFF) << 24))
+              == FrameMagic) decompress(payload)
+          else payload
+        return decompress(
+          java.util.Arrays.copyOfRange(bytes, 8 + size, bytes.length),
+          dictionary(dictBytes))
+      }
+    }
+    decompress(bytes)
+  }
+
+  def decompress(bytes: Array[Byte]): Array[Byte] = decompress(bytes, null)
+
+  /** [[decompress]] against an external dictionary ([[dictionary]]) —
+    * the Common Crawl `.warc.zst` layout ships one shared trained
+    * dictionary beside thousands of small record frames; the dictionary
+    * supplies initial entropy tables, repeat offsets, and the window
+    * PREFIX match offsets may reach into.
+    */
+  def decompress(bytes: Array[Byte], dict: Dict): Array[Byte] = {
+    val (out, clean) = inflate(bytes, dict)
     if (!clean) throw new IllegalArgumentException(
       s"zstd: truncated or corrupt stream (${out.length} bytes recovered)")
     out
@@ -443,9 +541,15 @@ object Zstd {
     * unattributable.
     */
   def decompressAvailable(bytes: Array[Byte]): (Array[Byte], Boolean) =
-    inflate(bytes)
+    inflate(bytes, null)
 
-  private def inflate(bytes: Array[Byte]): (Array[Byte], Boolean) = {
+  /** [[decompressAvailable]] with a dictionary. */
+  def decompressAvailable(bytes: Array[Byte],
+                          dict: Dict): (Array[Byte], Boolean) =
+    inflate(bytes, dict)
+
+  private def inflate(bytes: Array[Byte],
+                      dict: Dict): (Array[Byte], Boolean) = {
     val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
     var pos = 0
     def u32le(p: Int): Int = {
@@ -462,7 +566,7 @@ object Zstd {
           if (size < 0 || pos + size > bytes.length) fail("truncated skippable frame")
           pos += size
         } else if (magic == FrameMagic) {
-          pos = decodeFrame(bytes, pos, out)
+          pos = decodeFrame(bytes, pos, out, dict)
         } else fail(f"bad frame magic 0x$magic%08X at ${pos - 4}")
       }
       (out.toByteArray, true)
@@ -474,7 +578,8 @@ object Zstd {
   }
 
   private def decodeFrame(bytes: Array[Byte], start: Int,
-                          out: java.io.ByteArrayOutputStream): Int = {
+                          out: java.io.ByteArrayOutputStream,
+                          dict: Dict): Int = {
     var pos = start
     def u8(): Int = {
       if (pos >= bytes.length) fail("truncated frame header")
@@ -493,7 +598,12 @@ object Zstd {
     var dictId = 0L
     var i = 0
     while (i < dictBytes) { dictId |= (u8().toLong << (8 * i)); i += 1 }
-    if (dictId != 0L) fail(s"external dictionary $dictId unsupported")
+    if (dictId != 0L) {
+      if (dict == null)
+        fail(s"frame requires external dictionary $dictId, none supplied")
+      if (dict.id != 0L && dict.id != dictId)
+        fail(s"frame requires dictionary $dictId, supplied ${dict.id}")
+    }
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
       case 1 => 2
@@ -511,8 +621,19 @@ object Zstd {
     // across blocks to the frame start)
     val frame = new Grow(
       if (contentSize >= 0 && contentSize < (1L << 28)) contentSize.toInt
-      else 1 << 16)
+      else 1 << 16,
+      if (dict == null) Array.emptyByteArray else dict.content)
     val st = new FrameState
+    if (dict != null) {
+      // the dictionary's entropy tables and repeat offsets are the
+      // frame's initial "previous" state: the FIRST block may already
+      // use treeless literals / repeat sequence modes against them
+      st.huffman = dict.huffman
+      st.llTable = dict.llTable
+      st.mlTable = dict.mlTable
+      st.ofTable = dict.ofTable
+      System.arraycopy(dict.repOffsets, 0, st.repOffsets, 0, 3)
+    }
     var last = false
     while (!last) {
       if (pos + 3 > bytes.length) fail("truncated block header")
@@ -559,7 +680,8 @@ object Zstd {
     * which a stream abstraction cannot express without quadratic
     * re-materialization.
     */
-  private final class Grow(initial: Int) {
+  private final class Grow(initial: Int,
+                           prefix: Array[Byte] = Array.emptyByteArray) {
     private[Zstd] var buf = new Array[Byte](math.max(initial, 64))
     private[Zstd] var len = 0
     private def ensure(n: Int): Unit =
@@ -582,12 +704,17 @@ object Zstd {
       * byte-at-a-time so an overlapping copy replays its own output.
       */
     def copyMatch(offset: Int, length: Int): Unit = {
-      if (offset <= 0 || offset > len) fail(s"match offset $offset outside window")
+      // the window virtually begins with the dictionary content (RFC
+      // 8878 §5: offsets may reach into it before enough frame output
+      // accumulates)
+      if (offset <= 0 || offset > len + prefix.length)
+        fail(s"match offset $offset outside window")
       ensure(length)
       var src = len - offset
       var i = 0
       while (i < length) {
-        buf(len + i) = buf(src)
+        buf(len + i) =
+          if (src < 0) prefix(prefix.length + src) else buf(src)
         src += 1
         i += 1
       }

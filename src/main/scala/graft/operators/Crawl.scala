@@ -371,6 +371,96 @@ object Crawl {
     warcParse(decoded, fileCol, "warc")
   }
 
+  /** The Scala-side twin of [[plantWarc]]'s record expression — the
+    * per-record-frame fixtures below need record GRAIN, which the SQL
+    * agg cannot give. Any drift between the two fixture builders
+    * hash-splits against the shared closed-form oracle.
+    */
+  private def warcResponseRecord(id: Long, text: String): Array[Byte] = {
+    val status = if (id % 7 == 0) "404 Not Found" else "200 OK"
+    val ctype = if (id % 5 == 0) "application/pdf" else "text/html; charset=UTF-8"
+    val payload =
+      if (id % 5 == 0) text.take(40)
+      else s"<html><body><h1>Doc $id</h1><p>${text.take(120)}</p></body></html>"
+    val http = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n" +
+      s"Server: graft-fixture\r\n\r\n$payload"
+    (s"WARC/1.0\nWARC-Type: response\n" +
+      s"WARC-Target-URI: https://example.com/d/$id\n" +
+      s"Content-Length: ${http.length}\n\n$http\n\n").getBytes("UTF-8")
+  }
+
+  /** The FULL Common Crawl `.warc.zst` file layout: a leading SKIPPABLE
+    * frame carrying a per-file SHARED DICTIONARY (trained by the foreign
+    * zstd-jni trainer over the file's own records — the real convention;
+    * when a tiny file can't train one, the first records serve as a
+    * raw-content dictionary), then EVERY RECORD as its own zstd frame
+    * compressed against that dictionary. Small record frames lean
+    * hardest on dictionary state — preloaded entropy tables, starting
+    * repeat offsets, window-prefix matches — which is exactly what the
+    * decode side must reproduce.
+    */
+  def plantWarcZstDict(docs: DataFrame, idCol: String, textCol: String,
+                       files: Int = 8, level: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select((col(idCol) % files).cast("long").as("file_id"),
+        col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (fileId, it) =>
+        val recs = it.toArray.sortBy(_._2)
+          .map { case (_, id, text) => warcResponseRecord(id, text) }
+        val dictBytes =
+          try {
+            val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 16384)
+            recs.foreach(trainer.addSample)
+            trainer.trainSamples()
+          } catch {
+            // too few/small samples to train (tiny SFs): raw-content
+            // dictionary from the leading records — same decode contract
+            case _: Throwable =>
+              recs.flatten.take(16384).toArray
+          }
+        val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+        val frames =
+          try {
+            cctx.setLevel(level)
+            cctx.loadDict(dictBytes)
+            recs.map(cctx.compress)
+          } finally cctx.close()
+        val head = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(0x184D2A5D).putInt(dictBytes.length).array()
+        val out = new java.io.ByteArrayOutputStream(
+          8 + dictBytes.length + frames.map(_.length).sum)
+        out.write(head, 0, 8)
+        out.write(dictBytes, 0, dictBytes.length)
+        frames.foreach(f => out.write(f, 0, f.length))
+        (fileId, out.toByteArray)
+      }
+      .toDF("file_id", "content")
+  }
+
+  /** Parse the embedded-dictionary `.warc.zst` layout: the leading
+    * skippable frame's dictionary decodes every record frame
+    * ([[graft.multimodal.Zstd.decompressWithEmbeddedDict]]), then the
+    * SAME WARC walk — so this ingest answers [[warcParse]]'s oracle
+    * verbatim too. Per-file decode stays a pure executor-side map.
+    */
+  def warcParseZstDict(blobs: DataFrame, fileCol: String = "file_id",
+                       binCol: String = "content"): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val decoded = blobs.select(col(fileCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (f, raw) =>
+        (f, new String(graft.multimodal.Zstd.decompressWithEmbeddedDict(raw),
+          "UTF-8"))
+      }
+      .toDF(fileCol, "warc")
+    warcParse(decoded, fileCol, "warc")
+  }
+
   /** Deterministic robots.txt corpus — one ruleset per derived domain
     * (`d0.example.com`..`d7.example.com`), exercising every branch the
     * gate handles: a blanket `Disallow: /private`, a LONGER `Allow:

@@ -217,6 +217,14 @@ private[graft] object PipelineQueries {
       graft.operators.Crawl.warcParseZst(
         graft.operators.Crawl.plantWarcZst(
           Tables.documents(s, dir), "doc_id", "text"))),
+    // ...and the FULL Common Crawl layout: a leading skippable frame
+    // carrying a per-file TRAINED dictionary, every record its own frame
+    // compressed against it (preloaded entropy tables, starting repeat
+    // offsets, window-prefix matches). Same verbatim oracle again.
+    "src_warc_parse_zstdict" -> ((s, dir) =>
+      graft.operators.Crawl.warcParseZstDict(
+        graft.operators.Crawl.plantWarcZstDict(
+          Tables.documents(s, dir), "doc_id", "text"))),
     // Deterministic training-shard shuffle (operators/Shards.scala):
     // md5-seeded permutation + ntileExact sharding + in-shard sequence
     // numbers — the scale-safe rank machinery, never a global window.
@@ -769,6 +777,7 @@ private[graft] object PipelineQueries {
     // the zst ingest answers the SAME oracle: a stored-and-decoded
     // archive must be indistinguishable from the uncompressed parse
     "src_warc_parse_zst" -> sqlWarcParse,
+    "src_warc_parse_zstdict" -> sqlWarcParse,
     // Deterministic shard shuffle: md5 permutation, NTILE sharding,
     // in-shard sequence — all three native on both engines
     "pipeline_shard_shuffle" ->
