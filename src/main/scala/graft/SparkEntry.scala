@@ -67,7 +67,8 @@ object SparkEntry {
     * tail numbers are already fresh.
     */
   val memoizedHeadline: Seq[String] = Seq("st_curate", "st_joint_daily",
-    "st_jointm_daily", "t_bpe_train256", "ann_ivfpq_served")
+    "st_jointm_daily", "t_bpe_train256", "ann_ivfpq_served",
+    "ann_binary_served")
 
   /** The benchmark set (Bench.scala): the flagship KPIs plus the heaviest
     * representative of each new operator family.
@@ -264,7 +265,9 @@ object SparkEntry {
     // round 16c: .warc.zst ingest through the from-scratch RFC 8878
     // zstd decoder (FSE + Huffman + sequences + XXH64), plus its
     // streaming .wet.zst twin with frame-grain truncation tolerance
-    "src_warc_parse_zst", "st_wet_ingest_zst", "src_warc_parse_zstdict")
+    "src_warc_parse_zst", "st_wet_ingest_zst", "src_warc_parse_zstdict",
+    // round 16d: the binary ANN tier served from stored sign-bit codes
+    "ann_binary_served")
 
   // ---- DuckDB oracle twins ----
 

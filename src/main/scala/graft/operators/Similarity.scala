@@ -199,13 +199,67 @@ object Similarity {
                  qId: String = "q_id", qVec: String = "q_vec",
                  cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     require(dim >= 1 && dim <= 64, s"sign bits pack into one long: dim=$dim")
-    require(k >= 1 && rescore >= 1, s"bad k=$k/rescore=$rescore")
-    def pack(vec: Column): Column = (0 until dim).map(i =>
+    binaryScore(queries,
+      corpus.select(col(cId), binaryPack(col(cVec), dim).as("__cc")),
+      corpus, dim, k, rescore, qId, qVec, cId, cVec)
+  }
+
+  /** Sign-bit packing: one long per vector, bit i = (v(i) > 0). */
+  private def binaryPack(vec: Column, dim: Int): Column =
+    (0 until dim).map(i =>
       when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
+
+  /** Encode the corpus' sign-bit codes ONCE and commit them to a
+    * [[graft.state.SnapshotStore]] root (VERDICT r15 #3 applied to the
+    * binary tier, the [[ivfPqCommit]] stance): a serving deployment
+    * encodes per corpus refresh and Hamming-scans the stored codes —
+    * never re-packing the full float corpus per query batch. One table:
+    * `codes(cId, code)`.
+    */
+  def binaryCommit(corpus: DataFrame, root: String, dim: Int,
+                   cId: String = "vec_id", cVec: String = "embedding",
+                   batchId: Long = 0L): Unit = {
+    require(dim >= 1 && dim <= 64, s"sign bits pack into one long: dim=$dim")
+    val codes = corpus.select(col(cId), binaryPack(col(cVec), dim).as("__cc"))
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    graft.state.SnapshotStore.commit(fs, rootPath, batchId,
+      Map("codes" -> codes))
+  }
+
+  /** Serve binary-quantized top-k from STORED codes: the Hamming scan
+    * reads the committed code table (8 bytes/vector — never the float
+    * corpus), and only the k·rescore survivors join back to the PRIMARY
+    * store `corpus` for the exact-cosine rescore — the standard
+    * coarse-index-plus-primary-rerank serving shape. Answers
+    * [[binaryTopK]]'s oracle verbatim from the stored index.
+    */
+  def binaryServe(queries: DataFrame, corpus: DataFrame, root: String,
+                  dim: Int, k: Int, rescore: Int = 4,
+                  qId: String = "q_id", qVec: String = "q_vec",
+                  cId: String = "vec_id", cVec: String = "embedding",
+                  versionAsOf: Option[Long] = None): DataFrame = {
+    val codes = graft.state.SnapshotStore
+      .read(queries.sparkSession, root, "codes", versionAsOf)
+    binaryScore(queries, codes, corpus, dim, k, rescore,
+      qId, qVec, cId, cVec)
+  }
+
+  /** The query side of the binary tier: Hamming scan over `codes`
+    * (cId, __cc), two-stage top-(k·rescore), exact-cosine rerank against
+    * `corpus`.
+    */
+  private def binaryScore(queries: DataFrame, codes: DataFrame,
+                          corpus: DataFrame, dim: Int, k: Int, rescore: Int,
+                          qId: String, qVec: String,
+                          cId: String, cVec: String): DataFrame = {
+    require(k >= 1 && rescore >= 1, s"bad k=$k/rescore=$rescore")
     val r = k * rescore
-    val qcodes = queries.select(col(qId), col(qVec), pack(col(qVec)).as("__qc"))
-    val ham = corpus.select(col(cId), pack(col(cVec)).as("__cc"))
+    val qcodes = queries.select(col(qId), col(qVec),
+      binaryPack(col(qVec), dim).as("__qc"))
+    val ham = codes
       .join(broadcast(qcodes))
       .select(col(qId), col(cId),
         bit_count(col("__cc").bitwiseXOR(col("__qc"))).as("hamming"),

@@ -279,6 +279,31 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.Dedup.clearCaches()
   }
 
+  test("binary commit + serve: stored sign-bit codes answer exactly like " +
+    "a fresh pack; the Hamming scan never re-reads float vectors") {
+    val base = (0 until 16).map { i =>
+      val blob = if (i % 2 == 0) -1.0 else 1.0
+      (i.toLong, Seq.tabulate(8)(j => blob * (0.2 + 0.1 * ((i + j) % 5))))
+    }
+    val vecs = base.toDF("vec_id", "embedding")
+    val q = Seq((3L, base(3)._2), (6L, base(6)._2)).toDF("q_id", "q_vec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val fresh = rows(Similarity.binaryTopK(q, vecs, dim = 8, k = 4))
+    val root = graft.util.Scratch.dir("graft_binary_spec")
+    Similarity.binaryCommit(vecs, root, dim = 8)
+    val served = Similarity.binaryServe(q, vecs, root, dim = 8, k = 4)
+    assert(rows(served) == fresh,
+      "stored codes must be indistinguishable from a fresh pack")
+    // the Hamming stage reads the stored code table, not the corpus: the
+    // plan's parquet scan appears exactly once (the rescore join reads
+    // the in-memory corpus relation, never a packed re-scan)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("parquet"), s"serve must scan the stored codes:\n$plan")
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("bitextMine: planted parallel pairs are mutual margin-argmaxes; a hub " +
     "between two sources is normalized away; orphans fall below threshold") {
     val src = Seq(
