@@ -71,28 +71,39 @@ object Bench {
   /** Per-query regression check: a breach is now > prev × tol AND
     * now − prev > floorSec (the absolute floor keeps a 0.05 s → 0.15 s
     * sub-noise blip from failing a round; 2× is this box's established
-    * ±30-50% run variance with headroom).
+    * ±30-50% run variance with headroom). floorSec raised 0.2 → 0.5 in
+    * r17 (VERDICT r16 #1c) to match qualifyDebuts: r16's
+    * pipeline_fetch_priority "breach" was 0.53 s of absolute delta on a
+    * 0.5 s query — inside the bench's own documented box variance.
     */
   private[graft] def regressions(prev: Map[String, Double],
                                  now: Map[String, Double],
                                  tol: Double = 2.0,
-                                 floorSec: Double = 0.2): Seq[(String, Double, Double)] =
+                                 floorSec: Double = 0.5): Seq[(String, Double, Double)] =
     now.toSeq.sorted.flatMap { case (name, t) =>
       prev.get(name).filter(p => t > p * tol && t - p > floorSec)
         .map(p => (name, p, t))
     }
 
-  /** Every committed BENCH_r{N}.json in `dir` (the records the driver
-    * leaves in the repo) PLUS any BENCH_LOCAL_r{N}.json (full bench
-    * lines committed from in-round sf0.1 runs — the driver's records
-    * store only a truncated stdout tail since ~r08, which silently
-    * dropped every per-query floor and made 39 long-green queries
-    * re-qualify as debuts in r12), in ascending round order.
+  /** The committed bench records for ONE environment, in ascending round
+    * order. Records are environment-scoped since r17 (VERDICT r16 #1a —
+    * the third consecutive rc=1 traced to gating loaded driver-box runs
+    * against quiet-local-box minima, a cross-environment comparison no
+    * amount of rerunning can settle):
+    *   - `driver`: BENCH_r{N}.json (the driver's own truncated-tail
+    *     records) plus BENCH_DRIVER_r{N}.json (the full bench_out.json
+    *     of a driver session, committed at round open so driver floors
+    *     actually accumulate — the tails alone carry no per-query map).
+    *   - `local`: BENCH_LOCAL_r{N}.json (full bench lines committed from
+    *     in-round quiet-box sf0.1 runs).
     * Parameterized on the directory so the spec can exercise selection
     * against a fixture instead of the live repo (VERDICT r06 #1).
     */
-  private[graft] def baselineFiles(dir: java.nio.file.Path = Paths.get(".")): Seq[(Int, java.nio.file.Path)] = {
-    val re = "BENCH(?:_LOCAL)?_r(\\d+)\\.json".r
+  private[graft] def baselineFiles(dir: java.nio.file.Path = Paths.get("."),
+                                   env: String = "driver"): Seq[(Int, java.nio.file.Path)] = {
+    val re =
+      if (env == "local") "BENCH_LOCAL_r(\\d+)\\.json".r
+      else "BENCH(?:_DRIVER)?_r(\\d+)\\.json".r
     val stream = Files.list(dir)
     try {
       val out = Seq.newBuilder[(Int, java.nio.file.Path)]
@@ -108,19 +119,38 @@ object Bench {
     } finally stream.close()
   }
 
-  /** Per-query MIN across ALL committed rounds' records, not just the
-    * newest (VERDICT r06 #2b): a single load-corrupted round (r6 recorded
-    * dedup_simhash at 7.43 s against a true 1.7 s cost) must not become
-    * the yardstick — under newest-only gating a real 2× regression of the
-    * true cost would pass 4× under the radar. The MIN of per-round MINs is
-    * the best evidence of the plan's actual cost on this box. Unparseable
-    * files are skipped.
+  /** Floor retirements (VERDICT r16 #1b): min-over-all-rounds never
+    * forgets, so a floor set before an adjudicated plan-cost change
+    * permanently overstates what the current plan can do — any box load
+    * then tips the ratio over the gate. Each entry CLAMPS the computed
+    * all-rounds min UP to the stated value and must cite the verdict
+    * round that adjudicated the plan-cost change; governance is
+    * documented in FLOORS.md.
     */
-  private[graft] def minBaseline(dir: java.nio.file.Path = Paths.get(".")): Map[String, Double] =
-    baselineFiles(dir).flatMap { case (_, p) =>
+  private[graft] val floorOverrides: Map[String, Double] = Map(
+    // r12 recorded 1.56 s before the r14/r15 collapse-memo + hot-bucket-cap
+    // scale protections intentionally added ~0.4 s; no record in 4 rounds
+    // approached it again (locals r13-r16: 2.11, 1.89, 2.62, 2.10).
+    // Retired to the best post-change local observation (VERDICT r16 #1b).
+    "dedup_near" -> 1.89
+  )
+
+  /** Per-query MIN across the given environment's committed records, not
+    * just the newest (VERDICT r06 #2b): a single load-corrupted round (r6
+    * recorded dedup_simhash at 7.43 s against a true 1.7 s cost) must not
+    * become the yardstick — under newest-only gating a real 2× regression
+    * of the true cost would pass 4× under the radar. The MIN of per-round
+    * MINs is the best evidence of the plan's actual cost on this box.
+    * Unparseable files are skipped. [[floorOverrides]] then clamps
+    * verdict-retired floors up.
+    */
+  private[graft] def minBaseline(dir: java.nio.file.Path = Paths.get("."),
+                                 env: String = "driver"): Map[String, Double] =
+    baselineFiles(dir, env).flatMap { case (_, p) =>
       try parseQueries(Files.readString(p)).toSeq
       catch { case _: Throwable => Seq.empty }
     }.groupMapReduce(_._1)(_._2)(math.min)
+      .map { case (n, v) => n -> math.max(v, floorOverrides.getOrElse(n, 0.0)) }
 
   /** Debut-baseline qualification (VERDICT r08 #1b): a query with NO entry
     * in the committed baseline enters the record at whatever the loaded
@@ -361,12 +391,18 @@ object Bench {
     // breaches recorded in the JSON line.
     val firstTimes = results.collect { case (n, Right(v)) => n -> v }.toMap
     val gateEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "")
+    // environment scoping (VERDICT r16 #1a): the driver never sets this,
+    // so its runs default to gating against driver-record floors; in-round
+    // quiet-box runs set SPARK_GRAFT_BENCH_ENV=local to gate against the
+    // BENCH_LOCAL_r* floors. Cross-environment comparisons were the root
+    // cause of three consecutive rc=1 rounds.
+    val benchEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENV", "driver")
     val baseline: Map[String, Double] =
       if (gateEnv == "off") Map.empty
       else if (gateEnv.nonEmpty)
         (try parseQueries(Files.readString(Paths.get(gateEnv)))
          catch { case _: Throwable => Map.empty[String, Double] })
-      else minBaseline()
+      else minBaseline(env = benchEnv)
     var waitedForRerun = false
     def requalify(why: String)(name: String): Option[Double] = {
       if (!waitedForRerun) {
@@ -541,9 +577,20 @@ object Bench {
         s"""$freshJson,$sf1Json,""" +
         s""""regressions":$regJson,"debut_qualified":$debutJson,""" +
         s""""debut_rerun_failed":$debutFailJson,""" +
-        s""""cpus":$cpus,"timed_runs":$timedRuns,"sf":"$sfDir"}"""
+        s""""cpus":$cpus,"timed_runs":$timedRuns,"bench_env":"${esc(benchEnv)}",""" +
+        s""""sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => () }
+    // Clean shutdown (VERDICT r16 #3): stop any still-active streaming
+    // queries and the StateStore maintenance thread BEFORE tearing down the
+    // session — exiting through a live maintenance thread sprays
+    // "SparkEnv not active" stack traces after the record prints, and the
+    // driver's captured tail then ends with a stack trace instead of the
+    // JSON line it truncates into BENCH_r{N}.json.
+    try spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    catch { case _: Throwable => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case _: Throwable => () }
     spark.stop()
     if (failed) sys.exit(1)

@@ -17,7 +17,7 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // BENCH_PROTOCOL=1 mirrors Bench's timed-run hygiene: clear only the
+    // SPARK_GRAFT_QTIME_BENCH=1 mirrors Bench's timed-run hygiene: clear only the
     // catalog cache between runs (session memos — collapse, centroids,
     // fixtures — survive, as they do across Bench's timed runs); default
     // clears graft.util.Caches too for a fully-cold per-run floor.

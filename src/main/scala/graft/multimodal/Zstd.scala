@@ -28,6 +28,11 @@ object Zstd {
   private val FrameMagic = 0xFD2FB528
   private val SkippableMagicMin = 0x184D2A50
   private val SkippableMagicMax = 0x184D2A5F
+  /** Hard single-frame output ceiling: the JVM array limit. A frame
+    * declaring or producing more must reject loudly (ADVICE r16 — the
+    * Grow doubling loop otherwise wraps Int and spins forever).
+    */
+  private val MaxOut = Int.MaxValue - 8
 
   // ---------------------------------------------------------------- util
 
@@ -359,6 +364,11 @@ object Zstd {
       if (bb.remaining < -table.maxBits) fail("Huffman stream exhausted early")
       i += 1
     }
+    // reference zstd's BIT_endOfDStream stance (ADVICE r16): a valid
+    // stream is consumed EXACTLY by its declared symbol count; leftover
+    // or over-borrowed bits mean a corruption that happened to preserve
+    // output length, which must reject loudly, not decode to wrong bytes
+    if (bb.remaining != 0) fail("Huffman literal stream not fully consumed")
   }
 
   // ------------------------------------------------- sequence code tables
@@ -563,7 +573,10 @@ object Zstd {
         pos += 4
         if (magic >= SkippableMagicMin && magic <= SkippableMagicMax) {
           val size = u32le(pos); pos += 4
-          if (size < 0 || pos + size > bytes.length) fail("truncated skippable frame")
+          // Long arithmetic (ADVICE r16): with pos near the end, a corrupt
+          // size in [2^31-pos, 2^31) would wrap `pos + size` negative in
+          // Int, pass the check, and drive u32le to a negative index
+          if (size < 0 || pos.toLong + size > bytes.length) fail("truncated skippable frame")
           pos += size
         } else if (magic == FrameMagic) {
           pos = decodeFrame(bytes, pos, out, dict)
@@ -572,8 +585,13 @@ object Zstd {
       (out.toByteArray, true)
     } catch {
       // decodeFrame publishes a frame's content only AFTER its checksum
-      // verifies, so everything accumulated is complete-frame output
+      // verifies, so everything accumulated is complete-frame output.
+      // AIOOBE belongs here too (ADVICE r16): every rejection path is
+      // supposed to fail() first, but a corrupt archive that slips past a
+      // bounds check must degrade to (partial, unclean) on this tolerant
+      // front door, not crash the streaming trigger.
       case _: IllegalArgumentException => (out.toByteArray, false)
+      case _: ArrayIndexOutOfBoundsException => (out.toByteArray, false)
     }
   }
 
@@ -684,12 +702,19 @@ object Zstd {
                            prefix: Array[Byte] = Array.emptyByteArray) {
     private[Zstd] var buf = new Array[Byte](math.max(initial, 64))
     private[Zstd] var len = 0
-    private def ensure(n: Int): Unit =
-      if (len + n > buf.length) {
-        var cap = buf.length * 2
-        while (cap < len + n) cap *= 2
-        buf = java.util.Arrays.copyOf(buf, cap)
+    // Long arithmetic with a hard ceiling (ADVICE r16): Int doubling
+    // wraps 2^30 → 2^31 (negative) → 0 and loops forever, so ~4 KB of
+    // crafted max-size RLE blocks could wedge an executor thread; a frame
+    // that legitimately exceeds the JVM array limit must reject loudly
+    private def ensure(n: Int): Unit = {
+      val need = len.toLong + n
+      if (need > buf.length) {
+        if (need > MaxOut) fail(s"decoded frame exceeds $MaxOut bytes")
+        var cap = buf.length.toLong
+        while (cap < need) cap = math.min(cap * 2L, MaxOut.toLong)
+        buf = java.util.Arrays.copyOf(buf, cap.toInt)
       }
+    }
     def write(src: Array[Byte], off: Int, n: Int): Unit = {
       ensure(n)
       System.arraycopy(src, off, buf, len, n)
@@ -898,7 +923,9 @@ object Zstd {
         ofState = of.newStateBase(ofState) + bb.readInt(of.nbBits(ofState))
       }
     }
-    if (bb.remaining < 0) fail("sequence bitstream exhausted early")
+    // exact consumption, not just non-negative (ADVICE r16): trailing
+    // unread bits in a checksum-free frame are a silent-corruption vector
+    if (bb.remaining != 0) fail("sequence bitstream not fully consumed")
     frame.write(literals, litPos, literals.length - litPos)
   }
 

@@ -48,6 +48,43 @@ class BenchGateSpec extends AnyFunSuite {
         "a 0.05->0.15s blip is under the absolute floor, unmatched keys are skipped")
     assert(Bench.regressions(prev, Map("a1" -> 1.9)).isEmpty, "within 2x passes")
     assert(Bench.regressions(Map.empty, now).isEmpty, "no baseline, no gate")
+    assert(Bench.regressions(Map("subsec" -> 0.4), Map("subsec" -> 0.85)).isEmpty,
+      "a >2x ratio whose absolute delta is under 0.5s is box noise " +
+        "(VERDICT r16 #1c: the pipeline_fetch_priority class of flags)")
+  }
+
+  test("baseline files are environment-scoped: driver vs local records") {
+    // VERDICT r16 #1a: three consecutive rc=1 rounds traced to gating
+    // loaded driver-box runs against quiet-local-box minima. Driver runs
+    // must gate against driver records (BENCH_r* tails + the committed
+    // full BENCH_DRIVER_r* lines), local runs against BENCH_LOCAL_r*.
+    val dir = fixtureDir(
+      "BENCH_r01.json" -> """{"queries":{"a":3.0}}""",
+      "BENCH_DRIVER_r02.json" -> """{"queries":{"a":2.5,"b":4.0}}""",
+      "BENCH_LOCAL_r02.json" -> """{"queries":{"a":1.0,"b":2.0}}""")
+    assert(Bench.baselineFiles(dir, env = "driver").map(_._2.getFileName.toString)
+      == Seq("BENCH_r01.json", "BENCH_DRIVER_r02.json"))
+    assert(Bench.baselineFiles(dir, env = "local").map(_._2.getFileName.toString)
+      == Seq("BENCH_LOCAL_r02.json"))
+    assert(Bench.minBaseline(dir, env = "driver") == Map("a" -> 2.5, "b" -> 4.0),
+      "a driver run must never be gated against the quiet local 1.0s floor")
+    assert(Bench.minBaseline(dir, env = "local") == Map("a" -> 1.0, "b" -> 2.0))
+  }
+
+  test("floorOverrides clamp verdict-retired floors up, in both environments") {
+    // VERDICT r16 #1b: dedup_near's r12 local floor (1.56s) predates the
+    // r14/r15 collapse-memo + hot-bucket-cap plan-cost change and no record
+    // in 4 rounds approached it; the override retires it to 1.89s. The
+    // clamp is max(), so an environment whose computed min already exceeds
+    // the override (the driver's 3.17s) is untouched.
+    val dir = fixtureDir(
+      "BENCH_LOCAL_r12.json" -> """{"queries":{"dedup_near":1.56,"other":1.0}}""",
+      "BENCH_DRIVER_r16.json" -> """{"queries":{"dedup_near":3.17}}""")
+    assert(Bench.minBaseline(dir, env = "local")
+      == Map("dedup_near" -> 1.89, "other" -> 1.0))
+    assert(Bench.minBaseline(dir, env = "driver") == Map("dedup_near" -> 3.17))
+    // the live repo's local baseline must reflect the retirement too
+    assert(Bench.minBaseline(env = "local").get("dedup_near").forall(_ >= 1.89))
   }
 
   test("baselineFiles orders rounds numerically from a fixture dir") {
