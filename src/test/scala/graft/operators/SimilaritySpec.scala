@@ -279,6 +279,54 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.Dedup.clearCaches()
   }
 
+  test("sq8 commit + serve: stored bounds + byte codes answer exactly like " +
+    "a fresh quantization, and building the serve plan runs ZERO jobs " +
+    "(VERDICT r16 #4)") {
+    val base = (0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0) * (1 + j)))
+    }
+    val vecs = base.toDF("vec_id", "embedding")
+    val q = Seq((2L, base(2)._2), (11L, base(11)._2)).toDF("q_id", "q_vec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fresh = rows(Similarity.sq8TopK(q, vecs, dim = 8, k = 5))
+    val root = graft.util.Scratch.dir("graft_sq8_spec")
+    Similarity.sq8Commit(vecs, root, dim = 8)
+    // job audit (the ivfPq serve stance): the extrema aggregation is an
+    // eager driver-side collect, so a serve that re-derived bounds would
+    // launch a non-metadata job during plan construction; only the stored
+    // tables' parquet metadata reads (SnapshotStore call site) may run
+    val marker = new java.util.concurrent.atomic.AtomicInteger
+    val offending = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        val sites = e.stageInfos.map(_.name).mkString("; ")
+        if (grp.contains("sq8_serve_marker")) marker.incrementAndGet()
+        else if (!sites.contains("SnapshotStore")) offending.add(sites)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val served =
+      try {
+        val df = Similarity.sq8Serve(q, root, dim = 8, k = 5)
+        spark.sparkContext.setJobGroup("sq8_serve_marker", "sync")
+        spark.range(1).count()
+        spark.sparkContext.clearJobGroup()
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+        while (marker.get < 1 && System.nanoTime < deadline) Thread.sleep(10)
+        assert(marker.get >= 1, "listener sync marker never arrived")
+        assert(offending.isEmpty,
+          s"serve plan construction ran non-metadata jobs: $offending")
+        df
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(rows(served) == fresh,
+      "a stored SQ8 index must be indistinguishable from a fresh quantization")
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("binary commit + serve: stored sign-bit codes answer exactly like " +
     "a fresh pack; the Hamming scan never re-reads float vectors") {
     val base = (0 until 16).map { i =>
