@@ -269,8 +269,10 @@ object SparkEntry {
     "src_warc_parse_zst", "st_wet_ingest_zst", "src_warc_parse_zstdict",
     // round 16d: the binary ANN tier served from stored sign-bit codes
     "ann_binary_served",
-    // round 17: the SQ8 tier served from stored bounds + byte codes
-    "ann_sq8_served")
+    // round 17: the SQ8 tier served from stored bounds + byte codes,
+    // and the MFCC-class cepstra (fixed-point log2 ladder + integer DCT
+    // over the filterbank bands — the last leg of the ASR front end)
+    "ann_sq8_served", "mm_audio_cepstra")
 
   // ---- DuckDB oracle twins ----
 

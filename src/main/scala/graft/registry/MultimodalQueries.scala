@@ -336,6 +336,26 @@ private[graft] object MultimodalQueries {
       graft.multimodal.Multimodal.audioFilterbankFixed(
         graft.multimodal.Multimodal.audioSpectrogramFixed(media))
     }),
+    // ...and the MFCC-class CEPSTRA over those bands (VERDICT r16 #5 —
+    // the last leg of the classic ASR front end): fixed-point log2 of
+    // each band energy (msb comparisons + the interpolated intra-octave
+    // threshold ladder) pooled through the integer DCT-II twiddle table
+    // — the whole log→DCT curve replays rung for rung in DuckDB.
+    "mm_audio_cepstra" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nFrames = (64 + id % 33).toInt
+        val samples = Array.tabulate(nFrames * channels)(i =>
+          (((i * 31 + 7 * id) % 65536) - 32768).toShort)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.audioCepstraFixed(
+        graft.multimodal.Multimodal.audioFilterbankFixed(
+          graft.multimodal.Multimodal.audioSpectrogramFixed(media)))
+    }),
     // The real AUDIO chain — WAV decode → exact ÷4 decimation
     // (per-channel truncated mean of 4 consecutive frames, matching
     // DuckDB's //) → stats of the RESAMPLED clip. Closed-form
@@ -952,6 +972,30 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
   }
 
 
+  /** The filterbank CTE chain — [[sqlSpectralPower]] plus the engine's
+    * center-sequence triangle weights and the weighted band sums, ending
+    * in `fb(id, channel, f, band, energy)`. Shared verbatim by
+    * mm_audio_filterbank and mm_audio_cepstra.
+    */
+  private lazy val sqlFilterbankEnergy: String = {
+    val centers = Seq(0, 1, 2, 4, 7, 11, 16)
+    val triples = (1 until centers.size - 1).map(b =>
+      s"(${b - 1}, ${centers(b - 1)}, ${centers(b)}, ${centers(b + 1)})")
+      .mkString(", ")
+    s"""$sqlSpectralPower,
+       bands AS (SELECT band, CAST(l AS BIGINT) AS l, CAST(c AS BIGINT) AS c,
+                        CAST(r AS BIGINT) AS r
+                 FROM (VALUES $triples) v(band, l, c, r)),
+       wts AS (SELECT band, k AS bin,
+                 CASE WHEN k <= c THEN ((k - l) * 1024) // (c - l)
+                      ELSE ((r - k) * 1024) // (r - c) END AS w
+               FROM bands, unnest(range(l, r + 1)) AS uk(k)),
+       fb AS (SELECT p.id, p.c AS channel, p.f, w.band,
+                SUM(p.power * w.w) AS energy
+              FROM pw p JOIN wts w ON w.bin = p.k AND w.w > 0
+              GROUP BY 1, 2, 3, 4)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "mm_describe" ->
@@ -1095,27 +1139,47 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
     // the filterbank: band triples interpolated from the engine's center
     // sequence, the integer triangle weights replayed with truncating //,
     // zero-weight endpoints dropped, then the weighted band sums
-    "mm_audio_filterbank" -> {
-      val centers = Seq(0, 1, 2, 4, 7, 11, 16)
-      val triples = (1 until centers.size - 1).map(b =>
-        s"(${b - 1}, ${centers(b - 1)}, ${centers(b)}, ${centers(b + 1)})")
-        .mkString(", ")
-      s"""$sqlSpectralPower,
-         bands AS (SELECT band, CAST(l AS BIGINT) AS l, CAST(c AS BIGINT) AS c,
-                          CAST(r AS BIGINT) AS r
-                   FROM (VALUES $triples) v(band, l, c, r)),
-         wts AS (SELECT band, k AS bin,
-                   CASE WHEN k <= c THEN ((k - l) * 1024) // (c - l)
-                        ELSE ((r - k) * 1024) // (r - c) END AS w
-                 FROM bands, unnest(range(l, r + 1)) AS uk(k)),
-         fb AS (SELECT p.id, p.c AS channel, p.f, w.band,
-                  SUM(p.power * w.w) AS energy
-                FROM pw p JOIN wts w ON w.bin = p.k AND w.w > 0
-                GROUP BY 1, 2, 3, 4)
+    "mm_audio_filterbank" ->
+      s"""$sqlFilterbankEnergy
          SELECT id AS media_id, CAST(channel AS BIGINT) AS channel,
                 CAST(f AS BIGINT) AS frame_idx, CAST(band AS BIGINT) AS band,
                 CAST(energy AS BIGINT) AS energy
-         FROM fb"""
+         FROM fb""",
+    // the cepstra: the fixed-point log2 curve replayed rung for rung
+    // (msb by power comparisons, the mantissa-normalizing CASE with
+    // truncating //, the interpolated ceil(2^(20+f/64)) ladder literals)
+    // and the integer DCT against the interpolated floor(cos·1024)
+    // twiddle table — closed form end to end, no libm call at row grain
+    // in either engine
+    "mm_audio_cepstra" -> {
+      val ladder = (1 until 64).map(f =>
+        s"($f, ${graft.multimodal.Multimodal.log2Threshold(f, 6)})")
+        .mkString(", ")
+      val dct = (for { u <- 0 until 4; b <- 0 until 5 } yield
+        s"($u, $b, ${graft.multimodal.Multimodal.cepstralDctSeed(5, u, b, 1024L)})")
+        .mkString(", ")
+      s"""$sqlFilterbankEnergy,
+         e1 AS (SELECT id, channel, f, band, energy + 1 AS e1 FROM fb),
+         ms AS (SELECT *, list_sum([CASE WHEN e1 >= (CAST(1 AS BIGINT) << i)
+                                         THEN 1 ELSE 0 END
+                                    FOR i IN range(1, 63)]) AS msb FROM e1),
+         nm AS (SELECT *, CASE WHEN msb >= 20
+                    THEN e1 // (CAST(1 AS BIGINT) << CAST(msb - 20 AS INTEGER))
+                    ELSE e1 * (CAST(1 AS BIGINT) << CAST(20 - msb AS INTEGER))
+                  END AS m FROM ms),
+         th AS (SELECT f AS rung, CAST(t AS BIGINT) AS t
+                FROM (VALUES $ladder) v(f, t)),
+         lg AS (SELECT id, channel, f, band,
+                  MAX(msb) * 64 + COUNT(th.rung) AS loge
+                FROM nm LEFT JOIN th ON nm.m >= th.t
+                GROUP BY 1, 2, 3, 4),
+         dw AS (SELECT coef, band, CAST(w AS BIGINT) AS w
+                FROM (VALUES $dct) v(coef, band, w))
+         SELECT id AS media_id, CAST(channel AS BIGINT) AS channel,
+                CAST(f AS BIGINT) AS frame_idx, CAST(coef AS BIGINT) AS coef,
+                CAST(SUM(loge * w) AS BIGINT) AS cepstrum
+         FROM lg JOIN dw USING (band)
+         GROUP BY 1, 2, 3, 4"""
     },
     "mm_audio_autocorr" ->
       """WITH clips AS (SELECT id, 1 + id % 2 AS ch, 64 + id % 33 AS frames

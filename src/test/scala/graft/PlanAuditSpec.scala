@@ -564,6 +564,22 @@ class PlanAuditSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).length >= 2, s"missing two-stage top-k in:\n$p")
   }
 
+  test("round-17: mm_audio_cepstra rides two literal-table broadcasts — " +
+    "no cartesian, no single-partition stage, no per-row lambda beyond " +
+    "the decode map") {
+    val p = plan("mm_audio_cepstra")
+    // the log2 ladder is the SANCTIONED broadcast nested-loop range join
+    // against the 63-row literal table (the ann_ivfpq/ann_binary probe
+    // stance) — a data-path CartesianProduct is still forbidden
+    assert(!p.contains("CartesianProduct"),
+      s"mm_audio_cepstra plans a CartesianProduct:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastHashJoin"),
+      s"ladder range join and DCT twiddle join must broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"cepstra funnels to one partition:\n$p")
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("round-17: ann_sq8_served scans stored artifacts — no cartesian, " +
     "no extrema re-derivation") {
     val p = plan("ann_sq8_served")

@@ -379,6 +379,63 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioFilterbankFixed(spectro, centers = Seq(1, 2)))
   }
 
+  test("audioCepstraFixed: the fixed-point log2 curve lands hand-computed " +
+    "rungs and the integer DCT pools it; guards reject bad shapes") {
+    // hand-computed log2fix (mant 20, fracBits 6), loge = msb·64 + frac:
+    //   energy 0 → e1=1:        msb=0, m=2^20, no rung ≤ m   → 0
+    //   energy 1 → e1=2:        msb=1, m=2^20                → 64
+    //   energy 2 → e1=3:        msb=1, m=3·2^19, log2(1.5)=0.58496 →
+    //                           frac=⌊64·0.58496⌋=37         → 101
+    //   energy 3 → e1=4:        msb=2, m=2^20                → 128
+    //   energy 2^30−1 → e1=2^30: msb=30, exact power          → 1920
+    val fb = Seq(
+      (1L, 0L, 0L, 0L, 0L),
+      (1L, 0L, 0L, 1L, 1L),
+      (1L, 0L, 0L, 2L, 2L),
+      (1L, 0L, 0L, 3L, 3L),
+      (1L, 0L, 0L, 4L, (1L << 30) - 1L))
+      .toDF("media_id", "channel", "frame_idx", "band", "energy")
+    val out = Multimodal.audioCepstraFixed(fb).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toMap
+    val loges = Seq(0L, 64L, 101L, 128L, 1920L)
+    // coef 0 weights are floor(cos(0)·1024) = 1024 for every band — the
+    // c0 log-energy sum, fully by hand
+    assert(out(0L) == 1024L * loges.sum, s"c0: $out")
+    // the other coefficients replay the seed table over the same curve
+    for (u <- 1 until 4) {
+      val want = loges.zipWithIndex.map { case (lg, b) =>
+        lg * Multimodal.cepstralDctSeed(5, u, b, 1024L)
+      }.sum
+      assert(out(u.toLong) == want, s"c$u: got ${out(u.toLong)} want $want")
+    }
+    // randomized parity against a direct Scala replay of the spec'd
+    // integer formula (shift ≡ div-by-power-of-two on positives)
+    def logFix(e: Long): Long = {
+      val e1 = e + 1
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(e1)
+      val m = if (msb >= 20) e1 >> (msb - 20) else e1 << (20 - msb)
+      msb * 64L + (1 until 64).count(f =>
+        m >= Multimodal.log2Threshold(f, 6))
+    }
+    val rnd = new scala.util.Random(7)
+    val energies = Seq.tabulate(8, 5)((f, b) =>
+      if ((f + b) % 3 == 0) rnd.nextLong(1L << 55) else rnd.nextLong(2000))
+    val fb2 = (for { f <- 0 until 8; b <- 0 until 5 }
+      yield (9L, 0L, f.toLong, b.toLong, energies(f)(b)))
+      .toDF("media_id", "channel", "frame_idx", "band", "energy")
+    val got = Multimodal.audioCepstraFixed(fb2).collect()
+      .map(r => ((r.getLong(2), r.getLong(3)), r.getLong(4))).toMap
+    for { f <- 0 until 8; u <- 0 until 4 } {
+      val want = (0 until 5).map(b =>
+        logFix(energies(f)(b)) * Multimodal.cepstralDctSeed(5, u, b, 1024L)).sum
+      assert(got((f.toLong, u.toLong)) == want, s"frame $f coef $u")
+    }
+    intercept[IllegalArgumentException](
+      Multimodal.audioCepstraFixed(fb, nCoefs = 6))
+    intercept[IllegalArgumentException](
+      Multimodal.audioCepstraFixed(fb, nBands = 1))
+  }
+
   test("exifMetaTolerant: malformed records flag instead of aborting the " +
     "pass; clean records answer exactly like the strict walk (ADVICE r15)") {
     val q8 = Array.fill(64)(8)
