@@ -272,7 +272,10 @@ object SparkEntry {
     // round 17: the SQ8 tier served from stored bounds + byte codes,
     // and the MFCC-class cepstra (fixed-point log2 ladder + integer DCT
     // over the filterbank bands — the last leg of the ASR front end)
-    "ann_sq8_served", "mm_audio_cepstra")
+    "ann_sq8_served", "mm_audio_cepstra",
+    // round 17b: delta features over the cepstra (MFCC+Δ) and the
+    // engine-written store-mode .warc.zst round trip (the write half)
+    "mm_audio_delta", "src_warc_write_zst")
 
   // ---- DuckDB oracle twins ----
 

@@ -1099,6 +1099,43 @@ object Multimodal {
       .withColumnRenamed("band_coef", "coef")
   }
 
+  /** Integer DELTA features over [[audioCepstraFixed]] (or any
+    * per-frame integer feature at (media_id, channel, frame_idx, coef,
+    * value) grain) — the temporal-derivative half of the classic
+    * MFCC+Δ+ΔΔ ASR feature stack: the standard regression
+    * `d_t = Σ_{n=1..N} n·(c_{t+n} − c_{t−n}) div (2·Σ n²)` with
+    * repeat-edge padding (t±n clamps to [0, T−1], the textbook
+    * convention). Truncating integer division again (Scala `/` ≡ Spark
+    * `div` ≡ DuckDB `//` toward zero — including on the NEGATIVE
+    * numerators deltas produce), so the whole feature replays verbatim
+    * in SQL. Δ of Δ is ΔΔ — apply twice.
+    *
+    * Plan shape: per-(clip, channel, coef) max-frame window, a literal
+    * 2N-row offset fan-out (explode — no join), ONE self equi-join on
+    * the clamped partner frame, one hash aggregation. Everything keys
+    * on the feature grain — no cartesian, no global window, nothing
+    * funnels.
+    */
+  def audioDeltaFixed(features: DataFrame, n: Int = 2,
+                      valueCol: String = "cepstrum"): DataFrame = {
+    require(n >= 1 && n <= 8, s"bad delta half-width $n")
+    val denom = 2L * (1 to n).map(i => i.toLong * i).sum
+    val offsets = array((-n to n).filter(_ != 0).map(o => lit(o.toLong)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id"), col("channel"), col("coef"))
+    val src = features.select(col("media_id"), col("channel"),
+      col("frame_idx").as("__j"), col("coef"), col(valueCol).as("__cj"))
+    features
+      .withColumn("__maxf", max(col("frame_idx")).over(w))
+      .select(col("media_id"), col("channel"), col("frame_idx"), col("coef"),
+        col("__maxf"), explode(offsets).as("__o"))
+      .withColumn("__j",
+        least(greatest(col("frame_idx") + col("__o"), lit(0L)), col("__maxf")))
+      .join(src, Seq("media_id", "channel", "coef", "__j"))
+      .groupBy(col("media_id"), col("channel"), col("frame_idx"), col("coef"))
+      .agg(expr(s"sum(__o * __cj) div $denom").as("delta"))
+  }
+
   /** The CLASSIC DCT perceptual hash (pHash proper — the average-hash
     * family's [[phash]] stays for feature vectors): grayscale the
     * decoded image, exact box-resize to 32×32, 2-D DCT, keep the 8×8

@@ -558,6 +558,55 @@ object Zstd {
                           dict: Dict): (Array[Byte], Boolean) =
     inflate(bytes, dict)
 
+  /** STORE-mode Zstandard ENCODER — the write half of the `.zst` story:
+    * one fully conformant RFC 8878 frame of raw blocks (RLE where a
+    * whole block is a single repeated byte) under a single-segment
+    * header with the exact content size and, by default, the XXH64
+    * content checksum. No entropy coding — "store" framing, the shape
+    * every conformant decoder must read: size is input + 3 bytes per
+    * 128 KiB block + ≤ 13 bytes of framing. The right write-path trade
+    * for a pipeline whose `.zst` READS must handle the full format but
+    * whose WRITES need container compatibility (handing `.warc.zst` /
+    * `.wet.zst` shards to standard tooling); ZstdSpec pins conformance
+    * by decoding every emitted frame with the FOREIGN zstd-jni decoder
+    * bit-for-bit, alongside this file's own [[decompress]].
+    */
+  def compressStore(data: Array[Byte], checksum: Boolean = true): Array[Byte] = {
+    val len = data.length
+    val fcsFlag = if (len < 256) 0 else if (len < 65536 + 256) 1 else 2
+    val fcsBytes = fcsFlag match { case 0 => 1; case 1 => 2; case _ => 4 }
+    val blockMax = 1 << 17 // 128 KiB — the format's block-size ceiling
+    val out = new java.io.ByteArrayOutputStream(len + (len >> 15) + 32)
+    def w32(v: Int): Unit = {
+      out.write(v); out.write(v >>> 8); out.write(v >>> 16); out.write(v >>> 24)
+    }
+    w32(FrameMagic)
+    // single-segment (no window descriptor), content size always present
+    out.write((fcsFlag << 6) | 0x20 | (if (checksum) 0x04 else 0))
+    val fcsStored = if (fcsFlag == 1) len - 256 else len
+    var i = 0
+    while (i < fcsBytes) { out.write(fcsStored >>> (8 * i)); i += 1 }
+    var off = 0
+    var emitted = 0
+    while (off < len || emitted == 0) {
+      val n = math.min(blockMax, len - off)
+      val last = off + n >= len
+      var rle = n > 3
+      var j = off + 1
+      while (rle && j < off + n) {
+        if (data(j) != data(off)) rle = false
+        j += 1
+      }
+      val hdr = (if (last) 1 else 0) | (if (rle) 1 else 0) << 1 | n << 3
+      out.write(hdr); out.write(hdr >>> 8); out.write(hdr >>> 16)
+      if (rle) out.write(data(off)) else out.write(data, off, n)
+      off += n
+      emitted += 1
+    }
+    if (checksum) w32((xxh64(data, 0L) & 0xFFFFFFFFL).toInt)
+    out.toByteArray
+  }
+
   private def inflate(bytes: Array[Byte],
                       dict: Dict): (Array[Byte], Boolean) = {
     val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)

@@ -348,6 +348,27 @@ object Crawl {
       .toDF("file_id", "content")
   }
 
+  /** [[plantWarc]] with each file STORED as one zstd frame emitted by
+    * the engine's OWN [[graft.multimodal.Zstd.compressStore]] — the
+    * WRITE half of the `.warc.zst` story (the shard hand-off sink):
+    * store-mode framing (raw/RLE blocks, single-segment header, exact
+    * content size, XXH64 checksum) that any conformant tool reads —
+    * ZstdSpec decodes every emitted frame with the FOREIGN zstd-jni
+    * decoder bit-for-bit — and that re-ingesting through
+    * [[warcParseZst]] must answer [[warcParse]]'s oracle verbatim.
+    * Pure per-file executor map, like the read side.
+    */
+  def plantWarcZstStore(docs: DataFrame, idCol: String, textCol: String,
+                        files: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    plantWarc(docs, idCol, textCol, files).as[(Long, String)]
+      .map { case (f, w) =>
+        (f, graft.multimodal.Zstd.compressStore(w.getBytes("UTF-8")))
+      }
+      .toDF("file_id", "content")
+  }
+
   /** Parse zstd-framed WARC archive files: each file's frames decode
     * through the from-scratch RFC 8878 decoder
     * ([[graft.multimodal.Zstd]] — skippable frames skipped, checksums

@@ -356,6 +356,27 @@ private[graft] object MultimodalQueries {
         graft.multimodal.Multimodal.audioFilterbankFixed(
           graft.multimodal.Multimodal.audioSpectrogramFixed(media)))
     }),
+    // ...and the DELTA features over those cepstra (MFCC+Δ, the
+    // temporal-derivative regression with repeat-edge padding and
+    // truncating division) — one offset fan-out + one self equi-join on
+    // the clamped partner frame, replayed verbatim from the shared
+    // cepstra chain.
+    "mm_audio_delta" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.range(256).map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nFrames = (64 + id % 33).toInt
+        val samples = Array.tabulate(nFrames * channels)(i =>
+          (((i * 31 + 7 * id) % 65536) - 32768).toShort)
+        graft.multimodal.MediaRecord(id, "audio/wav",
+          graft.multimodal.Codecs.Wav.encode(rate, channels, samples))
+      }
+      graft.multimodal.Multimodal.audioDeltaFixed(
+        graft.multimodal.Multimodal.audioCepstraFixed(
+          graft.multimodal.Multimodal.audioFilterbankFixed(
+            graft.multimodal.Multimodal.audioSpectrogramFixed(media))))
+    }),
     // The real AUDIO chain — WAV decode → exact ÷4 decimation
     // (per-channel truncated mean of 4 consecutive frames, matching
     // DuckDB's //) → stats of the RESAMPLED clip. Closed-form
@@ -996,6 +1017,41 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
               GROUP BY 1, 2, 3, 4)"""
   }
 
+  /** The cepstra CTE chain — [[sqlFilterbankEnergy]] plus the
+    * fixed-point log2 curve (msb comparisons, the mantissa-normalizing
+    * CASE, the interpolated threshold ladder) and the integer DCT,
+    * ending in `cp(id, channel, f, coef, cepstrum)`. Shared verbatim by
+    * mm_audio_cepstra and mm_audio_delta.
+    */
+  private lazy val sqlCepstra: String = {
+    val ladder = (1 until 64).map(f =>
+      s"($f, ${graft.multimodal.Multimodal.log2Threshold(f, 6)})")
+      .mkString(", ")
+    val dct = (for { u <- 0 until 4; b <- 0 until 5 } yield
+      s"($u, $b, ${graft.multimodal.Multimodal.cepstralDctSeed(5, u, b, 1024L)})")
+      .mkString(", ")
+    s"""$sqlFilterbankEnergy,
+       e1 AS (SELECT id, channel, f, band, energy + 1 AS e1 FROM fb),
+       ms AS (SELECT *, list_sum([CASE WHEN e1 >= (CAST(1 AS BIGINT) << i)
+                                       THEN 1 ELSE 0 END
+                                  FOR i IN range(1, 63)]) AS msb FROM e1),
+       nm AS (SELECT *, CASE WHEN msb >= 20
+                  THEN e1 // (CAST(1 AS BIGINT) << CAST(msb - 20 AS INTEGER))
+                  ELSE e1 * (CAST(1 AS BIGINT) << CAST(20 - msb AS INTEGER))
+                END AS m FROM ms),
+       th AS (SELECT f AS rung, CAST(t AS BIGINT) AS t
+              FROM (VALUES $ladder) v(f, t)),
+       lg AS (SELECT id, channel, f, band,
+                MAX(msb) * 64 + COUNT(th.rung) AS loge
+              FROM nm LEFT JOIN th ON nm.m >= th.t
+              GROUP BY 1, 2, 3, 4),
+       dw AS (SELECT coef, band, CAST(w AS BIGINT) AS w
+              FROM (VALUES $dct) v(coef, band, w)),
+       cp AS (SELECT id, channel, f, coef, SUM(loge * w) AS cepstrum
+              FROM lg JOIN dw USING (band)
+              GROUP BY 1, 2, 3, 4)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "mm_describe" ->
@@ -1151,36 +1207,37 @@ s"""WITH dims AS (SELECT id, 12 + 4*(id % 5) AS w, 12 + 4*((id*3) % 4) AS h,
     // and the integer DCT against the interpolated floor(cos·1024)
     // twiddle table — closed form end to end, no libm call at row grain
     // in either engine
-    "mm_audio_cepstra" -> {
-      val ladder = (1 until 64).map(f =>
-        s"($f, ${graft.multimodal.Multimodal.log2Threshold(f, 6)})")
-        .mkString(", ")
-      val dct = (for { u <- 0 until 4; b <- 0 until 5 } yield
-        s"($u, $b, ${graft.multimodal.Multimodal.cepstralDctSeed(5, u, b, 1024L)})")
-        .mkString(", ")
-      s"""$sqlFilterbankEnergy,
-         e1 AS (SELECT id, channel, f, band, energy + 1 AS e1 FROM fb),
-         ms AS (SELECT *, list_sum([CASE WHEN e1 >= (CAST(1 AS BIGINT) << i)
-                                         THEN 1 ELSE 0 END
-                                    FOR i IN range(1, 63)]) AS msb FROM e1),
-         nm AS (SELECT *, CASE WHEN msb >= 20
-                    THEN e1 // (CAST(1 AS BIGINT) << CAST(msb - 20 AS INTEGER))
-                    ELSE e1 * (CAST(1 AS BIGINT) << CAST(20 - msb AS INTEGER))
-                  END AS m FROM ms),
-         th AS (SELECT f AS rung, CAST(t AS BIGINT) AS t
-                FROM (VALUES $ladder) v(f, t)),
-         lg AS (SELECT id, channel, f, band,
-                  MAX(msb) * 64 + COUNT(th.rung) AS loge
-                FROM nm LEFT JOIN th ON nm.m >= th.t
-                GROUP BY 1, 2, 3, 4),
-         dw AS (SELECT coef, band, CAST(w AS BIGINT) AS w
-                FROM (VALUES $dct) v(coef, band, w))
+    "mm_audio_cepstra" ->
+      s"""$sqlCepstra
          SELECT id AS media_id, CAST(channel AS BIGINT) AS channel,
                 CAST(f AS BIGINT) AS frame_idx, CAST(coef AS BIGINT) AS coef,
-                CAST(SUM(loge * w) AS BIGINT) AS cepstrum
-         FROM lg JOIN dw USING (band)
-         GROUP BY 1, 2, 3, 4"""
-    },
+                CAST(cepstrum AS BIGINT) AS cepstrum
+         FROM cp""",
+    // the delta features: repeat-edge clamped partner frames, the ±n
+    // offset fan-out, the n-weighted sum and the truncating //10 — the
+    // regression replays verbatim over the shared cepstra chain
+    // (DuckDB // truncates toward zero like Spark div, NEGATIVE
+    // numerators included — the r16 floorDiv lesson)
+    "mm_audio_delta" ->
+      s"""$sqlCepstra,
+         mf AS (SELECT id, channel, coef, MAX(f) AS maxf
+                FROM cp GROUP BY 1, 2, 3),
+         ex AS (SELECT cp.id, cp.channel, cp.f, cp.coef, o,
+                  least(greatest(cp.f + o, 0), mf.maxf) AS j
+                FROM cp
+                JOIN mf ON mf.id = cp.id AND mf.channel = cp.channel
+                       AND mf.coef = cp.coef,
+                     unnest([-2, -1, 1, 2]) AS uo(o)),
+         dl AS (SELECT ex.id, ex.channel, ex.f, ex.coef,
+                  SUM(ex.o * c2.cepstrum) // 10 AS delta
+                FROM ex JOIN cp c2
+                  ON c2.id = ex.id AND c2.channel = ex.channel
+                 AND c2.coef = ex.coef AND c2.f = ex.j
+                GROUP BY 1, 2, 3, 4)
+         SELECT id AS media_id, CAST(channel AS BIGINT) AS channel,
+                CAST(f AS BIGINT) AS frame_idx, CAST(coef AS BIGINT) AS coef,
+                CAST(delta AS BIGINT) AS delta
+         FROM dl""",
     "mm_audio_autocorr" ->
       """WITH clips AS (SELECT id, 1 + id % 2 AS ch, 64 + id % 33 AS frames
                         FROM (SELECT unnest(range(0, 256)) AS id)),

@@ -217,6 +217,16 @@ private[graft] object PipelineQueries {
       graft.operators.Crawl.warcParseZst(
         graft.operators.Crawl.plantWarcZst(
           Tables.documents(s, dir), "doc_id", "text"))),
+    // the WRITE half (round 17): the same archive framed by the
+    // engine's OWN store-mode zstd encoder (Zstd.compressStore — raw/RLE
+    // blocks, single-segment header, XXH64 checksum; zstd-jni decodes
+    // every emitted frame in ZstdSpec, the foreign conformance pin),
+    // then re-ingested through the from-scratch decoder — write → read
+    // must answer src_warc_parse's oracle VERBATIM.
+    "src_warc_write_zst" -> ((s, dir) =>
+      graft.operators.Crawl.warcParseZst(
+        graft.operators.Crawl.plantWarcZstStore(
+          Tables.documents(s, dir), "doc_id", "text"))),
     // ...and the FULL Common Crawl layout: a leading skippable frame
     // carrying a per-file TRAINED dictionary, every record its own frame
     // compressed against it (preloaded entropy tables, starting repeat
@@ -778,6 +788,9 @@ private[graft] object PipelineQueries {
     // archive must be indistinguishable from the uncompressed parse
     "src_warc_parse_zst" -> sqlWarcParse,
     "src_warc_parse_zstdict" -> sqlWarcParse,
+    // the engine-written store-mode archive answers the SAME oracle:
+    // write → read must be indistinguishable from the uncompressed parse
+    "src_warc_write_zst" -> sqlWarcParse,
     // Deterministic shard shuffle: md5 permutation, NTILE sharding,
     // in-shard sequence — all three native on both engines
     "pipeline_shard_shuffle" ->

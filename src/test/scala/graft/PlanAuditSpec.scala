@@ -580,6 +580,26 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Dedup.clearCaches()
   }
 
+  test("round-17: mm_audio_delta keys every join on the feature grain; " +
+    "the engine-written zst archive stays a pure per-file map") {
+    // the delta's partner lookup is an equi-join on (clip, channel,
+    // coef, clamped frame) — never a cartesian, never a global funnel
+    // (the upstream cepstra ladder's sanctioned broadcast nested-loop
+    // rides inside this plan, so only CartesianProduct is forbidden)
+    val d = plan("mm_audio_delta")
+    assert(!d.contains("CartesianProduct"),
+      s"mm_audio_delta plans a CartesianProduct:\n$d")
+    assert(!d.contains("Exchange SinglePartition"),
+      s"delta funnels to one partition:\n$d")
+    // write → read: encode + decode + record split are per-file maps —
+    // no join anywhere (the src_warc_parse_zst stance)
+    val wz = plan("src_warc_write_zst")
+    assertNoCartesian(wz, "src_warc_write_zst")
+    assert(!wz.contains("SortMergeJoin") && !wz.contains("BroadcastHashJoin"),
+      s"archive write/read must not join:\n$wz")
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("round-17: ann_sq8_served scans stored artifacts — no cartesian, " +
     "no extrema re-derivation") {
     val p = plan("ann_sq8_served")

@@ -436,6 +436,35 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioCepstraFixed(fb, nBands = 1))
   }
 
+  test("audioDeltaFixed: hand-computed regression with repeat-edge " +
+    "padding; negative sums truncate toward zero") {
+    // c = [10, 20, 40, 30, 0], d_t = (Σ n·(c_{t+n}−c_{t−n})) div 10,
+    // edges clamp: d_0 = (20−10) + 2·(40−10) = 70 → 7;
+    // d_1 = (40−10)+2·(30−10) = 70 → 7; d_2 = 10−20 = −10 → −1;
+    // d_3 = −40−40 = −80 → −8; d_4 = −30−80 = −110 → −11
+    val feats = Seq(10L, 20L, 40L, 30L, 0L).zipWithIndex.map {
+      case (c, t) => (1L, 0L, t.toLong, 0L, c)
+    }.toDF("media_id", "channel", "frame_idx", "coef", "cepstrum")
+    val out = Multimodal.audioDeltaFixed(feats).collect()
+      .map(r => (r.getLong(2), r.getLong(4))).toMap
+    assert(out == Map(0L -> 7L, 1L -> 7L, 2L -> -1L, 3L -> -8L, 4L -> -11L),
+      s"hand-computed deltas: $out")
+    // −5 div 10 must be 0 (toward zero — Spark div ≡ DuckDB //), not
+    // floor's −1: c = [0, 5, 0] → d_2 = (c_2−c_1) + 2·(c_2−c_0) = −5
+    // (both +offsets clamp to the last frame)
+    val tz = Seq(0L, 5L, 0L).zipWithIndex.map {
+      case (c, t) => (2L, 0L, t.toLong, 0L, c)
+    }.toDF("media_id", "channel", "frame_idx", "coef", "cepstrum")
+    val tzOut = Multimodal.audioDeltaFixed(tz).collect()
+      .map(r => (r.getLong(2), r.getLong(4))).toMap
+    assert(tzOut(2L) == 0L, s"truncation toward zero (floor would be -1): $tzOut")
+    // a single-frame clip clamps every partner to itself: delta 0
+    val one = Seq((3L, 0L, 0L, 0L, 77L))
+      .toDF("media_id", "channel", "frame_idx", "coef", "cepstrum")
+    assert(Multimodal.audioDeltaFixed(one).collect().head.getLong(4) == 0L)
+    intercept[IllegalArgumentException](Multimodal.audioDeltaFixed(one, n = 0))
+  }
+
   test("exifMetaTolerant: malformed records flag instead of aborting the " +
     "pass; clean records answer exactly like the strict walk (ADVICE r15)") {
     val q8 = Array.fill(64)(8)
