@@ -478,6 +478,37 @@ private[graft] object EntryFixtures {
   /** Scratch dir for the roundtrip queries (self-cleaning, shared impl). */
   private[graft] def tmpDir(prefix: String): String = graft.util.Scratch.dir(prefix)
 
+  /** Stage one-file-per-trigger fixture dirs `f<i>` from a
+    * `(file_id, …)` frame, with ascending mtimes so file→batch order is
+    * deterministic under maxFilesPerTrigger=1. The frame is persisted
+    * around the write loop: each per-file `filter(file_id === i)` sits
+    * ABOVE the plant's `mapGroups`, so without the persist every write
+    * job re-executed the whole plant subtree — for the .wet.gz/.wet.zst
+    * fixtures that meant re-compressing the entire corpus once per
+    * staged file, 9× the plant cost per query (guide §1/§2: the staging
+    * loop was ~2× the one-pass plant cost at sf0.1, measured in
+    * ProfileR17). One pass computes all slices; the 9 writes then read
+    * the (few-row) cached frame.
+    */
+  private[graft] def stageByFileId(blobs: DataFrame, stage: String,
+                                   ids: Seq[Long]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val b = blobs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ids.foreach { i =>
+        val sub = s"$stage/f$i"
+        b.filter(col("file_id") === i).coalesce(1)
+          .write.mode("overwrite").parquet(sub)
+        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+          .iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 600000L)))
+      }
+    } finally b.unpersist()
+  }
+
   /** One drained JointKpis run per (session, sfDir) — st_joint_category
     * and st_joint_daily read their table from the SAME committed root
     * instead of each paying a full stage + AvailableNow drain of the

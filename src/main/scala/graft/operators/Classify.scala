@@ -12,10 +12,15 @@ import graft.functions.Text
   *
   * Scale contract: the feature frame is (doc, feat, x) rows — O(total
   * tokens) like every shingle pass in this repo — and the model is bounded
-  * by the hash dimension (`dim` rows), NEVER by the corpus. Each descent
-  * iteration is: one broadcast join (weights → features; the weight table
-  * is ≤ dim rows, always the broadcast side), one doc-grain aggregation
-  * (margins), one feat-grain aggregation (gradients, bounded by dim).
+  * by the hash dimension (`dim` rows), NEVER by the corpus. The frame is
+  * label-attached and hash-partitioned by doc id ONCE at persist time, so
+  * each descent iteration is: one broadcast join (weights → features; the
+  * weight table is ≤ dim rows, always the broadcast side), one
+  * exchange-free doc-grain aggregation (margins), one exchange-free
+  * co-partitioned hash join (errors back onto features), and one
+  * feat-grain aggregation whose shuffle is bounded by dim — the corpus
+  * crosses the network exactly once per training run, not once per
+  * iteration.
   * The driver holds only the weight vector (≤ dim entries) — the same
   * bounded-metadata collect as the k-means centroid loop in
   * [[Similarity.kmeansCells]]. Iteration count is a constant; nothing in
@@ -81,9 +86,22 @@ object Classify {
     val spark = docs.sparkSession
     val labels = docs.select(col(idCol),
       col(labelCol).cast("double").as("__y"))
+    // The label attaches ONCE here and the frame co-partitions by doc id
+    // BEFORE the persist (r17, guide §2.4): the loop below used to join
+    // the label table and shuffle the token-grain feature frame by doc id
+    // inside EVERY iteration (margin agg + gradient join were each a full
+    // exchange) — with 15 iterations that was ~45 corpus-sized exchanges
+    // per training run. With hashpartitioning(idCol) cached, the per-doc
+    // margin aggregation and the feats⨝errs gradient join are both
+    // exchange-free (errs is born partitioned by idCol from the margin
+    // agg), so the only per-iteration shuffle left is the dim-bounded
+    // gradient aggregation. Arithmetic is unchanged — same margins, same
+    // errors, same gradient sums.
     val feats = features(docs, idCol, textCol, dim)
       .unionByName(labels.select(col(idCol), lit(BiasFeat).as("feat"),
         lit(1.0).as("x")))
+      .join(labels, Seq(idCol))
+      .repartition(col(idCol))
       .persist()
     try {
       val n = labels.count().toDouble
@@ -98,17 +116,20 @@ object Classify {
               .withColumn("__w", coalesce(col("__w"), lit(0.0)))
           }
         // per-doc error: err = sigmoid(margin) − y; the bias feature is in
-        // the margin sum like any other weight
+        // the margin sum like any other weight (__y is constant per doc,
+        // so first() is deterministic)
         val errs = joined
           .groupBy(col(idCol))
-          .agg(sum(col("x") * col("__w")).as("__m"))
-          .join(labels, idCol)
+          .agg(sum(col("x") * col("__w")).as("__m"),
+            first(col("__y")).as("__y"))
           .select(col(idCol),
             (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y"))
               .as("__err"))
         // feature gradients (bounded by dim+1), ONE collect; the BiasFeat
-        // row's gradient is Σerr because its x is the constant 1
-        val grads = feats.join(errs, idCol)
+        // row's gradient is Σerr because its x is the constant 1. The
+        // shuffle_hash hint keeps the co-partitioned join sort-free
+        // (sort-merge would re-sort the cached frame every iteration).
+        val grads = feats.join(errs.hint("shuffle_hash"), Seq(idCol))
           .groupBy(col("feat"))
           .agg(sum(col("x") * col("__err")).as("__g"))
           .collect()

@@ -585,11 +585,16 @@ object Dedup {
                          threshold: Double = 0.9, shingleN: Int = 3,
                          maxDf: Int = 50): DataFrame = {
     require(maxDf >= 2, s"maxDf must admit at least a pair, got $maxDf")
-    val sh = docs
-      .select(col(idCol).as("__sid"), Text.tokens(col(textCol)).as("__toks"))
-      .select(col("__sid"),
-        explode(array_distinct(Text.shinglesFromTokens(col("__toks"), shingleN)))
-          .as("__sh"))
+    // ONE tokenize+shingle pass (r17, guide §1/§2.3): the posting stream
+    // (df cap + candidate self-join) and the containment verify all
+    // derive from the same per-doc distinct shingle sets — un-cached,
+    // the tokenize→shingle→distinct subtree planned FOUR times (df agg,
+    // both self-join sides, verify). Cached once, the explode and the
+    // verify both read the in-memory sets.
+    val sets = graft.util.Caches.retain(
+      shingleSets(docs, idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sh = sets.select(col("__id").as("__sid"), explode(col("__set")).as("__sh"))
     val rare = sh.join(
       sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select(col("__sh")), Seq("__sh"))
@@ -597,7 +602,11 @@ object Dedup {
     val b = rare.select(col("__sh"), col("__sid").as("id_b"))
     val cands = a.join(b, Seq("__sh")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    containmentVerify(cands, docs, idCol, textCol, shingleN)
+    val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+    joinSets(cands, sets)
+      .select(col("id_a"), col("id_b"),
+        round(inter / size(col("set_a")), 6).as("containment_a"),
+        round(inter / size(col("set_b")), 6).as("containment_b"))
       .select(explode(array(
         struct(col("id_a").as("contained_id"), col("id_b").as("container_id"),
           col("containment_a").as("containment")),
@@ -640,7 +649,7 @@ object Dedup {
       if (starContraction)
         graft.operators.Grouping.connectedComponentsStar(
           pairs, "id_a", "id_b", maxRounds = maxIters)
-      else graft.operators.Grouping.connectedComponents(
+      else graft.operators.Grouping.connectedComponentsAuto(
         pairs, "id_a", "id_b", maxIters)
     val drop = clusters.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
@@ -1265,13 +1274,20 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       gramLen: Int = 50): DataFrame = {
     require(gramLen >= 2, s"gram length must be >= 2, got $gramLen")
-    val grams = docs
+    // ONE digest pass (r17, guide §1/§2.3): the dup-digest aggregation and
+    // the position stream both consume this frame, and without the persist
+    // each planned its own full explode+md5 subtree — the md5-per-gram
+    // pass (the dominant per-row cost here, measured ~3 s of the query's
+    // ~9 s at sf0.1) ran twice per query. Cached it runs once; the
+    // semi-join probe then reads the in-memory rows.
+    val grams = graft.util.Caches.retain(docs
       .filter(length(col(textCol)) >= gramLen)
       .select(col(idCol).as("doc_id"),
         explode(sequence(lit(0), length(col(textCol)) - gramLen)).as("pi"),
         col(textCol))
       .select(col("doc_id"), col("pi").cast("long").as("p"),
         md5(expr(s"substring($textCol, pi + 1, $gramLen)")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dupDigests = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)

@@ -195,6 +195,65 @@ object Grouping {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** [[connectedComponents]] with a bounded-size driver shortcut (r17,
+    * guide §1.2 "the distributed algorithm" / the [[graft.operators.Dedup]]
+    * InSet-collapse stance): dedup pair graphs are DUP-SLICE-sized — a few
+    * thousand edges on corpora whose near-dup candidates survived an exact
+    * verify — yet the propagation loop pays per-iteration join + aggregate
+    * + localCheckpoint + count jobs regardless of size (~6–10 driver
+    * actions for a converged 2-iteration run, all scheduling overhead at
+    * this grain). Here the edge list is collected through `limit(cap+1)`
+    * (ONE bounded execution, the exactGroups probe shape) and, when it
+    * fits, components come from a driver union-find with min-id
+    * representatives — the same (node, component) rows the converged loop
+    * produces, as a LocalRelation that broadcasts into downstream joins.
+    * Past the cap (copy-heavy corpora — real 100 TB crawls), or for
+    * non-integral node types, it falls back to the distributed loop
+    * unchanged. The pure-graph oracle queries (g_connected_components,
+    * g_cc_largestar) deliberately do NOT route through this: they pin the
+    * distributed algorithms themselves.
+    */
+  def connectedComponentsAuto(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIters: Int = 20, maxEdges: Int = 1 << 20,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val longish = Set("LongType", "IntegerType", "ShortType", "ByteType")
+    val types = Seq(srcCol, dstCol)
+      .map(c => edges.schema(c).dataType.toString)
+    if (!types.forall(longish.contains))
+      return connectedComponents(edges, srcCol, dstCol, maxIters, checkpointDir)
+    val rows = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .limit(maxEdges + 1).collect()
+    if (rows.length > maxEdges)
+      return connectedComponents(edges, srcCol, dstCol, maxIters, checkpointDir)
+    // driver union-find, min id as representative (path-halving find)
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        parent.put(r, parent.get(parent.get(r)))
+        r = parent.get(r)
+      }
+      r
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (a != b) { // self-loops carry no grouping information (loop parity)
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val labeled = parent.keySet().asScala.toSeq.map(n => (n, find(n)))
+    spark.createDataset(labeled).toDF("node", "component")
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction — the published O(log n)-round MapReduce algorithm
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",

@@ -67,7 +67,9 @@ object LangId {
     // positional substr on strings — UTF8String.substring walks bytes to
     // the start offset, so sliding substr(i, n) is O(len²) PER DOCUMENT.
     // Splitting to a char array once makes each gram an O(n) slice, the
-    // token-shingle shape exactly.
+    // token-shingle shape exactly. The key rides the gram pass as an
+    // arbitrary column (r17): training keys by the LABEL directly, so
+    // no gram-instance row ever has to join back to a label table.
     val grams = transform(
       sequence(lit(1), greatest(size(col("__cs")) - (n - 1), lit(1))),
       i => concat_ws("", slice(col("__cs"), i, lit(n))))
@@ -87,12 +89,17 @@ object LangId {
             scale: Long = 1L << 20): LangId.NbModel = {
     require(scale > 0, s"scale must be positive, got $scale")
     val labels = docs.select(col(idCol), col(labelCol).as("__lang"))
-    // per-(lang, feat) integer gram counts — bounded by dim × |langs|;
-    // ONE shuffle: gram instances join the (broadcastable-or-not) label
-    // map and aggregate straight to (lang, feat) grain
-    val counts = gramRows(docs, idCol, textCol, dim, n)
-      .join(labels, idCol)
-      .groupBy(col("__lang"), col("feat"))
+    // per-(lang, feat) integer gram counts — bounded by dim × |langs|.
+    // The label KEYS the gram pass directly (r17, guide §2.4): the gram
+    // instances previously joined the label table on idCol — a full
+    // shuffle of O(total chars) gram rows by id plus the join itself,
+    // when the label is a column of the very frame the grams explode
+    // from. Carrying it through leaves ONE map-side-combinable
+    // aggregation whose shuffle is bounded by dim × |langs| × partitions,
+    // never by corpus size. Counts are identical: each gram instance
+    // pairs with exactly its own document's label either way.
+    val counts = gramRows(docs, labelCol, textCol, dim, n)
+      .groupBy(col(labelCol).as("__lang"), col("feat"))
       .agg(count(lit(1)).as("c"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -74,7 +74,7 @@ private[graft] object DedupQueries {
             substring(col("name"), 6, 1000000)).as("name"))
       val all = base.unionByName(dups)
       val pairs = Dedup.fuzzyPairs(all, "id", "name")
-      val comps = Grouping.connectedComponents(
+      val comps = Grouping.connectedComponentsAuto(
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")), "src", "dst")
       all.select(col("id"))
         .join(comps.select(col("node").as("id"), col("component")), Seq("id"), "left")
@@ -218,7 +218,7 @@ private[graft] object DedupQueries {
     "dedup_clusters_recall" -> ((s, dir) => {
       val pairs = Dedup.nearDuplicates(docsWithPlantedDups(s, dir), "doc_id",
         "text", threshold = 0.5, bands = 16)
-      val cc = Grouping.connectedComponents(pairs, "id_a", "id_b")
+      val cc = Grouping.connectedComponentsAuto(pairs, "id_a", "id_b")
       val orig = cc.filter(col("node") < PlantedOffset)
         .select(col("node").as("doc_id"), col("component").as("c_orig"))
       val copies = cc.filter(col("node") >= PlantedOffset)

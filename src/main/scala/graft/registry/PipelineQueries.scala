@@ -518,7 +518,7 @@ private[graft] object PipelineQueries {
       val docs = docsWithPlantedDups(s, dir).select("doc_id", "text")
       val pairs = Dedup.nearDuplicatesPortable(docs, "doc_id", "text",
         threshold = 0.5)
-      val cc = Grouping.connectedComponents(
+      val cc = Grouping.connectedComponentsAuto(
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
         "src", "dst")
       val grouped = docs.select(col("doc_id"))

@@ -189,18 +189,7 @@ private[graft] object StreamingQueries {
             files = 1)
           .select(lit(8L).as("file_id"), col("wet")))
       val stage = tmpDir("graft_stwet_in")
-      (0L to 8L).foreach { i =>
-        val sub = s"$stage/f$i"
-        blobs.filter(col("file_id") === i).coalesce(1)
-          .write.mode("overwrite").parquet(sub)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
-          .iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1700000000000L + i * 600000L)))
-      }
+      stageByFileId(blobs, stage, 0L to 8L)
       val (work, cp) = (tmpDir("graft_stwet_work"), tmpDir("graft_stwet_cp"))
       val schema = s.read.parquet(s"$stage/f0").schema
       val q = graft.streaming.WetStream.writer(
@@ -231,18 +220,7 @@ private[graft] object StreamingQueries {
             "text", files = 1, gzipRecords = true)
           .select(lit(8L).as("file_id"), col("content")))
       val stage = tmpDir("graft_stwetgz_in")
-      (0L to 8L).foreach { i =>
-        val sub = s"$stage/f$i"
-        blobs.filter(col("file_id") === i).coalesce(1)
-          .write.mode("overwrite").parquet(sub)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
-          .iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1700000000000L + i * 600000L)))
-      }
+      stageByFileId(blobs, stage, 0L to 8L)
       val (work, cp) = (tmpDir("graft_stwetgz_work"), tmpDir("graft_stwetgz_cp"))
       val schema = s.read.parquet(s"$stage/f0").schema
       val q = graft.streaming.WetStream.writerGz(
@@ -271,18 +249,7 @@ private[graft] object StreamingQueries {
             "text", files = 1, zstRecords = true)
           .select(lit(8L).as("file_id"), col("content")))
       val stage = tmpDir("graft_stwetzst_in")
-      (0L to 8L).foreach { i =>
-        val sub = s"$stage/f$i"
-        blobs.filter(col("file_id") === i).coalesce(1)
-          .write.mode("overwrite").parquet(sub)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
-          .iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1700000000000L + i * 600000L)))
-      }
+      stageByFileId(blobs, stage, 0L to 8L)
       val (work, cp) = (tmpDir("graft_stwetzst_work"), tmpDir("graft_stwetzst_cp"))
       val schema = s.read.parquet(s"$stage/f0").schema
       val q = graft.streaming.WetStream.writerZst(
@@ -317,18 +284,7 @@ private[graft] object StreamingQueries {
             "html", files = 1, gzipRecords = true)
           .select(lit(8L).as("file_id"), col("content")))
       val stage = tmpDir("graft_stcrawl_in")
-      (0L to 8L).foreach { i =>
-        val sub = s"$stage/f$i"
-        blobs.filter(col("file_id") === i).coalesce(1)
-          .write.mode("overwrite").parquet(sub)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
-          .iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1700000000000L + i * 600000L)))
-      }
+      stageByFileId(blobs, stage, 0L to 8L)
       val (work, cp) = (tmpDir("graft_stcrawl_work"), tmpDir("graft_stcrawl_cp"))
       val schema = s.read.parquet(s"$stage/f0").schema
       val q = graft.streaming.WetStream.writerGz(

@@ -79,6 +79,30 @@ class GroupingSpec extends SparkSpec {
       new java.io.File(cpDir).listFiles().nonEmpty)
   }
 
+  test("connectedComponentsAuto: driver union-find matches the loop, incl. self-loop exclusion") {
+    // r17 optimization: under the edge cap, components come from a driver
+    // union-find — same (node, component) rows as the converged loop.
+    // 99 has ONLY a self-loop and must be absent (the loop's a =!= b rule).
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (99L, 99L)).toDF("src", "dst")
+    val out = Grouping.connectedComponentsAuto(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Grouping.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == loop)
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponentsAuto: past the edge cap it falls back to the distributed loop") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val out = Grouping.connectedComponentsAuto(edges, "src", "dst", maxEdges = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("connectedComponentsStar: same clusters as label propagation on chains/cliques") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
