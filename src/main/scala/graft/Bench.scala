@@ -196,13 +196,18 @@ object Bench {
     * more settled re-run. The best of all observed times stands, and only
     * queries breached on their best-of-three fail the gate. Factored out
     * of main so the spec can inject a load blip (re-run fast) next to a
-    * real regression (re-run still slow) and pin both outcomes.
+    * real regression (re-run still slow) and pin both outcomes. floorSec
+    * must stay in lockstep with [[regressions]]' default: r17's gate
+    * breached e_daily_value on a 0.29 s delta because this default was
+    * left at 0.2 when regressions' was raised to 0.5 (VERDICT r17 #1) —
+    * main calls adjudicate without the parameter, so THIS default is the
+    * one every gate evaluation actually uses.
     */
   private[graft] def adjudicate(baseline: Map[String, Double],
                                 first: Map[String, Double],
                                 rerun: String => Option[Double],
                                 tol: Double = 2.0,
-                                floorSec: Double = 0.2)
+                                floorSec: Double = 0.5)
       : (Map[String, Double], Seq[(String, Double, Double)]) = {
     var now = first
     for (_ <- 1 to 2) {

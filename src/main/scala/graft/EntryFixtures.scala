@@ -499,12 +499,15 @@ private[graft] object EntryFixtures {
         val sub = s"$stage/f$i"
         b.filter(col("file_id") === i).coalesce(1)
           .write.mode("overwrite").parquet(sub)
-        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
-          .iterator().asScala
+        // Files.list streams hold a directory handle until closed (ADVICE
+        // r17: the unclosed iterator leaked one handle per staged file)
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+        try listing.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
             java.nio.file.attribute.FileTime
               .fromMillis(1700000000000L + i * 600000L)))
+        finally listing.close()
       }
     } finally b.unpersist()
   }

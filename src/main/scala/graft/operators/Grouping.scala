@@ -222,36 +222,50 @@ object Grouping {
       .map(c => edges.schema(c).dataType.toString)
     if (!types.forall(longish.contains))
       return connectedComponents(edges, srcCol, dstCol, maxIters, checkpointDir)
-    val rows = edges
+    import spark.implicits._
+    // The projected pair frame is persisted around the cap probe (ADVICE
+    // r17): limit(cap+1).collect() executes the full upstream pair
+    // pipeline (typically the most expensive stage of a dedup query), and
+    // past the cap the distributed fallback would otherwise recompute that
+    // same uncached subtree from scratch — doubling the heavy stage
+    // exactly on the large-corpus case the fallback exists for. Null
+    // endpoints are filtered to match the loop's `a =!= b` drop semantics
+    // (a null comparison is null → filtered) instead of NPE-ing in
+    // getLong; the typed collect keeps the probe off boxed Row objects.
+    val pairs = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .limit(maxEdges + 1).collect()
-    if (rows.length > maxEdges)
-      return connectedComponents(edges, srcCol, dstCol, maxIters, checkpointDir)
-    // driver union-find, min id as representative (path-halving find)
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.get(r) != r) {
-        parent.put(r, parent.get(parent.get(r)))
-        r = parent.get(r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = pairs.limit(maxEdges + 1).as[(Long, Long)].collect()
+      if (rows.length > maxEdges)
+        // fallback reuses the persisted pairs; its result is
+        // generation-checkpointed, so the finally-unpersist is safe
+        return connectedComponents(pairs, "a", "b", maxIters, checkpointDir)
+      // driver union-find, min id as representative (path-halving find)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) {
+          parent.put(r, parent.get(parent.get(r)))
+          r = parent.get(r)
+        }
+        r
       }
-      r
-    }
-    rows.foreach { r =>
-      val (a, b) = (r.getLong(0), r.getLong(1))
-      if (a != b) { // self-loops carry no grouping information (loop parity)
-        parent.putIfAbsent(a, a)
-        parent.putIfAbsent(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) {
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      rows.foreach { case (a, b) =>
+        if (a != b) { // self-loops carry no grouping information (loop parity)
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
         }
       }
-    }
-    import scala.jdk.CollectionConverters._
-    import spark.implicits._
-    val labeled = parent.keySet().asScala.toSeq.map(n => (n, find(n)))
-    spark.createDataset(labeled).toDF("node", "component")
+      import scala.jdk.CollectionConverters._
+      val labeled = parent.keySet().asScala.toSeq.map(n => (n, find(n)))
+      spark.createDataset(labeled).toDF("node", "component")
+    } finally pairs.unpersist()
   }
 
   /** Connected components by alternating large-star / small-star

@@ -167,6 +167,26 @@ class BenchGateSpec extends AnyFunSuite {
     assert(regs2 == Seq(("real", 1.0, 2.6)))
   }
 
+  test("adjudicate's DEFAULT noise floor is 0.5s, in lockstep with regressions") {
+    // VERDICT r17 #1: regressions()' default floorSec was raised to 0.5 in
+    // r17 but adjudicate kept its own 0.2 default — and main calls
+    // adjudicate WITHOUT the parameter, so the driver's gate still flagged
+    // e_daily_value on a 0.286s delta (0.15 -> 0.44). This drives the full
+    // adjudicate path bare, exactly like main: a >2x blip under 0.5s of
+    // absolute delta must neither re-run nor breach.
+    val baseline = Map("e_daily_value" -> 0.15, "real" -> 1.0)
+    val first = Map("e_daily_value" -> 0.44, "real" -> 2.6)
+    val reran = scala.collection.mutable.ListBuffer.empty[String]
+    val (now, regs) = Bench.adjudicate(baseline, first, { name =>
+      reran += name; Some(2.7)
+    })
+    assert(!reran.contains("e_daily_value"),
+      "a sub-floor blip must not even trigger a requalification re-run")
+    assert(now("e_daily_value") == 0.44)
+    assert(regs == Seq(("real", 1.0, 2.6)),
+      "only the above-floor regression breaches under the bare defaults")
+  }
+
   test("the sf1 sublinearity gate flags >10x-on-10x-data above the floor") {
     val base = Map("linear" -> 2.0, "super" -> 1.0, "tiny" -> 0.05,
       "flat" -> 3.0)
