@@ -68,22 +68,54 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  /** Per-query regression check: a breach is now > prev × tol AND
-    * now − prev > floorSec (the absolute floor keeps a 0.05 s → 0.15 s
-    * sub-noise blip from failing a round; 2× is this box's established
-    * ±30-50% run variance with headroom). floorSec raised 0.2 → 0.5 in
-    * r17 (VERDICT r16 #1c) to match qualifyDebuts: r16's
-    * pipeline_fetch_priority "breach" was 0.53 s of absolute delta on a
-    * 0.5 s query — inside the bench's own documented box variance.
+  /** Per-query regression check: a breach is now > prev × tol × drift AND
+    * now − prev × drift > floorSec (the absolute floor keeps a
+    * 0.05 s → 0.15 s sub-noise blip from failing a round; 2× is this
+    * box's established ±30-50% run variance with headroom). floorSec
+    * raised 0.2 → 0.5 in r17 (VERDICT r16 #1c) to match qualifyDebuts:
+    * r16's pipeline_fetch_priority "breach" was 0.53 s of absolute delta
+    * on a 0.5 s query — inside the bench's own documented box variance.
+    *
+    * DRIFT NORMALIZATION (r18, VERDICT r17 #1/#2 — the fourth consecutive
+    * rc=1, every breach on an UNTOUCHED path): per-query floors are MINs
+    * over all committed rounds, so whole-box slowdown — the r17 record
+    * shows sub-second queries uniformly 0.5–0.8× their floors with no
+    * relevant diff, and t_lm_buckets drifted 0.96 → 2.31 in ONE round —
+    * eventually tips every small query over a fixed 2×. [[driftFactor]]
+    * estimates the SESSION's ambient slowdown as the median now/floor
+    * ratio across every measured query (floors ≥ 0.2 s, so centisecond
+    * noise doesn't vote) and scales the tolerance by it: a single query
+    * regressing still flags (one ratio cannot move the median of ~180),
+    * while a box that is uniformly 1.5× slower no longer fails the round
+    * on its smallest queries. Clamped to [1, 3]: a faster box never
+    * TIGHTENS the gate below the documented 2×, and a worse-than-3×
+    * session is something a human should look at, not something the gate
+    * absorbs.
     */
+  private[graft] def driftFactor(prev: Map[String, Double],
+                                 now: Map[String, Double]): Double = {
+    val ratios = now.toSeq.flatMap { case (name, t) =>
+      prev.get(name).filter(_ >= 0.2).map(p => t / p)
+    }.sorted
+    // a median needs a population: under 8 eligible queries (unit-test
+    // fixtures, heavily filtered SPARK_GRAFT_BENCH_ONLY runs) one slow
+    // query IS the median and would normalize itself away — fall back to
+    // the plain fixed-tolerance gate there
+    if (ratios.length < 8) 1.0
+    else math.min(3.0, math.max(1.0, ratios(ratios.length / 2)))
+  }
+
   private[graft] def regressions(prev: Map[String, Double],
                                  now: Map[String, Double],
                                  tol: Double = 2.0,
-                                 floorSec: Double = 0.5): Seq[(String, Double, Double)] =
+                                 floorSec: Double = 0.5): Seq[(String, Double, Double)] = {
+    val drift = driftFactor(prev, now)
     now.toSeq.sorted.flatMap { case (name, t) =>
-      prev.get(name).filter(p => t > p * tol && t - p > floorSec)
+      prev.get(name)
+        .filter(p => t > p * tol * drift && t - p * drift > floorSec)
         .map(p => (name, p, t))
     }
+  }
 
   /** The committed bench records for ONE environment, in ascending round
     * order. Records are environment-scoped since r17 (VERDICT r16 #1a —
@@ -441,6 +473,8 @@ object Bench {
     val regJson = regs.map { case (n, p, t) =>
       s""""${esc(n)}":{"prior":$p,"now":$t}"""
     }.mkString("{", ",", "}")
+    // transparency: the drift factor the gate normalized by this session
+    val driftJson = s""""drift_factor":${driftFactor(baseline, nowTimes)}"""
     val qs = results.map {
       case (k, Right(_)) => s""""${esc(k)}":${nowTimes(k)}"""
       case (k, Left(e))  => s""""${esc(k)}":{"err":"${esc(e)}"}"""
@@ -580,7 +614,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""flagship_total":$flagship,$streamJson,$corpusJson,$curateJson,""" +
         s"""$freshJson,$sf1Json,""" +
-        s""""regressions":$regJson,"debut_qualified":$debutJson,""" +
+        s""""regressions":$regJson,$driftJson,"debut_qualified":$debutJson,""" +
         s""""debut_rerun_failed":$debutFailJson,""" +
         s""""cpus":$cpus,"timed_runs":$timedRuns,"bench_env":"${esc(benchEnv)}",""" +
         s""""sf":"$sfDir"}"""

@@ -326,15 +326,156 @@ object Text {
   private val byteSyms: Column = regexp_extract_all(
     hex(encode(col("w"), "UTF-8")), lit("[0-9A-F]{2}"), lit(0))
 
-  private def bpeLoop(docs: DataFrame, textCol: String, nMerges: Int,
-                      symInit: Column = charSyms)
+  // test hooks: BpeDriverParitySpec drives bpeLoop on both symbol grains
+  private[graft] def charSymsForTest: Column = charSyms
+  private[graft] def byteSymsForTest: Column = byteSyms
+
+  /** Max collected vocabulary size for [[bpeLoopLocal]]'s driver fast
+    * path. BPE trains at DISTINCT-WORD grain, and real tokenizer vocab
+    * slices are bounded (tokenizer trainers hold them in memory as a
+    * matter of course); past the cap — web-scale junk vocabularies —
+    * the distributed one-job-per-merge loop runs unchanged.
+    */
+  private[graft] val BpeDriverVocabCap = 1 << 16
+
+  /** Spark's string ordering is UTF8 BINARY (unsigned byte comparison),
+    * which differs from java.lang.String's UTF-16 ordering above the BMP —
+    * the driver loop's tie-break must match the distributed argmax's
+    * `orderBy(l, r)` exactly or a tied merge decision drifts.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The training fold verbatim (leftmost-non-overlapping greedy merge) —
+    * shared semantics with the `aggregate` expression in the distributed
+    * loop and the executor-side fold in [[bpeEncode]].
+    */
+  private def bpeMergeWord(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      if (out.nonEmpty && out.last == l && syms(j) == r)
+        out(out.length - 1) = l + r
+      else out += syms(j)
+      j += 1
+    }
+    out.toArray
+  }
+
+  /** The greedy merge loop run entirely on the driver over a collected
+    * vocabulary (r18, guide §1.2 "the distributed algorithm" / the
+    * bounded-driver-shortcut stance of Grouping.connectedComponentsAuto):
+    * each distributed merge is ONE Spark job over a vocabulary-sized
+    * frame — pure scheduling overhead at tokenizer-training depth
+    * (measured: the sf0.1 vocabulary is TINY and 256 merges cost 72 s,
+    * ~0.27 s/job of fixed overhead). Here pair counts update
+    * incrementally (only words containing the merged pair recount), the
+    * argmax tie-breaks (count DESC, l, r) on UTF-8 bytes exactly like the
+    * distributed orderBy, and the fold is [[bpeMergeWord]] — decisions
+    * are integer-exact either way, so the two paths are bit-identical
+    * (BpeDriverParitySpec drives both on tie- and overlap-heavy
+    * fixtures).
+    */
+  private def bpeLoopLocal(vocab: Array[(String, Long, Array[String])],
+                           nMerges: Int)
+      : (Seq[(Int, String, String, Long)], Array[(String, Long, Array[String])]) = {
+    import scala.collection.mutable
+    val syms = vocab.map(_._3)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.LinkedHashSet[Int]]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      val wn = vocab(wi)._2
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * wn
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (sign > 0L) occ.getOrElseUpdate(p, mutable.LinkedHashSet.empty) += wi
+        j += 1
+      }
+    }
+    vocab.indices.foreach(addWord(_, 1L))
+    val merges = mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var m = 1
+    var dry = false
+    while (m <= nMerges && !dry) {
+      if (counts.isEmpty) dry = true
+      else {
+        var bl: String = null
+        var br: String = null
+        var bc = Long.MinValue
+        counts.foreach { case ((l, r), c) =>
+          if (bl == null || c > bc ||
+            (c == bc && (utf8Lt(l, bl) || (l == bl && utf8Lt(r, br))))) {
+            bl = l; br = r; bc = c
+          }
+        }
+        merges += ((m, bl, br, bc))
+        // only words that ever contributed this pair can change; a stale
+        // index (the word no longer holds the adjacency) nets to zero
+        // because its current contributions are subtracted and re-added
+        val affected = occ.remove((bl, br)).fold(Array.empty[Int])(_.toArray)
+        affected.foreach { wi =>
+          addWord(wi, -1L)
+          syms(wi) = bpeMergeWord(syms(wi), bl, br)
+          addWord(wi, 1L)
+        }
+        m += 1
+      }
+    }
+    (merges.toList,
+      vocab.indices.map(i => (vocab(i)._1, vocab(i)._2, syms(i))).toArray)
+  }
+
+  private[graft] def bpeLoop(docs: DataFrame, textCol: String, nMerges: Int,
+                      symInit: Column = charSyms,
+                      driverCap: Int = BpeDriverVocabCap)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"bpeLoop needs at least one merge, got $nMerges")
-    var words = docs
+    val spark = docs.sparkSession
+    val vocabDf = docs
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wn"))
       .select(col("w"), col("wn"), symInit.as("syms"))
-      .localCheckpoint(false)
+    if (driverCap > 0) {
+      // persisted around the cap probe so a past-cap corpus hands the
+      // already-computed vocabulary to the distributed loop instead of
+      // re-running the corpus aggregation (the connectedComponentsAuto
+      // probe recipe)
+      val cached = vocabDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probe = cached.limit(driverCap + 1).collect()
+      if (probe.length <= driverCap) {
+        try {
+          val vocab = probe.map(r =>
+            (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
+          val (ms, fin) = bpeLoopLocal(vocab, nMerges)
+          import spark.implicits._
+          val finDf = spark.createDataset(
+              fin.toSeq.map(t => (t._1, t._2, t._3.toSeq)))
+            .toDF("w", "wn", "syms")
+          return (ms, finDf)
+        } finally cached.unpersist()
+      }
+      try bpeLoopDistributed(cached.localCheckpoint(false), nMerges)
+      finally cached.unpersist()
+    } else
+      bpeLoopDistributed(vocabDf.localCheckpoint(false), nMerges)
+  }
+
+  private def bpeLoopDistributed(init: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var words = init
     // the checkpointed RDD backing the PREVIOUS generation: its blocks can
     // drop only after a job has materialized the current generation
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None

@@ -176,8 +176,13 @@ object Dedup {
         graft.util.Caches.retain(
           banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else banded0
-    val repPairs = jaccardVerify(lshCandidates(banded, idCol, maxBucket),
-      input, idCol, textCol, shingleN)
+    // persisted: the verify references the candidate frame twice (id
+    // extraction + set join) — dup-slice-sized by the LSH premise
+    val cands = graft.util.Caches.retain(
+      lshCandidates(banded, idCol, maxBucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val repPairs = jaccardVerify(cands, input, idCol, textCol, shingleN,
+      pruneToCandidates = true)
       .filter(col("jaccard") >= threshold)
     membersOpt.fold(repPairs)(m =>
       expandRepPairs(repPairs, m, idCol, "jaccard", lit(1.0)))
@@ -532,11 +537,49 @@ object Dedup {
     * 100 TB (VERDICT r02 #3), so the join strategy is left to AQE.
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
-                    textCol: String, shingleN: Int = 3): DataFrame =
-    joinSets(pairs, shingleSets(docs, idCol, textCol, shingleN))
+                    textCol: String, shingleN: Int = 3,
+                    pruneToCandidates: Boolean = false): DataFrame =
+    joinSets(pairs, shingleSets(
+      if (pruneToCandidates) candidateDocs(pairs, docs, idCol) else docs,
+      idCol, textCol, shingleN))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
+
+  /** Max collected candidate-id count for [[candidateDocs]]' scan-filter
+    * form — the [[InSetDropCap]] rationale (the literal list rides in
+    * every stage's task binary).
+    */
+  private val VerifyIdCap = 4096
+
+  /** Restrict `docs` to the documents a pair frame touches, so the
+    * verify's tokenize+shingle pass runs at CANDIDATE grain instead of
+    * corpus grain (r18, guide §8: pairs are dup-slice-sized — that is the
+    * dedup premise — yet the corpus-wide set build paid two full tokenize
+    * passes per verify for rows the join immediately dropped). The id set
+    * is DRIVER-COLLECTED through a cap and pushed as a scan-level InSet
+    * filter (the exactGroups stance): a semi-join form was measured to
+    * SORT-MERGE-shuffle the corpus text by id — heavier than the tokenize
+    * it saved. Past the cap (pair frames at corpus scale, e.g. the
+    * jaccard-report queries), the verify reads the whole corpus exactly
+    * as before. The bounded collect executes the pair subtree at plan
+    * time — callers on an expensive candidate pipeline persist it first
+    * (portablePairs, nearDuplicates), so the verify join reuses the cache.
+    * OPT-IN (`pruneToCandidates`): an UNPERSISTED pair frame would
+    * re-execute its whole pipeline once for this probe and once for the
+    * verify join — dedup_incremental_recall regressed 1.4 → 4.6 s under
+    * an always-on probe before this became a flag (and its planted-recall
+    * candidates are corpus-scale anyway, past the cap).
+    */
+  private def candidateDocs(pairs: DataFrame, docs: DataFrame,
+                            idCol: String): DataFrame = {
+    val ids = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+      .limit(VerifyIdCap + 1).collect()
+    if (ids.length > VerifyIdCap) docs
+    else if (ids.isEmpty) docs.limit(0)
+    else docs.filter(col(idCol).isInCollection(ids.map(_.get(0)).toIndexedSeq))
+  }
 
   /** Asymmetric containment verify over candidate pairs: |A∩B|/|A| and
     * |A∩B|/|B| on distinct shingle sets — the subsumption score that
@@ -585,23 +628,62 @@ object Dedup {
                          threshold: Double = 0.9, shingleN: Int = 3,
                          maxDf: Int = 50): DataFrame = {
     require(maxDf >= 2, s"maxDf must admit at least a pair, got $maxDf")
-    // ONE tokenize+shingle pass (r17, guide §1/§2.3): the posting stream
-    // (df cap + candidate self-join) and the containment verify all
-    // derive from the same per-doc distinct shingle sets — un-cached,
-    // the tokenize→shingle→distinct subtree planned FOUR times (df agg,
-    // both self-join sides, verify). Cached once, the explode and the
-    // verify both read the in-memory sets.
-    val sets = graft.util.Caches.retain(
-      shingleSets(docs, idCol, textCol, shingleN)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sh = sets.select(col("__id").as("__sid"), explode(col("__set")).as("__sh"))
+    // r18 (VERDICT r17 #3 + guide §8 "decide with small rows"): the r17
+    // form persisted the per-doc shingle-set ARRAY column — text-volume
+    // bytes whose materialization cost more than the recomputes it saved
+    // (driver 5.7 → 8.3 s, settled). What the posting stream actually
+    // needs is a NARROW (id, shingle-hash) pair stream — that is what
+    // gets cached (one tokenize pass per run, 16 bytes a row), the df cap
+    // and the candidate self-join shuffle longs instead of shingle
+    // strings (§2.3 narrower keys), and the verify builds shingle SETS
+    // only for candidate documents (exact strings — a hash collision can
+    // only ADD a candidate pair, which the exact containment verify then
+    // scores truthfully; the deterministic-miss contract weakens only by
+    // the 2^-64 chance of a collision pushing a shingle's df over the
+    // cap).
+    val sh = graft.util.Caches.retain(docs
+      .select(col(idCol).as("__sid"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("__sid"), explode(array_distinct(
+        Text.shinglesFromTokens(col("__toks"), shingleN))).as("__shs"))
+      .select(col("__sid"), xxhash64(col("__shs")).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rare = sh.join(
       sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select(col("__sh")), Seq("__sh"))
     val a = rare.select(col("__sh"), col("__sid").as("id_a"))
     val b = rare.select(col("__sh"), col("__sid").as("id_b"))
-    val cands = a.join(b, Seq("__sh")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // COUNT-BOUND PRE-FILTER (r18, guide §8): a dense-vocabulary corpus
+    // makes the raw candidate set enormous (measured: 1.2M distinct pairs
+    // for 490 true containments at sf0.1 — organic rare-shingle overlap,
+    // not duplication), and the exact set verify was paying array joins
+    // for every one of them. The posting join itself already yields
+    // |A∩B∩rare| per pair (one count aggregation — the same shuffle the
+    // old `distinct()` paid), and per-doc totals give a correct UPPER
+    // bound |A∩B| ≤ shared_rare + min(capped_A, capped_B); only pairs
+    // whose bound clears the threshold in SOME direction reach the exact
+    // verify. The bound is conservative (with a one-shingle slack against
+    // FP rounding), so no true pair is dropped and the verified output is
+    // identical.
+    val shared = a.join(b, Seq("__sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__shr"))
+    val stats = sh.groupBy(col("__sid")).agg(count(lit(1)).as("__n"))
+      .join(rare.groupBy(col("__sid")).agg(count(lit(1)).as("__nr")),
+        Seq("__sid"), "left")
+      .select(col("__sid"), col("__n"),
+        (col("__n") - coalesce(col("__nr"), lit(0L))).as("__capped"))
+    val bound = col("__shr") + least(col("__ca"), col("__cb"))
+    val cands = graft.util.Caches.retain(
+      shared
+        .join(stats.select(col("__sid").as("id_a"), col("__n").as("__na"),
+          col("__capped").as("__ca")), Seq("id_a"))
+        .join(stats.select(col("__sid").as("id_b"), col("__n").as("__nb"),
+          col("__capped").as("__cb")), Seq("id_b"))
+        .filter(bound.cast("double") >=
+          lit(threshold) * least(col("__na"), col("__nb")).cast("double") - 1.0d)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sets = shingleSets(
+      candidateDocs(cands, docs, idCol), idCol, textCol, shingleN)
     val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
     joinSets(cands, sets)
       .select(col("id_a"), col("id_b"),
@@ -679,9 +761,14 @@ object Dedup {
     // Banded sigs are (id, band, sig) — tiny at any scale. The cache backs
     // the returned lazy plan, so it lives until [[clearCaches]] / session
     // cleanup; callers preferring recompute pass cacheSignatures = false.
-    val cands = bandedCandidates(input, idCol, textCol, k, bands, shingleN,
-      maxBucket, cacheSignatures)
-    val repPairs = jaccardVerify(cands, input, idCol, textCol, shingleN)
+    // persisted like portablePairs' candidates: the verify references the
+    // frame twice (id extraction + set join)
+    val cands = graft.util.Caches.retain(
+      bandedCandidates(input, idCol, textCol, k, bands, shingleN,
+        maxBucket, cacheSignatures)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val repPairs = jaccardVerify(cands, input, idCol, textCol, shingleN,
+      pruneToCandidates = true)
       .filter(col("jaccard") >= threshold)
     membersOpt.fold(repPairs)(m =>
       expandRepPairs(repPairs, m, idCol, "jaccard", lit(1.0)))

@@ -312,6 +312,99 @@ object Similarity {
   def kmeansCells(corpus: DataFrame, k: Int, iters: Int,
                   cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     require(iters > 0, s"kmeansCells needs at least one iteration, got $iters")
+    kmeansFloatTrain(corpus, k, iters, cId, cVec) match {
+      case None => kmeansCellsJoinLoop(corpus, k, iters, cId, cVec)
+      case Some(cents) if cents.isEmpty =>
+        corpus.select(col(cId), lit(0).as("cell")).limit(0)
+      case Some(cents) =>
+        corpus.select(col(cId),
+          argmaxCellCosine(col(cVec), cents).as("cell"))
+    }
+  }
+
+  /** `corpus` with its trained float-kmeans cell ATTACHED as one
+    * projection — for callers that previously joined [[kmeansCells]]'
+    * output back onto the corpus by id (a corpus⋈corpus self-join the
+    * projection form makes redundant). Falls back to that join past the
+    * literal cap. Same training, same assignment values as
+    * [[kmeansCells]].
+    */
+  def kmeansCellsAttach(corpus: DataFrame, k: Int, iters: Int,
+                        cId: String = "vec_id",
+                        cVec: String = "embedding"): DataFrame = {
+    require(iters > 0, s"kmeansCellsAttach needs at least one iteration, got $iters")
+    kmeansFloatTrain(corpus, k, iters, cId, cVec) match {
+      case None =>
+        corpus.join(kmeansCellsJoinLoop(corpus, k, iters, cId, cVec), Seq(cId))
+      case Some(cents) if cents.isEmpty =>
+        corpus.withColumn("cell", lit(0)).limit(0)
+      case Some(cents) =>
+        corpus.withColumn("cell", argmaxCellCosine(col(cVec), cents))
+    }
+  }
+
+  /** [[kmeansCellsAttach]]'s fixed-point twin. */
+  def kmeansCellsFixedAttach(corpus: DataFrame, k: Int, iters: Int,
+                             scale: Long = 1L << 20,
+                             cId: String = "vec_id",
+                             cVec: String = "embedding"): DataFrame = {
+    require(iters > 0, s"kmeansCellsFixedAttach needs at least one iteration, got $iters")
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"scale must be a positive power of two (exact IEEE multiply), got $scale")
+    val scaled = corpus.select(col(cId),
+      transform(col(cVec), x => floor(x * scale).cast("long")).as("__sv"))
+    kmeansFixedTrain(scaled, k, iters, cId) match {
+      case None =>
+        corpus.join(kmeansCellsFixedJoinLoop(scaled, k, iters, cId), Seq(cId))
+      case Some(cents) if cents.isEmpty =>
+        corpus.withColumn("cell", lit(0)).limit(0)
+      case Some(cents) =>
+        corpus.withColumn("cell", argminCellFixed(
+          transform(col(cVec), x => floor(x * scale).cast("long")), cents))
+    }
+  }
+
+  /** The float Lloyd's loop with the assignment inlined as
+    * [[argmaxCellCosine]] over driver-resident centroids — the
+    * [[kmeansFixedTrain]] rework on the cosine/avg family. One job per
+    * refinement instead of a broadcast-join explosion + per-vector
+    * re-aggregation + persist/count barrier. The float means are avg()
+    * like before; their partial-sum order (and therefore the low ulps of
+    * the trained centroids) has ALWAYS been partitioning-dependent — this
+    * family's queries are the structural-invariant ones for exactly that
+    * reason (the ann_ivf_valid stance), and the fixed-point twin carries
+    * every verbatim-replay oracle.
+    */
+  private def kmeansFloatTrain(corpus: DataFrame, k: Int, iters: Int,
+                               cId: String,
+                               cVec: String): Option[Seq[(Int, Seq[Double])]] = {
+    var cents: Seq[(Int, Seq[Double])] = corpus.orderBy(col(cId)).limit(k)
+      .select(col(cVec)).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toIndexedSeq) }
+      .toIndexedSeq
+    if (cents.headOption.exists(c => k.toLong * c._2.length > ArgminLiteralCap))
+      return None
+    for (_ <- 1 until iters) {
+      if (cents.nonEmpty)
+        cents = corpus
+          .select(argmaxCellCosine(col(cVec), cents).as("cell"),
+            posexplode(col(cVec)).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(avg("v").as("m"))
+          .collect()
+          .groupBy(_.getInt(0)).toSeq
+          .map { case (cell, rows) =>
+            (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq)
+          }
+          .sortBy(_._1)
+    }
+    Some(cents)
+  }
+
+  /** The pre-r18 broadcast-join float loop, kept as the past-cap
+    * fallback.
+    */
+  private def kmeansCellsJoinLoop(corpus: DataFrame, k: Int, iters: Int,
+                                  cId: String, cVec: String): DataFrame = {
     var cents = corpus.orderBy(col(cId)).limit(k)
       .select(col(cId), col(cVec))
       .withColumn("cell", row_number().over(Window.orderBy(col(cId))) - 1)
@@ -369,6 +462,81 @@ object Similarity {
     * < 2^55, and 512-dim sums < 2^63 — unit-norm embeddings sit orders
     * of magnitude inside the envelope.
     */
+  /** Max centroid-table entries (cells × dim) the expression-argmin form
+    * embeds as literals; past it the broadcast-join Lloyd's loop runs
+    * unchanged. Every suite caller sits orders of magnitude under it
+    * (k ≤ 16, dim ≤ 64 → ≤ 1024 entries ≈ 8 KB of plan); the cap exists
+    * for a production nlist (tens of thousands of cells), where a
+    * megabyte-scale literal table in every task binary would itself
+    * become the cost (the exactGroups InSet lesson).
+    */
+  private val ArgminLiteralCap = 1 << 16
+
+  /** Integer argmin cell over a DRIVER-RESIDENT centroid table, as one
+    * codegen-friendly expression: the distances evaluate into an array,
+    * `array_position(ds, array_min(ds))` finds the FIRST index achieving
+    * the minimum, and the (ascending-sorted) cell-id literal maps it back
+    * — exactly `min_by(cell, struct(d2, cell))`: min distance, ties to
+    * the lower cell. Integer math end to end, so the value is
+    * bit-identical to the join form's.
+    */
+  private def argminCellFixed(sv: Column,
+                              cents: Seq[(Int, Seq[Long])]): Column = {
+    val ds = array(cents.map { case (_, cent) => d2Fixed(sv, typedLit(cent)) }: _*)
+    element_at(typedLit(cents.map(_._1)),
+      array_position(ds, array_min(ds)).cast("int"))
+  }
+
+  /** Cosine argmax cell over a driver-resident (ascending-sorted)
+    * centroid table — first index achieving the maximum similarity =
+    * `max_by(cell, struct(csim, -cell))`: max similarity, ties to the
+    * LOWER cell.
+    */
+  private[graft] def argmaxCellCosine(vec: Column,
+                                      cents: Seq[(Int, Seq[Double])]): Column = {
+    val ss = array(cents.map { case (_, cent) => cosine(vec, typedLit(cent)) }: _*)
+    element_at(typedLit(cents.map(_._1)),
+      array_position(ss, array_max(ss)).cast("int"))
+  }
+
+  /** The integer Lloyd's loop over a pre-scaled `(cId, __sv)` frame,
+    * returning the FINAL centroid table as driver rows (r18, guide
+    * §2.3/§2.4 — the "kmeans-centroid class" of bounded metadata): each
+    * refinement is ONE job — the per-(cell, pos) integral-div means with
+    * the assignment computed INLINE by [[argminCellFixed]] — instead of
+    * the join form's corpus×k broadcast-join explosion, per-vector
+    * re-aggregation shuffle, and persist+count barrier. Integer sums are
+    * order-independent, so centroids (and therefore every assignment) are
+    * bit-identical to the join loop's — the ann_ivf_kmeans / knn_graph /
+    * ann_ivfpq_topk oracles replay either form.
+    */
+  private[operators] def kmeansFixedTrain(scaled: DataFrame, k: Int,
+                                          iters: Int,
+                                          cId: String): Option[Seq[(Int, Seq[Long])]] = {
+    var cents: Seq[(Int, Seq[Long])] = scaled.orderBy(col(cId)).limit(k)
+      .select(col("__sv")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](0).toIndexedSeq) }
+      .toIndexedSeq
+    // the seed rows reveal the vector width: past the literal-table cap,
+    // signal the caller to run the broadcast-join loop instead
+    if (cents.headOption.exists(c => k.toLong * c._2.length > ArgminLiteralCap))
+      return None
+    for (_ <- 1 until iters) {
+      if (cents.nonEmpty)
+        cents = scaled
+          .select(argminCellFixed(col("__sv"), cents).as("cell"),
+            posexplode(col("__sv")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(expr("sum(v) div count(v)").as("m"))
+          .collect()
+          .groupBy(_.getInt(0)).toSeq
+          .map { case (cell, rows) =>
+            (cell, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toIndexedSeq)
+          }
+          .sortBy(_._1)
+    }
+    Some(cents)
+  }
+
   def kmeansCellsFixed(corpus: DataFrame, k: Int, iters: Int,
                        scale: Long = 1L << 20,
                        cId: String = "vec_id",
@@ -378,9 +546,24 @@ object Similarity {
       s"scale must be a positive power of two (exact IEEE multiply), got $scale")
     val scaled = corpus.select(col(cId),
       transform(col(cVec), x => floor(x * scale).cast("long")).as("__sv"))
-    val d2 = aggregate(
-      zip_with(col("__sv"), col("__cent"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
+    kmeansFixedTrain(scaled, k, iters, cId) match {
+      case None => kmeansCellsFixedJoinLoop(scaled, k, iters, cId)
+      case Some(cents) if cents.isEmpty =>
+        scaled.select(col(cId), lit(0).as("cell")).limit(0)
+      case Some(cents) =>
+        // the final assignment is a pure projection — no shuffle, and each
+        // consumer reference re-executes a scan+project instead of the
+        // join form's join+aggregate
+        scaled.select(col(cId), argminCellFixed(col("__sv"), cents).as("cell"))
+    }
+  }
+
+  /** The pre-r18 broadcast-join Lloyd's loop, kept verbatim as the
+    * past-cap fallback (production nlist too large for a literal table).
+    */
+  private def kmeansCellsFixedJoinLoop(scaled: DataFrame, k: Int, iters: Int,
+                                       cId: String): DataFrame = {
+    val d2 = d2Fixed(col("__sv"), col("__cent"))
     var cents = scaled.orderBy(col(cId)).limit(k)
       .withColumn("cell", row_number().over(Window.orderBy(col(cId))) - 1)
       .select(col("cell"), col("__sv").as("__cent"))
@@ -464,6 +647,15 @@ object Similarity {
     * doubles for the same operands; the PQ recall invariant depends on it.
     */
   def sqDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SqDiffDouble(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** The composable built-in formulation of [[sqDist]] (reference
+    * implementation the native kernel is tested against).
+    */
+  def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, v) => acc + v)
 
@@ -517,8 +709,53 @@ object Similarity {
         else trainPqCodebook(corpus, dim, m, ksub, iters, cId, cVec))
   }
 
+  /** [[pqRefitFixed]]'s float twin: avg() means, sqDist assignment. */
+  private def pqRefitFloat(frame: DataFrame, svArr: Column, m: Int,
+                           book: DriverBook[Double]): DriverBook[Double] = {
+    val codes = pqCodesExpr[Double](svArr, m, book, sqDist)
+    frame
+      .select(codes.as("__codes"),
+        posexplode(svArr).as(Seq("__j", "__sv")))
+      .select(col("__sv").getField("subspace").as("subspace"),
+        element_at(col("__codes"), col("__j") + 1).as("code"),
+        posexplode(col("__sv").getField("sub")).as(Seq("pos", "v")))
+      .groupBy("subspace", "code", "pos")
+      .agg(avg("v").as("mv"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1))).toSeq
+      .map { case ((j, code), rows) =>
+        (j, code, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toIndexedSeq)
+      }
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+  }
+
   private def trainPqCodebook(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
                               iters: Int, cId: String, cVec: String): DataFrame = {
+    val spark = corpus.sparkSession
+    if (ksub.toLong * dim > ArgminLiteralCap)
+      return trainPqCodebookJoinLoop(corpus, dim, m, ksub, iters, cId, cVec)
+    val svArr = subvecs(col(cVec), dim, m)
+    val seedRows = corpus.orderBy(col(cId)).limit(ksub)
+      .select(svArr.as("svs")).collect()
+    var book: DriverBook[Double] = (0 until m).map { j =>
+      j -> seedRows.toSeq.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[org.apache.spark.sql.Row](0)(j).getSeq[Double](1).toIndexedSeq)
+      }
+    }.toMap
+    for (_ <- 1 to iters)
+      book = pqRefitFloat(corpus, svArr, m, book)
+    import spark.implicits._
+    val df = graft.util.Caches.retain(
+      spark.createDataset(bookRows(reindexBook(book)))
+        .toDF("subspace", "cell", "centroid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    df.count()
+    df
+  }
+
+  /** The pre-r18 broadcast-join float PQ trainer — past-cap fallback. */
+  private def trainPqCodebookJoinLoop(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+                                      iters: Int, cId: String, cVec: String): DataFrame = {
     val subs = corpus.select(col(cId).as("__id"),
       explode(subvecs(col(cVec), dim, m)).as("sv"))
       .select(col("__id"), col("sv.subspace").as("subspace"),
@@ -574,16 +811,37 @@ object Similarity {
     */
   def pqCodes(corpus: DataFrame, codebook: DataFrame, dim: Int, m: Int,
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
-    corpus.select(col(cId), explode(subvecs(col(cVec), dim, m)).as("sv"))
-      .select(col(cId), col("sv.subspace").as("subspace"), col("sv.sub").as("sub"))
-      .join(broadcast(codebook), Seq("subspace"))
-      .select(col(cId), col("subspace"), col("cell"),
-        sqDist(col("sub"), col("centroid")).as("d2"))
-      .groupBy(col(cId), col("subspace"))
-      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("code"))
-      .groupBy(col(cId))
-      .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("sc"))
-      .select(col(cId), transform(col("sc"), s => s.getField("code")).as("codes"))
+    collectBookDouble(codebook) match {
+      case Some(book) =>
+        // one projection against the driver-resident codebook (r18) —
+        // same double argmins, no explode/join/re-aggregation
+        corpus.select(col(cId),
+          pqCodesExpr(subvecs(col(cVec), dim, m), m, book, sqDist).as("codes"))
+      case None =>
+        corpus.select(col(cId), explode(subvecs(col(cVec), dim, m)).as("sv"))
+          .select(col(cId), col("sv.subspace").as("subspace"), col("sv.sub").as("sub"))
+          .join(broadcast(codebook), Seq("subspace"))
+          .select(col(cId), col("subspace"), col("cell"),
+            sqDist(col("sub"), col("centroid")).as("d2"))
+          .groupBy(col(cId), col("subspace"))
+          .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("code"))
+          .groupBy(col(cId))
+          .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("sc"))
+          .select(col(cId), transform(col("sc"), s => s.getField("code")).as("codes"))
+    }
+
+  /** [[collectBookLong]]'s float twin. */
+  private def collectBookDouble(codebook: DataFrame): Option[DriverBook[Double]] = {
+    val rows = codebook.select(col("subspace"),
+      codebook.columns.find(c => c == "cell" || c == "code")
+        .fold(col("cell"))(col).as("code"), col("centroid")).collect()
+    val entries = rows.map(_.getSeq[Double](2).length.toLong).sum
+    if (entries > ArgminLiteralCap) None
+    else Some(rows.toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap)
+  }
 
   /** Asymmetric-distance PQ scores: every (query, corpus vector) pair's
     * approximate squared L2 distance = Σ_j table[j][code_j], where the
@@ -1025,8 +1283,18 @@ object Similarity {
   private def subvecsFixed(vec: Column, dim: Int, m: Int, scale: Long): Column =
     subvecs(transform(vec, x => floor(x * scale).cast("long")), dim, m)
 
-  /** Integer squared L2 distance over two `array<long>` columns. */
+  /** Integer squared L2 distance over two `array<long>` columns — the
+    * native fused-loop kernel (graft.functions.SqDiffLong); integer sums
+    * are order-independent, so bit-identical to the HOF fold.
+    */
   private def d2Fixed(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SqDiffLong(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** [[d2Fixed]]'s composable reference form (tested against the kernel). */
+  private[operators] def d2FixedHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
@@ -1051,9 +1319,112 @@ object Similarity {
         else trainPqCodebookFixed(corpus, dim, m, ksub, iters, scale, cId, cVec))
   }
 
+  /** A per-subspace codebook as driver rows: subspace → (code, centroid)
+    * entries, codes ascending. The PQ twin of the kmeans centroid tables —
+    * m×ksub rows of bounded metadata.
+    */
+  private type DriverBook[T] = Map[Int, Seq[(Int, Seq[T])]]
+
+  /** Per-row PQ code array over a driver-resident codebook, as ONE
+    * expression: for each subvector (subspace-ordered, the [[subvecs]]
+    * contract), the code minimizing the supplied distance — ties to the
+    * lower code, `min_by(code, struct(d2, code))` verbatim. The encode
+    * pass and each trainer iteration become pure projections: no
+    * corpus×ksub broadcast-join explosion, no per-(row, subspace)
+    * re-aggregation shuffle (r18, guide §2.3/§2.4 + VERDICT r17 #4).
+    */
+  private def pqCodesExpr[T: scala.reflect.runtime.universe.TypeTag](
+      svArr: Column, m: Int, book: DriverBook[T],
+      d2Of: (Column, Column) => Column): Column =
+    transform(svArr, sv => {
+      val sub = sv.getField("sub")
+      (0 until m).foldLeft(lit(null).cast("int")) { (acc, j) =>
+        val entries = book.getOrElse(j, Seq.empty)
+        if (entries.isEmpty) acc
+        else {
+          val ds = array(entries.map { case (_, cent) =>
+            d2Of(sub, typedLit(cent)) }: _*)
+          when(sv.getField("subspace") === j,
+            element_at(typedLit(entries.map(_._1)),
+              array_position(ds, array_min(ds)).cast("int"))).otherwise(acc)
+        }
+      }
+    })
+
+  /** One Lloyd's refinement pass over subvector rows with the assignment
+    * inlined: (subspace, code, pos) means in a single job, collected back
+    * to a [[DriverBook]]. Codes that lost every member vanish, exactly
+    * like the aggregate form.
+    */
+  private def pqRefitFixed(frame: DataFrame, svArr: Column, m: Int,
+                           book: DriverBook[Long]): DriverBook[Long] = {
+    val codes = pqCodesExpr[Long](svArr, m, book, d2Fixed)
+    frame
+      .select(codes.as("__codes"),
+        posexplode(svArr).as(Seq("__j", "__sv")))
+      .select(col("__sv").getField("subspace").as("subspace"),
+        element_at(col("__codes"), col("__j") + 1).as("code"),
+        posexplode(col("__sv").getField("sub")).as(Seq("pos", "v")))
+      .groupBy("subspace", "code", "pos")
+      .agg(expr("sum(v) div count(v)").as("mv"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1))).toSeq
+      .map { case ((j, code), rows) =>
+        (j, code, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toIndexedSeq)
+      }
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+  }
+
+  /** Contiguous per-subspace code reindex (positional-lookup contract) —
+    * the aggregate form's `row_number over (subspace order by cell)`,
+    * done on the driver rows.
+    */
+  private def reindexBook[T](book: DriverBook[T]): DriverBook[T] =
+    book.view.mapValues(_.sortBy(_._1).zipWithIndex
+      .map { case ((_, cent), i) => (i, cent) }).toMap
+
+  private def bookRows[T](book: DriverBook[T]): Seq[(Int, Int, Seq[T])] =
+    book.toSeq.sortBy(_._1).flatMap { case (j, es) =>
+      es.map { case (c, cent) => (j, c, cent) }
+    }
+
   private def trainPqCodebookFixed(corpus: DataFrame, dim: Int, m: Int,
                                    ksub: Int, iters: Int, scale: Long,
                                    cId: String, cVec: String): DataFrame = {
+    val spark = corpus.sparkSession
+    if (ksub.toLong * dim > ArgminLiteralCap)
+      return trainPqCodebookFixedJoinLoop(corpus, dim, m, ksub, iters, scale,
+        cId, cVec)
+    val svArr = subvecsFixed(col(cVec), dim, m, scale)
+    // seeds: the ksub lowest-id rows (TakeOrdered returns them sorted), one
+    // seed subvector per subspace, code = the seed's id rank
+    val seedRows = corpus.orderBy(col(cId)).limit(ksub)
+      .select(svArr.as("svs")).collect()
+    var book: DriverBook[Long] = (0 until m).map { j =>
+      j -> seedRows.toSeq.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[org.apache.spark.sql.Row](0)(j).getSeq[Long](1).toIndexedSeq)
+      }
+    }.toMap
+    for (_ <- 1 to iters)
+      book = pqRefitFixed(corpus, svArr, m, book)
+    val reindexed = reindexBook(book)
+    import spark.implicits._
+    // LocalRelation result; persisted + retained so the pqCache liveness
+    // check (storageLevel != NONE) keeps recognizing a live memo entry
+    val df = graft.util.Caches.retain(
+      spark.createDataset(bookRows(reindexed))
+        .toDF("subspace", "cell", "centroid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    df.count()
+    df
+  }
+
+  /** The pre-r18 broadcast-join PQ trainer, kept as the past-cap
+    * fallback.
+    */
+  private def trainPqCodebookFixedJoinLoop(corpus: DataFrame, dim: Int, m: Int,
+                                           ksub: Int, iters: Int, scale: Long,
+                                           cId: String, cVec: String): DataFrame = {
     val subs = corpus.select(col(cId).as("__id"),
       explode(subvecsFixed(col(cVec), dim, m, scale)).as("sv"))
       .select(col("__id"), col("sv.subspace").as("subspace"),
@@ -1096,20 +1467,48 @@ object Similarity {
     reindexed
   }
 
-  /** [[pqCodes]]'s fixed-point twin: integer argmin encoding. */
+  /** Collect a (subspace, cell|code, centroid) codebook frame to a
+    * [[DriverBook]] — bounded (m×ksub rows) by construction; `None` past
+    * the literal cap routes callers to the join form.
+    */
+  private def collectBookLong(codebook: DataFrame): Option[DriverBook[Long]] = {
+    val rows = codebook.select(col("subspace"),
+      codebook.columns.find(c => c == "cell" || c == "code")
+        .fold(col("cell"))(col).as("code"), col("centroid")).collect()
+    val entries = rows.map(_.getSeq[Long](2).length.toLong).sum
+    if (entries > ArgminLiteralCap) None
+    else Some(rows.toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap)
+  }
+
+  /** [[pqCodes]]'s fixed-point twin: integer argmin encoding — ONE
+    * projection against the driver-resident codebook (no explode, no
+    * broadcast join, no per-(row, subspace) re-aggregation shuffle; the
+    * values are the same integer argmins). Past the literal cap the
+    * original join form runs.
+    */
   def pqCodesFixed(corpus: DataFrame, codebook: DataFrame, dim: Int, m: Int,
                    scale: Long = 1L << 20, cId: String = "vec_id",
                    cVec: String = "embedding"): DataFrame =
-    corpus.select(col(cId), explode(subvecsFixed(col(cVec), dim, m, scale)).as("sv"))
-      .select(col(cId), col("sv.subspace").as("subspace"), col("sv.sub").as("sub"))
-      .join(broadcast(codebook), Seq("subspace"))
-      .select(col(cId), col("subspace"), col("cell"),
-        d2Fixed(col("sub"), col("centroid")).as("d2"))
-      .groupBy(col(cId), col("subspace"))
-      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("code"))
-      .groupBy(col(cId))
-      .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("sc"))
-      .select(col(cId), transform(col("sc"), s => s.getField("code")).as("codes"))
+    collectBookLong(codebook) match {
+      case Some(book) =>
+        corpus.select(col(cId),
+          pqCodesExpr(subvecsFixed(col(cVec), dim, m, scale), m, book,
+            d2Fixed).as("codes"))
+      case None =>
+        corpus.select(col(cId), explode(subvecsFixed(col(cVec), dim, m, scale)).as("sv"))
+          .select(col(cId), col("sv.subspace").as("subspace"), col("sv.sub").as("sub"))
+          .join(broadcast(codebook), Seq("subspace"))
+          .select(col(cId), col("subspace"), col("cell"),
+            d2Fixed(col("sub"), col("centroid")).as("d2"))
+          .groupBy(col(cId), col("subspace"))
+          .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("code"))
+          .groupBy(col(cId))
+          .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("sc"))
+          .select(col(cId), transform(col("sc"), s => s.getField("code")).as("codes"))
+    }
 
   /** [[pqScores]]'s fixed-point twin: integer ADC tables, long sums. */
   def pqScoresFixed(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
@@ -1185,10 +1584,69 @@ object Similarity {
                          cId: String, cVec: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val spark = corpus.sparkSession
+    val scaled0 = corpus.select(col(cId),
+      transform(col(cVec), x => floor(x * scale).cast("long")).as("__sv"))
+    // r18 (guide §2.3/§2.4, VERDICT r17 #4): coarse training via
+    // kmeansFixedTrain (driver-resident centroids), the coarse assignment
+    // + residual as ONE projection (no corpus self-join to attach cells),
+    // the residual-PQ trainer as one means job per iteration, and the
+    // encode as a final projection. All-integer → bit-identical to the
+    // join forms; past the literal caps the pre-r18 join pipeline runs
+    // unchanged below.
+    val trained =
+      if (ksub.toLong * dim > ArgminLiteralCap) None
+      else kmeansFixedTrain(scaled0, nCells, itersIvf, cId).filter(_.nonEmpty)
+    trained match {
+      case Some(coarse) =>
+        import spark.implicits._
+        val cellCol = argminCellFixed(col("__sv"), coarse)
+        // final coarse centroids at the trained assignment (integral-div
+        // means — one job, nCells×dim driver rows)
+        val ccRows: Seq[(Int, Seq[Long])] = scaled0
+          .select(cellCol.as("cell"), posexplode(col("__sv")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(expr("sum(v) div count(v)").as("m"))
+          .collect()
+          .groupBy(_.getInt(0)).toSeq
+          .map { case (cell, rows) =>
+            (cell, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toIndexedSeq)
+          }
+          .sortBy(_._1)
+        val ccLit = typedLit(ccRows.toMap)
+        // residuals: exact long subtraction against the row's own cell
+        // centroid — persisted, the PQ trainer makes itersPq passes and
+        // the encoder one more
+        val resid = graft.util.Caches.retain(
+          scaled0.select(col(cId), cellCol.as("cell"), col("__sv"))
+            .select(col(cId), col("cell"),
+              zip_with(col("__sv"), element_at(ccLit, col("cell")),
+                (a, b) => a - b).as("__rv"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val rsv = subvecs(col("__rv"), dim, m)
+        // seeds = the ksub lowest-id rows' residual subvectors, code = id
+        // rank (the trainPqCodebookFixed protocol verbatim)
+        val seedRows = resid.orderBy(col(cId)).limit(ksub)
+          .select(rsv.as("svs")).collect()
+        var book: DriverBook[Long] = (0 until m).map { j =>
+          j -> seedRows.toSeq.zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[org.apache.spark.sql.Row](0)(j).getSeq[Long](1).toIndexedSeq)
+          }
+        }.toMap
+        for (_ <- 1 to itersPq)
+          book = pqRefitFixed(resid, rsv, m, book)
+        val finalBook = reindexBook(book)
+        val codesCol = pqCodesExpr(rsv, m, finalBook, d2Fixed)
+        val cells = resid.select(col(cId), col("cell"))
+        val cc = spark.createDataset(ccRows.map(t => (t._1, t._2)))
+          .toDF("cell", "__cc")
+        val cbf = spark.createDataset(bookRows(finalBook))
+          .toDF("subspace", "code", "centroid")
+        val codes = resid.select(col(cId), codesCol.as("codes"))
+        return (cells, cc, cbf, codes)
+      case None => () // past a literal cap — the join pipeline below
+    }
     val cells = kmeansCellsFixed(corpus, nCells, itersIvf, scale, cId, cVec)
-    val scaled = corpus.select(col(cId),
-        transform(col(cVec), x => floor(x * scale).cast("long")).as("__sv"))
-      .join(cells, cId)
+    val scaled = scaled0.join(cells, cId)
     // final coarse centroids at the trained assignment — integral-div
     // means keep everything on the integer lattice
     val cc0 = scaled
@@ -1356,8 +1814,10 @@ object Similarity {
                iters: Int = 3, maxCell: Int = 10000,
                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     require(k > 0, s"knnGraph needs a positive k, got $k")
-    val cells = kmeansCellsFixed(vectors, nCells, iters, cId = cId, cVec = cVec)
-    val assigned = vectors.join(cells, cId)
+    // cell attached as a projection — no vectors⋈assignment self-join
+    // (r18; same trained assignment, see kmeansCellsFixedAttach)
+    val assigned = kmeansCellsFixedAttach(vectors, nCells, iters,
+      cId = cId, cVec = cVec)
     val kept = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxCell)
       .select(col("cell"))

@@ -245,7 +245,21 @@ object ManifestStore {
         }
       }
     val dir = subDir(root, batchId, sub)
-    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(dir.toString)
+    // Cluster rows by the partition column before the dynamic-partition
+    // write (r18, guide §6 small files): without it every task writes one
+    // file into EVERY partition dir its rows touch — a 32-task write of a
+    // ~2400-date table emitted tens of thousands of near-empty files
+    // (measured: the manifested joint-KPI drain spent 19-59 s mostly in
+    // file creation, and the read side paid the listing again). With the
+    // rows clustered, each partition dir gets exactly one file; content
+    // is byte-identical, only layout changes. The partition count is
+    // EXPLICIT (the session's shuffle parallelism): a bare repartition(pc)
+    // lets AQE coalesce the tiny shuffle to ONE task, which then creates
+    // every partition directory serially — measured 35 s vs 9 s for the
+    // same ~2400-dir write.
+    merged.repartition(
+        spark.sessionState.conf.numShufflePartitions, pc)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dir.toString)
     val written = fs.listStatus(dir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
       .map(_.getPath.getName)
@@ -351,7 +365,12 @@ object ManifestStore {
     val remaining = readManifested(spark, root, touchedManifest, prevSchema, "")
       .join(delKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
     val dir = subDir(root, batchId, "")
-    remaining.write.mode("overwrite").partitionBy(partitionCol)
+    // cluster by the partition column first — one file per touched dir
+    // instead of one per (task, dir), explicit partition count so AQE
+    // cannot serialize the dir creation into one task; see stageTable
+    remaining.repartition(
+        spark.sessionState.conf.numShufflePartitions, col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol)
       .parquet(dir.toString)
     val written = fs.listStatus(dir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))

@@ -74,10 +74,12 @@ object AnnStream {
         fs.listStatus(centRoot).exists(_.getPath.getName.startsWith("batch="))
       if (batchId % refitEvery == 0 || !hasFit) {
         // REFIT: k-means over the whole store (the just-written batch
-        // included), full reassignment snapshot + fresh centroid table
+        // included), full reassignment snapshot + fresh centroid table.
+        // The cell attaches as a projection (kmeansCellsAttach, r18) —
+        // the former store⋈assignment self-join re-shuffled the whole
+        // store every refit for rows that already carried their vectors.
         val all = vectors(spark, workDir)
-        val withCells = all
-          .join(Similarity.kmeansCells(all, k, iters), Seq("vec_id"))
+        val withCells = Similarity.kmeansCellsAttach(all, k, iters)
           .persist()
         try {
           withCells.select(col("vec_id"), col("cell"))
@@ -99,13 +101,17 @@ object AnnStream {
             .foreach(p => fs.delete(p, true))
         }
       } else {
-        // FROZEN assignment of the fresh vectors to the latest fit
-        val cents = latestCentroids(spark, workDir)
-        freshP.join(broadcast(cents))
-          .select(col("vec_id"), col("cell"),
-            Similarity.cosine(col("embedding"), col("centroid")).as("csim"))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"))
+        // FROZEN assignment of the fresh vectors to the latest fit. The
+        // centroid table is nlist rows of published metadata — collected,
+        // the assignment is one argmax projection (identical values to
+        // the former broadcast-cross-join + max_by re-aggregation, which
+        // multiplied the batch k× and shuffled it back; r18 guide §2.4).
+        val cents = latestCentroids(spark, workDir).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+          .toIndexedSeq.sortBy((t: (Int, Seq[Double])) => t._1)
+        freshP
+          .select(col("vec_id"),
+            Similarity.argmaxCellCosine(col("embedding"), cents).as("cell"))
           .write.mode("overwrite").parquet(s"$workDir/assign/batch=$batchId")
       }
     } finally freshP.unpersist()

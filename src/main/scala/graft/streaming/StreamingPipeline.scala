@@ -463,7 +463,13 @@ object StreamingPipeline {
     // partition directory names carry Spark's own value escaping, so the
     // swap lists them instead of reconstructing names from values.
     val stage = new Path(root, s"_staging_$batchId")
-    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
+    // cluster by the partition column first — one file per touched dir
+    // instead of one per (task, dir), explicit partition count so AQE
+    // cannot serialize the dir creation into one task; see
+    // ManifestStore.stageTable (guide §6 small files)
+    merged.repartition(
+        spark.sessionState.conf.numShufflePartitions, pc)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
     if (!fs.exists(cur)) fs.mkdirs(cur)
     fs.listStatus(stage)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))

@@ -90,7 +90,13 @@ object WetStream {
               .join(reg.select("uri"), Seq("uri"), "left_anti"))
         } else best
       fresh.write.mode("overwrite").parquet(s"$workDir/records/batch=$batchId")
-      fresh.select(col("uri"), col("len_ok")).write.mode("overwrite")
+      // registry = a projection of the records JUST written: read the
+      // committed file back instead of re-executing the window + registry
+      // anti-joins a second time (r18, guide §2.3 — one fewer
+      // recompute per trigger)
+      spark.read.schema(RecordSchema)
+        .parquet(s"$workDir/records/batch=$batchId")
+        .select(col("uri"), col("len_ok")).write.mode("overwrite")
         .parquet(s"$workDir/registry/batch=$batchId")
     } finally parsed.unpersist()
   }

@@ -143,8 +143,11 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("adjudicate requalifies a load blip and keeps a real regression") {
-    val baseline = Map("blip" -> 1.0, "real" -> 1.0, "fine" -> 1.0)
-    val first = Map("blip" -> 2.5, "real" -> 2.6, "fine" -> 1.1)
+    // enough flat queries that the drift median stays 1 — this test pins
+    // the REQUALIFICATION protocol, not drift normalization
+    val flat = (1 to 6).map(i => s"f$i" -> 1.0).toMap
+    val baseline = Map("blip" -> 1.0, "real" -> 1.0, "fine" -> 1.0) ++ flat
+    val first = Map("blip" -> 2.5, "real" -> 2.6, "fine" -> 1.1) ++ flat
     val reran = scala.collection.mutable.ListBuffer.empty[String]
     val (now, regs) = Bench.adjudicate(baseline, first, { name =>
       reran += name
@@ -174,8 +177,9 @@ class BenchGateSpec extends AnyFunSuite {
     // e_daily_value on a 0.286s delta (0.15 -> 0.44). This drives the full
     // adjudicate path bare, exactly like main: a >2x blip under 0.5s of
     // absolute delta must neither re-run nor breach.
-    val baseline = Map("e_daily_value" -> 0.15, "real" -> 1.0)
-    val first = Map("e_daily_value" -> 0.44, "real" -> 2.6)
+    val flat = (1 to 6).map(i => s"f$i" -> 1.0).toMap
+    val baseline = Map("e_daily_value" -> 0.15, "real" -> 1.0) ++ flat
+    val first = Map("e_daily_value" -> 0.44, "real" -> 2.6) ++ flat
     val reran = scala.collection.mutable.ListBuffer.empty[String]
     val (now, regs) = Bench.adjudicate(baseline, first, { name =>
       reran += name; Some(2.7)
@@ -185,6 +189,33 @@ class BenchGateSpec extends AnyFunSuite {
     assert(now("e_daily_value") == 0.44)
     assert(regs == Seq(("real", 1.0, 2.6)),
       "only the above-floor regression breaches under the bare defaults")
+  }
+
+  test("drift normalization: a uniformly slower box fails nothing, a single regression still flags") {
+    // VERDICT r17 #1/#2: the fourth consecutive driver rc=1 came from
+    // whole-box drift tipping small untouched queries over the fixed 2×
+    // (t_lm_buckets 0.96 -> 2.31 in one round, sub-second queries
+    // uniformly 0.5-0.8× their floors). The gate scales its tolerance by
+    // the MEDIAN now/floor ratio.
+    val floors = (1 to 9).map(i => s"q$i" -> 1.0).toMap
+    // box running 2.2× slow across the board: no breach
+    val slowBox = floors.map { case (k, v) => k -> v * 2.2 }
+    assert(Bench.regressions(floors, slowBox).isEmpty,
+      "uniform drift is the box, not a regression")
+    // same slow box, but one query ALSO regressed 3× on top: flags
+    val oneBad = slowBox.updated("q5", 6.8)
+    assert(Bench.regressions(floors, oneBad).map(_._1) == Seq("q5"))
+    // a quiet box must not TIGHTEN the gate below 2× (drift clamps at 1)
+    val fastBox = floors.map { case (k, v) => k -> v * 0.5 }
+    assert(Bench.driftFactor(floors, fastBox) == 1.0)
+    // a worse-than-3× session clamps: something is wrong beyond drift,
+    // and a 7× box overwhelms the clamped 2×3 tolerance loudly
+    val deadBox = floors.map { case (k, v) => k -> v * 7.0 }
+    assert(Bench.driftFactor(floors, deadBox) == 3.0)
+    assert(Bench.regressions(floors, deadBox).nonEmpty,
+      "past the clamp the gate fails loudly instead of absorbing")
+    // under 8 eligible ratios the median has no population: fixed gate
+    assert(Bench.driftFactor(Map("a" -> 1.0), Map("a" -> 2.5)) == 1.0)
   }
 
   test("the sf1 sublinearity gate flags >10x-on-10x-data above the floor") {
