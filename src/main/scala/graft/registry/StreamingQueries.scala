@@ -685,21 +685,26 @@ private[graft] object StreamingQueries {
     // literal truth.
     "st_ann_topk" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
+      // persisted around the 5-slice staging loop (the stageByFileId
+      // recipe): each filtered write would otherwise re-run the embedding
+      // scan+cast projection
       val e = embDouble(s, dir).select(col("vec_id"), col("emb_d").as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stage = tmpDir("graft_stann_in")
-      (0L to 4L).foreach { i =>
+      try (0L to 4L).foreach { i =>
         val sub = s"$stage/f$i"
         val part = if (i < 4) e.filter(col("vec_id") % 4 === i)
           else e.filter(col("vec_id") % 4 === 0) // redelivery wave
         part.coalesce(1).write.mode("overwrite").parquet(sub)
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(java.nio.file.Paths.get(sub))
-          .iterator().asScala
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+        try listing.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
             java.nio.file.attribute.FileTime
               .fromMillis(1700000000000L + i * 600000L)))
-      }
+        finally listing.close()
+      } finally e.unpersist()
       val (work, cp) = (tmpDir("graft_stann_work"), tmpDir("graft_stann_cp"))
       val schema = s.read.parquet(s"$stage/f0").schema
       val q = graft.streaming.AnnStream.writer(
